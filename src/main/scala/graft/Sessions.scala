@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session config so Verify, Bench, and tests agree.
+  *
+  * - `nanosAsLong`: the testdata's `events.ts` is TIMESTAMP(NANOS);
+  *   Spark 4 refuses it unless read as raw longs ([[Tables.events]]
+  *   converts back to a timestamp).
+  * - AQE on: runtime coalescing + skew-join handling is the 100 TB
+  *   posture; it costs nothing locally.
+  * - UTC so timestamp math matches the DuckDB oracle.
+  */
+object Sessions {
+  def local(cpus: String, shufflePartitions: String = "32"): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

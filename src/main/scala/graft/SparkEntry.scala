@@ -1,13 +1,194 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.roundStable
+import graft.etl.{Aggregates, Clean, Features}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each query implements.
+  *
+  * Conventions shared by every (query, oracle) pair so the driver's
+  * hash-compare is stable:
+  *   - doubles rounded (4dp for many-row sums/avgs, 6dp for per-row math),
+  *   - explicit ORDER BY on a unique key in BOTH engines,
+  *   - BIGINT for all integral outputs,
+  *   - weekday pinned to Monday=0 (Spark `weekday` == DuckDB `isodow-1`),
+  *   - UTC session timezone.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full reference pipeline shape: clean → features → daily summary.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev  = Clean.dedupExact(Tables.events(spark, dir),
+      Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    val feat = Features.withTemporalFeatures(ev, "ts")
+      .withColumn("aqi", Features.aqiPm25(col("value")))
+    Aggregates.dailySummary(feat, "ts", "event_type", "aqi")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_daily" -> ((s, dir) =>
+      Aggregates.dailySummary(Tables.events(s, dir), "ts", "event_type", "value")
+        .orderBy(col("d"), col("event_type"))),
+
+    "q02_dedup_exact" -> ((s, dir) =>
+      Clean.dedupExact(Tables.events(s, dir), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("event_id"))),
+
+    "q05_aqi_piecewise" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), roundStable(Features.aqiPm25(col("value")), 6).as("aqi"))
+        .orderBy(col("event_id"))),
+
+    "q06_categorize" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(Features.airQualityCategory(Features.aqiPm25(col("value"))).as("category"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("category"))),
+
+    "q07_temporal_features" -> ((s, dir) =>
+      Features.withTemporalFeatures(Tables.events(s, dir), "ts")
+        .select(col("event_id"), col("hour"), col("weekday"), col("is_weekend"),
+          col("is_rush_hour"), col("month"), col("date"))
+        .orderBy(col("event_id"))),
+
+    "q08_composite_index" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          roundStable(Features.compositeIndex(Seq(
+            (col("l_quantity"), 50.0, 0.3),
+            (col("l_extendedprice"), 100000.0, 0.3),
+            (col("l_discount"), 1.0, 0.2),
+            (col("l_tax"), 1.0, 0.2))), 6).as("composite_idx"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q10_corr_matrix" -> ((s, dir) =>
+      Aggregates.corrMatrix(Tables.lineitem(s, dir),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))),
+
+    "q11_validate" -> ((s, dir) =>
+      Aggregates.validate(Tables.events(s, dir), "user_id", "ts", "value")),
+
+    "q12_kpi" -> ((s, dir) =>
+      Aggregates.kpis(Tables.events(s, dir), "ts", "value", 50.0)),
+
+    "q13_worst_key" -> ((s, dir) =>
+      Aggregates.worstKey(Tables.events(s, dir), "user_id", "value")),
+
+    "q14_hourly_pattern" -> ((s, dir) =>
+      Aggregates.hourlyPattern(Tables.events(s, dir), "ts", "value")
+        .orderBy(col("hour"))),
+  )
+
+  /** Oracle SQL may use `roundStable(expr, d)` as shorthand; it expands to
+    * the same `floor(x*10^d + 0.5)/10^d` the Spark side computes.
+    */
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (k, v) => k -> graft.functions.expandRoundStable(v) }
+
+  private def rawOracleSql: Map[String, String] = Map(
+    "q01_agg_daily" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type,
+        | roundStable(avg(value), 4) AS avg_value,
+        | roundStable(max(value), 6) AS max_value,
+        | roundStable(min(value), 6) AS min_value,
+        | roundStable(sum(value), 4) AS sum_value,
+        | count(*) AS n
+        |FROM events GROUP BY d, event_type ORDER BY d, event_type""".stripMargin,
+
+    "q02_dedup_exact" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q05_aqi_piecewise" ->
+      """SELECT event_id, roundStable(
+        | CASE WHEN value IS NULL THEN NULL
+        |  WHEN value <= 12.0 THEN (50.0/12.0) * value
+        |  WHEN value <= 35.4 THEN 50.0 + ((100.0-50.0)/(35.4-12.1)) * (value - 12.1)
+        |  WHEN value <= 55.4 THEN 100.0 + ((150.0-100.0)/(55.4-35.5)) * (value - 35.5)
+        |  WHEN value <= 150.4 THEN 150.0 + ((200.0-150.0)/(150.4-55.5)) * (value - 55.5)
+        |  ELSE 200.0 + ((300.0-200.0)/(250.4-150.5)) * (value - 150.5)
+        | END, 6) AS aqi
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q06_categorize" ->
+      """SELECT CASE WHEN aqi IS NULL THEN 'Unknown'
+        |  WHEN aqi <= 50.0 THEN 'Good'
+        |  WHEN aqi <= 100.0 THEN 'Moderate'
+        |  WHEN aqi <= 150.0 THEN 'Unhealthy for Sensitive'
+        |  WHEN aqi <= 200.0 THEN 'Unhealthy'
+        |  ELSE 'Very Unhealthy' END AS category,
+        | count(*) AS n
+        |FROM (SELECT
+        |  CASE WHEN value IS NULL THEN NULL
+        |   WHEN value <= 12.0 THEN (50.0/12.0) * value
+        |   WHEN value <= 35.4 THEN 50.0 + ((100.0-50.0)/(35.4-12.1)) * (value - 12.1)
+        |   WHEN value <= 55.4 THEN 100.0 + ((150.0-100.0)/(55.4-35.5)) * (value - 35.5)
+        |   WHEN value <= 150.4 THEN 150.0 + ((200.0-150.0)/(150.4-55.5)) * (value - 55.5)
+        |   ELSE 200.0 + ((300.0-200.0)/(250.4-150.5)) * (value - 150.5)
+        |  END AS aqi FROM events) t
+        |GROUP BY category ORDER BY category""".stripMargin,
+
+    "q07_temporal_features" ->
+      """SELECT event_id,
+        | CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+        | CAST(EXTRACT(isodow FROM ts) - 1 AS BIGINT) AS weekday,
+        | CAST(CASE WHEN EXTRACT(isodow FROM ts) - 1 >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+        | CAST(CASE WHEN EXTRACT(hour FROM ts) IN (7,8,9,17,18,19) THEN 1 ELSE 0 END AS BIGINT) AS is_rush_hour,
+        | CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,
+        | CAST(ts AS DATE) AS date
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q08_composite_index" ->
+      """SELECT l_orderkey, l_linenumber,
+        | roundStable((l_quantity/50.0)*0.3 + (l_extendedprice/100000.0)*0.3
+        |      + (l_discount/1.0)*0.2 + (l_tax/1.0)*0.2, 6) AS composite_idx
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q10_corr_matrix" ->
+      """SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, roundStable(corr(l_discount, l_extendedprice), 6) AS r FROM lineitem
+        |UNION ALL SELECT 'l_discount', 'l_quantity', roundStable(corr(l_discount, l_quantity), 6) FROM lineitem
+        |UNION ALL SELECT 'l_discount', 'l_tax', roundStable(corr(l_discount, l_tax), 6) FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', 'l_quantity', roundStable(corr(l_extendedprice, l_quantity), 6) FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', roundStable(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'l_tax', roundStable(corr(l_quantity, l_tax), 6) FROM lineitem
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q11_validate" ->
+      """SELECT count(*) AS total_records,
+        | count(DISTINCT user_id) AS distinct_keys,
+        | CAST(min(ts) AS TIMESTAMP) AS min_ts, CAST(max(ts) AS TIMESTAMP) AS max_ts,
+        | roundStable(avg(value), 4) AS avg_value,
+        | roundStable(100.0 * (count(*) - count(value)) / count(*), 6) AS null_pct
+        |FROM events""".stripMargin,
+
+    "q12_kpi" ->
+      """SELECT o.avg_value, o.max_value, d.days_over, d.total_days,
+        | roundStable(100.0 * d.days_over / d.total_days, 6) AS pct_days_over
+        |FROM
+        | (SELECT roundStable(avg(value), 4) AS avg_value, roundStable(max(value), 6) AS max_value FROM events) o,
+        | (SELECT count(*) FILTER (WHERE day_avg > 50.0) AS days_over, count(*) AS total_days
+        |  FROM (SELECT CAST(ts AS DATE) AS d, avg(value) AS day_avg FROM events GROUP BY d) t) d""".stripMargin,
+
+    "q13_worst_key" ->
+      """SELECT user_id, roundStable(avg(value), 4) AS avg_value
+        |FROM events GROUP BY user_id
+        |ORDER BY avg_value DESC, user_id LIMIT 1""".stripMargin,
+
+    "q14_hourly_pattern" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+        | roundStable(avg(value), 4) AS avg_value, count(*) AS n
+        |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+  )
 }

@@ -1,0 +1,114 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.roundStable
+
+/** Aggregation / analytics operators: daily summaries, rolling means,
+  * correlation matrices, KPIs, data-quality validation.
+  *
+  * Reference: dags/airflow_dag_calidad_aire.py:244-253 (daily summary),
+  * 365-407 (validation); dashboard_calidad_aire.py:82-93 (KPIs), 126
+  * (rolling mean), 225-228 (correlation matrix).
+  */
+object Aggregates {
+
+  /** Daily summary per (date, key): the reference's groupby-agg block
+    * (dag:244-253). Partial (map-side) aggregation comes free from
+    * Catalyst's HashAggregate split — one shuffle on (date, key).
+    */
+  def dailySummary(df: DataFrame, tsCol: String, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(to_date(col(tsCol)).as("d"), col(keyCol))
+      .agg(
+        roundStable(avg(valueCol), 4).as("avg_value"),
+        roundStable(max(valueCol), 6).as("max_value"),
+        roundStable(min(valueCol), 6).as("min_value"),
+        roundStable(sum(valueCol), 4).as("sum_value"),
+        count(lit(1)).as("n"))
+
+  /** Centered rolling mean over an ordered per-key series
+    * (dashboard:126, pandas `rolling(window=6, center=True)` ⇒ the 6-row
+    * frame [-3, +2] around each row; pandas puts the extra row on the
+    * *preceding* side for even windows).
+    */
+  def rollingMeanCentered6(df: DataFrame, keyCol: String, orderCols: Seq[String], valueCol: String,
+      outCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*).rowsBetween(-3, 2)
+    df.withColumn(outCol, avg(col(valueCol)).over(w))
+  }
+
+  /** Pairwise Pearson correlation of numeric columns in long form
+    * (col_a, col_b, corr) — the dashboard's `df[cols].corr()`
+    * (dashboard:225-228). One aggregation computes the whole matrix;
+    * `corr` is a DeclarativeAggregate, so this is a single pass with
+    * map-side partials.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for { a <- cols; b <- cols if a < b } yield (a, b)
+    val aggCols = pairs.map { case (a, b) => roundStable(corr(col(a), col(b)), 6).as(s"${a}__$b") }
+    val wide = df.agg(aggCols.head, aggCols.tail: _*)
+    // Unpivot via stack(): one row per pair, no extra scan of the input.
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(", ")
+    wide.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)")
+  }
+
+  /** Data-quality validation block (dag:380-387): volume, null fraction,
+    * key cardinality, time range, mean — one single-row aggregate.
+    */
+  def validate(df: DataFrame, keyCol: String, tsCol: String, valueCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_records"),
+      countDistinct(col(keyCol)).as("distinct_keys"),
+      min(col(tsCol)).as("min_ts"),
+      max(col(tsCol)).as("max_ts"),
+      roundStable(avg(col(valueCol)), 4).as("avg_value"),
+      roundStable(lit(100.0) * (count(lit(1)) - count(col(valueCol))) / count(lit(1)), 6)
+        .as("null_pct"))
+
+  /** KPI block (dashboard:82-93): mean, max, days whose daily mean exceeds
+    * a threshold, and the percentage of such days.
+    */
+  def kpis(df: DataFrame, tsCol: String, valueCol: String, dayThreshold: Double): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(avg(col(valueCol)).as("day_avg"))
+    val dayStats = daily.agg(
+      sum(when(col("day_avg") > dayThreshold, 1L).otherwise(0L)).as("days_over"),
+      count(lit(1)).as("total_days"))
+    val overall = df.agg(
+      roundStable(avg(col(valueCol)), 4).as("avg_value"),
+      roundStable(max(col(valueCol)), 6).as("max_value"))
+    // Both sides are single-row aggregates — the cross join is trivial.
+    overall.crossJoin(dayStats)
+      .withColumn("pct_days_over",
+        roundStable(lit(100.0) * col("days_over") / col("total_days"), 6))
+  }
+
+  /** Group with the highest average value — the dashboard's "worst
+    * station" argmax (dashboard:87). Deterministic: ordered by the
+    * rounded average then the key.
+    */
+  def worstKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(roundStable(avg(col(valueCol)), 4).as("avg_value"))
+      .orderBy(col("avg_value").desc, col(keyCol))
+      .limit(1)
+
+  /** Hour-of-day profile (dashboard:198). */
+  def hourlyPattern(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    df.groupBy(hour(col(tsCol)).cast("long").as("hour"))
+      .agg(roundStable(avg(col(valueCol)), 4).as("avg_value"), count(lit(1)).as("n"))
+
+  /** Day-of-week quartile distribution (dashboard:149-163, the violin
+    * plot's quartiles): exact interpolated percentiles per weekday.
+    */
+  def dowQuartiles(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    df.groupBy(Features.weekdayMon0(col(tsCol)).as("weekday"))
+      .agg(
+        roundStable(expr(s"percentile($valueCol, 0.25)"), 6).as("q1"),
+        roundStable(expr(s"percentile($valueCol, 0.5)"), 6).as("median"),
+        roundStable(expr(s"percentile($valueCol, 0.75)"), 6).as("q3"),
+        count(lit(1)).as("n"))
+}

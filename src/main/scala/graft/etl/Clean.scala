@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cleaning operators — dedup, missing-value interpolation, outlier
+  * clipping. Reference: dags/airflow_dag_calidad_aire.py:156-180.
+  *
+  * Scale notes: every operator here partitions by the group key — at
+  * 100 TB the window work parallelizes across keys with one shuffle on the
+  * key, no global sort. Keys are sensor/user series, so per-key cardinality
+  * is bounded (hourly data → ~10^5 rows/key/decade) and skew is not a
+  * concern; a pathological hot key would be handled by AQE skew splitting
+  * on the preceding shuffle.
+  */
+object Clean {
+
+  /** Exact deduplication on a business key with a deterministic survivor
+    * (first row by `orderCols`). The reference's `drop_duplicates`
+    * (dag:180) keeps the first physical row; a distributed engine has no
+    * "first physical row", so we make survivorship explicit and
+    * reproducible via row_number over (key, order).
+    */
+  def dedupExact(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-group, ordered linear interpolation of nulls in `valueCol`
+    * (pandas `interpolate(method='linear')`, dag:162-168), expressed with
+    * window functions only:
+    *
+    *   prev = last non-null value at or before this row
+    *   next = first non-null value at or after this row
+    *   gap position = rows since prev / rows from prev to next
+    *   interpolated = prev + (next - prev) * position
+    *
+    * Boundary semantics match pandas `interpolate` defaults: leading nulls
+    * stay null, trailing nulls forward-fill from the last known value.
+    * `maxGap` bounds the fill like pandas' `limit=` (dag:167): runs of
+    * nulls longer than `maxGap` are left null.
+    */
+  def interpolateLinear(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      maxGap: Int = Int.MaxValue): DataFrame = {
+    val v = col(valueCol)
+    val wAsc  = Window.partitionBy(keyCol).orderBy(orderCol)
+    val wDesc = Window.partitionBy(keyCol).orderBy(col(orderCol).desc)
+
+    // Row index of the nearest non-null neighbor in each direction.
+    val rn = row_number().over(wAsc)
+    val withIdx = df
+      .withColumn("__rn", rn)
+    val prevVal = last(v, ignoreNulls = true)
+      .over(wAsc.rowsBetween(Window.unboundedPreceding, 0))
+    val prevIdx = last(when(v.isNotNull, col("__rn")), ignoreNulls = true)
+      .over(wAsc.rowsBetween(Window.unboundedPreceding, 0))
+    val nextVal = first(v, ignoreNulls = true)
+      .over(wAsc.rowsBetween(0, Window.unboundedFollowing))
+    val nextIdx = first(when(v.isNotNull, col("__rn")), ignoreNulls = true)
+      .over(wAsc.rowsBetween(0, Window.unboundedFollowing))
+
+    val filled = withIdx
+      .withColumn("__pv", prevVal).withColumn("__pi", prevIdx)
+      .withColumn("__nv", nextVal).withColumn("__ni", nextIdx)
+      .withColumn(
+        valueCol,
+        when(v.isNotNull, v)
+          // interior gap with both neighbors, within the fill limit
+          .when(
+            col("__pv").isNotNull && col("__nv").isNotNull &&
+              (col("__rn") - col("__pi") <= maxGap),
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (col("__rn") - col("__pi")).cast("double") /
+              (col("__ni") - col("__pi")).cast("double"))
+          // trailing nulls: pandas interpolate forward-fills, within limit
+          .when(
+            col("__pv").isNotNull && (col("__rn") - col("__pi") <= maxGap),
+            col("__pv"))
+          .otherwise(lit(null)))
+      .drop("__rn", "__pv", "__pi", "__nv", "__ni")
+    filled
+  }
+
+  /** IQR outlier clipping per group (dag:170-177): clip to
+    * [Q1 - k·IQR, Q3 + k·IQR] with exact linear-interpolated percentiles
+    * (matches pandas `quantile` and DuckDB `quantile_cont`). The reference
+    * computes bounds per 10k-row chunk — an artifact of pandas chunking;
+    * the semantically-intended unit is the group, which is what we use.
+    *
+    * At 100 TB: swap `percentile` for `approx_percentile(c, p, err)` —
+    * single-pass sketch, same call shape. Kept exact here because the
+    * oracle compares exact quantiles.
+    */
+  def clipOutliersIqr(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String],
+      k: Double = 3.0): DataFrame = {
+    val aggs = valueCols.flatMap { c =>
+      Seq(
+        expr(s"percentile($c, 0.25)").as(s"__q1_$c"),
+        expr(s"percentile($c, 0.75)").as(s"__q3_$c"))
+    }
+    val bounds = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // bounds has one row per group — broadcast it back onto the fact side
+    // so the clip is a map-side join, not a second shuffle.
+    val joined = df.join(broadcast(bounds), keys)
+    valueCols.foldLeft(joined) { (acc, c) =>
+      val iqr = col(s"__q3_$c") - col(s"__q1_$c")
+      val lo  = col(s"__q1_$c") - lit(k) * iqr
+      val hi  = col(s"__q3_$c") + lit(k) * iqr
+      acc.withColumn(c, when(col(c) < lo, lo).when(col(c) > hi, hi).otherwise(col(c)))
+    }.drop(valueCols.flatMap(c => Seq(s"__q1_$c", s"__q3_$c")): _*)
+  }
+}

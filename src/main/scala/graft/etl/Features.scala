@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature engineering — the reference's transform-phase derived columns,
+  * re-expressed as pure Catalyst column expressions (codegen'd, no UDFs).
+  *
+  * Reference: dags/airflow_dag_calidad_aire.py:185-234 (AQI, category,
+  * temporal features, pollution index).
+  */
+object Features {
+
+  /** Piecewise-linear EPA AQI for a PM2.5-like reading.
+    * Exact breakpoint math from airflow_dag_calidad_aire.py:185-199,
+    * including the reference's 12.0/12.1-style segment gaps — we replicate
+    * its arithmetic verbatim so results match the reference bit-for-bit.
+    * A `when` chain stays inside whole-stage codegen.
+    */
+  def aqiPm25(pm25: Column): Column =
+    when(pm25.isNull, lit(null))
+      .when(pm25 <= 12.0, lit(50.0 / 12.0) * pm25)
+      .when(pm25 <= 35.4, lit(50.0) + lit((100.0 - 50.0) / (35.4 - 12.1)) * (pm25 - lit(12.1)))
+      .when(pm25 <= 55.4, lit(100.0) + lit((150.0 - 100.0) / (55.4 - 35.5)) * (pm25 - lit(35.5)))
+      .when(pm25 <= 150.4, lit(150.0) + lit((200.0 - 150.0) / (150.4 - 55.5)) * (pm25 - lit(55.5)))
+      .otherwise(lit(200.0) + lit((300.0 - 200.0) / (250.4 - 150.5)) * (pm25 - lit(150.5)))
+
+  /** AQI → category label (airflow_dag_calidad_aire.py:202-218). */
+  def airQualityCategory(aqi: Column): Column =
+    when(aqi.isNull, lit("Unknown"))
+      .when(aqi <= 50.0, lit("Good"))
+      .when(aqi <= 100.0, lit("Moderate"))
+      .when(aqi <= 150.0, lit("Unhealthy for Sensitive"))
+      .when(aqi <= 200.0, lit("Unhealthy"))
+      .otherwise(lit("Very Unhealthy"))
+
+  /** Monday=0 … Sunday=6 weekday (pandas `dt.dayofweek` convention used by
+    * the reference; equals DuckDB `isodow - 1`).
+    */
+  def weekdayMon0(ts: Column): Column = weekday(ts).cast("long")
+
+  /** Temporal feature block (airflow_dag_calidad_aire.py:221-226).
+    * All longs so the oracle's BIGINT schema matches exactly.
+    */
+  def withTemporalFeatures(df: DataFrame, tsCol: String): DataFrame = {
+    val ts = col(tsCol)
+    val hr = hour(ts).cast("long")
+    val wd = weekdayMon0(ts)
+    df.withColumn("hour", hr)
+      .withColumn("weekday", wd)
+      .withColumn("is_weekend", (wd >= 5).cast("long"))
+      .withColumn("is_rush_hour", hr.isin(7, 8, 9, 17, 18, 19).cast("long"))
+      .withColumn("month", month(ts).cast("long"))
+      .withColumn("date", to_date(ts))
+  }
+
+  /** Weighted, per-column-normalized composite index
+    * (airflow_dag_calidad_aire.py:229-234): sum(w_i * col_i / norm_i).
+    * Terms are combined left-to-right so the floating-point evaluation
+    * order matches an equivalent left-associative SQL `+` chain.
+    */
+  def compositeIndex(terms: Seq[(Column, Double, Double)]): Column =
+    terms.map { case (c, norm, w) => (c / lit(norm)) * lit(w) }.reduce(_ + _)
+}

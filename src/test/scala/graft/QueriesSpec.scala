@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all specs. */
+object TestSpark {
+  lazy val spark: SparkSession = Sessions.local("4", shufflePartitions = "4")
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+/** Every registered query runs on sf0.001 and returns rows; every query
+  * with an oracle has aligned column names (the driver sorts columns by
+  * name before hashing, so a drift here fails the whole round).
+  */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("roundStable SQL expansion matches the Spark formula") {
+    import graft.functions.expandRoundStable
+    assert(expandRoundStable("roundStable(avg(v), 4) AS a") ==
+      "floor((avg(v)) * 1e4 + 0.5) / 1e4 AS a")
+    assert(expandRoundStable("roundStable(f(a, g(b)), 6)") ==
+      "floor((f(a, g(b))) * 1e6 + 0.5) / 1e6")
+  }
+}
