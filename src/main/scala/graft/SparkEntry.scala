@@ -41,6 +41,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
         .orderBy(col("event_id"))),
 
+    "q03_interpolate" -> ((s, dir) => {
+      // Deterministically inject ~2.7% missing values (the testdata has
+      // none), then per-user ordered linear interpolation, limit 3 — the
+      // reference's interpolate(method='linear', limit=3) per station.
+      val ev = Tables.events(s, dir).withColumn("value",
+        when(col("event_id") % 37 === 0, lit(null)).otherwise(col("value")))
+      Clean.interpolateLinear(ev, "user_id", Seq("ts", "event_id"), "value", maxGap = 3)
+        .select(col("event_id"), roundStable(col("value"), 6).as("value_interp"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q04_outlier_iqr" -> ((s, dir) =>
+      Clean.clipOutliersIqr(Tables.events(s, dir), Seq("event_type"), Seq("value"), k = 3.0)
+        .select(col("event_id"), roundStable(col("value"), 6).as("value_clipped"))
+        .orderBy(col("event_id"))),
+
     "q05_aqi_piecewise" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), roundStable(Features.aqiPm25(col("value")), 6).as("aqi"))
@@ -69,6 +85,12 @@ object SparkEntry {
             (col("l_tax"), 1.0, 0.2))), 6).as("composite_idx"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    "q09_rolling_mean" -> ((s, dir) =>
+      Aggregates.rollingMeanCentered6(Tables.events(s, dir), "user_id",
+        Seq("ts", "event_id"), "value", "rolling_avg")
+        .select(col("event_id"), roundStable(col("rolling_avg"), 4).as("rolling_avg"))
+        .orderBy(col("event_id"))),
+
     "q10_corr_matrix" -> ((s, dir) =>
       Aggregates.corrMatrix(Tables.lineitem(s, dir),
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
@@ -86,6 +108,16 @@ object SparkEntry {
     "q14_hourly_pattern" -> ((s, dir) =>
       Aggregates.hourlyPattern(Tables.events(s, dir), "ts", "value")
         .orderBy(col("hour"))),
+
+    "q15_dow_quartiles" -> ((s, dir) =>
+      Aggregates.dowQuartiles(Tables.events(s, dir), "ts", "value")
+        .orderBy(col("weekday"))),
+
+    "q21_window_topk" -> ((s, dir) =>
+      Aggregates.topNPerGroup(Tables.orders(s, dir), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank").cast("long").as("rank"))
+        .orderBy(col("o_custkey"), col("rank"))),
   )
 
   /** Oracle SQL may use `roundStable(expr, d)` as shorthand; it expands to
@@ -110,6 +142,41 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q03_interpolate" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), t AS (
+        |  SELECT event_id, v, rn,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+        |  FROM base
+        |)
+        |SELECT event_id, roundStable(CASE
+        |  WHEN v IS NOT NULL THEN v
+        |  WHEN pv IS NOT NULL AND nv IS NOT NULL AND rn - pi <= 3
+        |    THEN pv + (nv - pv) * CAST(rn - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)
+        |  WHEN pv IS NOT NULL AND rn - pi <= 3 THEN pv
+        |  ELSE NULL END, 6) AS value_interp
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "q04_outlier_iqr" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, roundStable(CASE
+        |  WHEN e.value < b.q1 - 3.0 * (b.q3 - b.q1) THEN b.q1 - 3.0 * (b.q3 - b.q1)
+        |  WHEN e.value > b.q3 + 3.0 * (b.q3 - b.q1) THEN b.q3 + 3.0 * (b.q3 - b.q1)
+        |  ELSE e.value END, 6) AS value_clipped
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q05_aqi_piecewise" ->
       """SELECT event_id, roundStable(
@@ -156,6 +223,12 @@ object SparkEntry {
         |      + (l_discount/1.0)*0.2 + (l_tax/1.0)*0.2, 6) AS composite_idx
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "q09_rolling_mean" ->
+      """SELECT event_id,
+        | roundStable(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING), 4) AS rolling_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q10_corr_matrix" ->
       """SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, roundStable(corr(l_discount, l_extendedprice), 6) AS r FROM lineitem
         |UNION ALL SELECT 'l_discount', 'l_quantity', roundStable(corr(l_discount, l_quantity), 6) FROM lineitem
@@ -190,5 +263,20 @@ object SparkEntry {
       """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
         | roundStable(avg(value), 4) AS avg_value, count(*) AS n
         |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+
+    "q15_dow_quartiles" ->
+      """SELECT CAST(EXTRACT(isodow FROM ts) - 1 AS BIGINT) AS weekday,
+        | roundStable(quantile_cont(value, 0.25), 6) AS q1,
+        | roundStable(quantile_cont(value, 0.5), 6) AS median,
+        | roundStable(quantile_cont(value, 0.75), 6) AS q3,
+        | count(*) AS n
+        |FROM events GROUP BY weekday ORDER BY weekday""".stripMargin,
+
+    "q21_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
   )
 }

@@ -101,6 +101,14 @@ object Aggregates {
     df.groupBy(hour(col(tsCol)).cast("long").as("hour"))
       .agg(roundStable(avg(col(valueCol)), 4).as("avg_value"), count(lit(1)).as("n"))
 
+  /** Top-N rows per group by an explicit deterministic ordering (window
+    * rank). One shuffle on the group key; with AQE a skewed group splits.
+    */
+  def topNPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+  }
+
   /** Day-of-week quartile distribution (dashboard:149-163, the violin
     * plot's quartiles): exact interpolated percentiles per weekday.
     */

@@ -46,12 +46,11 @@ object Clean {
   def interpolateLinear(
       df: DataFrame,
       keyCol: String,
-      orderCol: String,
+      orderCols: Seq[String],
       valueCol: String,
       maxGap: Int = Int.MaxValue): DataFrame = {
     val v = col(valueCol)
-    val wAsc  = Window.partitionBy(keyCol).orderBy(orderCol)
-    val wDesc = Window.partitionBy(keyCol).orderBy(col(orderCol).desc)
+    val wAsc = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
 
     // Row index of the nearest non-null neighbor in each direction.
     val rn = row_number().over(wAsc)
