@@ -113,11 +113,94 @@ object SparkEntry {
       Aggregates.dowQuartiles(Tables.events(s, dir), "ts", "value")
         .orderBy(col("weekday"))),
 
+    "q20_join_mstar" -> ((s, dir) => {
+      // Star join: fact (orders) shuffles on c_custkey only if customer is
+      // big; nation/region are always broadcast. At 100 TB this is one
+      // shuffle join + two broadcast joins.
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(roundStable(sum(col("o_totalprice")), 4).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     "q21_window_topk" -> ((s, dir) =>
       Aggregates.topNPerGroup(Tables.orders(s, dir), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank").cast("long").as("rank"))
         .orderBy(col("o_custkey"), col("rank"))),
+
+    "q22_pivot" -> ((s, dir) => {
+      // Conditional aggregation (pivot without the extra distinct-values
+      // job): one pass, map-side partials.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(t =>
+        roundStable(sum(when(col("event_type") === t, col("value"))), 4).as(t))
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("d"))
+    }),
+
+    "q23_rollup" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(roundStable(sum(col("c_acctbal")), 4).as("acctbal_sum"),
+          count(lit(1)).as("n_customers"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("acctbal_sum"), col("n_customers"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    "q24_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+      withO.unionByName(withoutO).orderBy(col("kind"))
+    }),
+
+    "q25_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(roundStable(avg(col("k")), 4).as("avg_k"),
+          sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+        .orderBy(col("event_type"))),
+
+    "q26_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o  = Tables.orders(s, dir)
+      operators.AsOfJoin.latestAtOrBefore(
+        ev, o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        carryCol = "o_orderdate", outCol = "asof_date")
+        .select(col("event_id"), col("asof_date"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q27_time_bucket" -> ((s, dir) =>
+      // Tumbling 6-hour windows — the batch twin of the streaming path
+      // (same window() call drives streaming.EventStream).
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours").getField("start").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), roundStable(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))),
   )
 
   /** Oracle SQL may use `roundStable(expr, d)` as shorthand; it expands to
@@ -278,5 +361,58 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |  FROM orders) t
         |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q20_join_mstar" ->
+      """SELECT r_name, n_name,
+        | roundStable(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q22_pivot" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        | roundStable(sum(value) FILTER (WHERE event_type = 'click'), 4) AS click,
+        | roundStable(sum(value) FILTER (WHERE event_type = 'error'), 4) AS error,
+        | roundStable(sum(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+        | roundStable(sum(value) FILTER (WHERE event_type = 'signup'), 4) AS signup,
+        | roundStable(sum(value) FILTER (WHERE event_type = 'view'), 4) AS "view"
+        |FROM events GROUP BY d ORDER BY d""".stripMargin,
+
+    "q23_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        | roundStable(sum(c_acctbal), 4) AS acctbal_sum, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q24_semi_anti" ->
+      """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin,
+
+    "q25_json_extract" ->
+      """SELECT event_type,
+        | roundStable(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+        | CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(CAST(props->>'k' AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q26_asof_join" ->
+      """SELECT e.event_id, CAST(max(o.o_orderdate) AS TIMESTAMP) AS asof_date
+        |FROM events e
+        |LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
+    "q27_time_bucket" ->
+      """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+        | event_type, count(*) AS n, roundStable(sum(value), 4) AS sum_value
+        |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
   )
 }

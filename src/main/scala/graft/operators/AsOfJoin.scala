@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right-side value
+  * at or before the left row's time, per key.
+  *
+  * Spark has no built-in as-of join. The naive formulation
+  * (`l JOIN r ON key AND r.t <= l.t` + argmax) explodes to O(|l|·|r|/key)
+  * intermediate rows. This implementation uses the union-then-window
+  * pattern instead:
+  *
+  *   1. tag both sides and union them (no join at all),
+  *   2. one shuffle+sort per key ordered by (time, side) with right-side
+  *      rows sorting before left rows at equal timestamps (ties mean
+  *      "at or before" includes the same instant),
+  *   3. `last(value, ignoreNulls)` over the unbounded-preceding frame
+  *      carries the latest right value onto each left row,
+  *   4. keep only left rows.
+  *
+  * Cost at 100 TB: exactly one shuffle of |l|+|r| rows on the key — the
+  * same price as any keyed window — and AQE splits skewed keys. This is
+  * the standard log-structured pattern (e.g. Flink temporal joins and
+  * kdb-style aj are built the same way).
+  */
+object AsOfJoin {
+
+  /** @param left      fact side (kept in full — left outer semantics)
+    * @param right     side providing the carried value
+    * @param leftKey   join key column on `left`
+    * @param rightKey  join key column on `right`
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param carryCol  right column whose latest value is attached
+    * @param outCol    name of the attached column
+    */
+  def latestAtOrBefore(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      carryCol: String, outCol: String): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__k", col(leftKey))
+      .withColumn("__carry", lit(null).cast(right.schema(carryCol).dataType))
+      .withColumn("__isLeft", lit(1))
+    val leftCols = left.columns
+    val r = right
+      .select(
+        col(rightTime).cast("timestamp").as("__t"),
+        col(rightKey).as("__k"),
+        col(carryCol).as("__carry"),
+        lit(0).as("__isLeft"))
+    // Align schemas: right side gets nulls for the left payload columns.
+    val rAligned = leftCols.foldLeft(r) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((l.columns.map(col)).toIndexedSeq: _*)
+
+    // Right rows sort before left rows at equal t ("at or before" includes
+    // the same instant); equal-time right rows tie-break on the carried
+    // value itself so the survivor is deterministic (the max).
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__isLeft"), col("__carry"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(rAligned)
+      .withColumn(outCol, last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__isLeft") === 1)
+      .drop("__t", "__k", "__carry", "__isLeft")
+  }
+}
