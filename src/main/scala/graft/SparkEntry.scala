@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.roundStable
 import graft.etl.{Aggregates, Clean, Features}
+import graft.text.TextStats
+import graft.dedup.NGramJaccard
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each query implements.
@@ -201,6 +203,46 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), roundStable(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("bucket"), col("event_type"))),
+
+    "q30_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).as("ws_tokens"),
+          TextStats.reTokenCount(col("text")).as("re_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q31_quality_score" -> ((s, dir) => {
+      val stops = Seq("the", "a")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          roundStable(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
+          roundStable(TextStats.stopwordRatio(col("text"), stops), 6).as("stopword_ratio"),
+          roundStable(TextStats.meanWordLen(col("text")), 6).as("mean_word_len"),
+          roundStable(TextStats.qualityScore(col("text"), stops), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q32_langid" -> ((s, dir) => {
+      val (en, es, zh) = TextStats.langIdScores(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), en.as("s_en"), es.as("s_es"), zh.as("s_zh"),
+          TextStats.langId(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q33_fingerprint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fp"))).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q34_ngram_jaccard" -> ((s, dir) =>
+      NGramJaccard.similarPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          roundStable(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
   )
 
   /** Oracle SQL may use `roundStable(expr, d)` as shorthand; it expands to
@@ -414,5 +456,57 @@ object SparkEntry {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
         | event_type, count(*) AS n, roundStable(sum(value), 4) AS sum_value
         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "q30_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        | roundStable(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        | roundStable(CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+        | roundStable(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+        | roundStable(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+        |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+        |   + 0.2 * (CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)), 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q32_langid" ->
+      """SELECT doc_id, s_en, s_es, s_zh,
+        | CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_zh THEN 'es'
+        |      ELSE 'zh' END AS predicted_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(str_split(text,' '), x -> x IN ('the','a'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(str_split(text,' '), x -> x IN ('el','la','de','que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(str_split(text,' '), x -> x IN ('的','是','了'))) AS BIGINT) AS s_zh
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q33_fingerprint" ->
+      """SELECT doc_id, fp, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same
+        |FROM (SELECT doc_id,
+        |        md5(array_to_string(list_sort(list_distinct(str_split(lower(text), ' '))), ' ')) AS fp
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q34_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s
+        |),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh)
+        |SELECT doc_a, doc_b, roundStable(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE) / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id) t
+        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }
