@@ -238,6 +238,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q35_minhash_lsh" -> ((s, dir) =>
+      // Oracle = the exact-Jaccard SQL at the same threshold: banding at
+      // b=32/r=4 has ~1e-15 miss probability for the >=0.9 planted dups,
+      // and exact verification removes every false positive.
+      dedup.MinHashLsh.similarPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          roundStable(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q36_simhash" -> ((s, dir) =>
+      dedup.SimHash.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 6)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q37_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q38_embed_neardup" -> ((s, dir) =>
+      sim.Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        minCosine = 0.45)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q39_ann_lsh" -> ((s, dir) =>
+      sim.LshAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, dim = 64, k = 5)
+        .orderBy(col("query_id"), col("rank"))),
+
     "q34_ngram_jaccard" -> ((s, dir) =>
       NGramJaccard.similarPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
@@ -508,5 +540,50 @@ object SparkEntry {
         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id) t
         |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q35_minhash_lsh" ->
+      """WITH s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s
+        |),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh)
+        |SELECT doc_a, doc_b, roundStable(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE) / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id) t
+        |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q37_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q38_embed_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  roundStable(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |               FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm), 4) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |       FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

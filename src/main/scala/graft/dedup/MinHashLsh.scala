@@ -1,0 +1,74 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding near-duplicate detection — the probabilistic
+  * scale path whose exact twin is [[NGramJaccard]].
+  *
+  * Pipeline (all shuffles are keyed; nothing is all-pairs):
+  *
+  *   shingle sets → explode → 128 universal-hash minima per doc
+  *   → 32 bands × 4 rows → band-bucket self-join → candidate pairs
+  *   → exact Jaccard verification (array_intersect on the shingle sets)
+  *
+  * With b=32, r=4: P(candidate | j) = 1 − (1 − j⁴)³²  →  ~0.87 at j=0.5,
+  * ~1 − 1e-15 at j=0.9. Exact verification removes all false positives,
+  * so the output equals the exact operator's output up to (vanishingly
+  * rare) recall misses — which is why the driver oracle for this query
+  * can be the exact-Jaccard SQL.
+  *
+  * Hashing is Spark murmur3 (`hash()`) re-keyed through deterministic
+  * affine maps mod a Mersenne prime — fully reproducible, no RNG state.
+  */
+object MinHashLsh {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  private def affine(i: Int, h: Column): Column =
+    (lit(2L * i + 1) * h + lit((i.toLong * 2654435761L) % P)) % lit(P)
+
+  /** doc → minhash signature (numHashes minima over its shingles). */
+  def signatures(shingleSets: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val ex = shingleSets.select(col(idCol), explode(col("shingles")).as("sh"))
+      // murmur3 int → non-negative long
+      .withColumn("h", (hash(col("sh")).cast("long") + lit(1L << 31)))
+    val mins = (0 until numHashes).map(i => min(affine(i, col("h"))).as(s"m$i"))
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs from banding + exact Jaccard >= minJaccard. */
+  def similarPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sets = NGramJaccard.shingleSets(df, idCol, textCol, n)
+    val sig  = signatures(sets, idCol, numHashes)
+
+    // band key: murmur3 over the band's signature slice + band index
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      struct(lit(b).as("band"), hash((lit(b) +: slice): _*).as("bh"))
+    }
+    val banded = sig.select(col(idCol).as("id"),
+      explode(array(bandCols: _*)).as("tb"))
+      .select(col("id"), col("tb.band").as("band"), col("tb.bh").as("bh"))
+
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // exact verification on the true shingle sets
+    val sa = sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a"), col("n_sh").as("n_a"))
+    val sb = sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b"), col("n_sh").as("n_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

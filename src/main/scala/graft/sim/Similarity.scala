@@ -1,0 +1,124 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * All math is done in double via higher-order Catalyst expressions
+  * (`zip_with` + `aggregate`) so the DuckDB oracle can mirror the exact
+  * arithmetic (float32 accumulation would diverge engine-to-engine).
+  *
+  * Brute force is the small-candidate-set workhorse (and the oracle for
+  * the approximate paths); [[LshAnn]] is the 100 TB path.
+  */
+object Similarity {
+
+  /** dot(a, b) in double, left-fold accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector, brute force.
+    *
+    * The query side is expected to be small (it is broadcast); the corpus
+    * side streams. Ranking uses the *rounded* similarity plus an id
+    * tie-break so results are deterministic and oracle-stable.
+    * Cost: |queries| × |corpus| — at scale cap queries or use [[LshAnn]].
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      simDigits: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sim = graft.functions.roundStable(cosine(col("__qv"), col("__cv")), simDigits)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", sim)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** All near-duplicate pairs (id_a < id_b) with cosine >= minCosine,
+    * brute force over the full pair space. Exact; the oracle twin of the
+    * banded/LSH dedup paths. The smaller side is broadcast; at 100 TB use
+    * [[LshAnn]] buckets or MinHash instead.
+    */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, simDigits: Int = 4): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.roundStable(col("cosine"), simDigits).as("cosine"))
+  }
+}
+
+/** Random-hyperplane LSH ANN: the scale path for similarity search.
+  *
+  * Sign-bit sketches from `nTables` independent sets of `bitsPerTable`
+  * deterministic hyperplanes (seeded PRNG — reproducible across runs).
+  * Candidates = vectors sharing a bucket in ANY table; exact cosine is
+  * then computed only on candidates. At 100 TB the bucket join shuffles
+  * on (table, bucket) — O(n·tables) rows instead of O(n²) pairs.
+  */
+object LshAnn {
+
+  def hyperplanes(dim: Int, nTables: Int, bitsPerTable: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nTables, bitsPerTable, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** (id, table, bucket) — one row per table per vector. */
+  def buckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nTables: Int = 8, bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nTables, bitsPerTable, seed)
+    val tableCols = planes.zipWithIndex.map { case (tbl, t) =>
+      val bucket = tbl.zipWithIndex.map { case (plane, bit) =>
+        val planeCol = array(plane.map(lit).toIndexedSeq: _*)
+        when(Similarity.dot(col(vecCol), planeCol) > 0, lit(1L << bit)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(array(tableCols.toIndexedSeq: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k per query: bucket-join candidates, exact cosine,
+    * deterministic ranking. Queries are a subset predicate on the corpus.
+    */
+  def topK(df: DataFrame, idCol: String, vecCol: String, isQuery: Column,
+      dim: Int, k: Int, nTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+    val bk = buckets(df, idCol, vecCol, dim, nTables, bitsPerTable)
+    val qids = df.filter(isQuery).select(col(idCol).as("id"))
+    val q = bk.join(broadcast(qids), "id")
+      .select(col("id").as("query_id"), col("vec").as("qv"), col("table"), col("bucket"))
+    val c = bk.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      col("table"), col("bucket"))
+    val cands = q.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "cv")
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .withColumn("cosine",
+        graft.functions.roundStable(Similarity.cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}
