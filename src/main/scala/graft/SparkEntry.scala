@@ -204,6 +204,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), roundStable(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("bucket"), col("event_type"))),
 
+    "q16_extract_synth" -> ((s, _) =>
+      // Distributed synthetic extract (reference extract phase). Rows-only
+      // check: hash noise is engine-specific by design.
+      etl.Synth.airQuality(s, stations = 5, hours = 72)),
+
+    "q40_multimodal_meta" -> ((s, dir) =>
+      multimodal.Binary.withBlobMeta(
+        Tables.documents(s, dir).withColumn("blob", col("text").cast("binary")), "blob")
+        .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("head"))
+        .orderBy(col("doc_id"))),
+
     "q30_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -488,6 +499,13 @@ object SparkEntry {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
         | event_type, count(*) AS n, roundStable(sum(value), 4) AS sum_value
         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "q40_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_md5,
+        | substr(text, 1, 8) AS head
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q30_tokens" ->
       """SELECT doc_id,

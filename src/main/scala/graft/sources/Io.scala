@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface — the reference's extract/load phases
+  * (airflow_dag_calidad_aire.py:119 csv, :256-265 csv+snappy parquet,
+  * :323-348 chunked JDBC) re-expressed as Spark readers/writers.
+  *
+  * Chunking disappears: partitioned parquet writes are the distributed
+  * equivalent of the reference's 10k-row chunks, and `partitionBy` gives
+  * partition pruning on read — the thing that matters at 100 TB.
+  */
+object Io {
+
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+      header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  /** Snappy parquet (the reference's /tmp parquet load target), optionally
+    * hive-partitioned by low-cardinality keys for pruning.
+    */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: watermarked windowed aggregation and
+  * stateful sessionization over the `events` shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The windowed aggregation is the streaming twin of the batch
+  * `q27_time_bucket` query — same `window()` expression, so a backfill
+  * batch job and the live stream produce identical buckets.
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums with a watermark bounding state. */
+  def windowedAgg(events: DataFrame, windowLen: String = "6 hours",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).getField("start").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int, sum_value: Double)
+  /** Internal running-session state (public: Catalyst codegen must be
+    * able to instantiate it).
+    */
+  case class SessionState(startMs: Long, endMs: Long, nEv: Int, total: Double)
+
+  /** Gap-based session windows via flatMapGroupsWithState: a session
+    * closes when no event arrives within `gapMs`. State is one small
+    * record per active user — bounded by the event-time timeout.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEv, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, t, s.nEv + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEv, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the non-oracle surfaces: sources, synth generator,
+  * multimodal plumbing, streaming.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("Io csv/parquet/json roundtrip preserves rows") {
+    val df = Tables.nation(spark, sfDir)
+    val tmp = Files.createTempDirectory("graft_io").toString
+    sources.Io.writeCsv(df, s"$tmp/csv")
+    sources.Io.writeParquet(df, s"$tmp/pq", partitionBy = Seq("n_regionkey"))
+    sources.Io.writeJsonLines(df, s"$tmp/json")
+    assert(sources.Io.readCsv(spark, s"$tmp/csv").count() == 25)
+    assert(sources.Io.readParquet(spark, s"$tmp/pq").count() == 25)
+    assert(sources.Io.readJsonLines(spark, s"$tmp/json").count() == 25)
+  }
+
+  test("Synth generator is deterministic and partition-independent") {
+    val a = etl.Synth.airQuality(spark, 3, 48).repartition(2)
+    val b = etl.Synth.airQuality(spark, 3, 48).repartition(7)
+    assert(a.count() == 3 * 48)
+    val ha = a.agg(sum(hash(a.columns.map(col): _*))).first().getLong(0)
+    val hb = b.agg(sum(hash(b.columns.map(col): _*))).first().getLong(0)
+    assert(ha == hb, "generation must not depend on partitioning")
+    val missing = a.filter(col("pm25").isNull).count()
+    assert(missing > 0 && missing < a.count() / 10, "~2% missing pm25")
+  }
+
+  test("Binary.featurize batches deterministically with real schema") {
+    import spark.implicits._
+    val blobs = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+      .as[multimodal.Binary.Blob]
+    val feats = multimodal.Binary.featurize(blobs, batchSize = 16).collect()
+    assert(feats.length == 100)
+    feats.foreach { f =>
+      assert(f.nBytes > 0)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3, "histogram normalized")
+      assert(f.meanByte > 0 && f.meanByte < 255)
+    }
+  }
+
+  test("streaming windowedAgg equals the batch twin on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[streaming.EventStream.Event]
+    val mem = MemoryStream[streaming.EventStream.Event]
+    mem.addData(batch.collect().toIndexedSeq)
+    val q = streaming.EventStream.windowedAgg(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .select(col("bucket"), col("event_type"), col("n"), col("sum_value"))
+    val expected = streaming.EventStream.windowedAgg(batch.toDF())
+    assert(streamed.count() == expected.count())
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
+  test("sessionize closes sessions on gap and aggregates correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // keep event times well above the initial watermark (0): rows at
+    // ts <= watermark are dropped by the late-data filter
+    val base = 86400000L
+    def ev(id: Long, t: Long, u: Long) =
+      streaming.EventStream.Event(id, new java.sql.Timestamp(base + t), u, "click", 1.0)
+    val gap = 60000L // 1 min
+    val mem = MemoryStream[streaming.EventStream.Event]
+    // user 1: two bursts 10 min apart; user 2: one burst; then a late
+    // watermark-advancing event so timeouts fire.
+    mem.addData(ev(1, 0, 1), ev(2, 30000, 1), ev(3, 700000, 1), ev(4, 0, 2))
+    val q = streaming.EventStream.sessionize(mem.toDS(), gap)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    mem.addData(ev(99, 3600L * 2000, 3)) // push watermark far forward
+    q.processAllAvailable()
+    mem.addData(ev(100, 3600L * 4000, 3)) // extra batch: timeouts fire against the advanced watermark
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sess_out").as[streaming.EventStream.Session]
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length == 2, s"user 1 should have 2 sessions, got ${sessions.mkString(",")}")
+    assert(u1.head.n_events == 2 && u1.last.n_events == 1)
+    assert(sessions.count(_.user_id == 2) == 1)
+  }
+}
