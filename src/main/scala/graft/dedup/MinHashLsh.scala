@@ -44,7 +44,10 @@ object MinHashLsh {
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // The shingle sets feed three consumers (signatures + both sides of
+    // the verification join) — persist once.
     val sets = NGramJaccard.shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig  = signatures(sets, idCol, numHashes)
 
     // band key: murmur3 over the band's signature slice + band index

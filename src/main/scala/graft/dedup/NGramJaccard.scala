@@ -34,20 +34,29 @@ object NGramJaccard {
           .as("shingles"))
       .withColumn("n_sh", size(col("shingles")).cast("long"))
 
-  /** Near-duplicate pairs (id_a < id_b) with exact Jaccard >= minJaccard. */
+  /** Near-duplicate pairs (id_a < id_b) with exact Jaccard >= minJaccard.
+    *
+    * The exploded index is persisted (it feeds both sides of the
+    * self-join — without this Spark recomputes shingle generation twice),
+    * and the join key is xxhash64(shingle): an 8-byte key instead of a
+    * ~15-byte string, with collision probability ~n²/2⁶⁴ ≈ 10⁻¹¹ at any
+    * realistic shingle cardinality.
+    */
   def similarPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double,
       maxDocFreq: Option[Long] = None): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-    val ex0 = sets.select(col(idCol).as("id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val ex = maxDocFreq match {
+    val ex0 = sets.select(col(idCol).as("id"), col("n_sh"), explode(col("shingles")).as("sh0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh0")).as("sh"))
+    val exUncached = maxDocFreq match {
       case Some(cap) =>
         // Drop stop-shingles: document frequency above the cap.
         val freq = ex0.groupBy("sh").count().filter(col("count") <= cap).select("sh")
         ex0.join(freq, "sh")
       case None => ex0
     }
+    val ex = exUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ex.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("sh"))
     val b = ex.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("sh"))
     a.join(b, Seq("sh"))
