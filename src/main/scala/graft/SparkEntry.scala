@@ -115,6 +115,20 @@ object SparkEntry {
       Aggregates.dowQuartiles(Tables.events(s, dir), "ts", "value")
         .orderBy(col("weekday"))),
 
+    "q17_zscore_anomaly" -> ((s, dir) =>
+      Aggregates.zscoreAnomalies(Tables.events(s, dir), "event_type", "value", k = 3.0)
+        .select(col("event_id"), col("event_type"), roundStable(col("z"), 6).as("z"))
+        .orderBy(col("event_id"))),
+
+    "q28_cube" -> ((s, dir) =>
+      Features.withTemporalFeatures(Tables.events(s, dir), "ts")
+        .cube(col("event_type"), col("weekday"))
+        .agg(count(lit(1)).as("n"), roundStable(avg(col("value")), 4).as("avg_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("weekday"), lit(-1L)).as("weekday"),
+          col("n"), col("avg_value"))
+        .orderBy(col("event_type"), col("weekday"))),
+
     "q20_join_mstar" -> ((s, dir) => {
       // Star join: fact (orders) shuffles on c_custkey only if customer is
       // big; nation/region are always broadcast. At 100 TB this is one
@@ -446,6 +460,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |  FROM orders) t
         |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q17_zscore_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, roundStable((e.value - st.mu) / st.sd, 6) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs((e.value - st.mu) / st.sd) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q28_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        | COALESCE(weekday, -1) AS weekday,
+        | count(*) AS n, roundStable(avg(value), 4) AS avg_value
+        |FROM (SELECT event_type, CAST(EXTRACT(isodow FROM ts) - 1 AS BIGINT) AS weekday, value FROM events) t
+        |GROUP BY CUBE(event_type, weekday)
+        |ORDER BY event_type, weekday""".stripMargin,
 
     "q20_join_mstar" ->
       """SELECT r_name, n_name,

@@ -101,6 +101,19 @@ object Aggregates {
     df.groupBy(hour(col(tsCol)).cast("long").as("hour"))
       .agg(roundStable(avg(col(valueCol)), 4).as("avg_value"), count(lit(1)).as("n"))
 
+  /** Z-score anomaly flags per group: rows where |value − μ| > k·σ.
+    * The group stats are one aggregation broadcast back onto the fact
+    * side (same shape as the IQR clip — no second shuffle).
+    */
+  def zscoreAnomalies(df: DataFrame, keyCol: String, valueCol: String, k: Double): DataFrame = {
+    val stats = df.groupBy(col(keyCol)).agg(
+      avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
+    df.join(broadcast(stats), keyCol)
+      .withColumn("z", (col(valueCol) - col("__mu")) / col("__sd"))
+      .filter(abs(col("z")) > k)
+      .drop("__mu", "__sd")
+  }
+
   /** Top-N rows per group by an explicit deterministic ordering (window
     * rank). One shuffle on the group key; with AQE a skewed group splits.
     */
