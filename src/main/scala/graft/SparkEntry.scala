@@ -295,6 +295,11 @@ object SparkEntry {
         isQuery = col("vec_id") < 10, dim = 64, k = 5)
         .orderBy(col("query_id"), col("rank"))),
 
+    "q41_ivf_topk" -> ((s, dir) =>
+      sim.IvfAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        isQuery = col("vec_id") < 10, k = 5)
+        .orderBy(col("query_id"), col("rank"))),
+
     "q34_ngram_jaccard" -> ((s, dir) =>
       NGramJaccard.similarPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
@@ -605,6 +610,22 @@ object SparkEntry {
         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id) t
         |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q41_ivf_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.label = c.label AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q37_cosine_topk" ->
       """WITH v AS (

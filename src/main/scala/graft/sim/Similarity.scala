@@ -74,6 +74,36 @@ object Similarity {
   }
 }
 
+/** IVF-style ANN: vectors are pre-assigned to coarse clusters (here the
+  * corpus's `label` column stands in for a trained centroid assignment —
+  * in production, k-means centroids computed offline). Search only
+  * touches the query's cluster: a keyed equi-join instead of all pairs,
+  * and — unlike hash-based LSH — fully deterministic, so it gets a real
+  * DuckDB oracle.
+  */
+object IvfAnn {
+
+  /** Top-k per query among same-cluster candidates. */
+  def topK(df: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+      isQuery: Column, k: Int): DataFrame = {
+    val withNorm = df.select(col(idCol), col(vecCol), col(clusterCol),
+      Similarity.norm(col(vecCol)).as("__n"))
+    val q = withNorm.filter(isQuery).select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), col("__n").as("__qn"), col(clusterCol).as("__c"))
+    val c = withNorm.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col("__n").as("__cn"), col(clusterCol).as("__c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("__c"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", graft.functions.roundStable(
+        Similarity.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}
+
 /** Random-hyperplane LSH ANN: the scale path for similarity search.
   *
   * Sign-bit sketches from `nTables` independent sets of `bitsPerTable`

@@ -25,6 +25,15 @@ object EventStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: duplicates of a key arriving within the
+    * watermark horizon are dropped; state self-expires with the
+    * watermark (the streaming twin of the batch `Clean.dedupExact`).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int, sum_value: Double)
   /** Internal running-session state (public: Catalyst codegen must be

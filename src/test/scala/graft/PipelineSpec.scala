@@ -66,6 +66,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
 
+  test("GraftExtensions registers SQL functions") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, aqi_pm25(10.0) AS aqi, aqi_category(75.0) AS cat")
+      .first()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 50.0 / 12.0 * 10.0) < 1e-12)
+    assert(r.getString(2) == "Moderate")
+  }
+
+  test("SQL aqi_pm25 matches the Column-API implementation row-for-row") {
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev_parity")
+    val viaSql = spark.sql("SELECT event_id, aqi_pm25(value) AS aqi FROM ev_parity")
+    val viaCol = Tables.events(spark, sfDir)
+      .select(col("event_id"), etl.Features.aqiPm25(col("value")).as("aqi"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("streaming dedupWithinWatermark drops duplicate keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 86400000L
+    def ev(id: Long, t: Long, u: Long) =
+      streaming.EventStream.Event(id, new java.sql.Timestamp(base + t), u, "click", 1.0)
+    val mem = MemoryStream[streaming.EventStream.Event]
+    mem.addData(ev(1, 1000, 7), ev(1, 2000, 7), ev(2, 3000, 7), ev(1, 4000, 7))
+    val q = streaming.EventStream.dedupWithinWatermark(mem.toDF(), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L), s"expected deduped ids, got ${ids.toSeq}")
+  }
+
   test("sessionize closes sessions on gap and aggregates correctly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
