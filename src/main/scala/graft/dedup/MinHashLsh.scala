@@ -23,18 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  private val P = 2147483647L // 2^31 - 1
-
-  private def affine(i: Int, h: Column): Column =
-    (lit(2L * i + 1) * h + lit((i.toLong * 2654435761L) % P)) % lit(P)
-
-  /** doc → minhash signature (numHashes minima over its shingles). */
+  /** doc → minhash signature array (numHashes minima over its shingles),
+    * one pass via [[graft.functions.MinHashSigAgg]].
+    */
   def signatures(shingleSets: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val ex = shingleSets.select(col(idCol), explode(col("shingles")).as("sh"))
       // murmur3 int → non-negative long
       .withColumn("h", (hash(col("sh")).cast("long") + lit(1L << 31)))
-    val mins = (0 until numHashes).map(i => min(affine(i, col("h"))).as(s"m$i"))
-    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    ex.groupBy(col(idCol))
+      .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), numHashes).as("sig"))
   }
 
   /** Candidate pairs from banding + exact Jaccard >= minJaccard. */
@@ -52,7 +49,7 @@ object MinHashLsh {
 
     // band key: murmur3 over the band's signature slice + band index
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      val slice = (0 until rows).map(r => col("sig").getItem(b * rows + r))
       struct(lit(b).as("band"), hash((lit(b) +: slice): _*).as("bh"))
     }
     val banded = sig.select(col(idCol).as("id"),

@@ -1,0 +1,87 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** One-pass MinHash signature aggregate.
+  *
+  * Input: a non-negative base hash (long) per set element. Output: the
+  * `numHashes`-long signature array min_i((2i+1)·h + b_i mod P).
+  *
+  * Why an aggregate: expressing this as `numHashes` separate `min()`
+  * columns forces Catalyst to manage 128 aggregate buffers and generate
+  * enormous update code per row; one typed buffer updates a primitive
+  * long array in a tight loop instead (the standard sketch-aggregate
+  * pattern, cf. Spark's own HLL++ implementation structure).
+  */
+case class MinHashSigAgg(
+    child: Expression,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val hi = ((2L * i + 1) * h + (i.toLong * 2654435761L) % P) % P
+        if (hi < buf(i)) buf(i) = hi
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (b(i) < a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(off: Int): MinHashSigAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): MinHashSigAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSigAgg {
+  def minhashSig(c: Column, numHashes: Int): Column =
+    GraftShims.column(MinHashSigAgg(GraftShims.expression(c), numHashes)
+      .toAggregateExpression())
+}

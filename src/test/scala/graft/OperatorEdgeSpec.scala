@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case semantics for the cleaning / join / dedup operators. */
+class OperatorEdgeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("interpolateLinear: leading nulls stay null, trailing forward-fill, limit respected") {
+    val df = Seq(
+      ("a", 1, None: Option[Double]), // leading null → stays null
+      ("a", 2, Some(10.0)),
+      ("a", 3, None), ("a", 4, None), // interior gap of 2 → filled
+      ("a", 5, Some(40.0)),
+      ("a", 6, None),                 // trailing → forward-fill
+      ("b", 1, None), ("b", 2, None)  // all-null group → all null
+    ).toDF("k", "o", "v")
+    val out = etl.Clean.interpolateLinear(df, "k", Seq("o"), "v", maxGap = 3)
+      .orderBy("k", "o").select("v").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, Some(10.0), Some(20.0), Some(30.0), Some(40.0), Some(40.0), None, None))
+  }
+
+  test("interpolateLinear: gap longer than maxGap fills only the first maxGap rows") {
+    val df = Seq(("a", 1, Some(0.0)), ("a", 2, None: Option[Double]), ("a", 3, None),
+      ("a", 4, None), ("a", 5, None), ("a", 6, Some(10.0))).toDF("k", "o", "v")
+    val out = etl.Clean.interpolateLinear(df, "k", Seq("o"), "v", maxGap = 2)
+      .orderBy("o").select("v").as[Option[Double]].collect()
+    // positions 2,3 within limit (interpolated against the far endpoint), 4,5 beyond
+    assert(out.toSeq == Seq(Some(0.0), Some(2.0), Some(4.0), None, None, Some(10.0)))
+  }
+
+  test("AsOfJoin: no earlier right row yields null carry") {
+    val l = Seq((1L, "2024-01-05 00:00:00"), (2L, "2024-01-01 00:00:00"))
+      .toDF("k", "t").withColumn("t", to_timestamp(col("t")))
+    val r = Seq((1L, "2024-01-03 00:00:00"), (1L, "2024-01-04 00:00:00"))
+      .toDF("k", "rt").withColumn("rt", to_timestamp(col("rt")))
+    val out = operators.AsOfJoin.latestAtOrBefore(l, r, "k", "k", "t", "rt", "rt", "asof")
+      .orderBy("k").select(col("k"), col("asof").cast("string")).collect()
+    assert(out(0).getString(1) == "2024-01-04 00:00:00") // latest of the two
+    assert(out(1).isNullAt(1)) // key 2: no right rows at all → null
+  }
+
+  test("AsOfJoin: equal timestamps are included (at-or-before)") {
+    val l = Seq((1L, "2024-01-03 00:00:00")).toDF("k", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val r = Seq((1L, "2024-01-03 00:00:00")).toDF("k", "rt")
+      .withColumn("rt", to_timestamp(col("rt")))
+    val out = operators.AsOfJoin.latestAtOrBefore(l, r, "k", "k", "t", "rt", "rt", "asof")
+    assert(!out.first().isNullAt(out.columns.indexOf("asof")))
+  }
+
+  test("MinHashSigAgg equals the naive per-hash-function minima") {
+    val hashes = Seq(5L, 100L, 3L, 77L).toDF("h")
+    val sig = hashes.agg(functions.MinHashSigAgg.minhashSig(col("h"), 8).as("sig"))
+      .first().getSeq[Long](0)
+    val P = 2147483647L
+    val expected = (0 until 8).map { i =>
+      Seq(5L, 100L, 3L, 77L).map(h => ((2L * i + 1) * h + (i.toLong * 2654435761L) % P) % P).min
+    }
+    assert(sig == expected)
+  }
+
+  test("SimHash: identical token multisets have hamming distance 0") {
+    val docs = Seq((1L, "a b c d e"), (2L, "e d c b a"), (3L, "x y z w q")).toDF("id", "text")
+    val fps = dedup.SimHash.fingerprints(docs, "id", "text").orderBy("id").collect()
+    assert(fps(0).getLong(1) == fps(1).getLong(1), "order-insensitive")
+    assert(fps(0).getLong(1) != fps(2).getLong(1))
+  }
+
+  test("dedupExact keeps the first row by the given ordering") {
+    val df = Seq((1L, "x", 3.0), (1L, "x", 1.0), (1L, "y", 2.0)).toDF("k", "g", "v")
+    val out = etl.Clean.dedupExact(df, Seq("k", "g"), Seq("v"))
+      .orderBy("g").select("v").as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 2.0))
+  }
+
+  test("clipOutliersIqr leaves interior values untouched and clips extremes") {
+    val vals = (1 to 100).map(_.toDouble) :+ 10000.0
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val out = etl.Clean.clipOutliersIqr(df, Seq("g"), Seq("v"), k = 1.5)
+    assert(out.agg(max(col("v"))).first().getDouble(0) < 10000.0)
+    assert(out.filter(col("v") === 50.0).count() == 1)
+  }
+}
