@@ -55,6 +55,21 @@ object Aggregates {
     wide.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)")
   }
 
+  /** The 100 TB twin of [[validate]]: sketch-based cardinality
+    * (HyperLogLog++ via `approx_count_distinct`) and single-pass
+    * approximate percentiles instead of exact ones. Same call shape —
+    * swap in when the exact versions' sort/dedup cost bites.
+    */
+  def validateApprox(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      rsd: Double = 0.01): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_records"),
+      approx_count_distinct(col(keyCol), rsd).as("distinct_keys_approx"),
+      min(col(tsCol)).as("min_ts"),
+      max(col(tsCol)).as("max_ts"),
+      roundStable(avg(col(valueCol)), 4).as("avg_value"),
+      expr(s"approx_percentile($valueCol, array(0.25, 0.5, 0.75), 10000)").as("quartiles_approx"))
+
   /** Data-quality validation block (dag:380-387): volume, null fraction,
     * key cardinality, time range, mean — one single-row aggregate.
     */

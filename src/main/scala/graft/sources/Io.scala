@@ -40,4 +40,16 @@ object Io {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Bucketed managed table: both sides of a repeated equi-join written
+    * with the same bucketing never shuffle again — the co-location
+    * strategy for fact-fact joins at 100 TB. (Bucketing requires the
+    * table catalog, hence `saveAsTable` rather than a path write.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet").bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
 }

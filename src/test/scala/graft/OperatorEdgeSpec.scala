@@ -76,6 +76,56 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1.0, 2.0))
   }
 
+  test("saltedSum equals plain aggregation") {
+    val ev = Tables.events(spark, sfDir)
+    val salted = operators.Skew.saltedSum(ev, Seq("event_type"), "value", buckets = 8)
+      .select(col("event_type"), round(col("sum_value"), 6).as("s"), col("n"))
+    val plain = ev.groupBy("event_type")
+      .agg(round(sum(col("value")), 6).as("s"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("s"), col("n"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedJoin preserves join semantics for a skewed key") {
+    val left = Tables.orders(spark, sfDir)
+    val right = Tables.customer(spark, sfDir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val salted = operators.Skew.saltedJoin(left, right, "o_custkey", buckets = 4)
+    val plain = left.join(right, "o_custkey")
+    assert(salted.count() == plain.count())
+  }
+
+  test("bucketed tables join without an exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory metastore forgets tables between JVMs but their
+    // warehouse dirs survive — clear them so saveAsTable can recreate
+    for (t <- Seq("b_orders", "b_customer")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    sources.Io.writeBucketed(Tables.orders(spark, sfDir), "b_orders", "o_custkey", 8)
+    sources.Io.writeBucketed(
+      Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", "o_custkey", 8)
+    val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle, got:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("validateApprox cardinality within rsd of exact") {
+    val ev = Tables.events(spark, sfDir)
+    val row = etl.Aggregates.validateApprox(ev, "user_id", "ts", "value").first()
+    val exact = ev.select(countDistinct(col("user_id"))).first().getLong(0)
+    val approx = row.getLong(row.fieldIndex("distinct_keys_approx"))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+    assert(row.getSeq[Double](row.fieldIndex("quartiles_approx")).length == 3)
+  }
+
   test("clipOutliersIqr leaves interior values untouched and clips extremes") {
     val vals = (1 to 100).map(_.toDouble) :+ 10000.0
     val df = vals.map(("g", _)).toDF("g", "v")
