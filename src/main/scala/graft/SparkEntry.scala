@@ -129,6 +129,14 @@ object SparkEntry {
           col("n"), col("avg_value"))
         .orderBy(col("event_type"), col("weekday"))),
 
+    "q18_impute_mean" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("value",
+        when(col("event_id") % 41 === 0, lit(null)).otherwise(col("value")))
+      Clean.imputeMean(ev, Seq("event_type"), Seq("value"))
+        .select(col("event_id"), roundStable(col("value"), 4).as("value_imputed"))
+        .orderBy(col("event_id"))
+    }),
+
     "q20_join_mstar" -> ((s, dir) => {
       // Star join: fact (orders) shuffles on c_custkey only if customer is
       // big; nation/region are always broadcast. At 100 TB this is one
@@ -465,6 +473,16 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |  FROM orders) t
         |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q18_impute_mean" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_id % 41 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |st AS (SELECT event_type, avg(v) AS mu FROM b GROUP BY event_type)
+        |SELECT event_id, roundStable(COALESCE(v, mu), 4) AS value_imputed
+        |FROM b JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q17_zscore_anomaly" ->
       """WITH st AS (

@@ -87,6 +87,20 @@ object Clean {
     filled
   }
 
+  /** Null imputation with the group mean (the simpler sibling of
+    * [[interpolateLinear]] for unordered data): one stats aggregation
+    * broadcast back onto the fact side, nulls coalesced to the mean.
+    * Groups that are entirely null stay null (no global fallback).
+    */
+  def imputeMean(df: DataFrame, keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val aggs = valueCols.map(c => avg(col(c)).as(s"__mu_$c"))
+    val stats = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(stats), keys)
+    valueCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, coalesce(col(c), col(s"__mu_$c")))
+    }.drop(valueCols.map(c => s"__mu_$c"): _*)
+  }
+
   /** IQR outlier clipping per group (dag:170-177): clip to
     * [Q1 - k·IQR, Q3 + k·IQR] with exact linear-interpolated percentiles
     * (matches pandas `quantile` and DuckDB `quantile_cont`). The reference

@@ -41,6 +41,20 @@ object Io {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Chunked JDBC load — the reference's prepared Postgres path
+    * (airflow_dag_calidad_aire.py:323-348, `to_sql(chunksize=1000)`).
+    * `numPartitions` is the distributed analogue of the chunk size: each
+    * partition opens one connection and batches `batchsize` rows.
+    *
+    * @note compile-checked only in this environment (zero egress, no DB);
+    *       exercised in any deployment with a reachable JDBC endpoint.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, numPartitions: Int = 8, batchSize: Int = 1000): Unit =
+    df.repartition(numPartitions).write.mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+
   /** Bucketed managed table: both sides of a repeated equi-join written
     * with the same bucketing never shuffle again — the co-location
     * strategy for fact-fact joins at 100 TB. (Bucketing requires the

@@ -16,14 +16,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Tumbling-window counts/sums with a watermark bounding state. */
+  /** Tumbling (or, with `slide`, sliding/hopping) window counts/sums with
+    * a watermark bounding state.
+    */
   def windowedAgg(events: DataFrame, windowLen: String = "6 hours",
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour", slide: Option[String] = None): DataFrame = {
+    val win = slide.fold(window(col("ts"), windowLen))(s => window(col("ts"), windowLen, s))
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen).getField("start").as("bucket"),
-        col("event_type"))
+      // group by the full window struct — projecting .start inside the
+      // groupBy severs the watermark→window linkage and append mode is
+      // rejected as "aggregation without watermark"
+      .groupBy(win.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Append-mode parquet sink with checkpointing — the durable landing
+    * path (watermark closes windows; closed windows land as files).
+    */
+  def toParquetSink(agg: DataFrame, path: String, checkpoint: String) =
+    agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
 
   /** Streaming exact dedup: duplicates of a key arriving within the
     * watermark horizon are dropped; state self-expires with the

@@ -98,6 +98,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L), s"expected deduped ids, got ${ids.toSeq}")
   }
 
+  test("streaming sliding-window agg to parquet sink lands closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_sink").toString
+    val base = 86400000L
+    def ev(id: Long, t: Long) =
+      streaming.EventStream.Event(id, new java.sql.Timestamp(base + t), 1L, "click", 2.0)
+    val mem = MemoryStream[streaming.EventStream.Event]
+    mem.addData(ev(1, 0), ev(2, 60000), ev(3, 7200000))
+    val agg = streaming.EventStream.windowedAgg(mem.toDF(),
+      windowLen = "10 minutes", watermark = "1 minute", slide = Some("5 minutes"))
+    val q = streaming.EventStream.toParquetSink(agg, s"$tmp/out", s"$tmp/ck").start()
+    q.processAllAvailable()
+    mem.addData(ev(9, 86400000)) // far future: closes earlier windows
+    q.processAllAvailable()
+    mem.addData(ev(10, 2 * 86400000)) // extra batch so the advanced watermark emits
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() >= 2, s"expected closed sliding windows, got ${out.collect().mkString(";")}")
+    assert(out.columns.toSet == Set("bucket", "event_type", "n", "sum_value"))
+  }
+
   test("sessionize closes sessions on gap and aggregates correctly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
