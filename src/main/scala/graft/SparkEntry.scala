@@ -303,6 +303,27 @@ object SparkEntry {
         isQuery = col("vec_id") < 10, dim = 64, k = 5)
         .orderBy(col("query_id"), col("rank"))),
 
+    "q42_term_freq" -> ((s, dir) =>
+      // corpus vocabulary statistics: term + document frequency per token
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(20)),
+
+    "q43_dedup_survivors" -> ((s, dir) => {
+      // end-to-end near-dup removal: drop the higher-id doc of every
+      // >=0.8-Jaccard pair; survivors = docs never appearing as doc_b
+      val pairs = NGramJaccard.similarPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+        .select(col("id_b").as("doc_id"))
+      Tables.documents(s, dir)
+        .join(pairs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q41_ivf_topk" -> ((s, dir) =>
       sim.IvfAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
         isQuery = col("vec_id") < 10, k = 5)
@@ -628,6 +649,30 @@ object SparkEntry {
         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id) t
         |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q42_term_freq" ->
+      """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin,
+
+    "q43_dedup_survivors" ->
+      """WITH s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s
+        |),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh),
+        |dropped AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(count(*) AS DOUBLE) / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY a.doc_id, b.doc_id) t
+        |  WHERE j >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     "q41_ivf_topk" ->
       """WITH v AS (

@@ -28,7 +28,7 @@ object Synth {
       start: Long = 1704067200L /* 2024-01-01 */, seed: Long = 42L): DataFrame = {
     val ids = spark.range(stations.toLong * hours)
     val st  = col("id") % stations
-    val hr  = col("id") / stations // hour index
+    val hr  = expr(s"id DIV $stations") // hour index (integer division — `/` would give fractional hours)
     val ts  = timestamp_seconds(lit(start) + hr * 3600)
     val hourOfDay = (hr % 24).cast("int")
     val dayIdx    = (hr / 24).cast("int")

@@ -66,6 +66,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
 
+  test("AirQualityPipeline runs end-to-end: extract→transform→load→validate") {
+    val tmp = Files.createTempDirectory("graft_pipeline").toString
+    val report = etl.AirQualityPipeline.run(spark, tmp, stations = 3, hours = 7 * 24).first()
+    assert(report.getLong(report.fieldIndex("total_records")) == 3 * 7 * 24)
+    assert(report.getLong(report.fieldIndex("unique_stations")) == 3)
+    assert(report.getDouble(report.fieldIndex("null_pct")) < 5.0)
+    assert(report.getLong(report.fieldIndex("records_good_quality")) > 0)
+    // the load phase actually landed files, partitioned by date
+    val finalDf = spark.read.parquet(s"$tmp/air_quality_final")
+    assert(finalDf.count() == 3 * 7 * 24)
+    assert(new java.io.File(s"$tmp/air_quality_final").listFiles()
+      .exists(_.getName.startsWith("date=")), "hive-partitioned by date")
+    assert(spark.read.option("header", "true").csv(s"$tmp/air_quality_daily_csv").count() == 3 * 7)
+  }
+
   test("GraftExtensions registers SQL functions") {
     val r = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, aqi_pm25(10.0) AS aqi, aqi_category(75.0) AS cat")
