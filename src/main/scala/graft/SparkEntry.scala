@@ -137,6 +137,14 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q19_monthly_summary" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(month(col("ts")).cast("long").as("month"), col("event_type"))
+        .agg(roundStable(avg(col("value")), 4).as("avg_value"),
+          roundStable(max(col("value")), 6).as("max_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("month"), col("event_type"))),
+
     "q20_join_mstar" -> ((s, dir) => {
       // Star join: fact (orders) shuffles on c_custkey only if customer is
       // big; nation/region are always broadcast. At 100 TB this is one
@@ -522,6 +530,13 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(EXTRACT(isodow FROM ts) - 1 AS BIGINT) AS weekday, value FROM events) t
         |GROUP BY CUBE(event_type, weekday)
         |ORDER BY event_type, weekday""".stripMargin,
+
+    "q19_monthly_summary" ->
+      """SELECT CAST(EXTRACT(month FROM ts) AS BIGINT) AS month, event_type,
+        | roundStable(avg(value), 4) AS avg_value,
+        | roundStable(max(value), 6) AS max_value,
+        | count(*) AS n
+        |FROM events GROUP BY month, event_type ORDER BY month, event_type""".stripMargin,
 
     "q20_join_mstar" ->
       """SELECT r_name, n_name,

@@ -50,6 +50,12 @@ object AirQualityPipeline {
         avg("pollution_index").as("pollution_index_mean"),
         sum("is_rush_hour").as("is_rush_hour_sum"))
 
+  /** Weekly and monthly rollups (README "Weekly and monthly statistics"). */
+  def periodSummary(transformed: DataFrame, period: String): DataFrame =
+    transformed.groupBy(date_trunc(period, col("ts")).as("period"), col("station"))
+      .agg(avg("pm25").as("pm25_mean"), max("pm25").as("pm25_max"),
+        avg("aqi_pm25").as("aqi_pm25_mean"), count(lit(1)).as("n"))
+
   /** Load phase (dag:287-359): CSV for compatibility + snappy parquet
     * partitioned by date for pruning (the scale-relevant layout).
     */

@@ -48,6 +48,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"bounds join must broadcast:\n$p")
   }
 
+  test("date-partitioned writes give partition pruning on filtered reads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("date", org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("ts")))
+    sources.Io.writeParquet(ev, s"$tmp/by_date", partitionBy = Seq("date"))
+    val filtered = spark.read.parquet(s"$tmp/by_date")
+      .filter("date = DATE'2024-01-05'")
+    val scan = filtered.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("2024-01-05") || scan.contains("isnotnull(date"),
+      s"expected partition filter in scan, got: $scan")
+    assert(filtered.count() > 0)
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     val p = planOf("q01_agg_daily")
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
