@@ -16,20 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** (id, simhash) — one 64-bit fingerprint per row. */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+  /** (id, simhash) — one 64-bit fingerprint per row, computed by the
+    * one-pass [[graft.functions.SimHashAgg]] (one 64-counter buffer per
+    * group instead of 64 sum-aggregate columns).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    // per-bit signed counts in one aggregation
-    val bitSums = (0 until 64).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$i")
-    }
-    val sums = ex.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _) // distinct powers of two: sum == bitwise OR (wrap-safe)
-    sums.select(col(idCol), fp.as("simhash"))
-  }
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 

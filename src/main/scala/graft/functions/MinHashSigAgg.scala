@@ -85,3 +85,73 @@ object MinHashSigAgg {
     GraftShims.column(MinHashSigAgg(GraftShims.expression(c), numHashes)
       .toAggregateExpression())
 }
+
+/** One-pass 64-bit SimHash aggregate: input is a token hash (long) per
+  * row; the buffer keeps 64 signed bit counters; eval folds the signs
+  * into the fingerprint. Same motivation as [[MinHashSigAgg]] — one
+  * typed buffer instead of 64 separate sum-aggregate columns.
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) {
+        buf(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (buf(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 4)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 4)(bb.getInt)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(off: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): SimHashAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def prettyName: String = "simhash"
+}
+
+object SimHashAgg {
+  def simhash(c: Column): Column =
+    GraftShims.column(SimHashAgg(GraftShims.expression(c)).toAggregateExpression())
+}
