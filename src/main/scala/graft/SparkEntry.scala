@@ -311,6 +311,20 @@ object SparkEntry {
         isQuery = col("vec_id") < 10, dim = 64, k = 5)
         .orderBy(col("query_id"), col("rank"))),
 
+    "q44_tfidf" -> ((s, dir) =>
+      text.Tfidf.scores(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          roundStable(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+        .limit(50)),
+
+    "q45_sessions_batch" -> ((s, dir) =>
+      Aggregates.sessionizeBatch(Tables.events(s, dir), "user_id", "ts", "event_id",
+        "value", gapMicros = 1800L * 1000000L)
+        .select(col("user_id"), col("session_n"), col("session_start"),
+          col("session_end"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_n"))),
+
     "q42_term_freq" -> ((s, dir) =>
       // corpus vocabulary statistics: term + document frequency per token
       Tables.documents(s, dir)
@@ -664,6 +678,37 @@ object SparkEntry {
         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id) t
         |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q44_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents) t
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        | roundStable(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |FROM terms JOIN dfreq USING (term) CROSS JOIN nd
+        |ORDER BY tfidf DESC, doc_id, term LIMIT 50""".stripMargin,
+
+    "q45_sessions_batch" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, value, epoch_us(ts) AS tu,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(CASE WHEN prev IS NULL OR tu - prev > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
+        |  FROM t)
+        |SELECT user_id, session_n,
+        | CAST(min(ts) AS TIMESTAMP) AS session_start,
+        | CAST(max(ts) AS TIMESTAMP) AS session_end,
+        | count(*) AS n_events,
+        | roundStable(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_n
+        |ORDER BY user_id, session_n""".stripMargin,
 
     "q42_term_freq" ->
       """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df

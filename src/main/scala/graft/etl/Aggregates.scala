@@ -116,6 +116,26 @@ object Aggregates {
     df.groupBy(hour(col(tsCol)).cast("long").as("hour"))
       .agg(roundStable(avg(col(valueCol)), 4).as("avg_value"), count(lit(1)).as("n"))
 
+  /** Batch gap-based sessionization — the deterministic, oracle-checkable
+    * twin of `streaming.EventStream.sessionize`: a new session starts when
+    * the gap to the previous event (per key, ordered) exceeds `gapMicros`;
+    * the running count of session-starts numbers the sessions.
+    * Two window passes over one keyed sort, then a groupBy.
+    */
+  def sessionizeBatch(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val t = unix_micros(col(tsCol))
+    val prev = lag(t, 1).over(w)
+    val newSession = when(prev.isNull || t - prev > gapMicros, 1L).otherwise(0L)
+    df.withColumn("__sess",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__sess").as("session_n"))
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        roundStable(sum(col(valueCol)), 4).as("sum_value"))
+  }
+
   /** Z-score anomaly flags per group: rows where |value − μ| > k·σ.
     * The group stats are one aggregation broadcast back onto the fact
     * side (same shape as the IQR clip — no second shuffle).
