@@ -53,6 +53,15 @@ object Clean {
     val wAsc = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
 
     // Row index of the nearest non-null neighbor in each direction.
+    //
+    // PERFORMANCE: the "next" side must NOT use a (0, unboundedFollowing)
+    // frame — Spark's UnboundedFollowingWindowFunctionFrame recomputes the
+    // aggregate from scratch per row, i.e. O(n²) per key (measured: hangs
+    // at 8760 rows/key while being invisible at the test SF's ~70).
+    // A reversed-order running frame computes the same value in O(n); the
+    // two window specs share the partition key so there's still exactly
+    // one shuffle, just an extra in-partition sort.
+    val wDesc = Window.partitionBy(keyCol).orderBy(orderCols.map(c => col(c).desc): _*)
     val rn = row_number().over(wAsc)
     val withIdx = df
       .withColumn("__rn", rn)
@@ -60,10 +69,10 @@ object Clean {
       .over(wAsc.rowsBetween(Window.unboundedPreceding, 0))
     val prevIdx = last(when(v.isNotNull, col("__rn")), ignoreNulls = true)
       .over(wAsc.rowsBetween(Window.unboundedPreceding, 0))
-    val nextVal = first(v, ignoreNulls = true)
-      .over(wAsc.rowsBetween(0, Window.unboundedFollowing))
-    val nextIdx = first(when(v.isNotNull, col("__rn")), ignoreNulls = true)
-      .over(wAsc.rowsBetween(0, Window.unboundedFollowing))
+    val nextVal = last(v, ignoreNulls = true)
+      .over(wDesc.rowsBetween(Window.unboundedPreceding, 0))
+    val nextIdx = last(when(v.isNotNull, col("__rn")), ignoreNulls = true)
+      .over(wDesc.rowsBetween(Window.unboundedPreceding, 0))
 
     val filled = withIdx
       .withColumn("__pv", prevVal).withColumn("__pi", prevIdx)

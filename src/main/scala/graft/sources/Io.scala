@@ -32,9 +32,16 @@ object Io {
 
   /** Snappy parquet (the reference's /tmp parquet load target), optionally
     * hive-partitioned by low-cardinality keys for pruning.
+    *
+    * Partitioned writes first shuffle on the partition keys: without
+    * that, every task writes a file into every hive partition —
+    * tasks × partitions tiny files (measured 3× the write time at 17.5M
+    * rows / 365 dates). One shuffle, one file per partition.
     */
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+    val out = if (partitionBy.nonEmpty)
+      df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*) else df
+    val w = out.write.mode(SaveMode.Overwrite).option("compression", "snappy")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
