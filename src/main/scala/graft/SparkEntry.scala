@@ -245,6 +245,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("head"))
         .orderBy(col("doc_id"))),
 
+    "q46_set_ops" -> ((s, dir) => {
+      // set algebra over key domains: customers who ordered in both
+      // halves of the window (INTERSECT), only the first (EXCEPT), and
+      // either (UNION) — counted per set
+      val o = Tables.orders(s, dir)
+      val mid = "1998-01-01"
+      val early = o.filter(col("o_orderdate") < lit(mid)).select(col("o_custkey"))
+      val late  = o.filter(col("o_orderdate") >= lit(mid)).select(col("o_custkey"))
+      val both    = early.intersect(late).agg(count(lit(1)).as("n"))
+        .select(lit("both").as("set_name"), col("n"))
+      val onlyE   = early.distinct().exceptAll(late.distinct()).agg(count(lit(1)).as("n"))
+        .select(lit("early_only").as("set_name"), col("n"))
+      val either  = early.union(late).distinct().agg(count(lit(1)).as("n"))
+        .select(lit("either").as("set_name"), col("n"))
+      both.unionByName(onlyE).unionByName(either).orderBy(col("set_name"))
+    }),
+
+    "q47_grouping_sets" -> ((s, dir) =>
+      // explicit grouping sets: (event_type, weekday), (event_type), ()
+      Features.withTemporalFeatures(Tables.events(s, dir), "ts")
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("weekday")), Seq(col("event_type")), Seq()),
+          col("event_type"), col("weekday"))
+        .agg(count(lit(1)).as("n"), roundStable(sum(col("value")), 4).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("weekday"), lit(-1L)).as("weekday"),
+          col("n"), col("sum_value"))
+        .orderBy(col("event_type"), col("weekday"))),
+
     "q30_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -604,6 +633,24 @@ object SparkEntry {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
         | event_type, count(*) AS n, roundStable(sum(value), 4) AS sum_value
         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "q46_set_ops" ->
+      """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'),
+        |late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01')
+        |SELECT 'both' AS set_name, count(*) AS n FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late) t
+        |UNION ALL
+        |SELECT 'early_only', count(*) FROM (SELECT DISTINCT o_custkey FROM early EXCEPT SELECT DISTINCT o_custkey FROM late) t
+        |UNION ALL
+        |SELECT 'either', count(*) FROM (SELECT o_custkey FROM early UNION SELECT o_custkey FROM late) t
+        |ORDER BY set_name""".stripMargin,
+
+    "q47_grouping_sets" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        | COALESCE(weekday, -1) AS weekday,
+        | count(*) AS n, roundStable(sum(value), 4) AS sum_value
+        |FROM (SELECT event_type, CAST(EXTRACT(isodow FROM ts) - 1 AS BIGINT) AS weekday, value FROM events) t
+        |GROUP BY GROUPING SETS ((event_type, weekday), (event_type), ())
+        |ORDER BY event_type, weekday""".stripMargin,
 
     "q40_multimodal_meta" ->
       """SELECT doc_id,
