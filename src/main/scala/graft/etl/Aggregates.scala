@@ -70,6 +70,20 @@ object Aggregates {
       roundStable(avg(col(valueCol)), 4).as("avg_value"),
       expr(s"approx_percentile($valueCol, array(0.25, 0.5, 0.75), 10000)").as("quartiles_approx"))
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg`): per-group binary sketches that union
+    * across partitions/days without rescanning — the incremental
+    * cardinality pattern for rolling 100 TB pipelines. Returns
+    * (group, sketch) rows; estimate or union downstream with
+    * `hll_sketch_estimate` / `hll_union_agg`.
+    */
+  def distinctSketch(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(expr(s"hll_sketch_agg($keyCol)").as("sketch"))
+
+  def sketchEstimateTotal(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_estimate"))
+
   /** Data-quality validation block (dag:380-387): volume, null fraction,
     * key cardinality, time range, mean — one single-row aggregate.
     */

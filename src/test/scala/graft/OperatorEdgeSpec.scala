@@ -126,6 +126,37 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(row.getSeq[Double](row.fieldIndex("quartiles_approx")).length == 3)
   }
 
+  test("deterministic sampling is partition-independent and ~fraction-sized") {
+    val ev = Tables.events(spark, sfDir)
+    val a = etl.Sampling.deterministic(ev.repartition(2), "event_id", 0.2)
+    val b = etl.Sampling.deterministic(ev.repartition(9), "event_id", 0.2)
+    val idsA = a.select("event_id").as[Long].collect().sorted.toSeq
+    val idsB = b.select("event_id").as[Long].collect().sorted.toSeq
+    assert(idsA == idsB, "same sample set under different partitioning")
+    val frac = idsA.size.toDouble / ev.count()
+    assert(frac > 0.15 && frac < 0.25, s"~20% expected, got $frac")
+  }
+
+  test("stratified sampling respects per-stratum fractions") {
+    val ev = Tables.events(spark, sfDir)
+    val s = etl.Sampling.stratified(ev, "event_id", "event_type",
+      Map("click" -> 0.5, "error" -> 0.0))
+    val byType = s.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.contains("click") && !byType.contains("error"))
+    assert(byType.keySet == Set("click"))
+  }
+
+  test("HLL sketches merge across groups to the global estimate") {
+    val ev = Tables.events(spark, sfDir)
+    val sketches = etl.Aggregates.distinctSketch(ev, "event_type", "user_id")
+    assert(sketches.count() == 5)
+    val est = etl.Aggregates.sketchEstimateTotal(sketches, "event_type")
+      .first().getLong(0).toDouble
+    val exact = ev.select(countDistinct(col("user_id"))).first().getLong(0)
+    assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+  }
+
   test("clipOutliersIqr leaves interior values untouched and clips extremes") {
     val vals = (1 to 100).map(_.toDouble) :+ 10000.0
     val df = vals.map(("g", _)).toDF("g", "v")
