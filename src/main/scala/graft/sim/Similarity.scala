@@ -149,7 +149,9 @@ object LshAnn {
     val cands = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qv", "cv")
-      .distinct()
+      // dedup on the id pair only — full-row distinct would hash the
+      // float vectors too (same result, ~2×64 floats more work per row)
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cands
