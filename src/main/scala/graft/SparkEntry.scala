@@ -245,6 +245,37 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("head"))
         .orderBy(col("doc_id"))),
 
+    "q48_funnel" -> ((s, dir) => {
+      // classic ordered funnel: view → click → purchase, first-touch per
+      // stage per user, strictly increasing timestamps
+      val f = Tables.events(s, dir).groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      f.agg(
+        count(when(col("t_view").isNotNull, 1)).as("viewed"),
+        count(when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1))
+          .as("clicked_after_view"),
+        count(when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), 1)).as("purchased_after_click"))
+    }),
+
+    "q49_retention" -> ((s, dir) => {
+      // weekly cohort retention: users grouped by first-activity week,
+      // counted per week-offset of later activity
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      act.join(first, "user_id")
+        .groupBy(col("cohort"),
+          // Column./ is always fp division — floor+cast pins BIGINT to
+          // match the oracle's integer `// 7`
+          floor(datediff(to_date(col("wk")), to_date(col("cohort"))) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
     "q46_set_ops" -> ((s, dir) => {
       // set algebra over key domains: customers who ordered in both
       // halves of the window (INTERSECT), only the first (EXCEPT), and
@@ -633,6 +664,29 @@ object SparkEntry {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
         | event_type, count(*) AS n, roundStable(sum(value), 4) AS sum_value
         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "q48_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        | count(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+        | count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS clicked_after_view,
+        | count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click) AS purchased_after_click
+        |FROM f""".stripMargin,
+
+    "q49_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        | CAST(date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE)) // 7 AS BIGINT) AS week_offset,
+        | count(DISTINCT user_id) AS active_users
+        |FROM act JOIN first USING (user_id)
+        |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
 
     "q46_set_ops" ->
       """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'),
