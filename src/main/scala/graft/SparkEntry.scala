@@ -267,7 +267,7 @@ object SparkEntry {
       val first = ev.groupBy(col("user_id"))
         .agg(date_trunc("week", min(col("ts"))).as("cohort"))
       val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
-      act.join(first, "user_id")
+      act.join(broadcast(first), "user_id") // one row per user — always small
         .groupBy(col("cohort"),
           // Column./ is always fp division — floor+cast pins BIGINT to
           // match the oracle's integer `// 7`
