@@ -137,12 +137,25 @@ object LshAnn {
 
   /** Approximate top-k per query: bucket-join candidates, exact cosine,
     * deterministic ranking. Queries are a subset predicate on the corpus.
+    *
+    * `multiProbe = true` additionally probes every 1-bit-flipped bucket
+    * on the QUERY side only (standard multi-probe LSH): candidates whose
+    * sketch differs by one hyperplane sign are recovered without adding
+    * tables — the corpus index size is unchanged.
     */
   def topK(df: DataFrame, idCol: String, vecCol: String, isQuery: Column,
-      dim: Int, k: Int, nTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+      dim: Int, k: Int, nTables: Int = 8, bitsPerTable: Int = 4,
+      multiProbe: Boolean = true): DataFrame = {
     val bk = buckets(df, idCol, vecCol, dim, nTables, bitsPerTable)
     val qids = df.filter(isQuery).select(col(idCol).as("id"))
-    val q = bk.join(broadcast(qids), "id")
+    val probed =
+      if (!multiProbe) bk
+      else {
+        val variants = lit(0L) +: (0 until bitsPerTable).map(b => lit(1L << b))
+        bk.withColumn("bucket",
+            explode(array(variants.map(col("bucket").bitwiseXOR): _*)))
+      }
+    val q = probed.join(broadcast(qids), "id")
       .select(col("id").as("query_id"), col("vec").as("qv"), col("table"), col("bucket"))
     val c = bk.select(col("id").as("neighbor_id"), col("vec").as("cv"),
       col("table"), col("bucket"))
