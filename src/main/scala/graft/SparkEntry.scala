@@ -267,7 +267,10 @@ object SparkEntry {
       val first = ev.groupBy(col("user_id"))
         .agg(date_trunc("week", min(col("ts"))).as("cohort"))
       val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
-      act.join(broadcast(first), "user_id") // one row per user — always small
+      // No broadcast hint: the cohort side is one row per DISTINCT USER —
+      // unbounded at scale. Both sides shuffle on user_id (act is already
+      // grouped per user); AQE demotes to broadcast when it actually fits.
+      act.join(first, "user_id")
         .groupBy(col("cohort"),
           // Column./ is always fp division — floor+cast pins BIGINT to
           // match the oracle's integer `// 7`
@@ -396,8 +399,16 @@ object SparkEntry {
 
     "q43_dedup_survivors" -> ((s, dir) => {
       // end-to-end near-dup removal: drop the higher-id doc of every
-      // >=0.8-Jaccard pair; survivors = docs never appearing as doc_b
-      val pairs = NGramJaccard.similarPairs(Tables.documents(s, dir), "doc_id", "text",
+      // >=0.8-Jaccard pair; survivors = docs never appearing as doc_b.
+      // Pair generation goes through MinHashLsh — the scale path: banded
+      // candidate generation is O(n·bands) keyed shuffles (never the f²
+      // pair blowup of an uncapped shingle join) and its exact-Jaccard
+      // verification makes the output equal the exact oracle's pairs up
+      // to a ~5e-8 per-pair recall miss at j=0.8 (zero observed at any
+      // test SF — q35 hash-matches the same oracle). The exact operator
+      // with `maxDocFreq` (spec-verified equal) is the non-probabilistic
+      // alternative.
+      val pairs = dedup.MinHashLsh.similarPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, minJaccard = 0.8)
         .select(col("id_b").as("doc_id"))
       Tables.documents(s, dir)

@@ -61,14 +61,11 @@ object MinHashLsh {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // exact verification on the true shingle sets
-    val sa = sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a"), col("n_sh").as("n_a"))
-    val sb = sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b"), col("n_sh").as("n_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // exact verification on the true shingle sets; the (small) verified
+    // pair set is materialized so the shingle cache can be released —
+    // long-lived sessions don't accumulate cached blocks across queries
+    val out = NGramJaccard.verifyExact(cand, sets, idCol, minJaccard).localCheckpoint()
+    sets.unpersist()
+    out
   }
 }

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Binary {
 
-  /** Lightweight per-blob metadata — pure expressions, no decode. */
+  /** Lightweight per-blob metadata — pure expressions, no decode.
+    * `head` decodes the blob to string FIRST and then takes 8 CHARACTERS
+    * (not 8 raw bytes): byte-slicing UTF-8 text truncates mid-codepoint on
+    * any non-ASCII content, diverging from a character-based oracle.
+    */
   def withBlobMeta(df: DataFrame, blobCol: String): DataFrame =
     df.withColumn("n_bytes", length(col(blobCol)).cast("long"))
       .withColumn("content_md5", md5(col(blobCol)))
-      .withColumn("head", substring(col(blobCol), 1, 8).cast("string"))
+      .withColumn("head", substring(col(blobCol).cast("string"), 1, 8))
 
   case class Blob(id: Long, bytes: Array[Byte])
   case class BlobFeatures(id: Long, nBytes: Long, meanByte: Double, features: Array[Float])

@@ -20,16 +20,25 @@ object Skew {
     * sumCols/countCols are re-aggregated correctly; avg is derived from
     * sum/count rather than averaged-of-averages.
     */
-  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(buckets)))
-    val partial = salted
+  /** The salted partial stage of [[saltedSum]], exposed so tests can
+    * assert the salt actually spreads a hot key across buckets.
+    *
+    * The salt must NOT be a function of the data: salting on a value
+    * column collapses to a single bucket exactly in the classic skew case
+    * (a hot key whose rows share one default/zero value). A row-unique
+    * source spreads every key evenly regardless of its values; the final
+    * merge makes the output independent of the salt assignment.
+    */
+  private[graft] def saltedPartial(df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__c"))
-    partial
+
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int): DataFrame =
+    saltedPartial(df, keys, valueCol, buckets)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__s")).as("sum_value"), sum(col("__c")).as("n"))
       .withColumn("avg_value", col("sum_value") / col("n"))
-  }
 
   /** Salted join for a skewed left key: left rows get a random-ish salt in
     * [0, buckets), the (small) right side is exploded `buckets`× so every

@@ -148,14 +148,19 @@ object LshAnn {
       multiProbe: Boolean = true): DataFrame = {
     val bk = buckets(df, idCol, vecCol, dim, nTables, bitsPerTable)
     val qids = df.filter(isQuery).select(col(idCol).as("id"))
+    // Restrict to query rows BEFORE probing: the 1-bit-flip explode is a
+    // (bitsPerTable+1)× row blowup, and only queries need probe variants —
+    // exploding the full corpus index first would multiply O(n·tables)
+    // rows for no benefit. Order here is |q|·tables·(bits+1), not n·….
+    val qSide = bk.join(broadcast(qids), "id")
     val probed =
-      if (!multiProbe) bk
+      if (!multiProbe) qSide
       else {
         val variants = lit(0L) +: (0 until bitsPerTable).map(b => lit(1L << b))
-        bk.withColumn("bucket",
+        qSide.withColumn("bucket",
             explode(array(variants.map(col("bucket").bitwiseXOR): _*)))
       }
-    val q = probed.join(broadcast(qids), "id")
+    val q = probed
       .select(col("id").as("query_id"), col("vec").as("qv"), col("table"), col("bucket"))
     val c = bk.select(col("id").as("neighbor_id"), col("vec").as("cv"),
       col("table"), col("bucket"))

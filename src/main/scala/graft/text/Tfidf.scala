@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** TF-IDF term scoring over a document corpus.
   *
   * tf(d,t) · ln(N / df(t)) with all math in double. Three keyed
-  * aggregations: (doc,term) counts, term document-frequency, corpus size
-  * — df and N are tiny relative to the corpus and broadcast back, so the
-  * only big shuffle is the (doc,term) groupBy.
+  * aggregations: (doc,term) counts, term document-frequency, corpus size.
+  * The term↔df join carries NO static broadcast hint: over a web-scale
+  * corpus the vocabulary (typos, URLs, numbers) is itself unbounded, so a
+  * forced broadcast would OOM the driver — AQE broadcasts at runtime when
+  * df actually fits, and otherwise both sides shuffle on `term`, a
+  * partitioning the preceding aggregations already produce.
   */
 object Tfidf {
 
@@ -21,7 +24,7 @@ object Tfidf {
     val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     terms
-      .join(broadcast(dfreq), "term")
+      .join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast("double") *

@@ -86,6 +86,81 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedSum spreads a constant-value hot key over >1 bucket, result unchanged") {
+    // The classic skew case a value-derived salt can't split: one hot key
+    // whose rows all carry the same value.
+    val hot = Seq.fill(1000)(("hot", 0.0)).toDF("k", "v").repartition(4)
+    val spread = operators.Skew.saltedPartial(hot, Seq("k"), "v", buckets = 8)
+      .select(countDistinct(col("__salt"))).first().getLong(0)
+    assert(spread > 1, s"constant-value hot key landed in $spread salt bucket(s)")
+    val summed = operators.Skew.saltedSum(hot, Seq("k"), "v", buckets = 8).first()
+    assert(summed.getDouble(summed.fieldIndex("sum_value")) == 0.0)
+    assert(summed.getLong(summed.fieldIndex("n")) == 1000L)
+  }
+
+  test("shingleSets: docs shorter than n tokens get an empty set, similarPairs doesn't throw") {
+    val docs = Seq((1L, "only two"), (2L, "one"), (3L, ""),
+      (4L, "a full length document with plenty of words"),
+      (5L, "a full length document with plenty of words")).toDF("doc_id", "text")
+    val sets = dedup.NGramJaccard.shingleSets(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").select("n_sh").as[Long].collect()
+    assert(sets.take(3).toSeq == Seq(0L, 0L, 0L), "short docs must yield empty sets")
+    assert(sets(3) == 6L)
+    val pairs = dedup.NGramJaccard.similarPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
+  }
+
+  test("capped similarPairs (exact verification) equals the uncapped exact result") {
+    val docs = Tables.documents(spark, sfDir)
+    val uncapped = dedup.NGramJaccard.similarPairs(docs, "doc_id", "text", 3, 0.8)
+    val capped = dedup.NGramJaccard.similarPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDocFreq = Some(100L))
+    assert(capped.exceptAll(uncapped).isEmpty && uncapped.exceptAll(capped).isEmpty)
+  }
+
+  test("dedup operators release their intermediate caches (only the small result stays)") {
+    val docs = Tables.documents(spark, sfDir)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    dedup.MinHashLsh.similarPairs(docs, "doc_id", "text", 3, 0.8).count()
+    val afterMinhash = spark.sparkContext.getPersistentRDDs.size
+    // at most the localCheckpoint'd pair result remains, never the
+    // exploded shingle index
+    assert(afterMinhash - before <= 1, s"minhash leaked ${afterMinhash - before} cached RDDs")
+    dedup.NGramJaccard.similarPairs(docs, "doc_id", "text", 3, 0.8).count()
+    val afterExact = spark.sparkContext.getPersistentRDDs.size
+    assert(afterExact - afterMinhash <= 1, s"exact path leaked ${afterExact - afterMinhash} cached RDDs")
+  }
+
+  test("two DotProducts in one codegen stage compile (no interpreted fallback)") {
+    // fixed variable names in doGenCode would redeclare and fail Janino
+    // compilation; CODEGEN_ONLY turns the silent fallback into an error
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val dot = functions.VectorExpressions.vecDot _
+      val out = df.select(
+        (dot(col("a"), col("b")) /
+          (sqrt(dot(col("a"), col("a"))) * sqrt(dot(col("b"), col("b"))))).as("cos"),
+        dot(col("a"), col("b")).as("d")).first()
+      assert(math.abs(out.getDouble(1) - 32.0) < 1e-9)
+      assert(math.abs(out.getDouble(0) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-9)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
+  test("withBlobMeta head is character-based, safe on non-ASCII text") {
+    val df = Seq((1L, "héllo wörld — ünïcode")).toDF("doc_id", "text")
+      .withColumn("blob", col("text").cast("binary"))
+    val head = multimodal.Binary.withBlobMeta(df, "blob").select("head").first().getString(0)
+    assert(head == "héllo wö", s"expected first 8 characters, got '$head'")
+  }
+
   test("saltedJoin preserves join semantics for a skewed key") {
     val left = Tables.orders(spark, sfDir)
     val right = Tables.customer(spark, sfDir)

@@ -62,6 +62,40 @@ class PlanSpec extends AnyFunSuite {
     assert(filtered.count() > 0)
   }
 
+  test("q49/q44: no static broadcast hint on unbounded-cardinality sides") {
+    // per-user cohorts and vocabularies grow with the data — a forced
+    // broadcast hint is a driver OOM at 100 TB. AQE may still choose
+    // broadcast at runtime when a side actually fits; what must not exist
+    // is the static hint in the plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    for (q <- Seq("q49_retention", "q44_tfidf")) {
+      val analyzed = SparkEntry.queries(q)(spark, sfDir).queryExecution.analyzed
+      val badHints = analyzed.collect {
+        // a hint is acceptable only on a provably single-row side
+        // (global aggregate with no grouping — e.g. the corpus count N)
+        case h: ResolvedHint if !(h.child match {
+          case a: Aggregate => a.groupingExpressions.isEmpty
+          case _            => false
+        }) => h
+      }
+      assert(badHints.isEmpty,
+        s"$q carries a static broadcast hint on an unbounded side:\n$analyzed")
+    }
+  }
+
+  test("q39 LSH multi-probe explode runs on the query subset, not the corpus index") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val plan = SparkEntry.queries("q39_ann_lsh")(spark, sfDir).queryExecution.optimizedPlan
+    // the probe explode must sit ABOVE the join to the query ids — i.e.
+    // there exists a Generate whose subtree contains a Join. (The corpus
+    // side's bucket explode has no join below it.)
+    val probeAboveFilter = plan.collect {
+      case g: Generate if g.child.collect { case j: Join => j }.nonEmpty => g
+    }
+    assert(probeAboveFilter.nonEmpty,
+      s"multi-probe explode is not downstream of the query-id filter:\n$plan")
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     val p = planOf("q01_agg_daily")
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
