@@ -427,6 +427,24 @@ object SparkEntry {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q50_interpolate_multi" -> ((s, dir) => {
+      // Multi-column interpolation, the reference's actual shape
+      // (dag:161-167 loops 7 numeric columns per station): two value
+      // series with DIFFERENT null patterns share one keyed sort.
+      val ev = Tables.events(s, dir)
+        .withColumn("value",
+          when(col("event_id") % 37 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("k2",
+          when(col("event_id") % 29 === 0, lit(null))
+            .otherwise(get_json_object(col("props"), "$.k").cast("double")))
+      Clean.interpolateLinear(ev, "user_id", Seq("ts", "event_id"),
+        Seq("value", "k2"), maxGap = 3)
+        .select(col("event_id"),
+          roundStable(col("value"), 6).as("value_interp"),
+          roundStable(col("k2"), 6).as("k2_interp"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   /** Oracle SQL may use `roundStable(expr, d)` as shorthand; it expands to
@@ -877,6 +895,43 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q50_interpolate_multi" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v1,
+        |         CASE WHEN event_id % 29 = 0 THEN NULL
+        |              ELSE CAST(props->>'k' AS DOUBLE) END AS v2,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), t AS (
+        |  SELECT event_id, v1, v2, rn,
+        |    last_value(v1 IGNORE NULLS) OVER wp AS pv1,
+        |    last_value(CASE WHEN v1 IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS pi1,
+        |    first_value(v1 IGNORE NULLS) OVER wn AS nv1,
+        |    first_value(CASE WHEN v1 IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS ni1,
+        |    last_value(v2 IGNORE NULLS) OVER wp AS pv2,
+        |    last_value(CASE WHEN v2 IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS pi2,
+        |    first_value(v2 IGNORE NULLS) OVER wn AS nv2,
+        |    first_value(CASE WHEN v2 IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS ni2
+        |  FROM base
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_id,
+        | roundStable(CASE
+        |  WHEN v1 IS NOT NULL THEN v1
+        |  WHEN pv1 IS NOT NULL AND nv1 IS NOT NULL AND rn - pi1 <= 3
+        |    THEN pv1 + (nv1 - pv1) * CAST(rn - pi1 AS DOUBLE) / CAST(ni1 - pi1 AS DOUBLE)
+        |  WHEN pv1 IS NOT NULL AND rn - pi1 <= 3 THEN pv1
+        |  ELSE NULL END, 6) AS value_interp,
+        | roundStable(CASE
+        |  WHEN v2 IS NOT NULL THEN v2
+        |  WHEN pv2 IS NOT NULL AND nv2 IS NOT NULL AND rn - pi2 <= 3
+        |    THEN pv2 + (nv2 - pv2) * CAST(rn - pi2 AS DOUBLE) / CAST(ni2 - pi2 AS DOUBLE)
+        |  WHEN pv2 IS NOT NULL AND rn - pi2 <= 3 THEN pv2
+        |  ELSE NULL END, 6) AS k2_interp
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "q38_embed_neardup" ->
       """WITH v AS (

@@ -26,8 +26,12 @@ object AirQualityPipeline {
   /** Transform phase (dag:138-281): interpolate gaps, clip outliers,
     * dedup, derive AQI/category/temporal features/pollution index.
     */
+  /** The 7 numeric columns the reference interpolates (dag:161-167). */
+  val numericCols = Seq("pm25", "pm10", "no2", "o3", "co", "temperature", "humidity")
+
   def transform(raw: DataFrame): DataFrame = {
-    val interpolated = Clean.interpolateLinear(raw, "station", Seq("ts", "reading_id"), "pm25", maxGap = 3)
+    // all 7 columns in one pass — shares a single keyed shuffle+sort
+    val interpolated = Clean.interpolateLinear(raw, "station", Seq("ts", "reading_id"), numericCols, maxGap = 3)
     val clipped = Clean.clipOutliersIqr(interpolated, Seq("station"), Seq("pm25", "pm10", "no2"))
     val deduped = Clean.dedupExact(clipped, Seq("ts", "station"), Seq("reading_id"))
     val featured = Features.withTemporalFeatures(deduped, "ts")
@@ -87,6 +91,33 @@ object AirQualityPipeline {
       avg(col("aqi_pm25")).as("avg_aqi"),
       nullPct.as("null_pct"),
       count(when(col("air_quality_category") === "Good", 1)).as("records_good_quality"))
+  }
+
+  /** The reference's validation GATE (dag:391-405): `validate_data_quality`
+    * raises `ValueError("Datos insuficientes para análisis")` below 1000
+    * rows and logs a warning above 5% nulls. This applies those thresholds
+    * to the [[validate]] report — plus a minimum-stations floor, the
+    * report's third axis — and returns the report row on success.
+    */
+  def validateOrFail(
+      transformed: DataFrame,
+      minRows: Long = 1000L,
+      maxNullPct: Double = 5.0,
+      minStations: Long = 3L): org.apache.spark.sql.Row = {
+    val report = validate(transformed).first()
+    val rows = report.getLong(report.fieldIndex("total_records"))
+    val stations = report.getLong(report.fieldIndex("unique_stations"))
+    val nullPct = report.getDouble(report.fieldIndex("null_pct"))
+    if (rows < minRows)
+      throw new IllegalStateException(
+        s"Datos insuficientes para análisis: $rows rows < $minRows")
+    if (stations < minStations)
+      throw new IllegalStateException(
+        s"too few stations: $stations < $minStations")
+    if (nullPct > maxNullPct)
+      throw new IllegalStateException(
+        f"Alto porcentaje de valores nulos: $nullPct%.2f%% > $maxNullPct%%")
+    report
   }
 
   /** Full run. Returns the validation report (the reference raises on

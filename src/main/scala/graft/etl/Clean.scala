@@ -48,8 +48,22 @@ object Clean {
       keyCol: String,
       orderCols: Seq[String],
       valueCol: String,
-      maxGap: Int = Int.MaxValue): DataFrame = {
-    val v = col(valueCol)
+      maxGap: Int = Int.MaxValue): DataFrame =
+    interpolateLinear(df, keyCol, orderCols, Seq(valueCol), maxGap)
+
+  /** Multi-column variant — the reference interpolates all 7 numeric
+    * columns per station (dag:161-167). All columns share ONE keyed
+    * shuffle and one ascending + one descending in-partition sort: every
+    * per-column window function rides the same two window specs, so
+    * Catalyst plans exactly two Window operators over a single Exchange
+    * (asserted in PlanSpec) instead of re-shuffling per column.
+    */
+  def interpolateLinear(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCols: Seq[String],
+      maxGap: Int): DataFrame = {
     val wAsc = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
 
     // Row index of the nearest non-null neighbor in each direction.
@@ -62,38 +76,38 @@ object Clean {
     // two window specs share the partition key so there's still exactly
     // one shuffle, just an extra in-partition sort.
     val wDesc = Window.partitionBy(keyCol).orderBy(orderCols.map(c => col(c).desc): _*)
-    val rn = row_number().over(wAsc)
-    val withIdx = df
-      .withColumn("__rn", rn)
-    val prevVal = last(v, ignoreNulls = true)
-      .over(wAsc.rowsBetween(Window.unboundedPreceding, 0))
-    val prevIdx = last(when(v.isNotNull, col("__rn")), ignoreNulls = true)
-      .over(wAsc.rowsBetween(Window.unboundedPreceding, 0))
-    val nextVal = last(v, ignoreNulls = true)
-      .over(wDesc.rowsBetween(Window.unboundedPreceding, 0))
-    val nextIdx = last(when(v.isNotNull, col("__rn")), ignoreNulls = true)
-      .over(wDesc.rowsBetween(Window.unboundedPreceding, 0))
+    val ascRun  = wAsc.rowsBetween(Window.unboundedPreceding, 0)
+    val descRun = wDesc.rowsBetween(Window.unboundedPreceding, 0)
+    val withIdx = df.withColumn("__rn", row_number().over(wAsc))
 
-    val filled = withIdx
-      .withColumn("__pv", prevVal).withColumn("__pi", prevIdx)
-      .withColumn("__nv", nextVal).withColumn("__ni", nextIdx)
-      .withColumn(
-        valueCol,
+    val withNeighbors = valueCols.foldLeft(withIdx) { (acc, c) =>
+      val v = col(c)
+      acc
+        .withColumn(s"__pv_$c", last(v, ignoreNulls = true).over(ascRun))
+        .withColumn(s"__pi_$c", last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(ascRun))
+        .withColumn(s"__nv_$c", last(v, ignoreNulls = true).over(descRun))
+        .withColumn(s"__ni_$c", last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(descRun))
+    }
+    val filled = valueCols.foldLeft(withNeighbors) { (acc, c) =>
+      val v = col(c)
+      acc.withColumn(
+        c,
         when(v.isNotNull, v)
           // interior gap with both neighbors, within the fill limit
           .when(
-            col("__pv").isNotNull && col("__nv").isNotNull &&
-              (col("__rn") - col("__pi") <= maxGap),
-            col("__pv") + (col("__nv") - col("__pv")) *
-              (col("__rn") - col("__pi")).cast("double") /
-              (col("__ni") - col("__pi")).cast("double"))
+            col(s"__pv_$c").isNotNull && col(s"__nv_$c").isNotNull &&
+              (col("__rn") - col(s"__pi_$c") <= maxGap),
+            col(s"__pv_$c") + (col(s"__nv_$c") - col(s"__pv_$c")) *
+              (col("__rn") - col(s"__pi_$c")).cast("double") /
+              (col(s"__ni_$c") - col(s"__pi_$c")).cast("double"))
           // trailing nulls: pandas interpolate forward-fills, within limit
           .when(
-            col("__pv").isNotNull && (col("__rn") - col("__pi") <= maxGap),
-            col("__pv"))
+            col(s"__pv_$c").isNotNull && (col("__rn") - col(s"__pi_$c") <= maxGap),
+            col(s"__pv_$c"))
           .otherwise(lit(null)))
-      .drop("__rn", "__pv", "__pi", "__nv", "__ni")
-    filled
+    }
+    filled.drop("__rn" +:
+      valueCols.flatMap(c => Seq(s"__pv_$c", s"__pi_$c", s"__nv_$c", s"__ni_$c")): _*)
   }
 
   /** Null imputation with the group mean (the simpler sibling of

@@ -47,9 +47,10 @@ object Synth {
       col("id").as("reading_id"),
       concat(lit("station_"), st).as("station"),
       ts.as("ts"),
-      // 2% missing simulation (dag:96-100), deterministic
+      // 2% missing simulation in pm25 AND pm10 (dag:96-100), deterministic
       when(u01(col("id"), 99, seed) < 0.02, lit(null)).otherwise(pm25).as("pm25"),
-      clampLo(base(2, 25, 60) * hourFactor * weekdayFactor + noise(12, 10)).as("pm10"),
+      when(u01(col("id"), 98, seed) < 0.02, lit(null))
+        .otherwise(clampLo(base(2, 25, 60) * hourFactor * weekdayFactor + noise(12, 10))).as("pm10"),
       clampLo(base(3, 20, 50) * hourFactor * weekdayFactor + noise(13, 8)).as("no2"),
       clampLo(base(4, 30, 60) * (lit(2.0) - hourFactor) + noise(14, 10)).as("o3"),
       clampLo(base(5, 0.3, 1.2) * hourFactor * weekdayFactor + noise(15, 0.2)).as("co"),

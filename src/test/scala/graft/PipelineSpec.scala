@@ -81,6 +81,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(s"$tmp/air_quality_daily_csv").count() == 3 * 7)
   }
 
+  test("transform interpolates ALL numeric columns (pm10 gaps filled, ref dag:161-167)") {
+    val raw = etl.Synth.airQuality(spark, 3, 14 * 24)
+    val rawNullPm10 = raw.filter(col("pm10").isNull).count()
+    assert(rawNullPm10 > 0, "synth must inject pm10 gaps (dag:96-100)")
+    val out = etl.AirQualityPipeline.transform(raw)
+    // isolated 2% gaps sit well within maxGap=3 of a neighbor; only a
+    // leading null per station could survive
+    assert(out.filter(col("pm10").isNull).count() <= 3)
+    assert(out.filter(col("pm25").isNull).count() <= 3)
+  }
+
+  test("validateOrFail: passes on the standard dataset, raises on thin data") {
+    val good = etl.AirQualityPipeline.transform(etl.Synth.airQuality(spark, 3, 14 * 24))
+    val report = etl.AirQualityPipeline.validateOrFail(good)
+    assert(report.getLong(report.fieldIndex("total_records")) == 3 * 14 * 24)
+    val thin = etl.AirQualityPipeline.transform(etl.Synth.airQuality(spark, 3, 48))
+    val e = intercept[IllegalStateException] {
+      etl.AirQualityPipeline.validateOrFail(thin)
+    }
+    assert(e.getMessage.contains("Datos insuficientes"))
+    val fewStations = etl.AirQualityPipeline.transform(etl.Synth.airQuality(spark, 2, 30 * 24))
+    val e2 = intercept[IllegalStateException] {
+      etl.AirQualityPipeline.validateOrFail(fewStations)
+    }
+    assert(e2.getMessage.contains("stations"))
+  }
+
   test("GraftExtensions registers SQL functions") {
     val r = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, aqi_pm25(10.0) AS aqi, aqi_category(75.0) AS cat")

@@ -96,6 +96,16 @@ class PlanSpec extends AnyFunSuite {
       s"multi-probe explode is not downstream of the query-id filter:\n$plan")
   }
 
+  test("multi-column interpolation shares ONE keyed shuffle across all 7 columns") {
+    val raw = etl.Synth.airQuality(spark, 2, 48)
+    val out = etl.Clean.interpolateLinear(raw, "station", Seq("ts", "reading_id"),
+      etl.AirQualityPipeline.numericCols, maxGap = 3)
+    val p = out.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected one shared shuffle for all columns, got $exchanges:\n$p")
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     val p = planOf("q01_agg_daily")
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
