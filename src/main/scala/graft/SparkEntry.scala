@@ -418,9 +418,28 @@ object SparkEntry {
     }),
 
     "q41_ivf_topk" -> ((s, dir) =>
+      // IVF with PRE-ASSIGNED coarse centroids (the `label` column) — the
+      // production shape where assignment happens offline. Fully
+      // deterministic → real SQL oracle. The in-engine trainer variant is
+      // q51 (rows-only: Lloyd's iterations aren't expressible in one SQL
+      // query; the trainer itself is spec-verified on planted clusters).
       sim.IvfAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
         isQuery = col("vec_id") < 10, k = 5)
         .orderBy(col("query_id"), col("rank"))),
+
+    "q51_ivf_kmeans" -> ((s, dir) => {
+      // Self-contained IVF: deterministic k-means computes the coarse
+      // centroids in-engine, then the same cluster-bucketed search.
+      // NOTE: the testdata's `label` is NOT geometric (intra-label cosine
+      // ≈ inter-label ≈ 0), so a trained clustering legitimately differs
+      // from q41's pre-assigned one; correctness of the trainer is
+      // spec-verified (planted-cluster recovery + partition-independence).
+      val assigned = sim.KMeans.fitAssign(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 10, iters = 3)
+      sim.IvfAnn.topK(assigned, "vec_id", "embedding", "cluster",
+        isQuery = col("vec_id") < 10, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     "q34_ngram_jaccard" -> ((s, dir) =>
       NGramJaccard.similarPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)

@@ -1,0 +1,91 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over an embedding column — the trainer
+  * that makes [[IvfAnn]] self-contained (coarse centroids computed
+  * in-engine instead of pre-assigned offline).
+  *
+  * Distributed-first: the DATA never reaches the driver — only the k×dim
+  * centroid matrix does (a few KB), once per iteration. Assignment is a
+  * pure codegen'd expression (argmin over [[Similarity.dot]] distances),
+  * so scoring 100 TB of vectors is a map-only stage; the update is one
+  * keyed aggregation per iteration.
+  *
+  * Determinism (no RNG anywhere):
+  *   - seed 0 = vector with the smallest xxhash64(id);
+  *   - seeds 1..k-1 by farthest-point traversal (max distance to chosen
+  *     seeds, ties broken by id) — on separated clusters this lands one
+  *     seed per cluster, avoiding Lloyd's classic two-seeds-in-one-cluster
+  *     local optimum;
+  *   - argmin ties broken by cluster index.
+  */
+object KMeans {
+
+  /** Squared-distance argmin assignment expression for fixed centroids:
+    * d_j = −2·v·c_j + |c_j|² (the |v|² term is constant per row and
+    * cannot change the argmin). `array_min` over (d, j) structs compares
+    * lexicographically — deterministic index tie-break.
+    */
+  def assignExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val d = lit(-2.0) * Similarity.dot(vecCol, cLit) + lit(c.map(x => x * x).sum)
+      struct(d.as("d"), lit(j).as("j"))
+    }
+    array_min(array(cands.toIndexedSeq: _*)).getField("j")
+  }
+
+  /** Farthest-point initial centroids (k rows collected, one scan per
+    * seed). At 100 TB you would run this on a deterministic hash-sample
+    * ([[graft.etl.Sampling.deterministic]]) — the traversal is O(k·n).
+    */
+  private def init(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Float](r.fieldIndex(vecCol)).map(_.toDouble).toArray
+    val first = df.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(1).collect()(0)
+    val seeds = scala.collection.mutable.ArrayBuffer(vecOf(first))
+    while (seeds.size < k) {
+      val minDist = seeds.map { c =>
+        val cLit = array(c.map(lit).toIndexedSeq: _*)
+        Similarity.dot(col(vecCol), col(vecCol)) -
+          lit(2.0) * Similarity.dot(col(vecCol), cLit) + lit(c.map(x => x * x).sum)
+      }.reduce(least(_, _))
+      val far = df.select(col(idCol), col(vecCol), minDist.as("__d"))
+        .orderBy(col("__d").desc, col(idCol)).limit(1).collect()(0)
+      seeds += vecOf(far)
+    }
+    seeds.toArray
+  }
+
+  /** Lloyd's iterations; returns the final centroid matrix. Empty
+    * clusters keep their previous centroid.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5): Array[Array[Double]] = {
+    val base = df.select(col(idCol), col(vecCol))
+    var centroids = init(base, idCol, vecCol, k)
+    val dim = centroids(0).length
+    for (_ <- 0 until iters) {
+      val means = base
+        .select(assignExpr(col(vecCol), centroids).as("__c"), posexplode(col(vecCol)))
+        .groupBy(col("__c"), col("pos"))
+        .agg(avg(col("col")).as("mu"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+      require(centroids.forall(_.length == dim))
+    }
+    centroids
+  }
+
+  /** fit + assign: the input with a `cluster` column (int), ready to be
+    * the `clusterCol` of [[IvfAnn.topK]].
+    */
+  def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5): DataFrame =
+    df.withColumn("cluster", assignExpr(col(vecCol), fit(df, idCol, vecCol, k, iters)))
+}

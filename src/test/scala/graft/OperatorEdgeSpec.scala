@@ -161,6 +161,31 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(head == "héllo wö", s"expected first 8 characters, got '$head'")
   }
 
+  test("KMeans recovers planted clusters and is partition-independent") {
+    // 3 well-separated centers in 8-dim; 20 points each at small offsets
+    val centers = Seq(
+      Array.fill(8)(10.0f),
+      Array.fill(8)(-10.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 10.0f else -10.0f))
+    val pts = for {
+      (c, g) <- centers.zipWithIndex
+      j <- 0 until 20
+    } yield (g.toLong * 100 + j, g,
+      c.zipWithIndex.map { case (x, i) => x + ((j * 7 + i) % 5) * 0.01f })
+    val df = pts.toDF("id", "planted", "vec")
+    val a2 = sim.KMeans.fitAssign(df.repartition(2), "id", "vec", k = 3, iters = 4)
+      .select("id", "planted", "cluster").collect()
+    // every planted group maps to exactly one learned cluster, all distinct
+    val mapping = a2.groupBy(_.getInt(1)).view.mapValues(_.map(_.getInt(2)).distinct.toSeq).toMap
+    assert(mapping.values.forall(_.size == 1), s"planted group split: $mapping")
+    assert(mapping.values.flatten.toSet.size == 3, s"clusters merged: $mapping")
+    // same assignment under a different partitioning
+    val a7 = sim.KMeans.fitAssign(df.repartition(7), "id", "vec", k = 3, iters = 4)
+      .select("id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2m = a2.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a2m == a7, "assignment must not depend on partitioning")
+  }
+
   test("saltedJoin preserves join semantics for a skewed key") {
     val left = Tables.orders(spark, sfDir)
     val right = Tables.customer(spark, sfDir)

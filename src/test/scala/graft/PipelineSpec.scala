@@ -23,6 +23,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(sources.Io.readJsonLines(spark, s"$tmp/json").count() == 25)
   }
 
+  test("writeJdbc round-trips through an in-process Derby database") {
+    // embedded Derby (shipped with Spark for the Hive metastore) stands in
+    // for the reference's Postgres: same Spark JDBC writer path end-to-end
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    sources.Io.writeJdbc(df, url, "nation_rt", props, numPartitions = 2, batchSize = 10)
+    val back = spark.read.jdbc(url, "nation_rt", props)
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    assert(back.count() == 25)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("Synth generator is deterministic and partition-independent") {
     val a = etl.Synth.airQuality(spark, 3, 48).repartition(2)
     val b = etl.Synth.airQuality(spark, 3, 48).repartition(7)
