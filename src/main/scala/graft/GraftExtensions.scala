@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // as-of join: left-filter pushdown + expansion (operator-optimization
+    // batch, so standard pushdown/pruning compose with it — PlanSpec)
+    e.injectOptimizerRule(_ => graft.plans.ResolveAsOfJoin)
+
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double dot product of two numeric arrays"),

@@ -42,6 +42,32 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       carryCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    // Catalyst path: a real logical node so the optimizer can push
+    // left-side filters below the union-window (plans.ResolveAsOfJoin,
+    // injected by GraftExtensions). Falls back to the plain DataFrame
+    // formulation when the extension isn't installed in this session.
+    val hasRule = org.apache.spark.sql.GraftShims.hasOptimizerRule(
+      left.sparkSession, graft.plans.ResolveAsOfJoin)
+    if (hasRule) {
+      val outAttr = AttributeReference(outCol, right.schema(carryCol).dataType)()
+      org.apache.spark.sql.GraftShims.ofRows(left.sparkSession,
+        graft.plans.AsOfJoinLogical(
+          left.queryExecution.analyzed, right.queryExecution.analyzed,
+          leftKey, rightKey, leftTime, rightTime, carryCol, outAttr))
+    } else
+      latestAtOrBeforeDF(left, right, leftKey, rightKey, leftTime, rightTime, carryCol, outCol)
+  }
+
+  /** The explicit DataFrame formulation of the same plan — what
+    * [[latestAtOrBefore]] expands to, minus the filter-pushdown smarts.
+    */
+  def latestAtOrBeforeDF(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      carryCol: String, outCol: String): DataFrame = {
     val l = left
       .withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__k", col(leftKey))

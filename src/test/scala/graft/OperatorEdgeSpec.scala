@@ -42,6 +42,17 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1)) // key 2: no right rows at all → null
   }
 
+  test("AsOfJoin Catalyst path equals the explicit DataFrame formulation") {
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sfDir)
+    val planned = operators.AsOfJoin.latestAtOrBefore(ev, o,
+      "user_id", "o_custkey", "ts", "o_orderdate", "o_orderdate", "asof_date")
+    val df = operators.AsOfJoin.latestAtOrBeforeDF(ev, o,
+      "user_id", "o_custkey", "ts", "o_orderdate", "o_orderdate", "asof_date")
+    assert(planned.exceptAll(df).isEmpty && df.exceptAll(planned).isEmpty)
+    assert(planned.count() == ev.count(), "left-outer semantics keep every left row")
+  }
+
   test("AsOfJoin: equal timestamps are included (at-or-before)") {
     val l = Seq((1L, "2024-01-03 00:00:00")).toDF("k", "t")
       .withColumn("t", to_timestamp(col("t")))

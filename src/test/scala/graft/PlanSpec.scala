@@ -96,6 +96,31 @@ class PlanSpec extends AnyFunSuite {
       s"multi-probe explode is not downstream of the query-id filter:\n$plan")
   }
 
+  test("as-of join: left-side filter pushes below the union-window") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sfDir)
+    val joined = operators.AsOfJoin.latestAtOrBefore(ev, o,
+      "user_id", "o_custkey", "ts", "o_orderdate", "o_orderdate", "asof_date")
+      .filter(col("event_id") < 100)
+    val opt = joined.queryExecution.optimizedPlan
+    val windows = opt.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty, s"expected expanded window plan:\n$opt")
+    // the event_id predicate must appear BELOW the window (inside the
+    // union's left branch), not above it
+    val below = windows.head.collectFirst {
+      case f: logical.Filter if f.condition.references.exists(_.name == "event_id") => f
+    }
+    assert(below.nonEmpty, s"left filter not pushed below the as-of window:\n$opt")
+    val above = opt.collectFirst {
+      case f: logical.Filter
+        if f.condition.references.exists(_.name == "event_id") &&
+          f.collectFirst { case w: logical.Window => w }.nonEmpty => f
+    }
+    assert(above.isEmpty, s"left filter still evaluated above the window:\n$opt")
+  }
+
   test("multi-column interpolation shares ONE keyed shuffle across all 7 columns") {
     val raw = etl.Synth.airQuality(spark, 2, 48)
     val out = etl.Clean.interpolateLinear(raw, "station", Seq("ts", "reading_id"),
