@@ -49,13 +49,23 @@ object NGramJaccard {
   /** Exact Jaccard verification of candidate (id_a, id_b) pairs against
     * the full shingle sets. Shared by the capped path here and by
     * [[MinHashLsh]] — any candidate generator composes with it.
+    *
+    * Each document's shingle set is hashed + sorted ONCE (per document,
+    * before the join); the per-pair work is then a primitive merge scan
+    * ([[graft.functions.SortedIntersectCount]]) instead of
+    * `array_intersect` hash-set building over strings per pair — the
+    * measured dominant cost of the verify join. Hash-collision risk is
+    * the same ~n²/2⁶⁴ already accepted by candidate generation.
     */
   private[dedup] def verifyExact(
       cand: DataFrame, sets: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
-    val sa = sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a"), col("n_sh").as("n_a"))
-    val sb = sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b"), col("n_sh").as("n_b"))
+    val hashed = sets.select(col(idCol), col("n_sh"),
+      sort_array(transform(col("shingles"), s => xxhash64(s))).as("shh"))
+    val sa = hashed.select(col(idCol).as("id_a"), col("shh").as("shh_a"), col("n_sh").as("n_a"))
+    val sb = hashed.select(col(idCol).as("id_b"), col("shh").as("shh_b"), col("n_sh").as("n_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("c",
+        graft.functions.SetExpressions.sortedIntersectCount(col("shh_a"), col("shh_b")))
       .withColumn("jaccard",
         col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

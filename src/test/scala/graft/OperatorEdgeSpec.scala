@@ -165,6 +165,28 @@ class OperatorEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedIntersectCount equals array_intersect size (and compiles codegen-only)") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),     // partial overlap
+      (Array[Long](), Array(1L, 2L)),                       // empty side
+      (Array(7L, 8L), Array(7L, 8L)),                       // identical
+      (Array(1L, 2L), Array(3L, 4L))                        // disjoint
+    ).toDF("a", "b")
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = df.select(
+        functions.SetExpressions.sortedIntersectCount(col("a"), col("b")).as("c"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("expected")).collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("withBlobMeta head is character-based, safe on non-ASCII text") {
     val df = Seq((1L, "héllo wörld — ünïcode")).toDF("doc_id", "text")
       .withColumn("blob", col("text").cast("binary"))
