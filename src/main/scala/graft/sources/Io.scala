@@ -19,8 +19,13 @@ object Io {
     schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
   }
 
-  def readParquet(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** `mergeSchema` reconciles files written with evolving schemas (new
+    * nullable columns appear as nulls in old files) — off by default
+    * because schema merging reads every file footer up front, a real cost
+    * over 100 TB of files.
+    */
+  def readParquet(spark: SparkSession, path: String, mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
 
   def readJsonLines(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
     val r = spark.read

@@ -42,6 +42,26 @@ object EventStream {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
 
+  /** Stream-stream interval join (attribution shape): each left event is
+    * paired with right events by the same key that occur AT OR AFTER it,
+    * within `horizon`. Watermarks on both sides plus the closed time-range
+    * condition let Spark expire join state — without the range bound a
+    * stream-stream join's state grows forever. Output columns are the
+    * left event, the matched right event id/time, and the delay.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String = "user_id", horizon: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+        s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $horizon"))
+      .select(col(s"l.$key").as(key),
+        col("l.event_id").as("left_id"), col("l.ts").as("left_ts"),
+        col("r.event_id").as("right_id"), col("r.ts").as("right_ts"),
+        (unix_millis(col("r.ts")) - unix_millis(col("l.ts"))).as("delay_ms"))
+  }
+
   /** Streaming exact dedup: duplicates of a key arriving within the
     * watermark horizon are dropped; state self-expires with the
     * watermark (the streaming twin of the batch `Clean.dedupExact`).

@@ -38,6 +38,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("stream-stream interval join matches within horizon, drops beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 86400000L
+    def ev(id: Long, t: Long, u: Long) =
+      streaming.EventStream.Event(id, new java.sql.Timestamp(base + t), u, "x", 1.0)
+    val views = MemoryStream[streaming.EventStream.Event]
+    val clicks = MemoryStream[streaming.EventStream.Event]
+    // user 1: click 10 min after view (in horizon), another 2 h after (out);
+    // user 2: click BEFORE the view (never matches)
+    views.addData(ev(1, 0, 1), ev(2, 0, 2))
+    clicks.addData(ev(101, 600000, 1), ev(102, 7200000, 1), ev(103, -600000, 2))
+    val joined = streaming.EventStream.intervalJoin(
+      views.toDF(), clicks.toDF(), horizon = "30 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ij_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ij_out")
+      .select("left_id", "right_id", "delay_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 101L, 600000L)), s"got $rows")
+  }
+
+  test("partitioned parquet writes are bounded to one file per partition") {
+    val tmp = Files.createTempDirectory("graft_fpp").toString
+    val ev = Tables.events(spark, sfDir).repartition(8)
+      .withColumn("date", to_date(col("ts")))
+    sources.Io.writeParquet(ev, s"$tmp/by_date", partitionBy = Seq("date"))
+    val counts = new java.io.File(s"$tmp/by_date").listFiles()
+      .filter(_.getName.startsWith("date="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(counts.nonEmpty && counts.forall(_ == 1),
+      s"expected 1 file per date partition (pre-shuffle on the key), got ${counts.toSeq}")
+  }
+
+  test("readParquet mergeSchema reconciles evolved schemas") {
+    val tmp = Files.createTempDirectory("graft_ms").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$tmp/t/b1")
+    Seq((2L, "b", 9.5)).toDF("id", "s", "score").write.parquet(s"$tmp/t/b2")
+    val merged = sources.Io.readParquet(spark, s"$tmp/t/*", mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "s", "score"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("score")), "old file gets null for new column")
+    assert(byId(2L).getDouble(merged.columns.indexOf("score")) == 9.5)
+  }
+
   test("Synth generator is deterministic and partition-independent") {
     val a = etl.Synth.airQuality(spark, 3, 48).repartition(2)
     val b = etl.Synth.airQuality(spark, 3, 48).repartition(7)
