@@ -447,6 +447,14 @@ object SparkEntry {
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q52_pq_topk" -> ((s, dir) =>
+      // Product-quantization ANN: 32× compressed codes + ADC scan +
+      // bounded exact re-rank. Rows-only (iterative codebook training);
+      // recall@5 vs exact is spec-asserted (0.90-0.94 measured).
+      sim.ProductQuantizer.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, dim = 64, k = 5)
+        .orderBy(col("query_id"), col("rank"))),
+
     "q50_interpolate_multi" -> ((s, dir) => {
       // Multi-column interpolation, the reference's actual shape
       // (dag:161-167 loops 7 numeric columns per station): two value

@@ -37,6 +37,19 @@ object KMeans {
     array_min(array(cands.toIndexedSeq: _*)).getField("j")
   }
 
+  private def vecOf(vecCol: String)(r: org.apache.spark.sql.Row): Array[Double] =
+    r.getSeq[Float](r.fieldIndex(vecCol)).map(_.toDouble).toArray
+
+  /** Hash-order initial centroids: the k vectors with smallest
+    * xxhash64(id) — ONE scan. No spread guarantee, so reserve it for
+    * many-small-codebook training (e.g. [[ProductQuantizer]] subspaces)
+    * where k·n farthest-point scans would dominate.
+    */
+  private def initHash(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k).collect()
+      .map(vecOf(vecCol))
+
   /** Farthest-point initial centroids (k rows collected, one scan per
     * seed). At 100 TB you would run this on a deterministic hash-sample
     * ([[graft.etl.Sampling.deterministic]]) — the traversal is O(k·n).
@@ -61,11 +74,16 @@ object KMeans {
   }
 
   /** Lloyd's iterations; returns the final centroid matrix. Empty
-    * clusters keep their previous centroid.
+    * clusters keep their previous centroid. `seeding` is "farthest"
+    * (default; one scan per seed, lands one seed per separated cluster)
+    * or "hash" (one scan total; for many small codebooks).
     */
-  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5): Array[Array[Double]] = {
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5,
+      seeding: String = "farthest"): Array[Array[Double]] = {
     val base = df.select(col(idCol), col(vecCol))
-    var centroids = init(base, idCol, vecCol, k)
+    var centroids =
+      if (seeding == "hash") initHash(base, idCol, vecCol, k)
+      else init(base, idCol, vecCol, k)
     val dim = centroids(0).length
     for (_ <- 0 until iters) {
       val means = base

