@@ -262,20 +262,27 @@ object SparkEntry {
 
     "q49_retention" -> ((s, dir) => {
       // weekly cohort retention: users grouped by first-activity week,
-      // counted per week-offset of later activity
+      // counted per week-offset of later activity.
+      //
+      // Single pass per user: ONE shuffle on user_id computes both the
+      // cohort (min ts) and the distinct active weeks (collect_set —
+      // bounded: #weeks in the observation window), then one shuffle on
+      // (cohort, offset). The naive shape — distinct + groupBy + join +
+      // countDistinct — is four shuffles of the same data. count(*)
+      // equals countDistinct(user_id) here because a user's distinct
+      // weeks map to distinct offsets (weeks are 7 days apart, so
+      // floor(days/7) never collides) — each user contributes at most
+      // one row per (cohort, offset).
       val ev = Tables.events(s, dir)
-      val first = ev.groupBy(col("user_id"))
-        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
-      val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
-      // No broadcast hint: the cohort side is one row per DISTINCT USER —
-      // unbounded at scale. Both sides shuffle on user_id (act is already
-      // grouped per user); AQE demotes to broadcast when it actually fits.
-      act.join(first, "user_id")
+      ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"),
+          collect_set(date_trunc("week", col("ts"))).as("wks"))
+        .select(col("cohort"), explode(col("wks")).as("wk"))
         .groupBy(col("cohort"),
           // Column./ is always fp division — floor+cast pins BIGINT to
           // match the oracle's integer `// 7`
           floor(datediff(to_date(col("wk")), to_date(col("cohort"))) / 7).cast("long").as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("active_users"))
+        .agg(count(lit(1)).as("active_users"))
         .orderBy(col("cohort"), col("week_offset"))
     }),
 

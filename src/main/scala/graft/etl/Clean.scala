@@ -80,34 +80,36 @@ object Clean {
     val descRun = wDesc.rowsBetween(Window.unboundedPreceding, 0)
     val withIdx = df.withColumn("__rn", row_number().over(wAsc))
 
+    // The neighbor value and its row index always come from the SAME row
+    // (the nearest non-null one), so they travel as ONE struct per
+    // direction — 2 window aggregates per column instead of 4, halving
+    // the per-row window bookkeeping on the pipeline's hottest stage.
     val withNeighbors = valueCols.foldLeft(withIdx) { (acc, c) =>
       val v = col(c)
+      val tagged = when(v.isNotNull, struct(col("__rn").as("i"), v.as("v")))
       acc
-        .withColumn(s"__pv_$c", last(v, ignoreNulls = true).over(ascRun))
-        .withColumn(s"__pi_$c", last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(ascRun))
-        .withColumn(s"__nv_$c", last(v, ignoreNulls = true).over(descRun))
-        .withColumn(s"__ni_$c", last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(descRun))
+        .withColumn(s"__p_$c", last(tagged, ignoreNulls = true).over(ascRun))
+        .withColumn(s"__n_$c", last(tagged, ignoreNulls = true).over(descRun))
     }
     val filled = valueCols.foldLeft(withNeighbors) { (acc, c) =>
       val v = col(c)
+      val (pv, pi) = (col(s"__p_$c.v"), col(s"__p_$c.i"))
+      val (nv, ni) = (col(s"__n_$c.v"), col(s"__n_$c.i"))
       acc.withColumn(
         c,
         when(v.isNotNull, v)
           // interior gap with both neighbors, within the fill limit
           .when(
-            col(s"__pv_$c").isNotNull && col(s"__nv_$c").isNotNull &&
-              (col("__rn") - col(s"__pi_$c") <= maxGap),
-            col(s"__pv_$c") + (col(s"__nv_$c") - col(s"__pv_$c")) *
-              (col("__rn") - col(s"__pi_$c")).cast("double") /
-              (col(s"__ni_$c") - col(s"__pi_$c")).cast("double"))
+            pv.isNotNull && nv.isNotNull && (col("__rn") - pi <= maxGap),
+            pv + (nv - pv) *
+              (col("__rn") - pi).cast("double") /
+              (ni - pi).cast("double"))
           // trailing nulls: pandas interpolate forward-fills, within limit
-          .when(
-            col(s"__pv_$c").isNotNull && (col("__rn") - col(s"__pi_$c") <= maxGap),
-            col(s"__pv_$c"))
+          .when(pv.isNotNull && (col("__rn") - pi <= maxGap), pv)
           .otherwise(lit(null)))
     }
     filled.drop("__rn" +:
-      valueCols.flatMap(c => Seq(s"__pv_$c", s"__pi_$c", s"__nv_$c", s"__ni_$c")): _*)
+      valueCols.flatMap(c => Seq(s"__p_$c", s"__n_$c")): _*)
   }
 
   /** Null imputation with the group mean (the simpler sibling of
