@@ -454,6 +454,29 @@ object SparkEntry {
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q53_salted_agg" -> ((s, dir) =>
+      // Two-phase salted aggregation under the DRIVER oracle (not just
+      // specs): result must equal a plain GROUP BY regardless of the salt.
+      operators.Skew.saltedSum(Tables.events(s, dir), Seq("event_type"), "value", buckets = 8)
+        .select(col("event_type"),
+          roundStable(col("sum_value"), 4).as("sum_value"),
+          col("n"),
+          roundStable(col("avg_value"), 6).as("avg_value"))
+        .orderBy(col("event_type"))),
+
+    "q54_asof_forward" -> ((s, dir) => {
+      // forward as-of join: earliest order at or after each event
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o  = Tables.orders(s, dir)
+      operators.AsOfJoin.earliestAtOrAfter(
+        ev, o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        carryCol = "o_orderdate", outCol = "asof_next")
+        .select(col("event_id"), col("asof_next"))
+        .orderBy(col("event_id"))
+    }),
+
     "q52_pq_topk" -> ((s, dir) =>
       // Product-quantization ANN: 32× compressed codes + ADC scan +
       // bounded exact re-rank. Rows-only (iterative codebook training);
@@ -929,6 +952,19 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q53_salted_agg" ->
+      """SELECT event_type,
+        | roundStable(CAST(sum(value) AS DOUBLE), 4) AS sum_value,
+        | count(*) AS n,
+        | roundStable(CAST(sum(value) AS DOUBLE) / count(*), 6) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q54_asof_forward" ->
+      """SELECT e.event_id, CAST(min(o.o_orderdate) AS TIMESTAMP) AS asof_next
+        |FROM events e
+        |LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
 
     "q50_interpolate_multi" ->
       """WITH base AS (

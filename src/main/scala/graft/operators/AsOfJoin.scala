@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join: for each left row, attach the most recent right-side value
-  * at or before the left row's time, per key.
+  * at or before the left row's time (backward), or the earliest at or
+  * after it (forward), per key.
   *
   * Spark has no built-in as-of join. The naive formulation
   * (`l JOIN r ON key AND r.t <= l.t` + argmax) explodes to O(|l|·|r|/key)
@@ -20,10 +21,11 @@ import org.apache.spark.sql.functions._
   *      carries the latest right value onto each left row,
   *   4. keep only left rows.
   *
-  * Cost at 100 TB: exactly one shuffle of |l|+|r| rows on the key — the
-  * same price as any keyed window — and AQE splits skewed keys. This is
-  * the standard log-structured pattern (e.g. Flink temporal joins and
-  * kdb-style aj are built the same way).
+  * The forward direction is the same plan traversed in reverse time
+  * order. Cost at 100 TB: exactly one shuffle of |l|+|r| rows on the
+  * key — the same price as any keyed window — and AQE splits skewed
+  * keys. This is the standard log-structured pattern (e.g. Flink
+  * temporal joins and kdb-style aj are built the same way).
   */
 object AsOfJoin {
 
@@ -41,7 +43,29 @@ object AsOfJoin {
       right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      carryCol: String, outCol: String): DataFrame = {
+      carryCol: String, outCol: String): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime, carryCol, outCol,
+      forward = false)
+
+  /** Forward as-of: the EARLIEST right value at or after each left row's
+    * time (e.g. "next maintenance after the alarm"). Ties at equal
+    * carried values resolve to the minimum — the forward mirror of the
+    * backward direction's maximum.
+    */
+  def earliestAtOrAfter(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      carryCol: String, outCol: String): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime, carryCol, outCol,
+      forward = true)
+
+  private def asOf(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      carryCol: String, outCol: String, forward: Boolean): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     // Catalyst path: a real logical node so the optimizer can push
     // left-side filters below the union-window (plans.ResolveAsOfJoin,
@@ -54,9 +78,9 @@ object AsOfJoin {
       org.apache.spark.sql.GraftShims.ofRows(left.sparkSession,
         graft.plans.AsOfJoinLogical(
           left.queryExecution.analyzed, right.queryExecution.analyzed,
-          leftKey, rightKey, leftTime, rightTime, carryCol, outAttr))
+          leftKey, rightKey, leftTime, rightTime, carryCol, outAttr, forward))
     } else
-      latestAtOrBeforeDF(left, right, leftKey, rightKey, leftTime, rightTime, carryCol, outCol)
+      asOfDF(left, right, leftKey, rightKey, leftTime, rightTime, carryCol, outCol, forward)
   }
 
   /** The explicit DataFrame formulation of the same plan — what
@@ -67,7 +91,15 @@ object AsOfJoin {
       right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      carryCol: String, outCol: String): DataFrame = {
+      carryCol: String, outCol: String): DataFrame =
+    asOfDF(left, right, leftKey, rightKey, leftTime, rightTime, carryCol, outCol,
+      forward = false)
+
+  private def asOfDF(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      carryCol: String, outCol: String, forward: Boolean): DataFrame = {
     val l = left
       .withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__k", col(leftKey))
@@ -85,11 +117,16 @@ object AsOfJoin {
       acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select((l.columns.map(col)).toIndexedSeq: _*)
 
-    // Right rows sort before left rows at equal t ("at or before" includes
-    // the same instant); equal-time right rows tie-break on the carried
-    // value itself so the survivor is deterministic (the max).
+    // Right rows sort before left rows at equal t (the boundary is
+    // inclusive in both directions); equal-time right rows tie-break on
+    // the carried value itself so the survivor is deterministic (max
+    // backward, min forward). Forward is the same traversal in reverse
+    // time order.
+    val order =
+      if (forward) Seq(col("__t").desc, col("__isLeft"), col("__carry").desc)
+      else Seq(col("__t"), col("__isLeft"), col("__carry"))
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__isLeft"), col("__carry"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(rAligned)
       .withColumn(outCol, last(col("__carry"), ignoreNulls = true).over(w))

@@ -26,7 +26,8 @@ case class AsOfJoinLogical(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: String, rightKey: String,
     leftTime: String, rightTime: String,
-    carryCol: String, outAttr: AttributeReference) extends BinaryNode {
+    carryCol: String, outAttr: AttributeReference,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ outAttr
   // outAttr is synthesized by this node, not read from a child —
   // without this, CheckAnalysis reports it as a missing input attribute
@@ -96,12 +97,17 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
     val (uT, uK, uCarry, uIsLeft) =
       (uOut(lOut.size), uOut(lOut.size + 1), uOut(lOut.size + 2), uOut(lOut.size + 3))
 
-    // right rows sort before left rows at equal t ("at or before"
-    // includes the same instant); equal-time right rows tie-break on the
-    // carried value so the survivor is deterministic (the max) — same
-    // ordering as the DataFrame formulation.
-    val order = Seq(SortOrder(uT, Ascending), SortOrder(uIsLeft, Ascending),
-      SortOrder(uCarry, Ascending))
+    // right rows sort before left rows at equal t (inclusive boundary);
+    // equal-time right rows tie-break on the carried value so the
+    // survivor is deterministic (max backward, min forward) — same
+    // ordering as the DataFrame formulation. Forward = reverse traversal.
+    val order =
+      if (aj.forward)
+        Seq(SortOrder(uT, Descending), SortOrder(uIsLeft, Ascending),
+          SortOrder(uCarry, Descending))
+      else
+        Seq(SortOrder(uT, Ascending), SortOrder(uIsLeft, Ascending),
+          SortOrder(uCarry, Ascending))
     val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     val carried = Alias(
       WindowExpression(

@@ -53,6 +53,17 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(planned.count() == ev.count(), "left-outer semantics keep every left row")
   }
 
+  test("AsOfJoin forward: earliest at-or-after, inclusive boundary, null when none later") {
+    val l = Seq((1L, "2024-01-05 00:00:00"), (2L, "2024-01-09 00:00:00"))
+      .toDF("k", "t").withColumn("t", to_timestamp(col("t")))
+    val r = Seq((1L, "2024-01-05 00:00:00"), (1L, "2024-01-07 00:00:00"), (2L, "2024-01-08 00:00:00"))
+      .toDF("k", "rt").withColumn("rt", to_timestamp(col("rt")))
+    val out = operators.AsOfJoin.earliestAtOrAfter(l, r, "k", "k", "t", "rt", "rt", "next")
+      .orderBy("k").select(col("k"), col("next").cast("string")).collect()
+    assert(out(0).getString(1) == "2024-01-05 00:00:00", "equal instant included")
+    assert(out(1).isNullAt(1), "no right row at or after → null")
+  }
+
   test("AsOfJoin: equal timestamps are included (at-or-before)") {
     val l = Seq((1L, "2024-01-03 00:00:00")).toDF("k", "t")
       .withColumn("t", to_timestamp(col("t")))
