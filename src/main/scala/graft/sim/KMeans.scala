@@ -73,17 +73,89 @@ object KMeans {
     seeds.toArray
   }
 
+  /** k-means|| seeding (Bahmani et al., deterministic variant): instead
+    * of k sequential farthest-point scans, `rounds` passes each sample
+    * an EXPECTED l=2k candidates with probability ∝ their squared
+    * distance to the current seed set — selection uses a hashed uniform
+    * per point, not an RNG, so the candidate set is reproducible under
+    * any partitioning. The ≤ 1+l·rounds candidates are then weighted by
+    * how many corpus points they attract and reduced to k centers with
+    * driver-side weighted Lloyd's (the candidate set is tiny by
+    * construction). O(rounds) scans, independent of k — the seeding to
+    * use when k is large.
+    */
+  private def initParallel(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int = 3): Array[Array[Double]] = {
+    val l = 2 * k
+    var seeds = initHash(df, idCol, vecCol, 1)
+    for (round <- 0 until rounds) {
+      val costExpr = seeds.map { c =>
+        val cLit = array(c.map(lit).toIndexedSeq: _*)
+        Similarity.dot(col(vecCol), col(vecCol)) -
+          lit(2.0) * Similarity.dot(col(vecCol), cLit) + lit(c.map(x => x * x).sum)
+      }.reduce(least(_, _))
+      val costs = df.select(col(idCol), col(vecCol), greatest(costExpr, lit(0.0)).as("__cost"))
+      val total = costs.agg(sum(col("__cost"))).first().getDouble(0)
+      if (total <= 0) return seeds // all points coincide with seeds
+      // deterministic "coin": hashed uniform per (point, round)
+      val u = pmod(xxhash64(col(idCol), lit(round)), lit(1000000L)).cast("double") / 1000000.0
+      val picked = costs.filter(u < lit(l.toDouble) * col("__cost") / lit(total))
+        .orderBy(col(idCol)).collect()
+      seeds = seeds ++ picked.map(vecOf(vecCol))
+    }
+    // weight candidates by attraction, then reduce driver-side
+    val assign = assignExpr(col(vecCol), seeds)
+    val weights = df.select(assign.as("__s")).groupBy("__s").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    weightedLloyd(seeds.zipWithIndex.map { case (s, i) =>
+      (s, weights.getOrElse(i, 0L).toDouble)
+    }, k)
+  }
+
+  /** Plain Lloyd's over a (tiny) weighted point set, driver-side. */
+  private def weightedLloyd(pts: Array[(Array[Double], Double)], k: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    val dim = pts(0)._1.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // start from the k heaviest candidates (deterministic)
+    var cents = pts.sortBy { case (_, w) => -w }.take(k).map(_._1.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val ws = new Array[Double](k)
+      pts.foreach { case (p, w) =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < cents.length) {
+          val dd = d2(p, cents(j)); if (dd < bd) { bd = dd; best = j }; j += 1
+        }
+        var t = 0
+        while (t < dim) { sums(best)(t) += w * p(t); t += 1 }
+        ws(best) += w
+      }
+      cents = cents.zipWithIndex.map { case (c, j) =>
+        if (ws(j) > 0) sums(j).map(_ / ws(j)) else c
+      }
+    }
+    cents
+  }
+
   /** Lloyd's iterations; returns the final centroid matrix. Empty
     * clusters keep their previous centroid. `seeding` is "farthest"
-    * (default; one scan per seed, lands one seed per separated cluster)
-    * or "hash" (one scan total; for many small codebooks).
+    * (default; one scan per seed, lands one seed per separated cluster),
+    * "parallel" (k-means||: O(rounds) scans independent of k — use for
+    * large k), or "hash" (one scan total; for many small codebooks).
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5,
       seeding: String = "farthest"): Array[Array[Double]] = {
     val base = df.select(col(idCol), col(vecCol))
-    var centroids =
-      if (seeding == "hash") initHash(base, idCol, vecCol, k)
-      else init(base, idCol, vecCol, k)
+    var centroids = seeding match {
+      case "hash"     => initHash(base, idCol, vecCol, k)
+      case "parallel" => initParallel(base, idCol, vecCol, k)
+      case _          => init(base, idCol, vecCol, k)
+    }
     val dim = centroids(0).length
     for (_ <- 0 until iters) {
       val means = base

@@ -230,6 +230,33 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(a2m == a7, "assignment must not depend on partitioning")
   }
 
+  test("KMeans parallel (k-means||) seeding also recovers planted clusters, deterministically") {
+    val centers = Seq(
+      Array.fill(8)(10.0f),
+      Array.fill(8)(-10.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 10.0f else -10.0f))
+    val pts = for {
+      (c, g) <- centers.zipWithIndex
+      j <- 0 until 20
+    } yield (g.toLong * 100 + j, g,
+      c.zipWithIndex.map { case (x, i) => x + ((j * 7 + i) % 5) * 0.01f })
+    val df = pts.toDF("id", "planted", "vec")
+    def run(parts: Int) = {
+      val cents = sim.KMeans.fit(df.repartition(parts), "id", "vec", k = 3, iters = 4,
+        seeding = "parallel")
+      df.select(col("id"), col("planted"),
+        sim.KMeans.assignExpr(col("vec"), cents).as("cluster")).collect()
+    }
+    val a = run(2)
+    val mapping = a.groupBy(_.getInt(1)).view.mapValues(_.map(_.getInt(2)).distinct.toSeq).toMap
+    assert(mapping.values.forall(_.size == 1), s"planted group split: $mapping")
+    assert(mapping.values.flatten.toSet.size == 3, s"clusters merged: $mapping")
+    val b = run(7)
+    assert(a.map(r => r.getLong(0) -> r.getInt(2)).toMap ==
+      b.map(r => r.getLong(0) -> r.getInt(2)).toMap,
+      "k-means|| assignment must not depend on partitioning")
+  }
+
   test("ProductQuantizer: ADC scan + exact re-rank reaches recall@5 >= 0.8 vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
