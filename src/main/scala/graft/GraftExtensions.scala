@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("aqi_category"),
       info("aqi_category", "aqi_category(aqi) - EPA category label for an AQI value"),
       (exprs: Seq[Expression]) => aqiCategoryExpr(Cast(exprs.head, DoubleType))))
+
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection size of two sorted distinct long arrays"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.SortedIntersectCount(exprs(0), exprs(1))))
   }
 
   // Raw Catalyst trees (the Column API builds unresolved ColumnNodes that

@@ -454,6 +454,23 @@ object SparkEntry {
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q55_window_suite" -> ((s, dir) => {
+      // analytic window battery: lead/lag/ntile/percent_rank/cume_dist
+      // over one keyed sort — all five functions share the same window
+      // spec, so Catalyst plans ONE shuffle+sort
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          roundStable(percent_rank().over(w), 6).as("pct_rank"),
+          roundStable(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "q53_salted_agg" -> ((s, dir) =>
       // Two-phase salted aggregation under the DRIVER oracle (not just
       // specs): result must equal a plain GROUP BY regardless of the salt.
@@ -952,6 +969,17 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q55_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | roundStable(percent_rank() OVER w, 6) AS pct_rank,
+        | roundStable(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q53_salted_agg" ->
       """SELECT event_type,

@@ -67,6 +67,33 @@ object Io {
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, props)
 
+  /** Small-files compaction: rewrite a parquet dataset into files of
+    * roughly `targetBytes` each. Small files are the silent killer of
+    * 100 TB reads (per-file open/footer cost, starved scans, NameNode /
+    * listing pressure): streaming sinks and over-parallel writers leave
+    * thousands of KB-scale files behind. Sizing reads the actual on-disk
+    * bytes (not row counts), writes to a temp dir, then swaps — the
+    * dataset stays readable until the swap.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def dirSize(p: java.io.File): Long =
+      if (p.isFile) p.length() else Option(p.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+    val bytes = dirSize(new java.io.File(path))
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path + "__compacting"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(tmp)
+    val dead = path + "__old"
+    Files.move(Paths.get(path), Paths.get(dead), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+    }
+    rm(new java.io.File(dead))
+    nFiles.toLong
+  }
+
   /** Bucketed managed table: both sides of a repeated equi-join written
     * with the same bucketing never shuffle again — the co-location
     * strategy for fact-fact joins at 100 TB. (Bucketing requires the

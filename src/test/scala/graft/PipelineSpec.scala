@@ -73,6 +73,24 @@ class PipelineSpec extends AnyFunSuite {
       s"expected 1 file per date partition (pre-shuffle on the key), got ${counts.toSeq}")
   }
 
+  test("compact rewrites a fragmented dataset into few files, preserving rows") {
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.repartition(64).write.parquet(s"$tmp/frag") // 64 tiny files
+    val before = new java.io.File(s"$tmp/frag").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"setup should fragment, got $before files")
+    sources.Io.compact(spark, s"$tmp/frag", targetBytes = 64L * 1024 * 1024)
+    val after = new java.io.File(s"$tmp/frag").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before / 8, s"expected compaction, got $after files (was $before)")
+    assert(spark.read.parquet(s"$tmp/frag").count() == ev.count())
+  }
+
+  test("SQL sorted_intersect_count is registered and agrees with array_intersect") {
+    val r = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L)) AS c").first()
+    assert(r.getLong(0) == 2L)
+  }
+
   test("readParquet mergeSchema reconciles evolved schemas") {
     val tmp = Files.createTempDirectory("graft_ms").toString
     import spark.implicits._
