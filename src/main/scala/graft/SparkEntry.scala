@@ -454,6 +454,55 @@ object SparkEntry {
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q56_tpch_pricing" -> ((s, dir) =>
+      // TPC-H Q1 shape: date-filtered multi-aggregate pricing summary.
+      // The filter reaches the parquet scan (PushedFilters); aggregation
+      // is partial+final over two low-cardinality keys.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          roundStable(sum(col("l_quantity")), 4).as("sum_qty"),
+          roundStable(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          roundStable(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          roundStable(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          roundStable(avg(col("l_quantity")), 6).as("avg_qty"),
+          roundStable(avg(col("l_extendedprice")), 4).as("avg_price"),
+          roundStable(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q57_promo_share" -> ((s, dir) => {
+      // part-dimension join (broadcast) + conditional aggregation:
+      // promo revenue share per brand (TPC-H Q14 generalized)
+      val li = Tables.lineitem(s, dir)
+      val p = broadcast(Tables.part(s, dir))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          roundStable(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 4).as("promo_rev"),
+          roundStable(sum(rev), 4).as("total_rev"),
+          count(lit(1)).as("n"))
+        .withColumn("promo_share",
+          roundStable(col("promo_rev") / col("total_rev"), 6))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q58_supplier_revenue" -> ((s, dir) => {
+      // two-level dimension chain: lineitem ⋈ supplier ⋈ nation, revenue
+      // per nation — both dims broadcast, fact never shuffles before agg
+      val li = Tables.lineitem(s, dir)
+      val sup = broadcast(Tables.supplier(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(roundStable(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
     "q55_window_suite" -> ((s, dir) => {
       // analytic window battery: lead/lag/ntile/percent_rank/cume_dist
       // over one keyed sort — all five functions share the same window
@@ -969,6 +1018,44 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q56_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | roundStable(sum(l_quantity), 4) AS sum_qty,
+        | roundStable(sum(l_extendedprice), 4) AS sum_base_price,
+        | roundStable(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        | roundStable(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        | roundStable(avg(l_quantity), 6) AS avg_qty,
+        | roundStable(avg(l_extendedprice), 4) AS avg_price,
+        | roundStable(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q57_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_brand, p_type, l_extendedprice * (1.0 - l_discount) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (
+        |  SELECT p_brand,
+        |    roundStable(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END), 4) AS promo_rev,
+        |    roundStable(sum(rev), 4) AS total_rev,
+        |    count(*) AS n
+        |  FROM j GROUP BY p_brand)
+        |SELECT p_brand, promo_rev, total_rev, n,
+        | roundStable(promo_rev / total_rev, 6) AS promo_share
+        |FROM a ORDER BY p_brand""".stripMargin,
+
+    "q58_supplier_revenue" ->
+      """SELECT n_name,
+        | roundStable(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q55_window_suite" ->
       """SELECT o_custkey, o_orderkey,
