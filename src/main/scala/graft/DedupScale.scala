@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup scale smoke: MinHash+LSH near-dup detection over a corpus
+  * replicated R× (each replica id-offset and tagged with one extra
+  * token, so replicas of a document are ~0.95-Jaccard near-dups of each
+  * other). Replication multiplies both the corpus AND the true-pair
+  * count (each dup family grows to R members → R(R-1)/2 pairs), so this
+  * exercises exactly the regime banding exists for: candidate
+  * generation must stay O(n·bands) while the verified output grows
+  * quadratically within families only.
+  *
+  * Usage: runMain graft.DedupScale [sfDir] [replicas...]
+  */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 5, 20)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val baseN = base.count()
+    for (r <- reps) {
+      val docs = spark.range(r).crossJoin(base)
+        .select((col("doc_id") * r + col("id")).as("doc_id"),
+          concat(col("text"), lit(" replicatag"), col("id")).as("text"))
+      val t0 = System.nanoTime()
+      val pairs = dedup.MinHashLsh.similarPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+      val nPairs = pairs.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[dedupscale] docs=${baseN * r}%8d (R=$r%3d)  pairs=$nPairs%10d  ${secs}%8.2f s")
+    }
+    spark.stop()
+  }
+}
