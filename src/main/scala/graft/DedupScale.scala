@@ -31,6 +31,25 @@ object DedupScale {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[dedupscale] docs=${baseN * r}%8d (R=$r%3d)  pairs=$nPairs%10d  ${secs}%8.2f s")
     }
+
+    // ANN path at the same scales: LSH top-k over a replicated embedding
+    // corpus (replicas perturbed by index so they are near- but not
+    // exact-duplicates in cosine space). Candidate generation must stay
+    // O(n·tables) regardless of R.
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val embN = emb.count()
+    for (r <- reps) {
+      val vecs = spark.range(r).crossJoin(emb)
+        .select((col("vec_id") * r + col("id")).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + (col("id") % 7).cast("float") * lit(0.001f) * (i % 5).cast("float"))
+            .as("embedding"))
+      val t0 = System.nanoTime()
+      val n = sim.LshAnn.topK(vecs, "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, dim = 64, k = 5).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[annscale]   vecs=${embN * r}%8d (R=$r%3d)  rows=$n%10d  ${secs}%8.2f s")
+    }
     spark.stop()
   }
 }

@@ -454,6 +454,21 @@ object SparkEntry {
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q59_blob_features" -> ((s, dir) => {
+      // multimodal featurize path under the driver (not just specs):
+      // binary blobs → batched mapPartitions decode/featurize (decode
+      // stubbed as deterministic byte statistics — no codecs in env).
+      // Rows-only: per-partition batched UDF output, engine-specific.
+      import s.implicits._
+      val blobs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+        .as[multimodal.Binary.Blob]
+      multimodal.Binary.featurize(blobs, batchSize = 64).toDF()
+        .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+          roundStable(col("meanByte"), 6).as("mean_byte"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q56_tpch_pricing" -> ((s, dir) =>
       // TPC-H Q1 shape: date-filtered multi-aggregate pricing summary.
       // The filter reaches the parquet scan (PushedFilters); aggregation

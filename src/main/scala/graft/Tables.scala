@@ -36,4 +36,18 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so SQL users can query the
+    * dataset directly (`spark.sql("SELECT ... FROM lineitem ...")`) —
+    * combined with [[GraftExtensions]]' registered functions this makes
+    * the whole library usable from pure SQL.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach { t =>
+      val df = if (t == "events") events(spark, dir) else table(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
 }

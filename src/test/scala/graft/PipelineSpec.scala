@@ -85,6 +85,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/frag").count() == ev.count())
   }
 
+  test("registerAll exposes every table to pure SQL, composing with registered functions") {
+    Tables.registerAll(spark, sfDir)
+    val r = spark.sql(
+      """SELECT n_name, count(*) AS n, aqi_category(avg(e.value)) AS cat
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n DESC LIMIT 3""".stripMargin).collect()
+    assert(r.length == 3 && r(0).getLong(1) > 0 && r(0).getString(2).nonEmpty)
+  }
+
   test("SQL sorted_intersect_count is registered and agrees with array_intersect") {
     val r = spark.sql(
       "SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L)) AS c").first()
