@@ -454,6 +454,37 @@ object SparkEntry {
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q60_text_normalize" -> ((s, dir) =>
+      // LLM-pipeline text canonicalization: lowercase, mask URLs and
+      // emails, collapse whitespace — all codegen'd string expressions
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(col("text")),
+                "https?://[^ ]+", "<url>"),
+              "[a-z0-9.]+@[a-z0-9.]+", "<email>"),
+            "  +", " ").as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+        .orderBy(col("doc_id"))),
+
+    "q61_quality_filter" -> ((s, dir) => {
+      // end-to-end LLM corpus filter: keep documents passing the
+      // composite quality gate (score, language, token range) — the
+      // selection step that feeds a training-data pipeline
+      val stops = Seq("the", "a")
+      val toks = TextStats.wsTokenCount(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("quality", TextStats.qualityScore(col("text"), stops))
+        .withColumn("lang", TextStats.langId(col("text")))
+        .withColumn("n_toks", toks)
+        .filter(col("quality") >= 0.5 && col("lang") === "en" &&
+          col("n_toks").between(20, 150))
+        .select(col("doc_id"), roundStable(col("quality"), 6).as("quality"),
+          col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q59_blob_features" -> ((s, dir) => {
       // multimodal featurize path under the driver (not just specs):
       // binary blobs → batched mapPartitions decode/featurize (decode
@@ -1033,6 +1064,34 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q60_text_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    'https?://[^ ]+', '<url>', 'g'),
+        |    '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+        |    '  +', ' ', 'g') AS norm_text
+        | FROM documents)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q61_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+        |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+        |   + 0.2 * (CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS quality,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('的','是','了'))) AS BIGINT) AS s_zh,
+        |  CAST(len(toks) AS BIGINT) AS n_toks
+        | FROM t)
+        |SELECT doc_id, roundStable(quality, 6) AS quality, n_toks
+        |FROM q
+        |WHERE quality >= 0.5
+        |  AND s_en >= s_es AND s_en >= s_zh
+        |  AND n_toks BETWEEN 20 AND 150
+        |ORDER BY doc_id""".stripMargin,
 
     "q56_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
