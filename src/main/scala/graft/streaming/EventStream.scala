@@ -62,6 +62,48 @@ object EventStream {
         (unix_millis(col("r.ts")) - unix_millis(col("l.ts"))).as("delay_ms"))
   }
 
+  /** foreachBatch upsert sink: every micro-batch merges into a keyed
+    * parquet snapshot with last-write-wins semantics — existing rows
+    * whose key appears in the batch are replaced; within a batch the
+    * survivor is the last row by `orderCol`. The rewrite goes to a temp
+    * dir and swaps in, so readers never see a half-written snapshot.
+    * At production scale a table format with ACID merge (Delta/Iceberg)
+    * replaces the swap; the MERGE semantics expressed here are the
+    * part that carries over.
+    */
+  def toUpsertSink(df: DataFrame, path: String, checkpoint: String,
+      keys: Seq[String], orderCol: String) =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val spark = batch.sparkSession
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val dir = new java.io.File(path)
+        val merged =
+          if (dir.exists())
+            spark.read.parquet(path)
+              .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_anti")
+              .unionByName(latest)
+          else latest
+        val tmp = path + "__upserting"
+        merged.write.mode("overwrite").parquet(tmp)
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        if (dir.exists()) {
+          val dead = path + "__old"
+          Files.move(Paths.get(path), Paths.get(dead), StandardCopyOption.ATOMIC_MOVE)
+          Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+          }
+          rm(new java.io.File(dead))
+        } else Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+
   /** Streaming exact dedup: duplicates of a key arriving within the
     * watermark horizon are dropped; state self-expires with the
     * watermark (the streaming twin of the batch `Clean.dedupExact`).

@@ -61,6 +61,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows == Set((1L, 101L, 600000L)), s"got $rows")
   }
 
+  test("upsert sink: last write per key wins across and within micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_upsert").toString
+    val base = 86400000L
+    def ev(id: Long, t: Long, u: Long, v: Double) =
+      streaming.EventStream.Event(id, new java.sql.Timestamp(base + t), u, "x", v)
+    val mem = MemoryStream[streaming.EventStream.Event]
+    // batch 1: user 1 twice (later wins within batch), user 2 once
+    mem.addData(ev(1, 1000, 1, 10.0), ev(2, 2000, 1, 11.0), ev(3, 1000, 2, 20.0))
+    val q = streaming.EventStream.toUpsertSink(mem.toDF(), s"$tmp/snap", s"$tmp/ck",
+      keys = Seq("user_id"), orderCol = "ts").start()
+    q.processAllAvailable()
+    // batch 2: user 1 updated, user 3 new
+    mem.addData(ev(4, 3000, 1, 12.0), ev(5, 1000, 3, 30.0))
+    q.processAllAvailable(); q.stop()
+    val snap = spark.read.parquet(s"$tmp/snap")
+      .select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(snap == Map(1L -> 12.0, 2L -> 20.0, 3L -> 30.0), s"got $snap")
+  }
+
   test("partitioned parquet writes are bounded to one file per partition") {
     val tmp = Files.createTempDirectory("graft_fpp").toString
     val ev = Tables.events(spark, sfDir).repartition(8)
