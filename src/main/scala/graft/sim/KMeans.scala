@@ -176,6 +176,7 @@ object KMeans {
   /** fit + assign: the input with a `cluster` column (int), ready to be
     * the `clusterCol` of [[IvfAnn.topK]].
     */
-  def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5): DataFrame =
-    df.withColumn("cluster", assignExpr(col(vecCol), fit(df, idCol, vecCol, k, iters)))
+  def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5,
+      seeding: String = "farthest"): DataFrame =
+    df.withColumn("cluster", assignExpr(col(vecCol), fit(df, idCol, vecCol, k, iters, seeding)))
 }

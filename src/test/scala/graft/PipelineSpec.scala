@@ -124,6 +124,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getLong(0) == 2L)
   }
 
+  test("corrupt JSON lines are captured, not dropped or fatal") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/in.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 BROKEN
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = sources.Io.readJsonLines(spark, s"$tmp/in.json", Some(schema))
+    assert(df.count() == 3, "PERMISSIVE mode must keep all lines")
+    val corrupt = df.filter(col("_corrupt_record").isNotNull).collect()
+    assert(corrupt.length == 1 && corrupt(0).getAs[String]("_corrupt_record").contains("BROKEN"))
+    assert(df.filter(col("id").isNotNull).count() == 2)
+  }
+
   test("readParquet mergeSchema reconciles evolved schemas") {
     val tmp = Files.createTempDirectory("graft_ms").toString
     import spark.implicits._
