@@ -458,6 +458,22 @@ object SparkEntry {
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q63_hof_battery" -> ((s, dir) =>
+      // higher-order-function battery over array columns: aggregate /
+      // filter / transform / array_max — all codegen'd Catalyst HOFs,
+      // mirrored by DuckDB list functions in the oracle
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"),
+          roundStable(array_max(col("embedding")).cast("double"), 6).as("vmax"),
+          roundStable(array_min(col("embedding")).cast("double"), 6).as("vmin"),
+          roundStable(
+            aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")) /
+              size(col("embedding")).cast("double"), 6).as("vmean"),
+          roundStable(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2"))
+        .orderBy(col("vec_id"))),
+
     "q62_validate_sketch" -> ((s, dir) =>
       // the 100 TB swap-in for exact validation: HLL++ cardinality +
       // single-pass approx quartiles. Rows-only: sketch outputs are
@@ -1074,6 +1090,16 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q63_hof_battery" ->
+      """SELECT vec_id,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        | roundStable(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+        | roundStable(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+        | roundStable(list_sum([CAST(x AS DOUBLE) FOR x IN embedding])
+        |   / CAST(len(embedding) AS DOUBLE), 6) AS vmean,
+        | roundStable(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])), 6) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q60_text_normalize" ->
       """WITH t AS (SELECT doc_id,
