@@ -135,6 +135,43 @@ object LshAnn {
       .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** All near-duplicate pairs (id_a < id_b) with cosine >= minCosine via
+    * bucket-join candidates + exact verification — the scale path for
+    * [[Similarity.nearDupPairs]]' all-pairs contract at HIGH thresholds.
+    * One side of the self-join probes every bucket within hamming
+    * `probeBits` of its sketch; exact verification removes every false
+    * positive, so the output equals brute force up to the recall term.
+    *
+    * Design point: minCosine ≥ ~0.8 with `bitsPerTable` sized so the
+    * bucket space exceeds the corpus (≈ log2 n bits). At 0.9 cosine
+    * (p_bit≈0.86), 8×8-bit tables with 1-bit probing put the per-pair
+    * miss probability under 1e-6 while buckets stay selective. LOW
+    * thresholds (≈0.45) are fundamentally hostile to hashing — p_bit is
+    * near 1/2, so any scheme needs either all-pairs-scale probing or
+    * accepts recall loss; use the brute-force oracle twin there and
+    * treat the threshold as the knob that buys scalability.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double, nTables: Int = 8, bitsPerTable: Int = 8,
+      probeBits: Int = 1, simDigits: Int = 4): DataFrame = {
+    val bk = buckets(df, idCol, vecCol, dim, nTables, bitsPerTable)
+    val variants = (0 until (1 << bitsPerTable))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeBits)
+      .map(m => lit(m.toLong))
+    val a = bk
+      .withColumn("bucket", explode(array(variants.map(col("bucket").bitwiseXOR): _*)))
+      .select(col("id").as("id_a"), col("vec").as("va"), col("table"), col("bucket"))
+    val b = bk.select(col("id").as("id_b"), col("vec").as("vb"), col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "vb")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.roundStable(col("cosine"), simDigits).as("cosine"))
+  }
+
   /** Approximate top-k per query: bucket-join candidates, exact cosine,
     * deterministic ranking. Queries are a subset predicate on the corpus.
     *

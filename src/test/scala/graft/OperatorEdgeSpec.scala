@@ -257,6 +257,24 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "k-means|| assignment must not depend on partitioning")
   }
 
+  test("LshAnn.nearDupPairs equals brute force at its high-threshold design point") {
+    // 60 deterministic pseudo-random 32-dim vectors; every third one gets
+    // a tiny-perturbation twin (cosine ≈ 0.999) — the planted near-dups
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(32)(j => (((i * 37 + j * 11) % 19) - 9) / 3.0f))
+    }
+    val twins = base.collect { case (i, v) if i % 3 == 0 =>
+      (1000L + i, v.zipWithIndex.map { case (x, j) => x + (j % 3) * 0.01f })
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val exact = sim.Similarity.nearDupPairs(df, "vec_id", "embedding", minCosine = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"planting failed: ${exact.size} true pairs")
+    val lsh = sim.LshAnn.nearDupPairs(df, "vec_id", "embedding", dim = 32, minCosine = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
   test("ProductQuantizer: ADC scan + exact re-rank reaches recall@5 >= 0.8 vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
