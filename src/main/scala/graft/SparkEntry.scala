@@ -458,6 +458,22 @@ object SparkEntry {
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q65_session_window" -> ((s, dir) =>
+      // Spark's NATIVE session windows (the built-in counterpart of the
+      // hand-rolled q45 lag-based sessionization; also the streaming
+      // session primitive). Boundary semantics: a new session starts
+      // when the gap is >= 30 min (merge iff next < prev_end), which the
+      // oracle mirrors with >=.
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          roundStable(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     "q63_hof_battery" -> ((s, dir) =>
       // higher-order-function battery over array columns: aggregate /
       // filter / transform / array_max — all codegen'd Catalyst HOFs,
@@ -1090,6 +1106,25 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q65_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, value, epoch_us(ts) AS tu,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(CASE WHEN prev IS NULL OR tu - prev >= 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
+        |  FROM t)
+        |SELECT user_id,
+        | CAST(min(ts) AS TIMESTAMP) AS session_start,
+        | CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        | count(*) AS n_events,
+        | roundStable(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_n
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q63_hof_battery" ->
       """SELECT vec_id,
