@@ -61,6 +61,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows == Set((1L, 101L, 600000L)), s"got $rows")
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates (batch-over-stream backfill)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 86400000L
+    def ev(id: Long, t: Long) =
+      streaming.EventStream.Event(id, new java.sql.Timestamp(base + t), 1L, "click", 1.0)
+    val mem = MemoryStream[streaming.EventStream.Event]
+    mem.addData((1 to 50).map(i => ev(i.toLong, i * 1000L)): _*)
+    val q = streaming.EventStream.windowedAgg(mem.toDF(), windowLen = "10 seconds",
+      watermark = "0 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("an_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // AvailableNow processes everything already in the source, then STOPS
+    // on its own — the backfill/catch-up mode; no manual stop needed
+    assert(q.awaitTermination(60000), "query must self-terminate")
+    assert(spark.table("an_out").agg(sum(col("n"))).first().getLong(0) == 50L)
+  }
+
   test("upsert sink: last write per key wins across and within micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
