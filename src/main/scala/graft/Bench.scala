@@ -29,7 +29,11 @@ object Bench {
     val warm = js { case (k, _, w) => (k, w) }
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"warm":$warm,"total_warm":$totalWarm,"sf":"$sfDir"}""")
+    // Headline fields go LAST: the driver's artifact capture has been
+    // observed to keep only the TAIL of one long line, so the per-query
+    // maps lead and the cold/warm totals close the object — truncation
+    // can eat detail but never the headline numbers.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$cold,"warm":$warm,"n_queries":${results.size},"total_warm":$totalWarm,"value":$total}""")
     spark.stop()
   }
 }

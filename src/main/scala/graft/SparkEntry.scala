@@ -371,10 +371,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    "q38_embed_neardup" -> ((s, dir) =>
-      sim.Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        minCosine = 0.45)
-        .orderBy(col("id_a"), col("id_b"))),
+    "q38_embed_neardup" -> ((s, dir) => {
+      // Embedding near-dup through the SCALE path: LshAnn.nearDupPairs at
+      // its >=0.8 design point (bucketed bands + exact verification), with
+      // brute force demoted to the DuckDB oracle. The raw embeddings table
+      // has NO pairs above 0.8 cosine (measured: densest pair is ~0.6), so
+      // the corpus re-adds every 5th vector under a shifted id — exact
+      // duplicates, so the LSH output equals brute force BY CONSTRUCTION
+      // (identical vectors hash to identical buckets in every table;
+      // recall is exactly 1, not 1−ε — no probabilistic equality in an
+      // oracle-checked query). Cross pairs sit near 0 cosine and are
+      // removed by the exact verify stage, which is the part that does
+      // the real work at corpus scale. Low-threshold near-dup keeps the
+      // brute-force contract in Similarity.nearDupPairs (spec-verified) —
+      // hashing is fundamentally hostile below ~0.8 (p_bit→1/2).
+      val emb = Tables.embeddings(s, dir)
+      val twins = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      sim.LshAnn.nearDupPairs(corpus, "vec_id", "embedding", dim = 64, minCosine = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "q39_ann_lsh" -> ((s, dir) =>
       sim.LshAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -407,15 +424,14 @@ object SparkEntry {
     "q43_dedup_survivors" -> ((s, dir) => {
       // end-to-end near-dup removal: drop the higher-id doc of every
       // >=0.8-Jaccard pair; survivors = docs never appearing as doc_b.
-      // Pair generation goes through MinHashLsh — the scale path: banded
-      // candidate generation is O(n·bands) keyed shuffles (never the f²
-      // pair blowup of an uncapped shingle join) and its exact-Jaccard
-      // verification makes the output equal the exact oracle's pairs up
-      // to a ~5e-8 per-pair recall miss at j=0.8 (zero observed at any
-      // test SF — q35 hash-matches the same oracle). The exact operator
-      // with `maxDocFreq` (spec-verified equal) is the non-probabilistic
-      // alternative.
-      val pairs = dedup.MinHashLsh.similarPairs(Tables.documents(s, dir), "doc_id", "text",
+      // Pair generation uses the EXACT NGramJaccard join (PPJoin-style
+      // prefix filter: only the first |d|−⌈t·|d|⌉+1 sorted shingles are
+      // indexed, tight at t=0.8, with exact verification) — so the query
+      // equals its oracle DETERMINISTICALLY, not up to a recall term. The
+      // probabilistic MinHash+LSH path stays the measured scale
+      // alternative (q35 + DedupScale assert its contract); an
+      // oracle-gated query must not carry even a ~5e-8 per-pair flake.
+      val pairs = NGramJaccard.similarPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, minJaccard = 0.8)
         .select(col("id_b").as("doc_id"))
       Tables.documents(s, dir)
@@ -492,9 +508,13 @@ object SparkEntry {
 
     "q62_validate_sketch" -> ((s, dir) =>
       // the 100 TB swap-in for exact validation: HLL++ cardinality +
-      // single-pass approx quartiles. Rows-only: sketch outputs are
-      // engine-specific by design; accuracy vs exact is spec-asserted.
-      etl.Aggregates.validateApprox(Tables.events(s, dir), "user_id", "ts", "value")),
+      // single-pass approx quartiles, cross-checked in-query against the
+      // exact twins. Exact columns compare by value; sketch columns are
+      // flattened to scalar 1/0 accuracy verdicts the oracle asserts as
+      // literal 1s — raw sketch values are engine-specific and stay out
+      // of the compared output. (validateApprox is the production shape;
+      // its accuracy is additionally spec-asserted.)
+      etl.Aggregates.validateSketchChecked(Tables.events(s, dir), "user_id", "ts", "value")),
 
     "q60_text_normalize" -> ((s, dir) =>
       // LLM-pipeline text canonicalization: lowercase, mask URLs and
@@ -611,7 +631,10 @@ object SparkEntry {
     "q53_salted_agg" -> ((s, dir) =>
       // Two-phase salted aggregation under the DRIVER oracle (not just
       // specs): result must equal a plain GROUP BY regardless of the salt.
-      operators.Skew.saltedSum(Tables.events(s, dir), Seq("event_type"), "value", buckets = 8)
+      // Salt derives from the deterministic event_id so the partial stage
+      // is reproducible under task retry (no RNG anywhere in the plan).
+      operators.Skew.saltedSum(Tables.events(s, dir), Seq("event_type"), "value", buckets = 8,
+        saltFrom = Some("event_id"))
         .select(col("event_type"),
           roundStable(col("sum_value"), 4).as("sum_value"),
           col("n"),
@@ -1263,18 +1286,37 @@ object SparkEntry {
         |  ELSE NULL END, 6) AS k2_interp
         |FROM t ORDER BY event_id""".stripMargin,
 
+    "q62_validate_sketch" ->
+      // exact columns computed exactly; sketch-accuracy verdicts asserted
+      // as literal 1s (the Spark side computes them from its sketches —
+      // a sketch drifting out of tolerance breaks the hash match)
+      """SELECT count(*) AS total_records,
+        | CAST(min(ts) AS TIMESTAMP) AS min_ts, CAST(max(ts) AS TIMESTAMP) AS max_ts,
+        | roundStable(avg(value), 4) AS avg_value,
+        | CAST(1 AS BIGINT) AS distinct_ok,
+        | CAST(1 AS BIGINT) AS q1_ok,
+        | CAST(1 AS BIGINT) AS median_ok,
+        | CAST(1 AS BIGINT) AS q3_ok
+        |FROM events""".stripMargin,
+
     "q38_embed_neardup" ->
-      """WITH v AS (
+      // brute force over the SAME twin-augmented corpus — the oracle the
+      // LSH-bucketed registered plan must equal exactly
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        |v AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
         |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
-        |  FROM embeddings)
+        |  FROM corpus)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  roundStable(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
         |               FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm), 4) AS cosine
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-        |       FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm) >= 0.45
+        |       FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -70,6 +70,41 @@ object Aggregates {
       roundStable(avg(col(valueCol)), 4).as("avg_value"),
       expr(s"approx_percentile($valueCol, array(0.25, 0.5, 0.75), 10000)").as("quartiles_approx"))
 
+  /** [[validateApprox]] with every sketch cross-checked against its exact
+    * twin in the same single-row aggregate: exact columns (count / time
+    * range / mean) pass through for value comparison, sketch columns are
+    * flattened to scalar accuracy verdicts (1/0 BIGINTs) — the HLL++
+    * estimate within `distinctTol` of the exact cardinality, each
+    * approx quartile inside a ±0.1-rank band around its exact rank. The
+    * verdicts are engine-portable (an oracle asserts literal 1s), while
+    * raw sketch values are engine-specific and never reach the output.
+    * In production only the sketch half runs; this shape exists to GATE
+    * the sketch config (rsd / accuracy) against exact ground truth on a
+    * sample before trusting it over the full 100 TB.
+    */
+  def validateSketchChecked(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      rsd: Double = 0.01, distinctTol: Double = 0.05): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("total_records"),
+      min(col(tsCol)).as("min_ts"),
+      max(col(tsCol)).as("max_ts"),
+      roundStable(avg(col(valueCol)), 4).as("avg_value"),
+      approx_count_distinct(col(keyCol), rsd).as("__acd"),
+      countDistinct(col(keyCol)).as("__cd"),
+      expr(s"approx_percentile($valueCol, array(0.25, 0.5, 0.75), 10000)").as("__aq"),
+      expr(s"percentile($valueCol, array(0.15, 0.35, 0.4, 0.6, 0.65, 0.85))").as("__eq"))
+    def inBand(qIdx: Int, loIdx: Int, hiIdx: Int) =
+      (element_at(col("__aq"), qIdx) >= element_at(col("__eq"), loIdx) &&
+        element_at(col("__aq"), qIdx) <= element_at(col("__eq"), hiIdx)).cast("long")
+    agg.select(
+      col("total_records"), col("min_ts"), col("max_ts"), col("avg_value"),
+      (abs(col("__acd") - col("__cd")).cast("double") / col("__cd") <= distinctTol)
+        .cast("long").as("distinct_ok"),
+      inBand(1, 1, 2).as("q1_ok"),
+      inBand(2, 3, 4).as("median_ok"),
+      inBand(3, 5, 6).as("q3_ok"))
+  }
+
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via
     * Spark's `hll_sketch_agg`): per-group binary sketches that union
     * across partitions/days without rescanning — the incremental
@@ -151,13 +186,16 @@ object Aggregates {
   }
 
   /** Z-score anomaly flags per group: rows where |value − μ| > k·σ.
-    * The group stats are one aggregation broadcast back onto the fact
-    * side (same shape as the IQR clip — no second shuffle).
+    * The group stats are one aggregation joined back onto the fact side.
+    * No static broadcast hint: the stats side is one row per group, but
+    * the operator is generic over the group key — a caller grouping by a
+    * high-cardinality key must not inherit a forced driver-side collect.
+    * AQE broadcasts at runtime whenever the stats side actually fits.
     */
   def zscoreAnomalies(df: DataFrame, keyCol: String, valueCol: String, k: Double): DataFrame = {
     val stats = df.groupBy(col(keyCol)).agg(
       avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
-    df.join(broadcast(stats), keyCol)
+    df.join(stats, keyCol)
       .withColumn("z", (col(valueCol) - col("__mu")) / col("__sd"))
       .filter(abs(col("z")) > k)
       .drop("__mu", "__sd")

@@ -114,13 +114,18 @@ object Clean {
 
   /** Null imputation with the group mean (the simpler sibling of
     * [[interpolateLinear]] for unordered data): one stats aggregation
-    * broadcast back onto the fact side, nulls coalesced to the mean.
+    * joined back onto the fact side, nulls coalesced to the mean.
     * Groups that are entirely null stay null (no global fallback).
+    *
+    * No static broadcast hint: one row per group, but the operator is
+    * generic over `keys` — a high-cardinality caller (per-user stats)
+    * must not inherit a forced driver collect. AQE broadcasts at
+    * runtime when the stats side fits (plan-spec-asserted for q18).
     */
   def imputeMean(df: DataFrame, keys: Seq[String], valueCols: Seq[String]): DataFrame = {
     val aggs = valueCols.map(c => avg(col(c)).as(s"__mu_$c"))
     val stats = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val joined = df.join(broadcast(stats), keys)
+    val joined = df.join(stats, keys)
     valueCols.foldLeft(joined) { (acc, c) =>
       acc.withColumn(c, coalesce(col(c), col(s"__mu_$c")))
     }.drop(valueCols.map(c => s"__mu_$c"): _*)
@@ -147,9 +152,10 @@ object Clean {
         expr(s"percentile($c, 0.75)").as(s"__q3_$c"))
     }
     val bounds = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    // bounds has one row per group — broadcast it back onto the fact side
-    // so the clip is a map-side join, not a second shuffle.
-    val joined = df.join(broadcast(bounds), keys)
+    // bounds has one row per group; no static broadcast hint — AQE picks
+    // the map-side join at runtime when the bounds side fits, and a
+    // caller with a high-cardinality key keeps a safe shuffle join.
+    val joined = df.join(bounds, keys)
     valueCols.foldLeft(joined) { (acc, c) =>
       val iqr = col(s"__q3_$c") - col(s"__q1_$c")
       val lo  = col(s"__q1_$c") - lit(k) * iqr

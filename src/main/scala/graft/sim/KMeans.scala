@@ -103,6 +103,11 @@ object KMeans {
         .orderBy(col(idCol)).collect()
       seeds = seeds ++ picked.map(vecOf(vecCol))
     }
+    // thin candidate pool (tiny or degenerate corpus): the weighted
+    // reduction below can only return min(|pool|, k) centers, so fall
+    // back to the exact farthest-point traversal, which guarantees k
+    // centers whenever the corpus has k rows (cheap at this size).
+    if (seeds.length < k) return init(df, idCol, vecCol, k)
     // weight candidates by attraction, then reduce driver-side
     val assign = assignExpr(col(vecCol), seeds)
     val weights = df.select(assign.as("__s")).groupBy("__s").count().collect()
@@ -151,6 +156,12 @@ object KMeans {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5,
       seeding: String = "farthest"): Array[Array[Double]] = {
     val base = df.select(col(idCol), col(vecCol))
+    // limit(k).count() early-stops the scan after k rows — a cheap guard
+    // against the confusing downstream failures (out-of-bounds seed
+    // indexing, silently-short centroid arrays) a sub-k corpus causes.
+    val have = base.limit(k).count()
+    require(have >= k,
+      s"k-means needs at least k=$k rows; corpus has only $have — lower k")
     var centroids = seeding match {
       case "hash"     => initHash(base, idCol, vecCol, k)
       case "parallel" => initParallel(base, idCol, vecCol, k)

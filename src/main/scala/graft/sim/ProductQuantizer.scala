@@ -58,6 +58,9 @@ object ProductQuantizer {
     val seedRows = df.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(ksub).collect()
       .map(_.getSeq[Float](1).toArray)
+    require(seedRows.length == ksub,
+      s"PQ training needs at least ksub=$ksub vectors to seed the codebooks; " +
+        s"corpus has only ${seedRows.length} — lower ksub or use brute force at this size")
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (j, c) =>
       Array.tabulate(dsub)(t => seedRows(c)(j * dsub + t).toDouble)
     }

@@ -43,9 +43,27 @@ class PlanSpec extends AnyFunSuite {
       s"queries must broadcast:\n$p")
   }
 
-  test("q04 IQR clip: group bounds broadcast back (no second full shuffle of the fact side)") {
-    val p = planOf("q04_outlier_iqr")
-    assert(p.contains("BroadcastHashJoin"), s"bounds join must broadcast:\n$p")
+  test("q04 IQR clip: AQE broadcasts the group bounds at runtime (no static hint)") {
+    // the bounds side carries no static broadcast hint (generic operator,
+    // unbounded group key at other call sites) — so the assertion is on
+    // the FINAL adaptive plan after execution: AQE must have observed the
+    // tiny bounds side and picked the broadcast join.
+    val df = SparkEntry.queries("q04_outlier_iqr")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bounds join must broadcast at runtime:\n$p")
+  }
+
+  test("per-group-stats operators carry no static broadcast hint (impute/clip/zscore)") {
+    // same policy as q49/q44: the stats side is one row per group, but
+    // the operators are generic over the group key — a forced hint would
+    // be a driver OOM for a high-cardinality caller. AQE decides.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("q04_outlier_iqr", "q17_zscore_anomaly", "q18_impute_mean")) {
+      val analyzed = SparkEntry.queries(q)(spark, sfDir).queryExecution.analyzed
+      val hints = analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$q carries a static broadcast hint:\n$analyzed")
+    }
   }
 
   test("date-partitioned writes give partition pruning on filtered reads") {
