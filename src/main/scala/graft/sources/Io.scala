@@ -67,30 +67,71 @@ object Io {
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, props)
 
+  /** Directory swap through the Hadoop FileSystem API (works on any
+    * supported scheme — local, HDFS, s3a, …, unlike java.io/NIO which
+    * silently see size 0 and then throw on non-local paths). Sequence:
+    * recover any leftovers from a previous crash, rename live → __old,
+    * rename tmp → live, delete __old. The two renames leave a small
+    * window where the live path is absent, and a crash between them
+    * strands the data in __old — [[recoverSwap]] heals that on the next
+    * call. True atomicity (and snapshot isolation for concurrent
+    * readers) needs a table format with a metadata pointer
+    * (Delta/Iceberg); these sinks express the rewrite semantics that
+    * carry over to one.
+    */
+  private[graft] def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
+    val dead = live.suffix("__old")
+    if (fs.exists(live)) {
+      require(fs.rename(live, dead), s"swap: rename $live -> $dead failed")
+    }
+    require(fs.rename(tmp, live), s"swap: rename $tmp -> $live failed")
+    if (fs.exists(dead)) fs.delete(dead, true)
+  }
+
+  /** Heal leftovers of a swap that crashed mid-sequence: a stranded
+    * __old with no live dir is renamed back (crash between the two
+    * renames); a stale tmp dir from an aborted rewrite is deleted.
+    */
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
+    val dead = live.suffix("__old")
+    if (fs.exists(dead) && !fs.exists(live)) {
+      require(fs.rename(dead, live), s"recovery: rename $dead -> $live failed")
+    }
+    if (fs.exists(dead) && fs.exists(live)) fs.delete(dead, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into files of
     * roughly `targetBytes` each. Small files are the silent killer of
     * 100 TB reads (per-file open/footer cost, starved scans, NameNode /
     * listing pressure): streaming sinks and over-parallel writers leave
     * thousands of KB-scale files behind. Sizing reads the actual on-disk
-    * bytes (not row counts), writes to a temp dir, then swaps — the
-    * dataset stays readable until the swap.
+    * bytes via the Hadoop FileSystem of the path's scheme (not java.io —
+    * correct on HDFS/S3 too), writes to a temp dir, then swaps.
+    *
+    * `partitionCols` preserves a hive-partitioned layout: each partition
+    * directory is rewritten under its own key (one file per partition dir
+    * by default via the pre-shuffle in [[writeParquet]]); omitting it for
+    * a partitioned dataset would flatten the layout and lose pruning.
     */
-  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    def dirSize(p: java.io.File): Long =
-      if (p.isFile) p.length() else Option(p.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
-    val bytes = dirSize(new java.io.File(path))
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = live.suffix("__compacting")
+    recoverSwap(fs, live, tmp)
+    val bytes = fs.getContentSummary(live).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = path + "__compacting"
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(tmp)
-    val dead = path + "__old"
-    Files.move(Paths.get(path), Paths.get(dead), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    def rm(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
-    }
-    rm(new java.io.File(dead))
+    val df = spark.read.parquet(path)
+    if (partitionCols.isEmpty)
+      df.repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(tmp.toString)
+    else
+      writeParquet(df, tmp.toString, partitionCols)
+    swapDirs(fs, live, tmp)
     nFiles.toLong
   }
 

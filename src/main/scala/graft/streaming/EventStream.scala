@@ -66,10 +66,13 @@ object EventStream {
     * parquet snapshot with last-write-wins semantics — existing rows
     * whose key appears in the batch are replaced; within a batch the
     * survivor is the last row by `orderCol`. The rewrite goes to a temp
-    * dir and swaps in, so readers never see a half-written snapshot.
-    * At production scale a table format with ACID merge (Delta/Iceberg)
-    * replaces the swap; the MERGE semantics expressed here are the
-    * part that carries over.
+    * dir and swaps in through the Hadoop FileSystem API (any scheme, not
+    * just local disk); each batch first heals leftovers of a swap that
+    * crashed mid-sequence, so a failure between the two renames costs at
+    * most one batch replay, never the snapshot. At production scale a
+    * table format with ACID merge (Delta/Iceberg) replaces the swap and
+    * closes the brief window where the live path is absent; the MERGE
+    * semantics expressed here are the part that carries over.
     */
   def toUpsertSink(df: DataFrame, path: String, checkpoint: String,
       keys: Seq[String], orderCol: String) =
@@ -78,29 +81,23 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
+        import org.apache.hadoop.fs.Path
         val spark = batch.sparkSession
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val dir = new java.io.File(path)
+        val live = new Path(path)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = live.suffix("__upserting")
+        graft.sources.Io.recoverSwap(fs, live, tmp)
         val merged =
-          if (dir.exists())
+          if (fs.exists(live))
             spark.read.parquet(path)
               .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_anti")
               .unionByName(latest)
           else latest
-        val tmp = path + "__upserting"
-        merged.write.mode("overwrite").parquet(tmp)
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        if (dir.exists()) {
-          val dead = path + "__old"
-          Files.move(Paths.get(path), Paths.get(dead), StandardCopyOption.ATOMIC_MOVE)
-          Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-          def rm(p: java.io.File): Unit = {
-            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
-          }
-          rm(new java.io.File(dead))
-        } else Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        graft.sources.Io.swapDirs(fs, live, tmp)
         ()
       }
 

@@ -125,6 +125,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/frag").count() == ev.count())
   }
 
+  test("compact preserves a hive-partitioned layout when given the partition columns") {
+    val tmp = Files.createTempDirectory("graft_compact_part").toString
+    val ev = Tables.events(spark, sfDir).withColumn("date", to_date(col("ts")))
+    // fragment each partition dir: many tasks × partitionBy
+    ev.repartition(16).write.partitionBy("date").parquet(s"$tmp/part")
+    val dirsBefore = new java.io.File(s"$tmp/part").listFiles()
+      .filter(_.getName.startsWith("date=")).map(_.getName).toSet
+    sources.Io.compact(spark, s"$tmp/part", partitionCols = Seq("date"))
+    val dirsAfter = new java.io.File(s"$tmp/part").listFiles()
+      .filter(_.getName.startsWith("date=")).map(_.getName).toSet
+    assert(dirsAfter == dirsBefore, "partition directories must survive compaction")
+    val files = new java.io.File(s"$tmp/part").listFiles()
+      .filter(_.getName.startsWith("date="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.forall(_ == 1), s"expected 1 file per partition after compact, got ${files.toSeq}")
+    assert(spark.read.parquet(s"$tmp/part").count() == ev.count())
+  }
+
+  test("swap recovery heals a crash between the two renames (stranded __old)") {
+    import org.apache.hadoop.fs.Path
+    val tmp = Files.createTempDirectory("graft_swapfix").toString
+    val live = s"$tmp/ds"
+    Tables.events(spark, sfDir).limit(100).write.parquet(live)
+    val fs = new Path(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: live renamed to __old, new data never moved in
+    assert(fs.rename(new Path(live), new Path(live + "__old")))
+    assert(!fs.exists(new Path(live)))
+    sources.Io.compact(spark, live) // first action recovers, then compacts
+    assert(fs.exists(new Path(live)) && !fs.exists(new Path(live + "__old")))
+    assert(spark.read.parquet(live).count() == 100)
+  }
+
+  test("schema evolution: mergeSchema surfaces new columns as nulls in old files") {
+    val tmp = Files.createTempDirectory("graft_evolve").toString
+    val v1 = Tables.events(spark, sfDir).limit(50)
+      .select(col("event_id"), col("user_id"), col("value"))
+    v1.write.parquet(s"$tmp/ds") // schema v1
+    val v2 = Tables.events(spark, sfDir).limit(50)
+      .select(col("event_id") + 1000000L as "event_id", col("user_id"), col("value"),
+        col("event_type").as("channel")) // schema v2 adds a column
+    v2.write.mode("append").parquet(s"$tmp/ds")
+    val merged = sources.Io.readParquet(spark, s"$tmp/ds", mergeSchema = true)
+    assert(merged.columns.contains("channel"), "new column must surface")
+    assert(merged.count() == 100)
+    // old files: channel is null; new files: populated
+    assert(merged.filter(col("event_id") < 1000000L && col("channel").isNull).count() == 50)
+    assert(merged.filter(col("event_id") >= 1000000L && col("channel").isNotNull).count() == 50)
+  }
+
   test("registerAll exposes every table to pure SQL, composing with registered functions") {
     Tables.registerAll(spark, sfDir)
     val r = spark.sql(
