@@ -34,18 +34,17 @@ object MinHashLsh {
       .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), numHashes).as("sig"))
   }
 
-  /** Candidate pairs from banding + exact Jaccard >= minJaccard. */
-  def similarPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double,
+  /** The full lazy pipeline over pre-built shingle sets — exposed
+    * separately from [[similarPairs]] so the plan-shape regression gate
+    * can fingerprint the candidate-generation plan (banded keyed
+    * self-join, O(n·bands) rows, never all-pairs) BEFORE the
+    * materializing checkpoint hides it behind a LogicalRDD scan.
+    */
+  private[graft] def pairsPlan(sets: DataFrame, idCol: String, minJaccard: Double,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // The shingle sets feed three consumers (signatures + both sides of
-    // the verification join) — persist once.
-    val sets = NGramJaccard.shingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig  = signatures(sets, idCol, numHashes)
+    val sig = signatures(sets, idCol, numHashes)
 
     // band key: murmur3 over the band's signature slice + band index
     val bandCols = (0 until bands).map { b =>
@@ -61,10 +60,22 @@ object MinHashLsh {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // exact verification on the true shingle sets; the (small) verified
-    // pair set is materialized so the shingle cache can be released —
-    // long-lived sessions don't accumulate cached blocks across queries
-    val out = NGramJaccard.verifyExact(cand, sets, idCol, minJaccard).localCheckpoint()
+    NGramJaccard.verifyExact(cand, sets, idCol, minJaccard)
+  }
+
+  /** Candidate pairs from banding + exact Jaccard >= minJaccard. */
+  def similarPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    // The shingle sets feed three consumers (signatures + both sides of
+    // the verification join) — persist once.
+    val sets = NGramJaccard.shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the (small) verified pair set is materialized so the shingle cache
+    // can be released — long-lived sessions don't accumulate cached
+    // blocks across queries
+    val out = pairsPlan(sets, idCol, minJaccard, numHashes, bands).localCheckpoint()
     sets.unpersist()
     out
   }

@@ -120,8 +120,16 @@ object EventStream {
   /** Gap-based session windows via flatMapGroupsWithState: a session
     * closes when no event arrives within `gapMs`. State is one small
     * record per active user — bounded by the event-time timeout.
+    *
+    * `maxSessionMs` is the per-group state-TTL knob: a session that has
+    * spanned longer than this closes even while events keep arriving
+    * (the next event starts a fresh session). Without it, one
+    * pathologically chatty key (a bot emitting inside the gap forever)
+    * keeps its state entry alive indefinitely; with it every state
+    * record has a hard upper lifetime of maxSessionMs + gapMs.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      maxSessionMs: Long = Long.MaxValue): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "1 hour")
@@ -140,7 +148,7 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
+                case Some(s) if t - s.endMs <= gapMs && t - s.startMs <= maxSessionMs =>
                   cur = Some(SessionState(s.startMs, t, s.nEv + 1, s.total + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEv, s.total)
@@ -151,7 +159,12 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              // the timeout is also TTL-capped: state self-expires no
+              // later than startMs + maxSessionMs + gapMs even if the
+              // watermark stalls short of endMs + gapMs
+              val cap = if (maxSessionMs == Long.MaxValue) s.endMs + gapMs
+                        else math.min(s.endMs + gapMs, s.startMs + maxSessionMs + gapMs)
+              state.setTimeoutTimestamp(cap)
             }
             closed.reverseIterator
           }

@@ -360,6 +360,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("bucket", "event_type", "n", "sum_value"))
   }
 
+  test("bus-shaped frames (binary key/value) decode and drive the same windowedAgg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the connector-agnostic contract: any bus source lands
+    // (key binary, value binary, timestamp); decodeJson + windowedAgg
+    // must behave identically whether the frames come from Kafka or,
+    // as here, a MemoryStream producing the same shape
+    val batch = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val schema = org.apache.spark.sql.Encoders.product[streaming.EventStream.Event].schema
+    val payloads = batch.toJSON.collect()
+    val ingest = new java.sql.Timestamp(86400000L)
+    val mem = MemoryStream[(Array[Byte], Array[Byte], java.sql.Timestamp)]
+    mem.addData(payloads.toIndexedSeq.map(j =>
+      (Array[Byte](1), j.getBytes("UTF-8"), ingest)))
+    mem.addData(Seq((Array[Byte](1), "not json at all".getBytes("UTF-8"), ingest)))
+    val bus = mem.toDF().toDF("key", "value", "timestamp")
+    val decoded = sources.Stream.decodeJson(bus, schema)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val q = streaming.EventStream.windowedAgg(decoded)
+      .writeStream.outputMode("complete").format("memory").queryName("bus_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bus_out")
+      .select(col("bucket"), col("event_type"), col("n"), col("sum_value"))
+    val expected = streaming.EventStream.windowedAgg(batch)
+    assert(streamed.count() == expected.count())
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty,
+      "bus-decoded stream must equal the direct batch twin (corrupt frame dropped)")
+  }
+
+  test("readKafka expresses the kafka contract up to source resolution (no connector in env)") {
+    // the option/format plumbing executes for real; resolution fails only
+    // because the spark-sql-kafka connector jar is not in this
+    // environment — at deployment the same call binds to the real source
+    val e = intercept[Exception] {
+      sources.Stream.readKafka(spark, "broker:9092", "events",
+        startingOffsets = "earliest", maxOffsetsPerTrigger = Some(10000L)).schema
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"expected kafka source-resolution failure, got: ${e.getMessage}")
+  }
+
+  test("sessionize maxSessionMs TTL splits a runaway session while events keep arriving") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 86400000L
+    def ev(id: Long, t: Long, u: Long) =
+      streaming.EventStream.Event(id, new java.sql.Timestamp(base + t), u, "click", 1.0)
+    val gap = 60000L   // 1 min
+    val ttl = 300000L  // 5 min state TTL
+    // one chatty user emitting every 30 s for 20 min — always inside the
+    // gap, so WITHOUT the TTL this would be one never-closing session
+    val chatty = (0 to 40).map(i => ev(i.toLong, i * 30000L, 1L))
+    val mem = MemoryStream[streaming.EventStream.Event]
+    mem.addData(chatty)
+    val q = streaming.EventStream.sessionize(mem.toDS(), gap, maxSessionMs = ttl)
+      .writeStream.outputMode("append").format("memory").queryName("ttl_out").start()
+    q.processAllAvailable()
+    mem.addData(ev(99, 3600L * 2000, 3)) // advance the watermark
+    q.processAllAvailable()
+    mem.addData(ev(100, 3600L * 4000, 3)) // let timeouts fire against it
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("ttl_out").as[streaming.EventStream.Session]
+      .collect().filter(_.user_id == 1L).sortBy(_.start.getTime)
+    assert(sessions.length == 4, s"TTL should split into 4 sessions, got ${sessions.toSeq}")
+    assert(sessions.forall(s => s.end.getTime - s.start.getTime <= ttl),
+      s"every session must span <= TTL: ${sessions.toSeq}")
+    assert(sessions.map(_.n_events).sum == 41, "no event lost at the splits")
+  }
+
   test("sessionize closes sessions on gap and aggregates correctly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

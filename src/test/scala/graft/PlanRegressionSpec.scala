@@ -32,11 +32,38 @@ class PlanRegressionSpec extends AnyFunSuite {
     else p.nodeName + kids.map(shape).mkString("(", ",", ")")
   }
 
-  private def currentShapes(): Map[String, String] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val qe = fn(spark, sfDir).queryExecution
+  /** Library surfaces that are NOT registered driver queries but whose
+    * plan shape is still a perf contract — the scale-smoke pipelines.
+    * [[dedup.MinHashLsh.similarPairs]] materializes eagerly (its
+    * registered queries fingerprint as a LogicalRDD scan), so the gate
+    * inspects the lazy [[dedup.MinHashLsh.pairsPlan]]: this is the exact
+    * plan DedupScale runs at 100k docs, and the shape pins the
+    * O(n·bands) banded candidate join (a shape flip to a nested-loop /
+    * cartesian candidate stage would fail here even while tiny-SF
+    * results stay correct).
+    */
+  private def extraPlans(): Map[String, org.apache.spark.sql.DataFrame] = {
+    val docs = Tables.documents(spark, sfDir)
+    val sets = dedup.NGramJaccard.shingleSets(docs, "doc_id", "text", 3)
+    Map(
+      "lib_dedup_minhash_pipeline" ->
+        dedup.MinHashLsh.pairsPlan(sets, "doc_id", minJaccard = 0.8),
+      // ScaleSmoke's hottest stage: the 7-column single-shuffle
+      // interpolation over the synthetic air-quality shape
+      "lib_scale_interpolate" ->
+        etl.Clean.interpolateLinear(etl.Synth.airQuality(spark, 2, 48),
+          "station", Seq("ts", "reading_id"), etl.AirQualityPipeline.numericCols, maxGap = 3))
+  }
+
+  private def currentShapes(): Map[String, String] = {
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sfDir)
+    }
+    (queries ++ extraPlans().toSeq).map { case (name, df) =>
+      val qe = df.queryExecution
       name -> s"logical=${shape(qe.optimizedPlan)} physical=${shape(qe.sparkPlan)}"
     }.toMap
+  }
 
   test("query plan shapes match the committed baseline") {
     val current = currentShapes()

@@ -114,6 +114,28 @@ class PlanSpec extends AnyFunSuite {
       s"multi-probe explode is not downstream of the query-id filter:\n$plan")
   }
 
+  test("MinHash dedup pipeline: every join is keyed — no cartesian/nested-loop stage") {
+    // the O(n·bands) contract of the scale path: candidates come from a
+    // band-bucket EQUI self-join and verification from id equi-joins; a
+    // cartesian or broadcast-nested-loop node anywhere means the plan
+    // degenerated to all-pairs
+    val docs = Tables.documents(spark, sfDir)
+    val sets = dedup.NGramJaccard.shingleSets(docs, "doc_id", "text", 3)
+    val plan = dedup.MinHashLsh.pairsPlan(sets, "doc_id", minJaccard = 0.8)
+      .queryExecution.sparkPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("CartesianProduct") && !planStr.contains("BroadcastNestedLoopJoin"),
+      s"dedup pipeline must stay keyed:\n$planStr")
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    val joins = plan.collect {
+      case j: SortMergeJoinExec     => j.leftKeys
+      case j: ShuffledHashJoinExec  => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joins.nonEmpty && joins.forall(_.nonEmpty),
+      s"expected keyed joins in the candidate/verify stages:\n$planStr")
+  }
+
   test("as-of join: left-side filter pushes below the union-window") {
     import org.apache.spark.sql.catalyst.plans.logical
     import org.apache.spark.sql.functions.col
