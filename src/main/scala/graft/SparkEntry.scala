@@ -506,6 +506,45 @@ object SparkEntry {
             (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2"))
         .orderBy(col("vec_id"))),
 
+    "q66_dedup_clusters" -> ((s, dir) => {
+      // the third dedup stage: pair EDGES (exact >=0.8 Jaccard) →
+      // transitive CLUSTERS via min-label connected components — a↔b,
+      // b↔c collapse to one canonical doc even though (a,c) was never a
+      // pair. Canonical = min doc_id per component; singleton docs are
+      // their own cluster. The oracle computes the same closure with a
+      // recursive CTE.
+      val docs = Tables.documents(s, dir)
+      val pairs = NGramJaccard.similarPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+      val comps = operators.ConnectedComponents.minLabel(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q67_range_join" -> ((s, dir) => {
+      // interval join WITHOUT the BroadcastNestedLoopJoin cliff: per
+      // shipment, count orders placed in the 2-day window ending at the
+      // ship date. RangeJoin.binned keys points by time bin and explodes
+      // each interval over its overlapping bins — an equi-join + exact
+      // filter (plan-spec-asserted no BNLJ); the oracle is the naive
+      // BETWEEN join.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
+          col("l_shipdate") <= lit("1995-04-30").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_shipdate"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderdate").as("lo"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("hi"))
+      operators.RangeJoin.binned(li, ord, "l_shipdate", "lo", "hi",
+          binMicros = 2L * 86400L * 1000000L)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n_recent_orders"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q62_validate_sketch" -> ((s, dir) =>
       // the 100 TB swap-in for exact validation: HLL++ cardinality +
       // single-pass approx quartiles, cross-checked in-query against the
@@ -1285,6 +1324,41 @@ object SparkEntry {
         |  WHEN pv2 IS NOT NULL AND rn - pi2 <= 3 THEN pv2
         |  ELSE NULL END, 6) AS k2_interp
         |FROM t ORDER BY event_id""".stripMargin,
+
+    "q66_dedup_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(count(*) AS DOUBLE) / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY a.doc_id, b.doc_id) t
+        |  WHERE j >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS comp FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q67_range_join" ->
+      """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |  count(*) AS n_recent_orders
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 1 DAY
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-03-01'
+        |  AND l.l_shipdate <= TIMESTAMP '1995-04-30'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q62_validate_sketch" ->
       // exact columns computed exactly; sketch-accuracy verdicts asserted

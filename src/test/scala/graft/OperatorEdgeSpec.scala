@@ -287,6 +287,52 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@5 = $recall (measured 0.94 at this SF)")
   }
 
+  test("connected components: chain, clique, and singleton edge all collapse to min label") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // triangle 10-11-12 with a pendant 13, isolated edge 20-21
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L),
+      (21L, 20L)
+    ).toDF("a", "b")
+    val comp = operators.ConnectedComponents.minLabel(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L), s"got $comp")
+  }
+
+  test("connected components: partition-independent and converges on a long path") {
+    val path = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    for (parts <- Seq(1, 7)) {
+      val comp = operators.ConnectedComponents.minLabel(path.repartition(parts), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp.size == 12 && comp.values.forall(_ == 1L),
+        s"path graph must collapse to component 1 under $parts partitions: $comp")
+    }
+  }
+
+  test("binned range join equals the naive BETWEEN join, reversed intervals match nothing") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-03 12:00:00")),
+      (3L, ts("2024-01-07 00:00:00")), (4L, ts("2024-02-01 00:00:00"))
+    ).toDF("pid", "pt")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 00:00:00"), ts("2024-01-04 00:00:00")), // covers 1,2
+      (101L, ts("2024-01-03 00:00:00"), ts("2024-01-10 00:00:00")), // covers 2,3
+      (102L, ts("2024-01-07 00:00:00"), ts("2024-01-07 00:00:00")), // point interval: 3
+      (103L, ts("2024-01-09 00:00:00"), ts("2024-01-05 00:00:00"))  // reversed: nothing
+    ).toDF("iid", "lo", "hi")
+    for (binMicros <- Seq(3600L * 1000000L, 86400L * 1000000L, 30L * 86400L * 1000000L)) {
+      val got = operators.RangeJoin.binned(points, intervals, "pt", "lo", "hi", binMicros)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L), (2L, 100L), (2L, 101L), (3L, 101L), (3L, 102L)),
+        s"binMicros=$binMicros got $got")
+    }
+  }
+
   test("saltedJoin preserves join semantics for a skewed key") {
     val left = Tables.orders(spark, sfDir)
     val right = Tables.customer(spark, sfDir)

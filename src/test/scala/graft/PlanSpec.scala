@@ -114,6 +114,17 @@ class PlanSpec extends AnyFunSuite {
       s"multi-probe explode is not downstream of the query-id filter:\n$plan")
   }
 
+  test("q67 binned range join plans as an equi-join — no BroadcastNestedLoopJoin") {
+    // a bare BETWEEN join would plan as BNLJ (points × intervals); the
+    // binning must restore a keyed join with the exact predicate as a
+    // post-join filter
+    val p = planOf("q67_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi join on the bin key:\n$p")
+  }
+
   test("MinHash dedup pipeline: every join is keyed — no cartesian/nested-loop stage") {
     // the O(n·bands) contract of the scale path: candidates come from a
     // band-bucket EQUI self-join and verification from id equi-joins; a
