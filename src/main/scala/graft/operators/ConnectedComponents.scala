@@ -54,8 +54,12 @@ object ConnectedComponents {
       cut.count() // materialize so the parent can be released
       cut
     }
-    var labels = reRoot(sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")))
+    // seed with the closed-neighborhood min directly (node vs its
+    // neighbors) — identical to running one propagation round on
+    // identity labels, but free: it rides the same groupBy that the
+    // distinct node set needs anyway, saving one full round
+    var labels = reRoot(sym.groupBy(col("a").as("node"))
+      .agg(least(min(col("b")), col("a")).as("comp")))
 
     var iter = 0
     var changed = 1L

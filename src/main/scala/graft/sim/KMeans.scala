@@ -155,13 +155,24 @@ object KMeans {
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5,
       seeding: String = "farthest"): Array[Array[Double]] = {
+    // the trainer scans the same (id, vec) projection k times for
+    // farthest-point seeding plus once per Lloyd's iteration — persist
+    // it instead of re-reading (and re-decoding) parquet every job
     val base = df.select(col(idCol), col(vecCol))
-    // limit(k).count() early-stops the scan after k rows — a cheap guard
-    // against the confusing downstream failures (out-of-bounds seed
-    // indexing, silently-short centroid arrays) a sub-k corpus causes.
-    val have = base.limit(k).count()
-    require(have >= k,
-      s"k-means needs at least k=$k rows; corpus has only $have — lower k")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // limit(k).count() early-stops the scan after k rows — a cheap guard
+      // against the confusing downstream failures (out-of-bounds seed
+      // indexing, silently-short centroid arrays) a sub-k corpus causes.
+      val have = base.limit(k).count()
+      require(have >= k,
+        s"k-means needs at least k=$k rows; corpus has only $have — lower k")
+      fitOn(base, idCol, vecCol, k, iters, seeding)
+    } finally base.unpersist()
+  }
+
+  private def fitOn(base: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      seeding: String): Array[Array[Double]] = {
     var centroids = seeding match {
       case "hash"     => initHash(base, idCol, vecCol, k)
       case "parallel" => initParallel(base, idCol, vecCol, k)
@@ -182,7 +193,7 @@ object KMeans {
       require(centroids.forall(_.length == dim))
     }
     centroids
-  }
+  } // fitOn: callers own the persistence lifecycle of `base`
 
   /** fit + assign: the input with a `cluster` column (int), ready to be
     * the `clusterCol` of [[IvfAnn.topK]].

@@ -50,10 +50,14 @@ object ProductQuantizer {
       dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 3): Model = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
+    // every Lloyd iteration re-aggregates the same exploded
+    // (subspace, subvector) rows — persist them once instead of
+    // re-scanning and re-exploding the corpus per iteration
     val subs = df.select(
       explode(array((0 until m).map(j =>
         struct(lit(j).as("j"), subCol(vecCol, j, dsub).as("sub"))): _*)).as("e"))
       .select(col("e.j").as("j"), col("e.sub").as("sub"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val seedRows = df.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(ksub).collect()
@@ -78,6 +82,7 @@ object ProductQuantizer {
       means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
       cents = next
     }
+    subs.unpersist()
     Model(dim, m, cents)
   }
 

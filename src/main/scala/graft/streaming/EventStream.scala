@@ -51,16 +51,28 @@ object EventStream {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       key: String = "user_id", horizon: String = "30 minutes",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(r, expr(
-        s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $horizon"))
+        s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $horizon"),
+        joinType)
       .select(col(s"l.$key").as(key),
         col("l.event_id").as("left_id"), col("l.ts").as("left_ts"),
         col("r.event_id").as("right_id"), col("r.ts").as("right_ts"),
         (unix_millis(col("r.ts")) - unix_millis(col("l.ts"))).as("delay_ms"))
   }
+
+  /** Left-outer interval join: the attribution shape where UNCONVERTED
+    * events matter too. Same state-bounded join; a left event with no
+    * in-horizon match is emitted with null right columns — but only
+    * once the watermark passes its horizon (before that a match could
+    * still arrive), so null emissions trail by watermark + horizon.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      key: String = "user_id", horizon: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    intervalJoin(left, right, key, horizon, watermark, joinType = "leftOuter")
 
   /** foreachBatch upsert sink: every micro-batch merges into a keyed
     * parquet snapshot with last-write-wins semantics — existing rows

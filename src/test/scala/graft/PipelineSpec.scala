@@ -61,6 +61,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows == Set((1L, 101L, 600000L)), s"got $rows")
   }
 
+  test("left-outer interval join emits unmatched events with nulls after the horizon closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 86400000L
+    def ev(id: Long, t: Long, u: Long) =
+      streaming.EventStream.Event(id, new java.sql.Timestamp(base + t), u, "x", 1.0)
+    val views = MemoryStream[streaming.EventStream.Event]
+    val clicks = MemoryStream[streaming.EventStream.Event]
+    // user 1 converts in horizon; user 2 never converts — the left-outer
+    // join must still emit user 2's view, with null click columns, once
+    // the watermark passes its horizon
+    views.addData(ev(1, 0, 1), ev(2, 0, 2))
+    clicks.addData(ev(101, 600000, 1))
+    val joined = streaming.EventStream.intervalJoinLeftOuter(
+      views.toDF(), clicks.toDF(), horizon = "30 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ijlo_out").start()
+    q.processAllAvailable()
+    // advance both watermarks far past view+horizon so the unmatched row closes
+    views.addData(ev(8, 3600L * 3000, 9)); clicks.addData(ev(9, 3600L * 3000, 9))
+    q.processAllAvailable()
+    views.addData(ev(10, 3600L * 5000, 9)); clicks.addData(ev(11, 3600L * 5000, 9))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ijlo_out")
+      .filter(col("user_id").isin(1L, 2L))
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows == Set((1L, 101L), (2L, -1L)),
+      s"expected the match and a null-emitted unmatched view, got $rows")
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates (batch-over-stream backfill)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
