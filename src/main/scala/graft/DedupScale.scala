@@ -30,6 +30,14 @@ object DedupScale {
       val nPairs = pairs.count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[dedupscale] docs=${baseN * r}%8d (R=$r%3d)  pairs=$nPairs%10d  ${secs}%8.2f s")
+
+      // transitive clustering over the pair graph — each replica family
+      // must collapse to ONE cluster whose canonical id is its min member
+      val t1 = System.nanoTime()
+      val comps = operators.ConnectedComponents.minLabel(pairs, "id_a", "id_b")
+      val nClusters = comps.select("comp").distinct().count()
+      val cSecs = (System.nanoTime() - t1) / 1e9
+      println(f"[ccscale]    docs=${baseN * r}%8d (R=$r%3d)  edges=$nPairs%10d  clusters=$nClusters%8d  ${cSecs}%8.2f s")
     }
 
     // ANN path at the same scales: LSH top-k over a replicated embedding
