@@ -313,6 +313,15 @@ class OperatorEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components fails loudly when the diameter exceeds maxIters") {
+    val longPath = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      operators.ConnectedComponents.minLabel(longPath, "a", "b", maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"),
+      s"expected a loud non-convergence error, got: ${e.getMessage}")
+  }
+
   test("binned range join equals the naive BETWEEN join, reversed intervals match nothing") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val points = Seq(
