@@ -44,8 +44,25 @@ object DedupScale {
     // corpus (replicas perturbed by index so they are near- but not
     // exact-duplicates in cosine space). Candidate generation must stay
     // O(n·tables) regardless of R.
+    // Embedding near-dup via the q38 LSH path: exact replicas are
+    // cosine-1.0 near-dups, so expected pairs = n·C(R,2) and recall must
+    // be EXACTLY 1 (identical vectors share identical sketches). Bucket
+    // bits follow the documented ≈log2(n) rule so buckets stay selective
+    // as the corpus grows.
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val embN = emb.count()
+    for (r <- reps.filter(_ > 1)) {
+      val vecs = spark.range(r).crossJoin(emb)
+        .select((col("vec_id") * r + col("id")).as("vec_id"), col("embedding"))
+      val bits = math.max(8, (math.log(embN.toDouble * r) / math.log(2)).ceil.toInt)
+      val t0 = System.nanoTime()
+      val got = sim.LshAnn.nearDupPairs(vecs, "vec_id", "embedding",
+        dim = 64, minCosine = 0.9, bitsPerTable = bits).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val want = embN * r * (r - 1) / 2
+      val flag = if (got == want) "recall=1.0" else s"MISSING ${want - got}"
+      println(f"[neardupscale] vecs=${embN * r}%8d (R=$r%3d, bits=$bits)  pairs=$got%10d/$want%d  $flag  ${secs}%8.2f s")
+    }
     for (r <- reps) {
       val vecs = spark.range(r).crossJoin(emb)
         .select((col("vec_id") * r + col("id")).as("vec_id"),
