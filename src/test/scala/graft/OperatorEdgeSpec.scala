@@ -151,6 +151,17 @@ class OperatorEdgeSpec extends AnyFunSuite {
     dedup.NGramJaccard.similarPairs(docs, "doc_id", "text", 3, 0.8).count()
     val afterExact = spark.sparkContext.getPersistentRDDs.size
     assert(afterExact - afterMinhash <= 1, s"exact path leaked ${afterExact - afterMinhash} cached RDDs")
+    // the iterative CC loop persists per-round label tables + the edge
+    // set — all must be released except the checkpointed result
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    operators.ConnectedComponents.minLabel(pairs, "id_a", "id_b").count()
+    val afterCc = spark.sparkContext.getPersistentRDDs.size
+    assert(afterCc - afterExact <= 1, s"CC leaked ${afterCc - afterExact} cached RDDs")
+    // the LSH near-dup bucket index must be released too
+    val emb = Tables.embeddings(spark, sfDir)
+    sim.LshAnn.nearDupPairs(emb, "vec_id", "embedding", dim = 64, minCosine = 0.9).count()
+    val afterLsh = spark.sparkContext.getPersistentRDDs.size
+    assert(afterLsh - afterCc <= 1, s"LSH near-dup leaked ${afterLsh - afterCc} cached RDDs")
   }
 
   test("two DotProducts in one codegen stage compile (no interpreted fallback)") {
