@@ -92,26 +92,37 @@ object EventStream {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.hadoop.fs.Path
-        val spark = batch.sparkSession
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val live = new Path(path)
-        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val tmp = live.suffix("__upserting")
-        graft.sources.Io.recoverSwap(fs, live, tmp)
-        val merged =
-          if (fs.exists(live))
-            spark.read.parquet(path)
-              .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_anti")
-              .unionByName(latest)
-          else latest
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        graft.sources.Io.swapDirs(fs, live, tmp)
-        ()
+        upsertBatch(batch, path, keys, orderCol)
       }
+
+  /** One micro-batch's merge, exposed for direct (re)use and testing.
+    * IDEMPOTENT under foreachBatch's at-least-once contract: replaying a
+    * batch against a snapshot that already merged it anti-joins away the
+    * batch's keys and re-inserts identical survivors — the snapshot is
+    * byte-stable under replay (spec-asserted), so a post-failure re-run
+    * cannot duplicate or reorder rows.
+    */
+  def upsertBatch(batch: DataFrame, path: String,
+      keys: Seq[String], orderCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = live.suffix("__upserting")
+    graft.sources.Io.recoverSwap(fs, live, tmp)
+    val merged =
+      if (fs.exists(live))
+        spark.read.parquet(path)
+          .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_anti")
+          .unionByName(latest)
+      else latest
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    graft.sources.Io.swapDirs(fs, live, tmp)
+  }
 
   /** Streaming exact dedup: duplicates of a key arriving within the
     * watermark horizon are dropped; state self-expires with the

@@ -132,6 +132,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(snap == Map(1L -> 12.0, 2L -> 20.0, 3L -> 30.0), s"got $snap")
   }
 
+  test("upsert batch merge is idempotent — replaying a batch leaves the snapshot unchanged") {
+    // foreachBatch is at-least-once: after a crash the same batch can
+    // re-run against a snapshot that already merged it
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_upsert_replay").toString
+    val snap = s"$tmp/snap"
+    val b1 = Seq((1L, 10.0, 1L), (2L, 20.0, 1L)).toDF("k", "v", "seq")
+    val b2 = Seq((2L, 25.0, 2L), (3L, 30.0, 2L)).toDF("k", "v", "seq")
+    streaming.EventStream.upsertBatch(b1, snap, Seq("k"), "seq")
+    streaming.EventStream.upsertBatch(b2, snap, Seq("k"), "seq")
+    def read() = spark.read.parquet(snap).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val once = read()
+    streaming.EventStream.upsertBatch(b2, snap, Seq("k"), "seq") // replay
+    assert(read() == once, "replaying the last batch must be a no-op")
+    assert(once == Seq((1L, 10.0, 1L), (2L, 25.0, 2L), (3L, 30.0, 2L)), s"got $once")
+  }
+
   test("partitioned parquet writes are bounded to one file per partition") {
     val tmp = Files.createTempDirectory("graft_fpp").toString
     val ev = Tables.events(spark, sfDir).repartition(8)
