@@ -175,11 +175,18 @@ object LshAnn {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    // norms once per VECTOR at attach time, not per pair — the verify
+    // stage otherwise runs three array passes (dot + both norms) per
+    // candidate pair; same arithmetic as the brute-force oracle's
+    // per-vector norm CTE, so hash parity is preserved
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      Similarity.norm(col(vecCol)).as("__n"))
     val out = cand
-      .join(vecs, col("id_a") === col("__vid")).withColumnRenamed("__v", "va").drop("__vid")
-      .join(vecs, col("id_b") === col("__vid")).withColumnRenamed("__v", "vb").drop("__vid")
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .join(vecs, col("id_a") === col("__vid"))
+      .withColumnRenamed("__v", "va").withColumnRenamed("__n", "na").drop("__vid")
+      .join(vecs, col("id_b") === col("__vid"))
+      .withColumnRenamed("__v", "vb").withColumnRenamed("__n", "nb").drop("__vid")
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"),
         graft.functions.roundStable(col("cosine"), simDigits).as("cosine"))
@@ -213,13 +220,16 @@ object LshAnn {
         qSide.withColumn("bucket",
             explode(array(variants.map(col("bucket").bitwiseXOR): _*)))
       }
+    // norms once per index row (8·n) instead of once per candidate pair
+    // (≥ occupancy × that) — the pair stage then divides, never rescans
     val q = probed
-      .select(col("id").as("query_id"), col("vec").as("qv"), col("table"), col("bucket"))
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        Similarity.norm(col("vec")).as("qn"), col("table"), col("bucket"))
     val c = bk.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      col("table"), col("bucket"))
+      Similarity.norm(col("vec")).as("cn"), col("table"), col("bucket"))
     val cands = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "cv")
+      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
       // dedup on the id pair only — full-row distinct would hash the
       // float vectors too (same result, ~2×64 floats more work per row)
       .dropDuplicates("query_id", "neighbor_id")
@@ -227,7 +237,8 @@ object LshAnn {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cands
       .withColumn("cosine",
-        graft.functions.roundStable(Similarity.cosine(col("qv"), col("cv")), 4))
+        graft.functions.roundStable(
+          Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))

