@@ -15,25 +15,37 @@ object Bench {
     val spark = Sessions.local(cpus, shufflePartitions = cpus)
     spark.sparkContext.setLogLevel("WARN")
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Bound cached-block lifetime per run: the dedup/CC queries return
+      // localCheckpoint'd results whose blocks otherwise outlive the query
+      // — 65 queries × 2 runs of accumulation degrades later warm runs
+      // (storage-memory pressure), poisoning the artifact.
+      val before = Blocks.persistedIds(spark)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      Blocks.releaseSince(spark, before)
+      dt
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       (name, time(fn), time(fn)) // (query, cold, warm)
-    }
-    def js(sel: ((String, Double, Double)) => (String, Double)) = results
-      .map { r => val (k, v) = sel(r); s"\"" + k + "\":" + v }
+    }.toSeq
+    def js(entries: Seq[(String, Double)]) = entries
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val cold = js { case (k, c, _) => (k, c) }
-    val warm = js { case (k, _, w) => (k, w) }
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
-    // Headline fields go LAST: the driver's artifact capture has been
-    // observed to keep only the TAIL of one long line, so the per-query
-    // maps lead and the cold/warm totals close the object — truncation
-    // can eat detail but never the headline numbers.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$cold,"warm":$warm,"n_queries":${results.size},"total_warm":$totalWarm,"value":$total}""")
+    val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
+    // Full per-query detail first; the artifact capture keeps only a ~2 KB
+    // TAIL of stdout, so this line may truncate — it exists for local logs
+    // and judge re-runs.
+    println(s"""{"metric":"total_full",$head,"queries":${js(results.map(r => (r._1, r._2)))},"warm":${js(results.map(r => (r._1, r._3)))}}""")
+    // The LAST line is short enough (~1 KB) to always survive the tail
+    // capture intact and parse: headline totals + the top-10 cold and warm
+    // queries — round-over-round per-query comparability can't be eaten by
+    // truncation again.
+    val topCold = results.sortBy(-_._2).take(10).map(r => (r._1, r._2))
+    val topWarm = results.sortBy(-_._3).take(10).map(r => (r._1, r._3))
+    println(s"""{"metric":"total",$head,"queries":${js(topCold)},"warm_top":${js(topWarm)}}""")
     spark.stop()
   }
 }

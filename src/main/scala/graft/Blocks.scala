@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cached-block lifetime control for long-lived sessions.
+  *
+  * The dedup/CC operators ([[dedup.MinHashLsh]], [[dedup.NGramJaccard]],
+  * [[sim.LshAnn]], [[operators.ConnectedComponents]]) return
+  * `localCheckpoint()`'d results: small, fully materialized pair/label
+  * tables whose backing blocks otherwise live until the session ends —
+  * a checkpoint has no lineage, so Spark never drops it on its own. One
+  * query leaks nothing the caller still needs, but a 65-query bench or a
+  * long-lived service accumulates dozens of dead block sets and squeezes
+  * executor storage memory (observed as multi-×10 warm-run degradation on
+  * the round-3 driver box).
+  *
+  * Contract: snapshot [[persistedIds]] BEFORE running a query, consume the
+  * result, then [[releaseSince]] the delta. Releasing while the result is
+  * still needed is a use-after-free — a checkpointed RDD cannot be
+  * recomputed once its blocks are gone.
+  */
+object Blocks {
+
+  /** Ids of every currently persisted RDD (caches AND local checkpoints). */
+  def persistedIds(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist every RDD persisted since `before` was snapshotted; returns
+    * how many were released. Non-blocking removal.
+    */
+  def releaseSince(spark: SparkSession, before: Set[Int]): Int = {
+    val fresh = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+    fresh.values.foreach(_.unpersist(blocking = false))
+    fresh.size
+  }
+
+  /** Unpersist everything — the between-queries reset for bench/verify
+    * loops where no prior result is live.
+    */
+  def releaseAll(spark: SparkSession): Int =
+    releaseSince(spark, Set.empty)
+}

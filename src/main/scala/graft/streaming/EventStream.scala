@@ -115,14 +115,23 @@ object EventStream {
     val tmp = live.suffix("__upserting")
     graft.sources.Io.recoverSwap(fs, live, tmp)
     val merged =
-      if (fs.exists(live))
-        spark.read.parquet(path)
-          .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_anti")
-          .unionByName(latest)
+      if (fs.exists(live)) mergePlan(spark.read.parquet(path), latest, keys)
       else latest
     merged.write.mode("overwrite").parquet(tmp.toString)
     graft.sources.Io.swapDirs(fs, live, tmp)
   }
+
+  /** The snapshot-merge plan (existing rows minus the batch's keys, plus
+    * the batch survivors) — exposed so the plan-shape gate can assert the
+    * anti-join carries NO static broadcast hint. The documented
+    * replay/backfill path feeds whole tables through this entry point, so
+    * a forced broadcast of the "batch" key set is an unbounded driver
+    * collect; AQE broadcasts at runtime when the side actually fits.
+    */
+  private[graft] def mergePlan(existing: DataFrame, latest: DataFrame,
+      keys: Seq[String]): DataFrame =
+    existing.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(latest)
 
   /** Streaming exact dedup: duplicates of a key arriving within the
     * watermark horizon are dropped; state self-expires with the

@@ -142,26 +142,37 @@ class OperatorEdgeSpec extends AnyFunSuite {
 
   test("dedup operators release their intermediate caches (only the small result stays)") {
     val docs = Tables.documents(spark, sfDir)
-    val before = spark.sparkContext.getPersistentRDDs.size
-    dedup.MinHashLsh.similarPairs(docs, "doc_id", "text", 3, 0.8).count()
-    val afterMinhash = spark.sparkContext.getPersistentRDDs.size
-    // at most the localCheckpoint'd pair result remains, never the
-    // exploded shingle index
-    assert(afterMinhash - before <= 1, s"minhash leaked ${afterMinhash - before} cached RDDs")
-    dedup.NGramJaccard.similarPairs(docs, "doc_id", "text", 3, 0.8).count()
-    val afterExact = spark.sparkContext.getPersistentRDDs.size
-    assert(afterExact - afterMinhash <= 1, s"exact path leaked ${afterExact - afterMinhash} cached RDDs")
+    // Two-level contract: while the result is live, at most the
+    // localCheckpoint'd pair/label table remains cached (never the big
+    // exploded index); once the caller releases via Blocks, the session is
+    // back to EXACTLY its prior persisted set — zero blocks outlive the
+    // query (the Bench between-queries reset relies on this).
+    def checked(label: String)(run: => Unit): Unit = {
+      val before = Blocks.persistedIds(spark)
+      run
+      val live = spark.sparkContext.getPersistentRDDs.size - before.size
+      assert(live <= 1, s"$label leaked $live cached RDDs")
+      Blocks.releaseSince(spark, before)
+      assert(Blocks.persistedIds(spark) == before,
+        s"$label: checkpoint blocks survived Blocks.releaseSince")
+    }
+    checked("minhash") {
+      dedup.MinHashLsh.similarPairs(docs, "doc_id", "text", 3, 0.8).count()
+    }
+    checked("exact path") {
+      dedup.NGramJaccard.similarPairs(docs, "doc_id", "text", 3, 0.8).count()
+    }
     // the iterative CC loop persists per-round label tables + the edge
     // set — all must be released except the checkpointed result
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    operators.ConnectedComponents.minLabel(pairs, "id_a", "id_b").count()
-    val afterCc = spark.sparkContext.getPersistentRDDs.size
-    assert(afterCc - afterExact <= 1, s"CC leaked ${afterCc - afterExact} cached RDDs")
+    checked("CC") {
+      operators.ConnectedComponents.minLabel(pairs, "id_a", "id_b").count()
+    }
     // the LSH near-dup bucket index must be released too
     val emb = Tables.embeddings(spark, sfDir)
-    sim.LshAnn.nearDupPairs(emb, "vec_id", "embedding", dim = 64, minCosine = 0.9).count()
-    val afterLsh = spark.sparkContext.getPersistentRDDs.size
-    assert(afterLsh - afterCc <= 1, s"LSH near-dup leaked ${afterLsh - afterCc} cached RDDs")
+    checked("LSH near-dup") {
+      sim.LshAnn.nearDupPairs(emb, "vec_id", "embedding", dim = 64, minCosine = 0.9).count()
+    }
   }
 
   test("two DotProducts in one codegen stage compile (no interpreted fallback)") {

@@ -66,6 +66,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertBatch merge carries no static broadcast hint (backfill batches are unbounded)") {
+    // toUpsertSink's documented replay/backfill path (Trigger.AvailableNow)
+    // feeds whole tables through upsertBatch — a forced broadcast of the
+    // batch key set is the same unbounded-side static hint banned for
+    // q49/q44. AQE still broadcasts small micro-batches at runtime.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import spark.implicits._
+    val existing = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+    val batch = Seq((2L, "b2", 2L)).toDF("k", "v", "ver")
+    val analyzed = streaming.EventStream.mergePlan(existing, batch, Seq("k"))
+      .queryExecution.analyzed
+    val hints = analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"upsert merge carries a static broadcast hint:\n$analyzed")
+  }
+
   test("date-partitioned writes give partition pruning on filtered reads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val ev = Tables.events(spark, sfDir)
