@@ -19,6 +19,15 @@ object DedupScale {
     val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 5, 20)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
+    // per-phase Spark job counter: the CC change-count fold claims two
+    // shuffles and ONE action per round — jobs-per-round is the direct
+    // observable for that claim
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
     val base = Tables.documents(spark, sfDir).select("doc_id", "text")
     val baseN = base.count()
     for (r <- reps) {
@@ -33,11 +42,48 @@ object DedupScale {
 
       // transitive clustering over the pair graph — each replica family
       // must collapse to ONE cluster whose canonical id is its min member
+      val j1 = jobs.get()
       val t1 = System.nanoTime()
       val comps = operators.ConnectedComponents.minLabel(pairs, "id_a", "id_b")
       val nClusters = comps.select("comp").distinct().count()
       val cSecs = (System.nanoTime() - t1) / 1e9
-      println(f"[ccscale]    docs=${baseN * r}%8d (R=$r%3d)  edges=$nPairs%10d  clusters=$nClusters%8d  ${cSecs}%8.2f s")
+      val cJobs = jobs.get() - j1
+      println(f"[ccscale]    docs=${baseN * r}%8d (R=$r%3d)  edges=$nPairs%10d  clusters=$nClusters%8d  jobs=$cJobs%4d  ${cSecs}%8.2f s")
+
+      // same graph through the diameter-independent star transform —
+      // same cluster count by construction
+      val t2 = System.nanoTime()
+      val comps2 = operators.ConnectedComponents.starComponents(pairs, "id_a", "id_b")
+      val nClusters2 = comps2.select("comp").distinct().count()
+      val sSecs = (System.nanoTime() - t2) / 1e9
+      println(f"[ccstar]     docs=${baseN * r}%8d (R=$r%3d)  edges=$nPairs%10d  clusters=$nClusters2%8d  ${sSecs}%8.2f s")
+      require(nClusters2 == nClusters, s"star=$nClusters2 != minLabel=$nClusters")
+      Blocks.releaseAll(spark)
+    }
+
+    // incremental path: index the largest corpus ONCE, then dedup a
+    // 1×-base delta (exact-copy twins, fresh ids) against it — the cost
+    // that matters is deltaPairs, which must scale with the DELTA, not
+    // with the indexed corpus (full recompute at R=max is the
+    // [dedupscale] line above)
+    {
+      val r = reps.max
+      val docs = spark.range(r).crossJoin(base)
+        .select((col("doc_id") * r + col("id")).as("doc_id"),
+          concat(col("text"), lit(" replicatag"), col("id")).as("text"))
+      spark.sql("DROP TABLE IF EXISTS dsidx_bands")
+      spark.sql("DROP TABLE IF EXISTS dsidx_sets")
+      val t0 = System.nanoTime()
+      dedup.IncrementalDedup.writeIndex(docs, "doc_id", "text", "dsidx", buckets = 32)
+      val tIdx = (System.nanoTime() - t0) / 1e9
+      val delta = base.select((col("doc_id") * r + lit(baseN * r)).as("doc_id"),
+        concat(col("text"), lit(" replicatag0")).as("text"))
+      val t1 = System.nanoTime()
+      val nDelta = dedup.IncrementalDedup.deltaPairs(spark, delta, "doc_id", "text",
+        "dsidx", minJaccard = 0.8).count()
+      val tDelta = (System.nanoTime() - t1) / 1e9
+      println(f"[incdedup]   corpus=${baseN * r}%8d delta=$baseN%8d  pairs=$nDelta%10d  index=${tIdx}%8.2f s  delta=${tDelta}%8.2f s")
+      Blocks.releaseAll(spark)
     }
 
     // ANN path at the same scales: LSH top-k over a replicated embedding

@@ -555,6 +555,32 @@ object SparkEntry {
       // its accuracy is additionally spec-asserted.)
       etl.Aggregates.validateSketchChecked(Tables.events(s, dir), "user_id", "ts", "value")),
 
+    "q68_clip_approx" -> ((s, dir) =>
+      // the same proof for the IQR clip (reference dag:170-177):
+      // approx_percentile is SURVEY §5's promised 100 TB constant-swap
+      // for clipOutliersIqr's exact quantiles — exact quartiles/bounds
+      // compare by value, the sketch side flattens to 1/0 verdicts
+      // (rank-band containment + end-to-end clip-decision agreement)
+      // the oracle asserts as literal 1s
+      etl.Clean.clipApproxChecked(Tables.events(s, dir), "event_type", "value")
+        .orderBy(col("event_type"))),
+
+    "q69_cluster_star" -> ((s, dir) => {
+      // q66's contract through the OTHER components algorithm: the
+      // alternating large-star/small-star contraction (diameter-
+      // independent, O(log²n) rounds) must reproduce the recursive-CTE
+      // transitive closure exactly — proving the adversarial-topology
+      // fallback against the same oracle as the propagation path
+      val docs = Tables.documents(s, dir)
+      val pairs = NGramJaccard.similarPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+      val comps = operators.ConnectedComponents.starComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q60_text_normalize" -> ((s, dir) =>
       // LLM-pipeline text canonicalization: lowercase, mask URLs and
       // emails, collapse whitespace — all codegen'd string expressions
@@ -1372,6 +1398,48 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS median_ok,
         | CAST(1 AS BIGINT) AS q3_ok
         |FROM events""".stripMargin,
+
+    "q68_clip_approx" ->
+      // exact quartiles and derived clip bounds by value
+      // (quantile_cont ≡ Spark percentile); sketch verdicts as literal 1s
+      """SELECT event_type, count(value) AS n_rows,
+        | roundStable(quantile_cont(value, 0.25), 4) AS q1,
+        | roundStable(quantile_cont(value, 0.75), 4) AS q3,
+        | roundStable(quantile_cont(value, 0.25)
+        |   - 3.0 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 4) AS lo,
+        | roundStable(quantile_cont(value, 0.75)
+        |   + 3.0 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 4) AS hi,
+        | CAST(1 AS BIGINT) AS q1_ok,
+        | CAST(1 AS BIGINT) AS q3_ok,
+        | CAST(1 AS BIGINT) AS clip_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q69_cluster_star" ->
+      // identical closure oracle to q66 — the star transform must land on
+      // the same clusters as min-label propagation
+      """WITH RECURSIVE s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(count(*) AS DOUBLE) / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY a.doc_id, b.doc_id) t
+        |  WHERE j >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS comp FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q38_embed_neardup" ->
       // brute force over the SAME twin-augmented corpus — the oracle the

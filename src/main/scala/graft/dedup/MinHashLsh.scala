@@ -34,6 +34,27 @@ object MinHashLsh {
       .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), numHashes).as("sig"))
   }
 
+  /** LSH band-bucket rows (id, band, bh) for pre-built shingle sets —
+    * the probe/index representation. Per-document and fully
+    * deterministic, so rows computed for a DELTA in isolation are
+    * byte-identical to the rows the full corpus would produce — which
+    * is what makes [[IncrementalDedup]]'s delta-vs-index join exact.
+    */
+  private[graft] def bandRows(sets: DataFrame, idCol: String,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = signatures(sets, idCol, numHashes)
+    // band key: murmur3 over the band's signature slice + band index
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col("sig").getItem(b * rows + r))
+      struct(lit(b).as("band"), hash((lit(b) +: slice): _*).as("bh"))
+    }
+    sig.select(col(idCol).as("id"),
+      explode(array(bandCols: _*)).as("tb"))
+      .select(col("id"), col("tb.band").as("band"), col("tb.bh").as("bh"))
+  }
+
   /** The full lazy pipeline over pre-built shingle sets — exposed
     * separately from [[similarPairs]] so the plan-shape regression gate
     * can fingerprint the candidate-generation plan (banded keyed
@@ -42,18 +63,7 @@ object MinHashLsh {
     */
   private[graft] def pairsPlan(sets: DataFrame, idCol: String, minJaccard: Double,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = signatures(sets, idCol, numHashes)
-
-    // band key: murmur3 over the band's signature slice + band index
-    val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col("sig").getItem(b * rows + r))
-      struct(lit(b).as("band"), hash((lit(b) +: slice): _*).as("bh"))
-    }
-    val banded = sig.select(col(idCol).as("id"),
-      explode(array(bandCols: _*)).as("tb"))
-      .select(col("id"), col("tb.band").as("band"), col("tb.bh").as("bh"))
+    val banded = bandRows(sets, idCol, numHashes, bands)
 
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.id") < col("b.id"))

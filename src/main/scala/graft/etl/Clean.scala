@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -141,6 +141,75 @@ object Clean {
     * single-pass sketch, same call shape. Kept exact here because the
     * oracle compares exact quantiles.
     */
+  /** The 100 TB constant-swap for [[clipOutliersIqr]], PROVEN in-query
+    * (the q62 pattern): quartiles from single-pass `approx_percentile`
+    * sketches, cross-checked against the exact twins computed in the
+    * same aggregation, with the sketch side flattened to scalar 1/0
+    * verdicts. Exact columns compare to the oracle BY VALUE; raw sketch
+    * values (engine-specific) never reach the compared output.
+    *
+    * Verdicts per group:
+    *   - q1_ok / q3_ok: the sketch quartile's EXACT RANK (re-counted
+    *     against the data in the verification pass) is within
+    *     2·ε·n + 2 of the target rank, ε = 1/accuracy — twice the
+    *     sketch's documented rank-error bound, the slack absorbing the
+    *     floor-vs-interpolated target-rank convention and duplicate
+    *     ties. Rank space is the sketch's actual contract; value-space
+    *     bands are meaningless where order statistics are sparse.
+    *   - clip_ok: clipping with sketch-derived bounds classifies all
+    *     but ≤ max(5, 1%) of the group's rows identically to exact
+    *     bounds — the end-to-end effect a pipeline actually cares
+    *     about.
+    */
+  def clipApproxChecked(df: DataFrame, key: String, c: String,
+      k: Double = 3.0, accuracy: Int = 1000): DataFrame = {
+    val b = df.groupBy(col(key))
+      .agg(
+        count(col(c)).as("n_rows"),
+        expr(s"percentile($c, array(0.25, 0.75))").as("__p"),
+        expr(s"approx_percentile($c, array(0.25, 0.75), $accuracy)").as("__a"))
+      .select(col(key), col("n_rows"),
+        col("__p").getItem(0).as("__q1e"), col("__p").getItem(1).as("__q3e"),
+        col("__a").getItem(0).as("__q1a"), col("__a").getItem(1).as("__q3a"))
+      .withColumn("__loE", col("__q1e") - lit(k) * (col("__q3e") - col("__q1e")))
+      .withColumn("__hiE", col("__q3e") + lit(k) * (col("__q3e") - col("__q1e")))
+      .withColumn("__loA", col("__q1a") - lit(k) * (col("__q3a") - col("__q1a")))
+      .withColumn("__hiA", col("__q3a") + lit(k) * (col("__q3a") - col("__q1a")))
+    // ONE verification pass back over the rows (AQE broadcasts the
+    // per-group bounds): clip-decision mismatches AND the sketch
+    // values' exact ranks ride the same keyed aggregation
+    val v = df.select(col(key), col(c))
+      .join(b.select(col(key), col("__loE"), col("__hiE"), col("__loA"), col("__hiA"),
+        col("__q1a"), col("__q3a")), Seq(key))
+      .withColumn("__mm",
+        (((col(c) < col("__loE")) =!= (col(c) < col("__loA"))) ||
+          ((col(c) > col("__hiE")) =!= (col(c) > col("__hiA")))).cast("long"))
+      .groupBy(col(key)).agg(
+        sum(col("__mm")).as("__n_mismatch"),
+        sum((col(c) < col("__q1a")).cast("long")).as("__r1lt"),
+        sum((col(c) <= col("__q1a")).cast("long")).as("__r1le"),
+        sum((col(c) < col("__q3a")).cast("long")).as("__r3lt"),
+        sum((col(c) <= col("__q3a")).cast("long")).as("__r3le"))
+    import graft.functions.roundStable
+    val nD = col("n_rows").cast("double")
+    val tol = lit(2.0 / accuracy) * nD + lit(2.0)
+    def rankOk(lt: Column, le: Column, p: Double): Column =
+      // the value occupies rank interval [lt+1, le]; it passes when that
+      // interval overlaps [p·n − tol, p·n + tol]
+      ((lt + lit(1)).cast("double") <= nD * p + tol) && (le.cast("double") >= nD * p - tol)
+    b.join(v, Seq(key))
+      .select(col(key), col("n_rows"),
+        roundStable(col("__q1e"), 4).as("q1"),
+        roundStable(col("__q3e"), 4).as("q3"),
+        roundStable(col("__loE"), 4).as("lo"),
+        roundStable(col("__hiE"), 4).as("hi"),
+        rankOk(col("__r1lt"), col("__r1le"), 0.25).cast("long").as("q1_ok"),
+        rankOk(col("__r3lt"), col("__r3le"), 0.75).cast("long").as("q3_ok"),
+        (col("__n_mismatch").cast("double") <=
+          greatest(lit(5.0), col("n_rows").cast("double") * lit(0.01)))
+          .cast("long").as("clip_ok"))
+  }
+
   def clipOutliersIqr(
       df: DataFrame,
       keys: Seq[String],

@@ -1,35 +1,50 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Min-label connected components over an undirected edge list — the
-  * missing third stage of near-duplicate removal at corpus scale:
-  * pair finding (MinHash/NGram/SimHash) emits EDGES, but correct dedup
-  * needs the transitive CLUSTERS (a↔b, b↔c must collapse to one
-  * canonical document even when a↔c was never emitted as a pair).
+/** Connected components over an undirected edge list — the missing
+  * third stage of near-duplicate removal at corpus scale: pair finding
+  * (MinHash/NGram/SimHash) emits EDGES, but correct dedup needs the
+  * transitive CLUSTERS (a↔b, b↔c must collapse to one canonical
+  * document even when a↔c was never emitted as a pair).
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with itself; each round every node adopts the minimum label
-  * in its closed neighborhood; convergence when no label changes. Each
-  * round is two keyed shuffles (edge join + min-aggregate) and the
-  * driver sees only a change COUNT per round — labels never collect.
-  * Rounds needed = graph diameter, which for near-dup clusters is small
-  * (dup families are dense); for adversarially long path graphs the
-  * alternating large-star/small-star transform (Kiveris et al.,
-  * "Connected Components in MapReduce", SoCC'14) converges in
-  * O(log n) rounds with the same per-round shuffle shape and is the
-  * drop-in replacement.
+  * Two algorithms, one contract (comp = min member id, deterministic,
+  * partition-independent):
   *
-  * Deterministic: the component id is the minimum member id — no RNG,
-  * no partition dependence.
+  *   - [[minLabel]]: iterative min-label propagation. O(diameter)
+  *     rounds of two keyed shuffles; the right choice for dup-family
+  *     graphs, whose diameter is small (dense clusters of mutual
+  *     near-dups).
+  *   - [[starComponents]]: alternating large-star/small-star edge
+  *     contraction (Kiveris et al., "Connected Components in
+  *     MapReduce and Beyond", SoCC'14) — O(log²n) rounds regardless
+  *     of diameter, same keyed-shuffle shape per round; the fallback
+  *     for adversarial topologies (long paths/chains) where label
+  *     propagation would need diameter rounds.
   */
 object ConnectedComponents {
 
+  /** Re-root an iterative result as a fresh LogicalRDD and materialize
+    * it, running `action` as the materializing pass. Iterative plans
+    * EXPLODE without lineage truncation (each round references the
+    * previous result, doubling the Catalyst tree per round — 12 rounds
+    * is a gigabyte-scale plan string and a driver OOM before any data
+    * moves); the cut keeps every round's plan constant-size while the
+    * persisted blocks keep recompute local.
+    */
+  private def reRootWith(df: DataFrame)(action: DataFrame => Long): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val cut = spark.createDataFrame(df.rdd, df.schema)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (cut, action(cut))
+  }
+
   /** (node, comp) for every node appearing in `edges`; comp = min node
     * id of the connected component. Fails loudly if `maxIters` rounds
-    * don't reach a fixpoint (diameter > maxIters).
+    * don't reach a fixpoint (diameter > maxIters) — for graphs that
+    * can legitimately have long chains, use [[starComponents]].
     */
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
@@ -40,49 +55,114 @@ object ConnectedComponents {
       .filter(col("a") =!= col("b")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val spark = edges.sparkSession
-    // Iterative plans EXPLODE without lineage truncation: each round
-    // references the previous labels twice (neighborhood union + change
-    // count), doubling the Catalyst tree per round — 12 rounds is a
-    // gigabyte-scale plan string and an OOM before any data moves. Each
-    // round therefore re-roots its (persisted, fully materialized)
-    // result as a fresh LogicalRDD: constant-size plan, and recompute
-    // reads the previous round's cached blocks.
-    def reRoot(df: DataFrame): DataFrame = {
-      val cut = spark.createDataFrame(df.rdd, df.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cut.count() // materialize so the parent can be released
-      cut
-    }
     // seed with the closed-neighborhood min directly (node vs its
     // neighbors) — identical to running one propagation round on
     // identity labels, but free: it rides the same groupBy that the
     // distinct node set needs anyway, saving one full round
-    var labels = reRoot(sym.groupBy(col("a").as("node"))
-      .agg(least(min(col("b")), col("a")).as("comp")))
+    var (cur, _) = reRootWith(sym.groupBy(col("a").as("node"))
+      .agg(least(min(col("b")), col("a")).as("comp")))(_.count())
+    var labels = cur
 
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       // min label over the closed neighborhood: the node's own label and
-      // every neighbor's label (one keyed join + one min-aggregate)
+      // every neighbor's label — one keyed join + one min-aggregate.
+      // The node's own row carries its previous label a second time as
+      // `own` (exactly one non-null per group, so max() recovers it):
+      // the convergence signal rides the SAME aggregate, and counting
+      // changed rows doubles as the materializing action — two shuffles
+      // and ONE action per round, no separate old-vs-new join.
       val nbr = sym.join(labels.withColumnRenamed("node", "b"), Seq("b"))
-        .select(col("a").as("node"), col("comp"))
-      val next = reRoot(labels.select(col("node"), col("comp"))
+        .select(col("a").as("node"), col("comp"), lit(null).cast("long").as("own"))
+      val merged = labels.select(col("node"), col("comp"), col("comp").as("own"))
         .union(nbr)
-        .groupBy("node").agg(min(col("comp")).as("comp")))
-      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+        .groupBy("node").agg(min(col("comp")).as("comp"), max(col("own")).as("old"))
+      val (cut, delta) = reRootWith(merged)(
+        _.filter(col("comp") =!= col("old")).count())
+      changed = delta
+      cur.unpersist()
+      cur = cut
+      labels = cut.select("node", "comp")
       iter += 1
     }
     require(changed == 0,
       s"connected components did not converge in $maxIters rounds — " +
-        "graph diameter exceeds the cap; raise maxIters or switch to star transforms")
+        "graph diameter exceeds the cap; raise maxIters or use starComponents")
     val out = labels.localCheckpoint()
-    labels.unpersist()
+    cur.unpersist()
     sym.unpersist()
+    out
+  }
+
+  /** (node, comp) via alternating large-star/small-star contraction —
+    * diameter-independent: O(log²n) rounds on ANY topology, so a
+    * 10⁶-node path graph converges in a handful of rounds where
+    * [[minLabel]] would need 10⁶.
+    *
+    * Edges are kept canonically oriented high→low (u > v). Per round:
+    *
+    *   large-star: every node connects its LARGER neighbors to the min
+    *   of its closed neighborhood — long chains fold toward minima;
+    *   small-star: every node connects its smaller neighbors (and
+    *   itself) to the minimum among them — stars flatten.
+    *
+    * The fixpoint is a disjoint union of stars whose centers are the
+    * component minima (Kiveris et al., Thm 3.1/3.2), read off directly
+    * as (node → center) plus (center → center).
+    */
+  def starComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+    // canonical high→low orientation; the node set is preserved across
+    // rounds because every round re-emits each node as a source or a
+    // target (isolated-in-input nodes don't exist by construction)
+    var (cur, curCnt) = reRootWith(
+      e0.select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+        .distinct())(_.count())
+
+    var iter = 0
+    var stable = curCnt == 0L // an empty edge set is already converged
+    while (!stable && iter < maxIters) {
+      // ---- large-star: per node, min over the CLOSED neighborhood ----
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      // connect each larger neighbor to the neighborhood min; m ≤ u < v
+      // keeps the high→low orientation with no self loops
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+      // ---- small-star: per node, min over its SMALLER neighbors ----
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val rewired = large.join(minsS, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // v ≥ m ⇒ oriented
+      val small = rewired.union(minsS.select(col("u"), col("m").as("v"))).distinct()
+
+      val (next, nextCnt) = reRootWith(small)(_.count())
+      // fixpoint test: both sets are distinct, so equal counts plus an
+      // empty one-sided difference ⇒ set equality (one extra keyed
+      // shuffle per round — the price of a sound convergence signal)
+      stable = nextCnt == curCnt &&
+        next.exceptAll(cur).limit(1).count() == 0L
+      cur.unpersist()
+      cur = next
+      curCnt = nextCnt
+      iter += 1
+    }
+    require(stable,
+      s"star contraction did not converge in $maxIters rounds — " +
+        "raise maxIters (expected O(log²n) for any graph)")
+    // stars: every non-center points at its center; centers appear only
+    // as targets and label themselves
+    val out = cur.select(col("u").as("node"), col("v").as("comp"))
+      .union(cur.select(col("v").as("node"), col("v").as("comp")))
+      .distinct()
+      .localCheckpoint()
+    cur.unpersist()
     out
   }
 }

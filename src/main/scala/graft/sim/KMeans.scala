@@ -25,17 +25,19 @@ object KMeans {
 
   /** Squared-distance argmin assignment expression for fixed centroids:
     * d_j = −2·v·c_j + |c_j|² (the |v|² term is constant per row and
-    * cannot change the argmin). `array_min` over (d, j) structs compares
-    * lexicographically — deterministic index tie-break.
+    * cannot change the argmin); ties resolve to the lowest index.
+    *
+    * The centroid matrix travels as ONE non-primitive literal into
+    * [[graft.functions.CentroidExpressions.NearestCentroid]] — a fixed
+    * LOOP in generated code, so (a) every Lloyd iteration reuses the
+    * same Janino-compiled stage (per-centroid primitive literals would
+    * inline and force a recompile per iteration), and (b) code size is
+    * constant in k (the unrolled form blows the 64 KB method limit
+    * around k≈256 and silently de-optimizes to interpreted rows).
     */
-  def assignExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
-    val cands = centroids.zipWithIndex.map { case (c, j) =>
-      val cLit = array(c.map(lit).toIndexedSeq: _*)
-      val d = lit(-2.0) * Similarity.dot(vecCol, cLit) + lit(c.map(x => x * x).sum)
-      struct(d.as("d"), lit(j).as("j"))
-    }
-    array_min(array(cands.toIndexedSeq: _*)).getField("j")
-  }
+  def assignExpr(vecCol: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.CentroidExpressions.nearestCentroid(
+      vecCol, typedLit(centroids.map(_.toSeq).toSeq))
 
   private def vecOf(vecCol: String)(r: org.apache.spark.sql.Row): Array[Double] =
     r.getSeq[Float](r.fieldIndex(vecCol)).map(_.toDouble).toArray
@@ -51,8 +53,12 @@ object KMeans {
       .map(vecOf(vecCol))
 
   /** Farthest-point initial centroids (k rows collected, one scan per
-    * seed). At 100 TB you would run this on a deterministic hash-sample
-    * ([[graft.etl.Sampling.deterministic]]) — the traversal is O(k·n).
+    * seed). The traversal is O(k·n) on its input — [[fit]] hands it a
+    * deterministic hash-sample, not the full corpus, so each of the k
+    * scans touches a bounded row count at any corpus size. The distance
+    * column is [[graft.functions.CentroidExpressions.MinCentroidDist]]
+    * over the seed set as one literal: identical generated source per
+    * scan (one codegen compile for all k), constant code size.
     */
   private def init(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
@@ -61,11 +67,8 @@ object KMeans {
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(1).collect()(0)
     val seeds = scala.collection.mutable.ArrayBuffer(vecOf(first))
     while (seeds.size < k) {
-      val minDist = seeds.map { c =>
-        val cLit = array(c.map(lit).toIndexedSeq: _*)
-        Similarity.dot(col(vecCol), col(vecCol)) -
-          lit(2.0) * Similarity.dot(col(vecCol), cLit) + lit(c.map(x => x * x).sum)
-      }.reduce(least(_, _))
+      val minDist = graft.functions.CentroidExpressions.minCentroidDist(
+        col(vecCol), typedLit(seeds.toSeq.map(_.toSeq)))
       val far = df.select(col(idCol), col(vecCol), minDist.as("__d"))
         .orderBy(col("__d").desc, col(idCol)).limit(1).collect()(0)
       seeds += vecOf(far)
@@ -89,11 +92,13 @@ object KMeans {
     val l = 2 * k
     var seeds = initHash(df, idCol, vecCol, 1)
     for (round <- 0 until rounds) {
-      val costExpr = seeds.map { c =>
-        val cLit = array(c.map(lit).toIndexedSeq: _*)
-        Similarity.dot(col(vecCol), col(vecCol)) -
-          lit(2.0) * Similarity.dot(col(vecCol), cLit) + lit(c.map(x => x * x).sum)
-      }.reduce(least(_, _))
+      // one literal seed matrix + loop expression: the cost column's
+      // generated source is identical every round regardless of how many
+      // candidates accumulated (the per-seed least()-chain it replaces
+      // grew with the pool — the measured reason || seeding lost to
+      // farthest-point at small k)
+      val costExpr = graft.functions.CentroidExpressions.minCentroidDist(
+        col(vecCol), typedLit(seeds.toSeq.map(_.toSeq)))
       val costs = df.select(col(idCol), col(vecCol), greatest(costExpr, lit(0.0)).as("__cost"))
       val total = costs.agg(sum(col("__cost"))).first().getDouble(0)
       if (total <= 0) return seeds // all points coincide with seeds
@@ -149,12 +154,20 @@ object KMeans {
 
   /** Lloyd's iterations; returns the final centroid matrix. Empty
     * clusters keep their previous centroid. `seeding` is "farthest"
-    * (default; one scan per seed, lands one seed per separated cluster),
-    * "parallel" (k-means||: O(rounds) scans independent of k — use for
-    * large k), or "hash" (one scan total; for many small codebooks).
+    * (default; one scan per seed over a bounded hash-sample, lands one
+    * seed per separated cluster), "parallel" (k-means||: O(rounds)
+    * scans independent of k — use for large k), or "hash" (one scan
+    * total; for many small codebooks).
+    *
+    * `seedSampleTarget` bounds what farthest-point seeding scans: a
+    * deterministic xxhash64(id) threshold sample of ~that many rows
+    * (the full corpus when it's already smaller, so small/spec corpora
+    * behave identically). Seeds only need to SPREAD, not to be optimal
+    * — Lloyd's iterations over the full data do the refining — and the
+    * k sequential scans stop costing O(k·n) at corpus scale.
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5,
-      seeding: String = "farthest"): Array[Array[Double]] = {
+      seeding: String = "farthest", seedSampleTarget: Int = 4096): Array[Array[Double]] = {
     // the trainer scans the same (id, vec) projection k times for
     // farthest-point seeding plus once per Lloyd's iteration — persist
     // it instead of re-reading (and re-decoding) parquet every job
@@ -167,16 +180,36 @@ object KMeans {
       val have = base.limit(k).count()
       require(have >= k,
         s"k-means needs at least k=$k rows; corpus has only $have — lower k")
-      fitOn(base, idCol, vecCol, k, iters, seeding)
+      fitOn(base, idCol, vecCol, k, iters, seeding, seedSampleTarget)
     } finally base.unpersist()
   }
 
+  /** Deterministic, partition-independent hash-threshold sample of
+    * roughly `target` rows for seeding. Falls back to the full input
+    * when the input is small or the sample came out thinner than k
+    * (skewed id space). Single partition: the k seeding scans become
+    * single-task jobs — at 4096 rows the scheduler, not the scan, is
+    * the cost.
+    */
+  private def seedSample(base: DataFrame, idCol: String, k: Int, target: Int): DataFrame = {
+    val n = base.count()
+    if (n <= target) return base
+    val num = math.max(1L, math.round(target.toDouble / n * 1000000L))
+    val s = base.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < lit(num))
+      .coalesce(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (s.count() >= k) s else { s.unpersist(); base }
+  }
+
   private def fitOn(base: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
-      seeding: String): Array[Array[Double]] = {
+      seeding: String, seedSampleTarget: Int): Array[Array[Double]] = {
     var centroids = seeding match {
       case "hash"     => initHash(base, idCol, vecCol, k)
       case "parallel" => initParallel(base, idCol, vecCol, k)
-      case _          => init(base, idCol, vecCol, k)
+      case _ =>
+        val sample = seedSample(base, idCol, k, seedSampleTarget)
+        try init(sample, idCol, vecCol, k)
+        finally if (!(sample eq base)) sample.unpersist()
     }
     val dim = centroids(0).length
     for (_ <- 0 until iters) {

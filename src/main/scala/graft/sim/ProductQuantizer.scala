@@ -69,10 +69,13 @@ object ProductQuantizer {
       Array.tabulate(dsub)(t => seedRows(c)(j * dsub + t).toDouble)
     }
     for (_ <- 0 until iters) {
-      val assignC = (1 until m).foldLeft(
-        when(col("j") === 0, KMeans.assignExpr(col("sub"), cents(0)))) { (acc, j) =>
-        acc.when(col("j") === j, KMeans.assignExpr(col("sub"), cents(j)))
-      }
+      // the whole m×ksub×dsub codebook tensor as ONE literal, indexed by
+      // the row's subspace id — no per-subspace when()-chain (whose
+      // inlined centroid constants forced a Janino recompile every
+      // iteration and grew the generated method with m·ksub)
+      val tensor = typedLit(cents.map(_.map(_.toSeq).toSeq).toSeq)
+      val assignC = graft.functions.CentroidExpressions.nearestCentroid(
+        col("sub"), element_at(tensor, col("j") + 1))
       val means = subs.withColumn("__c", assignC)
         .select(col("j"), col("__c"), posexplode(col("sub")))
         .groupBy(col("j"), col("__c"), col("pos"))

@@ -168,6 +168,9 @@ class OperatorEdgeSpec extends AnyFunSuite {
     checked("CC") {
       operators.ConnectedComponents.minLabel(pairs, "id_a", "id_b").count()
     }
+    checked("CC star") {
+      operators.ConnectedComponents.starComponents(pairs, "id_a", "id_b").count()
+    }
     // the LSH near-dup bucket index must be released too
     val emb = Tables.embeddings(spark, sfDir)
     checked("LSH near-dup") {
@@ -344,6 +347,37 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"expected a loud non-convergence error, got: ${e.getMessage}")
   }
 
+  test("star contraction converges on a >25-diameter path where minLabel's cap trips") {
+    // diameter 39: past minLabel's default 25-round cap — the adversarial
+    // topology the star transform exists for. O(log²n) rounds, so a tight
+    // maxIters=8 must suffice where label propagation needs 39.
+    val path = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      operators.ConnectedComponents.minLabel(path, "a", "b") // default cap: must trip
+    }
+    val comp = operators.ConnectedComponents.starComponents(path, "a", "b", maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 40 && comp.values.forall(_ == 1L),
+      s"40-node path must collapse to component 1: $comp")
+  }
+
+  test("star contraction equals minLabel on mixed topologies, partition-independent") {
+    // chain + triangle-with-pendant + isolated edge (the minLabel fixture)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L),
+      (21L, 20L)
+    ).toDF("a", "b")
+    val viaMin = operators.ConnectedComponents.minLabel(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7)) {
+      val viaStar = operators.ConnectedComponents.starComponents(
+        edges.repartition(parts), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaMin, s"star vs minLabel under $parts partitions: $viaStar != $viaMin")
+    }
+  }
+
   test("binned range join equals the naive BETWEEN join, reversed intervals match nothing") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val points = Seq(
@@ -441,5 +475,80 @@ class OperatorEdgeSpec extends AnyFunSuite {
     val out = etl.Clean.clipOutliersIqr(df, Seq("g"), Seq("v"), k = 1.5)
     assert(out.agg(max(col("v"))).first().getDouble(0) < 10000.0)
     assert(out.filter(col("v") === 50.0).count() == 1)
+  }
+
+  test("clipApproxChecked: sketch quartiles in rank band, clip decisions agree") {
+    val out = etl.Clean.clipApproxChecked(Tables.events(spark, sfDir), "event_type", "value")
+      .collect()
+    assert(out.length == 5, s"expected 5 event_type groups, got ${out.length}")
+    for (r <- out; c <- Seq("q1_ok", "q3_ok", "clip_ok")) {
+      assert(r.getLong(r.fieldIndex(c)) == 1L,
+        s"${r.getString(0)}: $c failed — sketch outside its accuracy contract")
+    }
+    // exact columns really are the exact quantiles (same values
+    // clipOutliersIqr derives its bounds from)
+    val exact = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(expr("percentile(value, 0.25)").as("q1x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (r <- out) {
+      val want = math.floor(exact(r.getString(0)) * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(r.fieldIndex("q1")) == want)
+    }
+  }
+
+  test("KMeans farthest seeding engages the hash-sample above the target and still recovers") {
+    // 3 planted clusters × 1800 pts = 5400 rows > the 4096 default
+    // sample target — the seeding scans run on the bounded sample, and
+    // the recovered clustering must be unchanged in quality and still
+    // partition-independent
+    val centers = Seq(Array.fill(4)(30.0f), Array.fill(4)(-30.0f),
+      Array.tabulate(4)(i => if (i % 2 == 0) 30.0f else -30.0f))
+    val pts = for {
+      (c, g) <- centers.zipWithIndex
+      j <- 0 until 1800
+    } yield (g.toLong * 10000 + j, g,
+      c.zipWithIndex.map { case (x, i) => x + ((j * 7 + i) % 11) * 0.01f })
+    val df = pts.toDF("id", "planted", "vec")
+    def run(parts: Int) = sim.KMeans.fitAssign(df.repartition(parts), "id", "vec",
+      k = 3, iters = 3).select("id", "planted", "cluster").collect()
+    val a = run(3)
+    val mapping = a.groupBy(_.getInt(1)).view.mapValues(_.map(_.getInt(2)).distinct.toSeq).toMap
+    assert(mapping.values.forall(_.size == 1), s"planted group split: $mapping")
+    assert(mapping.values.flatten.toSet.size == 3, s"clusters merged: $mapping")
+    val b = run(8)
+    assert(a.map(r => r.getLong(0) -> r.getInt(2)).toMap ==
+      b.map(r => r.getLong(0) -> r.getInt(2)).toMap,
+      "sampled seeding must stay partition-independent")
+  }
+
+  test("incremental dedup: delta-vs-index pairs equal full-corpus pairs restricted to the delta") {
+    val corpus = Tables.documents(spark, sfDir)
+    // the delta: fresh ids (append-only contract), texts = exact copies
+    // of every 7th corpus doc — planting guaranteed cross pairs so the
+    // equality below can't pass vacuously
+    val delta = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    spark.sql("DROP TABLE IF EXISTS inc_bands")
+    spark.sql("DROP TABLE IF EXISTS inc_sets")
+    for (t <- Seq("inc_bands", "inc_sets")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    dedup.IncrementalDedup.writeIndex(corpus.select("doc_id", "text"), "doc_id", "text",
+      "inc", buckets = 4)
+    val incr = dedup.IncrementalDedup.deltaPairs(spark, delta, "doc_id", "text",
+      "inc", minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val deltaIds = delta.select("doc_id").as[Long].collect().toSet
+    val full = dedup.MinHashLsh.similarPairs(
+      corpus.select("doc_id", "text").unionByName(delta), "doc_id", "text",
+      n = 3, minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val restricted = full.filter { case (a, b) => deltaIds(a) || deltaIds(b) }
+    assert(restricted.nonEmpty, "planting failed — no pairs touch the delta")
+    assert(incr == restricted,
+      s"delta join must equal the full recompute restricted to the delta: " +
+        s"missing=${restricted -- incr} extra=${incr -- restricted}")
   }
 }
