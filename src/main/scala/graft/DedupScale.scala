@@ -71,8 +71,6 @@ object DedupScale {
       val docs = spark.range(r).crossJoin(base)
         .select((col("doc_id") * r + col("id")).as("doc_id"),
           concat(col("text"), lit(" replicatag"), col("id")).as("text"))
-      spark.sql("DROP TABLE IF EXISTS dsidx_bands")
-      spark.sql("DROP TABLE IF EXISTS dsidx_sets")
       val t0 = System.nanoTime()
       dedup.IncrementalDedup.writeIndex(docs, "doc_id", "text", "dsidx", buckets = 32)
       val tIdx = (System.nanoTime() - t0) / 1e9

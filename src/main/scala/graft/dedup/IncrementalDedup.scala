@@ -38,12 +38,29 @@ object IncrementalDedup {
   private def bandsTable(name: String) = s"${name}_bands"
   private def setsTable(name: String)  = s"${name}_sets"
 
-  /** Build the persistent index over the current corpus. One full scan;
-    * `buckets` should be sized so a bucket's band rows fit an executor
-    * task (corpus_rows × bands / buckets).
+  /** Drop a managed table AND any stale warehouse directory left behind
+    * by a previous process: an in-memory metastore forgets the table
+    * between JVMs while its location survives, and `saveAsTable` then
+    * fails with LOCATION_ALREADY_EXISTS. Rebuild semantics means both
+    * must go.
+    */
+  private def dropForRebuild(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Build the persistent index over the current corpus (full-rebuild
+    * semantics: replaces any previous index of this name). One full
+    * scan; `buckets` should be sized so a bucket's band rows fit an
+    * executor task (corpus_rows × bands / buckets).
     */
   def writeIndex(df: DataFrame, idCol: String, textCol: String, name: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32, buckets: Int = 8): Unit = {
+    dropForRebuild(df.sparkSession, setsTable(name))
+    dropForRebuild(df.sparkSession, bandsTable(name))
     val sets = NGramJaccard.shingleSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.sources.Io.writeBucketed(

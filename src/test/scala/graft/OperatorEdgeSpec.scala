@@ -201,6 +201,40 @@ class OperatorEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("centroid expressions compile codegen-only and match the driver-side argmin") {
+    // an interpreted fallback here would silently void the one-compile-
+    // per-stage training claim — CODEGEN_ONLY makes it an error; the
+    // interpreted eval path is exercised by the same assertions below
+    // via a fresh non-codegen projection
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0), Seq(10.0, -10.0))
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f)),    // → centroid 0
+      (2L, Array(9.0f, 11.0f)),   // → centroid 1
+      (3L, Array(11.0f, -9.0f)),  // → centroid 2
+      (4L, Array(5.0f, 5.0f))     // equidistant 0/1 → tie breaks LOW (0)
+    ).toDF("id", "vec")
+    val want = Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0)
+    val wantD = Map(1L -> 2.0, 2L -> 2.0, 3L -> 2.0, 4L -> 50.0)
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val out = df.select(col("id"),
+          functions.CentroidExpressions.nearestCentroid(col("vec"), typedLit(cents)).as("c"),
+          functions.CentroidExpressions.minCentroidDist(col("vec"), typedLit(cents)).as("d"))
+          .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+        assert(out.view.mapValues(_._1).toMap == want, s"[$mode] assignments")
+        for ((id, (_, d)) <- out)
+          assert(math.abs(d - wantD(id)) < 1e-9, s"[$mode] id=$id dist $d != ${wantD(id)}")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+          case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+        }
+      }
+    }
+  }
+
   test("sortedIntersectCount equals array_intersect size (and compiles codegen-only)") {
     val df = Seq(
       (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),     // partial overlap
@@ -528,12 +562,8 @@ class OperatorEdgeSpec extends AnyFunSuite {
     // equality below can't pass vacuously
     val delta = corpus.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    spark.sql("DROP TABLE IF EXISTS inc_bands")
-    spark.sql("DROP TABLE IF EXISTS inc_sets")
-    for (t <- Seq("inc_bands", "inc_sets")) {
-      val dir = new java.io.File(s"spark-warehouse/$t")
-      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
-    }
+    // no manual warehouse cleanup: writeIndex's rebuild semantics must
+    // clear both the catalog entry and any stale location itself
     dedup.IncrementalDedup.writeIndex(corpus.select("doc_id", "text"), "doc_id", "text",
       "inc", buckets = 4)
     val incr = dedup.IncrementalDedup.deltaPairs(spark, delta, "doc_id", "text",
