@@ -20,8 +20,12 @@ object DedupScale {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     // per-phase Spark job counter: the CC change-count fold claims two
-    // shuffles and ONE action per round — jobs-per-round is the direct
-    // observable for that claim
+    // shuffles and ONE action per round — jobs-per-round is the
+    // observable for that claim. APPROXIMATE by construction: listener
+    // events arrive asynchronously on the bus, so a read right after an
+    // action can lag by a job or bleed one into the next phase; good
+    // enough for the order-of-magnitude claim it backs (12 vs 24 jobs),
+    // not for exact equality assertions.
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -81,6 +85,22 @@ object DedupScale {
         "dsidx", minJaccard = 0.8).count()
       val tDelta = (System.nanoTime() - t1) / 1e9
       println(f"[incdedup]   corpus=${baseN * r}%8d delta=$baseN%8d  pairs=$nDelta%10d  index=${tIdx}%8.2f s  delta=${tDelta}%8.2f s")
+      // the full cycle: fold the delta in (append must cost O(delta), not
+      // O(index) — the bucketed tables never rewrite), then run a second
+      // delta of twins of the FIRST delta; its pairs are index-side hits
+      // that only exist if the append really landed
+      val t2 = System.nanoTime()
+      dedup.IncrementalDedup.appendToIndex(delta, "doc_id", "text", "dsidx")
+      val tApp = (System.nanoTime() - t2) / 1e9
+      val delta2 = base.select((col("doc_id") * r + lit(baseN * (r + 1))).as("doc_id"),
+        concat(col("text"), lit(" replicatag0")).as("text"))
+      val t3 = System.nanoTime()
+      val nDelta2 = dedup.IncrementalDedup.deltaPairs(spark, delta2, "doc_id", "text",
+        "dsidx", minJaccard = 0.8).count()
+      val tDelta2 = (System.nanoTime() - t3) / 1e9
+      require(nDelta2 > nDelta,
+        s"second delta must see first-delta twins as index pairs: $nDelta2 <= $nDelta")
+      println(f"[incappend]  corpus=${baseN * (r + 1)}%8d delta=$baseN%8d  pairs=$nDelta2%10d  append=${tApp}%8.2f s  delta=${tDelta2}%8.2f s")
       Blocks.releaseAll(spark)
     }
 

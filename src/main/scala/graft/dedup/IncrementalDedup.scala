@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   * delta to the index's bucket layout.
   *
   * Contract: delta ids are disjoint from index ids (append-only id
-  * space — the natural property of ingest batches).
+  * space — the natural property of ingest batches). Enforced, not
+  * assumed: [[deltaPairs]] filters same-id candidates so a re-ingested
+  * id cannot emit a self-pair, and [[appendToIndex]] anti-joins
+  * already-indexed ids away — which also makes the append IDEMPOTENT
+  * under at-least-once replay (the streaming ingest shape,
+  * [[graft.streaming.DedupStream]]).
   */
 object IncrementalDedup {
 
@@ -45,11 +50,24 @@ object IncrementalDedup {
     * must go.
     */
   private def dropForRebuild(spark: SparkSession, table: String): Unit = {
+    // resolve the location from the catalog while the entry still exists
+    // (correct under ANY current database — <warehouse>/<db>.db/<table>);
+    // fall back to the default-database layout for the orphaned-directory
+    // case where a previous JVM's in-memory catalog entry is gone
+    val loc: org.apache.hadoop.fs.Path =
+      if (spark.catalog.tableExists(table))
+        new org.apache.hadoop.fs.Path(
+          org.apache.spark.sql.GraftShims.tableLocation(spark, table))
+      else {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val db = spark.catalog.currentDatabase
+        val dir = if (db == "default") table.toLowerCase
+                  else s"${db.toLowerCase}.db/${table.toLowerCase}"
+        new org.apache.hadoop.fs.Path(wh, dir)
+      }
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Build the persistent index over the current corpus (full-rebuild
@@ -73,16 +91,34 @@ object IncrementalDedup {
   }
 
   /** Fold a verified batch into the index so the NEXT delta sees it.
-    * Append-only on both tables (bucketed appends keep the layout).
+    * Appends re-state the tables' own catalog bucket spec (a bucketed
+    * append without one is an AnalysisException), so the layout — and the
+    * shuffle-free delta join it buys — survives every batch.
+    *
+    * IDEMPOTENT: ids already present in the index are anti-joined away
+    * first (the sets table is bucketed by id — the big side never
+    * shuffles), so replaying a batch appends zero rows. This is what lets
+    * an at-least-once caller (foreachBatch, [[graft.streaming.DedupStream]])
+    * fold batches without a transaction log, and it enforces the
+    * append-only-id contract instead of silently corrupting the index.
     */
   def appendToIndex(delta: DataFrame, idCol: String, textCol: String, name: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32): Unit = {
-    val sets = NGramJaccard.shingleSets(delta, idCol, textCol, n)
+    val spark = delta.sparkSession
+    val indexed = spark.table(setsTable(name)).select(col("id").as(idCol))
+    val fresh = delta.join(indexed, Seq(idCol), "left_anti")
+    val sets = NGramJaccard.shingleSets(fresh, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sets.select(col(idCol).as("id"), col("shh"), col("n_sh"))
-      .write.mode("append").format("parquet").saveAsTable(setsTable(name))
-    MinHashLsh.bandRows(sets, idCol, numHashes, bands)
-      .write.mode("append").format("parquet").saveAsTable(bandsTable(name))
+    // bands BEFORE sets: the anti-join above gates on the sets table, so
+    // appending sets last makes it the commit marker. A crash between the
+    // two appends leaves only orphan band rows, which a replay duplicates
+    // harmlessly (candidates are distinct()-ed); the reverse order would
+    // leave ids that gate as "done" with their band rows missing — silent
+    // recall loss forever after.
+    graft.sources.Io.appendBucketed(
+      MinHashLsh.bandRows(sets, idCol, numHashes, bands), bandsTable(name))
+    graft.sources.Io.appendBucketed(
+      sets.select(col(idCol).as("id"), col("shh"), col("n_sh")), setsTable(name))
     sets.unpersist()
   }
 
@@ -101,8 +137,12 @@ object IncrementalDedup {
     val iBands = spark.table(bandsTable(name))
 
     // delta-vs-corpus: only the delta side shuffles (index is bucketed
-    // on bh); delta-vs-delta: banded self-join within the batch
+    // on bh); delta-vs-delta: banded self-join within the batch. The
+    // d.id =!= i.id guard covers the one contract violation the join
+    // could otherwise smuggle through — a re-ingested id would meet its
+    // own index rows band-for-band and emit a bogus (id, id, 1.0) pair.
     val cross = dBands.as("d").join(iBands.as("i"), Seq("band", "bh"))
+      .filter(col("d.id") =!= col("i.id"))
       .select(least(col("d.id"), col("i.id")).as("id_a"),
         greatest(col("d.id"), col("i.id")).as("id_b"))
     val within = dBands.as("a").join(dBands.as("b"), Seq("band", "bh"))

@@ -187,16 +187,19 @@ object KMeans {
   /** Deterministic, partition-independent hash-threshold sample of
     * roughly `target` rows for seeding. Falls back to the full input
     * when the input is small or the sample came out thinner than k
-    * (skewed id space). Single partition: the k seeding scans become
-    * single-task jobs — at 4096 rows the scheduler, not the scan, is
-    * the cost.
+    * (skewed id space). Single partition so the k seeding scans become
+    * single-task jobs — via repartition(1), NOT coalesce(1): coalesce
+    * propagates the 1-partition constraint BELOW the filter, collapsing
+    * the full-corpus scan into one task (single-threaded O(n) at the
+    * scale this sampling exists for), while repartition keeps the scan
+    * parallel and shuffles only the ~4096 surviving rows.
     */
   private def seedSample(base: DataFrame, idCol: String, k: Int, target: Int): DataFrame = {
     val n = base.count()
     if (n <= target) return base
     val num = math.max(1L, math.round(target.toDouble / n * 1000000L))
     val s = base.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < lit(num))
-      .coalesce(1)
+      .repartition(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (s.count() >= k) s else { s.unpersist(); base }
   }

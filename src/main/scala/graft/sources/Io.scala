@@ -161,4 +161,22 @@ object Io {
       .format("parquet").bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** Append to an existing bucketed table, preserving its layout. Spark
+    * REFUSES a bucketed append unless the writer re-states a bucket spec
+    * identical to the table's ("Specified bucketing does not match that
+    * of the existing table"), so the spec is read back from the catalog —
+    * callers cannot drift from whatever [[writeBucketed]] created.
+    */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val (buckets, bucketCols, sortCols) =
+      org.apache.spark.sql.GraftShims.bucketSpec(df.sparkSession, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"appendBucketed: table $table exists without a bucket spec — " +
+            "use a plain append or rewrite it with writeBucketed"))
+    val w = df.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -17,4 +17,26 @@ object GraftShims {
   def hasOptimizerRule(spark: SparkSession, rule: AnyRef): Boolean =
     spark.asInstanceOf[classic.SparkSession].sessionState.optimizer
       .extendedOperatorOptimizationRules.exists(_ eq rule)
+
+  /** Bucket spec of a catalog table as (numBuckets, bucketCols, sortCols),
+    * None when the table is unbucketed. Reading it from the catalog (vs
+    * threading a count parameter around) makes bucketed APPENDS
+    * mismatch-proof: the writer re-states exactly the spec the table was
+    * created with.
+    */
+  def bucketSpec(spark: SparkSession, table: String): Option[(Int, Seq[String], Seq[String])] = {
+    val ss = spark.asInstanceOf[classic.SparkSession].sessionState
+    val ident = ss.sqlParser.parseTableIdentifier(table)
+    ss.catalog.getTableMetadata(ident).bucketSpec
+      .map(b => (b.numBuckets, b.bucketColumnNames, b.sortColumnNames))
+  }
+
+  /** Resolved storage location of a catalog table — correct under any
+    * current database (<warehouse>/<db>.db/<table>), unlike path
+    * reconstruction from the warehouse dir.
+    */
+  def tableLocation(spark: SparkSession, table: String): java.net.URI = {
+    val ss = spark.asInstanceOf[classic.SparkSession].sessionState
+    ss.catalog.getTableMetadata(ss.sqlParser.parseTableIdentifier(table)).location
+  }
 }

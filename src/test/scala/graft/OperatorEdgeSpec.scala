@@ -581,4 +581,49 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"delta join must equal the full recompute restricted to the delta: " +
         s"missing=${restricted -- incr} extra=${incr -- restricted}")
   }
+
+  test("incremental dedup full cycle: build → delta → append → next delta sees appended docs; replay idempotent") {
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // batch1: twins of every 11th corpus doc; batch2: twins of BATCH 1
+    // docs — batch2's pairs can only be complete if appendToIndex really
+    // folded batch1 in (the planted cross-batch edges are index-side)
+    val batch1 = corpus.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val batch2 = batch1
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+
+    dedup.IncrementalDedup.writeIndex(corpus, "doc_id", "text", "cyc", buckets = 4)
+    dedup.IncrementalDedup.deltaPairs(spark, batch1, "doc_id", "text", "cyc", 0.8).count()
+    dedup.IncrementalDedup.appendToIndex(batch1, "doc_id", "text", "cyc")
+
+    val p2 = dedup.IncrementalDedup.deltaPairs(spark, batch2, "doc_id", "text", "cyc", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1Ids = batch1.select("doc_id").as[Long].collect().toSet
+    val b2Ids = batch2.select("doc_id").as[Long].collect().toSet
+    assert(p2.exists { case (a, b) => b1Ids(a) || b1Ids(b) },
+      "append lost: batch2 twins of batch1 docs must pair against the index")
+    val full = dedup.MinHashLsh.similarPairs(
+      corpus.unionByName(batch1).unionByName(batch2), "doc_id", "text",
+      n = 3, minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val restricted = full.filter { case (a, b) => b2Ids(a) || b2Ids(b) }
+    assert(p2 == restricted,
+      s"post-append delta must equal the full recompute restricted to batch2: " +
+        s"missing=${restricted -- p2} extra=${p2 -- restricted}")
+
+    // at-least-once replay: re-appending batch1 must append ZERO rows to
+    // either table (the anti-join gate), keeping the index byte-stable
+    val setsN = spark.table("cyc_sets").count()
+    val bandsN = spark.table("cyc_bands").count()
+    dedup.IncrementalDedup.appendToIndex(batch1, "doc_id", "text", "cyc")
+    assert(spark.table("cyc_sets").count() == setsN, "replay duplicated set rows")
+    assert(spark.table("cyc_bands").count() == bandsN, "replay duplicated band rows")
+
+    // contract enforcement: a delta that re-ingests an INDEXED id must
+    // not emit a self-pair from meeting its own index rows
+    val reSent = corpus.filter(col("doc_id") % 11 === 0).limit(3)
+    val self = dedup.IncrementalDedup.deltaPairs(spark, reSent, "doc_id", "text", "cyc", 0.8)
+      .filter(col("id_a") === col("id_b")).count()
+    assert(self == 0L, "re-ingested id emitted a self-pair")
+  }
 }
