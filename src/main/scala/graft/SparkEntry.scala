@@ -581,6 +581,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q70_incremental_dedup" -> ((s, dir) => {
+      // the production ingest shape, driver-gated: rebuild a small LSH
+      // index over the corpus (rebuild semantics keep Bench's cold+warm
+      // double run idempotent), then dedup a planted delta — twins of
+      // every 7th doc under fresh ids — against it WITHOUT recomputing
+      // any corpus-vs-corpus pair. Oracle = the exact-Jaccard closure
+      // over corpus ∪ delta RESTRICTED to pairs touching the delta: the
+      // O(delta) join must say exactly what a full recompute would have
+      // said about the new docs (banding at b=32/r=4 has ~1e-15 miss
+      // probability at j≥0.8, and exact verification kills every false
+      // positive — same argument as q35).
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      dedup.IncrementalDedup.writeIndex(docs, "doc_id", "text", "q70idx", buckets = 4)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      dedup.IncrementalDedup.deltaPairs(s, delta, "doc_id", "text", "q70idx", minJaccard = 0.8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          roundStable(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q60_text_normalize" -> ((s, dir) =>
       // LLM-pipeline text canonicalization: lowercase, mask URLs and
       // emails, collapse whitespace — all codegen'd string expressions
@@ -1440,6 +1461,28 @@ object SparkEntry {
         |  CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q70_incremental_dedup" ->
+      // full exact-Jaccard recompute over corpus ∪ delta, restricted to
+      // pairs with a delta endpoint — what the O(delta) incremental join
+      // must reproduce exactly
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |s AS (SELECT doc_id, str_split(text, ' ') AS w FROM docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh)
+        |SELECT doc_a, doc_b, roundStable(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE) / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id) t
+        |WHERE j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q38_embed_neardup" ->
       // brute force over the SAME twin-augmented corpus — the oracle the

@@ -113,20 +113,26 @@ object ConnectedComponents {
     */
   def starComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
     // canonical high→low orientation; the node set is preserved across
     // rounds because every round re-emits each node as a source or a
     // target (isolated-in-input nodes don't exist by construction)
-    var (cur, curCnt) = reRootWith(
+    var (curCut, curCnt) = reRootWith(
       e0.select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
         .distinct())(_.count())
+    var cur = curCut
 
     var iter = 0
     var stable = curCnt == 0L // an empty edge set is already converged
     while (!stable && iter < maxIters) {
       // ---- large-star: per node, min over the CLOSED neighborhood ----
+      // sym feeds BOTH the min-aggregate and the join below; without a
+      // persist the union of the previous round's edges is evaluated
+      // twice inside the round's single materializing pass
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       // connect each larger neighbor to the neighborhood min; m ≤ u < v
       // keeps the high→low orientation with no self loops
@@ -142,14 +148,24 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v")) // v ≥ m ⇒ oriented
       val small = rewired.union(minsS.select(col("u"), col("m").as("v"))).distinct()
 
-      val (next, nextCnt) = reRootWith(small)(_.count())
-      // fixpoint test: both sets are distinct, so equal counts plus an
-      // empty one-sided difference ⇒ set equality (one extra keyed
-      // shuffle per round — the price of a sound convergence signal)
-      stable = nextCnt == curCnt &&
-        next.exceptAll(cur).limit(1).count() == 0L
-      cur.unpersist()
-      cur = next
+      // fixpoint test folded into the materializing pass: tag each new
+      // edge with whether it already existed (left join against the
+      // persisted previous round), then count rows and tagged rows in
+      // ONE aggregate — both sets are distinct, so |next| = |cur| and
+      // |next ∩ cur| = |next| ⇒ set equality. Same soundness as the
+      // old exceptAll test, minus its second action and second wide
+      // shuffle of both edge sets.
+      val marked = small.join(
+        cur.select(col("u"), col("v"), lit(1L).as("__seen")), Seq("u", "v"), "left")
+      val next = spark.createDataFrame(marked.rdd, marked.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val counts = next.agg(count(lit(1)), count(col("__seen"))).head()
+      val (nextCnt, interCnt) = (counts.getLong(0), counts.getLong(1))
+      stable = nextCnt == curCnt && interCnt == nextCnt
+      sym.unpersist()
+      curCut.unpersist()
+      curCut = next
+      cur = next.select("u", "v")
       curCnt = nextCnt
       iter += 1
     }
@@ -162,7 +178,7 @@ object ConnectedComponents {
       .union(cur.select(col("v").as("node"), col("v").as("comp")))
       .distinct()
       .localCheckpoint()
-    cur.unpersist()
+    curCut.unpersist()
     out
   }
 }

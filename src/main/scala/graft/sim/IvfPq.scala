@@ -1,0 +1,132 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the two approximate halves composed into the actual 100 TB
+  * ANN architecture — a coarse k-means quantizer partitions the corpus
+  * into cells ([[KMeans]]), PQ codes make each cell scannable from RAM
+  * ([[ProductQuantizer]]), and a query touches only its `nprobe`
+  * nearest cells:
+  *
+  *   query → nprobe coarse cells → ADC scan of those cells' codes
+  *         → rerankDepth candidates → exact cosine re-rank → top-k
+  *
+  * The scan term drops from O(n·m) lookups per query (flat PQ) to
+  * O(n·m·nprobe/kCoarse), and — deployed with the codes table
+  * hive-partitioned by cell — the probe join becomes partition PRUNING:
+  * a 1000-executor scan reads nprobe directories, not the corpus. Here
+  * the same restriction is expressed as a broadcast equi-join on the
+  * cell id placed BELOW the code explosion, so rows outside a query's
+  * probed cells never reach the ADC scan (plan- and count-asserted in
+  * the spec).
+  *
+  * Both trainers are the deterministic, partition-independent ones this
+  * library already proves: no RNG, bounded driver state (kCoarse×dim
+  * centroids, m×ksub×dsub codebooks, the small-by-contract query set).
+  */
+object IvfPq {
+
+  /** Coarse quantizer + codebooks, trained independently; `Option`-inject
+    * a pre-trained model into [[topK]] to amortize training across query
+    * batches (the production shape — train offline, probe forever).
+    */
+  case class Model(coarse: Array[Array[Double]], pq: ProductQuantizer.Model)
+
+  def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      kCoarse: Int = 16, m: Int = 8, ksub: Int = 16,
+      coarseIters: Int = 5, pqIters: Int = 3): Model =
+    Model(
+      KMeans.fit(df, idCol, vecCol, kCoarse, coarseIters),
+      ProductQuantizer.fit(df, idCol, vecCol, dim, m, ksub, pqIters))
+
+  /** Squared L2 — the coarse assignment metric, mirrored driver-side so
+    * query probes rank cells exactly as [[KMeans.assignExpr]] assigns
+    * corpus rows.
+    */
+  private def d2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** (query_id, __cl) probe set: each query's `nprobe` nearest coarse
+    * cells. Driver-side over the collected query vectors and the
+    * kCoarse×dim centroid matrix — both small by contract; ties break
+    * on cell id so the probe set is deterministic.
+    */
+  private[graft] def probeSet(spark: SparkSession,
+      qRows: Array[(Long, Array[Float])], coarse: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    qRows.toSeq.flatMap { case (qid, qv) =>
+      val v = qv.map(_.toDouble)
+      coarse.zipWithIndex
+        .map { case (c, i) => (d2(v, c), i) }
+        .sorted.take(nprobe)
+        .map { case (_, i) => (qid, i) }
+    }.toDF("query_id", "__cl")
+  }
+
+  /** Per-query candidate rows — corpus rows restricted to the query's
+    * probed cells, BEFORE any per-code work. Exposed so the spec can
+    * count what reaches the ADC scan (must be < corpus per query).
+    */
+  private[graft] def candidates(df: DataFrame, idCol: String, vecCol: String,
+      mdl: Model, probes: DataFrame): DataFrame = {
+    val assigned = ProductQuantizer.encode(df, vecCol, mdl.pq)
+      .withColumn("__cl", KMeans.assignExpr(col(vecCol), mdl.coarse))
+      .select(col(idCol).as("neighbor_id"), col("__cl"), col("code"))
+    assigned.join(broadcast(probes), Seq("__cl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+  }
+
+  /** Approximate top-k: probe → ADC scan of the probed cells →
+    * `rerankDepth` candidates → exact cosine re-rank. Output matches the
+    * other ANN surfaces: (query_id, neighbor_id, cosine, rank).
+    */
+  def topK(df: DataFrame, idCol: String, vecCol: String, isQuery: Column,
+      dim: Int, k: Int, kCoarse: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, rerankDepth: Int = 100,
+      model: Option[Model] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mdl = model.getOrElse(fit(df, idCol, vecCol, dim, kCoarse, m, ksub))
+
+    val qRows = df.filter(isQuery).select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = probeSet(spark, qRows, mdl.coarse, nprobe)
+    val table = ProductQuantizer.adcTable(qRows, mdl.pq).toDF("query_id", "__j", "__c", "__s")
+
+    // ADC scan of the PROBED cells only: the cell join sits below the
+    // code explosion, so the m-way row blowup and the broadcast lookup
+    // touch O(n·nprobe/kCoarse) rows per query, not the corpus
+    val cand = candidates(df, idCol, vecCol, mdl, probes)
+    val approx = cand
+      .select(col("query_id"), col("neighbor_id"), posexplode(col("code")).as(Seq("__j", "__c")))
+      .join(broadcast(table), Seq("query_id", "__j", "__c"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__s")).as("__approx"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val shortlist = approx
+      .withColumn("__r", row_number().over(wA)).filter(col("__r") <= rerankDepth)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank of the bounded candidate set — identical tail to
+    // [[ProductQuantizer.topK]], so the surfaces rank ties identically
+    val q = df.filter(isQuery).select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      Similarity.norm(col(vecCol)).as("__qn"))
+    val c = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      Similarity.norm(col(vecCol)).as("__cn"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("cosine", graft.functions.roundStable(
+        Similarity.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -103,7 +103,7 @@ object ProductQuantizer {
     * where score is the inner product of the query's j-th subvector with
     * centroid c of subspace j. m·ksub rows per query — broadcastable.
     */
-  private def adcTable(queries: Array[(Long, Array[Float])], model: Model): Seq[(Long, Int, Int, Double)] =
+  private[sim] def adcTable(queries: Array[(Long, Array[Float])], model: Model): Seq[(Long, Int, Int, Double)] =
     for {
       (qid, qv) <- queries.toSeq
       j <- 0 until model.m

@@ -158,6 +158,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(once == Seq((1L, 10.0, 1L), (2L, 25.0, 2L), (3L, 30.0, 2L)), s"got $once")
   }
 
+  test("streaming dedup sink: each batch pairs against everything seen, folds in; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_dstream").toString
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 60)
+    dedup.IncrementalDedup.writeIndex(corpus, "doc_id", "text", "strm", buckets = 2)
+    // two micro-batches of twins: batch 1 copies corpus docs, batch 2
+    // copies BATCH 1's docs — batch 2's pairs can only be complete if
+    // the sink folded batch 1 into the index between them
+    val src = corpus.filter(col("doc_id") % 3 === 0).orderBy("doc_id").limit(4)
+      .as[(Long, String)].collect().toSeq
+    val b1 = src.map { case (id, t) => (id + 1000L, t) }
+    val b2 = src.map { case (id, t) => (id + 2000L, t) }
+    val mem = MemoryStream[(Long, String)]
+    val q = streaming.DedupStream.toDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", "strm",
+      s"$tmp/pairs", s"$tmp/ck", minJaccard = 0.8).start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def pairSet() = spark.read.parquet(s"$tmp/pairs")
+      .select(col("batch").cast("long"), col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val once = pairSet()
+    val batch2 = once.filter(_._1 == 1L)
+    assert(batch2.exists { case (_, a, b) =>
+      (a >= 1000L && a < 2000L) || (b >= 1000L && b < 2000L) },
+      s"batch 2 must pair against batch-1 docs through the index: $batch2")
+    // every batch-2 twin found its corpus original AND its batch-1 twin
+    src.foreach { case (id, _) =>
+      assert(batch2.contains((1L, id, id + 2000L)), s"missing corpus pair for $id")
+      assert(batch2.contains((1L, id + 1000L, id + 2000L)), s"missing cross-batch pair for $id")
+    }
+
+    // at-least-once replay of the LAST batch: identical pairs (the
+    // partition dir is overwritten with the same rows), zero new index
+    // rows (the append's anti-join gate)
+    val setsN = spark.table("strm_sets").count()
+    val bandsN = spark.table("strm_bands").count()
+    streaming.DedupStream.dedupBatch(b2.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", "strm", s"$tmp/pairs", minJaccard = 0.8)
+    assert(pairSet() == once, "replay must leave the pair output byte-stable")
+    assert(spark.table("strm_sets").count() == setsN, "replay duplicated set rows")
+    assert(spark.table("strm_bands").count() == bandsN, "replay duplicated band rows")
+  }
+
   test("partitioned parquet writes are bounded to one file per partition") {
     val tmp = Files.createTempDirectory("graft_fpp").toString
     val ev = Tables.events(spark, sfDir).repartition(8)
