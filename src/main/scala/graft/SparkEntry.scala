@@ -602,6 +602,51 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "q71_ivfpq_topk" -> ((s, dir) => {
+      // IVF-PQ composed: nprobe coarse cells -> ADC scan of only those
+      // cells' codes -> bounded exact re-rank. Rows-only (two iterative
+      // trainers); recall, probe-bounded candidate count, and the
+      // probe-join-below-explode plan shape are spec-asserted. Explicit
+      // fit so Bench times the probe path with training cost held to the
+      // same iteration budget as q51/q52.
+      val emb = Tables.embeddings(s, dir)
+      val mdl = sim.IvfPq.fit(emb, "vec_id", "embedding", dim = 64,
+        kCoarse = 16, coarseIters = 3, pqIters = 3)
+      // nprobe=8 of 16 cells: the synthetic embeddings have no cluster
+      // geometry (intra-label ≈ inter-label cosine), so neighbors spread
+      // across cells — half the cells probed keeps recall@5 >= 0.8
+      // (spec-measured; real clustered embeddings take nprobe << kCoarse)
+      sim.IvfPq.topK(emb, "vec_id", "embedding", isQuery = col("vec_id") < 10,
+        dim = 64, k = 5, nprobe = 8, model = Some(mdl))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q72_stream_dedup_fold" -> ((s, dir) => {
+      // the streaming ingest fold, driver-gated: same planted delta as
+      // q70, but pushed through DedupStream.dedupBatch TWICE with the
+      // same batch id — the at-least-once replay case. The second fold
+      // runs with the delta already in the index (appendToIndex's gate
+      // makes the re-append a no-op; deltaPairs' self-pair guard plus
+      // candidate distinct() keep the emitted pairs identical), so the
+      // batch directory this query returns must STILL equal the exact
+      // closure restricted to delta-touching pairs — idempotence joins
+      // the oracle gate instead of riding on specs alone.
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      dedup.IncrementalDedup.writeIndex(docs, "doc_id", "text", "q72idx", buckets = 4)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val pairsPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q72_pairs").getAbsolutePath
+      streaming.DedupStream.dedupBatch(delta, 0L, "doc_id", "text", "q72idx",
+        pairsPath, minJaccard = 0.8)
+      streaming.DedupStream.dedupBatch(delta, 0L, "doc_id", "text", "q72idx",
+        pairsPath, minJaccard = 0.8)
+      s.read.parquet(s"$pairsPath/batch=0")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          roundStable(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q60_text_normalize" -> ((s, dir) =>
       // LLM-pipeline text canonicalization: lowercase, mask URLs and
       // emails, collapse whitespace — all codegen'd string expressions
@@ -1466,6 +1511,28 @@ object SparkEntry {
       // full exact-Jaccard recompute over corpus ∪ delta, restricted to
       // pairs with a delta endpoint — what the O(delta) incremental join
       // must reproduce exactly
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |s AS (SELECT doc_id, str_split(text, ' ') AS w FROM docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh)
+        |SELECT doc_a, doc_b, roundStable(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE) / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id) t
+        |WHERE j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q72_stream_dedup_fold" ->
+      // identical closure to q70: the streaming fold (run twice — the
+      // replay case) must land exactly the delta-restricted pair set in
+      // its batch directory
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -105,10 +105,15 @@ object IncrementalDedup {
   def appendToIndex(delta: DataFrame, idCol: String, textCol: String, name: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32): Unit = {
     val spark = delta.sparkSession
+    val before = graft.Blocks.persistedIds(spark)
     val indexed = spark.table(setsTable(name)).select(col("id").as(idCol))
     val fresh = delta.join(indexed, Seq(idCol), "left_anti")
-    val sets = NGramJaccard.shingleSets(fresh, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): the anti-join gate READS <name>_sets,
+    // and the sets append below WRITES it — a live lineage from target to
+    // source is the self-insert shape Spark rejects on some paths. The
+    // eager checkpoint materializes the gated delta and cuts that lineage,
+    // so neither append's plan references its own target table.
+    val sets = NGramJaccard.shingleSets(fresh, idCol, textCol, n).localCheckpoint()
     // bands BEFORE sets: the anti-join above gates on the sets table, so
     // appending sets last makes it the commit marker. A crash between the
     // two appends leaves only orphan band rows, which a replay duplicates
@@ -119,7 +124,9 @@ object IncrementalDedup {
       MinHashLsh.bandRows(sets, idCol, numHashes, bands), bandsTable(name))
     graft.sources.Io.appendBucketed(
       sets.select(col(idCol).as("id"), col("shh"), col("n_sh")), setsTable(name))
-    sets.unpersist()
+    // checkpoint blocks have no lineage and never expire on their own — a
+    // streaming caller folds thousands of batches, so free them here
+    graft.Blocks.releaseSince(spark, before)
   }
 
   /** All near-dup pairs touching the delta: delta-vs-index plus
@@ -134,6 +141,21 @@ object IncrementalDedup {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dSets = NGramJaccard.shingleSets(delta, idCol, textCol, n).persist(level)
     val dBands = MinHashLsh.bandRows(dSets, idCol, numHashes, bands).persist(level)
+    val out = pairsPlan(spark, dSets, dBands, idCol, name, minJaccard).localCheckpoint()
+    dBands.unpersist()
+    dSets.unpersist()
+    out
+  }
+
+  /** The un-checkpointed delta-join plan over pre-built delta shingle
+    * sets and band rows — exposed (like [[MinHashLsh.pairsPlan]]) so the
+    * plan spec can assert the operator's load-bearing physical property:
+    * the bucketed bands index feeds the candidate join with NO Exchange
+    * in between. Dropping the bucketing would silently re-shuffle the
+    * full index every batch — the spec fails if that happens.
+    */
+  private[graft] def pairsPlan(spark: SparkSession, dSets: DataFrame, dBands: DataFrame,
+      idCol: String, name: String, minJaccard: Double): DataFrame = {
     val iBands = spark.table(bandsTable(name))
 
     // delta-vs-corpus: only the delta side shuffles (index is bucketed
@@ -151,14 +173,18 @@ object IncrementalDedup {
     val cand = cross.union(within).distinct()
 
     // verification needs both endpoints' shingle state: delta rows from
-    // this batch, corpus rows from the persisted sets table
-    val allSets = spark.table(setsTable(name))
-      .unionByName(dSets.select(col(idCol).as("id"), col("shh"), col("n_sh")))
-    val out = NGramJaccard.verifyExact(
+    // this batch, corpus rows from the persisted sets table. A REPLAYED
+    // batch's ids are already IN the sets table (the previous attempt's
+    // fold) — a blind union would carry each replayed id's shingle rows
+    // twice and double every emitted pair row, so the delta's rows are
+    // anti-joined against the indexed ids first (per-document state is
+    // deterministic, so either copy is byte-identical; the index side is
+    // bucketed by id and never shuffles).
+    val iSets = spark.table(setsTable(name))
+    val allSets = iSets.unionByName(
+      dSets.select(col(idCol).as("id"), col("shh"), col("n_sh"))
+        .join(iSets.select("id"), Seq("id"), "left_anti"))
+    NGramJaccard.verifyExact(
       cand, allSets.withColumnRenamed("id", idCol), idCol, minJaccard)
-      .localCheckpoint()
-    dBands.unpersist()
-    dSets.unpersist()
-    out
   }
 }

@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * a 1000-executor scan reads nprobe directories, not the corpus. Here
   * the same restriction is expressed as a broadcast equi-join on the
   * cell id placed BELOW the code explosion, so rows outside a query's
-  * probed cells never reach the ADC scan (plan- and count-asserted in
-  * the spec).
+  * probed cells never reach the ADC scan. Verified three ways: recall
+  * and per-query candidate count in OperatorEdgeSpec, the
+  * probe-join-below-explode plan shape in PlanSpec, and the rows-only
+  * driver query q71_ivfpq_topk.
   *
   * Both trainers are the deterministic, partition-independent ones this
   * library already proves: no RNG, bounded driver state (kCoarse×dim

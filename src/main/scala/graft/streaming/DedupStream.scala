@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming ingest × incremental dedup — the composition that is the
@@ -14,16 +14,24 @@ import org.apache.spark.sql.streaming.OutputMode
   * Exactly-once EFFECT under foreachBatch's at-least-once contract,
   * without a transaction log, because both halves are idempotent:
   *
-  *   - pairs land under `pairsPath/batch=<batchId>` with dynamic
-  *     overwrite — a replay rewrites the same directory with the same
-  *     rows (every per-document stage is deterministic);
+  *   - pairs land under `pairsPath/batch=<batchId>`, each batch
+  *     overwriting its own directory — a replay rewrites the same
+  *     directory with the same rows (every per-document stage is
+  *     deterministic);
   *   - the index fold is [[graft.dedup.IncrementalDedup.appendToIndex]],
   *     whose anti-join gate appends zero rows for ids already indexed.
   *
   * A replayed batch also emits IDENTICAL pairs despite its docs now
-  *  being in the index: same-id candidates are filtered (no self-pairs)
+  * being in the index: same-id candidates are filtered (no self-pairs)
   * and the remaining index-side matches coincide with the within-batch
-  * ones, which the candidate distinct() collapses.
+  * ones, which the candidate distinct() collapses. Driver-gated end to
+  * end as q72 (double-fold ≡ the exact delta-restricted closure).
+  *
+  * A year of micro-batches is thousands of tiny batch directories — the
+  * small-files problem [[graft.sources.Io.compact]] exists for —
+  * so [[compactPairs]] periodically folds completed batch dirs into one
+  * consolidated `batch=-1` partition, and [[readPairs]] is the matching
+  * reader (duplicate-safe during a compaction window).
   */
 object DedupStream {
 
@@ -50,11 +58,18 @@ object DedupStream {
     * overwrite below keep a replay byte-identical either way, but this
     * order keeps the common path cheap (the batch's band rows join only
     * pre-existing index rows).
+    *
+    * deltaPairs returns a localCheckpoint whose blocks never expire on
+    * their own; after the pairs are safely on disk they are dead weight,
+    * so each batch releases exactly the blocks it created — a leak here
+    * compounds over thousands of micro-batches into executor storage
+    * pressure (leak-gated in the spec).
     */
   def dedupBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       name: String, pairsPath: String, minJaccard: Double,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32): Unit = {
     val spark = batch.sparkSession
+    val before = graft.Blocks.persistedIds(spark)
     val pairs = graft.dedup.IncrementalDedup.deltaPairs(
       spark, batch, idCol, textCol, name, minJaccard, n, numHashes, bands)
     pairs.write.mode(SaveMode.Overwrite)
@@ -62,5 +77,70 @@ object DedupStream {
       .parquet(s"$pairsPath/batch=$batchId")
     graft.dedup.IncrementalDedup.appendToIndex(
       batch, idCol, textCol, name, n, numHashes, bands)
+    graft.Blocks.releaseSince(spark, before)
+  }
+
+  /** Read the pair set accumulated under `pairsPath` (consolidated +
+    * per-batch directories alike). The distinct() makes the read correct
+    * even inside a [[compactPairs]] crash window where a folded batch
+    * directory still coexists with the consolidated copy of its rows.
+    */
+  def readPairs(spark: SparkSession, pairsPath: String): DataFrame =
+    spark.read.parquet(pairsPath).drop("batch").distinct()
+
+  /** Fold completed per-batch pair directories into ONE consolidated
+    * `batch=-1` partition, bounding the directory count at
+    * (1 + keepLatest) regardless of how many micro-batches ever ran.
+    * The newest `keepLatest` batch directories are left alone: the last
+    * batch is the one foreachBatch may replay after a crash, and a
+    * replay must find (and overwrite) its own directory, not collide
+    * with compacted rows.
+    *
+    * Crash-safe by the same recover-then-swap discipline as
+    * [[graft.sources.Io.compact]], with dot-prefixed staging names so
+    * partition discovery never sees a half-written directory. The one
+    * non-atomic window (consolidated dir swapped in, folded dirs not yet
+    * deleted) at worst duplicates rows across directories — harmless:
+    * [[readPairs]] distincts, and the next compaction folds the
+    * leftovers back in through its own distinct().
+    *
+    * @return number of batch directories folded away
+    */
+  def compactPairs(spark: SparkSession, pairsPath: String, keepLatest: Int = 1,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(pairsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val live = new Path(root, "batch=-1")
+    val tmp  = new Path(root, ".pairs_compacting")
+    val old  = new Path(root, ".pairs_old")
+    // heal a previous crash: a stranded old with no live dir is renamed
+    // back (crash between the two renames); stale staging is deleted
+    if (fs.exists(old) && !fs.exists(live))
+      require(fs.rename(old, live), s"compactPairs: recovery rename $old failed")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+
+    val batchIds = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      .filter(_ >= 0).sorted
+    val fold = batchIds.dropRight(keepLatest)
+    if (fold.isEmpty) return 0
+
+    val srcs = fold.map(id => s"$pairsPath/batch=$id") ++
+      (if (fs.exists(live)) Seq(live.toString) else Nil)
+    val merged = srcs.map(spark.read.parquet(_)).reduce(_ unionByName _).distinct()
+    val bytes = srcs.map(s => fs.getContentSummary(new Path(s)).getLength).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    merged.repartition(nFiles).write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(tmp.toString)
+
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"compactPairs: rename $live -> $old failed")
+    require(fs.rename(tmp, live), s"compactPairs: rename $tmp -> $live failed")
+    fs.delete(old, true)
+    fold.foreach(id => fs.delete(new Path(root, s"batch=$id"), true))
+    fold.length
   }
 }

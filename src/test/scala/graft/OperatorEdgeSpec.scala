@@ -346,6 +346,34 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@5 = $recall (measured 0.94 at this SF)")
   }
 
+  test("IvfPq: probed-cell ADC + exact re-rank reaches recall@5 >= 0.8, scan is probe-bounded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpusN = emb.count()
+    val exact = sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mdl = sim.IvfPq.fit(emb, "vec_id", "embedding", dim = 64,
+      kCoarse = 16, coarseIters = 3, pqIters = 3)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      sim.IvfPq.topK(df, "vec_id", "embedding", isQuery = col("vec_id") < 10,
+        dim = 64, k = 5, nprobe = 8, model = Some(mdl))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val got = run(emb)
+    val recall = (got.map(t => (t._1, t._2)) & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+    // the scan-restriction promise: what reaches the ADC scan per query is
+    // a strict subset of the corpus (~nprobe/kCoarse of it), not all of it
+    val qRows = emb.filter(col("vec_id") < 10).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = sim.IvfPq.probeSet(spark, qRows, mdl.coarse, nprobe = 8)
+    val perQ = sim.IvfPq.candidates(emb, "vec_id", "embedding", mdl, probes)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQ.length == qRows.length && perQ.forall(_ < corpusN),
+      s"ADC scan not probe-bounded: max ${perQ.max} of $corpusN corpus rows")
+    // same answer under a different input partitioning
+    assert(run(emb.repartition(7)) == got, "result must not depend on partitioning")
+  }
+
   test("connected components: chain, clique, and singleton edge all collapse to min label") {
     // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
     // triangle 10-11-12 with a pendant 13, isolated edge 20-21

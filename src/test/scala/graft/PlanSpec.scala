@@ -197,6 +197,60 @@ class PlanSpec extends AnyFunSuite {
       s"expected one shared shuffle for all columns, got $exchanges:\n$p")
   }
 
+  test("incremental delta join: bands index scan is bucketed, no Exchange up to the join") {
+    // the "index never re-shuffles" claim of IncrementalDedup: the
+    // candidate join must consume the bands table's bucket layout
+    // directly — only the (small) delta side may shuffle. Dropping the
+    // bucketing in writeIndex/appendToIndex fails this spec.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 80)
+    dedup.IncrementalDedup.writeIndex(docs, "doc_id", "text", "planidx", buckets = 2)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val dSets = dedup.NGramJaccard.shingleSets(delta, "doc_id", "text", 3)
+    val dBands = dedup.MinHashLsh.bandRows(dSets, "doc_id", 128, 32)
+    val plan = dedup.IncrementalDedup.pairsPlan(spark, dSets, dBands, "doc_id", "planidx", 0.8)
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: FileSourceScanExec
+        if s.relation.bucketSpec.exists(_.bucketColumnNames == Seq("bh")) => s
+    }
+    assert(scans.nonEmpty, s"bands index scan missing or lost its bucket spec:\n$plan")
+    assert(scans.forall(_.bucketedScan), s"bands scan not reading its buckets:\n$plan")
+    def path(node: SparkPlan, target: SparkPlan): Option[List[SparkPlan]] =
+      if (node eq target) Some(List(node))
+      else node.children.view.flatMap(c => path(c, target)).headOption.map(node :: _)
+    def isJoin(p: SparkPlan) = p match {
+      case _: SortMergeJoinExec | _: ShuffledHashJoinExec | _: BroadcastHashJoinExec => true
+      case _ => false
+    }
+    scans.foreach { scan =>
+      val p = path(plan, scan).getOrElse(fail(s"scan unreachable in plan:\n$plan"))
+      val joinIdx = p.lastIndexWhere(isJoin)
+      assert(joinIdx >= 0, s"no join above the bands scan:\n$plan")
+      assert(!p.drop(joinIdx).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"index side re-shuffles between candidate join and bucketed scan:\n$plan")
+    }
+  }
+
+  test("q71 IVF-PQ: probe-cell join sits below the code explosion — no full-corpus ADC scan") {
+    // the scale contract of IVF-PQ: the per-code m-way row blowup
+    // (posexplode) and the ADC lookup must only ever see rows already
+    // restricted to the queries' probed cells, so the Generate node has
+    // the probe join in its subtree — not the other way around
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val plan = SparkEntry.queries("q71_ivfpq_topk")(spark, sfDir).queryExecution.optimizedPlan
+    val probeBelowExplode = plan.collect {
+      case g: Generate if g.child.collect { case j: Join => j }.nonEmpty => g
+    }
+    assert(probeBelowExplode.nonEmpty,
+      s"code explosion is not restricted by the probe join:\n$plan")
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     val p = planOf("q01_agg_daily")
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
