@@ -621,6 +621,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q73_ivfrq_topk" -> ((s, dir) => {
+      // q71 with residual-trained codebooks (IVFADC, Jégou et al. TPAMI
+      // 2011): PQ quantizes v − c_cell and the ADC score adds the
+      // per-probe ⟨q, c_cell⟩ offset. Identical distributed plan to q71
+      // — the refinement is all in the driver-side constants — so this
+      // gates that the residual constants don't corrupt the probe-bounded
+      // scan. Rows-only (two iterative trainers); recall spec-asserted.
+      val emb = Tables.embeddings(s, dir)
+      val mdl = sim.IvfPq.fit(emb, "vec_id", "embedding", dim = 64,
+        kCoarse = 16, coarseIters = 3, pqIters = 3, residual = true)
+      sim.IvfPq.topK(emb, "vec_id", "embedding", isQuery = col("vec_id") < 10,
+        dim = 64, k = 5, nprobe = 8, model = Some(mdl))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q72_stream_dedup_fold" -> ((s, dir) => {
       // the streaming ingest fold, driver-gated: same planted delta as
       // q70, but pushed through DedupStream.dedupBatch TWICE with the

@@ -22,7 +22,22 @@ import org.apache.spark.sql.functions._
   * probed cells never reach the ADC scan. Verified three ways: recall
   * and per-query candidate count in OperatorEdgeSpec, the
   * probe-join-below-explode plan shape in PlanSpec, and the rows-only
-  * driver query q71_ivfpq_topk.
+  * driver queries q71_ivfpq_topk / q73_ivfrq_topk.
+  *
+  * `residual = true` is the IVFADC refinement (Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+  * §IV-A): codebooks are trained on RESIDUALS `v − c(v)` (the vector
+  * minus its coarse centroid), whose variance is what the coarse
+  * quantizer left over — smaller than the raw corpus variance, so the
+  * same m×ksub code budget quantizes finer. The score decomposes as
+  *
+  *   ⟨q, v⟩ = ⟨q, c(v)⟩ + ⟨q, v − c(v)⟩
+  *          ≈ ⟨q, c_cell⟩  +  Σ_j ⟨q_j, μ_{j,code_j}⟩
+  *
+  * so the per-(query, cell) offset ⟨q, c_cell⟩ rides the (tiny) probe
+  * set and the residual ADC table stays per-query — the distributed
+  * plan is IDENTICAL to the plain path; only the driver-side constants
+  * and one projected column differ.
   *
   * Both trainers are the deterministic, partition-independent ones this
   * library already proves: no RNG, bounded driver state (kCoarse×dim
@@ -33,15 +48,36 @@ object IvfPq {
   /** Coarse quantizer + codebooks, trained independently; `Option`-inject
     * a pre-trained model into [[topK]] to amortize training across query
     * batches (the production shape — train offline, probe forever).
+    * `residual` records what space the codebooks quantize — encode and
+    * search must agree with training, so it travels with the model.
     */
-  case class Model(coarse: Array[Array[Double]], pq: ProductQuantizer.Model)
+  case class Model(coarse: Array[Array[Double]], pq: ProductQuantizer.Model,
+      residual: Boolean = false)
 
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       kCoarse: Int = 16, m: Int = 8, ksub: Int = 16,
-      coarseIters: Int = 5, pqIters: Int = 3): Model =
-    Model(
-      KMeans.fit(df, idCol, vecCol, kCoarse, coarseIters),
-      ProductQuantizer.fit(df, idCol, vecCol, dim, m, ksub, pqIters))
+      coarseIters: Int = 5, pqIters: Int = 3,
+      residual: Boolean = false): Model = {
+    val coarse = KMeans.fit(df, idCol, vecCol, kCoarse, coarseIters)
+    val pqInput = if (residual) residualize(df, vecCol, coarse) else df
+    val pqVec = if (residual) "__res" else vecCol
+    Model(coarse, ProductQuantizer.fit(pqInput, idCol, pqVec, dim, m, ksub, pqIters),
+      residual)
+  }
+
+  /** Attach `__cl` (coarse cell) and `__res` (float residual v − c_cell) —
+    * one codegen'd map-only projection, no shuffle. The residual stays
+    * `array<float>` so every downstream consumer (PQ training, encode)
+    * sees the same element type as a raw vector column.
+    */
+  private def residualize(df: DataFrame, vecCol: String,
+      coarse: Array[Array[Double]]): DataFrame = {
+    val tensor = typedLit(coarse.map(_.toSeq).toSeq)
+    df.withColumn("__cl", KMeans.assignExpr(col(vecCol), coarse))
+      .withColumn("__res", zip_with(
+        col(vecCol), element_at(tensor, col("__cl") + 1),
+        (x, c) => (x - c).cast("float")))
+  }
 
   /** Squared L2 — the coarse assignment metric, mirrored driver-side so
     * query probes rank cells exactly as [[KMeans.assignExpr]] assigns
@@ -53,34 +89,49 @@ object IvfPq {
     s
   }
 
-  /** (query_id, __cl) probe set: each query's `nprobe` nearest coarse
-    * cells. Driver-side over the collected query vectors and the
+  /** (query_id, __cl, __off) probe set: each query's `nprobe` nearest
+    * coarse cells, with the residual-decomposition offset ⟨q, c_cell⟩
+    * precomputed per probe (summed into the ADC score on the residual
+    * path; a constant 0 on the plain path, where codes live in raw
+    * space). Driver-side over the collected query vectors and the
     * kCoarse×dim centroid matrix — both small by contract; ties break
     * on cell id so the probe set is deterministic.
     */
   private[graft] def probeSet(spark: SparkSession,
       qRows: Array[(Long, Array[Float])], coarse: Array[Array[Double]],
-      nprobe: Int): DataFrame = {
+      nprobe: Int, withOffset: Boolean = false): DataFrame = {
     import spark.implicits._
     qRows.toSeq.flatMap { case (qid, qv) =>
       val v = qv.map(_.toDouble)
       coarse.zipWithIndex
         .map { case (c, i) => (d2(v, c), i) }
         .sorted.take(nprobe)
-        .map { case (_, i) => (qid, i) }
-    }.toDF("query_id", "__cl")
+        .map { case (_, i) =>
+          val off = if (!withOffset) 0.0 else {
+            var s = 0.0; var t = 0
+            while (t < v.length) { s += v(t) * coarse(i)(t); t += 1 }
+            s
+          }
+          (qid, i, off)
+        }
+    }.toDF("query_id", "__cl", "__off")
   }
 
   /** Per-query candidate rows — corpus rows restricted to the query's
     * probed cells, BEFORE any per-code work. Exposed so the spec can
     * count what reaches the ADC scan (must be < corpus per query).
+    * Codes are computed in the space the model was trained in.
     */
   private[graft] def candidates(df: DataFrame, idCol: String, vecCol: String,
       mdl: Model, probes: DataFrame): DataFrame = {
-    val assigned = ProductQuantizer.encode(df, vecCol, mdl.pq)
-      .withColumn("__cl", KMeans.assignExpr(col(vecCol), mdl.coarse))
-      .select(col(idCol).as("neighbor_id"), col("__cl"), col("code"))
-    assigned.join(broadcast(probes), Seq("__cl"))
+    val assigned =
+      if (mdl.residual)
+        ProductQuantizer.encode(residualize(df, vecCol, mdl.coarse), "__res", mdl.pq)
+      else
+        ProductQuantizer.encode(df, vecCol, mdl.pq)
+          .withColumn("__cl", KMeans.assignExpr(col(vecCol), mdl.coarse))
+    assigned.select(col(idCol).as("neighbor_id"), col("__cl"), col("code"))
+      .join(broadcast(probes), Seq("__cl"))
       .filter(col("query_id") =!= col("neighbor_id"))
   }
 
@@ -91,25 +142,32 @@ object IvfPq {
   def topK(df: DataFrame, idCol: String, vecCol: String, isQuery: Column,
       dim: Int, k: Int, kCoarse: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16, rerankDepth: Int = 100,
-      model: Option[Model] = None): DataFrame = {
+      residual: Boolean = false, model: Option[Model] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val mdl = model.getOrElse(fit(df, idCol, vecCol, dim, kCoarse, m, ksub))
+    val mdl = model.getOrElse(
+      fit(df, idCol, vecCol, dim, kCoarse, m, ksub, residual = residual))
 
     val qRows = df.filter(isQuery).select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probes = probeSet(spark, qRows, mdl.coarse, nprobe)
+    val probes = probeSet(spark, qRows, mdl.coarse, nprobe, withOffset = mdl.residual)
+    // residual path: the ADC table is the query's RAW subvectors against
+    // the residual-space codebooks — ⟨q, r⟩ ≈ Σ_j ⟨q_j, μ_{j,c_j}⟩ needs
+    // no query residualization (the cell term is the probe's __off)
     val table = ProductQuantizer.adcTable(qRows, mdl.pq).toDF("query_id", "__j", "__c", "__s")
 
     // ADC scan of the PROBED cells only: the cell join sits below the
     // code explosion, so the m-way row blowup and the broadcast lookup
-    // touch O(n·nprobe/kCoarse) rows per query, not the corpus
+    // touch O(n·nprobe/kCoarse) rows per query, not the corpus. __off is
+    // constant within a (query, neighbor) group — a neighbor lives in
+    // exactly one cell — so max() just carries it through the agg.
     val cand = candidates(df, idCol, vecCol, mdl, probes)
     val approx = cand
-      .select(col("query_id"), col("neighbor_id"), posexplode(col("code")).as(Seq("__j", "__c")))
+      .select(col("query_id"), col("neighbor_id"), col("__off"),
+        posexplode(col("code")).as(Seq("__j", "__c")))
       .join(broadcast(table), Seq("query_id", "__j", "__c"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__s")).as("__approx"))
+      .agg((sum(col("__s")) + max(col("__off"))).as("__approx"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("__approx").desc, col("neighbor_id"))
     val shortlist = approx

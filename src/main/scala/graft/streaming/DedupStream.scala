@@ -39,16 +39,29 @@ object DedupStream {
     * named incremental-dedup index. The index must exist —
     * [[graft.dedup.IncrementalDedup.writeIndex]] the historical corpus
     * first (an empty corpus is fine).
+    *
+    * `compactEvery` > 0 folds completed batch directories via
+    * [[compactPairs]] every that-many batches, so a long-running stream
+    * holds a BOUNDED directory count instead of one per micro-batch
+    * forever. The fold always leaves the newest directory alone
+    * (keepLatest = 1), so the one batch foreachBatch may replay still
+    * finds — and overwrites — its own directory; and because compaction
+    * itself is idempotent and crash-healed, a replay that re-triggers
+    * the cadence re-folds harmlessly.
     */
   def toDedupSink(docs: DataFrame, idCol: String, textCol: String, name: String,
       pairsPath: String, checkpoint: String, minJaccard: Double,
-      n: Int = 3, numHashes: Int = 128, bands: Int = 32) =
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      compactEvery: Int = 0) =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupBatch(batch, batchId, idCol, textCol, name, pairsPath, minJaccard,
           n, numHashes, bands)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactPairs(batch.sparkSession, pairsPath); ()
+        }
       }
 
   /** One micro-batch's work, exposed for direct (re)use and testing:

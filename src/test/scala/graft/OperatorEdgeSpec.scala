@@ -374,6 +374,29 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(run(emb.repartition(7)) == got, "result must not depend on partitioning")
   }
 
+  test("IvfPq residual (IVFADC): residual codebooks reach recall@5 >= 0.8, deterministic") {
+    // same harness as the plain path, but the codebooks quantize
+    // v − c_cell and the ADC score carries the per-probe ⟨q, c_cell⟩
+    // offset — the TPAMI 2011 IVFADC decomposition. Residual variance
+    // ≤ corpus variance, so the same m×ksub budget must do at least as
+    // well; the hard assert stays at the surface's 0.8 contract.
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mdl = sim.IvfPq.fit(emb, "vec_id", "embedding", dim = 64,
+      kCoarse = 16, coarseIters = 3, pqIters = 3, residual = true)
+    assert(mdl.residual, "fit must record the training space in the model")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      sim.IvfPq.topK(df, "vec_id", "embedding", isQuery = col("vec_id") < 10,
+        dim = 64, k = 5, nprobe = 8, model = Some(mdl))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val got = run(emb)
+    val recall = (got.map(t => (t._1, t._2)) & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"residual recall@5 = $recall")
+    assert(run(emb.repartition(7)) == got, "result must not depend on partitioning")
+  }
+
   test("connected components: chain, clique, and singleton edge all collapse to min label") {
     // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
     // triangle 10-11-12 with a pendant 13, isolated edge 20-21

@@ -208,6 +208,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table("strm_bands").count() == bandsN, "replay duplicated band rows")
   }
 
+  test("toDedupSink compactEvery cadence keeps the directory count bounded across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_dcadence").toString
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 60)
+    dedup.IncrementalDedup.writeIndex(corpus, "doc_id", "text", "cadidx", buckets = 2)
+    val src = corpus.filter(col("doc_id") % 3 === 0).orderBy("doc_id").limit(4)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = streaming.DedupStream.toDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", "cadidx",
+      s"$tmp/pairs", s"$tmp/ck", minJaccard = 0.8, compactEvery = 2).start()
+    // four micro-batches of twins at distinct id offsets; the cadence
+    // fires after batches 1 and 3, each fold sparing the newest dir
+    for (off <- Seq(1000L, 2000L, 3000L, 4000L)) {
+      mem.addData(src.map { case (id, t) => (id + off, t) }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val dirs = new java.io.File(s"$tmp/pairs").listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=-1", "batch=3"), s"cadence left $dirs")
+    // nothing lost to the folds: every twin still pairs with its corpus
+    // original through the consolidated directory
+    val pairs = streaming.DedupStream.readPairs(spark, s"$tmp/pairs")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (off <- Seq(1000L, 2000L, 3000L, 4000L); (id, _) <- src)
+      assert(pairs.contains((id, id + off)), s"missing corpus pair for $id at +$off")
+  }
+
   test("compactPairs bounds the pair-directory count; pair set and block state unchanged") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_dcompact").toString
