@@ -825,6 +825,49 @@ object SparkEntry {
           roundStable(col("k2"), 6).as("k2_interp"))
         .orderBy(col("event_id"))
     }),
+
+    "q74_repetition" -> ((s, dir) =>
+      // Gopher-style repetition quality signals: top-bigram coverage
+      // fraction + distinct-token ratio per document. Explode → two
+      // partial-agg keyed shuffles; no per-doc driver work.
+      text.Corpus.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q75_domain_mix" -> ((s, dir) =>
+      // temperature-scaled domain sampling weights (share^0.5,
+      // renormalized): one corpus aggregation to #domains rows, totals
+      // via tiny broadcast cross-joins
+      text.Corpus.mixWeights(Tables.documents(s, dir), "lang", "text", alpha = 0.5)
+        .orderBy(col("lang"))),
+
+    "q76_chunk_windows" -> ((s, dir) =>
+      // sliding-window context chunking (window 32, stride 24): pure
+      // narrow map — sequence + explode + slice, zero shuffles before
+      // the presentation sort
+      text.Corpus.chunkWindows(Tables.documents(s, dir), "doc_id", "text",
+        window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    "q77_contamination" -> ((s, dir) => {
+      // benchmark decontamination: distinct 4-gram shingle overlap of
+      // the corpus (source != src0) against the benchmark slice
+      // (source = src0); benchmark side broadcast, one keyed count
+      val docs = Tables.documents(s, dir)
+      text.Corpus.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q78_pack_greedy" -> ((s, dir) =>
+      // greedy sequence packing into 256-token bins per lang, doc_id
+      // order: secondary-sort mapPartitions fold (the one inherently
+      // sequential-per-group op); oracle is a recursive-CTE replay of
+      // the same fold
+      text.Corpus.packGreedy(Tables.documents(s, dir), "lang", "doc_id", "text",
+        capacity = 256L)
+        .orderBy(col("lang"), col("doc_id"))),
   )
 
   /** Oracle SQL may use `roundStable(expr, d)` as shorthand; it expands to
@@ -1585,5 +1628,82 @@ object SparkEntry {
         |WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
         |       FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q74_repetition" ->
+      """WITH t AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct,
+        |        unnest(list_transform(generate_series(1, len(toks)-1),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |      FROM t),
+        |c AS (SELECT doc_id, n_toks, n_distinct, bg, count(*) AS cnt
+        |      FROM b GROUP BY 1,2,3,4)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+        |  roundStable(max(cnt)*2.0/n_toks, 6) AS top_bigram_frac,
+        |  roundStable(CAST(n_distinct AS DOUBLE)/n_toks, 6) AS distinct_ratio
+        |FROM c GROUP BY doc_id, n_toks, n_distinct
+        |ORDER BY doc_id""".stripMargin,
+
+    "q75_domain_mix" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs,
+        |             sum(len(str_split(text,' '))) AS n_toks
+        |           FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs, n_toks,
+        |        CAST(n_toks AS DOUBLE)/sum(n_toks) OVER () AS share,
+        |        pow(CAST(n_toks AS DOUBLE)/sum(n_toks) OVER (), 0.5) AS raw_w
+        |      FROM g)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_toks AS BIGINT) AS n_toks,
+        |  roundStable(share, 6) AS share,
+        |  roundStable(raw_w/sum(raw_w) OVER (), 6) AS mix_weight
+        |FROM w ORDER BY lang""".stripMargin,
+
+    "q76_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n,
+        |        CAST(ceil(greatest(len(toks)-32, 0)/24.0) AS INT)+1 AS n_chunks
+        |      FROM t),
+        |c AS (SELECT doc_id, unnest(generate_series(0, n_chunks-1)) AS cidx, toks, n
+        |      FROM n)
+        |SELECT doc_id, CAST(cidx AS INT) AS chunk_idx,
+        |  CAST(cidx*24 AS BIGINT) AS tok_start,
+        |  CAST(least(32, n - cidx*24) AS BIGINT) AS n_chunk_toks,
+        |  md5(array_to_string(toks[cidx*24+1 : cidx*24+32], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q77_contamination" ->
+      """WITH t AS (SELECT doc_id, source, str_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(toks)-3),
+        |           i -> array_to_string(toks[i:i+3], ' ')))) AS sh
+        |       FROM t WHERE len(toks) >= 4),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+        |j AS (SELECT c.doc_id, count(*) AS n_shingles,
+        |        sum(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS n_hits
+        |      FROM corpus c LEFT JOIN bench b USING (sh) GROUP BY 1)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  roundStable(CAST(n_hits AS DOUBLE)/n_shingles, 6) AS contamination,
+        |  n_hits > 0 AS contaminated
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q78_pack_greedy" ->
+      """WITH RECURSIVE t AS (SELECT lang, doc_id,
+        |    len(str_split(text,' ')) AS n_toks FROM documents),
+        |o AS (SELECT lang, doc_id, n_toks,
+        |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |      FROM t),
+        |p AS (
+        |  SELECT lang, doc_id, n_toks, rn, 0 AS bin_id, n_toks AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.lang, o.doc_id, o.n_toks, o.rn,
+        |    CASE WHEN p.fill + o.n_toks > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+        |    CASE WHEN p.fill + o.n_toks > 256 THEN o.n_toks ELSE p.fill + o.n_toks END
+        |  FROM p JOIN o ON o.lang = p.lang AND o.rn = p.rn + 1)
+        |SELECT lang, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(bin_id AS BIGINT) AS bin_id, CAST(fill AS BIGINT) AS bin_fill
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,204 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.roundStable
+
+/** Corpus-preparation operators for LLM training-data pipelines:
+  * repetition statistics (Gopher-style quality signals), temperature-
+  * scaled domain mixing, sliding-window context chunking, benchmark
+  * decontamination, and greedy sequence packing.
+  *
+  * Everything except `packGreedy` is pure Catalyst (split / sequence /
+  * slice / explode + keyed aggregation) — codegen'd, partition-parallel,
+  * no UDFs. `packGreedy` is inherently sequential per group (a fold over
+  * an ordered stream), implemented with Spark's secondary-sort idiom:
+  * repartition by group, sort within partitions, stream each partition
+  * with O(1) state. See each method's scale note.
+  *
+  * Reference anchor: the reference pipeline cleans and summarizes a
+  * sensor corpus (dag:162-253); these are the equivalent preparation
+  * stages for a text corpus at 100 TB.
+  */
+object Corpus {
+
+  import TextStats.tokens
+
+  /** Per-document repetition signals (Gopher / C4 quality filtering):
+    * the fraction of tokens covered by the single most-frequent bigram,
+    * and the distinct-token ratio. Highly repetitive machine-generated
+    * text scores high top-bigram fraction and low distinct ratio.
+    *
+    * Distributed shape: explode bigrams → count per (doc, bigram) →
+    * max per doc. Two keyed shuffles with partial aggregation on both
+    * — a 1 GB document costs its own tokens, never a driver trip.
+    * Docs with fewer than 2 tokens emit no bigram and drop out
+    * (mirrors the oracle's empty unnest).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_toks"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      // sequence(1, 0) would count DOWN in Spark; guard short docs to an
+      // empty array so explode drops them like the oracle's empty unnest
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")).as("bigrams"))
+    base
+      .select(col(idCol), col("n_toks"), col("n_distinct"),
+        explode(col("bigrams")).as("bg"))
+      .groupBy(col(idCol), col("n_toks"), col("n_distinct"), col("bg"))
+      .count()
+      .groupBy(col(idCol), col("n_toks"), col("n_distinct"))
+      .agg(max("count").as("top_bigram_cnt"))
+      .select(col(idCol), col("n_toks"),
+        col("top_bigram_cnt"),
+        roundStable(col("top_bigram_cnt") * lit(2.0) / col("n_toks"), 6)
+          .as("top_bigram_frac"),
+        roundStable(col("n_distinct").cast("double") / col("n_toks"), 6)
+          .as("distinct_ratio"))
+  }
+
+  /** Temperature-scaled domain-mixing weights (the LLaMA / Pile recipe):
+    * per-domain token share raised to `alpha` < 1 upweights small
+    * domains, renormalized to sum to 1.
+    *
+    * Distributed shape: one keyed aggregation collapses the corpus to
+    * #domains rows; the two normalization totals ride tiny broadcast
+    * cross-joins over that already-aggregated result (never a window
+    * over an unpartitioned corpus — #domains is small by definition,
+    * the corpus is not). The aggregate is localCheckpoint'd so the
+    * totals derive from the materialized #domains rows — Spark does not
+    * reuse common subplans, and without the cut the corpus scan would
+    * run once per appearance of `g` in the lineage (4× here).
+    */
+  def mixWeights(docs: DataFrame, domainCol: String, textCol: String,
+                 alpha: Double): DataFrame = {
+    val g = docs
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_toks"))
+      .localCheckpoint()
+    val tot = g.agg(sum("n_toks").as("tot_toks"))
+    val shared = g.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_toks").cast("double") / col("tot_toks"))
+      .withColumn("raw_w", pow(col("share"), lit(alpha)))
+    val totW = shared.agg(sum("raw_w").as("tot_w"))
+    shared.crossJoin(broadcast(totW))
+      .select(col(domainCol), col("n_docs"), col("n_toks"),
+        roundStable(col("share"), 6).as("share"),
+        roundStable(col("raw_w") / col("tot_w"), 6).as("mix_weight"))
+  }
+
+  /** Sliding-window context chunking: split each document's token stream
+    * into windows of `window` tokens advancing by `stride` (overlap =
+    * window − stride), the standard packing-precursor for fixed-context
+    * training. Emits one row per chunk with its token offset, length,
+    * and an md5 content hash (the join key for chunk-level dedup).
+    *
+    * Narrow op — per-row sequence + explode + slice, no shuffle at all;
+    * chunking 100 TB is a map-only pass.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = tokens(col(textCol))
+    val nChunks = (ceil(greatest(size(toks) - window, lit(0)).cast("double") / stride) + 1)
+      .cast("int")
+    docs
+      .select(col(idCol), toks.as("toks"), size(toks).as("n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx").cast("long") * stride).as("tok_start"),
+        least(lit(window), col("n") - col("chunk_idx") * stride).cast("long")
+          .as("n_chunk_toks"),
+        md5(concat_ws(" ", slice(col("toks"), col("chunk_idx") * stride + 1, lit(window))))
+          .as("chunk_hash"))
+  }
+
+  /** Benchmark decontamination: per corpus document, the count and
+    * fraction of its distinct word `n`-gram shingles that also occur in
+    * any benchmark document — the standard eval-overlap check run before
+    * training. Documents shorter than `n` tokens have no shingle and
+    * drop out (mirrors the oracle).
+    *
+    * Distributed shape: benchmark suites are bounded (MBs of distinct
+    * shingles even for large eval sets), so the benchmark side is
+    * broadcast and the corpus side never shuffles for the probe; the
+    * only keyed exchange is the per-document count. A benchmark too big
+    * to broadcast degrades gracefully to a shuffled join under AQE —
+    * drop the hint at that point.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    def shingles(df: DataFrame, cols: Column*): DataFrame = {
+      val toks = tokens(col(textCol))
+      df.filter(size(toks) >= n)
+        .select(cols :+ explode(array_distinct(
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))).as("sh"): _*)
+    }
+    val benchSh = shingles(bench).select("sh").distinct()
+      .withColumn("hit", lit(1))
+    shingles(corpus, col(idCol))
+      .join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col(idCol), col("n_shingles"), col("n_hits"),
+        roundStable(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("contamination"),
+        (col("n_hits") > 0).as("contaminated"))
+  }
+
+  /** Greedy sequence packing: fold documents (ordered by `idCol` within
+    * each `partCol` group) into bins of at most `capacity` tokens; a
+    * document that would overflow the open bin starts the next one, and
+    * an oversized document (> capacity tokens) gets a bin of its own.
+    * This is the deterministic streaming half of training-batch packing
+    * — bin_fill is the running occupancy, so feeding bins to a writer
+    * needs no second pass.
+    *
+    * A greedy fold is inherently sequential per group — no window frame
+    * expresses "running sum that resets on overflow" — so this is the
+    * one place in the text stack that leaves pure Catalyst: Spark's
+    * secondary-sort idiom (repartition by group, sort within partitions,
+    * stream each partition with O(1) state, state resets on group
+    * change). Each task streams its groups without materializing them;
+    * scale across groups is free, scale WITHIN one group is bounded by
+    * single-task throughput, which is what an order-dependent fold means
+    * — shard the group key (e.g. (lang, shard)) if one domain dominates.
+    */
+  def packGreedy(docs: DataFrame, partCol: String, idCol: String,
+                 textCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"need capacity > 0, got $capacity")
+    val sized = docs.select(
+      col(partCol).cast("string").as("part"),
+      col(idCol).cast("long").as("id"),
+      size(tokens(col(textCol))).cast("long").as("n_toks"))
+    sized
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "id")
+      .as(Encoders.product[(String, Long, Long)])
+      .mapPartitions { rows =>
+        // deserialization is a narrow map — the within-partition sort
+        // survives into this iterator; state resets on group change
+        var curPart: String = null
+        var bin = 0L
+        var fill = 0L
+        rows.map { case (part, id, n) =>
+          if (part != curPart) { curPart = part; bin = 0L; fill = n }
+          else if (fill + n > capacity) { bin += 1L; fill = n }
+          else fill += n
+          (part, id, n, bin, fill)
+        }
+      }(Encoders.product[(String, Long, Long, Long, Long)])
+      .toDF(partCol, idCol, "n_toks", "bin_id", "bin_fill")
+  }
+}

@@ -677,4 +677,94 @@ class OperatorEdgeSpec extends AnyFunSuite {
       .filter(col("id_a") === col("id_b")).count()
     assert(self == 0L, "re-ingested id emitted a self-pair")
   }
+
+  test("packGreedy: capacity invariant, contiguous bins, order preserved, partition-independent") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long, Long)] =
+      text.Corpus.packGreedy(df, "lang", "doc_id", "text", capacity = 100L)
+        .orderBy("lang", "doc_id")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    val got = run(docs)
+    assert(got.nonEmpty)
+    // replay the fold sequentially per lang: every row must agree
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var bin = 0L; var fill = 0L; var first = true
+      rows.foreach { case (_, _, n, binId, binFill) =>
+        if (first) { first = false; fill = n }
+        else if (fill + n > 100L) { bin += 1; fill = n }
+        else fill += n
+        assert(binId == bin && binFill == fill, s"fold mismatch at $rows")
+      }
+      // capacity holds except single-doc oversized bins
+      rows.groupBy(_._4).foreach { case (_, binRows) =>
+        val tot = binRows.map(_._3).sum
+        assert(tot <= 100L || binRows.size == 1,
+          s"multi-doc bin over capacity: $binRows")
+      }
+      // bins are contiguous from 0
+      val bins = rows.map(_._4).distinct
+      assert(bins == (0L until bins.size).toSeq, s"bins not contiguous: $bins")
+    }
+    assert(run(docs.repartition(7)) == got, "result must not depend on partitioning")
+  }
+
+  test("chunkWindows: stride coverage, boundary hashes, short-doc single chunk") {
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")), // 80 toks → 3 chunks
+      (2L, "a b c")                                   // short → 1 chunk of 3
+    ).toDF("doc_id", "text")
+    val out = text.Corpus.chunkWindows(docs, "doc_id", "text", window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 24L, 48L))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(32L, 32L, 32L))
+    // every token index is covered by some chunk: last start + len == 80
+    assert(d1.last.getLong(2) + d1.last.getLong(3) == 80L)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getLong(3) == 3L)
+    // hash is the md5 of the actual chunk text
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d2.head.getString(4) == exp)
+  }
+
+  test("contamination: planted n-gram overlap is found, clean docs score zero") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y alpha beta gamma delta q r"), // contains a planted 4-gram
+      (2L, "p q r s t u v w"),                // clean
+      (3L, "a b c")                           // < n tokens → drops out
+    ).toDF("doc_id", "text")
+    val out = text.Corpus.contamination(corpus, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), "short doc must drop out")
+    val hit = out(0)
+    // doc 1 has 5 distinct 4-grams; exactly the planted "alpha beta gamma
+    // delta" also occurs in the benchmark
+    assert(hit.getLong(1) == 5L && hit.getLong(2) == 1L && hit.getBoolean(4))
+    assert(out(1).getLong(2) == 0L && !out(1).getBoolean(4))
+  }
+
+  test("mixWeights: weights normalize to 1 and alpha flattens the mix") {
+    val docs = Tables.documents(spark, sfDir).select("lang", "text")
+    def weights(alpha: Double): Map[String, Double] =
+      text.Corpus.mixWeights(docs, "lang", "text", alpha)
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val w = weights(0.5)
+    assert(math.abs(w.values.sum - 1.0) < 1e-4, s"weights must sum to 1: $w")
+    // alpha=1 reproduces raw shares; alpha<1 moves every weight toward
+    // uniform — the spread must strictly shrink
+    val raw = weights(1.0)
+    def spread(m: Map[String, Double]) = m.values.max - m.values.min
+    assert(spread(w) < spread(raw), "temperature must flatten the mix")
+    // repetitionStats sanity on the same pass: a pathological doc scores
+    // above any natural-corpus doc
+    val rep = text.Corpus.repetitionStats(
+      Seq((1L, "spam ham " * 20 + "spam ham")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(rep.getDouble(3) > 0.9, s"degenerate doc must have top-bigram frac ~1: $rep")
+  }
 }
