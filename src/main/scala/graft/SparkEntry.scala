@@ -860,6 +860,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q79_incremental_agg" -> ((s, dir) => {
+      // incremental daily summary, full lifecycle in-query: build from a
+      // third of the facts, fold in a second third (batch 1), REPLAY
+      // batch 1 (gate → no-op), compact the partial log, replay batch 1
+      // AGAIN post-compact (the marker table keeps gating it), fold the
+      // final third (batch 2). The folded read must equal the oracle's
+      // one-shot aggregate over ALL the facts — O(delta) maintenance ≡
+      // full recompute.
+      val keys = Seq("d", "event_type")
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      val base = ev.filter(col("event_id") % 3 === 0)
+      val d1 = ev.filter(col("event_id") % 3 === 1)
+      val d2 = ev.filter(col("event_id") % 3 === 2)
+      etl.IncrementalAgg.writeState(base, keys, "value", "q79agg", batchId = 0, buckets = 4)
+      etl.IncrementalAgg.appendDelta(d1, keys, "value", "q79agg", batchId = 1)
+      etl.IncrementalAgg.appendDelta(d1, keys, "value", "q79agg", batchId = 1)
+      etl.IncrementalAgg.compact(s, "q79agg")
+      etl.IncrementalAgg.appendDelta(d1, keys, "value", "q79agg", batchId = 1)
+      etl.IncrementalAgg.appendDelta(d2, keys, "value", "q79agg", batchId = 2)
+      etl.IncrementalAgg.read(s, "q79agg")
+        .select(col("event_type"), col("d"), col("cnt"),
+          roundStable(col("s"), 4).as("sum_value"),
+          // avg from the ROUNDED sum: the raw partial-sum fold and the
+          // oracle's single-pass sum can differ in the last ulp, which
+          // flips a 4-digit tie; the rounded sums are bit-identical, so
+          // an avg derived from them is too
+          roundStable(roundStable(col("s"), 4) / col("cnt"), 4).as("avg_value"),
+          roundStable(col("mn"), 6).as("min_value"),
+          roundStable(col("mx"), 6).as("max_value"))
+        .orderBy(col("d"), col("event_type"))
+    }),
+
     "q78_pack_greedy" -> ((s, dir) =>
       // greedy sequence packing into 256-token bins per lang, doc_id
       // order: secondary-sort mapPartitions fold (the one inherently
@@ -1687,6 +1720,16 @@ object SparkEntry {
         |  roundStable(CAST(n_hits AS DOUBLE)/n_shingles, 6) AS contamination,
         |  n_hits > 0 AS contaminated
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q79_incremental_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d,
+        | count(value) AS cnt,
+        | roundStable(sum(value), 4) AS sum_value,
+        | roundStable(roundStable(sum(value), 4) / count(value), 4) AS avg_value,
+        | roundStable(min(value), 6) AS min_value,
+        | roundStable(max(value), 6) AS max_value
+        |FROM events GROUP BY event_type, d
+        |ORDER BY d, event_type""".stripMargin,
 
     "q78_pack_greedy" ->
       """WITH RECURSIVE t AS (SELECT lang, doc_id,

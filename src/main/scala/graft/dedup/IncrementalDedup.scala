@@ -49,7 +49,7 @@ object IncrementalDedup {
     * fails with LOCATION_ALREADY_EXISTS. Rebuild semantics means both
     * must go.
     */
-  private def dropForRebuild(spark: SparkSession, table: String): Unit = {
+  private[graft] def dropForRebuild(spark: SparkSession, table: String): Unit = {
     // resolve the location from the catalog while the entry still exists
     // (correct under ANY current database — <warehouse>/<db>.db/<table>);
     // fall back to the default-database layout for the orphaned-directory

@@ -37,20 +37,29 @@ object Corpus {
     * (mirrors the oracle's empty unnest).
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val base = docs.select(
-      col(idCol),
-      size(toks).cast("long").as("n_toks"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
-      // sequence(1, 0) would count DOWN in Spark; guard short docs to an
-      // empty array so explode drops them like the oracle's empty unnest
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>")).as("bigrams"))
-    base
+    // The bigram is constructed AFTER exploding a position index, never
+    // as a pre-built string array under the explode: Catalyst's
+    // InferFiltersFromGenerate clones the generator child into a pushed
+    // Filter, and a transform-of-concats child re-tokenizes the document
+    // per lambda element there (no CSE inside higher-order functions) —
+    // O(tokens²) splits per row, measured 50× slower on the bench
+    // corpus. An int-sequence child keeps the inferred filter cheap.
+    val toks = col("__toks")
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), toks,
+        size(toks).cast("long").as("n_toks"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .select(col(idCol), toks, col("n_toks"), col("n_distinct"),
+        // sequence(1, 0) would count DOWN in Spark; guard short docs to
+        // an empty array so explode drops them like the oracle's unnest
+        explode(when(col("n_toks") >= 2,
+          sequence(lit(1), col("n_toks").cast("int") - 1))
+          .otherwise(array().cast("array<int>"))).as("__i"))
       .select(col(idCol), col("n_toks"), col("n_distinct"),
-        explode(col("bigrams")).as("bg"))
+        concat_ws(" ", element_at(toks, col("__i")),
+          element_at(toks, col("__i") + 1)).as("bg"))
+    base
       .groupBy(col(idCol), col("n_toks"), col("n_distinct"), col("bg"))
       .count()
       .groupBy(col(idCol), col("n_toks"), col("n_distinct"))
@@ -137,20 +146,26 @@ object Corpus {
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
-    def shingles(df: DataFrame, cols: Column*): DataFrame = {
-      val toks = tokens(col(textCol))
-      df.filter(size(toks) >= n)
-        .select(cols :+ explode(array_distinct(
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n)))))).as("sh"): _*)
+    // position-explode, shingle built AFTER the Generate — same
+    // InferFiltersFromGenerate trap as repetitionStats: a transform-of-
+    // slices generator child gets cloned into a pushed Filter that
+    // re-tokenizes per lambda element. Emitting raw (possibly duplicate)
+    // shingle rows and deduplicating in the aggregation (count DISTINCT)
+    // keeps the shuffle count at one and the per-row work linear.
+    def shingleRows(df: DataFrame, cols: Column*): DataFrame = {
+      val toks = col("__toks")
+      df.select(cols :+ tokens(col(textCol)).as("__toks"): _*)
+        .filter(size(toks) >= n)
+        .select(cols :+ toks :+
+          explode(sequence(lit(1), size(toks) - (n - 1))).as("__i"): _*)
+        .select(cols :+ concat_ws(" ", slice(toks, col("__i"), lit(n))).as("sh"): _*)
     }
-    val benchSh = shingles(bench).select("sh").distinct()
-      .withColumn("hit", lit(1))
-    shingles(corpus, col(idCol))
+    val benchSh = shingleRows(bench).distinct().withColumn("hit", lit(1))
+    shingleRows(corpus, col(idCol))
       .join(broadcast(benchSh), Seq("sh"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .agg(countDistinct(col("sh")).as("n_shingles"),
+        countDistinct(when(col("hit") === 1, col("sh"))).as("n_hits"))
       .select(col(idCol), col("n_shingles"), col("n_hits"),
         roundStable(col("n_hits").cast("double") / col("n_shingles"), 6)
           .as("contamination"),

@@ -678,6 +678,58 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(self == 0L, "re-ingested id emitted a self-pair")
   }
 
+  test("IncrementalAgg: full lifecycle — gate, compact, post-compact gate, crash recovery") {
+    import etl.IncrementalAgg
+    val keys = Seq("k")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count("v").as("cnt"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+        .orderBy("k").collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    def readFolded() = IncrementalAgg.read(spark, "iaggspec")
+      .select(col("k"), col("cnt"), col("s"), col("mn"), col("mx"))
+      .orderBy("k").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val base = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v")
+    val d1 = Seq(("a", 3.0), ("c", 5.0)).toDF("k", "v")
+    val d2 = Seq(("b", -1.0)).toDF("k", "v")
+
+    IncrementalAgg.writeState(base, keys, "v", "iaggspec", batchId = 0, buckets = 2)
+    IncrementalAgg.appendDelta(d1, keys, "v", "iaggspec", batchId = 1)
+    assert(readFolded() == agg(base.union(d1)), "fold after append")
+
+    val rows = spark.table("iaggspec_state").count()
+    IncrementalAgg.appendDelta(d1, keys, "v", "iaggspec", batchId = 1)
+    assert(spark.table("iaggspec_state").count() == rows, "replay must append zero rows")
+
+    IncrementalAgg.compact(spark, "iaggspec")
+    assert(spark.table("iaggspec_state").count() == 3, "compact folds to one row per key")
+    assert(readFolded() == agg(base.union(d1)), "compact must not change the result")
+
+    // the fold erased batch 1's partial rows — the marker table must
+    // still gate a late replay of it
+    IncrementalAgg.appendDelta(d1, keys, "v", "iaggspec", batchId = 1)
+    assert(spark.table("iaggspec_state").count() == 3, "post-compact replay must be gated")
+
+    IncrementalAgg.appendDelta(d2, keys, "v", "iaggspec", batchId = 2)
+    assert(readFolded() == agg(base.union(d1).union(d2)), "append after compact")
+
+    // crash-before-drop: an orphan fold table must be discarded
+    val orphan = Seq(("z", 9L, 9.0, 81.0, 9.0, 9.0, -1L))
+      .toDF("k", "cnt", "s", "s2", "mn", "mx", "batch_id")
+    sources.Io.writeBucketed(orphan, "iaggspec_state_new", "k", 2)
+    IncrementalAgg.recover(spark, "iaggspec")
+    assert(!spark.catalog.tableExists("iaggspec_state_new") && readFolded() == agg(base.union(d1).union(d2)),
+      "orphan fold must be dropped, state preserved")
+
+    // crash-after-drop: a complete fold with the state gone must be promoted
+    val snapshot = spark.table("iaggspec_state").localCheckpoint()
+    sources.Io.writeBucketed(snapshot, "iaggspec_state_new", "k", 2)
+    dedup.IncrementalDedup.dropForRebuild(spark, "iaggspec_state")
+    assert(readFolded() == agg(base.union(d1).union(d2)),
+      "read must heal the half-swapped state via recover()")
+  }
+
   test("packGreedy: capacity invariant, contiguous bins, order preserved, partition-independent") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
     def run(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long, Long)] =

@@ -638,4 +638,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(u1.head.n_events == 2 && u1.last.n_events == 1)
     assert(sessions.count(_.user_id == 2) == 1)
   }
+
+  test("streaming agg sink: batches fold into the state table, replay is a no-op, cadence compacts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_astream").toString
+    val base = Seq(("a", 1.0), ("b", 10.0)).toDF("k", "v")
+    // default batchId: the reserved base id — the stream's own batch 0
+    // must NOT be swallowed by the gate
+    etl.IncrementalAgg.writeState(base, Seq("k"), "v", "astrm", buckets = 2)
+    val mem = MemoryStream[(String, Double)]
+    val q = streaming.AggStream.toAggSink(
+      mem.toDF().toDF("k", "v"), Seq("k"), "v", "astrm",
+      s"$tmp/ck", compactEvery = 2).start()
+    mem.addData(("a", 2.0), ("c", 5.0))
+    q.processAllAvailable()
+    mem.addData(("b", -1.0), ("c", 1.0))
+    q.processAllAvailable() // batch 1 → cadence fires: (1+1) % 2 == 0
+    q.stop()
+
+    def folded() = etl.IncrementalAgg.read(spark, "astrm")
+      .select("k", "cnt", "s").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = Seq(("a", 2L, 3.0), ("b", 2L, 9.0), ("c", 2L, 6.0))
+    assert(folded() == expected, s"stream fold: ${folded()}")
+    // the cadence compacted after batch 1: one state row per key, and the
+    // marker table carries the folded batch ids
+    assert(spark.table("astrm_state").count() == 3, "cadence must have compacted")
+    assert(spark.catalog.tableExists("astrm_applied"))
+
+    // at-least-once replay of a POST-compaction batch id: the marker
+    // gates it even though its partial rows were folded away
+    etl.IncrementalAgg.appendDelta(
+      Seq(("b", -1.0), ("c", 1.0)).toDF("k", "v"), Seq("k"), "v", "astrm", batchId = 1)
+    assert(spark.table("astrm_state").count() == 3 && folded() == expected,
+      "replayed batch must be gated after compaction")
+  }
 }
