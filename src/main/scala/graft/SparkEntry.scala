@@ -860,6 +860,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q80_heavy_hitters" -> ((s, dir) =>
+      // sketch-then-verify exact top-k tokens: Misra-Gries candidates in
+      // one pass (bounded state), exact counts for candidates only in a
+      // second. capacity 256 >> vocabulary here, so the result is exact
+      // (the eviction path is spec-covered on planted skew)
+      text.Corpus.topKTokens(Tables.documents(s, dir), "text", k = 20, capacity = 256)
+        .orderBy(col("cnt").desc, col("tok"))),
+
     "q79_incremental_agg" -> ((s, dir) => {
       // incremental daily summary, full lifecycle in-query: build from a
       // third of the facts, fold in a second third (batch 1), REPLAY
@@ -1720,6 +1728,11 @@ object SparkEntry {
         |  roundStable(CAST(n_hits AS DOUBLE)/n_shingles, 6) AS contamination,
         |  n_hits > 0 AS contaminated
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q80_heavy_hitters" ->
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
 
     "q79_incremental_agg" ->
       """SELECT event_type, CAST(ts AS DATE) AS d,

@@ -172,6 +172,38 @@ object Corpus {
         (col("n_hits") > 0).as("contaminated"))
   }
 
+  /** Exact top-k most frequent tokens via sketch-then-verify — the
+    * 100 TB replacement for `groupBy(token).count().orderBy(...)` when
+    * the vocabulary itself is too large to shuffle comfortably:
+    *
+    *   pass 1: one scan folds every partition into a `capacity`-entry
+    *     Misra-Gries summary ([[graft.functions.FreqSketchAgg]]); the
+    *     merged candidate set provably contains every token with count
+    *     > N/(capacity+1), and is at most `capacity` strings — bounded
+    *     driver state by construction;
+    *   pass 2: exact counts for ONLY the candidates (the `isin` filter
+    *     cuts the aggregate's key space from |vocab| to ≤ capacity),
+    *     deterministic total order (count desc, token asc), take k.
+    *
+    * The result is EXACT whenever the k-th true count exceeds the
+    * sketch threshold N/(capacity+1) — size `capacity` accordingly
+    * (e.g. 100× k). With a near-flat tail whose counts sit under the
+    * threshold the tail of the list may differ from the exact ranking;
+    * heavy hitters can never be missed.
+    */
+  def topKTokens(docs: DataFrame, textCol: String, k: Int, capacity: Int): DataFrame = {
+    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val sketch = toks
+      .agg(graft.functions.FreqSketchAgg.freqSketch(col("tok"), capacity).as("sk"))
+      .select(explode(map_keys(col("sk"))).as("tok"))
+      .collect().map(_.getString(0)).toSeq // ≤ capacity rows by contract
+    toks.filter(col("tok").isInCollection(sketch))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+  }
+
   /** Greedy sequence packing: fold documents (ordered by `idCol` within
     * each `partCol` group) into bins of at most `capacity` tokens; a
     * document that would overflow the open bin starts the next one, and

@@ -730,6 +730,28 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "read must heal the half-swapped state via recover()")
   }
 
+  test("FreqSketch: planted heavy hitter survives eviction; exact top-k; partition-independent") {
+    // 1 doc repeating the heavy token 4000×, 4000 docs of unique junk:
+    // vocabulary 4001 >> capacity 8, so the sketch MUST evict, and the
+    // MG guarantee (count > N/(cap+1) ⇒ present) applies to "hh"
+    val docs = ((1 to 4000).map(i => (i.toLong, s"junk$i")) :+
+      (0L, Seq.fill(4000)("hh").mkString(" "))).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      text.Corpus.topKTokens(df, "text", k = 1, capacity = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = run(docs)
+    assert(got == Seq(("hh", 4000L)), s"heavy hitter lost under eviction: $got")
+    assert(run(docs.repartition(7)) == got, "result must not depend on partitioning")
+
+    // candidate set stays bounded by capacity even with merge pressure
+    val sketch = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .repartition(13)
+      .agg(functions.FreqSketchAgg.freqSketch(col("tok"), 8).as("sk"))
+      .select(map_keys(col("sk"))).collect().head.getSeq[String](0)
+    assert(sketch.size <= 8, s"sketch exceeded capacity: ${sketch.size}")
+    assert(sketch.contains("hh"), "merged sketch must keep the heavy hitter")
+  }
+
   test("packGreedy: capacity invariant, contiguous bins, order preserved, partition-independent") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
     def run(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long, Long)] =
