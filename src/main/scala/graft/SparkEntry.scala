@@ -860,6 +860,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q83_curation" -> ((s, dir) => {
+      // the end-to-end corpus-curation composition a training-data user
+      // actually runs, each stage an already-gated operator: normalize
+      // (q60's shape) → quality + length gate (q61) → exact bag-of-words
+      // dedup, min-id survivor (q33's fingerprint) → deterministic split
+      // (q82's hash). One narrow pipeline + one fingerprint aggregation.
+      val stops = Seq("the", "a")
+      val norm = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        regexp_replace(lower(col("text")), "  +", " ").as("t"))
+      val gated = norm
+        .withColumn("quality", TextStats.qualityScore(col("t"), stops))
+        .withColumn("n_toks", TextStats.wsTokenCount(col("t")))
+        .filter(col("quality") >= 0.4 && col("n_toks").between(10, 200))
+        .withColumn("fp", TextStats.fingerprint(col("t")))
+      val survivors = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      gated.join(survivors, Seq("fp", "doc_id"), "left_semi")
+        .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(2147483648L)))
+        .select(col("doc_id"), col("lang"),
+          roundStable(col("quality"), 6).as("quality"),
+          col("n_toks"),
+          when(col("h") % 10 < 8, "train").when(col("h") % 10 < 9, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q81_redact_pii" -> ((s, dir) => {
+      // C4/CCNet-style PII scrub. The corpus is synthetic word salad, so
+      // PII is PLANTED deterministically first (email on every 10th doc,
+      // ip on every 17th, phone on every 23rd) — the redactor then has
+      // real work whose expected counts the oracle recomputes
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256L)), lit(".1"))).otherwise(lit("")),
+          when(col("doc_id") % 23 === 0,
+            concat(lit(" tel 555-01"), pmod(col("doc_id"), lit(100L)), lit("-4433"))).otherwise(lit("")))
+          .as("text"))
+      text.Corpus.redactPii(planted, "doc_id", "text")
+        .withColumn("clean_len", length(col("clean_text")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q82_train_split" -> ((s, dir) =>
+      // deterministic train/val/test split + pseudo-random shuffle key
+      // from a multiplicative hash — map-only, RNG-free, engine-portable
+      text.Corpus.trainSplit(Tables.documents(s, dir), "doc_id")
+        .orderBy(col("doc_id"))),
+
     "q80_heavy_hitters" -> ((s, dir) =>
       // sketch-then-verify exact top-k tokens: Misra-Gries candidates in
       // one pass (bounded state), exact counts for candidates only in a
@@ -1728,6 +1778,53 @@ object SparkEntry {
         |  roundStable(CAST(n_hits AS DOUBLE)/n_shingles, 6) AS contamination,
         |  n_hits > 0 AS contaminated
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q83_curation" ->
+      """WITH n AS (SELECT doc_id, lang,
+        |    regexp_replace(lower(text), '  +', ' ', 'g') AS t FROM documents),
+        |s AS (SELECT doc_id, lang, t, str_split(t, ' ') AS toks FROM n),
+        |q AS (SELECT doc_id, lang, t,
+        |  0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+        |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(t, '[.,!?;:]')) AS DOUBLE) / CAST(length(t) AS DOUBLE))
+        |   + 0.2 * (CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS quality,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(list_sort(list_distinct(str_split(lower(t), ' '))), ' ')) AS fp
+        | FROM s),
+        |f AS (SELECT * FROM q WHERE quality >= 0.4 AND n_toks BETWEEN 10 AND 200),
+        |m AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp)
+        |SELECT f.doc_id, f.lang, roundStable(f.quality, 6) AS quality, f.n_toks,
+        |  CASE WHEN (f.doc_id * 2654435761) % 2147483648 % 10 < 8 THEN 'train'
+        |       WHEN (f.doc_id * 2654435761) % 2147483648 % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM f JOIN m ON f.fp = m.fp AND f.doc_id = m.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
+
+    "q81_redact_pii" ->
+      """WITH planted AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 10 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 17 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.1' ELSE '' END ||
+        |  CASE WHEN doc_id % 23 = 0 THEN ' tel 555-01' || (doc_id % 100) || '-4433' ELSE '' END
+        |  AS text FROM documents),
+        |r AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<ip>', 'g'),
+        |    '[0-9][0-9-]{6,}[0-9]', '<phone>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+        |     + len(regexp_extract_all(text, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+'))
+        |     + len(regexp_extract_all(text, '[0-9][0-9-]{6,}[0-9]')) AS BIGINT) AS n_redactions
+        | FROM planted)
+        |SELECT doc_id, clean_text, n_redactions,
+        |  CAST(length(clean_text) AS BIGINT) AS clean_len
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q82_train_split" ->
+      """SELECT doc_id,
+        |  (doc_id * 2654435761) % 2147483648 AS h,
+        |  CASE WHEN (doc_id * 2654435761) % 2147483648 % 10 < 8 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 2147483648 % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q80_heavy_hitters" ->
       """SELECT tok, count(*) AS cnt

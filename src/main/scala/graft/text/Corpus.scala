@@ -204,6 +204,48 @@ object Corpus {
       .limit(k)
   }
 
+  /** PII redaction: mask emails, bare IPv4 addresses, and long digit
+    * runs (phone-ish) with typed placeholders, and count the redactions
+    * per document — the C4/CCNet-style scrub stage. Pure codegen'd
+    * regexp expressions, map-only at any scale; patterns deliberately
+    * use the conservative character-class subset that parses identically
+    * in Java and RE2-family engines (the oracle runs them in DuckDB).
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pats = Seq(
+      "[a-z0-9.]+@[a-z0-9.]+"                            -> "<email>",
+      "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"                -> "<ip>",
+      "[0-9][0-9-]{6,}[0-9]"                             -> "<phone>")
+    val redacted = pats.foldLeft(col(textCol)) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    val nRedactions = pats.map { case (p, _) => regexp_count(col(textCol), lit(p)) }
+      .reduce(_ + _).cast("long")
+    docs.select(col(idCol), redacted.as("clean_text"), nRedactions.as("n_redactions"))
+  }
+
+  /** Deterministic train/val/test assignment plus a stable shuffle key,
+    * from one multiplicative integer hash of the document id (Knuth's
+    * 2654435761 mod 2³¹) — no RNG state, reproducible on any engine,
+    * and pure int64 arithmetic so the oracle replays it exactly. The
+    * hash IS the shuffle order: a training loader sorts (or range-
+    * partitions) by `h` to read its split in pseudo-random order
+    * without materializing a permutation — deliberately NOT a
+    * `row_number` rank, which would funnel the corpus through one
+    * window task per split. Map-only at any scale.
+    */
+  def trainSplit(docs: DataFrame, idCol: String,
+                 trainPct: Int = 8, valPct: Int = 1): DataFrame = {
+    require(trainPct + valPct < 10, s"train+val must leave room for test")
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(2147483648L))
+    docs
+      .select(col(idCol), h.as("h"))
+      .withColumn("split",
+        when(col("h") % 10 < trainPct, "train")
+          .when(col("h") % 10 < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Greedy sequence packing: fold documents (ordered by `idCol` within
     * each `partCol` group) into bins of at most `capacity` tokens; a
     * document that would overflow the open bin starts the next one, and

@@ -730,6 +730,30 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "read must heal the half-swapped state via recover()")
   }
 
+  test("redactPii masks all three pattern classes; trainSplit is deterministic and proportional") {
+    val docs = Seq(
+      (1L, "reach me at bob.smith@corp.example or 192.168.0.12 or 555-0199-4433"),
+      (2L, "clean text no pii 5 ok")
+    ).toDF("doc_id", "text")
+    val out = text.Corpus.redactPii(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "reach me at <email> or <ip> or <phone>")
+    assert(out(0).getLong(2) == 3L)
+    assert(out(1).getString(1) == "clean text no pii 5 ok" && out(1).getLong(2) == 0L)
+
+    val split = text.Corpus.trainSplit(Tables.documents(spark, sfDir), "doc_id")
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts.keySet == Set("train", "val", "test"), s"missing split: $counts")
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9, s"train share off: $counts")
+    // same id always lands in the same split (re-run + repartition)
+    val again = text.Corpus.trainSplit(
+      Tables.documents(spark, sfDir).repartition(7), "doc_id")
+    assert(split.join(again.withColumnRenamed("split", "s2"), Seq("doc_id", "h"))
+      .filter(col("split") =!= col("s2")).count() == 0L)
+  }
+
   test("FreqSketch: planted heavy hitter survives eviction; exact top-k; partition-independent") {
     // 1 doc repeating the heavy token 4000×, 4000 docs of unique junk:
     // vocabulary 4001 >> capacity 8, so the sketch MUST evict, and the
