@@ -78,7 +78,12 @@ object DedupScale {
       val t0 = System.nanoTime()
       dedup.IncrementalDedup.writeIndex(docs, "doc_id", "text", "dsidx", buckets = 32)
       val tIdx = (System.nanoTime() - t0) / 1e9
-      val delta = base.select((col("doc_id") * r + lit(baseN * r)).as("doc_id"),
+      // id spaces must be pairwise disjoint (corpus < delta < delta2):
+      // appended delta ids live in the index when delta2 runs, and an id
+      // collision would trip the operator's re-ingestion guard instead
+      // of pairing (caught: the old `baseN*r` / `baseN*(r+1)` offsets
+      // overlap for any r > 1)
+      val delta = base.select((col("doc_id") * r + lit(baseN * r * 10L)).as("doc_id"),
         concat(col("text"), lit(" replicatag0")).as("text"))
       val t1 = System.nanoTime()
       val nDelta = dedup.IncrementalDedup.deltaPairs(spark, delta, "doc_id", "text",
@@ -92,7 +97,7 @@ object DedupScale {
       val t2 = System.nanoTime()
       dedup.IncrementalDedup.appendToIndex(delta, "doc_id", "text", "dsidx")
       val tApp = (System.nanoTime() - t2) / 1e9
-      val delta2 = base.select((col("doc_id") * r + lit(baseN * (r + 1))).as("doc_id"),
+      val delta2 = base.select((col("doc_id") * r + lit(baseN * r * 20L)).as("doc_id"),
         concat(col("text"), lit(" replicatag0")).as("text"))
       val t3 = System.nanoTime()
       val nDelta2 = dedup.IncrementalDedup.deltaPairs(spark, delta2, "doc_id", "text",
@@ -101,6 +106,35 @@ object DedupScale {
       require(nDelta2 > nDelta,
         s"second delta must see first-delta twins as index pairs: $nDelta2 <= $nDelta")
       println(f"[incappend]  corpus=${baseN * (r + 1)}%8d delta=$baseN%8d  pairs=$nDelta2%10d  append=${tApp}%8.2f s  delta=${tDelta2}%8.2f s")
+      Blocks.releaseAll(spark)
+    }
+
+    // incremental aggregation at the same scales: build the state over
+    // the R× fact table once, then fold in a 1×-base batch — append
+    // cost must track the DELTA (partial-agg of the batch + bucketed
+    // append), and the folded read the KEY count, never the fact count
+    {
+      val ev = Tables.events(spark, sfDir).select(col("event_id"),
+        col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      val evN = ev.count()
+      val r = reps.max
+      val facts = spark.range(r).crossJoin(ev)
+        .select((col("event_id") * r + col("id")).as("event_id"),
+          col("event_type"), col("d"), col("value"))
+      val keys = Seq("d", "event_type")
+      val t0 = System.nanoTime()
+      etl.IncrementalAgg.writeState(facts, keys, "value", "dsagg", buckets = 32)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val delta = ev.select((col("event_id") + lit(evN.toDouble * (r + 1)).cast("long"))
+        .as("event_id"), col("event_type"), col("d"), col("value"))
+      val t1 = System.nanoTime()
+      etl.IncrementalAgg.appendDelta(delta, keys, "value", "dsagg", batchId = 0)
+      val tApp = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val total = etl.IncrementalAgg.read(spark, "dsagg").agg(sum("cnt")).collect()(0).getLong(0)
+      val tRead = (System.nanoTime() - t2) / 1e9
+      require(total == evN * (r + 1), s"folded count $total != ${evN * (r + 1)}")
+      println(f"[incagg]     facts=${evN * r}%9d delta=$evN%8d  build=${tBuild}%7.2f s  append=${tApp}%6.2f s  read=${tRead}%6.2f s")
       Blocks.releaseAll(spark)
     }
 

@@ -860,6 +860,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q84_salted_join" -> ((s, dir) => {
+      // the skew-splitting join identity, oracle-gated: events join a
+      // 5-row per-type dimension through Skew.saltedJoin (left salted
+      // from the row-unique event_id, dim exploded buckets×) must equal
+      // the plain join bit-for-bit. The hot-key shape this exists for:
+      // 5 join keys over the whole fact table → salting turns 5 reduce
+      // groups into 5×8
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("event_type"))
+        .agg(roundStable(avg(col("value")), 6).as("type_avg"))
+      operators.Skew.saltedJoin(ev, dim, "event_type", buckets = 8,
+        saltFrom = Some("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          roundStable(sum(col("value") - col("type_avg")), 4).as("dev_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     "q83_curation" -> ((s, dir) => {
       // the end-to-end corpus-curation composition a training-data user
       // actually runs, each stage an already-gated operator: normalize
@@ -1778,6 +1796,15 @@ object SparkEntry {
         |  roundStable(CAST(n_hits AS DOUBLE)/n_shingles, 6) AS contamination,
         |  n_hits > 0 AS contaminated
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q84_salted_join" ->
+      """WITH dim AS (SELECT event_type,
+        |    roundStable(avg(value), 6) AS type_avg
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  roundStable(sum(e.value - d.type_avg), 4) AS dev_sum
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q83_curation" ->
       """WITH n AS (SELECT doc_id, lang,
