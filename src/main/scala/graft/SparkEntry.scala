@@ -860,6 +860,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q85_weighted_sample" -> ((s, dir) =>
+      // resample the corpus to the temperature mix (applies q75's
+      // weights): per-domain keep probability from the weight table,
+      // selection by the q82 multiplicative hash — broadcast + map-only,
+      // exact row set replayed by the oracle
+      text.Corpus.sampleToMix(Tables.documents(s, dir), "lang", "doc_id", "text",
+        alpha = 0.5, targetFrac = 0.5)
+        .orderBy(col("doc_id"))),
+
     "q84_salted_join" -> ((s, dir) => {
       // the skew-splitting join identity, oracle-gated: events join a
       // 5-row per-type dimension through Skew.saltedJoin (left salted
@@ -1796,6 +1805,22 @@ object SparkEntry {
         |  roundStable(CAST(n_hits AS DOUBLE)/n_shingles, 6) AS contamination,
         |  n_hits > 0 AS contaminated
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q85_weighted_sample" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs,
+        |             sum(len(str_split(text,' '))) AS n_toks
+        |           FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |        pow(CAST(n_toks AS DOUBLE)/sum(n_toks) OVER (), 0.5) AS raw_w,
+        |        sum(n_docs) OVER () AS n_total
+        |      FROM g),
+        |p AS (SELECT lang,
+        |        least(1.0, 0.5 * n_total * roundStable(raw_w/sum(raw_w) OVER (), 6) / n_docs) AS p_keep
+        |      FROM w)
+        |SELECT d.doc_id, d.lang, roundStable(p.p_keep, 6) AS p_keep
+        |FROM documents d JOIN p ON d.lang = p.lang
+        |WHERE CAST((d.doc_id * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0 < p.p_keep
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q84_salted_join" ->
       """WITH dim AS (SELECT event_type,

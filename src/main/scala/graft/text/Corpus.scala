@@ -172,6 +172,39 @@ object Corpus {
         (col("n_hits") > 0).as("contaminated"))
   }
 
+  /** Deterministic weighted resampling to a target domain mix — the
+    * step that APPLIES [[mixWeights]]: domain d's keep probability is
+    * `targetFrac · N · w_d / n_d` (capped at 1), so the expected output
+    * is `targetFrac · N` documents distributed by the temperature-scaled
+    * weights. Selection reuses q82's multiplicative id hash as the
+    * uniform variate — RNG-free, reproducible, and pure int64/double
+    * arithmetic end to end, so the oracle replays the exact row set
+    * (not just the expected proportions).
+    *
+    * Distributed shape: the #domains-row weight table broadcasts onto a
+    * map-only corpus pass — no corpus shuffle at any scale.
+    */
+  def sampleToMix(docs: DataFrame, domainCol: String, idCol: String,
+                  textCol: String, alpha: Double, targetFrac: Double): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, s"targetFrac in (0,1], got $targetFrac")
+    // mix_weight here is mixWeights' ROUNDED output, deliberately:
+    // p_keep then derives from a value both engines agree on bit-for-bit
+    // (the raw weight differs in the last ulp across summation orders,
+    // which flips presentation rounding at 6-digit tie boundaries)
+    val w = mixWeights(docs, domainCol, textCol, alpha)
+      .select(col(domainCol), col("n_docs"), col("mix_weight"))
+    val total = w.agg(sum("n_docs").as("n_total"))
+    val withP = w.crossJoin(broadcast(total))
+      .select(col(domainCol),
+        least(lit(1.0), lit(targetFrac) * col("n_total") * col("mix_weight")
+          / col("n_docs")).as("p_keep"))
+    val u = pmod(col(idCol).cast("long") * lit(2654435761L), lit(2147483648L))
+      .cast("double") / lit(2147483648.0)
+    docs.join(broadcast(withP), Seq(domainCol))
+      .filter(u < col("p_keep"))
+      .select(col(idCol), col(domainCol), roundStable(col("p_keep"), 6).as("p_keep"))
+  }
+
   /** Exact top-k most frequent tokens via sketch-then-verify — the
     * 100 TB replacement for `groupBy(token).count().orderBy(...)` when
     * the vocabulary itself is too large to shuffle comfortably:

@@ -754,6 +754,26 @@ class OperatorEdgeSpec extends AnyFunSuite {
       .filter(col("split") =!= col("s2")).count() == 0L)
   }
 
+  test("sampleToMix: output tracks the target mix, p_keep <= 1, partition-independent") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      text.Corpus.sampleToMix(df, "lang", "doc_id", "text", alpha = 0.5, targetFrac = 0.5)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq.sorted
+    val got = run(docs)
+    assert(got.nonEmpty && got.forall(_._3 <= 1.0))
+    assert(run(docs.repartition(7)) == got, "sample must not depend on partitioning")
+    // realized domain shares should track the temperature mix, not the
+    // raw corpus shares: with alpha < 1 the dominant domain's share of
+    // the SAMPLE must drop below its share of the corpus
+    val corpusByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val domLang = corpusByLang.maxBy(_._2)._1
+    val sampleShare = got.count(_._2 == domLang).toDouble / got.size
+    val corpusShare = corpusByLang(domLang).toDouble / corpusByLang.values.sum
+    assert(sampleShare < corpusShare,
+      s"temperature must downweight $domLang: sample $sampleShare vs corpus $corpusShare")
+  }
+
   test("FreqSketch: planted heavy hitter survives eviction; exact top-k; partition-independent") {
     // 1 doc repeating the heavy token 4000×, 4000 docs of unique junk:
     // vocabulary 4001 >> capacity 8, so the sketch MUST evict, and the
