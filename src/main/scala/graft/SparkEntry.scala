@@ -860,6 +860,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q86_incremental_cc" -> ((s, dir) => {
+      // incremental clustering, full lifecycle in-query: the exact-
+      // Jaccard pair graph is split by edge hash into base/d1/d2; labels
+      // built from base, d1 merged, d1 REPLAYED (append-only min-fold →
+      // no-op by monotonicity, no gate), the log compacted, d2 merged.
+      // The folded labels must equal q66's one-shot closure over ALL
+      // pairs — O(affected) maintenance ≡ full recompute, via the SAME
+      // recursive-CTE oracle as q66.
+      val docs = Tables.documents(s, dir)
+      val pairs = NGramJaccard.similarPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+        .localCheckpoint()
+      def part(k: Int) = pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === k)
+      operators.IncrementalCC.writeLabels(part(0), "id_a", "id_b", "q86cc", buckets = 4)
+      operators.IncrementalCC.mergeEdges(s, part(1), "id_a", "id_b", "q86cc")
+      operators.IncrementalCC.mergeEdges(s, part(1), "id_a", "id_b", "q86cc")
+      operators.IncrementalCC.compactLabels(s, "q86cc")
+      operators.IncrementalCC.mergeEdges(s, part(2), "id_a", "id_b", "q86cc")
+      docs.select(col("doc_id"))
+        .join(operators.IncrementalCC.readLabels(s, "q86cc")
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q85_weighted_sample" -> ((s, dir) =>
       // resample the corpus to the temperature mix (applies q75's
       // weights): per-domain keep probability from the weight table,
@@ -1592,6 +1617,31 @@ object SparkEntry {
         |  WHEN pv2 IS NOT NULL AND rn - pi2 <= 3 THEN pv2
         |  ELSE NULL END, 6) AS k2_interp
         |FROM t ORDER BY event_id""".stripMargin,
+
+    "q86_incremental_cc" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(count(*) AS DOUBLE) / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY a.doc_id, b.doc_id) t
+        |  WHERE j >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS comp FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q66_dedup_clusters" ->
       """WITH RECURSIVE s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),

@@ -59,21 +59,11 @@ object IncrementalAgg {
 
   /** Heal a crash inside [[compact]]'s swap window. Idempotent; called
     * on entry by every other surface so a crashed maintenance run can
-    * never strand the state.
+    * never strand the state. (The mechanism lives in
+    * [[graft.sources.Io.recoverRebuild]], shared with IncrementalCC.)
     */
-  def recover(spark: SparkSession, name: String): Unit = {
-    val (st, nw) = (stateTable(name), newTable(name))
-    if (spark.catalog.tableExists(nw)) {
-      if (spark.catalog.tableExists(st))
-        // crash BEFORE the drop: state is still the source of truth and
-        // the half-written fold is an orphan — discard it
-        dropForRebuild(spark, nw)
-      else
-        // crash AFTER the drop: the fold is complete (it was written
-        // before state was dropped) — promote it
-        spark.sql(s"ALTER TABLE $nw RENAME TO $st")
-    }
-  }
+  def recover(spark: SparkSession, name: String): Unit =
+    graft.sources.Io.recoverRebuild(spark, stateTable(name))
 
   /** Build the state from the current corpus (full-rebuild semantics:
     * replaces any previous state of this name, including its applied-
@@ -160,13 +150,10 @@ object IncrementalAgg {
         min("mn").as("mn"), max("mx").as("mx"))
       .withColumn("batch_id", lit(-1L))
       .select((keys ++ aggCols).map(col): _*)
-    dropForRebuild(spark, newTable(name))
-    graft.sources.Io.writeBucketed(folded, newTable(name), bucketCols.head, buckets)
     // 3. swap: the only destructive step happens AFTER the fold is
     //    durable; a crash on either side of the rename is healed by
     //    recover()
-    dropForRebuild(spark, st)
-    spark.sql(s"ALTER TABLE ${newTable(name)} RENAME TO $st")
+    graft.sources.Io.rebuildBucketed(spark, st, folded, bucketCols.head, buckets)
   }
 
   /** Every batch id already folded in: state's live ids ∪ the marker. */

@@ -162,6 +162,37 @@ object Io {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Rebuild a managed bucketed table from `folded` with the crash-safe
+    * swap discipline: write `<table>_new` first, drop the old table,
+    * rename — the only destructive step happens after the replacement is
+    * durable, and [[recoverRebuild]] heals both crash windows. Callers
+    * must invoke [[recoverRebuild]] on entry to every surface that reads
+    * or writes the table (see `etl.IncrementalAgg` / `operators
+    * .IncrementalCC` for the pattern).
+    */
+  private[graft] def rebuildBucketed(spark: SparkSession, table: String,
+      folded: DataFrame, bucketCol: String, buckets: Int): Unit = {
+    graft.dedup.IncrementalDedup.dropForRebuild(spark, s"${table}_new")
+    writeBucketed(folded, s"${table}_new", bucketCol, buckets)
+    graft.dedup.IncrementalDedup.dropForRebuild(spark, table)
+    spark.sql(s"ALTER TABLE ${table}_new RENAME TO $table")
+  }
+
+  /** Heal a crash inside [[rebuildBucketed]]'s swap window. Idempotent. */
+  private[graft] def recoverRebuild(spark: SparkSession, table: String): Unit = {
+    val nw = s"${table}_new"
+    if (spark.catalog.tableExists(nw)) {
+      if (spark.catalog.tableExists(table))
+        // crash BEFORE the drop: the old table is still the source of
+        // truth and the half-written rebuild is an orphan — discard it
+        graft.dedup.IncrementalDedup.dropForRebuild(spark, nw)
+      else
+        // crash AFTER the drop: the rebuild is complete (written before
+        // the drop) — promote it
+        spark.sql(s"ALTER TABLE $nw RENAME TO $table")
+    }
+  }
+
   /** Append to an existing bucketed table, preserving its layout. Spark
     * REFUSES a bucketed append unless the writer re-states a bucket spec
     * identical to the table's ("Specified bucketing does not match that

@@ -754,6 +754,39 @@ class OperatorEdgeSpec extends AnyFunSuite {
       .filter(col("split") =!= col("s2")).count() == 0L)
   }
 
+  test("IncrementalCC: merges, stale-label chains, replay, compact, late lower-id merge") {
+    import operators.IncrementalCC
+    def fold() = IncrementalCC.readLabels(spark, "icc")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // base: two components {1,2}→1 and {3,4}→3
+    IncrementalCC.writeLabels(Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b", "icc", buckets = 2)
+    assert(fold() == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+    // merge the two components
+    IncrementalCC.mergeEdges(spark, Seq((2L, 3L)).toDF("a", "b"), "a", "b", "icc")
+    assert(fold() == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // replay: append-only min-fold → result unchanged, no gate needed
+    IncrementalCC.mergeEdges(spark, Seq((2L, 3L)).toDF("a", "b"), "a", "b", "icc")
+    assert(fold() == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // the stale-chain case the consistency invariant exists for: node 4
+    // carries rows under BOTH comp 3 (stale) and comp 1 (current); a new
+    // edge through it must pull comp 1's full membership and relabel to
+    // the new lower id 0
+    IncrementalCC.mergeEdges(spark, Seq((4L, 0L)).toDF("a", "b"), "a", "b", "icc")
+    assert(fold() == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+    // compact folds the log to one row per node, same result
+    IncrementalCC.compactLabels(spark, "icc")
+    assert(spark.table("icc_labels").count() == 5)
+    assert(fold() == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+    // post-compact: a disjoint new component, and everything still holds
+    IncrementalCC.mergeEdges(spark, Seq((6L, 5L)).toDF("a", "b"), "a", "b", "icc")
+    assert(fold() == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 5L), (6L, 5L)))
+    // crash-after-drop window of the shared swap machinery heals here too
+    val snap = spark.table("icc_labels").localCheckpoint()
+    sources.Io.writeBucketed(snap, "icc_labels_new", "comp", 2)
+    dedup.IncrementalDedup.dropForRebuild(spark, "icc_labels")
+    assert(fold() == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 5L), (6L, 5L)))
+  }
+
   test("sampleToMix: output tracks the target mix, p_keep <= 1, partition-independent") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
     def run(df: org.apache.spark.sql.DataFrame) =
