@@ -49,18 +49,26 @@ object DedupStream {
     * itself is idempotent and crash-healed, a replay that re-triggers
     * the cadence re-folds harmlessly.
     */
+  /** `clusterName`, when set, additionally folds each batch's pairs into
+    * that [[graft.operators.IncrementalCC]] label table (which must
+    * exist — `writeLabels` an empty edge set to start cold), so the
+    * stream maintains docs → pairs → CLUSTERS end-to-end. Replay-safe
+    * for free: the replayed batch's pairs are byte-identical and the
+    * label log is an idempotent min-fold.
+    */
   def toDedupSink(docs: DataFrame, idCol: String, textCol: String, name: String,
       pairsPath: String, checkpoint: String, minJaccard: Double,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      compactEvery: Int = 0) =
+      compactEvery: Int = 0, clusterName: Option[String] = None) =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupBatch(batch, batchId, idCol, textCol, name, pairsPath, minJaccard,
-          n, numHashes, bands)
+          n, numHashes, bands, clusterName)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          compactPairs(batch.sparkSession, pairsPath); ()
+          compactPairs(batch.sparkSession, pairsPath)
+          clusterName.foreach(graft.operators.IncrementalCC.compactLabels(batch.sparkSession, _))
         }
       }
 
@@ -80,7 +88,8 @@ object DedupStream {
     */
   def dedupBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       name: String, pairsPath: String, minJaccard: Double,
-      n: Int = 3, numHashes: Int = 128, bands: Int = 32): Unit = {
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      clusterName: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val before = graft.Blocks.persistedIds(spark)
     val pairs = graft.dedup.IncrementalDedup.deltaPairs(
@@ -90,6 +99,9 @@ object DedupStream {
       .parquet(s"$pairsPath/batch=$batchId")
     graft.dedup.IncrementalDedup.appendToIndex(
       batch, idCol, textCol, name, n, numHashes, bands)
+    clusterName.foreach { cn =>
+      graft.operators.IncrementalCC.mergeEdges(spark, pairs, "id_a", "id_b", cn); ()
+    }
     graft.Blocks.releaseSince(spark, before)
   }
 

@@ -639,6 +639,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(sessions.count(_.user_id == 2) == 1)
   }
 
+  test("streaming dedup sink with clusterName maintains clusters across batches; replay stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_dccstream").toString
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 60)
+    dedup.IncrementalDedup.writeIndex(corpus, "doc_id", "text", "sccidx", buckets = 2)
+    // cold-start the label table from an empty edge set
+    operators.IncrementalCC.writeLabels(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b", "scc", buckets = 2)
+    val src = corpus.filter(col("doc_id") % 3 === 0).orderBy("doc_id").limit(4)
+      .as[(Long, String)].collect().toSeq
+    val b1 = src.map { case (id, t) => (id + 1000L, t) }
+    val b2 = src.map { case (id, t) => (id + 2000L, t) }
+    val mem = MemoryStream[(Long, String)]
+    val q = streaming.DedupStream.toDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", "sccidx",
+      s"$tmp/pairs", s"$tmp/ck", minJaccard = 0.8, clusterName = Some("scc")).start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def fold() = operators.IncrementalCC.readLabels(spark, "scc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = fold()
+    // each source doc's three generations (orig, +1000, +2000) must have
+    // collapsed to ONE cluster rooted at the original id — batch 2 could
+    // only reach the original through the index AND batch 1 through the
+    // incrementally merged pair graph
+    src.foreach { case (id, _) =>
+      assert(labels.get(id).contains(id), s"root $id: ${labels.get(id)}")
+      assert(labels.get(id + 1000L).contains(id), s"gen1 of $id: ${labels.get(id + 1000L)}")
+      assert(labels.get(id + 2000L).contains(id), s"gen2 of $id: ${labels.get(id + 2000L)}")
+    }
+    // at-least-once replay of the last batch: pairs byte-stable (proven
+    // in the sibling spec) and the label fold unchanged (min-monotone)
+    streaming.DedupStream.dedupBatch(b2.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", "sccidx", s"$tmp/pairs", minJaccard = 0.8,
+      clusterName = Some("scc"))
+    assert(fold() == labels, "replayed batch must not change the cluster fold")
+  }
+
   test("streaming agg sink: batches fold into the state table, replay is a no-op, cadence compacts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
