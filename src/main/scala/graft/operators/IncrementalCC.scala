@@ -79,7 +79,16 @@ object IncrementalCC {
     val newLabels = ConnectedComponents.minLabel(star.unionByName(e), "a", "b")
       .select(col("node").as("id"), col("comp"))
       .localCheckpoint() // cut the read→write lineage on the labels table
-    graft.sources.Io.appendBucketed(newLabels, labelsTable(name))
+    // append only what the fold can't already derive: new nodes and
+    // labels that DECREASED. Unchanged members stay un-rewritten (their
+    // existing rows already fold correctly), which bounds log growth at
+    // O(actual merges) and makes a replayed batch append ZERO rows.
+    val changed = newLabels
+      .join(members.withColumnRenamed("comp", "prev"), Seq("id"), "left")
+      .filter(col("prev").isNull || col("comp") < col("prev"))
+      .select(col("id"), col("comp"))
+      .localCheckpoint()
+    graft.sources.Io.appendBucketed(changed, labelsTable(name))
     graft.Blocks.releaseSince(spark, before)
     newLabels
   }

@@ -764,8 +764,11 @@ class OperatorEdgeSpec extends AnyFunSuite {
     // merge the two components
     IncrementalCC.mergeEdges(spark, Seq((2L, 3L)).toDF("a", "b"), "a", "b", "icc")
     assert(fold() == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
-    // replay: append-only min-fold → result unchanged, no gate needed
+    // replay: append-only min-fold → result unchanged, no gate needed;
+    // the changed-only append means literally ZERO rows land
+    val rowsBefore = spark.table("icc_labels").count()
     IncrementalCC.mergeEdges(spark, Seq((2L, 3L)).toDF("a", "b"), "a", "b", "icc")
+    assert(spark.table("icc_labels").count() == rowsBefore, "replay must append zero rows")
     assert(fold() == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
     // the stale-chain case the consistency invariant exists for: node 4
     // carries rows under BOTH comp 3 (stale) and comp 1 (current); a new
