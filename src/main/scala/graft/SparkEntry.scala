@@ -860,6 +860,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q87_incremental_ann" -> ((s, dir) => {
+      // incremental ANN lifecycle in-query: IVF cell index built on two
+      // thirds of the vectors (frozen centroids), the last third
+      // APPENDED in O(delta) (assign + bucketed append, no retrain),
+      // the append REPLAYED (id gate → no-op), then top-5 probing ALL
+      // cells — cells partition the corpus, so the result must equal
+      // q37's exact brute-force oracle over the full vector set.
+      // Restricted-nprobe recall is spec'd like the other ANN surfaces.
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 3 =!= 2)
+      val delta = emb.filter(col("vec_id") % 3 === 2)
+      sim.IncrementalAnn.writeIndex(base, "vec_id", "embedding", "q87ann",
+        kCoarse = 8, iters = 3, buckets = 4)
+      sim.IncrementalAnn.appendVectors(delta, "vec_id", "embedding", "q87ann")
+      sim.IncrementalAnn.appendVectors(delta, "vec_id", "embedding", "q87ann")
+      sim.IncrementalAnn.topK(s, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "q87ann", k = 5, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q86_incremental_cc" -> ((s, dir) => {
       // incremental clustering, full lifecycle in-query: the exact-
       // Jaccard pair graph is split by edge hash into base/d1/d2; labels
@@ -1441,6 +1461,22 @@ object SparkEntry {
         |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
         |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
         |  FROM v q JOIN v c ON q.label = c.label AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q87_incremental_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t

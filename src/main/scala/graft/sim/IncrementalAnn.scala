@@ -1,0 +1,118 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental ANN index: a PERSISTED IVF cell table that new vectors
+  * append to in O(delta) — assign against the stored coarse centroids,
+  * append to the bucketed cells table — with no retraining and no
+  * rebuild. The last leg of the incremental family ([[graft.etl
+  * .IncrementalAgg]], [[graft.dedup.IncrementalDedup]],
+  * [[graft.operators.IncrementalCC]]): an embedding stream lands
+  * continuously, and similarity search sees every vector the moment its
+  * batch commits.
+  *
+  * Layout:
+  *   <name>_cells     (id, vec, cell)  bucketed by cell — the search
+  *                    side; a query's probe join touches only its
+  *                    probed cells' buckets
+  *   <name>_ids       (id)             bucketed by id — the replay
+  *                    gate; anti-joining a delta against it never
+  *                    shuffles the big side
+  *   <name>_centroids (cell, c)        tiny; the FROZEN quantizer
+  *
+  * Centroids are deliberately frozen at build time (the standard
+  * production practice — retrain offline when drift warrants, then
+  * [[writeIndex]] anew): appends stay deterministic and O(delta), and
+  * search semantics never shift under a running stream.
+  *
+  * Replay discipline mirrors [[graft.dedup.IncrementalDedup]]: the id
+  * gate makes appends idempotent; cells land BEFORE ids (ids are the
+  * commit marker), so a crash between the two can only leave orphan
+  * cell rows, which [[topK]] tolerates by folding candidate duplicates
+  * (max is idempotent) — the reverse order would silently lose vectors
+  * forever.
+  */
+object IncrementalAnn {
+
+  private def cellsTable(name: String) = s"${name}_cells"
+  private def idsTable(name: String)   = s"${name}_ids"
+  private def centsTable(name: String) = s"${name}_centroids"
+
+  /** Train the coarse quantizer on the current corpus and build the
+    * index (full-rebuild semantics).
+    */
+  def writeIndex(df: DataFrame, idCol: String, vecCol: String, name: String,
+      kCoarse: Int = 16, iters: Int = 5, buckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(cellsTable(name), idsTable(name), centsTable(name))
+      .foreach(graft.dedup.IncrementalDedup.dropForRebuild(spark, _))
+    val coarse = KMeans.fit(df, idCol, vecCol, kCoarse, iters)
+    val cells = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", KMeans.assignExpr(col("vec"), coarse))
+    graft.sources.Io.writeBucketed(cells, cellsTable(name), "cell", buckets)
+    graft.sources.Io.writeBucketed(cells.select("id"), idsTable(name), "id", buckets)
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c").coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(centsTable(name))
+  }
+
+  /** The frozen coarse centroids, cell-ordered. */
+  def centroids(spark: SparkSession, name: String): Array[Array[Double]] =
+    spark.table(centsTable(name)).orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Fold a batch of new vectors in: gate out already-indexed ids
+    * (replay no-op), assign against the frozen centroids (map-only),
+    * append. O(|delta| · kCoarse) compute, no index rewrite.
+    */
+  def appendVectors(delta: DataFrame, idCol: String, vecCol: String,
+      name: String): Unit = {
+    val spark = delta.sparkSession
+    val before = graft.Blocks.persistedIds(spark)
+    val fresh = delta
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(spark.table(idsTable(name)), Seq("id"), "left_anti")
+      .localCheckpoint() // cut the ids-table read→write lineage
+    val assigned = fresh.withColumn("cell",
+      KMeans.assignExpr(col("vec"), centroids(spark, name)))
+    graft.sources.Io.appendBucketed(assigned, cellsTable(name))
+    graft.sources.Io.appendBucketed(fresh.select("id"), idsTable(name))
+    graft.Blocks.releaseSince(spark, before)
+  }
+
+  /** Top-k neighbors for an external query set, probing each query's
+    * `nprobe` nearest cells. `nprobe = kCoarse` searches every cell —
+    * exact by construction (the cells partition the corpus), which is
+    * what the driver query oracles; restricted probes are the scale
+    * path, recall-spec'd like the other ANN surfaces. Candidates fold
+    * through max(cosine) per (query, neighbor) — idempotent, so the
+    * crash-window duplicates described above cannot double-rank.
+    */
+  def topK(spark: SparkSession, queries: DataFrame, idCol: String, vecCol: String,
+      name: String, k: Int, nprobe: Int): DataFrame = {
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = IvfPq.probeSet(spark, qRows, centroids(spark, name), nprobe)
+      .select(col("query_id"), col("__cl").as("cell"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"), Similarity.norm(col(vecCol)).as("__qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    spark.table(cellsTable(name))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("__qn"),
+        graft.functions.roundStable(
+          Similarity.dot(col("__qv"), col("vec")) /
+            (col("__qn") * Similarity.norm(col("vec"))), 4).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -790,6 +790,45 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(fold() == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 5L), (6L, 5L)))
   }
 
+  test("IncrementalAnn: appended vectors searchable, replay appends zero, full-probe ≡ exact") {
+    import sim.IncrementalAnn
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 3 =!= 2)
+    val delta = emb.filter(col("vec_id") % 3 === 2)
+    IncrementalAnn.writeIndex(base, "vec_id", "embedding", "iann",
+      kCoarse = 4, iters = 2, buckets = 2)
+    val cells0 = spark.table("iann_cells").count()
+    IncrementalAnn.appendVectors(delta, "vec_id", "embedding", "iann")
+    assert(spark.table("iann_cells").count() == cells0 + delta.count())
+    IncrementalAnn.appendVectors(delta, "vec_id", "embedding", "iann")
+    assert(spark.table("iann_cells").count() == cells0 + delta.count(),
+      "replay must append zero rows")
+    assert(spark.table("iann_ids").count() == emb.count())
+
+    // full probe (nprobe = kCoarse) must equal exact brute force over the
+    // WHOLE corpus — which can only hold if the appended third is in the
+    // index and not double-counted
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq.sorted
+    val got = rows(IncrementalAnn.topK(spark, queries, "vec_id", "embedding",
+      "iann", k = 5, nprobe = 4))
+    val exact = rows(sim.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    assert(got == exact, "full-probe incremental index must match brute force")
+
+    // restricted probes: bounded candidates, useful recall
+    val half = IncrementalAnn.topK(spark, queries, "vec_id", "embedding",
+      "iann", k = 5, nprobe = 2)
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val halfSets = half.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exactSets.map { case (q, s) =>
+      halfSets.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }.sum / exactSets.size
+    assert(recall >= 0.5, s"nprobe=2/4 recall too low: $recall")
+  }
+
   test("sampleToMix: output tracks the target mix, p_keep <= 1, partition-independent") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
     def run(df: org.apache.spark.sql.DataFrame) =
