@@ -256,4 +256,36 @@ class PlanSpec extends AnyFunSuite {
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs:\n$p")
   }
+
+  test("IncrementalAnn append gate: bucketed ids scan feeds the anti-join with no Exchange") {
+    // the "anti-join never shuffles the big side" claim: the ids table
+    // is bucketed by id, so the replay gate must consume its layout
+    // directly — only the (small) delta may shuffle. Losing the
+    // bucketing in writeIndex fails this spec.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    sim.IncrementalAnn.writeIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", "planann", kCoarse = 2, iters = 1, buckets = 2)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    val gate = delta
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      .join(spark.table("planann_ids"), Seq("id"), "left_anti")
+    val plan = gate.queryExecution.sparkPlan
+    val idScans = plan.collect {
+      case s: FileSourceScanExec
+        if s.relation.bucketSpec.exists(_.bucketColumnNames == Seq("id")) => s
+    }
+    assert(idScans.nonEmpty && idScans.forall(_.bucketedScan),
+      s"ids scan missing or not reading its buckets:\n$plan")
+    def path(node: SparkPlan, target: SparkPlan): Option[List[SparkPlan]] =
+      if (node eq target) Some(List(node))
+      else node.children.view.flatMap(c => path(c, target)).headOption.map(node :: _)
+    idScans.foreach { s =>
+      val p = path(plan, s).getOrElse(Nil)
+      assert(!p.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"ids table re-shuffles above its bucketed scan:\n$plan")
+    }
+  }
 }
