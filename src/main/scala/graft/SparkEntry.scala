@@ -860,6 +860,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q88_seasonal" -> ((s, dir) =>
+      // additive seasonal decomposition of each event-type series:
+      // trend / hour-of-day seasonal / residual — one keyed shuffle for
+      // both windows, seasonal means broadcast back
+      etl.Aggregates.seasonalDecompose(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value", halfWindow = 12)
+        .orderBy(col("event_type"), col("rn"))),
+
     "q87_incremental_ann" -> ((s, dir) => {
       // incremental ANN lifecycle in-query: IVF cell index built on two
       // thirds of the vectors (frozen centroids), the last third
@@ -1465,6 +1473,25 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q88_seasonal" ->
+      """WITH o AS (SELECT event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |t AS (SELECT event_type, ts, rn, value,
+        |    avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        |  FROM o),
+        |s AS (SELECT event_type, rn, trend, value - trend AS detr, hour(ts) AS hh FROM t),
+        |m AS (SELECT event_type AS met, hh AS mhh,
+        |    roundStable(avg(detr), 6) AS seasonal
+        |  FROM s GROUP BY 1, 2)
+        |SELECT s.event_type, CAST(s.rn AS BIGINT) AS rn,
+        |  roundStable(s.trend, 6) AS trend,
+        |  m.seasonal,
+        |  roundStable(s.detr - m.seasonal, 6) AS residual
+        |FROM s JOIN m ON s.event_type = m.met AND s.hh = m.mhh
+        |ORDER BY s.event_type, s.rn""".stripMargin,
 
     "q87_incremental_ann" ->
       """WITH v AS (

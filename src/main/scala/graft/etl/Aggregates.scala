@@ -38,6 +38,38 @@ object Aggregates {
     df.withColumn(outCol, avg(col(valueCol)).over(w))
   }
 
+  /** Classic additive seasonal decomposition per key series — the
+    * dashboard-analytics upgrade of the rolling mean (dash:126): trend
+    * (centered ±`halfWindow` rolling mean), seasonal (mean detrended
+    * value per hour-of-day), residual. One keyed shuffle serves both
+    * windows (same partitioning, same sort order); the seasonal table is
+    * #keys × 24 rows — broadcast back onto the series.
+    *
+    * The residual subtracts the ROUNDED seasonal: group means fold
+    * partial sums in nondeterministic order, so the raw double differs
+    * in the last ulp across engines/runs and presentation rounding could
+    * flip at a tie — deriving from the rounded value keeps the residual
+    * bit-identical everywhere (same discipline as q79/q85).
+    */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, halfWindow: Int = 12): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val wTrend = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-halfWindow, halfWindow)
+    val series = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("trend", avg(col(valueCol)).over(wTrend))
+      .withColumn("detr", col(valueCol) - col("trend"))
+      .withColumn("hh", hour(col(tsCol)))
+    val seasonal = series.groupBy(col(keyCol), col("hh"))
+      .agg(roundStable(avg(col("detr")), 6).as("seasonal"))
+    series.join(broadcast(seasonal), Seq(keyCol, "hh"))
+      .select(col(keyCol), col("rn"),
+        roundStable(col("trend"), 6).as("trend"),
+        col("seasonal"),
+        roundStable(col("detr") - col("seasonal"), 6).as("residual"))
+  }
+
   /** Pairwise Pearson correlation of numeric columns in long form
     * (col_a, col_b, corr) — the dashboard's `df[cols].corr()`
     * (dashboard:225-228). One aggregation computes the whole matrix;
