@@ -35,6 +35,18 @@ object Blocks {
     fresh.size
   }
 
+  /** Unpersist exactly the RDDs persisted after `before` and present in
+    * `until` — the window-scoped release for operators that must free
+    * their intermediates while their RETURNED checkpoint (created after
+    * `until`) stays live for the caller.
+    */
+  def releaseBetween(spark: SparkSession, before: Set[Int], until: Set[Int]): Int = {
+    val mids = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) && until.contains(id) }
+    mids.values.foreach(_.unpersist(blocking = false))
+    mids.size
+  }
+
   /** Unpersist everything — the between-queries reset for bench/verify
     * loops where no prior result is live.
     */

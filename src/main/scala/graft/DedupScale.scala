@@ -86,8 +86,9 @@ object DedupScale {
       val delta = base.select((col("doc_id") * r + lit(baseN * r * 10L)).as("doc_id"),
         concat(col("text"), lit(" replicatag0")).as("text"))
       val t1 = System.nanoTime()
-      val nDelta = dedup.IncrementalDedup.deltaPairs(spark, delta, "doc_id", "text",
-        "dsidx", minJaccard = 0.8).count()
+      val dp1 = dedup.IncrementalDedup.deltaPairs(spark, delta, "doc_id", "text",
+        "dsidx", minJaccard = 0.8)
+      val nDelta = dp1.count()
       val tDelta = (System.nanoTime() - t1) / 1e9
       println(f"[incdedup]   corpus=${baseN * r}%8d delta=$baseN%8d  pairs=$nDelta%10d  index=${tIdx}%8.2f s  delta=${tDelta}%8.2f s")
       // the full cycle: fold the delta in (append must cost O(delta), not
@@ -100,12 +101,53 @@ object DedupScale {
       val delta2 = base.select((col("doc_id") * r + lit(baseN * r * 20L)).as("doc_id"),
         concat(col("text"), lit(" replicatag0")).as("text"))
       val t3 = System.nanoTime()
-      val nDelta2 = dedup.IncrementalDedup.deltaPairs(spark, delta2, "doc_id", "text",
-        "dsidx", minJaccard = 0.8).count()
+      val dp2 = dedup.IncrementalDedup.deltaPairs(spark, delta2, "doc_id", "text",
+        "dsidx", minJaccard = 0.8)
+      val nDelta2 = dp2.count()
       val tDelta2 = (System.nanoTime() - t3) / 1e9
       require(nDelta2 > nDelta,
         s"second delta must see first-delta twins as index pairs: $nDelta2 <= $nDelta")
       println(f"[incappend]  corpus=${baseN * (r + 1)}%8d delta=$baseN%8d  pairs=$nDelta2%10d  append=${tApp}%8.2f s  delta=${tDelta2}%8.2f s")
+
+      // incremental clustering over the measured pair stream: labels
+      // from the first delta's pairs, the second delta's pairs folded in
+      // O(affected) — the merge must not track the label-table size
+      val t4 = System.nanoTime()
+      operators.IncrementalCC.writeLabels(dp1, "id_a", "id_b", "dscc", buckets = 32)
+      val tCcBuild = (System.nanoTime() - t4) / 1e9
+      val t5 = System.nanoTime()
+      val nChanged = operators.IncrementalCC.mergeEdges(spark, dp2, "id_a", "id_b", "dscc").count()
+      val tCcMerge = (System.nanoTime() - t5) / 1e9
+      val nComps = operators.IncrementalCC.readLabels(spark, "dscc")
+        .select("comp").distinct().count()
+      println(f"[inccc]      edges=$nDelta%10d +$nDelta2%8d  affected=$nChanged%8d  comps=$nComps%8d  build=${tCcBuild}%6.2f s  merge=${tCcMerge}%6.2f s")
+      Blocks.releaseAll(spark)
+    }
+
+    // incremental ANN at the same scales: IVF index over the R× vector
+    // corpus (frozen centroids), a 1×-base delta appended in O(delta),
+    // then a probe-restricted search over the grown index
+    {
+      val emb0 = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      val embN0 = emb0.count()
+      val r = reps.max
+      val vecs = spark.range(r).crossJoin(emb0)
+        .select((col("vec_id") * r + col("id")).as("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      sim.IncrementalAnn.writeIndex(vecs, "vec_id", "embedding", "dsann",
+        kCoarse = 32, iters = 3, buckets = 32)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val delta = emb0.select((col("vec_id") + lit(embN0.toDouble * (r + 1)).cast("long"))
+        .as("vec_id"), col("embedding"))
+      val t1 = System.nanoTime()
+      sim.IncrementalAnn.appendVectors(delta, "vec_id", "embedding", "dsann")
+      val tApp2 = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nHits = sim.IncrementalAnn.topK(spark,
+        emb0.filter(col("vec_id") < 10), "vec_id", "embedding", "dsann",
+        k = 5, nprobe = 8).count()
+      val tQ = (System.nanoTime() - t2) / 1e9
+      println(f"[incann]     vecs=${embN0 * r}%9d delta=$embN0%8d  hits=$nHits%6d  build=${tBuild}%7.2f s  append=${tApp2}%6.2f s  query=${tQ}%6.2f s")
       Blocks.releaseAll(spark)
     }
 

@@ -868,6 +868,22 @@ object SparkEntry {
         "event_type", "ts", "event_id", "value", halfWindow = 12)
         .orderBy(col("event_type"), col("rn"))),
 
+    "q89_seasonal_anomaly" -> ((s, dir) => {
+      // seasonally-adjusted anomaly detection: flag rows whose residual
+      // (after q88's trend+seasonal removal) exceeds 3σ of the key's
+      // residual distribution — the upgrade of plain z-scoring (q17)
+      // that doesn't fire on rush-hour structure. σ is compared ROUNDED
+      // on both sides (the cross-engine boundary discipline).
+      val dec = etl.Aggregates.seasonalDecompose(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value", halfWindow = 12)
+      val sigma = dec.groupBy(col("event_type"))
+        .agg(roundStable(stddev(col("residual")), 6).as("sigma"))
+      dec.join(broadcast(sigma), Seq("event_type"))
+        .filter(abs(col("residual")) > lit(3.0) * col("sigma"))
+        .select(col("event_type"), col("rn"), col("residual"), col("sigma"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
     "q87_incremental_ann" -> ((s, dir) => {
       // incremental ANN lifecycle in-query: IVF cell index built on two
       // thirds of the vectors (frozen centroids), the last third
@@ -1473,6 +1489,28 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q89_seasonal_anomaly" ->
+      """WITH o AS (SELECT event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |t AS (SELECT event_type, ts, rn, value,
+        |    avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        |  FROM o),
+        |s AS (SELECT event_type, rn, trend, value - trend AS detr, hour(ts) AS hh FROM t),
+        |m AS (SELECT event_type AS met, hh AS mhh,
+        |    roundStable(avg(detr), 6) AS seasonal
+        |  FROM s GROUP BY 1, 2),
+        |r AS (SELECT s.event_type, s.rn,
+        |    roundStable(s.detr - m.seasonal, 6) AS residual
+        |  FROM s JOIN m ON s.event_type = m.met AND s.hh = m.mhh),
+        |g AS (SELECT event_type AS get2, roundStable(stddev_samp(residual), 6) AS sigma
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type, CAST(r.rn AS BIGINT) AS rn, r.residual, g.sigma
+        |FROM r JOIN g ON r.event_type = g.get2
+        |WHERE abs(r.residual) > 3.0 * g.sigma
+        |ORDER BY r.event_type, r.rn""".stripMargin,
 
     "q88_seasonal" ->
       """WITH o AS (SELECT event_type, ts, event_id, value,

@@ -55,7 +55,9 @@ object IncrementalCC {
 
   /** Fold one batch of new edges in and return the recomputed labels of
     * every affected node (old members of touched components + the
-    * batch's nodes).
+    * batch's nodes). The returned DataFrame is checkpoint-backed; the
+    * caller owns its blocks (the bench/verify/stream wrappers release
+    * per query/batch) — batch intermediates are freed here.
     */
   def mergeEdges(spark: SparkSession, edges: DataFrame, idACol: String,
       idBCol: String, name: String): DataFrame = {
@@ -76,9 +78,12 @@ object IncrementalCC {
     val members = labels.join(broadcast(touched), Seq("comp"), "left_semi")
       .groupBy(col("id")).agg(min(col("comp")).as("comp"))
     val star = members.select(col("id").as("a"), col("comp").as("b"))
+    val mid = graft.Blocks.persistedIds(spark)
+    // minLabel's result is already a lineage-cutting checkpoint — the
+    // append below can never reference its own target table through it
     val newLabels = ConnectedComponents.minLabel(star.unionByName(e), "a", "b")
       .select(col("node").as("id"), col("comp"))
-      .localCheckpoint() // cut the read→write lineage on the labels table
+    val afterLabels = graft.Blocks.persistedIds(spark)
     // append only what the fold can't already derive: new nodes and
     // labels that DECREASED. Unchanged members stay un-rewritten (their
     // existing rows already fold correctly), which bounds log growth at
@@ -89,7 +94,12 @@ object IncrementalCC {
       .select(col("id"), col("comp"))
       .localCheckpoint()
     graft.sources.Io.appendBucketed(changed, labelsTable(name))
-    graft.Blocks.releaseSince(spark, before)
+    // free this batch's intermediates (e, touched) and the changed-rows
+    // checkpoint — but NOT the checkpoint backing the returned labels:
+    // the caller consumes it (releasing it here was a use-after-free the
+    // scale harness caught the first time a caller counted the result)
+    graft.Blocks.releaseBetween(spark, before, mid)
+    graft.Blocks.releaseSince(spark, afterLabels)
     newLabels
   }
 
