@@ -884,6 +884,23 @@ object SparkEntry {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    "q90_substring_dup" -> ((s, dir) =>
+      // cross-document repeated-substring spans (span-level dedup): the
+      // registered plan is the SCALE path — xxhash64 shingle keys on the
+      // heavy exchange — against a text-keyed DuckDB recompute; equal
+      // unless a 2⁻⁶⁴ collision lands, and deterministically so
+      text.Corpus.substringSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, minDocs = 2, hashKeys = true)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    "q91_ewma" -> ((s, dir) =>
+      // exponentially weighted moving average per event-type series
+      // (pandas adjust=true, span-truncated): one keyed shuffle, the
+      // weighted fold a codegen'd higher-order aggregate over the frame
+      etl.Aggregates.ewma(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value", alpha = 0.3, span = 24)
+        .orderBy(col("event_type"), col("rn"))),
+
     "q87_incremental_ann" -> ((s, dir) => {
       // incremental ANN lifecycle in-query: IVF cell index built on two
       // thirds of the vectors (frozen centroids), the last third
@@ -1489,6 +1506,32 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q90_substring_dup" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM t),
+        |s AS (SELECT doc_id, pos,
+        |    array_to_string(toks[pos+1:pos+8], ' ') AS sh FROM p),
+        |dup AS (SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT s.doc_id, s.pos FROM s JOIN dup USING (sh)),
+        |g AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) AS span_end,
+        |  max(pos) - min(pos) + 8 AS tok_len
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q91_ewma" ->
+      """WITH o AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS ll
+        |  FROM events)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rn, value,
+        |  roundStable(list_sum([ll[i+1] * pow(0.7, len(ll)-1-i) FOR i IN range(0, len(ll))])
+        |    / ((1 - pow(0.7, len(ll))) / 0.3), 6) AS ewma
+        |FROM o ORDER BY event_type, rn""".stripMargin,
 
     "q89_seasonal_anomaly" ->
       """WITH o AS (SELECT event_type, ts, event_id, value,

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.roundStable
@@ -297,6 +298,58 @@ object Corpus {
     * single-task throughput, which is what an order-dependent fold means
     * — shard the group key (e.g. (lang, shard)) if one domain dominates.
     */
+  /** Cross-document repeated-substring spans — the span-level complement
+    * of document near-dup removal (dedup at the granularity "this
+    * paragraph is boilerplate shared by many pages", the signal document
+    * MinHash misses when the surrounding text differs). A token `k`-gram
+    * occurring in at least `minDocs` DISTINCT documents marks its
+    * position duplicated; runs of consecutive duplicated positions merge
+    * into maximal spans. Output: one row per (document, span) with
+    * 0-based token offsets — `span_start`, `span_end` (last shingle
+    * start) and `tok_len` = span_end − span_start + k covered tokens.
+    *
+    * Distributed shape: position-explode (shingle built AFTER the
+    * Generate — the InferFiltersFromGenerate trap, see
+    * [[repetitionStats]]) → one aggregation keyed by shingle to find
+    * duplicated grams → co-partitioned join back (same key, exchange
+    * aligned) → per-document island merge (pos − row_number, one keyed
+    * window + aggregation). Nothing touches the driver; the heavy
+    * shingle exchange carries (key, id, pos) only, never document text.
+    *
+    * `hashKeys=true` (the scale default) exchanges 8-byte xxhash64 keys
+    * instead of k-token strings — at 100 TB the shuffle shrinks ~10×
+    * and a 2⁻⁶⁴ collision can only over-mark one position as duplicated,
+    * a span off-by-k, not a correctness cliff. Text keys are for
+    * engine-portable comparison (the q90 oracle); the spec pins both
+    * key modes to identical spans.
+    */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocs: Int = 2,
+                     hashKeys: Boolean = true): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2, got k=$k minDocs=$minDocs")
+    val toks = col("__toks")
+    val sh = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) >= k)
+      .select(col(idCol), toks,
+        explode(sequence(lit(0), size(toks) - k)).as("pos"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        { val g = concat_ws(" ", slice(toks, col("pos") + 1, lit(k)))
+          (if (hashKeys) xxhash64(g) else g).as("sh") })
+    val dup = sh.groupBy(col("sh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("sh"))
+    val marked = sh.join(dup, Seq("sh"), "left_semi")
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("__grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + k).as("tok_len"))
+  }
+
   def packGreedy(docs: DataFrame, partCol: String, idCol: String,
                  textCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"need capacity > 0, got $capacity")

@@ -960,4 +960,53 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "doc_id", "text").collect().head
     assert(rep.getDouble(3) > 0.9, s"degenerate doc must have top-bigram frac ~1: $rep")
   }
+
+  test("substringSpans: planted shared paragraph found, runs merge, short docs drop, hash ≡ text keys") {
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // 12 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon zeta eta theta iota"),
+      (2L, s"one two three four five six seven $boiler"),
+      (3L, "lone doc with no shared text at all here today ok fine"),
+      (4L, "tiny doc") // shorter than k → no shingle, must drop out
+    ).toDF("doc_id", "text")
+    val spans = text.Corpus.substringSpans(docs, "doc_id", "text", k = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: boiler occupies tokens 3..14 → shingle starts 3..7 (5 runs
+    // of 8-grams fully inside the boiler), one merged span of len 12
+    assert(spans.map(_._1).toSet == Set(1L, 2L), s"only docs sharing the paragraph span: ${spans.toSeq}")
+    val s1 = spans.filter(_._1 == 1L)
+    assert(s1.length == 1 && s1.head._2 == 3 && s1.head._4 == 12,
+      s"doc 1 must merge the boiler shingles into one 12-token span at 3: ${s1.toSeq}")
+    val s2 = spans.filter(_._1 == 2L)
+    assert(s2.length == 1 && s2.head._2 == 7 && s2.head._4 == 12,
+      s"doc 2's span sits at token 7, len 12: ${s2.toSeq}")
+    // the scale path (hashed shingle keys) must produce identical spans
+    val txt = text.Corpus.substringSpans(Tables.documents(spark, sfDir), "doc_id", "text",
+      k = 8, minDocs = 2, hashKeys = false).orderBy("doc_id", "span_start").collect().toSeq
+    val hsh = text.Corpus.substringSpans(Tables.documents(spark, sfDir), "doc_id", "text",
+      k = 8, minDocs = 2, hashKeys = true).orderBy("doc_id", "span_start").collect().toSeq
+    assert(txt == hsh, "hashed and text shingle keys must yield identical spans")
+  }
+
+  test("ewma: hand series matches pandas adjust=true, early rows renormalized, span truncates") {
+    // alpha=0.5, w=0.5: y1=1, y2=(2+0.5*1)/1.5, y3=(3+0.5*2+0.25*1)/1.75
+    val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0))
+      .toDF("k", "o", "v").withColumn("t", col("o"))
+    val out = etl.Aggregates.ewma(df, "k", "t", "o", "v", alpha = 0.5, span = 24)
+      .orderBy("rn").select("ewma").as[Double].collect()
+    val exp = Seq(1.0, 2.5 / 1.5, 4.25 / 1.75).map(x => math.floor(x * 1e6 + 0.5) / 1e6)
+    assert(out.toSeq == exp, s"got ${out.toSeq}, want $exp")
+    // span=1 sees only (current, previous): y3 = (3 + 0.5*2)/1.5
+    val trunc = etl.Aggregates.ewma(df, "k", "t", "o", "v", alpha = 0.5, span = 1)
+      .orderBy("rn").select("ewma").as[Double].collect()
+    assert(trunc(2) == math.floor(4.0 / 1.5 * 1e6 + 0.5) / 1e6,
+      s"span must bound the lookback: ${trunc.toSeq}")
+    // keys are independent series: a second key's values must not bleed in
+    val two = etl.Aggregates.ewma(
+      df.unionByName(Seq(("b", 1, 100.0)).toDF("k", "o", "v").withColumn("t", col("o"))),
+      "k", "t", "o", "v", alpha = 0.5, span = 24)
+      .filter(col("k") === "b").select("ewma").as[Double].collect()
+    assert(two.toSeq == Seq(100.0), s"per-key isolation: ${two.toSeq}")
+  }
 }
