@@ -901,6 +901,37 @@ object SparkEntry {
         "event_type", "ts", "event_id", "value", alpha = 0.3, span = 24)
         .orderBy(col("event_type"), col("rn"))),
 
+    "q92_semdedup" -> ((s, dir) => {
+      // SemDeDup corpus pruning: drop the higher-id endpoint of every
+      // >=0.9-cosine embedding pair. Twin construction as in q38 (every
+      // 7th vector re-added under a shifted id): the corpus's densest
+      // natural pair sits at ~0.6 cosine, so the >=0.9 pair set is
+      // exactly the planted identical twins and the LSH scale path
+      // equals brute force BY CONSTRUCTION — recall exactly 1, no
+      // probabilistic equality inside an oracle-checked query.
+      val emb = Tables.embeddings(s, dir)
+      val twins = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      sim.Similarity.semDedupSurvivors(corpus, "vec_id", "embedding",
+        dim = 64, minCosine = 0.9)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
+    "q93_zorder" -> ((s, dir) => {
+      // Morton-code computation behind Io.writeZOrdered: interleave the
+      // low 8 bits of two key columns — pure shift/and/or fold, one
+      // codegen'd projection over the scan. The layout effect (box
+      // queries cluster into few files) is spec-asserted in PipelineSpec;
+      // this gates the code itself cross-engine.
+      val li = Tables.lineitem(s, dir)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrder.zValue(
+          Seq(pmod(col("l_orderkey"), lit(256)), pmod(col("l_partkey"), lit(256))),
+          bits = 8).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q87_incremental_ann" -> ((s, dir) => {
       // incremental ANN lifecycle in-query: IVF cell index built on two
       // thirds of the vectors (frozen centroids), the last third
@@ -1506,6 +1537,33 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q93_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum([(((l_orderkey % 256) >> i) & 1) * (1::BIGINT << (2*i))
+        |               + (((l_partkey % 256) >> i) & 1) * (1::BIGINT << (2*i+1))
+        |               FOR i IN range(0, 8)]) AS BIGINT) AS zval
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q92_semdedup" ->
+      // brute force over the same twin-augmented corpus; min-id
+      // retention expressed as NOT EXISTS over the >=0.9 pair set
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % 7 = 0),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM corpus)
+        |SELECT c.vec_id FROM corpus c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE b.vec_id = c.vec_id
+        |    AND list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |         FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm) >= 0.9)
+        |ORDER BY vec_id""".stripMargin,
 
     "q90_substring_dup" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),

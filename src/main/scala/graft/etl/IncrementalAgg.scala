@@ -127,13 +127,65 @@ object IncrementalAgg {
     * [[recover]] at every entry point.
     */
   def compact(spark: SparkSession, name: String): Unit = {
+    val (folded, buckets, bucketCol) = foldForCompaction(spark, name)
+    // swap: the only destructive step happens AFTER the fold is
+    // durable; a crash on either side of the rename is healed by
+    // recover()
+    graft.sources.Io.rebuildBucketed(spark, stateTable(name), folded, bucketCol, buckets)
+  }
+
+  /** Misra-Gries bounded compaction for COUNTING states (valueCol ≡ 1 at
+    * append time): fold like [[compact]], then if more than `capacity`
+    * keys remain, subtract the (capacity+1)-th largest count from every
+    * key and drop the non-positive — the classic mergeable heavy-hitters
+    * summary (Misra–Gries 1982; merge rule per Agarwal et al., PODS'12).
+    * State never exceeds `capacity` keys, every surviving `cnt` is an
+    * UNDERCOUNT by at most the accumulated thresholds — themselves
+    * bounded by N/(capacity+1) over a stream of N rows — and any key
+    * with true share > 1/(capacity+1) is guaranteed retained. This is
+    * what bounds streaming top-k state when the token domain is
+    * unbounded ([[graft.streaming.TopKStream]]). The count carriers
+    * (cnt, s, s2 — all ≡ the count when value ≡ 1) are decremented
+    * coherently; calling this on a non-counting state corrupts its
+    * sum/variance semantics, so don't.
+    *
+    * The threshold probe is a `capacity+1`-row sorted limit — bounded
+    * driver work by construction, like every trainer constant here.
+    */
+  def compactTopK(spark: SparkSession, name: String, capacity: Int): Unit = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val (folded, buckets, bucketCol) = foldForCompaction(spark, name)
+    val persisted = folded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = persisted.select(col("cnt")).orderBy(desc("cnt")).limit(capacity + 1).collect()
+    val bounded =
+      if (top.length <= capacity) persisted
+      else {
+        val thr = top.map(_.getLong(0)).min
+        persisted
+          .withColumn("cnt", col("cnt") - thr)
+          .filter(col("cnt") > 0)
+          .withColumn("s", col("s") - thr.toDouble)
+          .withColumn("s2", col("s2") - thr.toDouble)
+          .localCheckpoint()
+      }
+    graft.sources.Io.rebuildBucketed(spark, stateTable(name), bounded, bucketCol, buckets)
+    persisted.unpersist(blocking = false)
+  }
+
+  /** Steps shared by the compaction variants: record the batch ids the
+    * fold will erase in the marker table FIRST (so a batch replayed
+    * after compaction still gates to a no-op), then fold the partial log
+    * to one row per key under the sentinel batch id, materialized before
+    * anything is dropped.
+    */
+  private def foldForCompaction(spark: SparkSession, name: String): (DataFrame, Int, String) = {
     recover(spark, name)
     val st = stateTable(name)
     val (buckets, bucketCols, _) =
       org.apache.spark.sql.GraftShims.bucketSpec(spark, st).getOrElse(
         throw new IllegalStateException(s"$st is not bucketed — not ours"))
-    // 1. record the batch ids the fold will erase (anti-join keeps the
-    //    marker duplicate-free; localCheckpoint cuts its self-lineage)
+    // anti-join keeps the marker duplicate-free; localCheckpoint cuts
+    // its self-lineage
     val applied = spark.table(st).select("batch_id").distinct()
     val fresh =
       if (spark.catalog.tableExists(appliedTable(name)))
@@ -141,8 +193,6 @@ object IncrementalAgg {
           .localCheckpoint()
       else applied.localCheckpoint()
     fresh.write.mode("append").format("parquet").saveAsTable(appliedTable(name))
-    // 2. fold to one row per key under the sentinel batch, materialized
-    //    BEFORE anything is dropped
     val keys = spark.table(st).columns.filterNot(aggCols.contains).toSeq
     val folded = spark.table(st)
       .groupBy(keys.map(col): _*)
@@ -150,10 +200,7 @@ object IncrementalAgg {
         min("mn").as("mn"), max("mx").as("mx"))
       .withColumn("batch_id", lit(-1L))
       .select((keys ++ aggCols).map(col): _*)
-    // 3. swap: the only destructive step happens AFTER the fold is
-    //    durable; a crash on either side of the rename is healed by
-    //    recover()
-    graft.sources.Io.rebuildBucketed(spark, st, folded, bucketCols.head, buckets)
+    (folded, buckets, bucketCols.head)
   }
 
   /** Every batch id already folded in: state's live ids ∪ the marker. */

@@ -72,6 +72,24 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         graft.functions.roundStable(col("cosine"), simDigits).as("cosine"))
   }
+
+  /** Semantic dedup survivor set (the SemDeDup corpus-pruning stage):
+    * drop the higher-id endpoint of every >= `minCosine` embedding pair,
+    * keep the rest — the same min-id retention contract as the text-side
+    * q43, applied to embedding-space near-dups. Pair discovery runs the
+    * [[LshAnn]] bucketed scale path (never all-pairs); the exact
+    * brute-force join is demoted to oracle/spec duty.
+    *
+    * Distributed shape: the banded self-join finds pairs, the dropped-id
+    * set (tiny: one id per near-dup pair) anti-joins back onto the
+    * corpus — the corpus never shuffles for the prune itself.
+    */
+  def semDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double): DataFrame = {
+    val dropped = LshAnn.nearDupPairs(df, idCol, vecCol, dim, minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }
 
 /** IVF-style ANN: vectors are pre-assigned to coarse clusters (here the

@@ -150,6 +150,39 @@ object Io {
     nFiles.toLong
   }
 
+  /** Z-ordered parquet layout (`OPTIMIZE ZORDER BY` semantics): bucketize
+    * each layout column over its global range, interleave the bucket bits
+    * into a Morton code ([[graft.functions.ZOrder]]), range-partition by
+    * the code into `numFiles` files, sort within each. A d-dimensional
+    * box predicate then touches O(few) files and parquet min/max stats
+    * prune row groups on EVERY layout column — not just the leading sort
+    * key a linear layout gives you. The code column is layout machinery
+    * only; it is dropped before write (the projection is order-preserving,
+    * so the within-file clustering survives).
+    *
+    * One pass for the min/max agg (2 doubles per column to the driver —
+    * bounded), one range exchange for the layout: the same cost as any
+    * sorted rewrite, so re-clustering 100 TB is a compact() with a better
+    * file order.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 12): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(zCols.size >= 2, s"z-ordering needs >= 2 columns, got $zCols")
+    val aggs = zCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val bucketed = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats.getAs[Any](2 * i), stats.getAs[Any](2 * i + 1))
+      def d(x: Any) = x match { case n: Number => n.doubleValue }
+      graft.functions.ZOrder.bucketize(col(c), d(lo), d(hi), bits)
+    }
+    df.withColumn("__z", graft.functions.ZOrder.zValue(bucketed, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(path)
+  }
+
   /** Bucketed managed table: both sides of a repeated equi-join written
     * with the same bucketing never shuffle again — the co-location
     * strategy for fact-fact joins at 100 TB. (Bucketing requires the

@@ -306,6 +306,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/frag").count() == ev.count())
   }
 
+  test("writeZOrdered clusters box queries into fewer files than a linear sort, rows intact") {
+    val tmp = Files.createTempDirectory("graft_zorder").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    sources.Io.writeZOrdered(li, s"$tmp/z", Seq("l_orderkey", "l_partkey"), numFiles = 16)
+    li.repartitionByRange(16, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+      .write.parquet(s"$tmp/linear")
+    // rows survive the layout rewrite byte-for-byte
+    val z = spark.read.parquet(s"$tmp/z")
+    assert(z.count() == li.count() && z.columns.sorted.sameElements(li.columns.sorted))
+    // a filter on the NON-leading dimension: the linear layout scatters
+    // l_partkey across every file; the z-layout confines its low range
+    // to the files whose interleaved high bits allow it
+    val Array(pkLo, pkHi) = li.agg(min("l_partkey"), max("l_partkey"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val box = col("l_partkey") <= pkLo + (pkHi - pkLo) / 8
+    def filesTouched(path: String) = spark.read.parquet(path).filter(box)
+      .select(input_file_name()).distinct().count()
+    val (zf, lf) = (filesTouched(s"$tmp/z"), filesTouched(s"$tmp/linear"))
+    assert(lf >= 12, s"linear layout should scatter the partkey range everywhere, got $lf/16")
+    assert(zf < lf / 2, s"z-order must confine the box: z=$zf linear=$lf files")
+    // and the filtered ROWS are identical — layout never changes results
+    assert(z.filter(box).count() == li.filter(box).count())
+  }
+
   test("compact preserves a hive-partitioned layout when given the partition columns") {
     val tmp = Files.createTempDirectory("graft_compact_part").toString
     val ev = Tables.events(spark, sfDir).withColumn("date", to_date(col("ts")))
@@ -716,5 +741,45 @@ class PipelineSpec extends AnyFunSuite {
       Seq(("b", -1.0), ("c", 1.0)).toDF("k", "v"), Seq("k"), "v", "astrm", batchId = 1)
     assert(spark.table("astrm_state").count() == 3 && folded() == expected,
       "replayed batch must be gated after compaction")
+  }
+
+  test("streaming top-k sink: MG-bounded state keeps the planted heavy hitter within its error") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_tkstream").toString
+    etl.IncrementalAgg.writeState(
+      spark.emptyDataset[String].toDF("token").withColumn("__one", lit(1.0)),
+      Seq("token"), "__one", "tkstrm", buckets = 2)
+    val mem = MemoryStream[String]
+    val cap = 8
+    val q = streaming.TopKStream.toTopKSink(mem.toDF().toDF("token"),
+      "token", "tkstrm", s"$tmp/ck", capacity = cap, compactEvery = 1).start()
+    // 3 batches: "hot" dominates; a rotating long tail (5 fresh tokens a
+    // batch) would grow state unboundedly without eviction
+    var total = 0L
+    for (b <- 0 until 3) {
+      val tail = (0 until 5).flatMap(i => Seq.fill(2)(s"tail_${b}_$i"))
+      val hot = Seq.fill(30)("hot")
+      mem.addData(hot ++ tail: _*)
+      total += hot.size + tail.size
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(spark.table("tkstrm_state").count() <= cap,
+      s"MG compaction must bound state to $cap keys")
+    val top = streaming.TopKStream.topK(spark, "tkstrm", 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top.map(_._1) == Seq("hot"), s"planted heavy hitter must survive eviction: $top")
+    // MG error bound: undercount <= N/(capacity+1); true count is 90
+    assert(top.head._2 <= 90L && top.head._2 >= 90L - total / (cap + 1),
+      s"cnt must be a bounded undercount of 90: $top (N=$total)")
+    // at-least-once replay of the last batch id: gated to a no-op even
+    // though compaction folded its rows away
+    val before = streaming.TopKStream.topK(spark, "tkstrm", cap).collect().toSeq
+    etl.IncrementalAgg.appendDelta(
+      Seq.fill(30)("hot").toDF("token").withColumn("__one", lit(1.0)),
+      Seq("token"), "__one", "tkstrm", batchId = 2)
+    assert(streaming.TopKStream.topK(spark, "tkstrm", cap).collect().toSeq == before,
+      "replayed batch must gate to a no-op")
   }
 }
