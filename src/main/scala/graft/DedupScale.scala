@@ -62,6 +62,15 @@ object DedupScale {
       val sSecs = (System.nanoTime() - t2) / 1e9
       println(f"[ccstar]     docs=${baseN * r}%8d (R=$r%3d)  edges=$nPairs%10d  clusters=$nClusters2%8d  ${sSecs}%8.2f s")
       require(nClusters2 == nClusters, s"star=$nClusters2 != minLabel=$nClusters")
+
+      // span-level dedup over the same replicated corpus (replicas share
+      // every k-gram except the per-replica tag): hashed shingle keys on
+      // the wire, cost tracks the shingle volume — linear in R
+      val t3 = System.nanoTime()
+      val nSpans = text.Corpus.substringSpans(docs, "doc_id", "text", k = 8, minDocs = 2)
+        .count()
+      val spSecs = (System.nanoTime() - t3) / 1e9
+      println(f"[spanscale]  docs=${baseN * r}%8d (R=$r%3d)  spans=$nSpans%10d  ${spSecs}%8.2f s")
       Blocks.releaseAll(spark)
     }
 

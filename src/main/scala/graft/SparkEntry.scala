@@ -932,6 +932,42 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q94_quality_prank" -> ((s, dir) => {
+      // per-domain quantile quality filter (the curation upgrade of
+      // q61's global threshold): drop each source's bottom 20% by
+      // quality — rank-space, so a uniformly low-quality domain keeps
+      // its best docs instead of losing everything. percent_rank orders
+      // by the ROUNDED score + doc_id: deterministic under last-ulp
+      // cross-engine drift and quality ties. One keyed window shuffle.
+      import org.apache.spark.sql.expressions.Window
+      val stops = Seq("the", "a")
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        roundStable(TextStats.qualityScore(col("text"), stops), 6).as("quality"))
+      val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+      scored.withColumn("prank", roundStable(percent_rank().over(w), 6))
+        .filter(col("prank") >= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q95_gap_detect" -> ((s, dir) => {
+      // sensor-downtime detection over each key's reading series:
+      // consecutive events further apart than 2 h become one gap row —
+      // the monitoring counterpart of interpolation (q03 fills small
+      // gaps; this reports the outages). One keyed window, narrow after.
+      // microsecond arithmetic on BOTH sides: second-cast floors and
+      // fractional epoch() round differently at the boundary
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(unix_micros(col("next_ts")) - unix_micros(col("ts")) > 7200L * 1000000L)
+        .select(col("event_type"), col("ts").as("gap_start"),
+          col("next_ts").as("gap_end"),
+          (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("gap_usecs"))
+        .orderBy(col("event_type"), col("gap_start"))
+    }),
+
     "q87_incremental_ann" -> ((s, dir) => {
       // incremental ANN lifecycle in-query: IVF cell index built on two
       // thirds of the vectors (frozen centroids), the last third
@@ -1537,6 +1573,28 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q94_quality_prank" ->
+      """WITH t AS (SELECT doc_id, source, text, str_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  roundStable(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+        |    + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+        |    + 0.2 * (CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)), 6) AS quality
+        |  FROM t),
+        |p AS (SELECT doc_id, source, quality,
+        |  roundStable(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS prank
+        |  FROM s)
+        |SELECT doc_id, source, quality, prank FROM p
+        |WHERE prank >= 0.2 ORDER BY doc_id""".stripMargin,
+
+    "q95_gap_detect" ->
+      """WITH o AS (SELECT event_type, ts, event_id,
+        |    lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_ts
+        |  FROM events)
+        |SELECT event_type, ts AS gap_start, next_ts AS gap_end,
+        |  epoch_us(next_ts) - epoch_us(ts) AS gap_usecs
+        |FROM o WHERE epoch_us(next_ts) - epoch_us(ts) > 7200000000::BIGINT
+        |ORDER BY event_type, gap_start""".stripMargin,
 
     "q93_zorder" ->
       """SELECT l_orderkey, l_linenumber,
