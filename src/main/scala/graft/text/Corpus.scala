@@ -328,6 +328,10 @@ object Corpus {
                      hashKeys: Boolean = true): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2, got k=$k minDocs=$minDocs")
     val toks = col("__toks")
+    // the positioned shingle rows feed BOTH the duplicated-gram
+    // aggregation and the join probe — persist once or the corpus is
+    // scanned and re-shingled twice (the similarPairs lifecycle: persist
+    // the index, checkpoint the small result, release)
     val sh = docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .filter(size(toks) >= k)
@@ -336,6 +340,19 @@ object Corpus {
       .select(col(idCol), col("pos").cast("long").as("pos"),
         { val g = concat_ws(" ", slice(toks, col("pos") + 1, lit(k)))
           (if (hashKeys) xxhash64(g) else g).as("sh") })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = spansPlan(sh, idCol, k, minDocs).localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
+  /** The span pipeline from positioned shingle rows — exposed separately
+    * so the plan spec can fingerprint it BEFORE the materializing
+    * checkpoint hides it behind a LogicalRDD scan (the [[graft.dedup
+    * .MinHashLsh.pairsPlan]] discipline).
+    */
+  private[graft] def spansPlan(sh: DataFrame, idCol: String, k: Int,
+                               minDocs: Int): DataFrame = {
     val dup = sh.groupBy(col("sh"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)

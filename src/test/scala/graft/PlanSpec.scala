@@ -237,6 +237,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("substringSpans plan: hashed 8-byte shingle keys on the wire, no nested-loop join, one window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").filter(col("doc_id") < 50)
+    val toks = org.apache.spark.sql.functions.split(col("text"), " ")
+    val sh = docs
+      .select(col("doc_id"), toks.as("__toks"))
+      .filter(org.apache.spark.sql.functions.size(col("__toks")) >= 8)
+      .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(0),
+          org.apache.spark.sql.functions.size(col("__toks")) - 8)).as("pos"), col("__toks"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.slice(col("__toks"), col("pos") + 1,
+            org.apache.spark.sql.functions.lit(8)))).as("sh"))
+    val plan = text.Corpus.spansPlan(sh, "doc_id", 8, 2).queryExecution.sparkPlan
+    // every shingle-keyed operator (duplicated-gram agg, semi-join) works
+    // on the 8-byte hash, never k-token strings — the keys that hit the
+    // wire when EnsureRequirements places the exchanges
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(joins.nonEmpty, s"duplicated-gram semi-join missing:\n$plan")
+    joins.foreach { j =>
+      assert(j.leftKeys.map(_.dataType) == Seq(LongType),
+        s"semi-join keys ${j.leftKeys.map(_.dataType)}, want hashed LongType:\n$plan")
+    }
+    val shAggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.exists(_.references.exists(_.name == "sh")) => a
+    }
+    assert(shAggs.nonEmpty, s"duplicated-gram aggregation missing:\n$plan")
+    shAggs.foreach { a =>
+      val dt = a.groupingExpressions.flatMap(_.references).find(_.name == "sh").map(_.dataType)
+      assert(dt.contains(LongType), s"gram agg groups on $dt, want LongType:\n$plan")
+    }
+    assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"span pipeline must never nested-loop:\n$plan")
+    // island merge + final span agg ride ONE doc-keyed partitioning
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"expected exactly one window (island ranking):\n$plan")
+  }
+
   test("q71 IVF-PQ: probe-cell join sits below the code explosion — no full-corpus ADC scan") {
     // the scale contract of IVF-PQ: the per-code m-way row blowup
     // (posexplode) and the ADC lookup must only ever see rows already
