@@ -968,6 +968,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("gap_start"))
     }),
 
+    "q96_rolling_median" -> ((s, dir) =>
+      // robust rolling smoother: trailing 6-row median per key — one
+      // keyed shuffle, sort_array over the frame list, parity branch
+      etl.Aggregates.rollingMedian(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value", window = 6)
+        .orderBy(col("event_type"), col("rn"))),
+
+    "q97_unigram_logprob" -> ((s, dir) =>
+      // LM-quality signal (the cheap CCNet perplexity stand-in): mean
+      // unigram log-probability per doc, model = the corpus itself —
+      // unigram table joined BY TOKEN (vocab never broadcasts at scale)
+      text.Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "q87_incremental_ann" -> ((s, dir) => {
       // incremental ANN lifecycle in-query: IVF cell index built on two
       // thirds of the vectors (frozen centroids), the last third
@@ -1573,6 +1587,26 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q96_rolling_median" ->
+      """WITH o AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |    median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                        ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS med
+        |  FROM events)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rn, value,
+        |  roundStable(med, 6) AS rolling_median
+        |FROM o ORDER BY event_type, rn""".stripMargin,
+
+    "q97_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS tf FROM tk GROUP BY tok),
+        |tot AS (SELECT sum(tf) AS total FROM tf),
+        |lm AS (SELECT tok, ln(tf / (SELECT total FROM tot)) AS lp FROM tf)
+        |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  roundStable(avg(lm.lp), 6) AS mean_logprob
+        |FROM tk JOIN lm USING (tok)
+        |GROUP BY tk.doc_id ORDER BY doc_id""".stripMargin,
 
     "q94_quality_prank" ->
       """WITH t AS (SELECT doc_id, source, text, str_split(text, ' ') AS toks FROM documents),

@@ -105,6 +105,32 @@ object Aggregates {
         roundStable(num / den, 6).as("ewma"))
   }
 
+  /** Rolling median over a trailing `window`-row frame per key — the
+    * robust twin of [[rollingMeanCentered6]]: one spiked reading barely
+    * moves it, where the mean chases every outlier. Early rows take the
+    * median of the rows present (pandas `min_periods=1` semantics).
+    *
+    * ONE keyed shuffle; the median is sort_array over the frame's
+    * collect_list + branch on parity — codegen'd expressions, O(w log w)
+    * per row, no UDF. Exact-input or two-value midpoint, so engines
+    * agree to the double.
+    */
+  def rollingMedian(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, window: Int = 6): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val wF = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(window - 1), 0)
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val ll = sort_array(collect_list(col(valueCol)).over(wF))
+    val m = size(ll)
+    val med = when(m % 2 === 1, element_at(ll, ((m + 1) / 2).cast("int")))
+      .otherwise((element_at(ll, (m / 2).cast("int"))
+        + element_at(ll, (m / 2).cast("int") + 1)) / 2.0)
+    df.withColumn("rn", row_number().over(wOrd).cast("long"))
+      .select(col(keyCol), col("rn"), col(valueCol),
+        roundStable(med, 6).as("rolling_median"))
+  }
+
   /** Pairwise Pearson correlation of numeric columns in long form
     * (col_a, col_b, corr) — the dashboard's `df[cols].corr()`
     * (dashboard:225-228). One aggregation computes the whole matrix;

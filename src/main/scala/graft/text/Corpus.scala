@@ -367,6 +367,40 @@ object Corpus {
         (col("span_end") - col("span_start") + k).as("tok_len"))
   }
 
+  /** Unigram log-probability quality score (the cheap stand-in for the
+    * CCNet/LLaMA LM-perplexity filter, trained on the corpus itself):
+    * per-token corpus frequency → per-document mean log p(token).
+    * Machine-generated gibberish and OCR noise sit in the far-low tail;
+    * boilerplate sits unusually HIGH — both ends are filter targets.
+    *
+    * Distributed shape: one aggregation builds the unigram table, the
+    * corpus tokens join it BY TOKEN (a keyed shuffle — the vocabulary of
+    * a 100 TB corpus does not broadcast), then one per-doc aggregation.
+    * Smoothing: unseen tokens cannot occur (the model is the corpus), so
+    * no backoff is needed; `logprob` is exact, not estimated.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // token rows feed the unigram build AND the scoring join — persist
+    // once (similarPairs lifecycle); the corpus total rides the unigram
+    // table (sum of term frequencies), never a second corpus scan
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = tf.agg(sum(col("__tf"))).head().getDouble(0)
+    val lm = tf.select(col("tok"), log(col("__tf") / total).as("__lp"))
+    val out = toks.join(lm, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        roundStable(avg(col("__lp")), 6).as("mean_logprob"))
+      .localCheckpoint()
+    tf.unpersist()
+    toks.unpersist()
+    out
+  }
+
   def packGreedy(docs: DataFrame, partCol: String, idCol: String,
                  textCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"need capacity > 0, got $capacity")

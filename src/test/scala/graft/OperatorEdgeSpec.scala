@@ -989,6 +989,29 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(txt == hsh, "hashed and text shingle keys must yield identical spans")
   }
 
+  test("rollingMedian: robust to a spike the mean chases; early rows use present-row median") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 1000.0), ("a", 4, 11.0), ("a", 5, 9.0))
+      .toDF("k", "o", "v").withColumn("t", col("o"))
+    val med = etl.Aggregates.rollingMedian(df, "k", "t", "o", "v", window = 3)
+      .orderBy("rn").select("rolling_median").as[Double].collect()
+    // row1: median(10)=10; row2: (10+12)/2=11; row3: median(10,12,1000)=12
+    // row4: median(12,1000,11)=12 — the spike never becomes the estimate
+    assert(med.toSeq == Seq(10.0, 11.0, 12.0, 12.0, 11.0), s"got ${med.toSeq}")
+  }
+
+  test("unigramLogProb: repeated-common-token doc scores higher than a hapax-only doc") {
+    val docs = Seq(
+      (1L, "the the the the the the the the"),     // all high-frequency
+      (2L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"),     // all hapaxes
+      (3L, "the zq9 the zq10 the zq11 the zq12")   // mixed
+    ).toDF("doc_id", "text")
+    val lp = text.Corpus.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lp.map(_._2).toSeq == Seq(8L, 8L, 8L), s"token counts: ${lp.toSeq}")
+    assert(lp(0)._3 > lp(2)._3 && lp(2)._3 > lp(1)._3,
+      s"logprob must order common > mixed > hapax: ${lp.toSeq}")
+  }
+
   test("ewma: hand series matches pandas adjust=true, early rows renormalized, span truncates") {
     // alpha=0.5, w=0.5: y1=1, y2=(2+0.5*1)/1.5, y3=(3+0.5*2+0.25*1)/1.75
     val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0))
