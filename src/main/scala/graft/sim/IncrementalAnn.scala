@@ -95,13 +95,20 @@ object IncrementalAnn {
       name: String, k: Int, nprobe: Int): DataFrame = {
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probes = IvfPq.probeSet(spark, qRows, centroids(spark, name), nprobe)
+    val cents = centroids(spark, name)
+    val probes = IvfPq.probeSet(spark, qRows, cents, nprobe)
       .select(col("query_id"), col("__cl").as("cell"))
+    // The probed cells are a driver-side constant: push them into the
+    // scan as a literal IN so bucket pruning + parquet min/max pruning
+    // fire — the broadcast join alone would filter only AFTER reading
+    // the entire (id, vec, cell) table, vectors included.
+    val probedCells = IvfPq.probedCellIds(qRows, cents, nprobe)
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("__qv"), Similarity.norm(col(vecCol)).as("__qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     spark.table(cellsTable(name))
+      .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(q), Seq("query_id"))
       .filter(col("query_id") =!= col("id"))

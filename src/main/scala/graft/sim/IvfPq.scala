@@ -89,6 +89,20 @@ object IvfPq {
     s
   }
 
+  /** Distinct probed cell ids across the whole query set, driver-side —
+    * a literal the caller can push into the cells scan as an IN filter
+    * (bucket + parquet row-group pruning) BEFORE any join. A broadcast
+    * join on `cell` only filters rows after the scan; the literal is
+    * what makes "touch only the probed cells' buckets" true in the plan.
+    */
+  private[graft] def probedCellIds(qRows: Array[(Long, Array[Float])],
+      coarse: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    qRows.toSeq.flatMap { case (_, qv) =>
+      val v = qv.map(_.toDouble)
+      coarse.zipWithIndex.map { case (c, i) => (d2(v, c), i) }
+        .sorted.take(nprobe).map(_._2)
+    }.distinct.sorted
+
   /** (query_id, __cl, __off) probe set: each query's `nprobe` nearest
     * coarse cells, with the residual-decomposition offset ⟨q, c_cell⟩
     * precomputed per probe (summed into the ADC score on the residual

