@@ -71,6 +71,7 @@ object IncrementalAnn {
   def appendVectors(delta: DataFrame, idCol: String, vecCol: String,
       name: String): Unit = {
     val spark = delta.sparkSession
+    recover(spark, name)
     val before = graft.Blocks.persistedIds(spark)
     val fresh = delta
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -93,6 +94,7 @@ object IncrementalAnn {
     */
   def topK(spark: SparkSession, queries: DataFrame, idCol: String, vecCol: String,
       name: String, k: Int, nprobe: Int): DataFrame = {
+    recover(spark, name)
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val cents = centroids(spark, name)
@@ -121,5 +123,39 @@ object IncrementalAnn {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Fold the per-append file accumulation on `_cells`/`_ids` back to a
+    * bounded file count — [[graft.sources.Io.appendBucketed]] adds a
+    * file set per batch forever, so a year of micro-batches without this
+    * is the small-files problem per bucket. Same crash-safe swap as
+    * every other incremental surface ([[graft.sources.Io
+    * .rebuildBucketed]]); reads and writes heal the swap window via
+    * [[recover]] on entry.
+    *
+    * Also where the append crash window's orphans die: cells land BEFORE
+    * ids (ids are the commit marker), so a crash between the two plus a
+    * replay leaves duplicate cell rows that [[topK]] tolerates by
+    * max-folding — the compacted table keeps exactly one row per id.
+    * The repartition aligns shuffle partitions with the bucket hash
+    * (both Murmur3 pmod buckets), so the rebuild writes one file per
+    * bucket, not tasks × buckets.
+    */
+  def compactCells(spark: SparkSession, name: String): Unit = {
+    recover(spark, name)
+    Seq(cellsTable(name), idsTable(name)).foreach { t =>
+      val (buckets, bucketCols, _) =
+        org.apache.spark.sql.GraftShims.bucketSpec(spark, t).getOrElse(
+          throw new IllegalStateException(s"$t is not bucketed — not ours"))
+      val folded = spark.table(t).dropDuplicates("id")
+        .repartition(buckets, col(bucketCols.head))
+      graft.sources.Io.rebuildBucketed(spark, t, folded, bucketCols.head, buckets)
+    }
+  }
+
+  /** Heal a crash inside [[compactCells]]'s swap windows. Idempotent. */
+  def recover(spark: SparkSession, name: String): Unit = {
+    graft.sources.Io.recoverRebuild(spark, cellsTable(name))
+    graft.sources.Io.recoverRebuild(spark, idsTable(name))
   }
 }

@@ -32,6 +32,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  for (name <- Seq("q70_incremental_dedup", "q72_stream_dedup_fold",
+      "q86_incremental_cc", "q87_incremental_ann")) {
+    test(s"$name: warm re-invocation replays to the identical result") {
+      // the index builds are hoisted to a once-per-process setup, so the
+      // second invocation runs the fold against converged state — gated
+      // appends must no-op and monotone merges must append zero rows,
+      // reproducing the cold result bit-for-bit (Bench's warm run and
+      // the at-least-once delivery case are the same contract)
+      val fn = SparkEntry.queries(name)
+      val cold = fn(spark, sfDir).collect().map(_.toString).toSeq
+      val warm = fn(spark, sfDir).collect().map(_.toString).toSeq
+      assert(cold == warm, s"$name warm replay diverged from cold run")
+      assert(cold.nonEmpty)
+    }
+  }
+
   test("roundStable SQL expansion matches the Spark formula") {
     import graft.functions.expandRoundStable
     assert(expandRoundStable("roundStable(avg(v), 4) AS a") ==
