@@ -829,6 +829,43 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"nprobe=2/4 recall too low: $recall")
   }
 
+  test("IncrementalAnn.compactCells: file count bounded at buckets, search unchanged") {
+    import sim.IncrementalAnn
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    IncrementalAnn.writeIndex(emb.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", "cann", kCoarse = 4, iters = 2, buckets = 2)
+    // three appends → three extra file sets per table (the small-files
+    // accumulation compaction exists to bound)
+    for (k <- 1 to 3)
+      IncrementalAnn.appendVectors(emb.filter(col("vec_id") % 4 === k),
+        "vec_id", "embedding", "cann")
+    def files(t: String) = new java.io.File(
+      org.apache.spark.sql.GraftShims.tableLocation(spark, t))
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val queries = emb.filter(col("vec_id") < 10)
+    def search() = IncrementalAnn.topK(spark, queries, "vec_id", "embedding",
+      "cann", k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sorted
+    val before = search()
+    assert(files("cann_cells") > 2, "appends should have accumulated files")
+    IncrementalAnn.compactCells(spark, "cann")
+    // the bucket-aligned repartition writes exactly one file per bucket
+    assert(files("cann_cells") == 2, s"cells files = ${files("cann_cells")}")
+    assert(files("cann_ids") == 2, s"ids files = ${files("cann_ids")}")
+    assert(search() == before, "compaction must not change search results")
+    assert(spark.table("cann_cells").count() == emb.count())
+    // idempotent: compacting a compacted index is a no-op rewrite
+    IncrementalAnn.compactCells(spark, "cann")
+    assert(search() == before)
+    // a further append lands fine on the rebuilt tables (bucket spec
+    // survives the swap), and the gate still sees pre-compaction ids
+    IncrementalAnn.appendVectors(emb.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding", "cann")
+    assert(spark.table("cann_cells").count() == emb.count(),
+      "replay after compaction must append zero rows")
+  }
+
   test("sampleToMix: output tracks the target mix, p_keep <= 1, partition-independent") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
     def run(df: org.apache.spark.sql.DataFrame) =

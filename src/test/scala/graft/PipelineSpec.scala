@@ -743,6 +743,54 @@ class PipelineSpec extends AnyFunSuite {
       "replayed batch must be gated after compaction")
   }
 
+  test("toAnnSink: streamed vectors searchable, cadence compacts, replay appends zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_annstrm").toString
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    sim.IncrementalAnn.writeIndex(base, "vec_id", "embedding", "annstrm",
+      kCoarse = 4, iters = 2, buckets = 2)
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rest.partition(_._1 % 3 == 1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = streaming.AnnStream.toAnnSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      "annstrm", s"$tmp/ck", compactEvery = 2).start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable() // batch 1 → cadence fires: (1+1) % 2 == 0
+    q.stop()
+
+    // every streamed vector searchable: full probe over the folded index
+    // must equal brute force over the WHOLE corpus — which can only hold
+    // if both batches are in and neither is double-counted
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq.sorted
+    assert(rows(sim.IncrementalAnn.topK(spark, queries, "vec_id", "embedding",
+      "annstrm", k = 5, nprobe = 4)) ==
+      rows(sim.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)),
+      "streamed index must match brute force over the full corpus")
+    // the cadence compacted after batch 1: one file per bucket
+    def files(t: String) = new java.io.File(
+      org.apache.spark.sql.GraftShims.tableLocation(spark, t))
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files("annstrm_cells") <= 2 && files("annstrm_ids") <= 2,
+      s"cadence must have compacted: cells=${files("annstrm_cells")} ids=${files("annstrm_ids")}")
+    // at-least-once replay of the last batch: the id gate appends zero
+    // rows even though compaction rewrote the tables
+    val n = spark.table("annstrm_cells").count()
+    assert(n == emb.count())
+    sim.IncrementalAnn.appendVectors(b2.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "annstrm")
+    assert(spark.table("annstrm_cells").count() == n,
+      "replayed batch must gate to a no-op")
+  }
+
   test("streaming top-k sink: MG-bounded state keeps the planted heavy hitter within its error") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
