@@ -1008,6 +1008,49 @@ object SparkEntry {
       text.Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q98_stream_topk" -> ((s, dir) => {
+      // D9's streaming heavy-hitter state, driver-gated: three
+      // foreachBatch-shaped folds of the token stream (batch 1 folded
+      // TWICE — the at-least-once replay), then MG compaction with
+      // capacity BELOW the vocabulary so eviction actually fires
+      // in-query. Compared rows are the exact top-5 tokens (oracle-
+      // computable); the MG contracts collapse to 1/0 verdicts the
+      // oracle asserts as literal 1s (q62/q68 discipline): the replayed
+      // batch appended zero rows, the state is bounded at capacity, and
+      // each top token's retained count is within the N/(capacity+1)
+      // undercount bound — with eviction permitted exactly when that
+      // bound allows (exact count <= N/(capacity+1)).
+      val cap = 16
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(text.TextStats.tokens(col("text"))).as("token"))
+        .withColumn("__one", lit(1.0))
+      def batch(b: Long) =
+        toks.filter(col("doc_id") % 3 === b).select("token", "__one")
+      etl.IncrementalAgg.writeState(toks.limit(0).select("token", "__one"),
+        Seq("token"), "__one", "q98tk", buckets = 2)
+      for (b <- 0L to 2L)
+        etl.IncrementalAgg.appendDelta(batch(b), Seq("token"), "__one", "q98tk", batchId = b)
+      val rowsBefore = s.table("q98tk_state").count()
+      etl.IncrementalAgg.appendDelta(batch(1L), Seq("token"), "__one", "q98tk", batchId = 1)
+      val gated = s.table("q98tk_state").count() == rowsBefore
+      etl.IncrementalAgg.compactTopK(s, "q98tk", cap)
+      val mg = etl.IncrementalAgg.read(s, "q98tk")
+        .select(col("token"), col("cnt").as("mg_cnt"))
+      val bounded = mg.count() <= cap
+      val n = toks.count()
+      toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(5)
+        .join(mg, Seq("token"), "left")
+        .select(col("token").as("tok"), col("cnt"),
+          lit(if (gated) 1L else 0L).as("replay_gated"),
+          lit(if (bounded) 1L else 0L).as("state_bounded"),
+          when(col("mg_cnt").isNull, (col("cnt") <= lit(n / (cap + 1))).cast("long"))
+            .otherwise((col("mg_cnt") <= col("cnt") &&
+              (col("cnt") - col("mg_cnt")) <= lit(n / (cap + 1))).cast("long"))
+            .as("undercount_ok"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
     "q87_incremental_ann" -> ((s, dir) => {
       // incremental ANN lifecycle in-query: IVF cell index built on two
       // thirds of the vectors (frozen centroids), the last third
@@ -1638,6 +1681,17 @@ object SparkEntry {
         |SELECT event_type, CAST(rn AS BIGINT) AS rn, value,
         |  roundStable(med, 6) AS rolling_median
         |FROM o ORDER BY event_type, rn""".stripMargin,
+
+    "q98_stream_topk" ->
+      // exact top-5 token counts computed exactly on both sides; the MG
+      // streaming-state contracts (replay gate, capacity bound, undercount
+      // bound) are Spark-side verdicts the oracle asserts as literal 1s
+      """SELECT tok, count(*) AS cnt,
+        | CAST(1 AS BIGINT) AS replay_gated,
+        | CAST(1 AS BIGINT) AS state_bounded,
+        | CAST(1 AS BIGINT) AS undercount_ok
+        |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 5""".stripMargin,
 
     "q97_unigram_logprob" ->
       """WITH tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),

@@ -29,11 +29,26 @@ import org.apache.spark.sql.functions._
   * touched component, so members of a current root always fold to that
   * root — is maintained by construction and exercised in the spec.
   *
-  * Scale: per-batch compute is O(affected components + batch), the big
-  * label side is touched by two column-pruned scans (one filtered by
-  * id, one by comp), and the append is O(affected). [[compactLabels]]
-  * folds the log (crash-safe swap, [[graft.sources.Io.rebuildBucketed]])
-  * so reads stay O(live rows).
+  * Scale: per-batch compute is O(affected components + batch). Both
+  * log lookups are pushed into the scan as driver-side literals (the
+  * batch's endpoint/component id sets are bounded by the micro-batch
+  * contract): the members pull is an `In(comp, …)` on the bucket column
+  * — bucket pruning reads only the touched components' buckets — and
+  * the endpoint lookup is an `In(id, …)` against files sorted by id
+  * within each bucket, so parquet min/max stats prune row groups. The
+  * append is O(affected). [[compactLabels]] folds the log (crash-safe
+  * swap, [[graft.sources.Io.rebuildBucketed]]) so reads stay O(live
+  * rows).
+  *
+  * Why not an id-bucketed MIRROR table for the endpoint lookup (the
+  * `_ids`-gate shape [[graft.dedup.IncrementalDedup]] uses): the log's
+  * crash-safety rests on lookup and append hitting the SAME table — a
+  * two-table append is not atomic, and a mirror missing a decrease row
+  * returns a stale (too-high) root whose membership pull then misses
+  * the already-merged side, appending labels that SPLIT a component;
+  * the damage is permanent because replay recomputes `changed` against
+  * the healthy main log and never re-appends the missing mirror rows.
+  * Literal pushdown gets the O(batch) lookup without a second table.
   */
 object IncrementalCC {
 
@@ -50,8 +65,32 @@ object IncrementalCC {
     graft.dedup.IncrementalDedup.dropForRebuild(spark, s"${labelsTable(name)}_new")
     val labels = ConnectedComponents.minLabel(edges, idACol, idBCol)
       .select(col("node").as("id"), col("comp"))
-    graft.sources.Io.writeBucketed(labels, labelsTable(name), "comp", buckets)
+    // sorted by id within each bucket: the endpoint lookup's pushed
+    // In(id, …) then prunes row groups via parquet min/max stats
+    graft.sources.Io.writeBucketed(labels, labelsTable(name), "comp", buckets,
+      sortCol = Some("id"))
   }
+
+  /** Current root per id, restricted to `ids` — the per-batch endpoint
+    * lookup. The literal In(id, …) reaches the parquet scan (files are
+    * id-sorted within buckets, so min/max stats prune row groups); a
+    * broadcast semi-join would filter only after scanning the whole log.
+    */
+  private[graft] def rootsOf(spark: SparkSession, name: String,
+      ids: Seq[Long]): DataFrame =
+    spark.table(labelsTable(name))
+      .filter(col("id").isin(ids: _*))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+
+  /** Current membership of `comps`, min-folded per id. The literal
+    * In(comp, …) is on the BUCKET column, so bucket pruning reads only
+    * the touched components' buckets.
+    */
+  private[graft] def membersOf(spark: SparkSession, name: String,
+      comps: Seq[Long]): DataFrame =
+    spark.table(labelsTable(name))
+      .filter(col("comp").isin(comps: _*))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
 
   /** Fold one batch of new edges in and return the recomputed labels of
     * every affected node (old members of touched components + the
@@ -65,18 +104,20 @@ object IncrementalCC {
     val before = graft.Blocks.persistedIds(spark)
     val e = edges.select(col(idACol).cast("long").as("a"),
       col(idBCol).cast("long").as("b")).localCheckpoint()
-    val endpoints = e.select(col("a").as("id"))
+    // endpoint ids and touched components are bounded by the batch size
+    // (micro-batch contract) — collecting them makes both log lookups
+    // pushed-literal scans (row-group / bucket pruning) instead of
+    // full-log scans behind a broadcast join
+    val endpointIds = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id"))).distinct()
-    val labels = spark.table(labelsTable(name))
+      .collect().map(_.getLong(0)).toSeq
     // current root per endpoint: min over the endpoint's rows. Taking
     // CURRENT roots (not every stale comp the endpoints ever carried)
     // is what makes one lookup round sufficient — see the scaladoc
-    // invariant. Bounded by the batch size → localCheckpoint + broadcast.
-    val touched = labels.join(broadcast(endpoints), Seq("id"), "left_semi")
-      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-      .select(col("comp")).distinct().localCheckpoint()
-    val members = labels.join(broadcast(touched), Seq("comp"), "left_semi")
-      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    // invariant.
+    val touchedComps = rootsOf(spark, name, endpointIds)
+      .select(col("comp")).distinct().collect().map(_.getLong(0)).toSeq
+    val members = membersOf(spark, name, touchedComps)
     val star = members.select(col("id").as("a"), col("comp").as("b"))
     val mid = graft.Blocks.persistedIds(spark)
     // minLabel's result is already a lineage-cutting checkpoint — the
@@ -94,7 +135,7 @@ object IncrementalCC {
       .select(col("id"), col("comp"))
       .localCheckpoint()
     graft.sources.Io.appendBucketed(changed, labelsTable(name))
-    // free this batch's intermediates (e, touched) and the changed-rows
+    // free this batch's intermediates (e) and the changed-rows
     // checkpoint — but NOT the checkpoint backing the returned labels:
     // the caller consumes it (releasing it here was a use-after-free the
     // scale harness caught the first time a caller counted the result)

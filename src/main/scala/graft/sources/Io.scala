@@ -205,8 +205,13 @@ object Io {
     */
   private[graft] def rebuildBucketed(spark: SparkSession, table: String,
       folded: DataFrame, bucketCol: String, buckets: Int): Unit = {
+    // preserve the table's within-bucket sort (appendBucketed re-states it
+    // from the catalog the same way) — a rebuild must not silently lose
+    // the file order that makes row-group stats pruning work
+    val sortCol = org.apache.spark.sql.GraftShims.bucketSpec(spark, table)
+      .flatMap(_._3.headOption)
     graft.dedup.IncrementalDedup.dropForRebuild(spark, s"${table}_new")
-    writeBucketed(folded, s"${table}_new", bucketCol, buckets)
+    writeBucketed(folded, s"${table}_new", bucketCol, buckets, sortCol)
     graft.dedup.IncrementalDedup.dropForRebuild(spark, table)
     spark.sql(s"ALTER TABLE ${table}_new RENAME TO $table")
   }

@@ -365,4 +365,36 @@ class PlanSpec extends AnyFunSuite {
     // must not enumerate every cell id
     assert(res.count() > 0)
   }
+
+  test("IncrementalCC lookups: pushed In(id) on id-sorted files; In(comp) bucket-prunes") {
+    // mergeEdges' two log lookups must be pushed-literal scans, not
+    // full-log scans behind a broadcast join: the endpoint lookup
+    // carries In(id, …) into the parquet scan (files id-sorted within
+    // buckets → row-group stats pruning), and the members pull carries
+    // In(comp, …) on the bucket column → bucket pruning reads only the
+    // touched components' buckets
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val edges = {
+      import spark.implicits._
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    }
+    operators.IncrementalCC.writeLabels(edges, "a", "b", "plancc", buckets = 4)
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val scans = df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.size == 1, s"expected one scan:\n${df.queryExecution.sparkPlan}")
+      scans.head
+    }
+    val idScan = scanOf(operators.IncrementalCC.rootsOf(spark, "plancc", Seq(2L, 11L)))
+    assert(idScan.metadata.getOrElse("PushedFilters", "").contains("In(id"),
+      s"endpoint lookup lacks the pushed In(id) filter: ${idScan.metadata}")
+    assert(idScan.relation.bucketSpec.exists(_.sortColumnNames == Seq("id")),
+      "labels files must be id-sorted for row-group stats pruning")
+    val compScan = scanOf(operators.IncrementalCC.membersOf(spark, "plancc", Seq(1L, 20L)))
+    assert(compScan.metadata.getOrElse("PushedFilters", "").contains("In(comp"),
+      s"members pull lacks the pushed In(comp) filter: ${compScan.metadata}")
+    assert(compScan.optionalBucketSet.exists(_.cardinality() < 4),
+      s"In(comp) must bucket-prune the comp-bucketed log " +
+        s"(selected=${compScan.optionalBucketSet.map(_.cardinality())})")
+  }
 }
