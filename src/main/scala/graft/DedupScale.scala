@@ -60,7 +60,8 @@ object DedupScale {
       val comps2 = operators.ConnectedComponents.starComponents(pairs, "id_a", "id_b")
       val nClusters2 = comps2.select("comp").distinct().count()
       val sSecs = (System.nanoTime() - t2) / 1e9
-      println(f"[ccstar]     docs=${baseN * r}%8d (R=$r%3d)  edges=$nPairs%10d  clusters=$nClusters2%8d  ${sSecs}%8.2f s")
+      val rounds = operators.ConnectedComponents.lastStarRounds.get()
+      println(f"[ccstar]     docs=${baseN * r}%8d (R=$r%3d)  edges=$nPairs%10d  clusters=$nClusters2%8d  rounds=$rounds%2d  ${sSecs}%8.2f s")
       require(nClusters2 == nClusters, s"star=$nClusters2 != minLabel=$nClusters")
 
       // span-level dedup over the same replicated corpus (replicas share

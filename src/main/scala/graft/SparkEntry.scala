@@ -1154,7 +1154,7 @@ object SparkEntry {
         .withColumn("fp", TextStats.fingerprint(col("t")))
       val survivors = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       gated.join(survivors, Seq("fp", "doc_id"), "left_semi")
-        .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(2147483648L)))
+        .withColumn("h", text.Corpus.idHash(col("doc_id")))
         .select(col("doc_id"), col("lang"),
           roundStable(col("quality"), 6).as("quality"),
           col("n_toks"),
@@ -1775,7 +1775,7 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, CAST(rn AS BIGINT) AS rn, value,
         |  roundStable(list_sum([ll[i+1] * pow(0.7, len(ll)-1-i) FOR i IN range(0, len(ll))])
-        |    / ((1 - pow(0.7, len(ll))) / 0.3), 6) AS ewma
+        |    / list_sum([pow(0.7, len(ll)-1-i) FOR i IN range(0, len(ll))]), 6) AS ewma
         |FROM o ORDER BY event_type, rn""".stripMargin,
 
     "q89_seasonal_anomaly" ->
@@ -2258,7 +2258,7 @@ object SparkEntry {
         |      FROM w)
         |SELECT d.doc_id, d.lang, roundStable(p.p_keep, 6) AS p_keep
         |FROM documents d JOIN p ON d.lang = p.lang
-        |WHERE CAST((d.doc_id * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0 < p.p_keep
+        |WHERE CAST(((d.doc_id % 2147483648) * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0 < p.p_keep
         |ORDER BY d.doc_id""".stripMargin,
 
     "q84_salted_join" ->
@@ -2284,8 +2284,8 @@ object SparkEntry {
         |f AS (SELECT * FROM q WHERE quality >= 0.4 AND n_toks BETWEEN 10 AND 200),
         |m AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp)
         |SELECT f.doc_id, f.lang, roundStable(f.quality, 6) AS quality, f.n_toks,
-        |  CASE WHEN (f.doc_id * 2654435761) % 2147483648 % 10 < 8 THEN 'train'
-        |       WHEN (f.doc_id * 2654435761) % 2147483648 % 10 < 9 THEN 'val'
+        |  CASE WHEN ((f.doc_id % 2147483648) * 2654435761) % 2147483648 % 10 < 8 THEN 'train'
+        |       WHEN ((f.doc_id % 2147483648) * 2654435761) % 2147483648 % 10 < 9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM f JOIN m ON f.fp = m.fp AND f.doc_id = m.doc_id
         |ORDER BY f.doc_id""".stripMargin,
@@ -2311,9 +2311,9 @@ object SparkEntry {
 
     "q82_train_split" ->
       """SELECT doc_id,
-        |  (doc_id * 2654435761) % 2147483648 AS h,
-        |  CASE WHEN (doc_id * 2654435761) % 2147483648 % 10 < 8 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 2147483648 % 10 < 9 THEN 'val'
+        |  ((doc_id % 2147483648) * 2654435761) % 2147483648 AS h,
+        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 10 < 8 THEN 'train'
+        |       WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 10 < 9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 

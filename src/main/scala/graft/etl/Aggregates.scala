@@ -94,15 +94,27 @@ object Aggregates {
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val ll = col("__ll")
     val m = size(ll)
+    // collect_list over a bare value SILENTLY DROPS nulls, which would
+    // shift every older value's weight exponent — so the frame collects
+    // (value, present) structs (structs are never dropped). A null keeps
+    // its row slot but contributes to neither sum: pandas
+    // adjust=true, ignore_na=false semantics. All-null frame → null.
     // frame order == window order, so ll(m-1) is the current row and
     // ll(i) lags by m-1-i; fold oldest→newest for a deterministic sum
+    def at(i: Column) = element_at(ll, i + 1)
     val num = aggregate(sequence(lit(0), m - 1), lit(0.0),
-      (acc, i) => acc + element_at(ll, i + 1) * pow(lit(w), (m - 1 - i).cast("double")))
-    val den = (lit(1.0) - pow(lit(w), m.cast("double"))) / (1.0 - w)
-    df.withColumn("__ll", collect_list(col(valueCol)).over(wFrame))
+      (acc, i) => acc + when(at(i).getField("ok"),
+        at(i).getField("v") * pow(lit(w), (m - 1 - i).cast("double")))
+        .otherwise(lit(0.0)))
+    val den = aggregate(sequence(lit(0), m - 1), lit(0.0),
+      (acc, i) => acc + when(at(i).getField("ok"),
+        pow(lit(w), (m - 1 - i).cast("double"))).otherwise(lit(0.0)))
+    df.withColumn("__ll", collect_list(struct(
+        col(valueCol).cast("double").as("v"),
+        col(valueCol).isNotNull.as("ok"))).over(wFrame))
       .withColumn("rn", row_number().over(wOrd).cast("long"))
       .select(col(keyCol), col("rn"), col(valueCol),
-        roundStable(num / den, 6).as("ewma"))
+        when(den > 0, roundStable(num / den, 6)).as("ewma"))
   }
 
   /** Rolling median over a trailing `window`-row frame per key — the

@@ -75,9 +75,25 @@ object IncrementalAgg {
     * FIRST batch ([[graft.streaming.AggStream]]). Pass an explicit id
     * only in batch-oriented flows that manage their own id space.
     */
+  /** Column names the state schema reserves for its aggregate carriers
+    * and the replay gate. [[read]]/[[foldForCompaction]] infer the
+    * grouping keys by EXCLUDING these, so a user key named like one
+    * would corrupt the schema contract — rejected up front with a clear
+    * message instead of failing later as an ambiguous-column error.
+    */
+  private val reservedCols = Set("cnt", "s", "s2", "mn", "mx", "batch_id")
+  private def requireKeysFree(keys: Seq[String], valueCol: String): Unit = {
+    val clash = (keys :+ valueCol).filter(c => reservedCols(c.toLowerCase))
+    require(clash.isEmpty,
+      s"IncrementalAgg: column name(s) ${clash.mkString(", ")} collide with " +
+        s"the reserved state columns ${reservedCols.toSeq.sorted.mkString(", ")} — " +
+        "rename them before building the state")
+  }
+
   def writeState(df: DataFrame, keys: Seq[String], valueCol: String, name: String,
       batchId: Long = Long.MaxValue, buckets: Int = 8): Unit = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    requireKeysFree(keys, valueCol)
     val spark = df.sparkSession
     Seq(stateTable(name), newTable(name), appliedTable(name))
       .foreach(dropForRebuild(spark, _))
@@ -92,6 +108,7 @@ object IncrementalAgg {
   def appendDelta(delta: DataFrame, keys: Seq[String], valueCol: String, name: String,
       batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    requireKeysFree(keys, valueCol)
     val spark = delta.sparkSession
     recover(spark, name)
     val before = graft.Blocks.persistedIds(spark)

@@ -169,10 +169,21 @@ object Io {
       numFiles: Int, bits: Int = 12): Unit = {
     import org.apache.spark.sql.functions.{col, max, min}
     require(zCols.size >= 2, s"z-ordering needs >= 2 columns, got $zCols")
+    zCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"writeZOrdered: layout column '$c' is $dt — z-ordering needs numeric " +
+          "columns; cast dates/timestamps/strings to a numeric surrogate " +
+          "(e.g. unix_micros, unix_date, a dictionary code) first")
+    }
     val aggs = zCols.flatMap(c => Seq(min(col(c)), max(col(c))))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val bucketed = zCols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (stats.getAs[Any](2 * i), stats.getAs[Any](2 * i + 1))
+      require(lo != null && hi != null,
+        s"writeZOrdered: no min/max stats for layout column '$c' — the " +
+          "input is empty or the column is all-null; z-ordering needs at " +
+          "least one non-null row per layout column")
       def d(x: Any) = x match { case n: Number => n.doubleValue }
       graft.functions.ZOrder.bucketize(col(c), d(lo), d(hi), bits)
     }

@@ -199,8 +199,7 @@ object Corpus {
       .select(col(domainCol),
         least(lit(1.0), lit(targetFrac) * col("n_total") * col("mix_weight")
           / col("n_docs")).as("p_keep"))
-    val u = pmod(col(idCol).cast("long") * lit(2654435761L), lit(2147483648L))
-      .cast("double") / lit(2147483648.0)
+    val u = idHash(col(idCol)).cast("double") / lit(2147483648.0)
     docs.join(broadcast(withP), Seq(domainCol))
       .filter(u < col("p_keep"))
       .select(col(idCol), col(domainCol), roundStable(col("p_keep"), 6).as("p_keep"))
@@ -268,10 +267,21 @@ object Corpus {
     * `row_number` rank, which would funnel the corpus through one
     * window task per split. Map-only at any scale.
     */
+  /** Knuth's multiplicative hash, width-safe: the id is reduced mod 2³¹
+    * BEFORE the multiply, so the product stays under 2⁶²·— int64-exact
+    * for ANY id (the unreduced form overflows int64 above id ≈ 3.5e9:
+    * a runtime ARITHMETIC_OVERFLOW under Spark's ANSI mode, and an
+    * error in the oracle's BIGINT too, at exactly the 100 TB id scale).
+    * For ids < 2³¹ the reduction is the identity, so values are
+    * unchanged. Pure int64 arithmetic → engine-portable.
+    */
+  private[graft] def idHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(2147483648L))
+
   def trainSplit(docs: DataFrame, idCol: String,
                  trainPct: Int = 8, valPct: Int = 1): DataFrame = {
     require(trainPct + valPct < 10, s"train+val must leave room for test")
-    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(2147483648L))
+    val h = idHash(col(idCol))
     docs
       .select(col(idCol), h.as("h"))
       .withColumn("split",

@@ -829,6 +829,80 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"nprobe=2/4 recall too low: $recall")
   }
 
+  test("IncrementalCC.mergeEdges: an empty batch is a no-op (the common stream case)") {
+    // a micro-batch that produced zero pairs must fold cleanly — the
+    // pushed-literal lookups see empty id sets (empty In → false)
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    operators.IncrementalCC.writeLabels(edges, "a", "b", "emptycc", buckets = 2)
+    val before = spark.table("emptycc_labels").count()
+    val out = operators.IncrementalCC.mergeEdges(spark,
+      edges.limit(0), "a", "b", "emptycc")
+    assert(out.count() == 0, "empty batch must return no recomputed labels")
+    assert(spark.table("emptycc_labels").count() == before,
+      "empty batch must append nothing")
+    // and a batch of entirely NEW nodes (no touched components) works:
+    // rootsOf finds nothing, membersOf gets an empty comp set
+    val fresh = operators.IncrementalCC.mergeEdges(spark,
+      Seq((100L, 101L)).toDF("a", "b"), "a", "b", "emptycc")
+    assert(fresh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 100L), (101L, 100L)))
+  }
+
+  test("ewma: a null keeps its row slot — older weights unshifted, all-null frame is null") {
+    // pandas adjust=true, ignore_na=false: the null at o=2 contributes to
+    // neither sum, but v=1.0 (two rows back) still weighs w^2, not w^1 —
+    // collect_list over bare values would silently drop the null and
+    // shift it to w^1
+    val df = Seq(("a", 1, Some(1.0)), ("a", 2, None: Option[Double]), ("a", 3, Some(2.0)),
+      ("b", 1, None: Option[Double])).toDF("k", "o", "v")
+    val out = etl.Aggregates.ewma(df, "k", "o", "o", "v", alpha = 0.5, span = 4)
+      .orderBy("k", "rn").select("ewma").as[Option[Double]].collect().toSeq
+    val w = 0.5
+    val expected3 = (1.0 * w * w + 2.0) / (w * w + 1.0) // exponents 2 and 0, slot 1 skipped
+    assert(out(0).contains(1.0))
+    assert(out(1).contains(1.0), "null row's own ewma folds the values present")
+    assert(out(2).exists(x => math.abs(x - expected3) < 1e-9),
+      s"null must not shift older weights: got ${out(2)}, want $expected3")
+    assert(out(3).isEmpty, "all-null frame must yield null, not NaN")
+  }
+
+  test("trainSplit hash is width-safe: ids beyond 2^31 neither overflow nor escape [0, 2^31)") {
+    // the unreduced Knuth multiply overflows int64 above id ~3.5e9 —
+    // a runtime ARITHMETIC_OVERFLOW under ANSI mode at 100 TB id scale
+    val big = Seq(5000000000L, Long.MaxValue - 1, 2147483648L, 7L).toDF("doc_id")
+    val out = text.Corpus.trainSplit(big, "doc_id")
+      .select("doc_id", "h").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall { case (_, h) => h >= 0 && h < 2147483648L })
+    // ids below 2^31 hash exactly as before the reduction (identity)
+    assert(out.toMap.apply(7L) == (7L * 2654435761L) % 2147483648L)
+  }
+
+  test("IncrementalAgg rejects keys/value named like reserved state columns") {
+    val df = Seq(("a", 1.0)).toDF("cnt", "v")
+    val e = intercept[IllegalArgumentException] {
+      etl.IncrementalAgg.writeState(df, Seq("cnt"), "v", "badkeys")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      etl.IncrementalAgg.appendDelta(df.toDF("k", "s"), Seq("k"), "s", "badkeys", 0L)
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
+  test("writeZOrdered fails clearly on empty input and non-numeric layout columns") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zerr").toString
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      sources.Io.writeZOrdered(empty, s"$tmp/z1", Seq("x", "y"), numFiles = 2)
+    }
+    assert(e.getMessage.contains("empty") || e.getMessage.contains("all-null"), e.getMessage)
+    val strCol = Seq((1.0, "a")).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      sources.Io.writeZOrdered(strCol, s"$tmp/z2", Seq("x", "y"), numFiles = 2)
+    }
+    assert(e2.getMessage.contains("numeric"), e2.getMessage)
+  }
+
   test("IncrementalAnn.compactCells: file count bounded at buckets, search unchanged") {
     import sim.IncrementalAnn
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")

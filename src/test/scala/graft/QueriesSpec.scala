@@ -25,6 +25,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("SURVEY.md intro counts match the registered query surface") {
+    // the coverage-checklist intro went stale four rounds in a row;
+    // this pins it to the code. Expected line shape:
+    //   "<oracle> oracle-checked + <rowsOnly> rows-only = <total> driver queries"
+    val survey = java.nio.file.Files.readString(java.nio.file.Paths.get("SURVEY.md"))
+    val pat = """(\d+) oracle-checked \+ (\d+) rows-only =\s*(\d+) driver queries""".r
+    val m = pat.findFirstMatchIn(survey.replaceAll("\n", " "))
+      .getOrElse(fail("SURVEY.md intro counts line not found — keep the " +
+        "'<N> oracle-checked + <M> rows-only = <T> driver queries' phrasing"))
+    val oracle = SparkEntry.oracleSql.size
+    val total = SparkEntry.queries.size
+    assert(m.group(1).toInt == oracle && m.group(2).toInt == total - oracle &&
+      m.group(3).toInt == total,
+      s"SURVEY.md says ${m.group(1)}+${m.group(2)}=${m.group(3)}, code has " +
+        s"$oracle oracle + ${total - oracle} rows-only = $total — update the intro")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows on sf0.001") {
       val df = fn(spark, sfDir)
