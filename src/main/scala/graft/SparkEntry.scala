@@ -1051,6 +1051,34 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("tok"))
     }),
 
+    "q99_ann_drift" -> ((s, dir) => {
+      // C38's retrain signal, driver-gated: quantization drift of a
+      // batch against the index's FROZEN coarse quantizer. The indexed
+      // corpus itself must report drift_ratio = 1 (its persisted
+      // baseline IS that corpus — same deterministic pass), and a
+      // deliberately shifted copy (+50 per component) must scream
+      // >> 1. The exact column (batch n) compares by value; the
+      // trained-quantizer ratios flatten to 1/0 verdicts the oracle
+      // asserts as literal 1s (q62/q68 discipline). Index build
+      // hoisted to the once-per-process setup; driftStats itself is
+      // the O(batch) map-only pass + a one-row baseline read — it
+      // never rescans the cells table (plan spec'd).
+      val emb = Tables.embeddings(s, dir)
+      setupOnce(s"q99ann|$dir") {
+        sim.IncrementalAnn.writeIndex(emb, "vec_id", "embedding", "q99ann",
+          kCoarse = 8, iters = 3, buckets = 4)
+      }
+      val inDist = sim.IncrementalAnn.driftStats(emb, "embedding", "q99ann")
+      val shifted = sim.IncrementalAnn.driftStats(
+        emb.withColumn("embedding",
+          transform(col("embedding"), x => (x + lit(50.0f)).cast("float"))),
+        "embedding", "q99ann")
+      inDist.select(col("n"),
+          (abs(col("drift_ratio") - 1.0) < 0.05).cast("long").as("in_dist_ok"))
+        .crossJoin(shifted.select(
+          (col("drift_ratio") > 10.0).cast("long").as("shift_flagged")))
+    }),
+
     "q87_incremental_ann" -> ((s, dir) => {
       // incremental ANN lifecycle in-query: IVF cell index built on two
       // thirds of the vectors (frozen centroids), the last third
@@ -1681,6 +1709,15 @@ object SparkEntry {
         |SELECT event_type, CAST(rn AS BIGINT) AS rn, value,
         |  roundStable(med, 6) AS rolling_median
         |FROM o ORDER BY event_type, rn""".stripMargin,
+
+    "q99_ann_drift" ->
+      // the batch size compares by value; the trained-quantizer drift
+      // verdicts (in-distribution ratio ~1, shifted ratio >> 1) are
+      // Spark-side 1/0 columns the oracle asserts as literal 1s
+      """SELECT count(*) AS n,
+        | CAST(1 AS BIGINT) AS in_dist_ok,
+        | CAST(1 AS BIGINT) AS shift_flagged
+        |FROM embeddings""".stripMargin,
 
     "q98_stream_topk" ->
       // exact top-5 token counts computed exactly on both sides; the MG

@@ -47,7 +47,7 @@ object IncrementalAnn {
       kCoarse: Int = 16, iters: Int = 5, buckets: Int = 8): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    Seq(cellsTable(name), idsTable(name), centsTable(name))
+    Seq(cellsTable(name), idsTable(name), centsTable(name), driftTable(name))
       .foreach(graft.dedup.IncrementalDedup.dropForRebuild(spark, _))
     val coarse = KMeans.fit(df, idCol, vecCol, kCoarse, iters)
     val cells = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -57,6 +57,49 @@ object IncrementalAnn {
     coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "c").coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(centsTable(name))
+    // build-time quantization baseline, persisted so drift monitoring
+    // never has to rescan the corpus: one extra agg over the same pass's
+    // input, one tiny row
+    quantStats(df.select(col(vecCol).as("vec")), "vec", coarse).coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(driftTable(name))
+  }
+
+  private def driftTable(name: String) = s"${name}_drift"
+
+  /** (n, mean_d2, p95_d2) of squared nearest-centroid distance — the
+    * quantization-error summary both [[writeIndex]] (baseline) and
+    * [[driftStats]] (per batch) compute. Map-only: the kCoarse×dim
+    * centroid matrix rides the plan as a literal.
+    */
+  private def quantStats(df: DataFrame, vecCol: String,
+      coarse: Array[Array[Double]]): DataFrame = {
+    val cents = typedLit(coarse.map(_.toSeq).toSeq)
+    df.select(graft.functions.CentroidExpressions
+        .minCentroidDist(col(vecCol), cents).as("d2"))
+      .agg(count(lit(1)).as("n"), avg(col("d2")).as("mean_d2"),
+        percentile_approx(col("d2"), lit(0.95), lit(10000)).as("p95_d2"))
+  }
+
+  /** Quantization-drift report for a batch against the FROZEN quantizer:
+    * the batch's squared-assignment-distance stats next to the
+    * build-time baseline, plus their mean ratio. Frozen centroids are
+    * the deliberate design (appends stay deterministic and O(delta));
+    * this is the monitoring that says WHEN the freeze has gone stale —
+    * retrain offline and [[writeIndex]] anew once the ratio drifts past
+    * your tolerance (a distribution shift shows up as ratio >> 1: new
+    * vectors land far from every frozen centroid, recall decays).
+    * O(|delta|) map-only pass + a one-row baseline read; never rescans
+    * the corpus.
+    */
+  def driftStats(delta: DataFrame, vecCol: String, name: String): DataFrame = {
+    val spark = delta.sparkSession
+    val base = spark.table(driftTable(name)).select(
+      col("n").as("base_n"), col("mean_d2").as("base_mean_d2"),
+      col("p95_d2").as("base_p95_d2"))
+    quantStats(delta.select(col(vecCol).as("vec")), "vec",
+        centroids(spark, name))
+      .crossJoin(broadcast(base))
+      .withColumn("drift_ratio", col("mean_d2") / col("base_mean_d2"))
   }
 
   /** The frozen coarse centroids, cell-ordered. */

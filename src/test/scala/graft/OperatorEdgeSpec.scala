@@ -829,6 +829,34 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"nprobe=2/4 recall too low: $recall")
   }
 
+  test("IncrementalAnn.driftStats: in-distribution batch ~1, shifted batch >> 1, O(batch)") {
+    import sim.IncrementalAnn
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    IncrementalAnn.writeIndex(emb, "vec_id", "embedding", "drift",
+      kCoarse = 4, iters = 2, buckets = 2)
+    def ratio(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAnn.driftStats(df, "embedding", "drift")
+        .select("drift_ratio").head().getDouble(0)
+    // the indexed corpus itself: ratio exactly ~1 by construction
+    val same = ratio(emb)
+    assert(math.abs(same - 1.0) < 0.05, s"in-distribution ratio $same")
+    // a shifted distribution must scream: every vector lands far from
+    // every frozen centroid
+    val shifted = emb.withColumn("embedding",
+      transform(col("embedding"), x => (x + lit(50.0f)).cast("float")))
+    val far = ratio(shifted)
+    assert(far > 10.0, s"shifted ratio $far should be >> 1")
+    // O(batch) contract: the report's plan reads no cells/ids table —
+    // only the batch and the one-row persisted baseline
+    val plan = IncrementalAnn.driftStats(emb, "embedding", "drift")
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(!scans.exists(_.relation.location.rootPaths.exists(
+      _.toString.contains("drift_cells"))),
+      s"driftStats must not rescan the corpus:\n$plan")
+  }
+
   test("IncrementalCC.mergeEdges: an empty batch is a no-op (the common stream case)") {
     // a micro-batch that produced zero pairs must fold cleanly — the
     // pushed-literal lookups see empty id sets (empty In → false)
