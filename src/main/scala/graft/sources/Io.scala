@@ -68,6 +68,29 @@ object Io {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Multimodal ingest: raw files as `(path, modificationTime, length,
+    * content BINARY)` rows via the built-in binaryFile source — the
+    * on-ramp into [[graft.multimodal.Binary]] (withBlobMeta /
+    * featurize). `glob` pushes the name filter into the FILE LISTING:
+    * non-matching files are never opened, the pruning that matters when
+    * one bucket holds mixed modalities. Listing distributes across the
+    * cluster for large trees (`recursive` walks nested date/shard dirs).
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None, recursive: Boolean = true): DataFrame = {
+    val r = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", recursive.toString)
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
+  /** Raw text corpus ingest: one row per line, or one row per FILE with
+    * `wholeFile` (document-per-file corpora — the usual crawl-dump
+    * layout feeding the C-section curation operators).
+    */
+  def readText(spark: SparkSession, path: String,
+      wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
   /** Chunked JDBC load — the reference's prepared Postgres path
     * (airflow_dag_calidad_aire.py:323-348, `to_sql(chunksize=1000)`).
     * `numPartitions` is the distributed analogue of the chunk size: each

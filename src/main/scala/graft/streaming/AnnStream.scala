@@ -30,14 +30,28 @@ object AnnStream {
     * batches, bounding the per-append file accumulation; the rebuild is
     * crash-safe (swap + recover-on-entry) and content-preserving, so the
     * cadence composes freely with at-least-once replay.
+    *
+    * `driftLog` appends each batch's quantization-drift row
+    * ([[graft.sim.IncrementalAnn.driftStats]] + `batch_id`) to a parquet
+    * log — the retrain monitor running WHERE the drift would happen, at
+    * O(batch) per batch. Stats are deterministic per (batch, frozen
+    * centroids), so an at-least-once replay appends a byte-identical
+    * row; readers fold with `dropDuplicates("batch_id")` and alert on
+    * `drift_ratio` trending away from 1.
     */
   def toAnnSink(vectors: DataFrame, idCol: String, vecCol: String,
-      name: String, checkpoint: String, compactEvery: Int = 0) =
+      name: String, checkpoint: String, compactEvery: Int = 0,
+      driftLog: Option[String] = None) =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sim.IncrementalAnn.appendVectors(batch, idCol, vecCol, name)
+        driftLog.foreach { path =>
+          graft.sim.IncrementalAnn.driftStats(batch, vecCol, name)
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .coalesce(1).write.mode("append").parquet(path)
+        }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           graft.sim.IncrementalAnn.compactCells(batch.sparkSession, name)
       }

@@ -31,6 +31,39 @@ class PipelineSpec extends AnyFunSuite {
       || scan.contains("n_nationkey"), s"expected pushed filter in ORC scan: $scan")
   }
 
+  test("readBinaryFiles/readText: raw-file ingest feeds the multimodal and corpus pipelines") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_raw").toString
+    // a mixed-modality shard dir: two "images", one sidecar the glob
+    // must prune without opening
+    new java.io.File(s"$tmp/shard=0").mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$tmp/shard=0/a.img"),
+      Array.tabulate[Byte](64)(i => (i * 7).toByte))
+    Files.write(java.nio.file.Paths.get(s"$tmp/shard=0/b.img"),
+      Array.tabulate[Byte](32)(i => (255 - i * 3).toByte))
+    Files.write(java.nio.file.Paths.get(s"$tmp/shard=0/a.json"),
+      "{\"meta\":1}".getBytes)
+    val blobs = sources.Io.readBinaryFiles(spark, tmp, glob = Some("*.img"))
+    assert(blobs.count() == 2, "glob must prune the sidecar at listing time")
+    assert(blobs.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    // the binaryFile rows flow straight into the featurize plumbing
+    val feats = multimodal.Binary.featurize(
+      blobs.select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("path")).cast("long").as("id"),
+        col("content").as("bytes")).as[multimodal.Binary.Blob])
+      .collect().sortBy(_.id)
+    assert(feats.map(_.nBytes).toSeq == Seq(64L, 32L))
+    assert(feats.forall(_.features.sum > 0.99f), "histogram must normalize")
+    // text corpus: line mode and document-per-file mode
+    Files.write(java.nio.file.Paths.get(s"$tmp/c1.txt"), "l1\nl2\nl3".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$tmp/c2.txt"), "only line".getBytes)
+    assert(sources.Io.readText(spark, s"$tmp/*.txt").count() == 4)
+    val whole = sources.Io.readText(spark, s"$tmp/*.txt", wholeFile = true)
+    assert(whole.count() == 2)
+    assert(whole.as[String].collect().sorted.head == "l1\nl2\nl3")
+  }
+
   test("writeJdbc round-trips through an in-process Derby database") {
     // embedded Derby (shipped with Spark for the Hive metastore) stands in
     // for the reference's Postgres: same Spark JDBC writer path end-to-end
@@ -757,7 +790,8 @@ class PipelineSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, Seq[Float])]
     val q = streaming.AnnStream.toAnnSink(
       mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-      "annstrm", s"$tmp/ck", compactEvery = 2).start()
+      "annstrm", s"$tmp/ck", compactEvery = 2,
+      driftLog = Some(s"$tmp/drift")).start()
     mem.addData(b1: _*)
     q.processAllAvailable()
     mem.addData(b2: _*)
@@ -789,6 +823,15 @@ class PipelineSpec extends AnyFunSuite {
       "vec_id", "embedding", "annstrm")
     assert(spark.table("annstrm_cells").count() == n,
       "replayed batch must gate to a no-op")
+    // the drift monitor logged one row per batch, and in-distribution
+    // batches sit near the build-time baseline (same synthetic
+    // distribution as the indexed base — far from the >>1 shift alarm)
+    val drift = spark.read.parquet(s"$tmp/drift")
+      .select("batch_id", "drift_ratio").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(drift.keySet == Set(0L, 1L), s"drift log batches: ${drift.keySet}")
+    assert(drift.values.forall(r => r > 0.2 && r < 5.0),
+      s"in-distribution batches must not alarm: $drift")
   }
 
   test("streaming top-k sink: MG-bounded state keeps the planted heavy hitter within its error") {
