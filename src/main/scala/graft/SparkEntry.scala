@@ -904,6 +904,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q100_contamination_bloom" -> ((s, dir) => {
+      // q77's 100 TB form: the benchmark side compresses to a bloom
+      // filter (MB-scale literal vs a multi-GB string broadcast for a
+      // real decontamination suite); corpus shingles pre-filter map-only
+      // and only filter-positive rows join for the exact confirm. Same
+      // oracle as q77 — the filter routes rows, never decides
+      // membership, so the output must be bit-identical.
+      val docs = Tables.documents(s, dir)
+      text.Corpus.contaminationBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     "q88_seasonal" -> ((s, dir) =>
       // additive seasonal decomposition of each event-type series:
       // trend / hour-of-day seasonal / residual — one keyed shuffle for
@@ -2284,6 +2299,26 @@ object SparkEntry {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q77_contamination" ->
+      """WITH t AS (SELECT doc_id, source, str_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(toks)-3),
+        |           i -> array_to_string(toks[i:i+3], ' ')))) AS sh
+        |       FROM t WHERE len(toks) >= 4),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+        |j AS (SELECT c.doc_id, count(*) AS n_shingles,
+        |        sum(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS n_hits
+        |      FROM corpus c LEFT JOIN bench b USING (sh) GROUP BY 1)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  roundStable(CAST(n_hits AS DOUBLE)/n_shingles, 6) AS contamination,
+        |  n_hits > 0 AS contaminated
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q100_contamination_bloom" ->
+      // the bloom path must be BIT-IDENTICAL to q77: the filter only
+      // routes rows (no false negatives; positives confirmed exactly),
+      // so the oracle is the same exact-decontamination SQL
       """WITH t AS (SELECT doc_id, source, str_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, source,
         |         unnest(list_distinct(list_transform(generate_series(1, len(toks)-3),

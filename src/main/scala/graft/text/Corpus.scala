@@ -144,25 +144,28 @@ object Corpus {
     * to broadcast degrades gracefully to a shuffled join under AQE —
     * drop the hint at that point.
     */
+  // position-explode, shingle built AFTER the Generate — same
+  // InferFiltersFromGenerate trap as repetitionStats: a transform-of-
+  // slices generator child gets cloned into a pushed Filter that
+  // re-tokenizes per lambda element. Emitting raw (possibly duplicate)
+  // shingle rows and deduplicating in the aggregation (count DISTINCT)
+  // keeps the shuffle count at one and the per-row work linear.
+  private def shingleRows(df: DataFrame, textCol: String, n: Int,
+      cols: Column*): DataFrame = {
+    val toks = col("__toks")
+    df.select(cols :+ tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(toks) >= n)
+      .select(cols :+ toks :+
+        explode(sequence(lit(1), size(toks) - (n - 1))).as("__i"): _*)
+      .select(cols :+ concat_ws(" ", slice(toks, col("__i"), lit(n))).as("sh"): _*)
+  }
+
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
-    // position-explode, shingle built AFTER the Generate — same
-    // InferFiltersFromGenerate trap as repetitionStats: a transform-of-
-    // slices generator child gets cloned into a pushed Filter that
-    // re-tokenizes per lambda element. Emitting raw (possibly duplicate)
-    // shingle rows and deduplicating in the aggregation (count DISTINCT)
-    // keeps the shuffle count at one and the per-row work linear.
-    def shingleRows(df: DataFrame, cols: Column*): DataFrame = {
-      val toks = col("__toks")
-      df.select(cols :+ tokens(col(textCol)).as("__toks"): _*)
-        .filter(size(toks) >= n)
-        .select(cols :+ toks :+
-          explode(sequence(lit(1), size(toks) - (n - 1))).as("__i"): _*)
-        .select(cols :+ concat_ws(" ", slice(toks, col("__i"), lit(n))).as("sh"): _*)
-    }
-    val benchSh = shingleRows(bench).distinct().withColumn("hit", lit(1))
-    shingleRows(corpus, col(idCol))
+    val benchSh = shingleRows(bench, textCol, n).distinct()
+      .withColumn("hit", lit(1))
+    shingleRows(corpus, textCol, n, col(idCol))
       .join(broadcast(benchSh), Seq("sh"), "left")
       .groupBy(col(idCol))
       .agg(countDistinct(col("sh")).as("n_shingles"),
@@ -171,6 +174,54 @@ object Corpus {
         roundStable(col("n_hits").cast("double") / col("n_shingles"), 6)
           .as("contamination"),
         (col("n_hits") > 0).as("contaminated"))
+  }
+
+  /** [[contamination]]'s 100 TB form: identical output, bloom-filter
+    * scale path. The plain version broadcasts every distinct benchmark
+    * shingle AS A STRING — fine for one benchmark slice, but a full
+    * decontamination suite (MMLU + GSM8K + HumanEval + held-out dumps)
+    * is easily 10⁷-10⁸ distinct shingles, a multi-GB broadcast that
+    * kills executors before the corpus scan even starts. Here the bench
+    * side compresses to a bloom filter over `xxhash64(shingle)`
+    * (~16 bits/item ≈ 0.04% fpp — 20 MB for 10M shingles), the corpus
+    * scan keeps only filter-positive shingle rows (map-only, codegen'd,
+    * false NEGATIVES impossible so nothing contaminated escapes), and
+    * only that sliver joins the real shingle set to kill false
+    * positives exactly. Join volume drops from |corpus shingles| to
+    * |true hits| + fpp·|corpus shingles|; the per-doc n_shingles count
+    * shuffles the same rows either way. Output is bit-identical to
+    * [[contamination]] — the filter only ever routes rows, never
+    * decides membership.
+    */
+  def contaminationBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int,
+                         bitsPerItem: Int = 16): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val benchSh = shingleRows(bench, textCol, n).distinct()
+    // the small side's cardinality sizes the filter — one bounded action
+    // over the bench slice, never the corpus
+    val nBench = benchSh.count()
+    val corpusSh = shingleRows(corpus, textCol, n, col(idCol))
+    val perDoc = corpusSh.groupBy(col(idCol))
+      .agg(countDistinct(col("sh")).as("n_shingles"))
+    val hitDoc =
+      if (nBench == 0) null
+      else {
+        val bf = benchSh.select(graft.functions.Bloom.bloomFilterAgg(
+            xxhash64(col("sh")), nBench, math.max(nBench * bitsPerItem, 64L)))
+          .head().getAs[Array[Byte]](0)
+        corpusSh
+          .filter(graft.functions.Bloom.mightContain(bf, xxhash64(col("sh"))))
+          .join(benchSh, Seq("sh")) // exact confirm: false positives die here
+          .groupBy(col(idCol)).agg(countDistinct(col("sh")).as("n_hits"))
+      }
+    Option(hitDoc).fold(perDoc.withColumn("n_hits", lit(0L)))(
+        perDoc.join(_, Seq(idCol), "left"))
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        roundStable(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("contamination"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
   /** Deterministic weighted resampling to a target domain mix — the

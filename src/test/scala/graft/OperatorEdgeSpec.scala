@@ -1080,6 +1080,28 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out(1).getLong(2) == 0L && !out(1).getBoolean(4))
   }
 
+  test("contaminationBloom ≡ contamination; bloom pre-filter sits on the corpus scan") {
+    // the scale path must be bit-identical on real data: the filter only
+    // routes rows, the exact join decides membership
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    val bloom = text.Corpus.contaminationBloom(corpus, bench, "doc_id", "text", n = 4)
+    assert(rows(bloom) ==
+      rows(text.Corpus.contamination(corpus, bench, "doc_id", "text", n = 4)),
+      "bloom path diverged from the exact path")
+    // the pre-filter is a map-side might_contain on the corpus shingles —
+    // the shape that replaces the bench-string broadcast at 100 TB
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom pre-filter in:\n$plan")
+    // empty benchmark: everything scores clean, nothing errors
+    val none = text.Corpus.contaminationBloom(
+      corpus, bench.limit(0), "doc_id", "text", n = 4).collect()
+    assert(none.nonEmpty && none.forall(r => r.getLong(2) == 0L && !r.getBoolean(4)))
+  }
+
   test("mixWeights: weights normalize to 1 and alpha flattens the mix") {
     val docs = Tables.documents(spark, sfDir).select("lang", "text")
     def weights(alpha: Double): Map[String, Double] =
