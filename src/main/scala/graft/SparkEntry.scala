@@ -919,6 +919,77 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q101_epoch_shuffle" -> ((s, dir) =>
+      // deterministic epoch-1 corpus reshuffle into 8 shards: the
+      // epoch-salted hash is the order key AND the placement — map-only,
+      // no global row_number rank, replayed exactly by the oracle's
+      // int64 arithmetic. Epoch-vs-epoch divergence and the sorted
+      // shard-partitioned landing are spec'd (writeShards).
+      text.Corpus.epochShuffle(Tables.documents(s, dir), "doc_id",
+          epoch = 1, numShards = 8)
+        .orderBy(col("doc_id"))),
+
+    "q102_fuzzy_match" -> ((s, dir) =>
+      // edit-distance record linkage over the distinct part names:
+      // lossless length-band blocking (dist >= |len diff|) restores an
+      // equi-join where bare levenshtein <= d would plan a nested-loop
+      // cross; the banded levenshtein(threshold) verifies in O(d·len).
+      operators.FuzzyJoin.fuzzyPairs(Tables.part(s, dir), "p_name",
+          maxDist = 3)
+        .orderBy(col("s_a"), col("s_b"))),
+
+    "q103_int8_quant" -> ((s, dir) => {
+      // int8 scalar quantization of the embedding corpus — per-vector
+      // scale/codes are pure deterministic arithmetic (round-half-up via
+      // floor(x·scale + 0.5)), so the oracle replays the compression
+      // bit-identically; reconstruction RMSE is recomputed from the
+      // codes in-query. The search path over the codes is q105 + spec.
+      val q = sim.ScalarQuant.quantize(Tables.embeddings(s, dir),
+        "vec_id", "embedding")
+      val scale = col("scale")
+      val errs = zip_with(col("__v"), col("codes"), (x, c) => {
+        val e = x - when(scale > 0, c.cast("double") / scale).otherwise(lit(0.0))
+        e * e
+      })
+      q.join(Tables.embeddings(s, dir).select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("__v")), Seq("vec_id"))
+        .select(col("vec_id"), roundStable(scale, 6).as("scale_r"),
+          size(col("codes")).cast("long").as("n_dims"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+          array_min(col("codes")).cast("long").as("min_code"),
+          array_max(col("codes")).cast("long").as("max_code"),
+          roundStable(sqrt(
+            aggregate(errs, lit(0.0), (a, e) => a + e) / size(col("codes"))),
+            6).as("rmse_r"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q104_bm25" -> ((s, dir) => {
+      // BM25 top-10 retrieval: queries are the 4-token prefixes of the
+      // five lowest-id documents (derived in-query so the oracle
+      // recomputes the same query set); scores rounded before ranking,
+      // doc_id tie-break — oracle-stable by the q44 discipline.
+      val docs = Tables.documents(s, dir)
+      val q5 = docs.orderBy("doc_id").limit(5)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(text.TextStats.tokens(col("text")), 1, 4))
+            .as("qtext"))
+      text.Retrieval.bm25TopK(docs, q5, "doc_id", "text", "qid", "qtext",
+          k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q105_int8_topk" -> ((s, dir) => {
+      // top-5 cosine through the int8 scan (4× over-fetch on the
+      // quantized ranking, exact rescore on the sliver) — rows-only like
+      // the other trained/approximate ANN paths; recall vs brute force
+      // is spec'd (ScalarQuant recall >= 0.9 at these settings).
+      val emb = Tables.embeddings(s, dir)
+      sim.ScalarQuant.topK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q88_seasonal" -> ((s, dir) =>
       // additive seasonal decomposition of each event-type series:
       // trend / hour-of-day seasonal / residual — one keyed shuffle for
@@ -2334,6 +2405,83 @@ object SparkEntry {
         |  roundStable(CAST(n_hits AS DOUBLE)/n_shingles, 6) AS contamination,
         |  n_hits > 0 AS contaminated
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q101_epoch_shuffle" ->
+      // the epoch-salted width-safe Knuth hash replayed in pure int64
+      // arithmetic (epoch 1, 8 shards); doc_id >= 0 so % == pmod
+      """SELECT doc_id,
+        |  ((doc_id % 2147483648) * 2654435761 + 1 * 2246822519) % 2147483648 AS h,
+        |  CAST((((doc_id % 2147483648) * 2654435761 + 1 * 2246822519) % 2147483648) % 8 AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q102_fuzzy_match" ->
+      // the blocking CONTRACT replayed: length band [l_a, l_a+3] with
+      // the strict (length, lex) orientation, then exact levenshtein
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL),
+        |l AS (SELECT s, length(s) AS len FROM n)
+        |SELECT a.s AS s_a, b.s AS s_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM l a JOIN l b
+        |  ON b.len BETWEEN a.len AND a.len + 3
+        | AND (a.len < b.len OR a.s < b.s)
+        |WHERE levenshtein(a.s, b.s) <= 3
+        |ORDER BY s_a, s_b""".stripMargin,
+
+    "q103_int8_quant" ->
+      // the quantization replayed element-wise: scale = 127/max|x|,
+      // code = floor(x*scale + 0.5) — deterministic arithmetic, no sums
+      // over nondeterministic order except the 64-element list folds
+      // (rounded at 6 digits on both sides)
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |         THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |         ELSE 0.0 END AS scale
+        |  FROM e),
+        |c AS (SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS codes
+        |  FROM s),
+        |r AS (SELECT vec_id, scale, codes,
+        |    list_transform(generate_series(1, len(v)), i ->
+        |      (v[i] - (CASE WHEN scale > 0 THEN codes[i] / scale ELSE 0.0 END))
+        |      * (v[i] - (CASE WHEN scale > 0 THEN codes[i] / scale ELSE 0.0 END))) AS errs
+        |  FROM c)
+        |SELECT vec_id, roundStable(scale, 6) AS scale_r,
+        |  CAST(len(codes) AS BIGINT) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |  CAST(list_min(codes) AS BIGINT) AS min_code,
+        |  CAST(list_max(codes) AS BIGINT) AS max_code,
+        |  roundStable(sqrt(list_sum(errs) / len(codes)), 6) AS rmse_r
+        |FROM r ORDER BY vec_id""".stripMargin,
+
+    "q104_bm25" ->
+      // BM25 with the Lucene idf, k1=1.2 b=0.75, queries = 4-token
+      // prefixes of the five lowest-id docs; identical fp expression
+      // tree as the Spark side (exact integer tf/df/dl/N inputs)
+      """WITH t AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+        |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+        |q AS (SELECT doc_id AS qid, toks[1:4] AS qtoks FROM t ORDER BY doc_id LIMIT 5),
+        |qt AS (SELECT qid, unnest(list_distinct(qtoks)) AS tok FROM q),
+        |qterms AS (SELECT DISTINCT tok FROM qt),
+        |dt AS (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+        |       FROM dt JOIN qterms USING (tok) GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT qt.qid, tf.doc_id,
+        |         sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |             * tf.tf * (1.2 + 1)
+        |             / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 *
+        |                 (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))) AS raw
+        |       FROM tf JOIN df USING (tok) JOIN qt USING (tok) CROSS JOIN st
+        |       GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id, roundStable(raw, 6) AS score,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |           ORDER BY roundStable(raw, 6) DESC, doc_id) AS BIGINT) AS rank
+        |       FROM sc)
+        |SELECT qid, doc_id, score, rank FROM rk
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "q85_weighted_sample" ->
       """WITH g AS (SELECT lang, count(*) AS n_docs,

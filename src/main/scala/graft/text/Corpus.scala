@@ -341,6 +341,57 @@ object Corpus {
           .otherwise("test"))
   }
 
+  /** Deterministic per-epoch corpus reshuffle: each epoch `e` induces a
+    * fresh pseudo-random total order and a balanced shard assignment
+    * from ONE epoch-salted multiplicative hash — `h` is the order key,
+    * `shard = h mod numShards` the placement. No RNG state, no
+    * materialized permutation, and deliberately no global `row_number`
+    * (that rank would funnel 100 TB through one window task): a loader
+    * reads shard `s` sorted by `h` and gets its slice of the epoch-`e`
+    * permutation, reproducibly on any engine — the hash is pure int64
+    * arithmetic (width-safe like [[idHash]]: the id is reduced mod 2³¹
+    * before the multiply, the epoch salt rides inside the final mod),
+    * so the oracle replays it exactly. Map-only at any scale; epochs
+    * differ (spec-asserted) because the salt shifts every hash by
+    * `e·2246822519 mod 2³¹`, which composes with the multiply into a
+    * different permutation of the id space, not a rotation of ranks.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
+                   numShards: Int): DataFrame = {
+    val h = epochHash(col(idCol), epoch, numShards)
+    docs.select(col(idCol), h.as("h"),
+        pmod(h, lit(numShards.toLong)).cast("int").as("shard"))
+  }
+
+  // reduced id ≤ 2³¹−1, so the product stays < 2⁶²·5 and the epoch
+  // term (≤ 2³¹·epoch) cannot overflow int64 for any sane epoch count
+  private def epochHash(id: Column, epoch: Int, numShards: Int): Column = {
+    require(epoch >= 0, s"need epoch >= 0, got $epoch")
+    require(numShards > 0, s"need numShards > 0, got $numShards")
+    pmod(
+      pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L)
+        + lit(epoch.toLong) * lit(2246822519L),
+      lit(2147483648L))
+  }
+
+  /** Land one epoch's shuffle as shard-partitioned parquet: every row of
+    * `docs` (all columns) goes to `path/shard=<s>/`, each shard written
+    * by the task that owns it and internally SORTED by the epoch hash —
+    * so a training loader streams `shard=s` file order and reads its
+    * slice of the epoch permutation with zero further sorting. One
+    * shuffle (repartition on shard) + a per-partition sort; file count
+    * is O(numShards), not O(tasks × shards).
+    */
+  def writeShards(docs: DataFrame, idCol: String, epoch: Int,
+                  numShards: Int, path: String): Unit = {
+    val h = epochHash(col(idCol), epoch, numShards)
+    docs.withColumn("h", h)
+      .withColumn("shard", pmod(h, lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "h", idCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Greedy sequence packing: fold documents (ordered by `idCol` within
     * each `partCol` group) into bins of at most `capacity` tokens; a
     * document that would overflow the open bin starts the next one, and

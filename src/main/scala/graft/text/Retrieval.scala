@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.roundStable
+
+/** Lexical retrieval over the corpus — BM25 top-k, the workhorse of
+  * data-curation lookups (find the training docs that answer an eval
+  * question, kNN-LM neighbor mining, targeted decontamination beyond
+  * exact n-gram overlap).
+  *
+  * Robertson/Sparck Jones BM25 with the Lucene idf variant
+  * (`ln(1 + (N − df + 0.5)/(df + 0.5))` — always positive, so a term in
+  * most documents degrades smoothly instead of flipping negative).
+  */
+object Retrieval {
+
+  import TextStats.tokens
+
+  /** BM25 score of every (query, document) pair sharing a term, ranked
+    * top-`k` per query. Deterministic: scores are rounded before ranking
+    * and ties break on `doc_id`, so the output is oracle-stable.
+    *
+    * Distributed shape: the corpus is scanned ONCE into token rows; the
+    * query term set (bounded — queries are short) broadcasts into a
+    * semi-join that restricts everything downstream to query terms, so
+    * tf/df aggregate over the matched sliver, never the full vocabulary.
+    * df counts full-corpus occurrences of those terms (the restriction
+    * is by term, not by document). Corpus length stats are one exact
+    * integer aggregation; the final cut is a per-query window, keyed by
+    * query id — no global sort anywhere.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+               idCol: String, textCol: String,
+               qidCol: String, qtextCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               scoreDigits: Int = 6): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val docToks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    // exact integer corpus stats; doubles only appear at the divides, so
+    // the oracle's floating-point sequence is identical
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol))).cast("long")).as("sum_dl"))
+    val qToks = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(tokens(col(qtextCol)))).as("tok"))
+    val qTerms = qToks.select("tok").distinct()
+    val tf = docToks.join(broadcast(qTerms), Seq("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val termScore = idf * col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(df_), Seq("tok"))
+      .join(broadcast(qToks), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(termScore).as("__raw"))
+      .withColumn("score", roundStable(col("__raw"), scoreDigits))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
+  }
+}

@@ -1193,4 +1193,96 @@ class OperatorEdgeSpec extends AnyFunSuite {
       .filter(col("k") === "b").select("ewma").as[Double].collect()
     assert(two.toSeq == Seq(100.0), s"per-key isolation: ${two.toSeq}")
   }
+
+  test("epochShuffle: epochs permute differently, shards balance, writeShards lands sorted") {
+    val docs = Tables.documents(spark, sfDir)
+    def order(e: Int) = text.Corpus.epochShuffle(docs, "doc_id", e, 8)
+      .orderBy("h", "doc_id").select("doc_id").as[Long].collect().toSeq
+    val (e0, e1) = (order(0), order(1))
+    assert(e0.toSet == e1.toSet, "every doc appears in every epoch")
+    assert(e0 != e1, "epoch salt must produce a different permutation")
+    // shards are hash-balanced: no shard is empty or > 2x the mean
+    val sizes = text.Corpus.epochShuffle(docs, "doc_id", 1, 8)
+      .groupBy("shard").count().select("count").as[Long].collect()
+    assert(sizes.length == 8 && sizes.max < 2 * (sizes.sum / 8),
+      s"shard sizes: ${sizes.toSeq}")
+    // landing: shard=N dirs, each internally sorted by h, union == corpus
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    text.Corpus.writeShards(docs, "doc_id", epoch = 1, numShards = 8, tmp)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == docs.count())
+    assert(back.select("shard").distinct().count() == 8)
+    val perShard = back.groupBy("shard").agg(
+      org.apache.spark.sql.functions.collect_list("h").as("hs"))
+      .select("hs").as[Seq[Long]].collect()
+    perShard.foreach(hs => assert(hs == hs.sorted,
+      "each shard file must stream in hash order"))
+  }
+
+  test("fuzzyPairs: lossless blocking equals brute force; orientation; threshold") {
+    val words = Seq("kitten", "sitting", "kitchen", "mitten", "mittens",
+      "abc", "abcd", "xyzzy", "kitten").toDF("w") // dup collapses
+    val got = operators.FuzzyJoin.fuzzyPairs(words, "w", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // brute force over distinct words with the same orientation rule
+    val ws = words.as[String].collect().distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val exp = (for {
+      a <- ws; b <- ws
+      if a.length < b.length || (a.length == b.length && a < b)
+      dist = lev(a, b) if dist <= 3
+    } yield (a, b, dist.toLong)).toSet
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(got.contains(("kitten", "sitting", 3L)), "the classic pair, across lengths")
+    assert(got.contains(("kitten", "mitten", 1L)))
+    assert(!got.exists(p => p._1 == "xyzzy" || p._2 == "xyzzy"),
+      "xyzzy is nobody's neighbor at d<=3")
+  }
+
+  test("ScalarQuant: codes in int8 range, zero vector safe, topK recall >= 0.9") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = sim.ScalarQuant.quantize(emb, "vec_id", "embedding")
+    val rng = q.agg(min(array_min(col("codes"))), max(array_max(col("codes"))))
+      .head()
+    assert(rng.getInt(0) >= -127 && rng.getInt(1) <= 127, s"code range: $rng")
+    // all-zero vector: scale 0, zero codes, no division error
+    val z = sim.ScalarQuant.quantize(
+      Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").head()
+    assert(z.getDouble(1) == 0.0 && z.getSeq[Int](3).forall(_ == 0))
+    // recall of the int8 scan + exact rescore vs exact brute force
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = sim.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = sim.ScalarQuant.topK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall@5 = $recall")
+  }
+
+  test("bm25TopK: planted rare term ranks its doc first; common terms score lower") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the zebra quagga runs across the plain"),
+      (3L, "the quick dog sleeps near the quiet barn"),
+      (4L, "a plain brown barn holds the quiet fox")
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "zebra quagga"), (11L, "quick fox")).toDF("qid", "qtext")
+    val out = text.Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", k = 2)
+      .orderBy("qid", "rank").collect()
+    // qid 10: only doc 2 contains the rare terms — it must be the sole hit
+    val hits10 = out.filter(_.getLong(0) == 10L)
+    assert(hits10.length == 1 && hits10.head.getLong(1) == 2L, s"got ${hits10.toSeq}")
+    // qid 11: doc 1 has both quick and fox; it must outrank single-term docs
+    val hits11 = out.filter(_.getLong(0) == 11L)
+    assert(hits11.head.getLong(1) == 1L, s"got ${hits11.toSeq}")
+    // determinism: scores are rounded and ranks dense per query
+    assert(hits11.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+  }
 }
