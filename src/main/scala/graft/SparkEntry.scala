@@ -990,6 +990,42 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q106_pagerank" -> ((s, dir) => {
+      // PageRank over the symmetrized customer↔supplier trade graph
+      // (distinct (cust, supp) pairs via lineitem⋈orders, both
+      // directions so no node dangles). 10 rounds, damping 0.85; the
+      // oracle unrolls the identical recurrence as 10 chained CTEs.
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+      operators.PageRank.run(edges, "src", "dst", iters = 10)
+        .select(col("node"), roundStable(col("rank"), 6).as("rank_r"))
+        .orderBy(col("node"))
+    }),
+
+    "q107_bpe_merges" -> ((s, dir) =>
+      // the BPE tokenizer-training loop over the documents corpus: 10
+      // merge rounds on the aggregated word vocabulary. Deterministic
+      // (count-desc + lexicographic tie-break) but inherently iterative
+      // with a driver argmax per round — rows-only like the other
+      // trained surfaces; exact merge sequence spec'd on a hand corpus.
+      text.Bpe.trainMerges(Tables.documents(s, dir), "text", numMerges = 10)
+        .orderBy(col("rank"))),
+
+    "q108_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: per anchor, top-3 most-similar
+      // embeddings with a DIFFERENT label (the pairs a triplet loss
+      // learns from). Exact scan; label inequality pruned in the join.
+      val emb = Tables.embeddings(s, dir)
+      sim.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q88_seasonal" -> ((s, dir) =>
       // additive seasonal decomposition of each event-type series:
       // trend / hour-of-day seasonal / residual — one keyed shuffle for
@@ -2482,6 +2518,48 @@ object SparkEntry {
         |       FROM sc)
         |SELECT qid, doc_id, score, rank FROM rk
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q106_pagerank" -> {
+      // the recurrence unrolled as 10 chained CTEs (a recursive CTE can
+      // reference the working table only once; the contribution join
+      // needs it twice) — identical fp expression tree as the operator
+      val iterCtes = (1 to 10).map { i =>
+        s"""r$i AS (SELECT nodes.node,
+           |        (CAST(1 AS DOUBLE) - 0.85) / st.n + 0.85 * coalesce(c.s, CAST(0 AS DOUBLE)) AS rank
+           |       FROM nodes CROSS JOIN st
+           |       LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+           |                  FROM e JOIN r${i - 1} r ON e.src = r.node
+           |                  JOIN deg ON deg.node = e.src
+           |                  GROUP BY 1) c ON c.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         |             's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+         |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |st AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / st.n AS rank FROM nodes CROSS JOIN st),
+         |$iterCtes
+         |SELECT node, roundStable(rank, 6) AS rank_r FROM r10 ORDER BY node""".stripMargin
+    },
+
+    "q108_hard_negatives" ->
+      // q37's exact scan with the label inequality in the join
+      """WITH v AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.label <> c.label)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM p) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q85_weighted_sample" ->
       """WITH g AS (SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Power-iteration PageRank over an edge list — the classic iterative
+  * keyed-aggregation workload (importance ranking for link graphs,
+  * citation networks, entity-resolution graphs).
+  *
+  * `r'(v) = (1−d)/N + d · Σ_{u→v} r(u)/outdeg(u)`, `iters` rounds from
+  * the uniform start. Dangling nodes (no out-edges) leak their rank
+  * mass by design here — feed a graph where every node has at least one
+  * out-edge (e.g. symmetrized edges) or add explicit sink edges; the
+  * alternative (global dangling-mass redistribution) costs an extra
+  * full aggregation per round and most link graphs symmetrize anyway.
+  *
+  * Distributed shape per round: ONE keyed shuffle (contribution sum by
+  * dst) + a broadcast-friendly left join back to the node set; the
+  * edge×degree join is precomputed once and persisted, so rounds touch
+  * it read-only. Lineage is re-rooted every round (the naive loop's
+  * Catalyst tree doubles per iteration — the q66 OOM lesson), and the
+  * previous round's block is released as soon as the next is
+  * materialized: peak memory is 2 rank tables, O(nodes), regardless of
+  * round count.
+  *
+  * Determinism: per-round sums are fp-order-dependent only in the last
+  * ulps; callers that need engine-portable output round the final ranks
+  * (the oracle unrolls the same recurrence and rounds identically).
+  */
+object PageRank {
+
+  /** (node, rank) after `iters` rounds; `rank` is the raw double — round
+    * it for cross-engine comparison.
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    val nodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val deg = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("__deg"))
+    val edgeDeg = edges.select(col(srcCol).as("node"), col(dstCol).as("__dst"))
+      .join(deg, Seq("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgeDeg.count() // materialize once; rounds reuse the cached blocks
+    val base = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val sums = edgeDeg.join(ranks, Seq("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("rank") / col("__deg")).as("__c"))
+      val next = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+      val spark = next.sparkSession
+      val cut = spark.createDataFrame(next.rdd, next.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cut.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = cut
+      ranks = cut
+    }
+    nodes.unpersist(blocking = false)
+    edgeDeg.unpersist(blocking = false)
+    ranks
+  }
+}

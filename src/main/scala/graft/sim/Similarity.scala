@@ -54,6 +54,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query (anchor), the top-k most similar corpus vectors with a
+    * DIFFERENT label — maximally confusing non-matches, the pairs a
+    * triplet/InfoNCE loss learns most from. Same exact scan + per-query
+    * window as [[bruteForceTopK]] with the label inequality pushed into
+    * the join (pairs sharing a label are pruned before the dot product,
+    * not ranked and discarded); swap the scan for [[LshAnn]] buckets or
+    * [[IvfPq]] probes at corpus scale.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      simDigits: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"), col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"), col(labelCol).as("__cl"))
+    val sim = graft.functions.roundStable(
+      dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), simDigits)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("__ql") =!= col("__cl"))
+      .withColumn("cosine", sim)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** All near-duplicate pairs (id_a < id_b) with cosine >= minCosine,
     * brute force over the full pair space. Exact; the oracle twin of the
     * banded/LSH dedup paths. The smaller side is broadcast; at 100 TB use

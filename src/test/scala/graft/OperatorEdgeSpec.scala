@@ -1266,6 +1266,52 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 recall@5 = $recall")
   }
 
+  test("PageRank: hub outranks leaves, mass conserved, 2-node graph stays uniform") {
+    // star: hub h connected to 3 leaves (symmetrized — no dangling)
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"),
+      ("a", "h"), ("b", "h"), ("c", "h")).toDF("src", "dst")
+    val r = operators.PageRank.run(star, "src", "dst", iters = 20)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toMap
+    assert(r("h") > r("a") && r("a") == r("b") && r("b") == r("c"),
+      s"hub must dominate, leaves symmetric: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"no dangling => rank mass conserved: ${r.values.sum}")
+    // 2-node symmetric graph: exact fixpoint 0.5/0.5 from the start
+    val two = operators.PageRank.run(
+      Seq(("x", "y"), ("y", "x")).toDF("src", "dst"), "src", "dst", iters = 5)
+      .collect().map(_.getDouble(1))
+    assert(two.forall(v => math.abs(v - 0.5) < 1e-12), s"got ${two.toSeq}")
+  }
+
+  test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2)))
+    // (a,a) n=6 first; then (aa,a)/(a,b) tie at 3 → lexicographic l picks (a,b);
+    // then (aa,ab); then no pairs remain → early stop at 3 merges
+    assert(m.toSeq == Seq(("a", "a"), ("a", "b"), ("aa", "ab")), s"got ${m.toSeq}")
+    val seg = text.Bpe.segment(docs, "doc_id", "text",
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+      .filter(col("doc_id") === 1L).select("pieces").as[Seq[String]].collect()
+    assert(seg.forall(_ == Seq("aaab")), s"merged to a single piece: ${seg.toSeq}")
+    val part = text.Bpe.segment(docs, "doc_id", "text", Seq(("a", "a")))
+      .filter(col("doc_id") === 2L).select("pieces").as[Seq[String]].head()
+    assert(part == Seq("aa", "a", "b"), s"greedy left-to-right: $part")
+  }
+
+  test("hardNegatives: same-label neighbors pruned, different-label ranked by cosine") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "A"),
+      (2L, Array(1.0f, 0.0f), "A"),   // identical but same label => excluded
+      (3L, Array(0.9f, 0.1f), "B"),
+      (4L, Array(0.0f, 1.0f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val out = sim.Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(3L, 4L), s"got ${out.toSeq}")
+  }
+
   test("bm25TopK: planted rare term ranks its doc first; common terms score lower") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
