@@ -990,6 +990,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q109_group_sample" -> ((s, dir) =>
+      // exact per-domain quota: keep <= 40 docs per source, selected by
+      // the width-safe hash order — deterministic, engine-replayable,
+      // one keyed window shuffle (no global sort)
+      text.Corpus.quotaSample(Tables.documents(s, dir), "source", "doc_id",
+          maxPerDomain = 40)
+        .orderBy(col("doc_id"))),
+
     "q106_pagerank" -> ((s, dir) => {
       // PageRank over the symmetrized customer↔supplier trade graph
       // (distinct (cust, supp) pairs via lineitem⋈orders, both
@@ -2518,6 +2526,16 @@ object SparkEntry {
         |       FROM sc)
         |SELECT qid, doc_id, score, rank FROM rk
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q109_group_sample" ->
+      // the hash-order quota replayed in int64 arithmetic
+      """WITH h AS (SELECT doc_id, source,
+        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hh
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS BIGINT) AS rk
+        |  FROM h)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
 
     "q106_pagerank" -> {
       // the recurrence unrolled as 10 chained CTEs (a recursive CTE can

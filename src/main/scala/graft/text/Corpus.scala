@@ -195,26 +195,55 @@ object Corpus {
     */
   def contaminationBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int,
-                         bitsPerItem: Int = 16): DataFrame = {
+                         bitsPerItem: Int = 16): DataFrame =
+    contaminationWith(benchFilter(bench, textCol, n, bitsPerItem),
+      corpus, idCol, textCol)
+
+  /** The precomputed benchmark side of [[contaminationBloom]]: the
+    * serialized bloom filter plus the exact shingle set it summarizes.
+    * Build ONCE and reuse across corpus slices or micro-batches (the
+    * bench-side count + filter aggregation are bounded actions over the
+    * benchmark, but there is no reason to repeat them per batch — see
+    * [[graft.streaming.CleanStream]]). `persist = true` caches the exact
+    * shingle set for repeated confirm joins; callers own the release
+    * (`filter.release()`).
+    */
+  final case class BenchFilter private[text] (
+      n: Int, nBench: Long, bloom: Array[Byte], shingles: DataFrame) {
+    def release(): Unit = { shingles.unpersist(blocking = false); () }
+  }
+
+  def benchFilter(bench: DataFrame, textCol: String, n: Int,
+                  bitsPerItem: Int = 16,
+                  persist: Boolean = false): BenchFilter = {
     require(n >= 1, s"need n >= 1, got $n")
-    val benchSh = shingleRows(bench, textCol, n).distinct()
+    val raw = shingleRows(bench, textCol, n).distinct()
+    val benchSh = if (persist)
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw
     // the small side's cardinality sizes the filter — one bounded action
     // over the bench slice, never the corpus
     val nBench = benchSh.count()
-    val corpusSh = shingleRows(corpus, textCol, n, col(idCol))
+    val bf =
+      if (nBench == 0) null
+      else benchSh.select(graft.functions.Bloom.bloomFilterAgg(
+          xxhash64(col("sh")), nBench, math.max(nBench * bitsPerItem, 64L)))
+        .head().getAs[Array[Byte]](0)
+    BenchFilter(n, nBench, bf, benchSh)
+  }
+
+  /** [[contaminationBloom]] with the benchmark side precomputed. */
+  def contaminationWith(f: BenchFilter, corpus: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val corpusSh = shingleRows(corpus, textCol, f.n, col(idCol))
     val perDoc = corpusSh.groupBy(col(idCol))
       .agg(countDistinct(col("sh")).as("n_shingles"))
     val hitDoc =
-      if (nBench == 0) null
-      else {
-        val bf = benchSh.select(graft.functions.Bloom.bloomFilterAgg(
-            xxhash64(col("sh")), nBench, math.max(nBench * bitsPerItem, 64L)))
-          .head().getAs[Array[Byte]](0)
-        corpusSh
-          .filter(graft.functions.Bloom.mightContain(bf, xxhash64(col("sh"))))
-          .join(benchSh, Seq("sh")) // exact confirm: false positives die here
-          .groupBy(col(idCol)).agg(countDistinct(col("sh")).as("n_hits"))
-      }
+      if (f.nBench == 0) null
+      else corpusSh
+        .filter(graft.functions.Bloom.mightContain(f.bloom, xxhash64(col("sh"))))
+        .join(f.shingles, Seq("sh")) // exact confirm: false positives die here
+        .groupBy(col(idCol)).agg(countDistinct(col("sh")).as("n_hits"))
     Option(hitDoc).fold(perDoc.withColumn("n_hits", lit(0L)))(
         perDoc.join(_, Seq(idCol), "left"))
       .select(col(idCol), col("n_shingles"),
@@ -339,6 +368,26 @@ object Corpus {
         when(col("h") % 10 < trainPct, "train")
           .when(col("h") % 10 < trainPct + valPct, "val")
           .otherwise("test"))
+  }
+
+  /** Deterministic per-domain quota sampling: keep at most
+    * `maxPerDomain` documents of each domain, chosen by the width-safe
+    * multiplicative hash order (then id) — a uniform pseudo-random
+    * quota, reproducible on any engine, no RNG state. The cap is EXACT
+    * per domain (unlike probabilistic `p_keep` sampling — see
+    * [[sampleToMix]] — which only hits the target in expectation): the
+    * head-of-corpus dedup recipe "no domain contributes more than N
+    * docs". One keyed window shuffle; the quota cut is per-domain, so
+    * no global sort or driver funnel at any scale.
+    */
+  def quotaSample(docs: DataFrame, domainCol: String, idCol: String,
+                  maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, s"need maxPerDomain >= 1, got $maxPerDomain")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    docs.select(col(idCol), col(domainCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= maxPerDomain)
   }
 
   /** Deterministic per-epoch corpus reshuffle: each epoch `e` induces a

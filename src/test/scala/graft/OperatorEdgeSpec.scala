@@ -1266,6 +1266,24 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 recall@5 = $recall")
   }
 
+  test("quotaSample: exact per-domain cap, small domains intact, repartition-stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = text.Corpus.quotaSample(docs, "source", "doc_id", maxPerDomain = 7)
+    val sizes = out.groupBy("source").count().select("count").as[Long].collect()
+    val domSizes = docs.groupBy("source").count()
+      .select("source", "count").as[(String, Long)].collect().toMap
+    assert(sizes.forall(_ <= 7), s"cap violated: ${sizes.toSeq}")
+    domSizes.foreach { case (d, n) =>
+      val kept = out.filter(col("source") === d).count()
+      assert(kept == math.min(n, 7L), s"domain $d: $n docs -> kept $kept")
+    }
+    // deterministic under physical layout
+    val a = out.orderBy("doc_id").collect().toSeq
+    val b = text.Corpus.quotaSample(docs.repartition(13), "source", "doc_id", 7)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "selection must not depend on partitioning")
+  }
+
   test("PageRank: hub outranks leaves, mass conserved, 2-node graph stays uniform") {
     // star: hub h connected to 3 leaves (symmetrized — no dangling)
     val star = Seq(("h", "a"), ("h", "b"), ("h", "c"),

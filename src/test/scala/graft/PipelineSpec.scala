@@ -873,4 +873,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(streaming.TopKStream.topK(spark, "tkstrm", cap).collect().toSeq == before,
       "replayed batch must gate to a no-op")
   }
+
+  test("CleanStream: bench hits quarantined with evidence, short/clean docs land, replay byte-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_clean").toString
+    val gram = "alpha beta gamma delta"
+    val bench = Seq((100L, s"prefix $gram suffix tokens here")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = streaming.CleanStream.toContaminationSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bench, n = 4,
+      s"$tmp/clean", s"$tmp/bad", s"$tmp/ck").start()
+    mem.addData((1L, "one totally clean document right here"),
+      (2L, s"evil doc embedding $gram verbatim"))
+    q.processAllAvailable()
+    mem.addData((3L, "another clean one flows through"),
+      (4L, s"$gram leaked again"), (5L, "too short"))
+    q.processAllAvailable(); q.stop()
+    def ids(dir: String) = spark.read.parquet(dir).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids(s"$tmp/clean") == Set(1L, 3L, 5L),
+      "clean + sub-shingle docs must land clean")
+    val bad = spark.read.parquet(s"$tmp/bad")
+      .select("doc_id", "n_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bad.keySet == Set(2L, 4L) && bad.values.forall(_ >= 1L),
+      s"quarantine must carry hit evidence: $bad")
+    // at-least-once replay: re-screening batch 1 overwrites its own
+    // directories byte-identically
+    val before = (ids(s"$tmp/clean"), ids(s"$tmp/bad"))
+    val f = text.Corpus.benchFilter(bench, "text", n = 4)
+    streaming.CleanStream.contaminationBatch(f,
+      Seq((3L, "another clean one flows through"), (4L, s"$gram leaked again"),
+        (5L, "too short")).toDF("doc_id", "text"),
+      1L, "doc_id", "text", s"$tmp/clean", s"$tmp/bad")
+    assert((ids(s"$tmp/clean"), ids(s"$tmp/bad")) == before,
+      "replay must leave both landings unchanged")
+  }
 }
