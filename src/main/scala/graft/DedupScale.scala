@@ -225,6 +225,85 @@ object DedupScale {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[annscale]   vecs=${embN * r}%8d (R=$r%3d)  rows=$n%10d  ${secs}%8.2f s")
     }
+
+    // Fuzzy linkage at growing string-set sizes: part names tagged with
+    // a zero-padded serial (name_00417) — serials differing in one digit
+    // are planted lev-1 pairs, so the true pair count grows R·45/2 per
+    // name. Length-band cost is Σ|band|²·d·len — the honest quadratic-
+    // within-band regime the scaladoc documents (compose a second
+    // blocking key when one length dominates).
+    val names = Tables.part(spark, sfDir).select(col("p_name")).distinct()
+    for (r <- Seq(100, 400)) {
+      val tagged = spark.range(r).crossJoin(names)
+        .select(concat(col("p_name"), lit("_"), lpad(col("id"), 5, "0")).as("w"))
+      val nStrings = tagged.count()
+      val t0 = System.nanoTime()
+      val nFuzzy = operators.FuzzyJoin.fuzzyPairs(tagged, "w", maxDist = 1).count()
+      val fSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nDel = operators.FuzzyJoin.fuzzyPairsDeletion(tagged, "w", maxDist = 1).count()
+      val dSecs = (System.nanoTime() - t1) / 1e9
+      val flag = if (nDel == nFuzzy) "equal" else s"MISMATCH $nDel"
+      println(f"[fuzzyscale] strings=$nStrings%8d  pairs(d<=1)=$nFuzzy%8d  band=${fSecs}%7.2f s  deletion=${dSecs}%7.2f s  $flag")
+    }
+
+    // PageRank on the symmetrized trade graph, replicated into R
+    // disjoint copies — per-round cost (one keyed shuffle over edges)
+    // must scale linearly in |E|, independent of round count.
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+    val e1 = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+    for (r <- Seq(1, 4)) {
+      val edges = spark.range(r).crossJoin(e1)
+        .select(concat(col("id"), lit("_"), col("src")).as("src"),
+          concat(col("id"), lit("_"), col("dst")).as("dst"))
+      val t0 = System.nanoTime()
+      val nodes = operators.PageRank.run(edges, "src", "dst", iters = 10).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[prscale]    edges=${2 * cs.count() * r}%9d nodes=$nodes%8d  iters=10  ${secs}%8.2f s")
+    }
+
+    // BM25 with a 50-query batch over an R×-replicated corpus: the
+    // corpus side scans once; query-term restriction keeps the tf/df
+    // aggregation on the matched sliver.
+    for (r <- Seq(1, 20)) {
+      val docs = spark.range(r).crossJoin(base)
+        .select((col("doc_id") * r + col("id")).as("doc_id"), col("text"))
+      val qs = base.orderBy("doc_id").limit(50)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
+      val t0 = System.nanoTime()
+      val n = text.Retrieval.bm25TopK(docs, qs, "doc_id", "text",
+        "qid", "qtext", k = 10).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[bm25scale]  docs=${baseN * r}%8d queries=50  rows=$n%6d  ${secs}%8.2f s")
+    }
+
+    // Epoch shuffle landing: full-corpus shard write, R×-replicated —
+    // one repartition shuffle + per-shard sort; files stay O(shards).
+    for (r <- Seq(20)) {
+      val docs = spark.range(r).crossJoin(base)
+        .select((col("doc_id") * r + col("id")).as("doc_id"), col("text"))
+      val out = java.nio.file.Files.createTempDirectory("graft_shardscale").toString
+      val t0 = System.nanoTime()
+      text.Corpus.writeShards(docs, "doc_id", epoch = 1, numShards = 32, out)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val nFiles = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+      println(f"[shardscale] docs=${baseN * r}%8d shards=32 files=$nFiles%4d  ${secs}%8.2f s")
+    }
+
+    // BPE rounds on the aggregated vocabulary: per-round cost is
+    // O(|vocab|·len), corpus-size-independent once aggregated.
+    val t0b = System.nanoTime()
+    val nMerges = text.Bpe.trainMerges(Tables.documents(spark, sfDir), "text",
+      numMerges = 5).count()
+    val bSecs = (System.nanoTime() - t0b) / 1e9
+    println(f"[bpescale]   merges=$nMerges%2d  ${bSecs}%8.2f s (incl. vocab agg)")
+
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance record linkage: all pairs of distinct strings within
@@ -33,8 +33,7 @@ object FuzzyJoin {
     */
   def fuzzyPairs(strings: DataFrame, strCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
-    val names = strings.select(col(strCol).cast("string").as("s"))
-      .filter(col("s").isNotNull).distinct()
+    val names = distinctStrings(strings, strCol)
     val short = names.select(col("s").as("s_a"),
       explode(sequence(length(col("s")), length(col("s")) + maxDist)).as("__lb"))
     val long = names.select(col("s").as("s_b"), length(col("s")).as("__lb"))
@@ -44,4 +43,49 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .select(col("s_a"), col("s_b"), col("dist").cast("long").as("dist"))
   }
+
+  /** [[fuzzyPairs]] for `maxDist ≤ 2` through symmetric-deletion
+    * blocking (FastSS / SymSpell): two strings within edit distance d
+    * share a key in their radius-d DELETION neighborhoods (substitution
+    * → delete the edited position from both; indel → delete the
+    * inserted char from the longer side), so exploding each string to
+    * its ≤ d-deletion variants restores an equi-join that is lossless
+    * like the length band but SELECTIVE: key groups are near-singleton
+    * instead of everything-of-one-length, which removes the quadratic-
+    * within-band cliff on uniform-length corpora (measured 29×/13× on
+    * the tagged-serial smoke at 25.6k strings — `[fuzzyscale]`). Cost:
+    * L+1 keys per string at d=1, O(L²/2) at d=2 — the standard
+    * key-volume/selectivity trade; same output contract, verified by
+    * the same banded Levenshtein (shared-key ⇏ within-distance).
+    */
+  def fuzzyPairsDeletion(strings: DataFrame, strCol: String,
+                         maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion blocking supports maxDist 1 or 2, got $maxDist (use fuzzyPairs)")
+    val names = distinctStrings(strings, strCol)
+    // sequence(1, 0) counts DOWN (the RangeJoin lesson) — guard the
+    // empty string to an empty variant set instead
+    def dels(s: Column): Column = when(length(s) >= 1,
+      transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+      .otherwise(array().cast("array<string>"))
+    val s = col("s")
+    val k1 = array_union(array(s), dels(s))
+    val keys = if (maxDist == 1) k1
+      else array_distinct(concat(k1, flatten(transform(dels(s), v => dels(v)))))
+    val keyed = names.select(s, explode(keys).as("__k"))
+    val la = length(col("s_a"))
+    val lb = length(col("s_b"))
+    keyed.select(s.as("s_a"), col("__k"))
+      .join(keyed.select(s.as("s_b"), col("__k")), Seq("__k"))
+      .filter(la < lb || (la === lb && col("s_a") < col("s_b")))
+      .select(col("s_a"), col("s_b")).distinct() // pairs share many keys
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("s_a"), col("s_b"), col("dist").cast("long").as("dist"))
+  }
+
+  private def distinctStrings(strings: DataFrame, strCol: String): DataFrame =
+    strings.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull).distinct()
 }

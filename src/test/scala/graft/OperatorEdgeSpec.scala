@@ -1243,6 +1243,20 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(got.contains(("kitten", "mitten", 1L)))
     assert(!got.exists(p => p._1 == "xyzzy" || p._2 == "xyzzy"),
       "xyzzy is nobody's neighbor at d<=3")
+    // symmetric-deletion blocking: same contract, same output, at d=1 and 2
+    for (d <- Seq(1, 2)) {
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val banded = norm(operators.FuzzyJoin.fuzzyPairs(words, "w", d))
+      val deletion = norm(operators.FuzzyJoin.fuzzyPairsDeletion(words, "w", d))
+      assert(deletion == banded, s"d=$d: deletion $deletion != banded $banded")
+    }
+    // empty strings must not break the deletion-variant generator
+    val withEmpty = (Seq("", "a", "b", "ab") ++ Seq("")).toDF("w")
+    val de = operators.FuzzyJoin.fuzzyPairsDeletion(withEmpty, "w", 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(de == Set(("", "a"), ("", "b"), ("a", "ab"), ("b", "ab"), ("a", "b")),
+      s"got $de")
   }
 
   test("ScalarQuant: codes in int8 range, zero vector safe, topK recall >= 0.9") {
