@@ -1034,6 +1034,37 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q110_fuzzy_deletion" -> ((s, dir) =>
+      // the SELECTIVE small-distance linkage path: symmetric-deletion
+      // (FastSS) blocking at d<=2 — near-singleton key groups instead
+      // of everything-of-one-length, removing the quadratic-within-band
+      // cliff on uniform-length corpora (q102 is the general-d band).
+      // Output contract identical; the oracle is the brute force
+      // restricted to the provably-lossless length band.
+      operators.FuzzyJoin.fuzzyPairsDeletion(Tables.part(s, dir), "p_name",
+          maxDist = 2)
+        .orderBy(col("s_a"), col("s_b"))),
+
+    "q111_scd2_merge" -> ((s, dir) => {
+      // SCD Type-2 merge: version each customer's priority tier from the
+      // orders feed (one update per (cust, date), min-priority tie-fold).
+      // Initial dim opens everyone at '1-URGENT' so first updates that
+      // re-state it exercise the open-row collapse; consecutive equal
+      // priorities collapse in-chain. Closed history passes through
+      // shuffle-free; only open rows join the batch.
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("cust"), lit("1-URGENT").as("seg"))
+      val dim = operators.Scd2.init(cust, Seq("cust"), Seq("seg"),
+        epoch = "1990-01-01")
+      val ups = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("cust"), col("o_orderdate").as("ts"))
+        .agg(min(col("o_orderpriority")).as("seg"))
+      operators.Scd2.merge(dim, ups, Seq("cust"), Seq("seg"), "ts")
+        .select(col("cust"), col("seg"), col("valid_from"), col("valid_to"),
+          col("is_current").cast("long").as("cur"))
+        .orderBy(col("cust"), col("valid_from"))
+    }),
+
     "q88_seasonal" -> ((s, dir) =>
       // additive seasonal decomposition of each event-type series:
       // trend / hour-of-day seasonal / residual — one keyed shuffle for
@@ -2578,6 +2609,50 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q110_fuzzy_deletion" ->
+      // output contract of the deletion blocking: every unordered pair
+      // within d<=2, (length, lex)-oriented — brute force restricted to
+      // the lossless band
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL),
+        |l AS (SELECT s, length(s) AS len FROM n)
+        |SELECT a.s AS s_a, b.s AS s_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM l a JOIN l b
+        |  ON b.len BETWEEN a.len AND a.len + 2
+        | AND (a.len < b.len OR a.s < b.s)
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY s_a, s_b""".stripMargin,
+
+    "q111_scd2_merge" ->
+      // the SCD2 fold replayed: consecutive-dedupe per key, first
+      // surviving update collapsed against the '1-URGENT' open baseline,
+      // survivors chained by lead(), baseline closed at the first new
+      // version's valid_from
+      """WITH u0 AS (SELECT o_custkey AS cust, o_orderdate AS ts,
+        |             min(o_orderpriority) AS seg
+        |           FROM orders GROUP BY 1, 2),
+        |c1 AS (SELECT cust, ts, seg,
+        |         lag(seg) OVER (PARTITION BY cust ORDER BY ts) AS prev
+        |       FROM u0),
+        |ch AS (SELECT cust, ts, seg,
+        |         row_number() OVER (PARTITION BY cust ORDER BY ts) AS rn
+        |       FROM c1 WHERE prev IS NULL OR prev <> seg),
+        |surv AS (SELECT * FROM ch WHERE NOT (rn = 1 AND seg = '1-URGENT')),
+        |vers AS (SELECT cust, seg, CAST(ts AS DATE) AS valid_from,
+        |           CAST(lead(ts) OVER (PARTITION BY cust ORDER BY ts) AS DATE)
+        |             AS valid_to
+        |         FROM surv),
+        |firstnew AS (SELECT cust, min(valid_from) AS close_at
+        |             FROM vers GROUP BY 1)
+        |SELECT cust, seg, valid_from, valid_to,
+        |  CAST(valid_to IS NULL AS BIGINT) AS cur FROM vers
+        |UNION ALL
+        |SELECT c_custkey AS cust, '1-URGENT' AS seg,
+        |  DATE '1990-01-01' AS valid_from, f.close_at AS valid_to,
+        |  CAST(f.close_at IS NULL AS BIGINT) AS cur
+        |FROM customer LEFT JOIN firstnew f ON c_custkey = f.cust
+        |ORDER BY cust, valid_from""".stripMargin,
 
     "q85_weighted_sample" ->
       """WITH g AS (SELECT lang, count(*) AS n_docs,

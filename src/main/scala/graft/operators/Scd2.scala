@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type-2 merge (Kimball): fold a batch of
+  * timestamped attribute updates into a versioned dimension table that
+  * keeps full history — each key carries a chain of rows
+  * `(valid_from, valid_to, is_current)` where `valid_to` is null on the
+  * open version. The MERGE-INTO-with-history warehouse primitive that
+  * plain Spark lacks (Delta/Iceberg ship it as a table service; here it
+  * is a pure DataFrame → DataFrame plan so any sink works).
+  *
+  * Semantics (all deterministic):
+  *   1. updates are folded per key in `tsCol` order; consecutive equal
+  *      attribute tuples collapse (keep-first) — a re-stated value is
+  *      not a new version;
+  *   2. the first surviving update also collapses against the key's
+  *      CURRENT open version (re-confirming the present value is a
+  *      no-op);
+  *   3. each surviving update becomes a version: `valid_from = ts`,
+  *      `valid_to = lead(ts)` — the previously-open row closes at the
+  *      first new version's `valid_from`;
+  *   4. keys never seen before enter with their first version open;
+  *      closed history rows pass through untouched.
+  *
+  * Scale shape: closed history is UNION'd through with zero shuffle —
+  * only open rows join the update batch (one keyed shuffle; AQE
+  * broadcasts a small batch at runtime, never a static hint — the
+  * backfill path feeds whole tables here). The per-key chain is one
+  * window over the batch, partitioned by key: O(|updates|), never
+  * O(|dimension|). At warehouse scale, pair with [[graft.sources.Io]]
+  * bucketed-by-key layout so the touched-partition rewrite (and the
+  * open-row join) prunes to the batch's buckets.
+  *
+  * Ties within (key, ts) are rejected up front (`require`) rather than
+  * silently folded: two versions at one instant have no defined order,
+  * and the engines would disagree on the survivor.
+  */
+object Scd2 {
+
+  /** Initialize a dimension from a snapshot: every key's single version
+    * open from `epoch`. Columns: keys ++ attrs ++ (valid_from, valid_to,
+    * is_current).
+    */
+  def init(snapshot: DataFrame, keys: Seq[String], attrs: Seq[String],
+           epoch: String): DataFrame =
+    snapshot.select((keys ++ attrs).map(col): _*)
+      .withColumn("valid_from", to_date(lit(epoch)))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+
+  /** Merge `updates` (keys ++ attrs ++ tsCol, one row per key per
+    * instant) into `dim` (shaped as [[init]] produces). Returns the new
+    * dimension table.
+    */
+  def merge(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+            attrs: Seq[String], tsCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(tsCol))
+    val attrTuple = struct(attrs.map(col): _*)
+
+    // 1. collapse consecutive equal attribute tuples per key
+    //    (keep-first; <=> so null-valued attrs compare stably)
+    val chained = updates
+      .withColumn("__prev", lag(attrTuple, 1).over(w))
+      .filter(!(col("__prev") <=> attrTuple))
+
+    val open = dim.filter(col("is_current"))
+    val closed = dim.filter(!col("is_current"))
+
+    // 2. collapse the first surviving update against the open version
+    val openAttrs = open.select((keyCols :+
+      struct(attrs.map(col): _*).as("__cur")): _*)
+    val surviving = chained
+      .withColumn("__rn", row_number().over(w))
+      .join(openAttrs, keys, "left")
+      .filter(col("__rn") =!= 1 || !(col("__cur") <=> attrTuple))
+
+    // 3. re-chain the survivors: valid_from = ts, valid_to = lead(ts)
+    val versions = surviving
+      .withColumn("valid_from", col(tsCol).cast("date"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w).cast("date"))
+      .withColumn("is_current", col("valid_to").isNull)
+
+    // first NEW version per key closes the previously-open row
+    val firstNew = versions
+      .withColumn("__first", row_number().over(w))
+      .filter(col("__first") === 1)
+      .select((keyCols :+ col("valid_from").as("__close_at")): _*)
+
+    val openMerged = open.join(firstNew, keys, "left")
+      .withColumn("valid_to",
+        when(col("__close_at").isNotNull, col("__close_at"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("__close_at").isNull)
+      .drop("__close_at")
+
+    val out = (keys ++ attrs).map(col) ++
+      Seq(col("valid_from"), col("valid_to"), col("is_current"))
+    closed.select(out: _*)
+      .unionByName(openMerged.select(out: _*))
+      .unionByName(versions.select(out: _*))
+  }
+
+  /** Guard: reject (key, ts) collisions in an update batch — two
+    * versions at one instant have no defined order. Returns the batch
+    * unchanged; call before [[merge]] when the feed is untrusted.
+    */
+  def requireUniqueInstants(updates: DataFrame, keys: Seq[String],
+                            tsCol: String): DataFrame = {
+    val dupes = updates.groupBy((keys :+ tsCol).map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupes == 0,
+      s"SCD2 update batch has (${keys.mkString(",")}, $tsCol) collisions")
+    updates
+  }
+
+  /** Point-in-time lookup: the version of each key valid at `asOf`
+    * (half-open interval [valid_from, valid_to)).
+    */
+  def snapshotAt(dim: DataFrame, asOf: String): DataFrame =
+    dim.filter(col("valid_from") <= to_date(lit(asOf)) &&
+      (col("valid_to").isNull || col("valid_to") > to_date(lit(asOf))))
+}

@@ -1363,4 +1363,41 @@ class OperatorEdgeSpec extends AnyFunSuite {
     // determinism: scores are rounded and ranks dense per query
     assert(hits11.map(_.getLong(3)).toSeq == Seq(1L, 2L))
   }
+
+  test("Scd2: collapse vs open row, consecutive collapse, chain close, new key, snapshotAt") {
+    val dim = operators.Scd2.init(
+      Seq((1L, "A"), (2L, "X")).toDF("k", "v"), Seq("k"), Seq("v"),
+      epoch = "2020-01-01")
+    val ups = Seq(
+      (1L, "2021-01-01", "A"), // re-states the open value → no version
+      (1L, "2021-02-01", "B"),
+      (1L, "2021-03-01", "B"), // consecutive equal → collapses
+      (1L, "2021-04-01", "C"),
+      (3L, "2021-05-01", "N")  // brand-new key
+    ).toDF("k", "ts", "v").withColumn("ts", to_date(col("ts")))
+    val out = operators.Scd2.merge(dim, ups, Seq("k"), Seq("v"), "ts")
+      .orderBy("k", "valid_from")
+      .select(col("k"), col("v"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, "A", "2020-01-01", Some("2021-02-01"), false),
+      (1L, "B", "2021-02-01", Some("2021-04-01"), false),
+      (1L, "C", "2021-04-01", None, true),
+      (2L, "X", "2020-01-01", None, true), // untouched key stays open
+      (3L, "N", "2021-05-01", None, true)), s"got $out")
+    // point-in-time lookup: half-open intervals, boundary belongs to the new version
+    val dim2 = operators.Scd2.merge(dim, ups, Seq("k"), Seq("v"), "ts")
+    val at = operators.Scd2.snapshotAt(dim2, "2021-02-01")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at == Set((1L, "B"), (2L, "X")), s"got $at")
+    // (key, ts) collisions are rejected, clean batches pass
+    val bad = Seq((1L, "2021-01-01", "P"), (1L, "2021-01-01", "Q"))
+      .toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      operators.Scd2.requireUniqueInstants(bad, Seq("k"), "ts")
+    }
+    operators.Scd2.requireUniqueInstants(ups, Seq("k"), "ts")
+  }
 }
