@@ -1065,6 +1065,26 @@ object SparkEntry {
         .orderBy(col("cust"), col("valid_from"))
     }),
 
+    "q112_temporal_join" -> ((s, dir) => {
+      // point-in-time fact enrichment: each order joined to the customer
+      // priority-tier version valid at its own order date (half-open
+      // intervals — an order on a version's first day sees the new
+      // version, including the version it itself created). Key-driven
+      // sort-merge join; the interval test is a residual, never a BNLJ.
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("cust"), lit("1-URGENT").as("seg"))
+      val dim0 = operators.Scd2.init(cust, Seq("cust"), Seq("seg"),
+        epoch = "1990-01-01")
+      val ups = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("cust"), col("o_orderdate").as("ts"))
+        .agg(min(col("o_orderpriority")).as("seg"))
+      val dim = operators.Scd2.merge(dim0, ups, Seq("cust"), Seq("seg"), "ts")
+      val facts = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+        col("o_custkey").as("cust"), col("o_orderdate").as("ts"))
+      operators.Scd2.temporalJoin(facts, dim, Seq("cust"), "ts")
+        .orderBy(col("okey"))
+    }),
+
     "q88_seasonal" -> ((s, dir) =>
       // additive seasonal decomposition of each event-type series:
       // trend / hour-of-day seasonal / residual — one keyed shuffle for
@@ -1449,6 +1469,32 @@ object SparkEntry {
   /** Oracle SQL may use `roundStable(expr, d)` as shorthand; it expands to
     * the same `floor(x*10^d + 0.5)/10^d` the Spark side computes.
     */
+  /** q111/q112's shared dimension fold: the SCD2 chain over the orders
+    * feed as a bare SELECT (no ORDER BY) so both oracles reuse it.
+    */
+  private val scd2DimSql: String =
+    """WITH u0 AS (SELECT o_custkey AS cust, o_orderdate AS ts,
+      |             min(o_orderpriority) AS seg
+      |           FROM orders GROUP BY 1, 2),
+      |c1 AS (SELECT cust, ts, seg,
+      |         lag(seg) OVER (PARTITION BY cust ORDER BY ts) AS prev
+      |       FROM u0),
+      |ch AS (SELECT cust, ts, seg,
+      |         row_number() OVER (PARTITION BY cust ORDER BY ts) AS rn
+      |       FROM c1 WHERE prev IS NULL OR prev <> seg),
+      |surv AS (SELECT * FROM ch WHERE NOT (rn = 1 AND seg = '1-URGENT')),
+      |vers AS (SELECT cust, seg, CAST(ts AS DATE) AS valid_from,
+      |           CAST(lead(ts) OVER (PARTITION BY cust ORDER BY ts) AS DATE)
+      |             AS valid_to
+      |         FROM surv),
+      |firstnew AS (SELECT cust, min(valid_from) AS close_at
+      |             FROM vers GROUP BY 1)
+      |SELECT cust, seg, valid_from, valid_to FROM vers
+      |UNION ALL
+      |SELECT c_custkey AS cust, '1-URGENT' AS seg,
+      |  DATE '1990-01-01' AS valid_from, f.close_at AS valid_to
+      |FROM customer LEFT JOIN firstnew f ON c_custkey = f.cust""".stripMargin
+
   def oracleSql: Map[String, String] =
     rawOracleSql.map { case (k, v) => k -> graft.functions.expandRoundStable(v) }
 
@@ -2629,30 +2675,20 @@ object SparkEntry {
       // surviving update collapsed against the '1-URGENT' open baseline,
       // survivors chained by lead(), baseline closed at the first new
       // version's valid_from
-      """WITH u0 AS (SELECT o_custkey AS cust, o_orderdate AS ts,
-        |             min(o_orderpriority) AS seg
-        |           FROM orders GROUP BY 1, 2),
-        |c1 AS (SELECT cust, ts, seg,
-        |         lag(seg) OVER (PARTITION BY cust ORDER BY ts) AS prev
-        |       FROM u0),
-        |ch AS (SELECT cust, ts, seg,
-        |         row_number() OVER (PARTITION BY cust ORDER BY ts) AS rn
-        |       FROM c1 WHERE prev IS NULL OR prev <> seg),
-        |surv AS (SELECT * FROM ch WHERE NOT (rn = 1 AND seg = '1-URGENT')),
-        |vers AS (SELECT cust, seg, CAST(ts AS DATE) AS valid_from,
-        |           CAST(lead(ts) OVER (PARTITION BY cust ORDER BY ts) AS DATE)
-        |             AS valid_to
-        |         FROM surv),
-        |firstnew AS (SELECT cust, min(valid_from) AS close_at
-        |             FROM vers GROUP BY 1)
-        |SELECT cust, seg, valid_from, valid_to,
-        |  CAST(valid_to IS NULL AS BIGINT) AS cur FROM vers
-        |UNION ALL
-        |SELECT c_custkey AS cust, '1-URGENT' AS seg,
-        |  DATE '1990-01-01' AS valid_from, f.close_at AS valid_to,
-        |  CAST(f.close_at IS NULL AS BIGINT) AS cur
-        |FROM customer LEFT JOIN firstnew f ON c_custkey = f.cust
-        |ORDER BY cust, valid_from""".stripMargin,
+      s"""SELECT cust, seg, valid_from, valid_to,
+         |  CAST(valid_to IS NULL AS BIGINT) AS cur
+         |FROM ($scd2DimSql) dim
+         |ORDER BY cust, valid_from""".stripMargin,
+
+    "q112_temporal_join" ->
+      // each order matched to the one half-open version interval covering
+      // its date — the dim fold shared verbatim with q111's oracle
+      s"""SELECT o.o_orderkey AS okey, d.cust, o.o_orderdate AS ts, d.seg
+         |FROM orders o JOIN ($scd2DimSql) d
+         |  ON o.o_custkey = d.cust
+         | AND o.o_orderdate >= d.valid_from
+         | AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+         |ORDER BY okey""".stripMargin,
 
     "q85_weighted_sample" ->
       """WITH g AS (SELECT lang, count(*) AS n_docs,

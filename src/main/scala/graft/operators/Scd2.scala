@@ -123,4 +123,29 @@ object Scd2 {
   def snapshotAt(dim: DataFrame, asOf: String): DataFrame =
     dim.filter(col("valid_from") <= to_date(lit(asOf)) &&
       (col("valid_to").isNull || col("valid_to") > to_date(lit(asOf))))
+
+  /** Temporal fact enrichment — the reason warehouses keep SCD2: join
+    * each fact row to the dimension version valid AT ITS OWN timestamp
+    * (half-open `[valid_from, valid_to)`, so a fact on a version's first
+    * day sees the new version). Left join: facts predating every version
+    * keep null attributes. The key equality drives the join (sort-merge /
+    * shuffled-hash on the key — never a nested loop); the interval test
+    * rides along as a join residual, and each (key, ts) matches at most
+    * one version because a key's intervals partition the timeline.
+    */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                   tsCol: String): DataFrame = {
+    val f = facts.alias("f")
+    val d = dim.alias("d")
+    val keyCond = keys.map(k => col(s"f.$k") === col(s"d.$k")).reduce(_ && _)
+    val cond = keyCond &&
+      col(s"f.$tsCol") >= col("d.valid_from") &&
+      (col("d.valid_to").isNull || col(s"f.$tsCol") < col("d.valid_to"))
+    val attrCols = dim.columns
+      .filterNot(keys.contains)
+      .filterNot(Set("valid_from", "valid_to", "is_current"))
+      .map(c => col(s"d.$c"))
+    f.join(d, cond, "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++ attrCols: _*)
+  }
 }

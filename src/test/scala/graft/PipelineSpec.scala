@@ -874,6 +874,46 @@ class PipelineSpec extends AnyFunSuite {
       "replayed batch must gate to a no-op")
   }
 
+  test("streaming SCD2 sink: batches chain versions, instant collisions fold least, replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_dimstream").toString
+    val dimPath = s"$tmp/dim"
+    val mem = MemoryStream[(Long, String, String)]
+    val q = streaming.DimStream.toScd2Sink(
+      mem.toDF().toDF("k", "ts", "v").withColumn("ts", to_date(col("ts"))),
+      dimPath, Seq("k"), Seq("v"), "ts", s"$tmp/ck").start()
+    mem.addData((1L, "2021-01-01", "A"), (2L, "2021-01-05", "X"))
+    q.processAllAvailable()
+    // batch 1: a new version for k=1, plus a colliding instant that must
+    // fold deterministically to the LEAST attribute tuple ("B" < "C")
+    mem.addData((1L, "2021-02-01", "C"), (1L, "2021-02-01", "B"))
+    q.processAllAvailable()
+    q.stop()
+    def chains() = spark.read.parquet(dimPath)
+      .orderBy("k", "valid_from")
+      .select(col("k"), col("v"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getBoolean(4))).toSeq
+    val expected = Seq(
+      (1L, "A", "2021-01-01", Some("2021-02-01"), false),
+      (1L, "B", "2021-02-01", None, true),
+      (2L, "X", "2021-01-05", None, true))
+    assert(chains() == expected, s"got ${chains()}")
+    // at-least-once replay: the monotone gate folds the re-delivered
+    // batch to zero fresh instants (ts == open valid_from is NOT fresh)
+    val replay = Seq((1L, "2021-02-01", "C"), (1L, "2021-02-01", "B"))
+      .toDF("k", "ts", "v").withColumn("ts", to_date(col("ts")))
+    streaming.DimStream.scd2Batch(replay, dimPath, Seq("k"), Seq("v"), "ts")
+    assert(chains() == expected, s"replay changed the dim: ${chains()}")
+    // out-of-order updates are rejected by the same gate, not spliced
+    val late = Seq((1L, "2021-01-15", "Z")).toDF("k", "ts", "v")
+      .withColumn("ts", to_date(col("ts")))
+    streaming.DimStream.scd2Batch(late, dimPath, Seq("k"), Seq("v"), "ts")
+    assert(chains() == expected, s"late update spliced into history: ${chains()}")
+  }
+
   test("CleanStream: bench hits quarantined with evidence, short/clean docs land, replay byte-stable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
