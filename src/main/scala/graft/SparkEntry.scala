@@ -1085,6 +1085,25 @@ object SparkEntry {
         .orderBy(col("okey"))
     }),
 
+    "q113_table_diff" -> ((s, dir) => {
+      // snapshot reconciliation: diff orders against a drifted replica
+      // (1/97 of keys dropped, 1/101 prices bumped, 1/103 re-keyed in as
+      // additions). Output is O(drift): one full-outer SMJ on the key,
+      // identical rows vanish, changed rows name their columns.
+      val a = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val b = a.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(a.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      operators.TableDiff.diff(a, b, Seq("o_orderkey"))
+        .select(col("o_orderkey").as("okey"), col("status"),
+          concat_ws(",", col("changed_cols")).as("cols"))
+        .orderBy(col("okey"))
+    }),
+
     "q88_seasonal" -> ((s, dir) =>
       // additive seasonal decomposition of each event-type series:
       // trend / hour-of-day seasonal / residual — one keyed shuffle for
@@ -2689,6 +2708,36 @@ object SparkEntry {
          | AND o.o_orderdate >= d.valid_from
          | AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
          |ORDER BY okey""".stripMargin,
+
+    "q113_table_diff" ->
+      // the same drifted replica rebuilt, full-outer joined, statuses by
+      // presence flags, changed columns named via null-skipping concat_ws
+      """WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |           FROM orders),
+        |b AS (SELECT o_orderkey, o_custkey,
+        |        CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+        |             ELSE o_totalprice END AS o_totalprice,
+        |        o_orderstatus
+        |      FROM a WHERE o_orderkey % 97 <> 0
+        |      UNION ALL
+        |      SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+        |        o_orderstatus
+        |      FROM a WHERE o_orderkey % 103 = 0),
+        |j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS okey,
+        |        a.o_orderkey IS NULL AS only_b, b.o_orderkey IS NULL AS only_a,
+        |        a.o_custkey IS DISTINCT FROM b.o_custkey AS c1,
+        |        a.o_totalprice IS DISTINCT FROM b.o_totalprice AS c2,
+        |        a.o_orderstatus IS DISTINCT FROM b.o_orderstatus AS c3
+        |      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT okey,
+        |  CASE WHEN only_b THEN 'added' WHEN only_a THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN only_b OR only_a THEN ''
+        |       ELSE concat_ws(',', CASE WHEN c1 THEN 'o_custkey' END,
+        |              CASE WHEN c2 THEN 'o_totalprice' END,
+        |              CASE WHEN c3 THEN 'o_orderstatus' END) END AS cols
+        |FROM j WHERE only_b OR only_a OR c1 OR c2 OR c3
+        |ORDER BY okey""".stripMargin,
 
     "q85_weighted_sample" ->
       """WITH g AS (SELECT lang, count(*) AS n_docs,

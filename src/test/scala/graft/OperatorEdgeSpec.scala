@@ -1400,4 +1400,27 @@ class OperatorEdgeSpec extends AnyFunSuite {
     }
     operators.Scd2.requireUniqueInstants(ups, Seq("k"), "ts")
   }
+
+  test("TableDiff: statuses, null-safe change detection, O(drift) output, summary") {
+    val a = Seq((1L, Some(1), "p"), (2L, None: Option[Int], "q"),
+      (3L, Some(3), "r"), (4L, Some(4), "s")).toDF("k", "x", "y")
+    val b = Seq((1L, Some(1), "p"), (2L, Some(2), "q"),
+      (3L, Some(3), "zz"), (5L, Some(9), "n")).toDF("k", "x", "y")
+    val d = operators.TableDiff.diff(a, b, Seq("k"))
+      .orderBy("k")
+      .select(col("k"), col("status"), concat_ws(",", col("changed_cols")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // identical row 1 is ABSENT; null -> 2 is a change, not a false same
+    assert(d == Seq((2L, "changed", "x"), (3L, "changed", "y"),
+      (4L, "removed", ""), (5L, "added", "")), s"got $d")
+    val sm = operators.TableDiff.summary(a, b, Seq("k"))
+      .orderBy("status").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(sm == Seq(("added", 1L, 0L, 0L), ("changed", 2L, 1L, 1L),
+      ("removed", 1L, 0L, 0L)), s"got $sm")
+    // schema drift between the snapshots is a hard error, not a guess
+    intercept[IllegalArgumentException] {
+      operators.TableDiff.diff(a, b.withColumnRenamed("y", "z"), Seq("k"))
+    }
+  }
 }

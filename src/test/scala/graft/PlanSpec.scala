@@ -366,6 +366,28 @@ class PlanSpec extends AnyFunSuite {
     assert(res.count() > 0)
   }
 
+  test("TableDiff over key-bucketed snapshots: full-outer SMJ with ZERO Exchange") {
+    // the "100 TB reconciliation that shuffles nothing" claim: both
+    // snapshots bucketed by the key must feed the full-outer join
+    // through their layout — any ShuffleExchange means the diff
+    // re-partitions a table-sized input
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    sources.Io.writeBucketed(o, "diff_a", "o_orderkey", 4)
+    sources.Io.writeBucketed(o.filter(col("o_orderkey") % 7 =!= 0),
+      "diff_b", "o_orderkey", 4)
+    val d = operators.TableDiff.diff(spark.table("diff_a"),
+      spark.table("diff_b"), Seq("o_orderkey"))
+    val shuffles = d.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed diff must not shuffle:\n${d.queryExecution.sparkPlan}")
+    assert(d.count() > 0)
+  }
+
   test("IncrementalCC lookups: pushed In(id) on id-sorted files; In(comp) bucket-prunes") {
     // mergeEdges' two log lookups must be pushed-literal scans, not
     // full-log scans behind a broadcast join: the endpoint lookup
