@@ -1104,6 +1104,32 @@ object SparkEntry {
         .orderBy(col("okey"))
     }),
 
+    "q114_stratified_split" -> ((s, dir) =>
+      // exact per-language 80/10/10 split by the width-safe hash order —
+      // every stratum gets exactly ceil-proportioned train/val/test
+      // (q82's map-only split only hits these in expectation)
+      text.Corpus.stratifiedSplit(Tables.documents(s, dir), "lang", "doc_id",
+          trainFrac = 0.8, valFrac = 0.1)
+        .orderBy(col("doc_id"))),
+
+    "q115_mmr_rerank" -> ((s, dir) => {
+      // retrieval diversity pass: brute-force top-20 recall per query,
+      // vectors joined back, then the greedy MMR selection of 5 — the
+      // RAG re-rank that keeps near-duplicate hits from crowding out
+      // coverage. Rows-only: the greedy argmax is a per-group fold (the
+      // documented imperative island), spec-verified on planted
+      // near-dups; determinism via (rel desc, id) candidate order.
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      val cands = sim.Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 20)
+      val withVecs = cands.join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding")), Seq("neighbor_id"))
+      sim.Similarity.mmrRerank(withVecs, "query_id", "neighbor_id",
+          "cosine", "embedding", k = 5, lambda = 0.7)
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+
     "q88_seasonal" -> ((s, dir) =>
       // additive seasonal decomposition of each event-type series:
       // trend / hour-of-day seasonal / residual — one keyed shuffle for
@@ -2738,6 +2764,26 @@ object SparkEntry {
         |              CASE WHEN c3 THEN 'o_orderstatus' END) END AS cols
         |FROM j WHERE only_b OR only_a OR c1 OR c2 OR c3
         |ORDER BY okey""".stripMargin,
+
+    "q114_stratified_split" ->
+      // the hash-rank split replayed in int64 arithmetic + IEEE ceil
+      """WITH h AS (SELECT doc_id, lang,
+        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hh
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+        |      AS BIGINT) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT doc_id, lang, rk,
+        |  -- CAST AS DOUBLE everywhere: DuckDB parses 0.8 as DECIMAL, but
+        |  -- the engine computes IEEE doubles; and the cumulative boundary
+        |  -- is the SUM (0.8 + 0.1 = 0.9000000000000001), never literal 0.9
+        |  CASE WHEN rk <= ceil(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+        |       WHEN rk <= ceil((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * n)
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q85_weighted_sample" ->
       """WITH g AS (SELECT lang, count(*) AS n_docs,

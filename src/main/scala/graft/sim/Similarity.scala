@@ -82,6 +82,75 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): from each query's candidate set, greedily select k results
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)` — the
+    * diversity pass a RAG / retrieval pipeline runs AFTER top-N
+    * recall, so near-duplicate hits don't crowd out coverage.
+    *
+    * The greedy argmax is inherently sequential in the selection order,
+    * so this is the third documented imperative island (with the stub
+    * decode and packGreedy's fold): `flatMapGroups` per query over a
+    * candidate set that is BOUNDED BY CONSTRUCTION (the top-N of a
+    * retrieval stage — pass the output of [[bruteForceTopK]] /
+    * [[graft.sim.IvfPq]] joined back to its vectors, never a whole
+    * corpus). Distributed across queries; O(k·n·d) per query.
+    * Deterministic: candidates sort by (rel desc, id), strict-max keeps
+    * the first, so ties break identically under any partitioning.
+    */
+  def mmrRerank(candidates: DataFrame, queryIdCol: String, docIdCol: String,
+                relCol: String, vecCol: String, k: Int, lambda: Double,
+                simDigits: Int = 4): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0,
+      s"need k >= 1 and lambda in [0, 1], got $k/$lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val pow10 = math.pow(10, simDigits)
+    candidates
+      .select(col(queryIdCol).cast("long"), col(docIdCol).cast("long"),
+        col(relCol).cast("double"),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(c => (-c._3, c._2))
+        val vecs = cand.map(_._4.toArray)
+        val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+        val n = cand.length
+        val maxSim = Array.fill(n)(0.0)
+        val chosen = Array.fill(n)(false)
+        def cos(i: Int, j: Int): Double = {
+          var s = 0.0; var t = 0
+          while (t < vecs(i).length) { s += vecs(i)(t) * vecs(j)(t); t += 1 }
+          val d = norms(i) * norms(j)
+          if (d > 0) s / d else 0.0
+        }
+        (1 to math.min(k, n)).iterator.map { r =>
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val score = lambda * cand(i)._3 - (1 - lambda) * maxSim(i)
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          chosen(best) = true
+          var j = 0
+          while (j < n) {
+            if (!chosen(j)) {
+              val s = cos(j, best)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          (qid, cand(best)._2, r.toLong,
+            math.floor(bestScore * pow10 + 0.5) / pow10)
+        }
+      }
+      .toDF("query_id", "doc_id", "mmr_rank", "mmr_score")
+  }
+
   /** All near-duplicate pairs (id_a < id_b) with cosine >= minCosine,
     * brute force over the full pair space. Exact; the oracle twin of the
     * banded/LSH dedup paths. The smaller side is broadcast; at 100 TB use

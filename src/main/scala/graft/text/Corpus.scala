@@ -370,6 +370,36 @@ object Corpus {
           .otherwise("test"))
   }
 
+  /** EXACT stratified train/val/test split: within every stratum the
+    * train set is exactly `ceil(trainFrac·n)` rows (then val up to
+    * `ceil((trainFrac+valFrac)·n)`, remainder test), selected by the
+    * width-safe hash order — the per-stratum guarantee [[trainSplit]]
+    * only hits in expectation, which matters for SMALL strata (a
+    * 30-doc language can easily lose its whole val set to hash
+    * variance). Deterministic and engine-replayable; `ceil` on an IEEE
+    * double is bit-identical across engines. Cost of exactness: one
+    * keyed window shuffle with a per-stratum sort (parallel ACROSS
+    * strata; a stratum that dominates the corpus funnels into few
+    * tasks — at that scale use [[trainSplit]], whose map-only split is
+    * the in-expectation trade).
+    */
+  def stratifiedSplit(docs: DataFrame, stratumCol: String, idCol: String,
+                      trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"need 0 < trainFrac and trainFrac + valFrac < 1, got $trainFrac/$valFrac")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    val cw = Window.partitionBy(col(stratumCol))
+    docs.select(col(idCol), col(stratumCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("split",
+        when(col("rk") <= ceil(lit(trainFrac) * col("__n")), "train")
+          .when(col("rk") <= ceil(lit(trainFrac + valFrac) * col("__n")), "val")
+          .otherwise("test"))
+      .drop("__n")
+  }
+
   /** Deterministic per-domain quota sampling: keep at most
     * `maxPerDomain` documents of each domain, chosen by the width-safe
     * multiplicative hash order (then id) — a uniform pseudo-random

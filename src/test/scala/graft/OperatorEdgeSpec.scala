@@ -1423,4 +1423,48 @@ class OperatorEdgeSpec extends AnyFunSuite {
       operators.TableDiff.diff(a, b.withColumnRenamed("y", "z"), Seq("k"))
     }
   }
+
+  test("stratifiedSplit: exact ceil proportions per stratum, repartition-stable") {
+    val docs = ((1L to 10L).map(i => (i, "big")) ++
+      (11L to 13L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val out = text.Corpus.stratifiedSplit(docs, "lang", "doc_id", 0.8, 0.1)
+    val counts = out.groupBy("lang", "split").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // n=10: exactly ceil(8)/ceil(9)-8/rest = 8/1/1 — the guarantee q82's
+    // in-expectation split cannot make
+    assert(counts == Map(("big", "train") -> 8L, ("big", "val") -> 1L,
+      ("big", "test") -> 1L, ("small", "train") -> 3L),
+      s"got $counts")
+    // assignment is a pure function of (id, stratum): partitioning-proof
+    val again = text.Corpus.stratifiedSplit(docs.repartition(7), "lang",
+      "doc_id", 0.8, 0.1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(rows(again) == rows(out))
+  }
+
+  test("mmrRerank: near-dup of the top hit is demoted, lambda=1 is pure relevance, repartition-stable") {
+    // doc 1 and its near-duplicate 2 both highly relevant; doc 3
+    // orthogonal and less relevant. MMR must pick 1 then 3; pure
+    // relevance (lambda=1) picks 1 then 2.
+    val cands = Seq(
+      (10L, 1L, 0.99, Seq(1.0f, 0.0f)),
+      (10L, 2L, 0.98, Seq(0.999f, 0.04f)),
+      (10L, 3L, 0.80, Seq(0.0f, 1.0f))
+    ).toDF("query_id", "doc_id", "rel", "vec")
+    def picks(lambda: Double) = sim.Similarity.mmrRerank(cands, "query_id",
+        "doc_id", "rel", "vec", k = 2, lambda = lambda)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(picks(0.5) == Seq(1L, 3L), s"diversity pick: ${picks(0.5)}")
+    assert(picks(1.0) == Seq(1L, 2L), s"pure relevance: ${picks(1.0)}")
+    // rank 1 score is lambda*rel (empty selected set => zero penalty)
+    val first = sim.Similarity.mmrRerank(cands, "query_id", "doc_id", "rel",
+      "vec", k = 1, lambda = 0.5).collect().head
+    assert(first.getLong(1) == 1L && math.abs(first.getDouble(3) - 0.495) < 1e-9)
+    // deterministic under any input partitioning
+    val again = sim.Similarity.mmrRerank(cands.repartition(5), "query_id",
+        "doc_id", "rel", "vec", k = 2, lambda = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(again == Seq(1L, 3L))
+  }
 }
