@@ -54,37 +54,58 @@ object Scd2 {
   /** Merge `updates` (keys ++ attrs ++ tsCol, one row per key per
     * instant) into `dim` (shaped as [[init]] produces). Returns the new
     * dimension table.
+    *
+    * `deleteCol` (boolean, optional) marks TOMBSTONES — a CDC delete:
+    * the key's open version closes at the tombstone's ts and no new
+    * version opens (the key has no current row until a later update
+    * re-adds it). Tombstones participate in the per-key chain — a
+    * value update AFTER a delete opens a fresh version even if its
+    * attributes equal the pre-delete value (the flag is part of the
+    * collapse tuple) — but emit no row themselves. A tombstone for a
+    * key with no open version is a no-op.
     */
   def merge(dim: DataFrame, updates: DataFrame, keys: Seq[String],
-            attrs: Seq[String], tsCol: String): DataFrame = {
+            attrs: Seq[String], tsCol: String,
+            deleteCol: Option[String] = None): DataFrame = {
     val keyCols = keys.map(col)
     val w = Window.partitionBy(keyCols: _*).orderBy(col(tsCol))
     val attrTuple = struct(attrs.map(col): _*)
+    val isDel = deleteCol
+      .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
+    // the collapse tuple carries the tombstone flag: a delete never
+    // collapses against a value row, and vice versa
+    val cmpTuple = struct((attrs.map(col) :+ col("__del")): _*)
 
-    // 1. collapse consecutive equal attribute tuples per key
+    // 1. collapse consecutive equal tuples per key
     //    (keep-first; <=> so null-valued attrs compare stably)
     val chained = updates
-      .withColumn("__prev", lag(attrTuple, 1).over(w))
-      .filter(!(col("__prev") <=> attrTuple))
+      .withColumn("__del", isDel)
+      .withColumn("__prev", lag(cmpTuple, 1).over(w))
+      .filter(!(col("__prev") <=> cmpTuple))
 
     val open = dim.filter(col("is_current"))
     val closed = dim.filter(!col("is_current"))
 
     // 2. collapse the first surviving update against the open version
+    //    (a tombstone never collapses — it must close the open row)
     val openAttrs = open.select((keyCols :+
       struct(attrs.map(col): _*).as("__cur")): _*)
     val surviving = chained
       .withColumn("__rn", row_number().over(w))
       .join(openAttrs, keys, "left")
-      .filter(col("__rn") =!= 1 || !(col("__cur") <=> attrTuple))
+      .filter(col("__rn") =!= 1 || col("__del") ||
+        !(col("__cur") <=> attrTuple))
 
-    // 3. re-chain the survivors: valid_from = ts, valid_to = lead(ts)
+    // 3. re-chain the survivors: valid_from = ts, valid_to = lead(ts);
+    //    tombstones bound their predecessor's interval but emit nothing
     val versions = surviving
       .withColumn("valid_from", col(tsCol).cast("date"))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w).cast("date"))
-      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("is_current", col("valid_to").isNull && !col("__del"))
 
-    // first NEW version per key closes the previously-open row
+    // first NEW survivor per key closes the previously-open row
+    // (a leading tombstone closes it too)
     val firstNew = versions
       .withColumn("__first", row_number().over(w))
       .filter(col("__first") === 1)
@@ -101,7 +122,7 @@ object Scd2 {
       Seq(col("valid_from"), col("valid_to"), col("is_current"))
     closed.select(out: _*)
       .unionByName(openMerged.select(out: _*))
-      .unionByName(versions.select(out: _*))
+      .unionByName(versions.filter(!col("__del")).select(out: _*))
   }
 
   /** Guard: reject (key, ts) collisions in an update batch — two

@@ -1467,4 +1467,33 @@ class OperatorEdgeSpec extends AnyFunSuite {
       .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
     assert(again == Seq(1L, 3L))
   }
+
+  test("Scd2 tombstones: delete closes without successor, re-add reopens same value, unknown-key no-op") {
+    val dim = operators.Scd2.init(
+      Seq((1L, "A"), (2L, "B")).toDF("k", "v"), Seq("k"), Seq("v"),
+      epoch = "2020-01-01")
+    val ups = Seq(
+      (1L, "2021-01-01", "A", true),  // tombstone closes the open A
+      (1L, "2021-02-01", "A", false), // re-add of the SAME value must reopen
+      (2L, "2021-03-01", null: String, true), // plain delete, no successor
+      (9L, "2021-04-01", null: String, true)  // unknown key: no-op
+    ).toDF("k", "ts", "v", "del").withColumn("ts", to_date(col("ts")))
+    val out = operators.Scd2.merge(dim, ups, Seq("k"), Seq("v"), "ts",
+        deleteCol = Some("del"))
+      .orderBy("k", "valid_from")
+      .select(col("k"), col("v"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, "A", "2020-01-01", Some("2021-01-01"), false),
+      (1L, "A", "2021-02-01", None, true),
+      (2L, "B", "2020-01-01", Some("2021-03-01"), false)), s"got $out")
+    // snapshot inside the deletion gap: key 1 absent, key 2 still open
+    val dim2 = operators.Scd2.merge(dim, ups, Seq("k"), Seq("v"), "ts",
+      deleteCol = Some("del"))
+    val mid = operators.Scd2.snapshotAt(dim2, "2021-01-15")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mid == Set((2L, "B")), s"got $mid")
+  }
 }
