@@ -1170,6 +1170,54 @@ object SparkEntry {
         .orderBy(col("cust"), col("valid_from"))
     }),
 
+    "q117_interval_merge" -> ((s, dir) => {
+      // interval union per user: each event opens a 10-minute activity
+      // horizon; overlapping/touching horizons collapse to maximal
+      // coverage islands. One shuffle total — the closing groupBy on
+      // (user, island) reuses the window's HashPartitioning(user)
+      // distribution (plan-gated: exactly one Exchange).
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+      operators.Intervals.mergeIntervals(iv, Seq("user_id"), "s", "e")
+        .select(col("user_id"), col("s").as("start_ts"),
+          col("e").as("end_ts"), col("n_rows").as("n_events"))
+        .orderBy(col("user_id"), col("start_ts"))
+    }),
+
+    "q118_ols_trend" -> ((s, dir) => {
+      // per-series drift detection: OLS of value on days-since-2024
+      // per event_type — one pass, map-side partials, no window/sort.
+      // Population moments ≡ SQL regr_slope/regr_intercept; r² = corr².
+      val x = (unix_micros(col("ts")) - lit(1704067200000000L)) /
+        lit(86400e6)
+      etl.Aggregates.olsTrend(Tables.events(s, dir), Seq("event_type"),
+          x, col("value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q121_welch_ttest" -> ((s, dir) =>
+      // the A/B readout: Welch t-test of value between even/odd user
+      // cohorts per event_type, conditional aggregates — one pass, no
+      // self-join of the arms.
+      etl.Aggregates.welchTTest(Tables.events(s, dir), Seq("event_type"),
+          col("user_id") % 2 === 0, col("value"))
+        .orderBy(col("event_type"))),
+
+    "q120_collocations" -> ((s, dir) =>
+      // phrase mining: PMI/NPMI of adjacent token pairs, bigrams built
+      // in-array (zero window), unigram model joined back BY TOKEN
+      text.Corpus.collocations(Tables.documents(s, dir), "doc_id", "text",
+          minCount = 5)
+        .orderBy(col("w1"), col("w2"))),
+
+    "q122_bigram_logprob" -> ((s, dir) =>
+      // the CCNet-style fluency filter, one order up from q97: add-1
+      // smoothed bigram LM score per doc, model = the corpus, joined by
+      // pair key — never broadcast
+      text.Corpus.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "q88_seasonal" -> ((s, dir) =>
       // additive seasonal decomposition of each event-type series:
       // trend / hour-of-day seasonal / residual — one keyed shuffle for
@@ -2848,6 +2896,99 @@ object SparkEntry {
         |  CAST(NULL AS DATE) AS valid_to, CAST(1 AS BIGINT) AS cur
         |FROM up
         |ORDER BY cust, valid_from""".stripMargin,
+
+    "q117_interval_merge" ->
+      // the same sweep: break where start exceeds the running max end
+      // of strictly-preceding rows, islands = running break count
+      """WITH iv AS (SELECT user_id, ts AS s,
+        |              ts + INTERVAL 10 MINUTE AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |        CASE WHEN s <= max(e) OVER (PARTITION BY user_id
+        |               ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             THEN 0 ELSE 1 END AS brk
+        |      FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM m)
+        |SELECT user_id, CAST(min(s) AS TIMESTAMP) AS start_ts,
+        |  CAST(max(e) AS TIMESTAMP) AS end_ts, count(*) AS n_events
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, start_ts""".stripMargin,
+
+    "q118_ols_trend" ->
+      // same population-moment formulas spelled out (≡ regr_slope /
+      // regr_intercept / regr_r2), x centered at 2024-01-01
+      """WITH t AS (SELECT event_type, value AS y,
+        |  (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x
+        |  FROM events)
+        |SELECT event_type,
+        |  roundStable(covar_pop(y, x) / var_pop(x), 6) AS slope,
+        |  roundStable(avg(y) - covar_pop(y, x) / var_pop(x) * avg(x), 6)
+        |    AS intercept,
+        |  roundStable(pow(corr(x, y), 2), 6) AS r2,
+        |  count(*) AS n
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q121_welch_ttest" ->
+      // conditional aggregates over the two arms; Welch–Satterthwaite df
+      """WITH t AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN value END AS a,
+        |    CASE WHEN user_id % 2 <> 0 THEN value END AS b
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    count(a) AS n_a, count(b) AS n_b,
+        |    avg(a) AS ma, avg(b) AS mb,
+        |    var_samp(a) / count(a) AS sa, var_samp(b) / count(b) AS sb
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  roundStable(ma - mb, 4) AS mean_diff,
+        |  roundStable((ma - mb) / sqrt(sa + sb), 4) AS t_stat,
+        |  roundStable(pow(sa + sb, 2) /
+        |    (pow(sa, 2) / (n_a - 1) + pow(sb, 2) / (n_b - 1)), 4) AS df,
+        |  CAST(abs((ma - mb) / sqrt(sa + sb)) > 1.96 AS BIGINT) AS significant
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q120_collocations" ->
+      // bigrams via list_zip of the two token-array slices (same
+      // in-array construction as the Spark side — no window)
+      """WITH tk AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+        |uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT sum(c) AS t FROM uni),
+        |d AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+        |bgz AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |        FROM d WHERE len(l) >= 2),
+        |bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM bgz),
+        |big AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+        |nb AS (SELECT CAST(sum(n) AS DOUBLE) AS b FROM big)
+        |SELECT big.w1, big.w2, big.n,
+        |  roundStable(ln(n / b / (u1.c / t) / (u2.c / t)), 6) AS pmi,
+        |  roundStable(ln(n / b / (u1.c / t) / (u2.c / t)) / -ln(n / b), 6)
+        |    AS npmi
+        |FROM big
+        |JOIN uni u1 ON big.w1 = u1.tok
+        |JOIN uni u2 ON big.w2 = u2.tok
+        |CROSS JOIN tot CROSS JOIN nb
+        |WHERE n >= 5
+        |ORDER BY w1, w2""".stripMargin,
+
+    "q122_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+        |      FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)),
+        |bgz AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |        FROM d WHERE len(l) >= 2),
+        |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+        |        FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY w1),
+        |lm AS (SELECT c12.w1, c12.w2, ln((c12 + 1.0) / (c1 + vocab)) AS lp
+        |       FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  roundStable(avg(lp), 6) AS mean_logprob
+        |FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
 
     "q85_weighted_sample" ->
       """WITH g AS (SELECT lang, count(*) AS n_docs,

@@ -324,4 +324,56 @@ object Aggregates {
         roundStable(expr(s"percentile($valueCol, 0.5)"), 6).as("median"),
         roundStable(expr(s"percentile($valueCol, 0.75)"), 6).as("q3"),
         count(lit(1)).as("n"))
+
+  /** Per-key ordinary-least-squares trend line of `yCol` on `xCol`:
+    * slope, intercept, r², n — the "is this metric drifting" primitive
+    * over arbitrarily many series at once. Population-moment
+    * definitions (slope = covar_pop/var_pop), matching SQL's
+    * `regr_slope`/`regr_intercept`/`regr_r2` exactly.
+    *
+    * Scale shape: `covar_pop`/`var_pop`/`corr`/`avg` are all
+    * DeclarativeAggregates — ONE pass, map-side partials, one shuffle
+    * on the key. No per-key sort, no window: a million series over
+    * 100 TB costs the same scan as a count.
+    */
+  def olsTrend(df: DataFrame, keys: Seq[String], xCol: Column, yCol: Column,
+               decimals: Int = 6): DataFrame = {
+    val slope = covar_pop(yCol, xCol) / var_pop(xCol)
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        roundStable(slope, decimals).as("slope"),
+        roundStable(avg(yCol) - slope * avg(xCol), decimals).as("intercept"),
+        roundStable(pow(corr(xCol, yCol), 2), decimals).as("r2"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Per-key Welch two-sample t-test between the rows where `isA` and
+    * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
+    * a 1/0 significance verdict at |t| > `critical` — the A/B readout
+    * as a single aggregation. Sample (n−1) moments, the textbook Welch
+    * form; groups with < 2 observations on either side yield null t.
+    *
+    * Same scale shape as [[olsTrend]]: conditional aggregates
+    * (`avg(when(isA, y))` …) keep it ONE pass / one shuffle — no
+    * self-join of the two arms, which is how a naive A/B query doubles
+    * its scan at 100 TB.
+    */
+  def welchTTest(df: DataFrame, keys: Seq[String], isA: Column, yCol: Column,
+                 critical: Double = 1.96, decimals: Int = 4): DataFrame = {
+    val a = when(isA, yCol)
+    val b = when(!isA, yCol)
+    val (na, nb) = (count(a), count(b))
+    val sa = var_samp(a) / na
+    val sb = var_samp(b) / nb
+    val t = (avg(a) - avg(b)) / sqrt(sa + sb)
+    val dfW = pow(sa + sb, 2) /
+      (pow(sa, 2) / (na - lit(1)) + pow(sb, 2) / (nb - lit(1)))
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        na.as("n_a"), nb.as("n_b"),
+        roundStable(avg(a) - avg(b), decimals).as("mean_diff"),
+        roundStable(t, decimals).as("t_stat"),
+        roundStable(dfW, decimals).as("df"),
+        (abs(t) > critical).cast("long").as("significant"))
+  }
 }

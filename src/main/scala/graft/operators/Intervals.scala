@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval union ("gaps and islands"): collapse a set of per-key
+  * [start, end] intervals into their maximal overlapping runs —
+  * coverage windows from raw event horizons, maintenance windows from
+  * overlapping tickets, downtime from alert spans.
+  *
+  * Intervals are CLOSED: a pair touching exactly end-to-start
+  * ([1,5],[5,9]) merges. An island breaks where a row's start exceeds
+  * the running max end of everything before it — the classic
+  * sort-based sweep, expressed as two keyed windows plus one
+  * aggregation.
+  *
+  * Scale shape: ONE shuffle total. Both windows partition by the key,
+  * and the closing groupBy on (key, island) reuses that distribution —
+  * `HashPartitioning(key)` satisfies the finer
+  * `ClusteredDistribution(key, island)`, so Catalyst plans NO second
+  * Exchange (spec-gated). Per-key data never collects to the driver
+  * and islands stream through the sort — 100 TB of events with a
+  * bounded per-key row count behaves like any keyed window.
+  */
+object Intervals {
+
+  /** Merge overlapping/touching [startCol, endCol] intervals per key.
+    * Returns keys ++ (start, end, n_rows) — one row per maximal island,
+    * with `n_rows` counting the source intervals it absorbed.
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], startCol: String,
+                     endCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isBreak = when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L)
+      .otherwise(0L)
+    val island = sum(isBreak)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__island", island)
+      .groupBy(keyCols :+ col("__island"): _*)
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_rows"))
+      .drop("__island")
+  }
+
+  /** The complement: the gaps BETWEEN a key's islands — each output row
+    * is a maximal uncovered span strictly inside the key's coverage
+    * range. Derived from [[mergeIntervals]]; still one shuffle.
+    */
+  def gaps(df: DataFrame, keys: Seq[String], startCol: String,
+           endCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(startCol))
+    mergeIntervals(df, keys, startCol, endCol)
+      .withColumn("__next_start", lead(col(startCol), 1).over(w))
+      .filter(col("__next_start").isNotNull)
+      .select(keyCols :+ col(endCol).as("gap_start") :+
+        col("__next_start").as("gap_end"): _*)
+  }
+
+  /** Total covered duration per key in `unit`-second units — the
+    * de-overlapped "time on site" / uptime metric that a naive
+    * sum(end - start) double-counts.
+    */
+  def coverage(df: DataFrame, keys: Seq[String], startCol: String,
+               endCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    mergeIntervals(df, keys, startCol, endCol)
+      .groupBy(keyCols: _*)
+      .agg(
+        sum(unix_micros(col(endCol)) - unix_micros(col(startCol)))
+          .as("covered_us"),
+        count(lit(1)).as("n_islands"),
+        sum(col("n_rows")).as("n_rows"))
+  }
+}

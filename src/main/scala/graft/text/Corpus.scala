@@ -618,4 +618,90 @@ object Corpus {
       }(Encoders.product[(String, Long, Long, Long, Long)])
       .toDF(partCol, idCol, "n_toks", "bin_id", "bin_fill")
   }
+
+  /** Adjacent-bigram rows (doc, w1, w2) — zero-shuffle: the pair list
+    * is built INSIDE the token array (`zip_with` over two slices), so
+    * no per-doc window/sort ever runs. Docs with < 2 tokens emit
+    * nothing.
+    */
+  private def bigramRows(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+  /** Collocation mining: PMI / NPMI of adjacent token pairs across the
+    * corpus — the classic "new york"-detector feeding tokenizer-merge
+    * and phrase-vocabulary decisions. p(w) over ALL tokens, p(w1,w2)
+    * over adjacent pairs; pairs below `minCount` are noise and dropped
+    * AFTER counting (their occurrences still shape the totals).
+    *
+    * Scale shape: bigrams are built in-array (no window), counts are
+    * keyed aggregations with map-side partials, and the unigram model
+    * joins back BY TOKEN — two keyed joins, nothing broadcast, no
+    * driver state beyond the two scalar totals.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5): DataFrame = {
+    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = uni.agg(sum(col("__c"))).head().getDouble(0)
+    val bg = bigramRows(docs, idCol, textCol)
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBigrams = big.agg(sum(col("n"))).head().getLong(0).toDouble
+    val p12 = col("n") / nBigrams
+    val pmi = log(p12 / (col("__c1") / total) / (col("__c2") / total))
+    val out = big
+      .filter(col("n") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("__c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("__c").as("__c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("n"),
+        roundStable(pmi, 6).as("pmi"),
+        roundStable(pmi / -log(p12), 6).as("npmi"))
+      .localCheckpoint()
+    big.unpersist(); uni.unpersist()
+    out
+  }
+
+  /** Add-k smoothed bigram language-model score per document: mean
+    * ln p(w2|w1) over the doc's adjacent pairs, the model trained on
+    * the corpus itself — one step up from [[unigramLogProb]] toward the
+    * CCNet-style perplexity filter. p(w2|w1) = (c(w1,w2)+k) /
+    * (c(w1·)+k·V), V = corpus vocabulary size.
+    *
+    * Same scale contract as [[unigramLogProb]]: the bigram table joins
+    * the corpus BY PAIR KEY and the predecessor counts BY TOKEN — a
+    * 100 TB corpus's model never broadcasts; only V and nothing else
+    * reaches the driver. Docs with < 2 tokens have no bigram and drop
+    * out (mirrors the oracle).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    k: Double = 1.0): DataFrame = {
+    val bg = bigramRows(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0).toDouble
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("__c12"))
+    val c1 = bg.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("__c1"))
+    val lm = c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        log((col("__c12") + k) / (col("__c1") + k * vocab)).as("__lp"))
+    val out = bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        roundStable(avg(col("__lp")), 6).as("mean_logprob"))
+      .localCheckpoint()
+    bg.unpersist()
+    out
+  }
 }

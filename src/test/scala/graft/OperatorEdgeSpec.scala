@@ -1496,4 +1496,76 @@ class OperatorEdgeSpec extends AnyFunSuite {
       .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(mid == Set((2L, "B")), s"got $mid")
   }
+
+  test("Intervals.mergeIntervals: touching merge, containment, chain through short bridge, per-key isolation") {
+    val df = Seq(
+      ("a", 1, 5), ("a", 5, 9),     // touching end-to-start → one island
+      ("a", 2, 3),                  // contained → absorbed, extends nothing
+      ("a", 20, 25), ("a", 21, 30), ("a", 29, 40), // overlap chain
+      ("a", 50, 51),                // singleton
+      ("b", 4, 6)                   // other key untouched by a's islands
+    ).toDF("k", "s", "e")
+    val out = operators.Intervals.mergeIntervals(df, Seq("k"), "s", "e")
+      .orderBy("k", "s")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("a", 1, 9, 3L), ("a", 20, 40, 3L), ("a", 50, 51, 1L),
+      ("b", 4, 6, 1L)), s"got $out")
+  }
+
+  test("olsTrend: exact line recovered; welchTTest matches the textbook Welch form") {
+    val line = Seq(("k", 0.0, 1.0), ("k", 1.0, 3.0), ("k", 2.0, 5.0), ("k", 3.0, 7.0))
+      .toDF("g", "x", "y")
+    val t = etl.Aggregates.olsTrend(line, Seq("g"), col("x"), col("y")).collect().head
+    assert((t.getDouble(1), t.getDouble(2), t.getDouble(3), t.getLong(4)) ==
+      ((2.0, 1.0, 1.0, 4L)))
+
+    // A = [1,2,3], B = [2,4,6,8]: t = -3/sqrt(2), Welch df ≈ 4.0755
+    val ab = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 2.0), (false, 4.0), (false, 6.0), (false, 8.0))
+      .toDF("isA", "y").withColumn("g", lit("k"))
+    val w = etl.Aggregates.welchTTest(ab, Seq("g"), col("isA"), col("y"))
+      .collect().head
+    assert((w.getLong(1), w.getLong(2)) == ((3L, 4L)))
+    assert(w.getDouble(3) == -3.0)
+    assert(math.abs(w.getDouble(4) - (-3.0 / math.sqrt(2.0))) < 5e-5)
+    assert(math.abs(w.getDouble(5) - 4.0755) < 5e-4)
+    assert(w.getLong(6) == 1L) // |t| = 2.12 > 1.96
+  }
+
+  test("collocations and bigramLogProb: counts and smoothed probabilities on a tiny corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1; B=5; unigrams a:3 b:3 c:1 z:1, T=8
+    val coll = text.Corpus.collocations(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(coll.length == 1)
+    val (w1, w2, n, pmi) = coll.head
+    val expPmi = math.log((3.0 / 5.0) / (3.0 / 8.0) / (3.0 / 8.0))
+    assert((w1, w2, n) == (("a", "b", 3L)) && math.abs(pmi - expPmi) < 1e-5)
+
+    // V=4; p(b|a) = (3+1)/(3+4) — doc 3 has no bigram and drops out
+    val lp = text.Corpus.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lp.map(x => (x._1, x._2)).toSeq == Seq((1L, 3L), (2L, 2L)))
+    val pAB = math.log(4.0 / 7.0)           // c12=3,c1(a)=3 → (3+1)/(3+4)
+    val pBA = math.log(2.0 / 6.0)           // c12=1,c1(b)=2 → (1+1)/(2+4)
+    val pBC = math.log(2.0 / 6.0)
+    assert(math.abs(lp(0)._3 - (2 * pAB + pBA) / 3.0) < 1e-5)
+    assert(math.abs(lp(1)._3 - (pAB + pBC) / 2.0) < 1e-5)
+  }
+
+  test("Intervals: gaps are the complement; coverage de-overlaps the sum") {
+    val df = Seq(("a", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+      ("a", "2024-01-01 00:30:00", "2024-01-01 01:30:00"), // overlap: naive sum 2h, covered 1.5h
+      ("a", "2024-01-01 03:00:00", "2024-01-01 03:30:00"))
+      .toDF("k", "s", "e")
+      .select(col("k"), col("s").cast("timestamp"), col("e").cast("timestamp"))
+    val g = operators.Intervals.gaps(df, Seq("k"), "s", "e")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString)).toSeq
+    assert(g == Seq(("2024-01-01 01:30:00.0", "2024-01-01 03:00:00.0")), s"got $g")
+    val c = operators.Intervals.coverage(df, Seq("k"), "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(c == ((5400000000L + 1800000000L, 2L, 3L)), s"got $c")
+  }
 }

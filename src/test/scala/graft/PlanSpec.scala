@@ -373,6 +373,13 @@ class PlanSpec extends AnyFunSuite {
     // re-partitions a table-sized input
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.functions.col
+    // the in-memory metastore forgets tables between JVMs but their
+    // warehouse dirs survive — clear them so saveAsTable can recreate
+    for (t <- Seq("diff_a", "diff_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
     val o = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
     sources.Io.writeBucketed(o, "diff_a", "o_orderkey", 4)
@@ -418,5 +425,20 @@ class PlanSpec extends AnyFunSuite {
     assert(compScan.optionalBucketSet.exists(_.cardinality() < 4),
       s"In(comp) must bucket-prune the comp-bucketed log " +
         s"(selected=${compScan.optionalBucketSet.map(_.cardinality())})")
+  }
+
+  test("Intervals.mergeIntervals: ONE shuffle — closing groupBy reuses the window's key distribution") {
+    // HashPartitioning(user_id) satisfies ClusteredDistribution(user_id,
+    // __island), so the island aggregation must NOT add an Exchange on
+    // top of the window's: a second shuffle here would double the
+    // network cost of every 100 TB coverage query.
+    import org.apache.spark.sql.functions.{col, expr}
+    val iv = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+    val merged = operators.Intervals.mergeIntervals(iv, Seq("user_id"), "s", "e")
+    val p = merged.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one Exchange:\n$p")
   }
 }
