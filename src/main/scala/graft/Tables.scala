@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Lazy table loaders for a scale-factor directory of parquet tables.
   *
@@ -22,16 +22,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 only reads via
-    * `spark.sql.legacy.parquet.nanosAsLong` (set in every session we
-    * build) — convert the raw nanos back to a microsecond timestamp here
-    * with integer division (ns magnitudes overflow double math).
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations; normalize BOTH to session-local `TimestampType` so
+    * every downstream query (`unix_micros`, interval arithmetic, range
+    * joins) sees one type:
+    *
+    *  - TIMESTAMP(NANOS) parquet, which Spark 4 only reads via
+    *    `spark.sql.legacy.parquet.nanosAsLong` (set in every session we
+    *    build) — surfaces as `LongType`; convert the raw nanos back to a
+    *    microsecond timestamp with integer division (ns magnitudes
+    *    overflow double math).
+    *  - naive `timestamp[us]` parquet (isAdjustedToUTC=false) — surfaces
+    *    as `TimestampNTZType`, which Spark 4 rejects in `unix_micros` et
+    *    al; cast to `TimestampType`. The session timezone is pinned UTC
+    *    ([[Sessions.local]]), so the cast re-interprets the naive value
+    *    as the identical UTC instant — bit-for-bit the same micros.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

@@ -21,7 +21,15 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A broken query must NEVER vanish from the artifact: leave an
+        // empty result dir plus an _ERROR marker so the downstream
+        // compare yields a failing row (row-count mismatch / flagged
+        // marker) instead of silently omitting the query.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = Paths.get(s"$outDir/$name")
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_ERROR"),
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
       }
       // checkpoint blocks from dedup/CC queries die with their query — a
       // 65-query run must not accumulate storage-memory pressure

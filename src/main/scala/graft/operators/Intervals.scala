@@ -68,11 +68,14 @@ object Intervals {
   def coverage(df: DataFrame, keys: Seq[String], startCol: String,
                endCol: String): DataFrame = {
     val keyCols = keys.map(col)
+    // cast("timestamp") is a no-op on TimestampType and re-anchors
+    // TIMESTAMP_NTZ in the session zone — `unix_micros` rejects NTZ
+    // input outright in Spark 4, and callers legitimately hold either.
+    def us(c: String) = unix_micros(col(c).cast("timestamp"))
     mergeIntervals(df, keys, startCol, endCol)
       .groupBy(keyCols: _*)
       .agg(
-        sum(unix_micros(col(endCol)) - unix_micros(col(startCol)))
-          .as("covered_us"),
+        sum(us(endCol) - us(startCol)).as("covered_us"),
         count(lit(1)).as("n_islands"),
         sum(col("n_rows")).as("n_rows"))
   }

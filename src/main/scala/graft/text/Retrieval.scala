@@ -38,9 +38,12 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75,
                scoreDigits: Int = 6): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val docToks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("tok"),
-      size(tokens(col(textCol))).cast("long").as("dl"))
+    // tokenize ONCE per doc and derive both the explode and the length
+    // from the same array column — never re-run the regex per projection
+    val docToks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("tok"),
+        size(col("__toks")).cast("long").as("dl"))
     // exact integer corpus stats; doubles only appear at the divides, so
     // the oracle's floating-point sequence is identical
     val stats = docs.agg(count(lit(1)).as("n_docs"),

@@ -42,6 +42,11 @@ def main(sf_dir, out_dir):
         d = f"{out_dir}/{name}"
         if not os.path.isdir(d):
             continue
+        if os.path.exists(f"{d}/_ERROR"):
+            msg = open(f"{d}/_ERROR").read().strip().splitlines()
+            print(f"  {name}: QUERY ERROR: {msg[0] if msg else '?'}")
+            n_fail += 1
+            continue
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
