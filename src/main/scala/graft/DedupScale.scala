@@ -266,6 +266,27 @@ object DedupScale {
       println(f"[prscale]    edges=${2 * cs.count() * r}%9d nodes=$nodes%8d  iters=10  ${secs}%8.2f s")
     }
 
+    // Triangle census over R disjoint copies of the supplier
+    // co-purchase graph: wedge volume (and so runtime) must scale
+    // LINEARLY in R — degree orientation bounds each vertex's wedge
+    // fan-out, so disjoint replication cannot super-linearize the join.
+    val spg = {
+      val sp = li.filter(col("l_quantity") > 45)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      sp.as("r1").join(sp.as("r2"),
+          col("r1.pk") === col("r2.pk") && col("r1.sk") < col("r2.sk"))
+        .select(col("r1.sk").as("src"), col("r2.sk").as("dst"))
+    }
+    for (r <- Seq(1, 4)) {
+      val edges = spg.crossJoin(spark.range(r))
+        .select((col("src") * r + col("id")).as("src"),
+          (col("dst") * r + col("id")).as("dst"))
+      val t0 = System.nanoTime()
+      val row = operators.Triangles.census(edges, "src", "dst").collect().head
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[triscale]   nodes=${row.getLong(0)}%8d edges=${row.getLong(1)}%9d wedges=${row.getLong(2)}%10d triangles=${row.getLong(3)}%10d  ${secs}%8.2f s")
+    }
+
     // BM25 with a 50-query batch over an R×-replicated corpus: the
     // corpus side scans once; query-term restriction keeps the tf/df
     // aggregation on the matched sliver.

@@ -56,6 +56,30 @@ object SparkEntry {
     * Determinism is unchanged: the trainers are partition-independent
     * (spec'd), so the memoized model equals a fresh fit.
     */
+  /** Supplier co-purchasing graph for the triangle queries: an edge per
+    * supplier pair sharing a part in lineitem, restricted to high-volume
+    * line items — shared-part graphs are near-complete unrestricted, and
+    * the cut keeps wedge volume bench-sane at sf0.1 while leaving a rich
+    * triangle structure. Src < dst by construction.
+    */
+  private def supplierGraph(s: SparkSession, dir: String): DataFrame = {
+    // the l_quantity cut keeps the co-purchasing graph SPARSE (~16%
+    // density at sf0.1 vs near-complete without it) — a complete graph
+    // makes triangle counting degenerate and the wedge join needlessly
+    // heavy. The supplier join exists to keep the graph surface honest
+    // (suppliers are the declared node domain even when every l_suppkey
+    // resolves).
+    val sp = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45)
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+    sp.as("r1").join(sp.as("r2"),
+        col("r1.pk") === col("r2.pk") && col("r1.sk") < col("r2.sk"))
+      .select(col("r1.sk").as("src"), col("r2.sk").as("dst"))
+  }
+
   private val memoDone = scala.collection.mutable.HashMap.empty[String, Any]
   private def memoOnce[T](key: String)(body: => T): T = synchronized {
     memoDone.getOrElseUpdate(key, body).asInstanceOf[T]
@@ -1184,6 +1208,69 @@ object SparkEntry {
           col("e").as("end_ts"), col("n_rows").as("n_events"))
         .orderBy(col("user_id"), col("start_ts"))
     }),
+
+    "q123_interval_gaps" -> ((s, dir) => {
+      // the complement of q117: maximal UNCOVERED spans strictly inside
+      // each user's activity range — the downtime report. Derived from
+      // the same one-shuffle island sweep + one more keyed window.
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+      operators.Intervals.gaps(iv, Seq("user_id"), "s", "e")
+        .orderBy(col("user_id"), col("gap_start"))
+    }),
+
+    "q124_interval_coverage" -> ((s, dir) => {
+      // de-overlapped covered duration per user — the uptime metric a
+      // naive sum(e − s) double-counts wherever horizons overlap.
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+      operators.Intervals.coverage(iv, Seq("user_id"), "s", "e")
+        .orderBy(col("user_id"))
+    }),
+
+    "q125_psi_drift" -> ((s, dir) =>
+      // binned feature-drift monitor: PSI of value per event_type,
+      // reference = first half of the month, bins fixed from the
+      // reference range (current-side outliers clamp into edge bins)
+      etl.Drift.psi(Tables.events(s, dir), Seq("event_type"), "value",
+          isRef = dayofmonth(col("ts")) <= 15, bins = 10)
+        .orderBy(col("event_type"))),
+
+    "q126_ks_drift" -> ((s, dir) =>
+      // distribution-shape drift: exact two-sample KS statistic of value
+      // per event_type between the same two month halves — catches shape
+      // changes PSI's 10 bins smooth over
+      etl.Drift.ksTest(Tables.events(s, dir), Seq("event_type"), "value",
+          isA = dayofmonth(col("ts")) <= 15)
+        .orderBy(col("event_type"))),
+
+    "q127_token_entropy" -> ((s, dir) =>
+      // lexical-diversity quality axis: per-doc type-token ratio +
+      // unigram Shannon entropy — spam/boilerplate sits low on both
+      text.Corpus.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q128_quantile_bins" -> ((s, dir) =>
+      // exact equal-frequency discretization fit: 10 ntile bins of value
+      // per event_type with deterministic (value, event_id) tiebreak
+      etl.Features.quantileBins(Tables.events(s, dir), Seq("event_type"),
+          "value", "event_id", nBins = 10)
+        .orderBy(col("event_type"), col("bin"))),
+
+    "q129_triangles" -> ((s, dir) =>
+      // graph cohesion over the supplier co-purchasing graph (suppliers
+      // sharing a high-volume part; the quantity cut keeps edge density
+      // bench-sane — the unrestricted shared-part graph is near-complete):
+      // global triangle census via degree-oriented wedge enumeration
+      operators.Triangles.census(supplierGraph(s, dir), "src", "dst")),
+
+    "q130_clustering_coef" -> ((s, dir) =>
+      // the node-level view: per-supplier triangle participation and
+      // local clustering coefficient over the same graph
+      operators.Triangles.perVertex(supplierGraph(s, dir), "src", "dst")
+        .orderBy(col("v"))),
 
     "q118_ols_trend" -> ((s, dir) => {
       // per-series drift detection: OLS of value on days-since-2024
@@ -2916,6 +3003,190 @@ object SparkEntry {
         |  CAST(max(e) AS TIMESTAMP) AS end_ts, count(*) AS n_events
         |FROM g GROUP BY user_id, island
         |ORDER BY user_id, start_ts""".stripMargin,
+
+    "q123_interval_gaps" ->
+      // islands first (identical sweep), then each island's end pairs
+      // with the NEXT island's start per user
+      """WITH iv AS (SELECT user_id, ts AS s,
+        |              ts + INTERVAL 10 MINUTE AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |        CASE WHEN s <= max(e) OVER (PARTITION BY user_id
+        |               ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             THEN 0 ELSE 1 END AS brk
+        |      FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM m),
+        |isl AS (SELECT user_id, min(s) AS s, max(e) AS e
+        |        FROM g GROUP BY user_id, island),
+        |nx AS (SELECT user_id, CAST(e AS TIMESTAMP) AS gap_start,
+        |         CAST(lead(s) OVER (PARTITION BY user_id ORDER BY s)
+        |           AS TIMESTAMP) AS gap_end
+        |       FROM isl)
+        |SELECT * FROM nx WHERE gap_end IS NOT NULL
+        |ORDER BY user_id, gap_start""".stripMargin,
+
+    "q124_interval_coverage" ->
+      // sum of de-overlapped island spans in microseconds; BIGINT casts
+      // because DuckDB widens integer sums to HUGEINT
+      """WITH iv AS (SELECT user_id, ts AS s,
+        |              ts + INTERVAL 10 MINUTE AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |        CASE WHEN s <= max(e) OVER (PARTITION BY user_id
+        |               ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             THEN 0 ELSE 1 END AS brk
+        |      FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM m),
+        |isl AS (SELECT user_id, min(s) AS s, max(e) AS e,
+        |          count(*) AS n FROM g GROUP BY user_id, island)
+        |SELECT user_id,
+        |  CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT) AS covered_us,
+        |  count(*) AS n_islands, CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q125_psi_drift" ->
+      // identical binning: ref-side [lo, hi] fixes 10 equal-width bins,
+      // both sides clamp in, add-half smoothing (0.5·bins = 5.0)
+      """WITH t AS (SELECT event_type, value,
+        |             (day(ts) <= 15) AS ref FROM events),
+        |r AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |      FROM t WHERE ref GROUP BY event_type),
+        |b AS (SELECT t.event_type,
+        |        CAST(least(greatest(CASE WHEN hi - lo <= 0 THEN 0
+        |          ELSE floor((value - lo) / (hi - lo) * 10) END, 0), 9)
+        |          AS BIGINT) AS bin,
+        |        ref
+        |      FROM t JOIN r ON t.event_type = r.event_type),
+        |c AS (SELECT event_type, bin,
+        |        sum(CASE WHEN ref THEN 1 ELSE 0 END) AS rc,
+        |        sum(CASE WHEN ref THEN 0 ELSE 1 END) AS cc
+        |      FROM b GROUP BY event_type, bin),
+        |w AS (SELECT event_type, rc, cc,
+        |        sum(rc) OVER (PARTITION BY event_type) AS nr,
+        |        sum(cc) OVER (PARTITION BY event_type) AS nc
+        |      FROM c)
+        |SELECT event_type,
+        |  roundStable(sum(((rc + 0.5) / (nr + 5.0) - (cc + 0.5) / (nc + 5.0))
+        |    * ln(((rc + 0.5) / (nr + 5.0)) / ((cc + 0.5) / (nc + 5.0)))), 6)
+        |    AS psi,
+        |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q126_ks_drift" ->
+      // exact two-sample KS: group by value first (tie handling), then
+      // cumulative ECDFs per key and the max absolute gap
+      """WITH c AS (SELECT event_type, value AS v,
+        |        sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS cb
+        |      FROM events GROUP BY event_type, value),
+        |w AS (SELECT event_type,
+        |        sum(ca) OVER (PARTITION BY event_type ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS cua,
+        |        sum(cb) OVER (PARTITION BY event_type ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS cub,
+        |        sum(ca) OVER (PARTITION BY event_type) AS na,
+        |        sum(cb) OVER (PARTITION BY event_type) AS nb
+        |      FROM c)
+        |SELECT event_type,
+        |  roundStable(max(abs(CAST(cua AS DOUBLE) / na
+        |    - CAST(cub AS DOUBLE) / nb)), 6) AS ks_d,
+        |  roundStable(max(abs(CAST(cua AS DOUBLE) / na
+        |      - CAST(cub AS DOUBLE) / nb))
+        |    * sqrt(CAST(max(na) AS DOUBLE) * max(nb)
+        |        / (max(na) + max(nb))), 6) AS ks_scaled,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q127_token_entropy" ->
+      // H = ln L − (Σ c·ln c)/L over each doc's own token counts
+      """WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        |      FROM t GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  roundStable(count(*) / sum(c), 6) AS ttr,
+        |  roundStable(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q128_quantile_bins" ->
+      // ntile remainder semantics are standard SQL on both engines; the
+      // (value, event_id) tiebreak pins every row's bucket
+      """WITH t AS (SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS bin
+        |  FROM events)
+        |SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM t GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+
+    "q129_triangles" ->
+      // identical degree-(deg, id) orientation so n_wedges (an
+      // orientation-dependent quantity) matches, not just the
+      // orientation-invariant triangle count
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT r1.sk AS a, r2.sk AS b
+        |      FROM sp r1 JOIN sp r2 ON r1.pk = r2.pk AND r1.sk < r2.sk),
+        |deg AS (SELECT v, count(*) AS deg FROM
+        |          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t
+        |        GROUP BY v),
+        |o AS (SELECT CASE WHEN da.deg < db.deg
+        |               OR (da.deg = db.deg AND e.a < e.b)
+        |             THEN e.a ELSE e.b END AS u,
+        |             CASE WHEN da.deg < db.deg
+        |               OR (da.deg = db.deg AND e.a < e.b)
+        |             THEN e.b ELSE e.a END AS w
+        |      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        |wed AS (SELECT x.u, x.w AS p, y.w AS q
+        |        FROM o x JOIN o y ON x.u = y.u AND x.w < y.w),
+        |cc AS (SELECT least(u, w) AS p, greatest(u, w) AS q FROM o)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM wed) AS n_wedges,
+        |  (SELECT count(*) FROM wed JOIN cc USING (p, q)) AS n_triangles""".stripMargin,
+
+    "q130_clustering_coef" ->
+      // triangle corners explode back out; every triangle credits all
+      // three vertices; coefficient = 2T / deg(deg−1)
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT r1.sk AS a, r2.sk AS b
+        |      FROM sp r1 JOIN sp r2 ON r1.pk = r2.pk AND r1.sk < r2.sk),
+        |deg AS (SELECT v, count(*) AS deg FROM
+        |          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t
+        |        GROUP BY v),
+        |o AS (SELECT CASE WHEN da.deg < db.deg
+        |               OR (da.deg = db.deg AND e.a < e.b)
+        |             THEN e.a ELSE e.b END AS u,
+        |             CASE WHEN da.deg < db.deg
+        |               OR (da.deg = db.deg AND e.a < e.b)
+        |             THEN e.b ELSE e.a END AS w
+        |      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        |wed AS (SELECT x.u, x.w AS p, y.w AS q
+        |        FROM o x JOIN o y ON x.u = y.u AND x.w < y.w),
+        |cc AS (SELECT least(u, w) AS p, greatest(u, w) AS q FROM o),
+        |tri AS (SELECT u, p, q FROM wed JOIN cc USING (p, q)),
+        |pv AS (SELECT v, count(*) AS n_triangles FROM
+        |         (SELECT u AS v FROM tri UNION ALL SELECT p FROM tri
+        |          UNION ALL SELECT q FROM tri) t
+        |       GROUP BY v)
+        |SELECT deg.v, deg.deg,
+        |  CAST(coalesce(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  roundStable(CASE WHEN deg.deg >= 2
+        |    THEN 2.0 * coalesce(pv.n_triangles, 0)
+        |      / (deg.deg * (deg.deg - 1)) ELSE 0.0 END, 6)
+        |    AS clustering_coef
+        |FROM deg LEFT JOIN pv ON pv.v = deg.v ORDER BY deg.v""".stripMargin,
 
     "q118_ols_trend" ->
       // same population-moment formulas spelled out (≡ regr_slope /

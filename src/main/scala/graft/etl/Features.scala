@@ -61,4 +61,24 @@ object Features {
     */
   def compositeIndex(terms: Seq[(Column, Double, Double)]): Column =
     terms.map { case (c, norm, w) => (c / lit(norm)) * lit(w) }.reduce(_ + _)
+
+  /** Exact equal-frequency discretization (the QuantileDiscretizer-style
+    * feature-prep fit, but deterministic): per key, rank rows into
+    * `nBins` ntile buckets on `(value, tieCol)` — the tiebreak makes the
+    * bucketing reproducible across engines and partitionings — and
+    * return the per-bin summary (count + value range) a model-training
+    * pipeline bakes into its feature map. One keyed window shuffle; the
+    * closing (key, bin) agg reuses the window's key partitioning.
+    */
+  def quantileBins(df: DataFrame, keys: Seq[String], valueCol: String,
+                   tieCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val keyCols = keys.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col(valueCol), col(tieCol))
+    df.withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy(keyCols :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

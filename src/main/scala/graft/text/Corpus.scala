@@ -592,6 +592,32 @@ object Corpus {
     out
   }
 
+  /** Lexical-diversity stats per document: token count, type count,
+    * type-token ratio, and unigram Shannon entropy (nats) of the doc's
+    * own token distribution. Keyword-stuffed spam and template boiler-
+    * plate sit low on both TTR and entropy; natural prose sits high —
+    * a standard quality-filter axis next to [[unigramLogProb]]'s
+    * corpus-level fluency (this one needs no model: each doc is scored
+    * against itself, so the pass is fully parallel).
+    *
+    * Entropy via the log-sum identity `H = ln L − (Σ c·ln c)/L` — one
+    * (doc, token) count agg then one per-doc agg, both keyed shuffles;
+    * nothing corpus-global anywhere.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        roundStable(count(lit(1)) / sum(col("__c")), 6).as("ttr"),
+        roundStable(
+          log(sum(col("__c"))) - sum(col("__c") * log(col("__c"))) / sum(col("__c")),
+          6).as("entropy"))
+
   def packGreedy(docs: DataFrame, partCol: String, idCol: String,
                  textCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"need capacity > 0, got $capacity")

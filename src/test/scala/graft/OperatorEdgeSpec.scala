@@ -1568,4 +1568,73 @@ class OperatorEdgeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
     assert(c == ((5400000000L + 1800000000L, 2L, 3L)), s"got $c")
   }
+
+  test("Triangles: hand graph — K4 minus an edge has 2 triangles; pendant untouched") {
+    // vertices 1-2-3-4 with edges 12,13,14,23,24 (K4 minus 34) + pendant 5-1;
+    // triangles {1,2,3} and {1,2,4}. Duplicates/reversed rows must not
+    // double-count; self-loop dropped.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (5L, 1L), (3L, 3L)).toDF("src", "dst")
+    val g = operators.Triangles.census(edges, "src", "dst").collect().head
+    assert((g.getLong(0), g.getLong(1), g.getLong(3)) == ((5L, 6L, 2L)),
+      s"got $g")
+    val pv = operators.Triangles.perVertex(edges, "src", "dst")
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // vertex 1: deg 4 (2,3,4,5), in both triangles; 2: deg 3, both;
+    // 3/4: deg 2, one each; 5: deg 1, none
+    assert(pv == Seq((1L, 4L, 2L), (2L, 3L, 2L), (3L, 2L, 1L),
+      (4L, 2L, 1L), (5L, 1L, 0L)), s"got $pv")
+    // clustering coefficients: v3 closed wedge → 1.0; v1 2/(4·3/2) = 1/3
+    // (roundStable'd to 6 digits)
+    val cc = operators.Triangles.perVertex(edges, "src", "dst")
+      .orderBy("v").collect().map(_.getDouble(3)).toSeq
+    assert(cc(0) == 0.333333 && cc(2) == 1.0 && cc(4) == 0.0, s"got $cc")
+  }
+
+  test("Drift.psi: identical windows score ~0; a shifted current window scores high") {
+    val ref = (1 to 200).map(i => ("k", i % 10 + 0.0, true))
+    val same = (1 to 200).map(i => ("k", i % 10 + 0.0, false))
+    val shifted = (1 to 200).map(i => ("k", i % 10 + 20.0, false))
+    val stable = etl.Drift.psi((ref ++ same).toDF("k", "v", "ref"),
+      Seq("k"), "v", col("ref"), bins = 10).collect().head.getDouble(1)
+    assert(math.abs(stable) < 0.01, s"identical windows psi=$stable")
+    val drifted = etl.Drift.psi((ref ++ shifted).toDF("k", "v", "ref"),
+      Seq("k"), "v", col("ref"), bins = 10).collect().head.getDouble(1)
+    // everything clamps into the top edge bin → mass imbalance dominates
+    assert(drifted > 1.0, s"shifted window psi=$drifted")
+  }
+
+  test("Drift.ksTest: same distribution D=0; disjoint supports D=1") {
+    val a = (1 to 100).map(i => ("k", i + 0.0, true))
+    val b = (1 to 100).map(i => ("k", i + 0.0, false))
+    val d0 = etl.Drift.ksTest((a ++ b).toDF("k", "v", "isa"),
+      Seq("k"), "v", col("isa")).collect().head.getDouble(1)
+    assert(d0 == 0.0)
+    val c = (1 to 100).map(i => ("k", i + 1000.0, false))
+    val d1 = etl.Drift.ksTest((a ++ c).toDF("k", "v", "isa"),
+      Seq("k"), "v", col("isa")).collect().head.getDouble(1)
+    assert(d1 == 1.0)
+  }
+
+  test("tokenEntropy: uniform tokens maximize entropy; repetition drops TTR and entropy") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val out = text.Corpus.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out(0) == ((4L, 4L, 1.0, math.floor(math.log(4.0) * 1e6 + 0.5) / 1e6)))
+    assert(out(1) == ((4L, 1L, 0.25, 0.0)))
+    assert(out(2)._4 == math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("quantileBins: exact equal-frequency split with remainder to the first bins") {
+    val df = (1 to 23).map(i => ("k", i + 0.0, i.toLong)).toDF("k", "v", "id")
+    val out = etl.Features.quantileBins(df, Seq("k"), "v", "id", nBins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // 23 rows / 4 bins → sizes 6,6,6,5 (ntile remainder-first)
+    assert(out.map(_._2).toSeq == Seq(6L, 6L, 6L, 5L))
+    assert(out(0)._3 == 1.0 && out(3)._4 == 23.0)
+  }
 }

@@ -950,4 +950,34 @@ class PipelineSpec extends AnyFunSuite {
     assert((ids(s"$tmp/clean"), ids(s"$tmp/bad")) == before,
       "replay must leave both landings unchanged")
   }
+
+  test("DriftStream: frozen reference bins score each batch; shifted batch alarms; replay overwrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_driftstream").toString
+    // reference: uniform 0-9 per key
+    val ref = (1 to 200).map(i => ("k", (i % 10).toDouble)).toDF("k", "v")
+    val r = streaming.DriftStream.buildReference(ref, Seq("k"), "v", bins = 10)
+    val mem = MemoryStream[(String, Double)]
+    val q = streaming.DriftStream.toDriftSink(mem.toDF().toDF("k", "v"),
+      "v", r, s"$tmp/mon", s"$tmp/ck").start()
+    mem.addData((1 to 100).map(i => ("k", (i % 10).toDouble)): _*)
+    q.processAllAvailable()
+    mem.addData((1 to 100).map(i => ("k", (i % 10) + 50.0)): _*)
+    q.processAllAvailable(); q.stop()
+    val mon = spark.read.parquet(s"$tmp/mon")
+      .select("batch_id", "psi", "n_ref", "n_cur").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(mon.keySet == Set(0L, 1L))
+    assert(mon(0L)._1 < 0.05, s"matching batch must score ~0: ${mon(0L)}")
+    assert(mon(1L)._1 > 1.0, s"shifted batch must alarm: ${mon(1L)}")
+    assert(mon(0L)._2 == 200L && mon(0L)._3 == 100L)
+    // at-least-once replay: re-scoring batch 1 overwrites byte-identically
+    val bytesBefore = spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq
+    streaming.DriftStream.driftBatch(r,
+      (1 to 100).map(i => ("k", (i % 10) + 50.0)).toDF("k", "v"),
+      1L, "v", s"$tmp/mon")
+    assert(spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq == bytesBefore)
+  }
 }

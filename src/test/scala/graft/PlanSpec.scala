@@ -441,4 +441,40 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected exactly one Exchange:\n$p")
   }
+
+  test("Intervals.gaps / coverage: derived surfaces add NO second shuffle") {
+    // everything after mergeIntervals partitions by the same key, so the
+    // gap window and the coverage groupBy must ride the island sweep's
+    // HashPartitioning(user_id) — a second Exchange would re-shuffle the
+    // (already reduced) island rows for nothing.
+    import org.apache.spark.sql.functions.{col, expr}
+    val iv = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+    for (df <- Seq(operators.Intervals.gaps(iv, Seq("user_id"), "s", "e"),
+        operators.Intervals.coverage(iv, Seq("user_id"), "s", "e"))) {
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"expected exactly one Exchange:\n$p")
+    }
+  }
+
+  test("Drift: corpus-scale aggs reduce BEFORE the per-key windows") {
+    // ksTest's first shuffle keys on (key, value) — fine-grained, skew-
+    // free reduction of the raw rows; only the reduced distinct-value
+    // rows re-shuffle to the per-key windows. The window input must be
+    // an Aggregate, never the raw scan (a window directly over the
+    // corpus would funnel every row of a key through one task at scale).
+    import org.apache.spark.sql.functions.col
+    val ks = etl.Drift.ksTest(Tables.events(spark, sfDir),
+      Seq("event_type"), "value", col("user_id") % 2 === 0)
+    val plan = ks.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    for (w <- windows)
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, s"window must sit above the reducing aggregate:\n$plan")
+  }
 }
