@@ -35,7 +35,8 @@ object MinHashTriage {
     // buckets is the quadratic cliff signature
     val buckets = banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
       .persist()
-    val candVolume = buckets.agg(sum(col("n") * (col("n") - 1) / 2))
+    val candVolume = buckets
+      .agg(sum((col("n") * (col("n") - 1) / 2).cast("long")))
       .collect()(0).getLong(0)
     val top = buckets.orderBy(col("n").desc).limit(10)
       .collect().map(_.getLong(2)).mkString(",")

@@ -1272,6 +1272,143 @@ object SparkEntry {
       operators.Triangles.perVertex(supplierGraph(s, dir), "src", "dst")
         .orderBy(col("v"))),
 
+    "q131_chi2_indep" -> ((s, dir) =>
+      // is the language mix independent of the source? chi-square of
+      // the lang × source contingency + Cramér's V effect size — one
+      // O(r·c) cell agg, marginals ride windows over the cells
+      etl.Drift.chiSquareIndep(Tables.documents(s, dir), "source", "lang")),
+
+    "q132_mannwhitney" -> ((s, dir) =>
+      // rank-based two-sample drift test per event_type between the
+      // month halves — the no-normality-assumption sibling of q121;
+      // exact average-rank ties + tie-corrected normal approximation
+      etl.Aggregates.mannWhitneyU(Tables.events(s, dir), Seq("event_type"),
+          isA = dayofmonth(col("ts")) <= 15, col("value"))
+        .orderBy(col("event_type"))),
+
+    "q133_benford" -> ((s, dir) =>
+      // fabricated-data screen: chi-square distance of each event
+      // type's first-significant-digit histogram to the Benford
+      // expectation (absent digits contribute their expected mass)
+      etl.Drift.benford(Tables.events(s, dir), Seq("event_type"), "value")
+        .orderBy(col("event_type"))),
+
+    "q134_zipf_slope" -> ((s, dir) =>
+      // corpus-health check: OLS slope of ln(freq) on ln(rank) over
+      // each source's token frequency table (natural text ≈ −1)
+      text.Corpus.zipfSlope(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))),
+
+    "q135_containment" -> ((s, dir) =>
+      // asymmetric near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 catches a doc
+      // quoted inside a longer one where Jaccard stays tiny — candidate
+      // pairs from the shared-shingle index, exact merge-scan verify
+      dedup.NGramJaccard.containmentPairs(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          "doc_id", "text", n = 3, minContainment = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          graft.functions.roundStable(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q136_mad_outliers" -> ((s, dir) =>
+      // robust outlier flags: |v − median| > 3.5·1.4826·MAD per event
+      // type — the 50%-breakdown twin of q04's IQR fence
+      etl.Clean.madOutliers(Tables.events(s, dir)
+            .select("event_id", "event_type", "value"),
+          Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          graft.functions.roundStable(col("med"), 6).as("med"),
+          graft.functions.roundStable(col("mad"), 6).as("mad"),
+          col("is_outlier"), col("robust_z"))
+        .orderBy(col("event_id"))),
+
+    "q137_kcore" -> ((s, dir) =>
+      // dense-community filter: 4-core of the supplier co-purchasing
+      // graph by iterative peeling (≤ 6 rounds, early-stopped at the
+      // fixpoint — the oracle unrolls the same 6 peels)
+      operators.KCore.core(supplierGraph(s, dir), "src", "dst",
+          k = 4, maxPeels = 6)
+        .orderBy(col("v"))),
+
+    "q139_acf" -> ((s, dir) =>
+      // periodicity/persistence readout: autocorrelation of value at
+      // lags 1-3 per event_type over the (ts, event_id)-ordered series —
+      // one keyed window builds all lag columns
+      etl.Aggregates.acf(Tables.events(s, dir), Seq("event_type"),
+          col("ts"), col("event_id"), col("value"), lags = Seq(1, 2, 3))
+        .orderBy(col("event_type"))),
+
+    "q140_transitions" -> ((s, dir) =>
+      // first-order Markov structure of user behavior: observed
+      // event-type transition counts + row-normalized P(next | state)
+      operators.Sequences.transitionMatrix(Tables.events(s, dir),
+          "user_id", col("ts"), col("event_id"), "event_type")
+        .orderBy(col("state"), col("next"))),
+
+    "q141_session_paths" -> ((s, dir) =>
+      // funnel discovery: gap-sessionize (30 min, the q45 contract),
+      // render each session's ordered event-type path, count identical
+      // paths — top 50 navigation patterns
+      operators.Sequences.sessionPaths(Tables.events(s, dir), "user_id",
+          "ts", col("event_id"), "event_type", gapMicros = 1800L * 1000000L)
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(50)),
+
+    "q142_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
+      // (q104's exact setup) with a coordination-level coverage ranking
+      // over the same query set — no score calibration, only ranks
+      val docs = Tables.documents(s, dir)
+      val q5 = docs.orderBy("doc_id").limit(5)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(text.TextStats.tokens(col("text")), 1, 4))
+            .as("qtext"))
+      val bm = text.Retrieval.bm25TopK(docs, q5, "doc_id", "text",
+        "qid", "qtext", k = 10)
+      val cov = text.Retrieval.coverageTopK(docs, q5, "doc_id", "text",
+        "qid", "qtext", k = 10)
+      text.Retrieval.rrfFuse(Seq(bm, cov), "qid", "doc_id", "rank",
+          kRrf = 60, topK = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q143_cusum" -> ((s, dir) =>
+      // online change-point localization: upper CUSUM of value per
+      // event_type over the second month-half, reference moments from
+      // the first — the drift family's WHEN to q125/q126's THAT
+      etl.Drift.cusum(Tables.events(s, dir), Seq("event_type"), "value",
+          orderCol = col("ts"), tieCol = col("event_id"),
+          isRef = dayofmonth(col("ts")) <= 15)
+        .orderBy(col("event_type"))),
+
+    "q138_hll_distinct" -> ((s, dir) => {
+      // incremental distinct-count surface: per-(event_type, day) HLL
+      // sketches (the stored artifact — a day aggregates once, forever),
+      // range queries union sketch rows instead of rescanning raw data.
+      // Output is the q62 discipline: exact cardinality for value
+      // comparison + 1/0 verdicts (estimate within 5% of exact; merged
+      // dailies within 1% of the direct whole-range sketch) — raw
+      // estimates are engine-specific and never reach the output.
+      val ev = Tables.events(s, dir)
+      val daily = etl.Aggregates.distinctSketchKeyed(
+        ev.withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      val merged = etl.Aggregates.sketchRollup(daily, Seq("event_type"))
+        .withColumnRenamed("distinct_estimate", "__est_merged")
+      val direct = etl.Aggregates.distinctSketch(ev, "event_type", "user_id")
+        .select(col("event_type"),
+          expr("hll_sketch_estimate(sketch)").as("__est_direct"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      exact.join(merged, "event_type").join(direct, "event_type")
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("__est_merged") - col("exact_distinct")).cast("double") /
+            col("exact_distinct") <= 0.05).cast("long").as("est_ok"),
+          (abs(col("__est_merged") - col("__est_direct")).cast("double") /
+            col("__est_direct") <= 0.01).cast("long").as("merge_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     "q118_ols_trend" -> ((s, dir) => {
       // per-series drift detection: OLS of value on days-since-2024
       // per event_type — one pass, map-side partials, no window/sort.
@@ -3187,6 +3324,296 @@ object SparkEntry {
         |      / (deg.deg * (deg.deg - 1)) ELSE 0.0 END, 6)
         |    AS clustering_coef
         |FROM deg LEFT JOIN pv ON pv.v = deg.v ORDER BY deg.v""".stripMargin,
+
+    "q131_chi2_indep" ->
+      // chi2 over observed cells only, via the identity
+      // chi2 = n·(Σ o²/(rt·ct) − 1) — structural zeros need no dense
+      // cross of levels
+      """WITH cells AS (SELECT source AS a, lang AS b,
+        |        CAST(count(*) AS DOUBLE) AS o
+        |      FROM documents GROUP BY source, lang),
+        |m AS (SELECT a, b, o,
+        |        sum(o) OVER (PARTITION BY a) AS rt,
+        |        sum(o) OVER (PARTITION BY b) AS ct
+        |      FROM cells)
+        |SELECT
+        |  roundStable((sum(o * o / (rt * ct)) - 1.0) * sum(o), 6) AS chi2,
+        |  CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+        |    AS dof,
+        |  roundStable(sqrt((sum(o * o / (rt * ct)) - 1.0)
+        |    / CAST(least(count(DISTINCT a), count(DISTINCT b)) - 1
+        |        AS DOUBLE)), 6) AS cramers_v,
+        |  CAST(sum(o) AS BIGINT) AS n
+        |FROM m""".stripMargin,
+
+    "q132_mannwhitney" ->
+      // exact average-rank ties (group by value first), tie-corrected
+      // normal approximation — identical fp sequence to the Spark side
+      """WITH c AS (SELECT event_type, value AS v,
+        |        sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS cb
+        |      FROM events GROUP BY event_type, value),
+        |w AS (SELECT event_type, ca, cb, ca + cb AS t,
+        |        sum(ca + cb) OVER (PARTITION BY event_type ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) - (ca + cb) AS below,
+        |        sum(ca) OVER (PARTITION BY event_type) AS na,
+        |        sum(cb) OVER (PARTITION BY event_type) AS nb
+        |      FROM c),
+        |r AS (SELECT event_type,
+        |        (CAST(below AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2) * ca
+        |          AS ra,
+        |        t * t * t - t AS tie, na, nb
+        |      FROM w)
+        |SELECT event_type,
+        |  roundStable(sum(ra) - CAST(max(na) AS DOUBLE)
+        |    * (CAST(max(na) AS DOUBLE) + 1) / 2, 6) AS u_stat,
+        |  roundStable((sum(ra) - CAST(max(na) AS DOUBLE)
+        |      * (CAST(max(na) AS DOUBLE) + 1) / 2
+        |      - CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE) / 2)
+        |    / sqrt(CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE) / 12
+        |      * ((CAST(max(na) AS DOUBLE) + CAST(max(nb) AS DOUBLE) + 1)
+        |        - CAST(sum(tie) AS DOUBLE)
+        |          / ((CAST(max(na) AS DOUBLE) + CAST(max(nb) AS DOUBLE))
+        |            * (CAST(max(na) AS DOUBLE) + CAST(max(nb) AS DOUBLE)
+        |              - 1)))), 6) AS z,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q133_benford" ->
+      // first significant digit by pure arithmetic; absent digits'
+      // expected mass folds in as (n − Σ_observed e)
+      """WITH t AS (SELECT event_type, abs(value) AS v FROM events
+        |           WHERE abs(value) > 0),
+        |d AS (SELECT event_type,
+        |        CAST(floor(v / pow(10.0, floor(log10(v)))) AS BIGINT) AS dg
+        |      FROM t),
+        |c AS (SELECT event_type, dg, CAST(count(*) AS DOUBLE) AS o
+        |      FROM d GROUP BY event_type, dg),
+        |w AS (SELECT event_type, dg, o,
+        |        sum(o) OVER (PARTITION BY event_type) AS n FROM c),
+        |e AS (SELECT event_type, o, n,
+        |        ln(1.0 + 1.0 / dg) / ln(10.0) * n AS ex FROM w)
+        |SELECT event_type,
+        |  roundStable(sum((o - ex) * (o - ex) / ex) + (max(n) - sum(ex)), 6)
+        |    AS benford_chi2,
+        |  CAST(max(n) AS BIGINT) AS n,
+        |  count(*) AS n_digits_seen
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q134_zipf_slope" ->
+      // rank dense by (freq desc, token); same population-moment OLS
+      // as q118
+      """WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS freq
+        |      FROM tok GROUP BY source, tok),
+        |r AS (SELECT source,
+        |        ln(CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY freq DESC, tok) AS DOUBLE)) AS x,
+        |        ln(freq) AS y
+        |      FROM c)
+        |SELECT source,
+        |  roundStable(covar_pop(y, x) / var_pop(x), 6) AS slope,
+        |  roundStable(avg(y) - covar_pop(y, x) / var_pop(x) * avg(x), 6)
+        |    AS intercept,
+        |  roundStable(pow(corr(x, y), 2), 6) AS r2,
+        |  count(*) AS n
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q135_containment" ->
+      // same 3-gram shingle sets as q34; score = overlap / min size
+      """WITH s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s
+        |),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh)
+        |SELECT id_a, id_b, n_a, n_b, roundStable(ct, 6) AS containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+        |    CAST(count(*) AS DOUBLE) / CAST(least(max(a.n), max(b.n)) AS DOUBLE) AS ct
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id) t
+        |WHERE ct >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q136_mad_outliers" ->
+      // two aggregation passes by necessity: deviation median depends
+      // on the location median
+      """WITH m AS (SELECT event_type, median(value) AS med
+        |           FROM events GROUP BY event_type),
+        |x AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |      FROM events e JOIN m ON e.event_type = m.event_type),
+        |d AS (SELECT event_type, median(abs(value - med)) AS mad
+        |      FROM x GROUP BY event_type)
+        |SELECT x.event_id, x.event_type, x.value,
+        |  roundStable(x.med, 6) AS med,
+        |  roundStable(d.mad, 6) AS mad,
+        |  CAST(abs(x.value - x.med) > 3.5 * 1.4826 * d.mad AS BIGINT)
+        |    AS is_outlier,
+        |  CASE WHEN d.mad > 0
+        |    THEN roundStable(abs(x.value - x.med) / (1.4826 * d.mad), 4)
+        |  END AS robust_z
+        |FROM x JOIN d ON x.event_type = d.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    "q137_kcore" -> {
+      // the same 6 peel rounds unrolled (the q106 discipline for
+      // iterative fixpoints): each round drops vertices of degree < 4
+      // from the previous round's edge set; the Spark side early-stops
+      // at the fixpoint, which by definition equals the unrolled result
+      // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each peel references the previous level ~5× — inlined, e6
+      // expands to 5^6 scans of the base tables (observed as an
+      // open-file explosion)
+      val peels = (0 until 6).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM
+           |          (SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i) t
+           |        GROUP BY v),
+           |e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+           |      WHERE a NOT IN (SELECT v FROM d$i WHERE deg < 4)
+           |        AND b NOT IN (SELECT v FROM d$i WHERE deg < 4))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE l_quantity > 45),
+         |e0 AS MATERIALIZED (SELECT DISTINCT r1.sk AS a, r2.sk AS b
+         |       FROM sp r1 JOIN sp r2 ON r1.pk = r2.pk AND r1.sk < r2.sk),
+         |$peels
+         |SELECT v, count(*) AS core_deg FROM
+         |  (SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6) t
+         |GROUP BY v ORDER BY v""".stripMargin
+    },
+
+    "q139_acf" ->
+      // corr skips null lead pairs on both engines
+      """WITH t AS (SELECT event_type, value AS v,
+        |    lead(value, 1) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS l1,
+        |    lead(value, 2) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS l2,
+        |    lead(value, 3) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS l3
+        |  FROM events)
+        |SELECT event_type,
+        |  roundStable(corr(v, l1), 6) AS acf_1,
+        |  roundStable(corr(v, l2), 6) AS acf_2,
+        |  roundStable(corr(v, l3), 6) AS acf_3,
+        |  count(*) AS n
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q140_transitions" ->
+      // last event per user has no successor and drops; the normalizing
+      // window rides the O(#states²) aggregated rows
+      """WITH t AS (SELECT event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |c AS (SELECT state, next, count(*) AS n FROM t
+        |      WHERE next IS NOT NULL GROUP BY state, next)
+        |SELECT state, next, n,
+        |  roundStable(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY state), 6) AS p
+        |FROM c ORDER BY state, next""".stripMargin,
+
+    "q141_session_paths" ->
+      // same gap-sessionization as q45 (cumulative break flags), path
+      // order pinned by (ts, event_id)
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM s),
+        |p AS (SELECT user_id, sess,
+        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM g GROUP BY user_id, sess)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 50""".stripMargin,
+
+    "q142_rrf_fusion" ->
+      // q104's BM25 CTEs verbatim + a distinct-term coverage ranking
+      // over the same query set; fusion = Σ 1/(60 + rank), re-ranked
+      """WITH t AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+        |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+        |q AS (SELECT doc_id AS qid, toks[1:4] AS qtoks FROM t ORDER BY doc_id LIMIT 5),
+        |qt AS (SELECT qid, unnest(list_distinct(qtoks)) AS tok FROM q),
+        |qterms AS (SELECT DISTINCT tok FROM qt),
+        |dt AS (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+        |       FROM dt JOIN qterms USING (tok) GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT qt.qid, tf.doc_id,
+        |         sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |             * tf.tf * (1.2 + 1)
+        |             / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 *
+        |                 (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))) AS raw
+        |       FROM tf JOIN df USING (tok) JOIN qt USING (tok) CROSS JOIN st
+        |       GROUP BY 1, 2),
+        |bm AS (SELECT qid, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |           ORDER BY roundStable(raw, 6) DESC, doc_id) AS BIGINT) AS rank
+        |       FROM sc),
+        |cv AS (SELECT qt.qid, ddt.doc_id, count(*) AS n_matched
+        |       FROM (SELECT DISTINCT doc_id, tok FROM dt) ddt
+        |       JOIN qt USING (tok) GROUP BY 1, 2),
+        |cvr AS (SELECT qid, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |           ORDER BY n_matched DESC, doc_id) AS BIGINT) AS rank
+        |       FROM cv),
+        |u AS (SELECT qid, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+        |      FROM bm WHERE rank <= 10
+        |      UNION ALL
+        |      SELECT qid, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+        |      FROM cvr WHERE rank <= 10),
+        |f AS (SELECT qid, doc_id, roundStable(sum(c), 6) AS rrf_score,
+        |        count(*) AS n_lists
+        |      FROM u GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, rrf_score, n_lists,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |          ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+        |      FROM f)
+        |SELECT qid, doc_id, rrf_score, n_lists, rank FROM r
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q143_cusum" ->
+      // the max(0, S+x) recursion via its running-drawdown closed form:
+      // S_t = P_t − min(0, min_{j≤t} P_j) — two cumulative windows
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+        |              stddev_samp(value) AS sd
+        |            FROM events WHERE day(ts) <= 15 GROUP BY event_type),
+        |c AS (SELECT e.event_type, e.ts, e.event_id,
+        |        (e.value - st.mu) / st.sd - 0.5 AS x
+        |      FROM events e JOIN st ON e.event_type = st.event_type
+        |      WHERE day(e.ts) > 15 AND st.sd > 0),
+        |p AS (SELECT event_type, ts,
+        |        sum(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS p,
+        |        event_id
+        |      FROM c),
+        |s AS (SELECT event_type, ts,
+        |        p - least(min(p) OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 0.0) AS s
+        |      FROM p)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN s > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  min(CASE WHEN s > 5.0 THEN ts END) AS first_alarm_at,
+        |  roundStable(max(s), 6) AS max_s,
+        |  count(*) AS n_cur
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q138_hll_distinct" ->
+      // exact cardinality for value comparison; the sketch verdicts are
+      // asserted literal 1s (the q62 discipline — raw HLL estimates are
+      // engine-specific and never reach the output)
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |  CAST(1 AS BIGINT) AS est_ok,
+        |  CAST(1 AS BIGINT) AS merge_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q118_ols_trend" ->
       // same population-moment formulas spelled out (≡ regr_slope /

@@ -126,4 +126,51 @@ object NGramJaccard {
     sets.unpersist()
     out
   }
+
+  /** Asymmetric containment pairs: |A ∩ B| / min(|A|, |B|) ≥ t — the
+    * quote/inclusion detector Jaccard structurally misses (a paragraph
+    * embedded verbatim in a 100× longer page has tiny Jaccard but
+    * containment ≈ 1; the training-data failure mode is boilerplate
+    * pages each "containing" a popular snippet). Output keeps both
+    * directionality hints (set sizes) so the caller can drop the
+    * contained side.
+    *
+    * Candidates come from the shared-shingle inverted index under a
+    * document-frequency cap — PPJoin prefix filtering does NOT apply
+    * here (its prefix length is derived from the Jaccard bound; a
+    * containment pair's required overlap scales with the SMALLER set,
+    * which the larger side's prefix cannot bound), so the cap is the
+    * scale control: boilerplate stop-shingles are excluded from
+    * candidate generation only, and the exact merge-scan verify keeps
+    * the output correct for any pair sharing one sub-cap shingle.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minContainment: Double,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sets = shingleSets(df, idCol, textCol, n).persist(level)
+    val all = sets.select(col(idCol).as("id"), explode(col("shh")).as("sh"))
+    val keep = all.groupBy("sh").count()
+      .filter(col("count") <= maxDocFreq).select("sh")
+    val ix = all.join(keep, "sh").persist(level)
+    val cand = ix.select(col("id").as("id_a"), col("sh"))
+      .join(ix.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sa = sets.select(col(idCol).as("id_a"), col("shh").as("shh_a"), col("n_sh").as("n_a"))
+    val sb = sets.select(col(idCol).as("id_b"), col("shh").as("shh_b"), col("n_sh").as("n_b"))
+    val out = cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("c",
+        graft.functions.SetExpressions.sortedIntersectCount(col("shh_a"), col("shh_b")))
+      .withColumn("containment",
+        col("c").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("containment"))
+      .localCheckpoint()
+    ix.unpersist()
+    sets.unpersist()
+    out
+  }
 }

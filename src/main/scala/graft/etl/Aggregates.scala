@@ -221,8 +221,25 @@ object Aggregates {
     df.groupBy(col(groupCol))
       .agg(expr(s"hll_sketch_agg($keyCol)").as("sketch"))
 
+  /** [[distinctSketch]] over a composite grouping — the stored artifact
+    * of the incremental-cardinality pattern is usually (entity, DAY)
+    * sketches: a day's partition aggregates once, forever; any date
+    * range answers by unioning its days' sketch rows (O(#days·#keys)),
+    * never rescanning the raw 100 TB.
+    */
+  def distinctSketchKeyed(df: DataFrame, keys: Seq[String], keyCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($keyCol)").as("sketch"))
+
   def sketchEstimateTotal(sketches: DataFrame, groupCol: String): DataFrame =
     sketches.agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_estimate"))
+
+  /** Roll stored per-slice sketches up to `keys` and estimate — the
+    * range-query half of [[distinctSketchKeyed]].
+    */
+  def sketchRollup(sketches: DataFrame, keys: Seq[String]): DataFrame =
+    sketches.groupBy(keys.map(col): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_estimate"))
 
   /** Data-quality validation block (dag:380-387): volume, null fraction,
     * key cardinality, time range, mean — one single-row aggregate.
@@ -375,5 +392,78 @@ object Aggregates {
         roundStable(t, decimals).as("t_stat"),
         roundStable(dfW, decimals).as("df"),
         (abs(t) > critical).cast("long").as("significant"))
+  }
+
+  /** Per-key autocorrelation at the given lags (`corr(v_t, v_{t+lag})`
+    * over the (orderCol, tieCol)-ordered series): the periodicity /
+    * persistence readout — a daily-cycled sensor shows a peak at its
+    * period's lag, white noise shows none, near-1 at lag 1 means the
+    * series is smooth enough for delta encoding. One keyed window
+    * shuffle builds ALL lag columns (each `lead` rides the same sorted
+    * frame); the closing agg reuses the window's partitioning. `corr`
+    * skips the frame-end rows whose lead is null on both engines.
+    */
+  def acf(df: DataFrame, keys: Seq[String], orderCol: Column, tieCol: Column,
+          valueCol: Column, lags: Seq[Int], decimals: Int = 6): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"need lags >= 1, got $lags")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol, tieCol)
+    val withLeads = lags.foldLeft(df.withColumn("__v", valueCol)) { (acc, l) =>
+      acc.withColumn(s"__lead$l", lead(col("__v"), l).over(w))
+    }
+    withLeads.groupBy(keys.map(col): _*)
+      .agg(
+        roundStable(corr(col("__v"), col(s"__lead${lags.head}")), decimals)
+          .as(s"acf_${lags.head}"),
+        lags.tail.map(l =>
+          roundStable(corr(col("__v"), col(s"__lead$l")), decimals)
+            .as(s"acf_$l")) :+ count(lit(1)).as("n"): _*)
+  }
+
+  /** Per-key Mann–Whitney U test between the rows where `isA` and the
+    * rest — the rank-based two-sample test that needs no normality
+    * assumption ([[welchTTest]]'s robust sibling; the standard readout
+    * when the metric is skewed, e.g. latency or spend). Exact
+    * average-rank tie handling: rows group by VALUE first, each distinct
+    * value's average rank is `(#strictly-below) + (#tied + 1)/2`, U
+    * sums side-A ranks, and the normal approximation carries the full
+    * tie-correction term `Σ(t³−t)` in its variance.
+    *
+    * Scale shape mirrors [[Drift.ksTest]]: one keyed (key, value) count
+    * agg with conditional side counts — per-key state after it is
+    * O(#distinct values) — then cumulative windows over those aggregated
+    * rows. Nothing row-scale sorts.
+    */
+  def mannWhitneyU(df: DataFrame, keys: Seq[String], isA: Column, yCol: Column,
+                   decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = df
+      .groupBy(keyCols :+ yCol.as("__v"): _*)
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(!isA, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    // average rank of this value = (rows strictly below) + (ties + 1)/2
+    val below = sum(col("__t")).over(wOrd) - col("__t")
+    val avgRank = below.cast("double") + (col("__t") + lit(1)).cast("double") / 2
+    val enriched = counts
+      .withColumn("__ra", avgRank * col("__ca"))
+      .withColumn("__tie", col("__t") * col("__t") * col("__t") - col("__t"))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    val na = max(col("__na")).cast("double")
+    val nb = max(col("__nb")).cast("double")
+    val n = na + nb
+    val u = sum(col("__ra")) - na * (na + 1) / 2
+    val mu = na * nb / 2
+    val sigma = sqrt(na * nb / 12 *
+      ((n + 1) - sum(col("__tie")).cast("double") / (n * (n - 1))))
+    enriched
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(u, decimals).as("u_stat"),
+        roundStable((u - mu) / sigma, decimals).as("z"),
+        max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
   }
 }

@@ -210,6 +210,44 @@ object Clean {
           .cast("long").as("clip_ok"))
   }
 
+  /** Robust outlier flagging by median absolute deviation: flag rows
+    * with `|v − median| > k · MAD` per key — the robust twin of the IQR
+    * fence ([[outlierIqr]]) with a 50% breakdown point: half a group can
+    * be corrupt before the fence itself moves, where mean/stddev
+    * z-scoring (q17) breaks at one wild reading. `madScaled` multiplies
+    * MAD by 1.4826 (the σ-consistency constant for normal data) so `k`
+    * reads in σ units.
+    *
+    * Two keyed aggregation passes by necessity (the deviation median
+    * depends on the location median) + two AQE-broadcast joins of
+    * one-row-per-key bounds — still two scans total, no window, no sort.
+    * `percentile` is the exact in-memory-per-group aggregate (matches
+    * the oracle bit-for-bit); at unbounded group sizes swap
+    * `approx_percentile`, same plan shape (the [[clipApproxChecked]]
+    * discipline).
+    */
+  def madOutliers(df: DataFrame, keys: Seq[String], c: String,
+                  k: Double = 3.5, madScaled: Boolean = true): DataFrame = {
+    val keyCols = keys.map(col)
+    val med = df.groupBy(keyCols: _*)
+      .agg(expr(s"percentile($c, 0.5)").as("__med"))
+    val withMed = df.join(med, keys)
+    val mad = withMed.groupBy(keyCols: _*)
+      .agg(expr(s"percentile(abs($c - __med), 0.5)").as("__mad"))
+    val scale = if (madScaled) 1.4826 else 1.0
+    withMed.join(mad, keys)
+      .withColumn("__dev", abs(col(c) - col("__med")))
+      .withColumn("is_outlier",
+        (col("__dev") > lit(k) * lit(scale) * col("__mad")).cast("long"))
+      .withColumn("robust_z",
+        graft.functions.roundStable(
+          when(col("__mad") > 0, col("__dev") / (lit(scale) * col("__mad")))
+            .otherwise(lit(null)), 4))
+      .drop("__dev")
+      .withColumnRenamed("__med", "med")
+      .withColumnRenamed("__mad", "mad")
+  }
+
   def clipOutliersIqr(
       df: DataFrame,
       keys: Seq[String],

@@ -80,6 +80,127 @@ object Drift {
         max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
   }
 
+  /** One-sided CUSUM change-point monitor per key — the third member of
+    * the drift family: [[psi]]/[[ksTest]] say THAT a window drifted,
+    * CUSUM localizes WHEN the shift began and alarms online. Reference
+    * mean/σ come from the `isRef` rows; over the (orderCol, tieCol)-
+    * ordered current series the standard upper CUSUM
+    * `S_t = max(0, S_{t−1} + (z_t − slack))` accumulates evidence of an
+    * upward mean shift and alarms at `S_t > h` (Page 1954; slack k=0.5,
+    * h=5 detect ~1σ shifts).
+    *
+    * The recursion LOOKS like a sequential fold, but has the closed
+    * form `S_t = P_t − min(0, min_{j≤t} P_j)` over prefix sums
+    * `P_t = Σ (z_i − slack)` — a running-drawdown identity — so it is
+    * TWO cumulative windows over the same keyed sort, no collect, no
+    * UDF, exactly replayable in SQL. Output: per-key alarm count, first
+    * alarm position/time, and the peak statistic.
+    */
+  def cusum(df: DataFrame, keys: Seq[String], valueCol: String,
+            orderCol: Column, tieCol: Column, isRef: Column,
+            slack: Double = 0.5, h: Double = 5.0,
+            digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val stats = df.filter(isRef)
+      .groupBy(keyCols: _*)
+      .agg(avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = (col(valueCol) - col("__mu")) / col("__sd") - lit(slack)
+    val cur = df.filter(!isRef).join(broadcast(stats), keys)
+      .filter(col("__sd") > 0)
+      .withColumn("__p", sum(x).over(wOrd))
+      .withColumn("__s", col("__p") - least(min(col("__p")).over(wOrd), lit(0.0)))
+    cur
+      .withColumn("__alarm", (col("__s") > h).cast("long"))
+      .groupBy(keyCols: _*)
+      .agg(
+        sum(col("__alarm")).as("n_alarms"),
+        min(when(col("__alarm") === 1, orderCol)).as("first_alarm_at"),
+        roundStable(max(col("__s")), digits).as("max_s"),
+        count(lit(1)).as("n_cur"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V (the [0,1]-normalized effect size) — the
+    * categorical complement of [[psi]]/[[ksTest]]: is the `b` mix the
+    * same across `a` levels (lang across sources, event mix across
+    * cohorts)? `chi2 = Σ (o − e)²/e` over the contingency cells with
+    * `e = rowTotal·colTotal/n`; `V = sqrt(chi2 / (n·(min(r,c)−1)))`.
+    *
+    * Shape: ONE (a, b) count agg — the contingency table, O(r·c) rows —
+    * then marginals ride two windows over those aggregated rows and one
+    * closing global agg. Nothing row-scale survives the first shuffle.
+    * Structural-zero cells contribute nothing to the windows' marginals
+    * and (correctly) nothing to chi2: `Σ (o−e)²/e` over ABSENT cells
+    * would need a dense cross of levels, but those cells' o=0 terms sum
+    * to `e`, accounted via the identity `chi2 = n·(Σ o²/(rt·ct) − 1)`
+    * which needs only OBSERVED cells.
+    */
+  def chiSquareIndep(df: DataFrame, aCol: String, bCol: String,
+                     digits: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__o"))
+    val wa = Window.partitionBy(col("__a"))
+    val wb = Window.partitionBy(col("__b"))
+    val withMargins = cells
+      .withColumn("__rt", sum(col("__o")).over(wa))
+      .withColumn("__ct", sum(col("__o")).over(wb))
+    withMargins
+      .agg(
+        sum(col("__o")).as("__n"),
+        sum(col("__o") * col("__o") / (col("__rt") * col("__ct"))).as("__s"),
+        countDistinct(col("__a")).as("__r"),
+        countDistinct(col("__b")).as("__c"))
+      .select(
+        roundStable((col("__s") - lit(1.0)) * col("__n"), digits).as("chi2"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        roundStable(
+          sqrt((col("__s") - lit(1.0)) /
+            (least(col("__r"), col("__c")) - lit(1)).cast("double")),
+          digits).as("cramers_v"),
+        col("__n").cast("long").as("n"))
+  }
+
+  /** Benford first-significant-digit conformance per key — the
+    * fabricated-data / instrument-fault screen: naturally occurring
+    * multi-scale magnitudes put digit d first with probability
+    * log10(1 + 1/d); uniform or hand-entered values don't. Emits the
+    * chi-square distance to the Benford expectation and the observed
+    * digit count (negatives contribute their magnitude; zeros are
+    * excluded — no significant digit).
+    *
+    * The first digit is pure arithmetic (`floor(v / 10^floor(log10 v))`
+    * — codegen'd, no string formatting); one keyed digit-count agg, the
+    * closing per-key roll-up rides a window over ≤ 9 rows per key.
+    */
+  def benford(df: DataFrame, keys: Seq[String], valueCol: String,
+              digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = abs(col(valueCol))
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("long")
+    val counts = df.filter(v > 0)
+      .withColumn("__d", digit)
+      .groupBy(keyCols :+ col("__d"): _*)
+      .agg(count(lit(1)).cast("double").as("__o"))
+    val w = Window.partitionBy(keyCols: _*)
+    // expected mass of ABSENT digits still contributes (0−e)²/e = e·n;
+    // fold it in via  chi2 = Σ_observed (o−e)²/e + n·Σ_absent p_d —
+    // equivalently n·(Σ_all p) − n·(Σ_obs p) added to the observed terms
+    val pd = log(lit(1.0) + lit(1.0) / col("__d")) / log(lit(10.0))
+    counts
+      .withColumn("__n", sum(col("__o")).over(w))
+      .withColumn("__e", pd * col("__n"))
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(
+          sum((col("__o") - col("__e")) * (col("__o") - col("__e")) / col("__e")) +
+            (max(col("__n")) - sum(col("__e"))),
+          digits).as("benford_chi2"),
+        max(col("__n")).cast("long").as("n"),
+        count(lit(1)).as("n_digits_seen"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic per key between the `isA`
     * rows and the rest: `D = max_x |F_A(x) − F_B(x)|`, plus the
     * sample-size-scaled statistic `sqrt(n_a·n_b/(n_a+n_b))·D` (compare

@@ -618,6 +618,29 @@ object Corpus {
           log(sum(col("__c"))) - sum(col("__c") * log(col("__c"))) / sum(col("__c")),
           6).as("entropy"))
 
+  /** Zipf-law fit per corpus slice: OLS slope of ln(freq) on ln(rank)
+    * over the slice's token frequency table (natural language sits near
+    * −1; machine-generated or template-heavy slices bend away) — a
+    * corpus-health check over the same unigram counts the LM passes
+    * build. Rank is dense by (count desc, token) so the fit is
+    * deterministic under ties.
+    *
+    * Shape: one (slice, token) count agg — per-slice state is O(vocab) —
+    * one keyed window for the rank, then [[graft.etl.Aggregates.olsTrend]]'s
+    * single-pass moment aggregation. Nothing corpus-global.
+    */
+  def zipfSlope(docs: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(sliceCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(sliceCol), col("tok"))
+      .agg(count(lit(1)).cast("double").as("freq"))
+    val w = Window.partitionBy(col(sliceCol))
+      .orderBy(col("freq").desc, col("tok"))
+    val ranked = counts.withColumn("rank", row_number().over(w))
+    graft.etl.Aggregates.olsTrend(ranked, Seq(sliceCol),
+      xCol = log(col("rank")), yCol = log(col("freq")))
+  }
+
   def packGreedy(docs: DataFrame, partCol: String, idCol: String,
                  textCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"need capacity > 0, got $capacity")

@@ -72,4 +72,58 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
+
+  /** Coordination-level match ranking: docs ranked per query by how
+    * many DISTINCT query terms they contain (tie-break doc_id) — the
+    * coverage baseline that complements score-weighted rankers: a doc
+    * matching all terms once beats a doc repeating one term. Same
+    * broadcast-semi-join shape as [[bm25TopK]]: the corpus meets only
+    * the matched sliver.
+    */
+  def coverageTopK(docs: DataFrame, queries: DataFrame,
+                   idCol: String, textCol: String,
+                   qidCol: String, qtextCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val docToks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val qToks = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(tokens(col(qtextCol)))).as("tok"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("n_matched").desc, col("doc_id"))
+    docToks.join(broadcast(qToks), Seq("tok"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("n_matched"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) of N ranked
+    * lists: `score(q, d) = Σ_lists 1/(kRrf + rank)` — the standard
+    * hybrid-retrieval combiner (BM25 × embedding × coverage) because it
+    * needs NO score calibration across rankers, only ranks. A doc
+    * missing from a list simply contributes nothing (union, not outer
+    * join). Each input needs (qidCol, docCol, rankCol).
+    *
+    * Shape: per-list map-side projection → one union → one (q, d) agg →
+    * per-query window over ≤ N·k aggregated rows. The lists are
+    * already top-k bounded, so fusion is O(queries·k·N) regardless of
+    * corpus size.
+    */
+  def rrfFuse(lists: Seq[DataFrame], qidCol: String, docCol: String,
+              rankCol: String, kRrf: Int = 60, topK: Int = 10,
+              scoreDigits: Int = 6): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val contrib = lists
+      .map(_.select(col(qidCol).as("qid"), col(docCol).as("doc_id"),
+        (lit(1.0) / (lit(kRrf) + col(rankCol))).as("__c")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(roundStable(sum(col("__c")), scoreDigits).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -1637,4 +1637,195 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.map(_._2).toSeq == Seq(6L, 6L, 6L, 5L))
     assert(out(0)._3 == 1.0 && out(3)._4 == 23.0)
   }
+
+  test("chiSquareIndep: independent mix scores ~0; a perfectly dependent one scores V=1") {
+    // 2×2 with identical column mix across rows → chi2 = 0 exactly
+    val indep = Seq.fill(30)(("s1", "en")) ++ Seq.fill(30)(("s1", "fr")) ++
+      Seq.fill(10)(("s2", "en")) ++ Seq.fill(10)(("s2", "fr"))
+    val r0 = etl.Drift.chiSquareIndep(indep.toDF("src", "lang"), "src", "lang")
+      .collect().head
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(1) == 1L && r0.getLong(3) == 80L,
+      s"got $r0")
+    // each source speaks exactly one language → chi2 = n, V = 1
+    val dep = Seq.fill(25)(("s1", "en")) ++ Seq.fill(15)(("s2", "fr"))
+    val r1 = etl.Drift.chiSquareIndep(dep.toDF("src", "lang"), "src", "lang")
+      .collect().head
+    assert(r1.getDouble(0) == 40.0 && r1.getDouble(2) == 1.0, s"got $r1")
+  }
+
+  test("benford: a log-spread series conforms; a narrow-band series does not") {
+    // multi-scale magnitudes (the Benford precondition) vs values all
+    // starting with digit 1 (chi2 dominated by the absent-digit mass)
+    val spread = (1 to 400).map(i => ("k", math.pow(10, i * 7.0 / 400) * 1.0))
+    val narrow = (1 to 400).map(i => ("k", 100.0 + i * 0.2)) // 100..180
+    val cSpread = etl.Drift.benford(spread.toDF("k", "v"), Seq("k"), "v")
+      .collect().head.getDouble(1)
+    val cNarrow = etl.Drift.benford(narrow.toDF("k", "v"), Seq("k"), "v")
+      .collect().head.getDouble(1)
+    assert(cSpread < 30.0, s"log-spread chi2=$cSpread")
+    assert(cNarrow > 400.0, s"narrow-band chi2=$cNarrow") // all mass on digit 1
+    // nonpositive values carry no first digit and must be excluded
+    val withJunk = spread ++ Seq(("k", 0.0), ("k", -5.0))
+    val n = etl.Drift.benford(withJunk.toDF("k", "v"), Seq("k"), "v")
+      .collect().head.getLong(2)
+    assert(n == 400L + 1L, s"got n=$n") // -5.0 keeps |v|=5; 0 drops
+  }
+
+  test("mannWhitneyU: identical samples center U at na*nb/2; disjoint samples max it") {
+    val a = (1 to 50).map(i => ("k", i + 0.0, true))
+    val same = (1 to 50).map(i => ("k", i + 0.0, false))
+    val r0 = etl.Aggregates.mannWhitneyU((a ++ same).toDF("k", "v", "isa"),
+      Seq("k"), col("isa"), col("v")).collect().head
+    assert(r0.getDouble(1) == 1250.0 && r0.getDouble(2) == 0.0, s"got $r0")
+    // every A above every B → U = na·nb, z strongly positive
+    val below = (1 to 50).map(i => ("k", i - 1000.0, false))
+    val r1 = etl.Aggregates.mannWhitneyU((a ++ below).toDF("k", "v", "isa"),
+      Seq("k"), col("isa"), col("v")).collect().head
+    assert(r1.getDouble(1) == 2500.0 && r1.getDouble(2) > 5.0, s"got $r1")
+    // hand tie case: A={1,2,2}, B={2,3} → ranks 1, 3, 3 (avg of 2,3,4), 3, 5
+    // → U = (1+3+3) − 3·4/2 = 1
+    val ties = Seq(("k", 1.0, true), ("k", 2.0, true), ("k", 2.0, true),
+      ("k", 2.0, false), ("k", 3.0, false))
+    val r2 = etl.Aggregates.mannWhitneyU(ties.toDF("k", "v", "isa"),
+      Seq("k"), col("isa"), col("v")).collect().head
+    assert(r2.getDouble(1) == 1.0, s"got $r2")
+  }
+
+  test("zipfSlope: an exact 1/r frequency table fits slope -1 with r2 1") {
+    // counts 12,6,4,3 = 12/r for ranks 1..4 → ln f = ln 12 − ln r exactly
+    val toks = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = Seq((1L, "s", toks.mkString(" "))).toDF("doc_id", "src", "text")
+    val r = text.Corpus.zipfSlope(docs, "src", "text").collect().head
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-4, s"slope=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-4, s"r2=${r.getDouble(3)}")
+    assert(r.getLong(4) == 4L)
+  }
+
+  test("containmentPairs: a quoted doc scores 1.0 where Jaccard stays small") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),                  // 3 shingles
+      (2L, "intro words then the quick brown fox jumps and a long tail of extra content here"),
+      (3L, "completely different text with no overlap at all")).toDF("id", "text")
+    val out = dedup.NGramJaccard.containmentPairs(docs, "id", "text",
+      n = 3, minContainment = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(4) == 1.0,
+      s"got $r")
+    // the same pair's Jaccard is far below the containment
+    val j = dedup.NGramJaccard.similarPairs(docs, "id", "text", 3, 0.9).count()
+    assert(j == 0L)
+  }
+
+  test("madOutliers: one wild reading flags itself without moving the fence") {
+    val df = ((1 to 9).map(i => ("k", i + 0.0)) :+ (("k", 100.0)))
+      .toDF("k", "v")
+    val out = etl.Clean.madOutliers(df, Seq("k"), "v").collect()
+    // median 5.5, MAD = median(0.5,0.5,...,94.5) = 2.5 → fence ≈ 12.97
+    assert(out.count(_.getAs[Long]("is_outlier") == 1L) == 1)
+    val flagged = out.find(_.getAs[Long]("is_outlier") == 1L).get
+    assert(flagged.getAs[Double]("v") == 100.0)
+    assert(flagged.getAs[Double]("med") == 5.5 && flagged.getAs[Double]("mad") == 2.5)
+  }
+
+  test("KCore: peeling keeps the clique, drops the tendril, early-stops at fixpoint") {
+    // K4 on 1-4 plus chain 4-5-6: the 3-core is exactly the K4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core3 = operators.KCore.core(edges, "src", "dst", k = 3)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(core3 == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), s"got $core3")
+    // k=1 is already a fixpoint — nothing peels
+    assert(operators.KCore.core(edges, "src", "dst", k = 1).count() == 6L)
+    // k above the max degree empties the graph
+    assert(operators.KCore.core(edges, "src", "dst", k = 5).count() == 0L)
+  }
+
+  test("acf: a perfectly alternating series has acf_1 = -1 and acf_2 = +1") {
+    val rows = (1 to 40).map(i => ("k", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val out = etl.Aggregates.acf(rows.toDF("k", "t", "v"), Seq("k"),
+      col("t"), col("t"), col("v"), lags = Seq(1, 2)).collect().head
+    assert(out.getDouble(1) == -1.0 && out.getDouble(2) == 1.0, s"got $out")
+    // white-noise-ish irrational rotation decorrelates
+    val noise = (1 to 500).map(i => ("k", i.toLong, (i * 0.754877666) % 1.0))
+    val a1 = etl.Aggregates.acf(noise.toDF("k", "t", "v"), Seq("k"),
+      col("t"), col("t"), col("v"), lags = Seq(1)).collect().head.getDouble(1)
+    assert(math.abs(a1) < 0.2, s"noise acf_1=$a1")
+  }
+
+  test("transitionMatrix: hand chain counts pairs per entity and row-normalizes") {
+    // user 1: a→b→a→b ; user 2: a→a→c — transitions: a→b ×2, b→a ×1,
+    // a→a ×1, a→c ×1 → from state a: P(b)=0.5, P(a)=0.25, P(c)=0.25
+    val rows = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "c"))
+    val out = operators.Sequences.transitionMatrix(
+      rows.toDF("u", "t", "s"), "u", col("t"), col("t"), "s")
+      .orderBy("state", "next").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", "a", 1L, 0.25), ("a", "b", 2L, 0.5),
+      ("a", "c", 1L, 0.25), ("b", "a", 1L, 1.0)), s"got ${out.toSeq}")
+  }
+
+  test("sessionPaths: gap splits sessions; order inside a path is (ts, tie)-pinned") {
+    val base = 1700000000000000L
+    def t(us: Long) = new java.sql.Timestamp(base / 1000 + us / 1000)
+    // user 1: a,b then (gap > 10s) c ; user 2: a,b — paths: a>b ×2, c ×1
+    val rows = Seq((1L, t(0L), 1L, "a"), (1L, t(1000000L), 2L, "b"),
+      (1L, t(20000000L), 3L, "c"),
+      (2L, t(0L), 4L, "a"), (2L, t(1000000L), 5L, "b"))
+    val out = operators.Sequences.sessionPaths(
+      rows.toDF("u", "ts", "id", "s"), "u", "ts", col("id"), "s",
+      gapMicros = 10000000L)
+      .orderBy(col("n_sessions").desc, col("path")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a>b", 2L), ("c", 1L)), s"got ${out.toSeq}")
+  }
+
+  test("rrfFuse: a doc ranked well in both lists beats single-list leaders") {
+    val l1 = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("qid", "doc_id", "rank")
+    val l2 = Seq((1L, 20L, 1L), (1L, 40L, 2L), (1L, 10L, 3L))
+      .toDF("qid", "doc_id", "rank")
+    val out = text.Retrieval.rrfFuse(Seq(l1, l2), "qid", "doc_id", "rank",
+      kRrf = 60, topK = 10).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // doc 20: 1/62 + 1/61 > doc 10: 1/61 + 1/63 > singles 30/40
+    assert(out.head._1 == 20L && out(1)._1 == 10L, s"got ${out.toSeq}")
+    assert(out.take(2).forall(_._2 == 2L) && out.drop(2).forall(_._2 == 1L))
+  }
+
+  test("cusum: a planted mean shift alarms after it, a stable series never does") {
+    // reference: 200 pts alternating ±1 around 0 (sd ≈ 1); current:
+    // 20 on-target pts then a +3σ shift — S accumulates ~2.5/pt after
+    // the shift and crosses h=5 within a few points
+    val ref = (1 to 200).map(i => ("k", i.toLong, if (i % 2 == 0) 1.0 else -1.0, true))
+    val calm = (1 to 20).map(i => ("k", 1000L + i, if (i % 2 == 0) 1.0 else -1.0, false))
+    val shifted = (1 to 30).map(i => ("k", 2000L + i, 3.0, false))
+    val out = etl.Drift.cusum((ref ++ calm ++ shifted).toDF("k", "t", "v", "r"),
+      Seq("k"), "v", col("t"), col("t"), col("r")).collect().head
+    assert(out.getLong(1) > 20L, s"alarms=${out.getLong(1)}")
+    assert(out.getLong(2) > 2000L && out.getLong(2) <= 2005L,
+      s"first_alarm_at=${out.getLong(2)}")
+    val stable = etl.Drift.cusum((ref ++ calm).toDF("k", "t", "v", "r"),
+      Seq("k"), "v", col("t"), col("t"), col("r")).collect().head
+    assert(stable.getLong(1) == 0L, s"stable alarms=${stable.getLong(1)}")
+  }
+
+  test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
+    val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
+    val df = rows.toDF("g", "day", "id")
+    val dailies = etl.Aggregates.distinctSketchKeyed(df, Seq("g", "day"), "id")
+    val merged = etl.Aggregates.sketchRollup(dailies, Seq("g"))
+      .collect().head.getLong(1)
+    val direct = etl.Aggregates.distinctSketch(df, "g", "id")
+      .select(expr("hll_sketch_estimate(sketch)")).collect().head.getLong(0)
+    // NOT register-identical: a union promotes sparse partials to dense
+    // HLL mode on a different schedule than one big aggregation
+    // (measured 1998 vs 1991 at n=2000) — mergeability is statistical,
+    // within the sketch's error band, which is what q138's verdict gates
+    assert(math.abs(merged - direct).toDouble / direct < 0.01,
+      s"merged=$merged direct=$direct")
+    assert(math.abs(merged - 2000.0) / 2000.0 < 0.05, s"estimate=$merged")
+  }
 }
