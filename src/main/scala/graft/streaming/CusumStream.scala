@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest × change-point monitoring — the live form of
+  * [[graft.etl.Drift.cusum]], and the reason its closed form matters:
+  * `S_t = P_t − min(0, min_{j≤t} P_j)` makes the sequential CUSUM
+  * recursion RESUMABLE across micro-batches from two numbers per key —
+  * the running prefix-sum `P_end` and running minimum `P_min`. A year
+  * of stream history never replays: each batch does O(batch) work
+  * against a key-row state table, exactly like the other incremental
+  * surfaces (AggStream, AnnStream, DimStream).
+  *
+  * Batch contract: rows are ordered WITHIN a batch by (orderCol,
+  * tieCol) and batches arrive in stream order — cross-batch
+  * out-of-order data is the caller's watermark problem (same contract
+  * as DimStream's monotone gate). Exactly-once EFFECT under
+  * foreachBatch's at-least-once contract: per-batch output dirs with
+  * deterministic bytes (the DedupStream recipe) + a monotone
+  * `last_batch` gate on the state table — a replayed batch either
+  * recomputes from the same prior state (crash before the state swap:
+  * byte-identical overwrite, then the state lands) or no-ops entirely
+  * (state already advanced ⇒ its output landed first, since the output
+  * write precedes the swap).
+  */
+object CusumStream {
+
+  /** Reference moments frozen at stream start (σ=0 keys dropped — no
+    * scale to standardize against), plus the alarm geometry.
+    */
+  final case class Monitor(stats: DataFrame, keys: Seq[String],
+                           slack: Double, h: Double)
+
+  def buildReference(ref: DataFrame, keys: Seq[String], valueCol: String,
+                     slack: Double = 0.5, h: Double = 5.0): Monitor = {
+    val stats = ref.groupBy(keys.map(col): _*)
+      .agg(avg(col(valueCol)).as("__mu"),
+        stddev_samp(col(valueCol)).as("__sd"))
+      .filter(col("__sd") > 0)
+      .localCheckpoint()
+    Monitor(stats, keys, slack, h)
+  }
+
+  /** Streaming sink: per batch, one (keys, n_alarms, first_alarm_at,
+    * max_s, n_cur, batch_id) row per key under `monitorDir/batch=<id>`,
+    * with the per-key (P_end, P_min) state carried in `stateDir`.
+    */
+  def toCusumSink(stream: DataFrame, valueCol: String, orderCol: String,
+                  tieCol: String, mon: Monitor, stateDir: String,
+                  monitorDir: String, checkpoint: String) =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cusumBatch(mon, batch, batchId, valueCol, orderCol, tieCol,
+          stateDir, monitorDir)
+      }
+
+  /** One micro-batch's fold, exposed for direct (re)use and testing. */
+  def cusumBatch(mon: Monitor, batch: DataFrame, batchId: Long,
+                 valueCol: String, orderCol: String, tieCol: String,
+                 stateDir: String, monitorDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val keyCols = mon.keys.map(col)
+    val live = new Path(stateDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = live.suffix("__cusuming")
+    graft.sources.Io.recoverSwap(fs, live, tmp)
+
+    val hasState = fs.exists(live)
+    val state =
+      if (hasState) spark.read.parquet(stateDir)
+      else mon.stats.select(keyCols: _*)
+        .limit(0)
+        .withColumn("__pe", lit(0.0)).withColumn("__pm", lit(0.0))
+        .withColumn("__lb", lit(-1L))
+    // monotone replay gate: if this batch already folded in, its output
+    // landed before the state swap — the whole call is a no-op
+    if (hasState &&
+        state.agg(max(col("__lb"))).collect()(0).getLong(0) >= batchId) return
+
+    val wOrd = Window.partitionBy(keyCols: _*)
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = (col(valueCol) - col("__mu")) / col("__sd") - lit(mon.slack)
+    // keys with no prior state start at P_end = 0, P_min = +inf (no
+    // prior prefix to dip below — min(0, ...) supplies the zero floor)
+    val scored = batch.join(broadcast(mon.stats), mon.keys)
+      .join(broadcast(state.select(
+        keyCols :+ col("__pe") :+ col("__pm"): _*)), mon.keys, "left")
+      .withColumn("__pe", coalesce(col("__pe"), lit(0.0)))
+      .withColumn("__pm", coalesce(col("__pm"), lit(Double.MaxValue)))
+      .withColumn("__p", col("__pe") + sum(x).over(wOrd))
+      .withColumn("__rm", least(col("__pm"), min(col("__p")).over(wOrd)))
+      .withColumn("__s", col("__p") - least(col("__rm"), lit(0.0)))
+      .localCheckpoint() // one computation feeds output AND state
+    scored
+      .withColumn("__alarm", (col("__s") > mon.h).cast("long"))
+      .groupBy(keyCols: _*)
+      .agg(
+        sum(col("__alarm")).as("n_alarms"),
+        min(when(col("__alarm") === 1, col(orderCol))).as("first_alarm_at"),
+        graft.functions.roundStable(max(col("__s")), 6).as("max_s"),
+        count(lit(1)).as("n_cur"))
+      .withColumn("batch_id", lit(batchId))
+      .orderBy(keyCols: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$monitorDir/batch=$batchId")
+
+    // fold the batch into the state: last row's P becomes P_end, the
+    // running min of ALL rows ever seen becomes P_min; untouched keys
+    // carry over unchanged
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    val batchState = scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__minp", min(col("__p")).over(Window.partitionBy(keyCols: _*)))
+      .filter(col("__rn") === 1)
+      .select(keyCols :+ col("__p").as("__pe_new") :+
+        least(col("__pm"), col("__minp")).as("__pm_new"): _*)
+    val nextState = state.select(keyCols :+ col("__pe") :+ col("__pm"): _*)
+      .join(batchState, mon.keys, "full_outer")
+      .select(keyCols ++ Seq(
+        coalesce(col("__pe_new"), col("__pe")).as("__pe"),
+        coalesce(col("__pm_new"), col("__pm")).as("__pm"),
+        lit(batchId).as("__lb")): _*)
+    nextState.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    graft.sources.Io.swapDirs(fs, live, tmp)
+    scored.unpersist(blocking = false)
+  }
+}

@@ -980,4 +980,47 @@ class PipelineSpec extends AnyFunSuite {
       1L, "v", s"$tmp/mon")
     assert(spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq == bytesBefore)
   }
+
+  test("CusumStream: split stream equals one batch; shift alarms; replay no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusumstream").toString
+    // reference ±1 around 0 (sd ≈ 1); current: 20 calm points then a
+    // +3σ shift — the S series must be IDENTICAL whether the current
+    // window arrives as one batch or split mid-calm (the P_end/P_min
+    // state carries the fold across the boundary)
+    val ref = (1 to 200).map(i => ("k", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("k", "t", "v")
+    val mon = streaming.CusumStream.buildReference(ref, Seq("k"), "v")
+    val calm = (1 to 20).map(i => ("k", 1000L + i, if (i % 2 == 0) 1.0 else -1.0))
+    val shifted = (1 to 30).map(i => ("k", 2000L + i, 3.0))
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = streaming.CusumStream.toCusumSink(mem.toDF().toDF("k", "t", "v"),
+      "v", "t", "t", mon, s"$tmp/state", s"$tmp/mon", s"$tmp/ck").start()
+    mem.addData(calm: _*)
+    q.processAllAvailable()
+    mem.addData(shifted: _*)
+    q.processAllAvailable(); q.stop()
+    val perBatch = spark.read.parquet(s"$tmp/mon")
+      .select("batch_id", "n_alarms", "max_s").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(perBatch(0L)._1 == 0L, s"calm batch alarmed: ${perBatch(0L)}")
+    assert(perBatch(1L)._1 > 20L, s"shifted batch must alarm: ${perBatch(1L)}")
+
+    // batch-boundary invariance: one-shot fold over the concatenation
+    // reproduces batch 1's peak statistic exactly
+    val oneTmp = java.nio.file.Files.createTempDirectory("graft_cusum1").toString
+    streaming.CusumStream.cusumBatch(mon, (calm ++ shifted).toDF("k", "t", "v"),
+      0L, "v", "t", "t", s"$oneTmp/state", s"$oneTmp/mon")
+    val oneShot = spark.read.parquet(s"$oneTmp/mon/batch=0").collect().head
+    assert(oneShot.getAs[Double]("max_s") == perBatch(1L)._2,
+      s"split ${perBatch(1L)._2} != one-shot ${oneShot.getAs[Double]("max_s")}")
+
+    // replay gate: re-folding batch 1 must not double-apply the state
+    val stateBefore = spark.read.parquet(s"$tmp/state").collect().toSeq
+    streaming.CusumStream.cusumBatch(mon, shifted.toDF("k", "t", "v"),
+      1L, "v", "t", "t", s"$tmp/state", s"$tmp/mon")
+    assert(spark.read.parquet(s"$tmp/state").collect().toSeq == stateBefore)
+  }
 }

@@ -459,6 +459,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mannWhitneyU / acf / quantileBins / cusum: closing agg reuses the window partitioning") {
+    // each operator's final groupBy keys on the SAME columns its window
+    // partitioned by — the aggregated/window rows must not re-shuffle.
+    // Budget: mannWhitney 2 Exchanges ((key,value) reduce + key window),
+    // acf/quantileBins 1 (key window only), cusum 2 (ref-stats agg +
+    // key window; the stats join is broadcast, not shuffled).
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sfDir)
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      ("mannWhitneyU",
+        etl.Aggregates.mannWhitneyU(ev, Seq("event_type"),
+          col("user_id") % 2 === 0, col("value")), 2),
+      ("acf",
+        etl.Aggregates.acf(ev, Seq("event_type"), col("ts"),
+          col("event_id"), col("value"), Seq(1, 2)), 1),
+      ("quantileBins",
+        etl.Features.quantileBins(ev, Seq("event_type"), "value",
+          "event_id", 10), 1),
+      ("cusum",
+        etl.Drift.cusum(ev, Seq("event_type"), "value", col("ts"),
+          col("event_id"), col("user_id") % 2 === 0), 2))
+    for ((name, df, budget) <- cases) {
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= budget,
+        s"$name: expected <= $budget Exchanges, got $exchanges:\n$p")
+    }
+  }
+
   test("Drift: corpus-scale aggs reduce BEFORE the per-key windows") {
     // ksTest's first shuffle keys on (key, value) — fine-grained, skew-
     // free reduction of the raw rows; only the reduced distinct-value
