@@ -1372,6 +1372,28 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q144_mrl_topk" -> ((s, dir) => {
+      // matryoshka two-stage retrieval: coarse rank on the first 16 of
+      // 64 dims (¼ the scan bytes), 4× over-fetch, exact full-dim
+      // re-rank — deterministic arithmetic end to end, so unlike the
+      // trained quantizers this approximate path is oracle-checked
+      val emb = Tables.embeddings(s, dir)
+      sim.Matryoshka.topK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dPrefix = 16, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q145_bq_topk" -> ((s, dir) => {
+      // sign-bit binary quantization (32× compression): Hamming-ranked
+      // candidates over packed words, 8× over-fetch (1-bit scores are
+      // coarse), exact re-rank — integer packing/XOR/popcount replay
+      // bit-identically in the oracle
+      val emb = Tables.embeddings(s, dir)
+      sim.BinaryQuant.topK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dims = 64, k = 5, overFetch = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q143_cusum" -> ((s, dir) =>
       // online change-point localization: upper CUSUM of value per
       // event_type over the second month-half, reference moments from
@@ -3577,6 +3599,70 @@ object SparkEntry {
         |      FROM f)
         |SELECT qid, doc_id, rrf_score, n_lists, rank FROM r
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q144_mrl_topk" ->
+      // coarse = prefix-16 cosine rounded BEFORE the cut (identical
+      // over-fetch set across engines), then exact full-dim re-rank
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, 17)])) AS pnrm
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN q.pnrm * c.pnrm > 0 THEN
+        |      roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, 17)]) / (q.pnrm * c.pnrm), 6)
+        |    ELSE 0.0 END AS coarse,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |cut AS (SELECT query_id, neighbor_id, cosine,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY coarse DESC, neighbor_id) AS arank
+        |        FROM pr)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM cut WHERE arank <= 20) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q145_bq_topk" ->
+      // 32-bit sign-bit words via Σ bit·2^(32−i) (≡ the acc·2+bit fold,
+      // exact integers), Hamming = popcount(xor), 8× over-fetch, exact
+      // re-rank
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm,
+        |    CAST(list_sum([CASE WHEN embedding[i] > 0
+        |        THEN CAST(pow(2.0, 32 - i) AS BIGINT) ELSE 0 END
+        |      FOR i IN range(1, 33)]) AS BIGINT) AS w1,
+        |    CAST(list_sum([CASE WHEN embedding[i + 32] > 0
+        |        THEN CAST(pow(2.0, 32 - i) AS BIGINT) ELSE 0 END
+        |      FOR i IN range(1, 33)]) AS BIGINT) AS w2
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(q.w1, c.w1)) + bit_count(xor(q.w2, c.w2))
+        |      AS BIGINT) AS hamming,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |cut AS (SELECT query_id, neighbor_id, hamming, cosine,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY hamming ASC, neighbor_id) AS arank
+        |        FROM pr)
+        |SELECT query_id, neighbor_id, hamming, cosine,
+        |  CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, hamming, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM cut WHERE arank <= 40) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q143_cusum" ->
       // the max(0, S+x) recursion via its running-drawdown closed form:

@@ -1280,6 +1280,43 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 recall@5 = $recall")
   }
 
+  test("Matryoshka / BinaryQuant: packing exact, recall vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = sim.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactness limit: a full-width "prefix" makes the coarse stage the
+    // exact ranking — MRL at dPrefix = d must equal brute force
+    def mrlSet(d: Int) = sim.Matryoshka.topK(emb, queries, "vec_id",
+      "embedding", dPrefix = d, k = 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mrlSet(64) == exact, "dPrefix = d must reproduce brute force")
+    // these synthetic embeddings are ISOTROPIC (no matryoshka training
+    // front-loads the signal), so prefix recall is modest and must grow
+    // with retained width — the structural property, not a magic number
+    val r16 = (exact & mrlSet(16)).size.toDouble / exact.size
+    val r48 = (exact & mrlSet(48)).size.toDouble / exact.size
+    assert(r48 > r16 && r16 >= 0.2, s"recall@5: d16=$r16 d48=$r48")
+    // sign-bit packing: hand vector with known bits — dims 1 and 34
+    // positive → w1 = 2^31, w2 = 2^30
+    val hand = Seq((1L, Array.tabulate(64)(i =>
+      if (i == 0 || i == 33) 1.0f else -1.0f))).toDF("vec_id", "embedding")
+    val words = sim.BinaryQuant.quantize(hand, "vec_id", "embedding", 64)
+      .head().getSeq[Long](1)
+    assert(words == Seq(1L << 31, 1L << 30), s"got $words")
+    // a planted exact duplicate has Hamming 0 — it survives ANY cut and
+    // exact-re-ranks to the top: the retrieval contract that matters
+    // for 1-bit codes (dedup/near-dup mining, not fine ranking)
+    val dup = emb.filter(col("vec_id") === 1)
+      .select(lit(99999L).as("vec_id"), col("embedding"))
+    val planted = emb.select("vec_id", "embedding").unionByName(dup)
+    val top1 = sim.BinaryQuant.topK(planted,
+      emb.filter(col("vec_id") === 1), "vec_id", "embedding",
+      dims = 64, k = 1, overFetch = 8).collect().head
+    assert(top1.getLong(1) == 99999L && top1.getLong(2) == 0L &&
+      top1.getDouble(3) == 1.0, s"got $top1")
+  }
+
   test("quotaSample: exact per-domain cap, small domains intact, repartition-stable") {
     val docs = Tables.documents(spark, sfDir)
     val out = text.Corpus.quotaSample(docs, "source", "doc_id", maxPerDomain = 7)
