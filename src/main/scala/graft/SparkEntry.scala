@@ -1372,6 +1372,30 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q146_hits" -> ((s, dir) => {
+      // hubs & authorities over the directed customer→supplier trade
+      // graph (supplier ids offset — cust/supp key spaces overlap);
+      // 5 L1-normalized rounds, oracle unrolls the identical recurrence
+      val e = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      operators.Hits.run(e, "src", "dst", iters = 5)
+        .select(col("node"),
+          graft.functions.roundStable(col("hub"), 6).as("hub"),
+          graft.functions.roundStable(col("authority"), 6).as("authority"))
+        .orderBy(col("node"))
+    }),
+
+    "q147_cooccur" -> ((s, dir) =>
+      // "customers also bought": item-item cosine over order baskets,
+      // pair volume bounded by basket size, top-3 per item
+      operators.MarketBasket.cooccurTopK(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", k = 3)
+        .orderBy(col("item"), col("rank"))),
+
     "q144_mrl_topk" -> ((s, dir) => {
       // matryoshka two-stage retrieval: coarse rank on the first 16 of
       // 64 dims (¼ the scan bytes), 4× over-fetch, exact full-dim
@@ -3599,6 +3623,53 @@ object SparkEntry {
         |      FROM f)
         |SELECT qid, doc_id, rrf_score, n_lists, rank FROM r
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q146_hits" -> {
+      // 5 rounds unrolled (the q106 discipline); MATERIALIZED is
+      // load-bearing — each round references the previous ~3×
+      val rounds = (1 to 5).map { i =>
+        s"""ar$i AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS a
+           |  FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+           |an$i AS MATERIALIZED (SELECT node,
+           |  a / (SELECT sum(a) FROM ar$i) AS a FROM ar$i),
+           |hr$i AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS h
+           |  FROM e JOIN an$i a ON e.dst = a.node GROUP BY e.src),
+           |h$i AS MATERIALIZED (SELECT node,
+           |  h / (SELECT sum(h) FROM hr$i) AS h FROM hr$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |n AS MATERIALIZED (SELECT src AS node FROM e
+         |                   UNION SELECT dst FROM e),
+         |h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM n),
+         |$rounds
+         |SELECT n.node, roundStable(coalesce(h5.h, 0.0), 6) AS hub,
+         |  roundStable(coalesce(an5.a, 0.0), 6) AS authority
+         |FROM n LEFT JOIN h5 ON n.node = h5.node
+         |LEFT JOIN an5 ON n.node = an5.node
+         |ORDER BY n.node""".stripMargin
+    },
+
+    "q147_cooccur" ->
+      // canonical pairs once (a < b), symmetric expansion, cosine of
+      // binary basket-incidence vectors, rounded BEFORE the rank
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |p AS (SELECT x.it AS a, y.it AS c, count(*) AS n_ab
+        |      FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+        |      GROUP BY x.it, y.it HAVING count(*) >= 2),
+        |s AS (SELECT a, c, n_ab FROM p
+        |      UNION ALL SELECT c, a, n_ab FROM p),
+        |f AS (SELECT it, count(*) AS n FROM b GROUP BY it),
+        |sc AS (SELECT s.a AS item, s.c AS rec, s.n_ab,
+        |        roundStable(CAST(s.n_ab AS DOUBLE)
+        |          / sqrt(CAST(fa.n AS DOUBLE) * fc.n), 6) AS score
+        |      FROM s JOIN f fa ON fa.it = s.a JOIN f fc ON fc.it = s.c)
+        |SELECT item, rec, n_ab, score, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT sc.*, row_number() OVER (PARTITION BY item
+        |    ORDER BY score DESC, rec) AS rank FROM sc) t
+        |WHERE rank <= 3 ORDER BY item, rank""".stripMargin,
 
     "q144_mrl_topk" ->
       // coarse = prefix-16 cosine rounded BEFORE the cut (identical

@@ -1317,6 +1317,34 @@ class OperatorEdgeSpec extends AnyFunSuite {
       top1.getDouble(3) == 1.0, s"got $top1")
   }
 
+  test("Hits: star hub out-scores a single-edge hub; scores L1-normalize") {
+    // hubs 1,2 → authorities 10,11: hub 1 points at both, hub 2 only at
+    // 10; authority 10 has two in-hubs, 11 one
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("s", "d")
+    val out = operators.Hits.run(edges, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 > out(2L)._1, s"star hub must lead: $out")
+    assert(out(10L)._2 > out(11L)._2, s"double authority must lead: $out")
+    // authorities carry no hub mass and vice versa (bipartite), each
+    // side L1-normalizes to 1
+    assert(out(10L)._1 == 0.0 && out(1L)._2 == 0.0)
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("cooccurTopK: always-together items score cosine 1; minCount prunes singles") {
+    // baskets: {A,B}, {A,B}, {A,B,C}, {C,D} — A,B co-occur 3/3;
+    // (A,C)/(B,C) once each (pruned at minCount 2); (C,D) once (pruned)
+    val rows = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "C"), (4L, "C"), (4L, "D"))
+    val out = operators.MarketBasket.cooccurTopK(
+      rows.toDF("bk", "it"), "bk", "it", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out == Set(("A", "B", 3L, 1.0), ("B", "A", 3L, 1.0)),
+      s"got $out")
+  }
+
   test("quotaSample: exact per-domain cap, small domains intact, repartition-stable") {
     val docs = Tables.documents(spark, sfDir)
     val out = text.Corpus.quotaSample(docs, "source", "doc_id", maxPerDomain = 7)
