@@ -1372,6 +1372,46 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q148_hopping" -> ((s, dir) =>
+      // overlapping (hopping) event-time windows in BATCH — the
+      // streaming window shape q27's tumbling buckets don't cover:
+      // 2 h windows sliding 1 h, so every event lands in exactly two;
+      // Spark's window() explodes the assignment map-side
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.roundStable(avg(col("value")), 6).as("avg_value"))
+        .select(col("event_type"), col("w.start").as("w_start"),
+          col("w.end").as("w_end"), col("n"), col("avg_value"))
+        .orderBy(col("event_type"), col("w_start"))),
+
+    "q149_ohlc" -> ((s, dir) => {
+      // OHLC downsampling (the telemetry/financial candle): per
+      // event_type × hour, open/close by (ts, event_id) order +
+      // high/low/volume — two row_number windows over ONE keyed sort,
+      // conditional aggs close the bucket
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.events(s, dir)
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+      val wAsc = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      b.withColumn("__rf", row_number().over(wAsc))
+        .withColumn("__rl", row_number().over(wDesc))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(
+          // all four are exact DATA values (no arithmetic) — no
+          // rounding needed for engine portability
+          max(when(col("__rf") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("__rl") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     "q146_hits" -> ((s, dir) => {
       // hubs & authorities over the directed customer→supplier trade
       // graph (supplier ids offset — cust/supp key spaces overlap);
@@ -3623,6 +3663,39 @@ object SparkEntry {
         |      FROM f)
         |SELECT qid, doc_id, rrf_score, n_lists, rank FROM r
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q148_hopping" ->
+      // each event joins exactly two 2h/1h hopping windows: starts at
+      // its hour and the hour before — the UNION ALL replays Spark's
+      // window() assignment exactly
+      """WITH t AS (SELECT event_type, value,
+        |             date_trunc('hour', ts) AS h FROM events),
+        |u AS (SELECT event_type, value, h AS ws FROM t
+        |      UNION ALL
+        |      SELECT event_type, value, h - INTERVAL 1 HOUR AS ws FROM t)
+        |SELECT event_type, CAST(ws AS TIMESTAMP) AS w_start,
+        |  CAST(ws + INTERVAL 2 HOUR AS TIMESTAMP) AS w_end,
+        |  count(*) AS n, roundStable(avg(value), 6) AS avg_value
+        |FROM u GROUP BY event_type, ws
+        |ORDER BY event_type, w_start""".stripMargin,
+
+    "q149_ohlc" ->
+      // open/close by (ts, event_id) row order; all four outputs are
+      // exact data values — no rounding
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events)
+        |SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+        |  max(CASE WHEN rf = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rl = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM b GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "q146_hits" -> {
       // 5 rounds unrolled (the q106 discipline); MATERIALIZED is

@@ -43,14 +43,19 @@ object Hits {
     var hubs = nodes.withColumn("h", lit(1.0))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      // authority: pull hub mass along in-edges, L1-normalize
+      // authority: pull hub mass along in-edges, L1-normalize. The raw
+      // agg feeds BOTH the rows and the norm scalar — persisted so the
+      // edge join runs once per round, not twice (exchange reuse alone
+      // still re-reduces; measured ~2× per-round cost without this)
       val aRaw = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val aNorm = aRaw.crossJoin(aRaw.agg(sum(col("__a")).as("__na")))
         .select(col("node"), (col("__a") / col("__na")).as("a"))
       // hub: pull authority mass back along out-edges, L1-normalize
       val hRaw = e.join(aNorm.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val hNorm = hRaw.crossJoin(hRaw.agg(sum(col("__h")).as("__nh")))
         .select(col("node"), (col("__h") / col("__nh")).as("h"))
       val joined = nodes
@@ -61,6 +66,8 @@ object Hits {
       val cut = spark.createDataFrame(joined.rdd, joined.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       cut.count()
+      aRaw.unpersist(blocking = false)
+      hRaw.unpersist(blocking = false)
       if (prev != null) prev.unpersist(blocking = false)
       prev = cut
       hubs = cut.select(col("node"), col("h"))
