@@ -1372,6 +1372,32 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q150_hist_quantiles" -> ((s, dir) => {
+      // incremental quantiles, q138's twin: per-(event_type, day)
+      // histogram sketch rows merge by vector addition; the estimate
+      // must land within 2 bin widths of the exact interpolated
+      // percentile (1/0 verdicts, the q62 discipline)
+      val ev = Tables.events(s, dir)
+      val sk = etl.Aggregates.histSketch(
+        ev.withColumn("day", to_date(col("ts"))),
+        Seq("event_type"), "day", "value", bins = 100)
+      val est = etl.Aggregates.histQuantiles(sk, Seq("event_type"),
+        Seq(0.5, 0.9))
+      val exact = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.5)").as("__e50"),
+        expr("percentile(value, 0.9)").as("__e90"),
+        ((max(col("value")) - min(col("value"))) / 100).as("__w"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("n"),
+          graft.functions.roundStable(col("__e50"), 6).as("p50_exact"),
+          graft.functions.roundStable(col("__e90"), 6).as("p90_exact"),
+          (abs(col("p50") - col("__e50")) <= lit(2.0) * col("__w") + lit(1e-9))
+            .cast("long").as("p50_ok"),
+          (abs(col("p90") - col("__e90")) <= lit(2.0) * col("__w") + lit(1e-9))
+            .cast("long").as("p90_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     "q148_hopping" -> ((s, dir) =>
       // overlapping (hopping) event-time windows in BATCH — the
       // streaming window shape q27's tumbling buckets don't cover:
@@ -3663,6 +3689,16 @@ object SparkEntry {
         |      FROM f)
         |SELECT qid, doc_id, rrf_score, n_lists, rank FROM r
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q150_hist_quantiles" ->
+      // exact percentiles + n for value comparison; the sketch
+      // verdicts are asserted literal 1s (estimates are bin-edge
+      // values — deterministic but engine-internal, never output raw)
+      """SELECT event_type, count(*) AS n,
+        |  roundStable(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  roundStable(quantile_cont(value, 0.9), 6) AS p90_exact,
+        |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q148_hopping" ->
       // each event joins exactly two 2h/1h hopping windows: starts at

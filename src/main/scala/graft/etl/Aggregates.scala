@@ -234,6 +234,62 @@ object Aggregates {
   def sketchEstimateTotal(sketches: DataFrame, groupCol: String): DataFrame =
     sketches.agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_estimate"))
 
+  /** Mergeable quantile sketches — [[distinctSketchKeyed]]'s twin for
+    * percentiles: per (key, slice) equal-width HISTOGRAM rows over
+    * key-frozen [lo, hi] ranges (the artifact — O(keys·slices·bins)
+    * rows; a day's partition aggregates once, forever). Merging is
+    * plain vector addition of bin counts — any slice subset answers a
+    * quantile query without rescanning raw data, with error bounded by
+    * one bin width `(hi−lo)/bins` by construction. No opaque binary
+    * state: the sketch is a TABLE, so it also diffs/joins/prunes like
+    * one ([[graft.etl.Drift.psi]] consumes the same shape).
+    */
+  def histSketch(df: DataFrame, keys: Seq[String], sliceCol: String,
+                 valueCol: String, bins: Int = 100): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val keyCols = keys.map(col)
+    val ranges = df.groupBy(keyCols: _*)
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    df.join(broadcast(ranges), keys)
+      .withColumn("__bin",
+        Drift.binId(col(valueCol), col("__lo"), col("__hi"), bins))
+      .groupBy(keyCols ++ Seq(col(sliceCol), col("__bin"),
+        col("__lo"), col("__hi")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__bins", lit(bins))
+  }
+
+  /** Quantile estimates from merged sketch rows: per key, fold all
+    * slices' bins together (vector add), then each requested p maps to
+    * the UPPER EDGE of the first bin whose cumulative count reaches
+    * `p·n` — within one bin width of the rank-⌈p·n⌉ order statistic
+    * (which lies in that bin), and within two of the INTERPOLATED
+    * percentile (whose bracketing ranks can straddle the bin edge).
+    * One keyed agg + one window over O(bins) rows per key.
+    */
+  def histQuantiles(sketch: DataFrame, keys: Seq[String],
+                    ps: Seq[Double], digits: Int = 6): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps: $ps")
+    val keyCols = keys.map(col)
+    val merged = sketch.groupBy(keyCols ++
+        Seq(col("__bin"), col("__lo"), col("__hi"), col("__bins")): _*)
+      .agg(sum(col("__n")).as("__n"))
+    val w = Window.partitionBy(keyCols: _*)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val width = (col("__hi") - col("__lo")) / col("__bins")
+    val upperEdge = col("__lo") + (col("__bin") + 1) * width
+    val withCum = merged
+      .withColumn("__cum", sum(col("__n")).over(wOrd))
+      .withColumn("__tot", sum(col("__n")).over(w))
+    val aggs = ps.map { p =>
+      roundStable(min(when(col("__cum") >= col("__tot") * p, upperEdge)),
+        digits).as(s"p${(p * 100).round}")
+    }
+    withCum.groupBy(keyCols: _*)
+      .agg(aggs.head, aggs.tail :+ max(col("__tot")).as("n"): _*)
+  }
+
   /** Roll stored per-slice sketches up to `keys` and estimate — the
     * range-query half of [[distinctSketchKeyed]].
     */

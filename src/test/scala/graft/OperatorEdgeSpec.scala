@@ -1317,6 +1317,26 @@ class OperatorEdgeSpec extends AnyFunSuite {
       top1.getDouble(3) == 1.0, s"got $top1")
   }
 
+  test("histSketch: slice merge is exact vector addition; estimate within a bin") {
+    // values 1..1000 split across 4 slices — merged quantiles must
+    // EQUAL the single-slice sketch's (bin counts add exactly), and sit
+    // within one bin width (999/100) of the true percentile
+    val rows = (1 to 1000).map(i => ("k", i % 4, i.toDouble))
+    val sk4 = etl.Aggregates.histSketch(rows.toDF("k", "slice", "v"),
+      Seq("k"), "slice", "v", bins = 100)
+    val sk1 = etl.Aggregates.histSketch(
+      rows.map { case (k, _, v) => (k, 0, v) }.toDF("k", "slice", "v"),
+      Seq("k"), "slice", "v", bins = 100)
+    val q4 = etl.Aggregates.histQuantiles(sk4, Seq("k"), Seq(0.5, 0.9)).collect().head
+    val q1 = etl.Aggregates.histQuantiles(sk1, Seq("k"), Seq(0.5, 0.9)).collect().head
+    assert(q4.getDouble(1) == q1.getDouble(1) && q4.getDouble(2) == q1.getDouble(2),
+      s"merge must be exact: $q4 vs $q1")
+    val width = 999.0 / 100
+    assert(math.abs(q4.getDouble(1) - 500.5) <= width, s"p50=${q4.getDouble(1)}")
+    assert(math.abs(q4.getDouble(2) - 900.1) <= width, s"p90=${q4.getDouble(2)}")
+    assert(q4.getLong(3) == 1000L)
+  }
+
   test("Hits: star hub out-scores a single-edge hub; scores L1-normalize") {
     // hubs 1,2 → authorities 10,11: hub 1 points at both, hub 2 only at
     // 10; authority 10 has two in-hubs, 11 one
