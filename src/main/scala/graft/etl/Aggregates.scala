@@ -271,7 +271,14 @@ object Aggregates {
                     ps: Seq[Double], digits: Int = 6): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps: $ps")
     val keyCols = keys.map(col)
-    val merged = sketch.groupBy(keyCols ++
+    // ONE shuffle of the (tiny) sketch table, by key alone: a
+    // HashPartitioning(key) satisfies the (key, bin) merge grouping
+    // (subset rule), the per-key cum window, AND the closing agg — a
+    // plain groupBy(key, bin) would partition on the superset, split
+    // keys across partitions, and force the window to re-Exchange
+    // (plan-spec'd at 3 total including histSketch's two aggs)
+    val merged = sketch.repartition(keyCols: _*)
+      .groupBy(keyCols ++
         Seq(col("__bin"), col("__lo"), col("__hi"), col("__bins")): _*)
       .agg(sum(col("__n")).as("__n"))
     val w = Window.partitionBy(keyCols: _*)

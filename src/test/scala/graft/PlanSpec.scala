@@ -488,6 +488,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("histQuantiles / hopping windows: bounded shuffle budget") {
+    // histSketch: one Exchange for the ranges agg + one for the
+    // (key, slice, bin) count (the ranges JOIN is broadcast);
+    // histQuantiles adds exactly one more — a repartition by key that
+    // the merge agg, cum window, and closing agg all ride.
+    // hopping: window() explodes map-side, ONE Exchange for the agg.
+    import org.apache.spark.sql.functions.{col, to_date, window}
+    val ev = Tables.events(spark, sfDir)
+    val sk = etl.Aggregates.histSketch(
+      ev.withColumn("day", to_date(col("ts"))),
+      Seq("event_type"), "day", "value", bins = 100)
+    val hq = etl.Aggregates.histQuantiles(sk, Seq("event_type"), Seq(0.5))
+    val hqEx = hq.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hqEx <= 3, s"histQuantiles: expected <= 3 Exchanges, got $hqEx")
+    val hop = ev.groupBy(col("event_type"),
+        window(col("ts"), "2 hours", "1 hour").as("w"))
+      .count()
+    val hopEx = hop.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hopEx == 1, s"hopping: expected one Exchange, got $hopEx")
+  }
+
   test("Drift: corpus-scale aggs reduce BEFORE the per-key windows") {
     // ksTest's first shuffle keys on (key, value) — fine-grained, skew-
     // free reduction of the raw rows; only the reduced distinct-value
