@@ -3533,20 +3533,32 @@ object SparkEntry {
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q135_containment" ->
-      // same 3-gram shingle sets as q34; score = overlap / min size
+      // same 3-gram shingle sets as q34; score = overlap / min size.
+      // The engine caps CANDIDATE GENERATION at maxDocFreq=1000 shared
+      // shingles (verification uses full sets) — mirrored here so both
+      // sides share candidate semantics: a pair qualifies only via a
+      // sub-cap shared shingle. No-op at this SF (500 docs < cap), load-
+      // bearing on a boilerplate-heavy corpus.
       """WITH s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
         |sh AS (
         |  SELECT doc_id,
         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
         |  FROM s
         |),
-        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh)
-        |SELECT id_a, id_b, n_a, n_b, roundStable(ct, 6) AS containment FROM (
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh),
+        |capped AS (SELECT sh FROM ex GROUP BY sh
+        |           HAVING count(DISTINCT doc_id) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |         WHERE a.sh IN (SELECT sh FROM capped)),
+        |v AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
         |    CAST(count(*) AS DOUBLE) / CAST(least(max(a.n), max(b.n)) AS DOUBLE) AS ct
         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id) t
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, n_a, n_b, roundStable(ct, 6) AS containment
+        |FROM v JOIN cand USING (id_a, id_b)
         |WHERE ct >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "q136_mad_outliers" ->

@@ -243,14 +243,26 @@ object Aggregates {
     * one bin width `(hi−lo)/bins` by construction. No opaque binary
     * state: the sketch is a TABLE, so it also diffs/joins/prunes like
     * one ([[graft.etl.Drift.psi]] consumes the same shape).
+    *
+    * Bin GEOMETRY contract: sketches only merge when they share a key's
+    * [lo, hi] range. A single call freezes one geometry per key, so its
+    * slices always merge; sketches built in SEPARATE calls each freeze
+    * their own input's range — pass `ranges` (a (keys, __lo, __hi) table,
+    * e.g. the first day's `histSketch(...).select(keys, "__lo", "__hi")
+    * .distinct()`) so every call bins against the SAME frozen geometry
+    * (the [[graft.streaming.DriftStream]] convention; values outside a
+    * frozen range clamp into the edge bins). [[histQuantiles]] rejects
+    * mixed geometries loudly rather than mixing incompatible ranges.
     */
   def histSketch(df: DataFrame, keys: Seq[String], sliceCol: String,
-                 valueCol: String, bins: Int = 100): DataFrame = {
+                 valueCol: String, bins: Int = 100,
+                 ranges: Option[DataFrame] = None): DataFrame = {
     require(bins >= 2, s"need bins >= 2, got $bins")
     val keyCols = keys.map(col)
-    val ranges = df.groupBy(keyCols: _*)
-      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
-    df.join(broadcast(ranges), keys)
+    val rng = ranges.getOrElse(
+      df.groupBy(keyCols: _*)
+        .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi")))
+    df.join(broadcast(rng), keys)
       .withColumn("__bin",
         Drift.binId(col(valueCol), col("__lo"), col("__hi"), bins))
       .groupBy(keyCols ++ Seq(col(sliceCol), col("__bin"),
@@ -266,11 +278,27 @@ object Aggregates {
     * (which lies in that bin), and within two of the INTERPOLATED
     * percentile (whose bracketing ranks can straddle the bin edge).
     * One keyed agg + one window over O(bins) rows per key.
+    *
+    * Fails loudly (an eager O(keys·slices·bins) probe over the tiny
+    * sketch table) when a key carries more than one [lo, hi]/bins
+    * geometry — sketches from separate [[histSketch]] calls without a
+    * shared `ranges` table would otherwise merge silently into wrong
+    * quantiles (the cum/total windows order by __bin alone).
     */
   def histQuantiles(sketch: DataFrame, keys: Seq[String],
                     ps: Seq[Double], digits: Int = 6): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps: $ps")
+    val names = ps.map(pName)
+    require(names.distinct.size == names.size,
+      s"percentile labels collide: $ps -> $names — request distinct ps")
     val keyCols = keys.map(col)
+    val mixed = sketch.groupBy(keyCols: _*)
+      .agg(countDistinct(col("__lo"), col("__hi"), col("__bins")).as("__g"))
+      .filter(col("__g") > 1).limit(1).count()
+    require(mixed == 0,
+      "histQuantiles: a key carries sketch rows with different [lo, hi]/bins " +
+        "geometries — build all slices in ONE histSketch call or pass the " +
+        "same frozen `ranges` table to every call")
     // ONE shuffle of the (tiny) sketch table, by key alone: a
     // HashPartitioning(key) satisfies the (key, bin) merge grouping
     // (subset rule), the per-key cum window, AND the closing agg — a
@@ -291,10 +319,20 @@ object Aggregates {
       .withColumn("__tot", sum(col("__n")).over(w))
     val aggs = ps.map { p =>
       roundStable(min(when(col("__cum") >= col("__tot") * p, upperEdge)),
-        digits).as(s"p${(p * 100).round}")
+        digits).as(pName(p))
     }
     withCum.groupBy(keyCols: _*)
       .agg(aggs.head, aggs.tail :+ max(col("__tot")).as("n"): _*)
+  }
+
+  /** Collision-free percentile column label: p50, p90, p99_5 (0.995) —
+    * rounding to the nearest integer percent would alias 0.995 and 1.0
+    * both onto "p100" and emit a duplicate-column DataFrame.
+    */
+  private def pName(p: Double): String = {
+    val scaled = math.rint(p * 1e6) / 1e4 // exact to 4dp of percent
+    if (scaled == math.floor(scaled)) s"p${scaled.toLong}"
+    else "p" + scaled.toString.replace('.', '_')
   }
 
   /** Roll stored per-slice sketches up to `keys` and estimate — the
@@ -522,11 +560,15 @@ object Aggregates {
     val mu = na * nb / 2
     val sigma = sqrt(na * nb / 12 *
       ((n + 1) - sum(col("__tie")).cast("double") / (n * (n - 1))))
+    // σ = 0 when a side is empty or every row ties on one value — the
+    // normal approximation is undefined there, so z is an explicit NULL
+    // (the Drift.cusum sd>0 guard convention) instead of a NaN/null from
+    // a silent 0/0 that roundStable would pass through.
     enriched
       .groupBy(keyCols: _*)
       .agg(
         roundStable(u, decimals).as("u_stat"),
-        roundStable((u - mu) / sigma, decimals).as("z"),
+        roundStable(when(sigma > 0, (u - mu) / sigma), decimals).as("z"),
         max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
   }
 }

@@ -78,9 +78,15 @@ object CusumStream {
         .withColumn("__pe", lit(0.0)).withColumn("__pm", lit(0.0))
         .withColumn("__lb", lit(-1L))
     // monotone replay gate: if this batch already folded in, its output
-    // landed before the state swap — the whole call is a no-op
-    if (hasState &&
-        state.agg(max(col("__lb"))).collect()(0).getLong(0) >= batchId) return
+    // landed before the state swap — the whole call is a no-op. max() over
+    // an EMPTY state table (a first batch that was empty or missed every
+    // key in mon.stats writes zero state rows) is NULL — read it boxed and
+    // coalesce to -1 so the stream can't wedge on a getLong NPE.
+    if (hasState) {
+      val lb = Option(state.agg(max(col("__lb"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
+      if (lb >= batchId) return
+    }
 
     val wOrd = Window.partitionBy(keyCols: _*)
       .orderBy(col(orderCol), col(tieCol))

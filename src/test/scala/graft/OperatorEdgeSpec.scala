@@ -1337,6 +1337,58 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(q4.getLong(3) == 1000L)
   }
 
+  test("histQuantiles: mixed bin geometries fail loudly; frozen ranges merge across calls") {
+    // two SEPARATE histSketch calls freeze different [lo, hi] per key —
+    // merging them would silently mix incompatible bin geometries, so
+    // histQuantiles must reject the union
+    val day1 = (1 to 100).map(i => ("k", 1, i.toDouble)).toDF("k", "slice", "v")
+    val day2 = (200 to 300).map(i => ("k", 2, i.toDouble)).toDF("k", "slice", "v")
+    val sk1 = etl.Aggregates.histSketch(day1, Seq("k"), "slice", "v", bins = 10)
+    val sk2 = etl.Aggregates.histSketch(day2, Seq("k"), "slice", "v", bins = 10)
+    val e = intercept[IllegalArgumentException] {
+      etl.Aggregates.histQuantiles(sk1.unionByName(sk2), Seq("k"), Seq(0.5))
+    }
+    assert(e.getMessage.contains("geometries"), e.getMessage)
+    // the supported cross-call shape: freeze the ranges once and pass
+    // them to EVERY call — the sketches then merge, and equal the
+    // single-call sketch over the union (same geometry, vector addition)
+    val ranges = Seq(("k", 1.0, 300.0)).toDF("k", "__lo", "__hi")
+    val f1 = etl.Aggregates.histSketch(day1, Seq("k"), "slice", "v",
+      bins = 10, ranges = Some(ranges))
+    val f2 = etl.Aggregates.histSketch(day2, Seq("k"), "slice", "v",
+      bins = 10, ranges = Some(ranges))
+    val one = etl.Aggregates.histSketch(day1.unionByName(day2),
+      Seq("k"), "slice", "v", bins = 10, ranges = Some(ranges))
+    val qf = etl.Aggregates.histQuantiles(f1.unionByName(f2), Seq("k"), Seq(0.5, 0.9))
+      .collect().head
+    val q1 = etl.Aggregates.histQuantiles(one, Seq("k"), Seq(0.5, 0.9))
+      .collect().head
+    assert(qf == q1, s"frozen-range merge must equal single call: $qf vs $q1")
+  }
+
+  test("histQuantiles: nearby percentiles get distinct labels (p99_5 vs p100)") {
+    // integer-percent rounding would alias 0.995 and 1.0 both to "p100"
+    // and emit a duplicate-column DataFrame
+    val rows = (1 to 1000).map(i => ("k", 0, i.toDouble)).toDF("k", "slice", "v")
+    val sk = etl.Aggregates.histSketch(rows, Seq("k"), "slice", "v", bins = 100)
+    val out = etl.Aggregates.histQuantiles(sk, Seq("k"), Seq(0.995, 1.0))
+    assert(out.columns.toSeq == Seq("k", "p99_5", "p100", "n"), out.columns.mkString(","))
+    val r = out.collect().head
+    assert(r.getDouble(1) <= r.getDouble(2), s"$r")
+  }
+
+  test("mannWhitneyU: sigma = 0 (all-tied or one-sided key) yields explicit null z") {
+    // every row carries one value → tie correction zeroes the variance;
+    // a key with an empty side has na·nb = 0 — both must emit z = NULL,
+    // not a NaN from 0/0
+    val allTied = Seq(("t", 1.0, true), ("t", 1.0, false), ("t", 1.0, true))
+    val oneSided = Seq(("o", 1.0, true), ("o", 2.0, true))
+    val out = etl.Aggregates.mannWhitneyU((allTied ++ oneSided).toDF("k", "v", "isa"),
+      Seq("k"), col("isa"), col("v")).collect()
+      .map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(out("t") && out("o"), s"z must be null on degenerate keys: $out")
+  }
+
   test("Hits: star hub out-scores a single-edge hub; scores L1-normalize") {
     // hubs 1,2 → authorities 10,11: hub 1 points at both, hub 2 only at
     // 10; authority 10 has two in-hubs, 11 one

@@ -1023,4 +1023,27 @@ class PipelineSpec extends AnyFunSuite {
       1L, "v", "t", "t", s"$tmp/state", s"$tmp/mon")
     assert(spark.read.parquet(s"$tmp/state").collect().toSeq == stateBefore)
   }
+
+  test("CusumStream: an empty first batch cannot wedge the gate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusumempty").toString
+    val ref = (1 to 200).map(i => ("k", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("k", "t", "v")
+    val mon = streaming.CusumStream.buildReference(ref, Seq("k"), "v")
+    // batch 0 is EMPTY (common at stream startup): it writes a zero-row
+    // state table; the max(__lb) replay gate must read that as "no batch
+    // applied yet" (boxed null → -1), not throw an NPE that permanently
+    // wedges every later batch
+    streaming.CusumStream.cusumBatch(mon,
+      Seq.empty[(String, Long, Double)].toDF("k", "t", "v"),
+      0L, "v", "t", "t", s"$tmp/state", s"$tmp/mon")
+    assert(spark.read.parquet(s"$tmp/state").count() == 0L)
+    val shifted = (1 to 30).map(i => ("k", 2000L + i, 3.0))
+    streaming.CusumStream.cusumBatch(mon, shifted.toDF("k", "t", "v"),
+      1L, "v", "t", "t", s"$tmp/state", s"$tmp/mon")
+    val out = spark.read.parquet(s"$tmp/mon/batch=1").collect().head
+    assert(out.getAs[Long]("n_alarms") > 0L, s"shifted batch must alarm: $out")
+    val st = spark.read.parquet(s"$tmp/state").collect()
+    assert(st.length == 1 && st.head.getAs[Long]("__lb") == 1L, st.mkString(","))
+  }
 }
