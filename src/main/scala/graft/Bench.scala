@@ -9,17 +9,26 @@ import org.apache.spark.sql.SparkSession
   * the cold total.
   */
 object Bench {
+  /** Executor storage memory in use (MB) — in local mode, the one block
+    * manager. Nonzero at query START means a neighbor's blocks survived
+    * the between-queries reset and the timing is suspect.
+    */
+  private def storageUsedMb(spark: SparkSession): Long =
+    spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, shufflePartitions = cpus)
     spark.sparkContext.setLogLevel("WARN")
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String], Long) = {
       // Bound cached-block lifetime per run: the dedup/CC queries return
       // localCheckpoint'd results whose blocks otherwise outlive the query
       // — 65 queries × 2 runs of accumulation degrades later warm runs
       // (storage-memory pressure), poisoning the artifact.
       val before = Blocks.persistedIds(spark)
+      val storageAtStart = storageUsedMb(spark)
       val t0 = System.nanoTime()
       // A failed query must surface as an ERROR, not a bogus ~50 ms
       // "timing" that deflates the total and masks the breakage.
@@ -29,25 +38,39 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       Blocks.releaseSince(spark, before)
-      (dt, err)
+      // Drain this query's dead weight NOW, not during a neighbor's timed
+      // run: shuffle files and broadcast blocks are released by the
+      // ContextCleaner only when their owners are garbage-collected, so
+      // without an explicit GC a heavy query's cleanup lands inside
+      // whichever later query happens to trigger collection — the
+      // warm>cold inversions the r8/r9 artifacts kept flagging. The GC
+      // runs OUTSIDE the timed window.
+      System.gc()
+      Thread.sleep(100) // let the async cleaner act on the cleared refs
+      (dt, err, storageAtStart)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val (cold, errC) = time(fn)
-      val (warm, errW) = time(fn)
-      (name, cold, warm, errC.orElse(errW))
+      val (cold, errC, st0) = time(fn)
+      val (warm, errW, stW) = time(fn)
+      (name, cold, warm, errC.orElse(errW), math.max(st0, stW))
     }.toSeq
     def js(entries: Seq[(String, Double)]) = entries
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.filter(_._4.isDefined)
-    failed.foreach { case (n, _, _, e) =>
+    failed.foreach { case (n, _, _, e, _) =>
       System.err.println(s"[bench] $n FAILED: ${e.get}")
     }
     val ok = results.filter(_._4.isEmpty)
     val total = ok.map(_._2).sum
     val totalWarm = ok.map(_._3).sum
+    // Residual-interference tell: max storage-memory (MB) found in use at
+    // any query's start. ~0 means every timing started from a clean block
+    // manager; large values mean the between-queries reset failed and
+    // per-query numbers are suspect.
+    val maxResidualMb = if (results.isEmpty) 0L else results.map(_._5).max
     val errJs = failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
-    val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":$errJs,"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
+    val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":$errJs,"max_residual_storage_mb":$maxResidualMb,"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
     // Full per-query detail first; the artifact capture keeps only a ~2 KB
     // TAIL of stdout, so this line may truncate — it exists for local logs
     // and judge re-runs.

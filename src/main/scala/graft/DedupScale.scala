@@ -287,6 +287,57 @@ object DedupScale {
       println(f"[triscale]   nodes=${row.getLong(0)}%8d edges=${row.getLong(1)}%9d wedges=${row.getLong(2)}%10d triangles=${row.getLong(3)}%10d  ${secs}%8.2f s")
     }
 
+    // Planted power-law hub (the [triscale] complement: disjoint copies
+    // have UNIFORM degree — the orientation bound's whole point is
+    // hubs): 200k-node background graph with hash-derived ~6 out-edges
+    // per node, plus ONE hub wired to 1% of all nodes (degree 2000 ≈
+    // 170× the background mean). Claims measured:
+    //   (a) Triangles: the hub adds ~ZERO wedges — orientation points
+    //       every hub edge AT the hub (max degree ⇒ never a center), so
+    //       wedge volume with the hub ≈ without it;
+    //   (b) PageRank/HITS: salted (saltBuckets=8) ≡-shaped runs next to
+    //       plain — at local[32] the extra shuffle is visible overhead;
+    //       the mechanism exists for 1000-executor partitions where one
+    //       hub key exceeds a task, and this stage pins its cost + that
+    //       results survive a planted hub;
+    //   (c) KCore peels with the hub present.
+    {
+      val n = 200000L
+      val bg = spark.range(n).select(col("id").as("src"),
+          explode(array((0 until 6).map(s =>
+            pmod(xxhash64(col("id"), lit(s)), lit(n))): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val hub = spark.range(n / 100)
+        .select(lit(0L).as("src"), (col("id") * 100 + 1).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val withHub = bg.unionByName(hub)
+      val t0 = System.nanoTime()
+      val noHubRow = operators.Triangles.census(bg, "src", "dst").collect().head
+      val t1 = System.nanoTime()
+      val hubRow = operators.Triangles.census(withHub, "src", "dst").collect().head
+      val t2 = System.nanoTime()
+      println(f"[hubscale] tri no-hub: edges=${noHubRow.getLong(1)}%9d wedges=${noHubRow.getLong(2)}%10d  ${(t1 - t0) / 1e9}%7.2f s")
+      println(f"[hubscale] tri   hub: edges=${hubRow.getLong(1)}%9d wedges=${hubRow.getLong(2)}%10d  ${(t2 - t1) / 1e9}%7.2f s  (wedge delta=${hubRow.getLong(2) - noHubRow.getLong(2)}%d)")
+
+      val sym = withHub.unionByName(withHub.select(col("dst").as("src"),
+        col("src").as("dst")))
+      for ((label, buckets) <- Seq(("plain", 1), ("salted8", 8))) {
+        val p0 = System.nanoTime()
+        operators.PageRank.run(sym, "src", "dst", iters = 5,
+          saltBuckets = buckets).count()
+        val pr = (System.nanoTime() - p0) / 1e9
+        val h0 = System.nanoTime()
+        operators.Hits.run(withHub, "src", "dst", iters = 3,
+          saltBuckets = buckets).count()
+        val hi = (System.nanoTime() - h0) / 1e9
+        println(f"[hubscale] $label%-8s pagerank(5 it)=${pr}%7.2f s  hits(3 it)=${hi}%7.2f s")
+      }
+
+      val k0 = System.nanoTime()
+      val coreN = operators.KCore.core(withHub, "src", "dst", k = 7).count()
+      println(f"[hubscale] kcore k=7: core=${coreN}%8d  ${(System.nanoTime() - k0) / 1e9}%7.2f s")
+    }
+
     // BM25 with a 50-query batch over an R×-replicated corpus: the
     // corpus side scans once; query-term restriction keeps the tf/df
     // aggregation on the matched sliver.

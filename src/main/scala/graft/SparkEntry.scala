@@ -1398,6 +1398,70 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q151_cusum_twosided" -> ((s, dir) => {
+      // both CUSUM sides exercised: a planted −60 (~1.25σ) step from
+      // day 23 models sensor degradation — invisible to the upper
+      // statistic, alarmed by the lower one; the upper side watches the
+      // same series and stays quiet. Oracle replays the identical plant.
+      val ev = Tables.events(s, dir).withColumn("value",
+        when(dayofmonth(col("ts")) > 22, col("value") - lit(60.0))
+          .otherwise(col("value")))
+      etl.Drift.cusum(ev, Seq("event_type"), "value",
+          orderCol = col("ts"), tieCol = col("event_id"),
+          isRef = dayofmonth(col("ts")) <= 15)
+        .orderBy(col("event_type"))
+    }),
+
+    "q152_chi2_keyed" -> ((s, dir) =>
+      // the keyed form of q131: per SOURCE, is language independent of
+      // document length class? one pass over all sources — the drift
+      // family's per-cohort convention applied to the categorical test
+      etl.Drift.chiSquareIndep(
+          Tables.documents(s, dir).withColumn("len_class",
+            when(col("n_chars") >= 300, lit("long")).otherwise(lit("short"))),
+          Seq("source"), "lang", "len_class")
+        .orderBy(col("source"))),
+
+    "q153_adamic_adar" -> ((s, dir) => {
+      // neighborhood link prediction over a THIN supplier co-purchasing
+      // graph (quantity > 48 — wedge volume through unoriented centers
+      // is Σ C(deg,2), so this query thins the q129 graph rather than
+      // paying ~4× its wedge count): top-5 predicted partners per
+      // supplier by Adamic–Adar, hub centers excluded above maxDeg
+      val sp = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 48)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = sp.as("r1").join(sp.as("r2"),
+          col("r1.pk") === col("r2.pk") && col("r1.sk") < col("r2.sk"))
+        .select(col("r1.sk").as("src"), col("r2.sk").as("dst"))
+      operators.LinkPrediction.adamicAdarTopK(edges, "src", "dst",
+          k = 5, maxDeg = 500)
+        .orderBy(col("u"), col("rank"))
+    }),
+
+    "q154_twap" -> ((s, dir) =>
+      // time-weighted daily average per event_type — the
+      // irregular-sampling correction of q01's plain mean: each reading
+      // holds until the series' next one; the last reading has no
+      // holding interval (half-open, the q117 convention)
+      etl.Aggregates.twap(Tables.events(s, dir), Seq("event_type"),
+          Seq(col("event_type"), to_date(col("ts")).as("day")),
+          orderCol = col("ts"), tieCol = col("event_id"),
+          valueCol = "value")
+        .orderBy(col("event_type"), col("day"))),
+
+    "q155_gini" -> ((s, dir) =>
+      // activity-concentration readout: Gini of per-user event counts
+      // within each event_type — is one user absorbing the volume? (the
+      // corpus-balance twin of q75's domain mix)
+      etl.Aggregates.gini(
+          Tables.events(s, dir).groupBy(col("event_type"), col("user_id"))
+            .agg(count(lit(1)).as("n_events")),
+          Seq("event_type"), "n_events", tieCol = col("user_id"))
+        .orderBy(col("event_type"))),
+
     "q148_hopping" -> ((s, dir) =>
       // overlapping (hopping) event-time windows in BATCH — the
       // streaming window shape q27's tumbling buckets don't cover:
@@ -3858,30 +3922,176 @@ object SparkEntry {
 
     "q143_cusum" ->
       // the max(0, S+x) recursion via its running-drawdown closed form:
-      // S_t = P_t − min(0, min_{j≤t} P_j) — two cumulative windows
+      // S_t = P_t − min(0, min_{j≤t} P_j) — two cumulative windows per
+      // side, lower side substitutes −z. σ≤0 keys carry NULL z → every
+      // statistic folds to NULL (the "unmonitorable" contract); the
+      // drawdown floor is a null-safe CASE (NULL min ⇒ floor 0 ⇒ NULL−0
+      // stays NULL, matching Spark's null-skipping least)
       """WITH st AS (SELECT event_type, avg(value) AS mu,
         |              stddev_samp(value) AS sd
         |            FROM events WHERE day(ts) <= 15 GROUP BY event_type),
         |c AS (SELECT e.event_type, e.ts, e.event_id,
-        |        (e.value - st.mu) / st.sd - 0.5 AS x
+        |        CASE WHEN st.sd > 0 THEN (e.value - st.mu) / st.sd END AS z
         |      FROM events e JOIN st ON e.event_type = st.event_type
-        |      WHERE day(e.ts) > 15 AND st.sd > 0),
-        |p AS (SELECT event_type, ts,
-        |        sum(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
-        |          ROWS UNBOUNDED PRECEDING) AS p,
-        |        event_id
-        |      FROM c),
+        |      WHERE day(e.ts) > 15),
+        |p AS (SELECT event_type, ts, event_id,
+        |        sum(z - 0.5) OVER w AS pu,
+        |        sum(-z - 0.5) OVER w AS pl
+        |      FROM c
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING)),
         |s AS (SELECT event_type, ts,
-        |        p - least(min(p) OVER (PARTITION BY event_type
-        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 0.0) AS s
-        |      FROM p)
+        |        pu - CASE WHEN min(pu) OVER w < 0
+        |          THEN min(pu) OVER w ELSE 0.0 END AS su,
+        |        pl - CASE WHEN min(pl) OVER w < 0
+        |          THEN min(pl) OVER w ELSE 0.0 END AS sl
+        |      FROM p
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING))
         |SELECT event_type,
-        |  CAST(sum(CASE WHEN s > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_alarms,
-        |  min(CASE WHEN s > 5.0 THEN ts END) AS first_alarm_at,
-        |  roundStable(max(s), 6) AS max_s,
+        |  CAST(sum(CASE WHEN su > 5.0 THEN 1
+        |    WHEN su IS NOT NULL THEN 0 END) AS BIGINT) AS n_alarms,
+        |  min(CASE WHEN su > 5.0 THEN ts END) AS first_alarm_at,
+        |  roundStable(max(su), 6) AS max_s,
+        |  CAST(sum(CASE WHEN sl > 5.0 THEN 1
+        |    WHEN sl IS NOT NULL THEN 0 END) AS BIGINT) AS n_alarms_lo,
+        |  min(CASE WHEN sl > 5.0 THEN ts END) AS first_alarm_lo_at,
+        |  roundStable(max(sl), 6) AS max_s_lo,
         |  count(*) AS n_cur
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q151_cusum_twosided" ->
+      // identical plan with the −60 step planted from day 23 — the
+      // lower-side statistic must alarm, the upper stays quiet
+      """WITH ev AS (SELECT event_type, ts, event_id,
+        |        CASE WHEN day(ts) > 22 THEN value - 60.0 ELSE value END
+        |          AS value
+        |      FROM events),
+        |st AS (SELECT event_type, avg(value) AS mu,
+        |         stddev_samp(value) AS sd
+        |       FROM ev WHERE day(ts) <= 15 GROUP BY event_type),
+        |c AS (SELECT e.event_type, e.ts, e.event_id,
+        |        CASE WHEN st.sd > 0 THEN (e.value - st.mu) / st.sd END AS z
+        |      FROM ev e JOIN st ON e.event_type = st.event_type
+        |      WHERE day(e.ts) > 15),
+        |p AS (SELECT event_type, ts, event_id,
+        |        sum(z - 0.5) OVER w AS pu,
+        |        sum(-z - 0.5) OVER w AS pl
+        |      FROM c
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING)),
+        |s AS (SELECT event_type, ts,
+        |        pu - CASE WHEN min(pu) OVER w < 0
+        |          THEN min(pu) OVER w ELSE 0.0 END AS su,
+        |        pl - CASE WHEN min(pl) OVER w < 0
+        |          THEN min(pl) OVER w ELSE 0.0 END AS sl
+        |      FROM p
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN su > 5.0 THEN 1
+        |    WHEN su IS NOT NULL THEN 0 END) AS BIGINT) AS n_alarms,
+        |  min(CASE WHEN su > 5.0 THEN ts END) AS first_alarm_at,
+        |  roundStable(max(su), 6) AS max_s,
+        |  CAST(sum(CASE WHEN sl > 5.0 THEN 1
+        |    WHEN sl IS NOT NULL THEN 0 END) AS BIGINT) AS n_alarms_lo,
+        |  min(CASE WHEN sl > 5.0 THEN ts END) AS first_alarm_lo_at,
+        |  roundStable(max(sl), 6) AS max_s_lo,
+        |  count(*) AS n_cur
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q153_adamic_adar" ->
+      // the same wedge enumeration through capped-degree centers,
+      // existing edges anti-joined, aa ROUNDED before the rank cut
+      """WITH sp AS (SELECT DISTINCT l.l_suppkey AS sk, l.l_partkey AS pk
+        |      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |      WHERE l.l_quantity > 48),
+        |e AS (SELECT r1.sk AS a, r2.sk AS b FROM sp r1 JOIN sp r2
+        |      ON r1.pk = r2.pk AND r1.sk < r2.sk GROUP BY 1, 2),
+        |deg AS (SELECT w, count(*) AS deg FROM
+        |        (SELECT a AS w FROM e UNION ALL SELECT b FROM e)
+        |      GROUP BY 1),
+        |adj AS (SELECT j.w, j.n, d.deg FROM
+        |        (SELECT a AS w, b AS n FROM e
+        |         UNION ALL SELECT b AS w, a AS n FROM e) j
+        |      JOIN deg d ON j.w = d.w WHERE d.deg <= 500),
+        |ps AS (SELECT x.n AS u, y.n AS v,
+        |        count(*) AS common_neighbors,
+        |        sum(1.0 / ln(x.deg)) AS aa_raw
+        |      FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+        |      GROUP BY 1, 2),
+        |pred AS (SELECT u, v, common_neighbors,
+        |        roundStable(aa_raw, 6) AS aa
+        |      FROM ps WHERE NOT EXISTS
+        |        (SELECT 1 FROM e WHERE e.a = ps.u AND e.b = ps.v)),
+        |bth AS (SELECT u, v, common_neighbors, aa FROM pred
+        |      UNION ALL
+        |      SELECT v AS u, u AS v, common_neighbors, aa FROM pred),
+        |r AS (SELECT u, v, common_neighbors, aa,
+        |        row_number() OVER (PARTITION BY u ORDER BY aa DESC, v)
+        |          AS rank
+        |      FROM bth)
+        |SELECT u, v, common_neighbors, aa, rank
+        |FROM r WHERE rank <= 5 ORDER BY u, rank""".stripMargin,
+
+    "q154_twap" ->
+      // step-hold weights from the series' lead; the last reading has a
+      // NULL weight and drops from both sums, but still counts in n and
+      // the plain mean
+      """WITH t AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
+        |        (epoch_us(lead(ts) OVER (PARTITION BY event_type
+        |            ORDER BY ts, event_id)) - epoch_us(ts)) / 1e6 AS w
+        |      FROM events)
+        |SELECT event_type, day,
+        |  roundStable(sum(value * w) / sum(w), 6) AS twap,
+        |  roundStable(avg(value), 6) AS plain_avg,
+        |  roundStable(sum(w), 6) AS covered_secs,
+        |  count(*) AS n
+        |FROM t GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q155_gini" ->
+      // rank identity G = 2·Σ i·x_(i)/(n·Σx) − (n+1)/n over the
+      // (value, user_id)-ascending sort — ties share a value, so the
+      // tiebreak order cannot change the sum
+      """WITH c AS (SELECT event_type, user_id,
+        |        CAST(count(*) AS DOUBLE) AS n_events
+        |      FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, n_events,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY n_events, user_id) AS i
+        |      FROM c)
+        |SELECT event_type,
+        |  roundStable(CASE WHEN sum(n_events) > 0 THEN
+        |    2.0 * sum(i * n_events) / (count(*) * sum(n_events))
+        |      - (count(*) + 1) / CAST(count(*) AS DOUBLE) END, 6) AS gini,
+        |  count(*) AS n,
+        |  roundStable(sum(n_events), 6) AS total
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q152_chi2_keyed" ->
+      // per-source contingency: same observed-cells-only identity as
+      // q131, marginals partitioned by (source, level)
+      """WITH cells AS (SELECT source,
+        |        lang AS a,
+        |        CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS b,
+        |        CAST(count(*) AS DOUBLE) AS o
+        |      FROM documents GROUP BY 1, 2, 3),
+        |m AS (SELECT source, a, b, o,
+        |        sum(o) OVER (PARTITION BY source, a) AS rt,
+        |        sum(o) OVER (PARTITION BY source, b) AS ct
+        |      FROM cells)
+        |SELECT source,
+        |  roundStable((sum(o * o / (rt * ct)) - 1.0) * sum(o), 6) AS chi2,
+        |  CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+        |    AS dof,
+        |  roundStable(CASE WHEN least(count(DISTINCT a),
+        |      count(DISTINCT b)) > 1
+        |    THEN sqrt((sum(o * o / (rt * ct)) - 1.0)
+        |      / CAST(least(count(DISTINCT a), count(DISTINCT b)) - 1
+        |          AS DOUBLE)) END, 6) AS cramers_v,
+        |  CAST(sum(o) AS BIGINT) AS n
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     "q138_hll_distinct" ->
       // exact cardinality for value comparison; the sketch verdicts are

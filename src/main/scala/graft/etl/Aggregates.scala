@@ -571,4 +571,66 @@ object Aggregates {
         roundStable(when(sigma > 0, (u - mu) / sigma), decimals).as("z"),
         max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
   }
+
+  /** Time-weighted average per key — the irregular-sampling correction a
+    * plain `avg` gets wrong (a sensor that reports every second while
+    * misbehaving and hourly while fine biases the plain mean toward the
+    * misbehaving period): each reading holds until the key's NEXT
+    * reading (step interpolation), so its weight is that holding
+    * duration in seconds. The key's LAST reading has no holding interval
+    * and contributes nothing (its `lead` is null — excluded from both
+    * sums), matching the half-open convention of the interval operators.
+    * `groupCols` may be coarser than `keys` (e.g. keys = sensor,
+    * groupCols = sensor × day): the holding interval is computed within
+    * the KEY series and the whole interval is attributed to the group
+    * the reading STARTS in.
+    *
+    * One keyed window shuffle (lead rides the (orderCol, tieCol) sort);
+    * the closing aggregation groups rows the window already partitioned.
+    */
+  def twap(df: DataFrame, keys: Seq[String], groupCols: Seq[Column],
+           orderCol: Column, tieCol: Column, valueCol: String,
+           decimals: Int = 6): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(orderCol, tieCol)
+    val dt = (unix_micros(lead(orderCol, 1).over(wOrd)) -
+      unix_micros(orderCol)).cast("double") / 1e6
+    df.withColumn("__w", dt)
+      .groupBy(groupCols: _*)
+      .agg(
+        roundStable(sum(col(valueCol) * col("__w")) / sum(col("__w")),
+          decimals).as("twap"),
+        roundStable(avg(col(valueCol)), decimals).as("plain_avg"),
+        roundStable(sum(col("__w")), decimals).as("covered_secs"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Gini concentration coefficient per key over a nonnegative value —
+    * the inequality readout for corpus/traffic balance (is one user /
+    * domain / shard absorbing the volume?): 0 = uniform, → 1 = one row
+    * holds everything. Computed from the rank identity
+    * `G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n` over the (value, tieCol)-
+    * ascending sort — one keyed window shuffle, the closing agg reuses
+    * its partitioning. Exact for any tie pattern as long as the
+    * tiebreak is deterministic (ties share a value, so their rank order
+    * does not change the sum). Keys with Σx = 0 emit NULL (no mass to
+    * concentrate).
+    */
+  def gini(df: DataFrame, keys: Seq[String], valueCol: String,
+           tieCol: Column, decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*)
+      .orderBy(col(valueCol), tieCol)
+    val ranked = df.withColumn("__i", row_number().over(wOrd).cast("double"))
+    ranked
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(
+          when(sum(col(valueCol)) > 0,
+            lit(2.0) * sum(col("__i") * col(valueCol)) /
+              (count(lit(1)).cast("double") * sum(col(valueCol))) -
+              (count(lit(1)) + lit(1)).cast("double") / count(lit(1))),
+          decimals).as("gini"),
+        count(lit(1)).as("n"),
+        roundStable(sum(col(valueCol)), decimals).as("total"))
+  }
 }

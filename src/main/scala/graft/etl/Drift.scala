@@ -80,21 +80,34 @@ object Drift {
         max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
   }
 
-  /** One-sided CUSUM change-point monitor per key — the third member of
+  /** Two-sided CUSUM change-point monitor per key — the third member of
     * the drift family: [[psi]]/[[ksTest]] say THAT a window drifted,
     * CUSUM localizes WHEN the shift began and alarms online. Reference
     * mean/σ come from the `isRef` rows; over the (orderCol, tieCol)-
     * ordered current series the standard upper CUSUM
     * `S_t = max(0, S_{t−1} + (z_t − slack))` accumulates evidence of an
-    * upward mean shift and alarms at `S_t > h` (Page 1954; slack k=0.5,
-    * h=5 detect ~1σ shifts).
+    * UPWARD mean shift and the symmetric lower CUSUM
+    * `T_t = max(0, T_{t−1} + (−z_t − slack))` of a DOWNWARD one (sensor
+    * degradation / silent scale loss — invisible to the upper side);
+    * both alarm at `> h` (Page 1954; slack k=0.5, h=5 detect ~1σ
+    * shifts).
     *
     * The recursion LOOKS like a sequential fold, but has the closed
     * form `S_t = P_t − min(0, min_{j≤t} P_j)` over prefix sums
-    * `P_t = Σ (z_i − slack)` — a running-drawdown identity — so it is
-    * TWO cumulative windows over the same keyed sort, no collect, no
-    * UDF, exactly replayable in SQL. Output: per-key alarm count, first
-    * alarm position/time, and the peak statistic.
+    * `P_t = Σ (z_i − slack)` — a running-drawdown identity — so each
+    * side is TWO cumulative windows over the SAME keyed sort (the lower
+    * side substitutes −z; one shuffle total), no collect, no UDF,
+    * exactly replayable in SQL. Output per key: upper alarm count /
+    * first alarm / peak (`n_alarms`, `first_alarm_at`, `max_s`), the
+    * lower-side triple (`…_lo`), and `n_cur`.
+    *
+    * Keys whose reference σ is 0 or undefined (constant or single-row
+    * reference) have no scale to standardize against: they are emitted
+    * with NULL statistics and their `n_cur` — visible as
+    * "unmonitorable", not silently absent (a flat-reference sensor is
+    * exactly the one you want flagged). Keys with no reference rows at
+    * all are not monitored (inner join) — there is no baseline to
+    * compare against.
     */
   def cusum(df: DataFrame, keys: Seq[String], valueCol: String,
             orderCol: Column, tieCol: Column, isRef: Column,
@@ -106,18 +119,32 @@ object Drift {
       .agg(avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
     val wOrd = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val x = (col(valueCol) - col("__mu")) / col("__sd") - lit(slack)
+    // NULL for σ≤0 keys: every downstream window/aggregate folds to NULL
+    // for the whole key (sum-over-all-nulls is NULL; Spark's `least`
+    // skips nulls, so the drawdown floor stays 0.0 and NULL − 0.0 = NULL)
+    val z = when(col("__sd") > 0,
+      (col(valueCol) - col("__mu")) / col("__sd"))
+    val xu = z - lit(slack)
+    val xl = -z - lit(slack)
+    // both prefix sums in ONE Window node, both running mins in a second
+    // (same spec, adjacent projections collapse); the shared keyed sort
+    // is shuffled and sorted once
     val cur = df.filter(!isRef).join(broadcast(stats), keys)
-      .filter(col("__sd") > 0)
-      .withColumn("__p", sum(x).over(wOrd))
-      .withColumn("__s", col("__p") - least(min(col("__p")).over(wOrd), lit(0.0)))
+      .withColumn("__pu", sum(xu).over(wOrd))
+      .withColumn("__pl", sum(xl).over(wOrd))
+      .withColumn("__su", col("__pu") - least(min(col("__pu")).over(wOrd), lit(0.0)))
+      .withColumn("__sl", col("__pl") - least(min(col("__pl")).over(wOrd), lit(0.0)))
     cur
-      .withColumn("__alarm", (col("__s") > h).cast("long"))
+      .withColumn("__au", (col("__su") > h).cast("long"))
+      .withColumn("__al", (col("__sl") > h).cast("long"))
       .groupBy(keyCols: _*)
       .agg(
-        sum(col("__alarm")).as("n_alarms"),
-        min(when(col("__alarm") === 1, orderCol)).as("first_alarm_at"),
-        roundStable(max(col("__s")), digits).as("max_s"),
+        sum(col("__au")).as("n_alarms"),
+        min(when(col("__au") === 1, orderCol)).as("first_alarm_at"),
+        roundStable(max(col("__su")), digits).as("max_s"),
+        sum(col("__al")).as("n_alarms_lo"),
+        min(when(col("__al") === 1, orderCol)).as("first_alarm_lo_at"),
+        roundStable(max(col("__sl")), digits).as("max_s_lo"),
         count(lit(1)).as("n_cur"))
   }
 
@@ -137,29 +164,44 @@ object Drift {
     * to `e`, accounted via the identity `chi2 = n·(Σ o²/(rt·ct) − 1)`
     * which needs only OBSERVED cells.
     */
-  def chiSquareIndep(df: DataFrame, aCol: String, bCol: String,
-                     digits: Int = 6): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+  /** Global (unkeyed) convenience form: one row for the whole frame. */
+  def chiSquareIndep(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareIndep(df, Nil, aCol, bCol)
+
+  /** Keyed form — one test per key group, matching the rest of the drift
+    * family's convention (is the lang×length association the same in
+    * every source? run all sources in ONE pass). `keys = Nil` is the
+    * global test. A key group where either categorical is constant has
+    * no independence question to ask (dof 0): `cramers_v` is NULL there
+    * rather than a 0/0 artifact.
+    */
+  def chiSquareIndep(df: DataFrame, keys: Seq[String], aCol: String,
+                     bCol: String, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val cells = df
+      .groupBy(keyCols :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
       .agg(count(lit(1)).cast("double").as("__o"))
-    val wa = Window.partitionBy(col("__a"))
-    val wb = Window.partitionBy(col("__b"))
+    val wa = Window.partitionBy(keyCols :+ col("__a"): _*)
+    val wb = Window.partitionBy(keyCols :+ col("__b"): _*)
     val withMargins = cells
       .withColumn("__rt", sum(col("__o")).over(wa))
       .withColumn("__ct", sum(col("__o")).over(wb))
     withMargins
+      .groupBy(keyCols: _*)
       .agg(
         sum(col("__o")).as("__n"),
         sum(col("__o") * col("__o") / (col("__rt") * col("__ct"))).as("__s"),
         countDistinct(col("__a")).as("__r"),
         countDistinct(col("__b")).as("__c"))
-      .select(
+      .select(keyCols ++ Seq(
         roundStable((col("__s") - lit(1.0)) * col("__n"), digits).as("chi2"),
         ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
         roundStable(
-          sqrt((col("__s") - lit(1.0)) /
-            (least(col("__r"), col("__c")) - lit(1)).cast("double")),
+          when(least(col("__r"), col("__c")) > 1,
+            sqrt((col("__s") - lit(1.0)) /
+              (least(col("__r"), col("__c")) - lit(1)).cast("double"))),
           digits).as("cramers_v"),
-        col("__n").cast("long").as("n"))
+        col("__n").cast("long").as("n")): _*)
   }
 
   /** Benford first-significant-digit conformance per key — the

@@ -27,10 +27,20 @@ object Hits {
   /** (node, hub, authority) after `iters` rounds from the uniform
     * start; raw doubles — round for cross-engine comparison. Nodes
     * missing a side (no out-edges / no in-edges) score 0 there.
+    *
+    * `saltBuckets > 1` enables the [[PageRank]] hot-key mitigation on
+    * both per-round pulls: the edge⋈score shuffle joins split the hub
+    * key via [[Skew.saltedJoin]] (salt from the row's other endpoint —
+    * deterministic under retry; score side exploded buckets×, O(nodes)),
+    * and each contribution aggregation runs two-phase (partial by
+    * (key, salt), final by key) so a power-law hub's reduce group stays
+    * bounded. Salting reorders fp addition — compare rounded scores
+    * (the oracle convention here already).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          iters: Int): DataFrame = {
+          iters: Int, saltBuckets: Int = 1): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
+    require(saltBuckets >= 1, s"need saltBuckets >= 1, got $saltBuckets")
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
@@ -47,14 +57,34 @@ object Hits {
       // agg feeds BOTH the rows and the norm scalar — persisted so the
       // edge join runs once per round, not twice (exchange reuse alone
       // still re-reduces; measured ~2× per-round cost without this)
-      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__a"))
+      val aJoined =
+        if (saltBuckets <= 1)
+          e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        else Skew.saltedJoin(e, hubs.withColumnRenamed("node", "src"),
+          "src", saltBuckets, saltFrom = Some("dst"))
+      val aRaw = (if (saltBuckets <= 1)
+          aJoined.groupBy(col("dst").as("node")).agg(sum(col("h")).as("__a"))
+        else aJoined
+          .withColumn("__s2", pmod(xxhash64(col("src")), lit(saltBuckets)))
+          .groupBy(col("dst").as("node"), col("__s2"))
+          .agg(sum(col("h")).as("__ap"))
+          .groupBy(col("node")).agg(sum(col("__ap")).as("__a")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val aNorm = aRaw.crossJoin(aRaw.agg(sum(col("__a")).as("__na")))
         .select(col("node"), (col("__a") / col("__na")).as("a"))
       // hub: pull authority mass back along out-edges, L1-normalize
-      val hRaw = e.join(aNorm.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(sum(col("a")).as("__h"))
+      val hJoined =
+        if (saltBuckets <= 1)
+          e.join(aNorm.withColumnRenamed("node", "dst"), Seq("dst"))
+        else Skew.saltedJoin(e, aNorm.withColumnRenamed("node", "dst"),
+          "dst", saltBuckets, saltFrom = Some("src"))
+      val hRaw = (if (saltBuckets <= 1)
+          hJoined.groupBy(col("src").as("node")).agg(sum(col("a")).as("__h"))
+        else hJoined
+          .withColumn("__s2", pmod(xxhash64(col("dst")), lit(saltBuckets)))
+          .groupBy(col("src").as("node"), col("__s2"))
+          .agg(sum(col("a")).as("__hp"))
+          .groupBy(col("node")).agg(sum(col("__hp")).as("__h")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val hNorm = hRaw.crossJoin(hRaw.agg(sum(col("__h")).as("__nh")))
         .select(col("node"), (col("__h") / col("__nh")).as("h"))

@@ -32,11 +32,27 @@ object PageRank {
 
   /** (node, rank) after `iters` rounds; `rank` is the raw double — round
     * it for cross-engine comparison.
+    *
+    * `saltBuckets > 1` turns on hot-key salting for the per-round work —
+    * the power-law-hub mitigation at 1000-executor scale, where one hub
+    * key can exceed an executor partition. Two skew sites are split:
+    * (a) the edge⋈rank shuffle join on `node` (a hub's out-edges all
+    * land in one task otherwise; the rank side is exploded buckets× per
+    * [[Skew.saltedJoin]], cheap at O(nodes)), and (b) the contribution
+    * aggregation by dst, run two-phase — partial by (dst, salt), final
+    * by dst — so the reduce-side group for a hub dst is bounded even
+    * when map-side partial aggregation degrades (hash-table pressure
+    * makes Spark emit unmerged rows). The salt derives from the row's
+    * OTHER endpoint (deterministic under task retry). Salting reorders
+    * fp addition: ranks can differ from the unsalted run in the last
+    * ulps — round for comparison (the oracle convention here already).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          iters: Int, damping: Double = 0.85): DataFrame = {
+          iters: Int, damping: Double = 0.85,
+          saltBuckets: Int = 1): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    require(saltBuckets >= 1, s"need saltBuckets >= 1, got $saltBuckets")
     val nodes = edges.select(col(srcCol).as("node"))
       .union(edges.select(col(dstCol).as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -51,9 +67,20 @@ object PageRank {
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      val sums = edgeDeg.join(ranks, Seq("node"))
-        .groupBy(col("__dst").as("node"))
-        .agg(sum(col("rank") / col("__deg")).as("__c"))
+      val joined =
+        if (saltBuckets <= 1) edgeDeg.join(ranks, Seq("node"))
+        else Skew.saltedJoin(edgeDeg, ranks, "node", saltBuckets,
+          saltFrom = Some("__dst"))
+      val sums =
+        if (saltBuckets <= 1)
+          joined.groupBy(col("__dst").as("node"))
+            .agg(sum(col("rank") / col("__deg")).as("__c"))
+        else joined
+          .withColumn("__s2", pmod(xxhash64(col("node")), lit(saltBuckets)))
+          .groupBy(col("__dst").as("node"), col("__s2"))
+          .agg(sum(col("rank") / col("__deg")).as("__cp"))
+          .groupBy(col("node"))
+          .agg(sum(col("__cp")).as("__c"))
       val next = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))

@@ -1452,6 +1452,85 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(two.forall(v => math.abs(v - 0.5) < 1e-12), s"got ${two.toSeq}")
   }
 
+  test("PageRank/Hits: salted rounds equal the plain run (rounded) on a hub graph") {
+    // planted hub: node 0 ↔ every other node, plus a ring so nothing
+    // dangles — the power-law shape saltBuckets exists for. Salting
+    // reorders fp addition (documented), so compare at 9dp.
+    val n = 60
+    val hub = (1 until n).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+    val ring = (1 until n).map(i => (i.toLong, (i % (n - 1) + 1).toLong))
+    val edges = (hub ++ ring).toDF("src", "dst")
+    val plain = operators.PageRank.run(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val salted = operators.PageRank.run(edges, "src", "dst", iters = 5,
+        saltBuckets = 4)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toMap
+    assert(plain == salted, "salted PageRank must equal plain")
+    assert(plain(0L) > plain(1L), "hub still dominates")
+    val hPlain = operators.Hits.run(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> ((
+        BigDecimal(r.getDouble(1)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))).toMap
+    val hSalted = operators.Hits.run(edges, "src", "dst", iters = 3,
+        saltBuckets = 4)
+      .collect().map(r => r.getLong(0) -> ((
+        BigDecimal(r.getDouble(1)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))).toMap
+    assert(hPlain == hSalted, "salted HITS must equal plain")
+  }
+
+  test("twap: step-hold weighting differs from the plain mean exactly as computed by hand") {
+    // readings at t=0 (v=10), t=10s (v=20), t=40s (v=0): the last has no
+    // holding interval → TWAP = (10·10 + 20·30)/40 = 17.5, plain = 10
+    val rows = Seq(("k", 0L, 10.0), ("k", 10L, 20.0), ("k", 40L, 0.0))
+      .toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = etl.Aggregates.twap(rows, Seq("k"), Seq(col("k")),
+      orderCol = col("ts"), tieCol = col("sec"), valueCol = "v")
+      .collect().head
+    assert(r.getDouble(1) == 17.5, s"twap=${r.getDouble(1)}")
+    assert(r.getDouble(2) == 10.0, s"plain=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 40.0, s"covered=${r.getDouble(3)}")
+    assert(r.getLong(4) == 3L)
+  }
+
+  test("gini: uniform is 0, single-holder is (n−1)/n, zero mass is NULL") {
+    val rows = Seq(
+      ("uniform", 1L, 5.0), ("uniform", 2L, 5.0),
+      ("uniform", 3L, 5.0), ("uniform", 4L, 5.0),
+      ("onehot", 1L, 0.0), ("onehot", 2L, 0.0),
+      ("onehot", 3L, 0.0), ("onehot", 4L, 12.0),
+      ("empty", 1L, 0.0), ("empty", 2L, 0.0)).toDF("k", "id", "v")
+    val out = etl.Aggregates.gini(rows, Seq("k"), "v", tieCol = col("id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("uniform").getDouble(1) == 0.0)
+    assert(out("onehot").getDouble(1) == 0.75, s"got ${out("onehot")}")
+    assert(out("empty").isNullAt(1), "zero mass must be NULL, not 0/0")
+  }
+
+  test("adamicAdarTopK: path graph predicts the 2-hop pairs; maxDeg prunes centers") {
+    // a—b—c—d: the only common-neighbor pairs are (a,c) through b and
+    // (b,d) through c, both with aa = 1/ln 2; adjacent pairs excluded
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    val out = operators.LinkPrediction.adamicAdarTopK(edges, "s", "d", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    val aa = BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Set(("a", "c", 1L, aa, 1), ("c", "a", 1L, aa, 1),
+      ("b", "d", 1L, aa, 1), ("d", "b", 1L, aa, 1)), s"got $out")
+    // cap AT the center degree keeps the wedges
+    val atCap = operators.LinkPrediction.adamicAdarTopK(edges, "s", "d",
+      k = 2, maxDeg = 2)
+    assert(atCap.filter(col("common_neighbors") > 0).count() == 4)
+    val capped = operators.LinkPrediction.adamicAdarTopK(
+      Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("s", "d"), "s", "d",
+      k = 2, maxDeg = 2)
+    assert(capped.count() == 0, "degree-3 center must be excluded at maxDeg=2")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
@@ -1947,6 +2026,70 @@ class OperatorEdgeSpec extends AnyFunSuite {
     val stable = etl.Drift.cusum((ref ++ calm).toDF("k", "t", "v", "r"),
       Seq("k"), "v", col("t"), col("t"), col("r")).collect().head
     assert(stable.getLong(1) == 0L, s"stable alarms=${stable.getLong(1)}")
+  }
+
+  test("cusum: a downward shift alarms the LOWER side only; upper stays quiet") {
+    // sensor degradation: −3σ from t=2000 — invisible to the upper
+    // statistic (z−k drifts negative, S floors at 0), caught by the
+    // lower one within a few points
+    val ref = (1 to 200).map(i => ("k", i.toLong, if (i % 2 == 0) 1.0 else -1.0, true))
+    val calm = (1 to 20).map(i => ("k", 1000L + i, if (i % 2 == 0) 1.0 else -1.0, false))
+    val down = (1 to 30).map(i => ("k", 2000L + i, -3.0, false))
+    val out = etl.Drift.cusum((ref ++ calm ++ down).toDF("k", "t", "v", "r"),
+      Seq("k"), "v", col("t"), col("t"), col("r")).collect().head
+    assert(out.getLong(1) == 0L, s"upper alarms=${out.getLong(1)}")
+    assert(out.getLong(4) > 20L, s"lower alarms=${out.getLong(4)}")
+    assert(out.getLong(5) > 2000L && out.getLong(5) <= 2005L,
+      s"first_alarm_lo_at=${out.getLong(5)}")
+  }
+
+  test("cusum: a flat-reference key is emitted with NULL statistics, not dropped") {
+    // σ=0 (constant reference) has no scale to standardize against —
+    // the key must be VISIBLE as unmonitorable (null stats + its n_cur),
+    // while a normal key in the same frame monitors as usual
+    val flat = (1 to 50).map(i => ("flat", i.toLong, 7.0, true)) ++
+      (1 to 10).map(i => ("flat", 100L + i, 9.0, false))
+    val live = (1 to 200).map(i => ("live", i.toLong, if (i % 2 == 0) 1.0 else -1.0, true)) ++
+      (1 to 30).map(i => ("live", 2000L + i, 3.0, false))
+    val out = etl.Drift.cusum((flat ++ live).toDF("k", "t", "v", "r"),
+        Seq("k"), "v", col("t"), col("t"), col("r"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.contains("flat"), "flat key must not vanish")
+    val f = out("flat")
+    assert(f.isNullAt(1) && f.isNullAt(3) && f.isNullAt(4) && f.isNullAt(6),
+      s"flat stats must be null: $f")
+    assert(f.getLong(7) == 10L, s"flat n_cur=${f.getLong(7)}")
+    assert(out("live").getLong(1) > 20L, "live key must still alarm")
+  }
+
+  test("chiSquareIndep keyed: per-key tests match the global test run per slice") {
+    // two sources with opposite association structure — the keyed form
+    // must reproduce each source's standalone global test
+    val s1 = Seq.tabulate(120)(i => ("s1", if (i % 2 == 0) "en" else "de",
+      if (i % 2 == 0) "long" else "short")) // perfectly dependent
+    val s2 = Seq.tabulate(120)(i => ("s2", if (i % 2 == 0) "en" else "de",
+      if (i % 4 < 2) "long" else "short")) // independent
+    val df = (s1 ++ s2).toDF("src", "lang", "len")
+    val keyed = etl.Drift.chiSquareIndep(df, Seq("src"), "lang", "len")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (src <- Seq("s1", "s2")) {
+      val global = etl.Drift.chiSquareIndep(
+        df.filter(col("src") === src), "lang", "len").collect().head
+      assert(keyed(src).getDouble(1) == global.getDouble(0),
+        s"$src chi2: keyed=${keyed(src).getDouble(1)} global=${global.getDouble(0)}")
+      assert(keyed(src).getDouble(3) == global.getDouble(2), s"$src cramers_v")
+    }
+    assert(keyed("s1").getDouble(3) == 1.0, "dependent source: V=1")
+    assert(keyed("s2").getDouble(1) == 0.0, "independent source: chi2=0")
+  }
+
+  test("chiSquareIndep keyed: a constant-categorical key yields dof 0 and NULL V") {
+    val rows = Seq.tabulate(40)(i => ("only", "en",
+      if (i % 2 == 0) "long" else "short"))
+    val r = etl.Drift.chiSquareIndep(rows.toDF("src", "lang", "len"),
+      Seq("src"), "lang", "len").collect().head
+    assert(r.getLong(2) == 0L, s"dof=${r.getLong(2)}")
+    assert(r.isNullAt(3), "cramers_v must be NULL, not 0/0")
   }
 
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {

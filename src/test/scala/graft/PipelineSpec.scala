@@ -1024,6 +1024,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/state").collect().toSeq == stateBefore)
   }
 
+  test("CusumStream: a downward shift alarms the lower side, resumable across batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusumlo").toString
+    val ref = (1 to 200).map(i => ("k", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("k", "t", "v")
+    val mon = streaming.CusumStream.buildReference(ref, Seq("k"), "v")
+    val calm = (1 to 20).map(i => ("k", 1000L + i, if (i % 2 == 0) 1.0 else -1.0))
+    val down = (1 to 30).map(i => ("k", 2000L + i, -3.0))
+    // split fold: calm batch, then the degradation batch
+    streaming.CusumStream.cusumBatch(mon, calm.toDF("k", "t", "v"),
+      0L, "v", "t", "t", s"$tmp/state", s"$tmp/mon")
+    streaming.CusumStream.cusumBatch(mon, down.toDF("k", "t", "v"),
+      1L, "v", "t", "t", s"$tmp/state", s"$tmp/mon")
+    val b1 = spark.read.parquet(s"$tmp/mon/batch=1").collect().head
+    assert(b1.getAs[Long]("n_alarms") == 0L, s"upper must stay quiet: $b1")
+    assert(b1.getAs[Long]("n_alarms_lo") > 20L, s"lower must alarm: $b1")
+    // batch-boundary invariance for the lower side too
+    val oneTmp = java.nio.file.Files.createTempDirectory("graft_cusumlo1").toString
+    streaming.CusumStream.cusumBatch(mon, (calm ++ down).toDF("k", "t", "v"),
+      0L, "v", "t", "t", s"$oneTmp/state", s"$oneTmp/mon")
+    val oneShot = spark.read.parquet(s"$oneTmp/mon/batch=0").collect().head
+    assert(oneShot.getAs[Double]("max_s_lo") == b1.getAs[Double]("max_s_lo"),
+      s"split ${b1.getAs[Double]("max_s_lo")} != one-shot ${oneShot.getAs[Double]("max_s_lo")}")
+  }
+
   test("CusumStream: an empty first batch cannot wedge the gate") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cusumempty").toString
