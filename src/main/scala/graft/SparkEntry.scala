@@ -1462,6 +1462,82 @@ object SparkEntry {
           Seq("event_type"), "n_events", tieCol = col("user_id"))
         .orderBy(col("event_type"))),
 
+    "q156_rate_drift" -> ((s, dir) => {
+      // volume-axis drift: events-per-hour per type, current vs
+      // reference window under the Poisson model — a planted 70%
+      // thinning of the error type's current rows must drive its
+      // poisson_z strongly negative while the untouched types sit near 0
+      val ev = Tables.events(s, dir).filter(
+        !(col("event_type") === "error" && dayofmonth(col("ts")) > 15 &&
+          col("event_id") % 10 < 7))
+      etl.Drift.rateShift(ev, Seq("event_type"), col("ts"),
+          isRef = dayofmonth(col("ts")) <= 15)
+        .orderBy(col("event_type"))
+    }),
+
+    "q157_weighted_sample" -> ((s, dir) =>
+      // exact weighted-without-replacement sampling (Efraimidis-
+      // Spirakis): 20 docs per source, longer docs proportionally more
+      // likely, never twice — the missing corner of the sampling ladder
+      // (q85 weighted in-expectation, q109 exact unweighted)
+      text.Corpus.weightedSample(Tables.documents(s, dir), "source",
+          "doc_id", "n_chars", k = 20)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+        .orderBy(col("source"), col("rk"))),
+
+    "q158_rolling_corr" -> ((s, dir) =>
+      // trailing-20-row price/quantity co-movement per supplier —
+      // full-window rows only (warm-up excluded: small-n conventions
+      // differ across engines and a 1-row frame is undefined)
+      etl.Aggregates.rollingCorr(
+          Tables.lineitem(s, dir).filter(col("l_suppkey") <= 50)
+            .withColumn("tie",
+              col("l_orderkey") * 10 + col("l_linenumber")),
+          Seq("l_suppkey"), orderCol = col("l_shipdate"),
+          tieCol = col("tie"), xCol = "l_extendedprice",
+          yCol = "l_quantity", window = 20)
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("tie"))),
+
+    "q159_seasonal_naive" -> ((s, dir) =>
+      // forecastability screen: MAE of "same hour yesterday" vs
+      // "previous hour" over the hourly-mean series per type; exact-hour
+      // self-joins, NOT row lags — a grid gap must not slide the
+      // comparison (the q95 lesson)
+      etl.Aggregates.seasonalNaiveError(Tables.events(s, dir),
+          Seq("event_type"), col("ts"), "value")
+        .orderBy(col("event_type"))),
+
+    "q160_asof_tolerance" -> ((s, dir) =>
+      // as-of with a staleness horizon (pandas merge_asof tolerance):
+      // the latest order price at or before each event, but only within
+      // 7 days — a customer quiet for months attaches NULL instead of a
+      // silently fossilized carry-forward
+      operators.AsOfJoin.latestAtOrBeforeWithin(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"),
+            col("ts")),
+          Tables.orders(s, dir),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          carryCol = "o_totalprice", outCol = "asof_price",
+          toleranceSecs = 7L * 86400L)
+        .select(col("event_id"), col("asof_price"))
+        .orderBy(col("event_id"))),
+
+    "q161_unpivot" -> ((s, dir) => {
+      // melt — the inverse of q22's pivot: wide per-day metrics back to
+      // (day, metric, value) long form; Spark's native unpivot explodes
+      // map-side, zero shuffles beyond the feeding agg
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.functions.roundStable(avg(col("value")), 6).as("avg_value"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"))
+      daily.unpivot(Array(col("day")),
+          Array(col("avg_value"), col("max_value"), col("min_value")),
+          "metric", "metric_value")
+        .orderBy(col("day"), col("metric"))
+    }),
+
     "q148_hopping" -> ((s, dir) =>
       // overlapping (hopping) event-time windows in BATCH — the
       // streaming window shape q27's tumbling buckets don't cover:
@@ -4068,6 +4144,124 @@ object SparkEntry {
         |  count(*) AS n,
         |  roundStable(sum(n_events), 6) AS total
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q156_rate_drift" ->
+      // Poisson z over the same planted thinning; window hour-spans from
+      // the global extents, one conditional-count agg per key
+      """WITH ev AS (SELECT * FROM events WHERE NOT (event_type = 'error'
+        |        AND day(ts) > 15 AND event_id % 10 < 7)),
+        |sp AS (SELECT
+        |        (epoch_us(max(CASE WHEN day(ts) <= 15 THEN ts END)) -
+        |         epoch_us(min(CASE WHEN day(ts) <= 15 THEN ts END)))
+        |          / 3.6e9 AS hr,
+        |        (epoch_us(max(CASE WHEN day(ts) > 15 THEN ts END)) -
+        |         epoch_us(min(CASE WHEN day(ts) > 15 THEN ts END)))
+        |          / 3.6e9 AS hc
+        |      FROM ev),
+        |c AS (SELECT event_type,
+        |        sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS cr,
+        |        sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS cc
+        |      FROM ev GROUP BY 1)
+        |SELECT event_type,
+        |  roundStable(CASE WHEN hr > 0 THEN cr / hr END, 6) AS ref_rate,
+        |  roundStable(CASE WHEN hc > 0 THEN cc / hc END, 6) AS cur_rate,
+        |  roundStable(CASE WHEN cr > 0 AND hr > 0 AND hc > 0
+        |    THEN cc / (cr / hr * hc) END, 6) AS rate_ratio,
+        |  roundStable(CASE WHEN cr > 0 AND hr > 0 AND hc > 0
+        |    THEN (cc - cr / hr * hc) / sqrt(cr / hr * hc) END, 6)
+        |    AS poisson_z,
+        |  CAST(cr AS BIGINT) AS n_ref, CAST(cc AS BIGINT) AS n_cur
+        |FROM c CROSS JOIN sp ORDER BY event_type""".stripMargin,
+
+    "q157_weighted_sample" ->
+      // the E-S selection key ln(u)/w replayed in int64+double
+      // arithmetic, rounded BEFORE the rank cut (q94 discipline)
+      """WITH s AS (SELECT doc_id, source, n_chars,
+        |    roundStable(ln((((doc_id % 2147483648) * 2654435761)
+        |        % 2147483648 + 0.5) / 2147483648.0)
+        |      / CAST(n_chars AS DOUBLE), 6) AS es
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY es DESC, doc_id) AS BIGINT) AS rk
+        |  FROM s)
+        |SELECT doc_id, source, n_chars, rk FROM r
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+
+    "q158_rolling_corr" ->
+      // the identical moment formula over the identical trailing frame
+      // (not the engine's corr() — two engines, two small-n/zero-var
+      // conventions); warm-up rows excluded on both sides
+      """WITH t AS (SELECT l_suppkey, l_shipdate,
+        |        l_orderkey * 10 + l_linenumber AS tie,
+        |        CAST(l_extendedprice AS DOUBLE) AS x,
+        |        CAST(l_quantity AS DOUBLE) AS y
+        |      FROM lineitem WHERE l_suppkey <= 50),
+        |w AS (SELECT l_suppkey, l_shipdate, tie,
+        |        row_number() OVER win AS rn,
+        |        CAST(count(*) OVER winf AS DOUBLE) AS n,
+        |        sum(x) OVER winf AS sx, sum(y) OVER winf AS sy,
+        |        sum(x * y) OVER winf AS sxy,
+        |        sum(x * x) OVER winf AS sxx,
+        |        sum(y * y) OVER winf AS syy
+        |      FROM t
+        |      WINDOW win AS (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, tie),
+        |        winf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, tie
+        |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, l_shipdate, tie,
+        |  roundStable(CASE WHEN sqrt((n * sxx - sx * sx)
+        |      * (n * syy - sy * sy)) > 0
+        |    THEN (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+        |      * (n * syy - sy * sy)) END, 6) AS rolling_corr
+        |FROM w WHERE rn >= 20 ORDER BY l_suppkey, l_shipdate, tie""".stripMargin,
+
+    "q159_seasonal_naive" ->
+      // exact-hour self-joins against the hourly-mean series
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |        avg(value) AS v
+        |      FROM events GROUP BY 1, 2),
+        |j AS (SELECT c.event_type, c.v, p24.v AS v24, p1.v AS v1
+        |      FROM h c
+        |      LEFT JOIN h p24 ON p24.event_type = c.event_type
+        |        AND p24.hh + INTERVAL 24 HOUR = c.hh
+        |      LEFT JOIN h p1 ON p1.event_type = c.event_type
+        |        AND p1.hh + INTERVAL 1 HOUR = c.hh)
+        |SELECT event_type,
+        |  roundStable(avg(abs(v - v24)), 6) AS mae_24h,
+        |  roundStable(avg(abs(v - v1)), 6) AS mae_1h,
+        |  roundStable(CASE WHEN avg(abs(v - v1)) > 0
+        |    THEN avg(abs(v - v24)) / avg(abs(v - v1)) END, 6) AS mase24,
+        |  CAST(count(v24) AS BIGINT) AS n_24h,
+        |  CAST(count(v1) AS BIGINT) AS n_1h,
+        |  count(*) AS n_hours
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q160_asof_tolerance" ->
+      // latest in-horizon order per event (ties at the max date take the
+      // max price — the backward as-of convention), NULL beyond 7 days
+      """WITH j AS (SELECT e.event_id, o.o_totalprice,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
+        |      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+        |        AND o.o_orderdate <= e.ts
+        |        AND epoch_us(e.ts) - epoch_us(o.o_orderdate)
+        |          <= 604800000000)
+        |SELECT e2.event_id, j.o_totalprice AS asof_price
+        |FROM events e2 LEFT JOIN j
+        |  ON j.event_id = e2.event_id AND j.rn = 1
+        |ORDER BY e2.event_id""".stripMargin,
+
+    "q161_unpivot" ->
+      // melt replayed as a UNION ALL of the three metric columns
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |        roundStable(avg(value), 6) AS a,
+        |        max(value) AS mx, min(value) AS mn
+        |      FROM events GROUP BY 1)
+        |SELECT day, 'avg_value' AS metric, a AS metric_value FROM d
+        |UNION ALL SELECT day, 'max_value', mx FROM d
+        |UNION ALL SELECT day, 'min_value', mn FROM d
+        |ORDER BY day, metric""".stripMargin,
 
     "q152_chi2_keyed" ->
       // per-source contingency: same observed-cells-only identity as

@@ -572,6 +572,84 @@ object Aggregates {
         max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
   }
 
+  /** Trailing-window Pearson correlation between two series per key —
+    * the co-movement monitor (price vs volume per account, two sensor
+    * channels per station): `corr(x, y)` over the last `window` rows of
+    * the (orderCol, tieCol) sort. Emits ONLY full-window rows
+    * (row_number ≥ window, one more expression on the same window
+    * spec): a partial leading frame degenerates (n=1 → undefined) and
+    * both engines' small-n conventions differ, so the contract is
+    * "exact-N trailing correlation" and the first N−1 rows are warm-up.
+    * ONE keyed window shuffle; corr over the frame is the built-in
+    * declarative aggregate — codegen'd moments, no UDF. A constant
+    * series inside a frame yields NULL (0 variance), passed through.
+    */
+  def rollingCorr(df: DataFrame, keys: Seq[String], orderCol: Column,
+                  tieCol: Column, xCol: String, yCol: String,
+                  window: Int, decimals: Int = 6): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    val keyCols = keys.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
+    val frame = wOrd.rowsBetween(-(window - 1), Window.currentRow)
+    // explicit frame moments instead of the built-in corr: (a) Spark's
+    // Corr leaves its closing division unguarded, so a zero-variance
+    // warm-up frame (two equal y values) THROWS under ANSI even though
+    // those rows are filtered right after; (b) both engines then run
+    // the IDENTICAL formula rather than two engine conventions. All six
+    // aggregates share the one frame → one Window node, one shuffle.
+    val n = count(lit(1)).over(frame).cast("double")
+    val sx = sum(col(xCol)).over(frame)
+    val sy = sum(col(yCol)).over(frame)
+    val sxy = sum(col(xCol) * col(yCol)).over(frame)
+    val sxx = sum(col(xCol) * col(xCol)).over(frame)
+    val syy = sum(col(yCol) * col(yCol)).over(frame)
+    val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    df.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__c", when(den > 0, (n * sxy - sx * sy) / den))
+      .filter(col("__rn") >= window)
+      .select(keyCols ++ Seq(orderCol, tieCol,
+        roundStable(col("__c"), decimals).as("rolling_corr")): _*)
+  }
+
+  /** Seasonal-naive forecast error per key — the forecastability /
+    * seasonality-strength readout over an hourly series: aggregate to
+    * per-(key, hour) means, then score two zero-parameter forecasts —
+    * "same hour yesterday" (lag 24 h) and "previous hour" (lag 1 h) —
+    * by mean absolute error, plus their ratio `mase24` (the MASE idea
+    * with the 1-hour naive as scale): < 1 means daily seasonality
+    * explains more than short-term persistence, ≈ the series is
+    * daily-cyclic. Lags are EXACT-hour self-joins on the aggregated
+    * series (hour − INTERVAL), not row lags — a gap in the hour grid
+    * must not slide the comparison window (the q95 lesson: row-lag on a
+    * gappy series compares across outages). Per-key state after the
+    * first agg is O(#hours); the joins ride the aggregated table.
+    */
+  def seasonalNaiveError(df: DataFrame, keys: Seq[String], tsCol: Column,
+                         valueCol: String, decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val hourly = df
+      .groupBy(keyCols :+ date_trunc("hour", tsCol).as("__h"): _*)
+      .agg(avg(col(valueCol)).as("__v"))
+    val cur = hourly.select(keyCols :+ col("__h") :+ col("__v"): _*)
+    def lagged(hours: Int, as: String) = hourly.select(
+      keyCols :+ (col("__h") + expr(s"INTERVAL $hours HOURS")).as("__h") :+
+        col("__v").as(as): _*)
+    cur
+      .join(lagged(24, "__v24"), keys :+ "__h", "left")
+      .join(lagged(1, "__v1"), keys :+ "__h", "left")
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(avg(abs(col("__v") - col("__v24"))), decimals)
+          .as("mae_24h"),
+        roundStable(avg(abs(col("__v") - col("__v1"))), decimals)
+          .as("mae_1h"),
+        roundStable(when(avg(abs(col("__v") - col("__v1"))) > 0,
+          avg(abs(col("__v") - col("__v24"))) /
+            avg(abs(col("__v") - col("__v1")))), decimals).as("mase24"),
+        count(col("__v24")).as("n_24h"), count(col("__v1")).as("n_1h"),
+        count(lit(1)).as("n_hours"))
+  }
+
   /** Time-weighted average per key — the irregular-sampling correction a
     * plain `avg` gets wrong (a sensor that reports every second while
     * misbehaving and hourly while fine biases the plain mean toward the

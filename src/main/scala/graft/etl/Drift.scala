@@ -204,6 +204,50 @@ object Drift {
         col("__n").cast("long").as("n")): _*)
   }
 
+  /** Event-RATE shift monitor per key — the drift family's volume axis
+    * (PSI/KS/CUSUM watch the VALUES; a dead sensor or a runaway
+    * producer shifts the COUNT): compare each key's events-per-hour
+    * between the reference and current windows under the Poisson model.
+    * `z = (C_cur − λ·H_cur) / sqrt(λ·H_cur)` where `λ = C_ref / H_ref`
+    * is the key's reference hourly rate and the hour spans come from
+    * the GLOBAL window extents (max−min timestamp per window, shared by
+    * all keys — a key silent in the current window still spans it, which
+    * is exactly how a collapse to zero becomes a large negative z; |z| >
+    * 3 ≈ p<0.003 under stable rate). `rate_ratio` is the plain
+    * cur/ref rate quotient for readability.
+    *
+    * Shape: two one-row window-extent aggs broadcast via cross join +
+    * one keyed conditional-count agg — O(#keys) state, no windows, no
+    * sort; keys with zero reference events are emitted with NULL z (no
+    * baseline rate — the cusum σ=0 convention).
+    */
+  def rateShift(df: DataFrame, keys: Seq[String], tsCol: Column,
+                isRef: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val spanHours = (side: Column) =>
+      ((unix_micros(max(when(side, tsCol))) -
+        unix_micros(min(when(side, tsCol)))).cast("double") / 3.6e9)
+    val spans = df.agg(
+      spanHours(isRef).as("__hr"),
+      spanHours(!isRef).as("__hc"))
+    val counts = df.groupBy(keyCols: _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("__cr"),
+        sum(when(!isRef, 1L).otherwise(0L)).as("__cc"))
+    val lam = col("__cr") / col("__hr")
+    val expect = lam * col("__hc")
+    val ok = col("__cr") > 0 && col("__hr") > 0 && col("__hc") > 0
+    counts.crossJoin(broadcast(spans))
+      .select(keyCols ++ Seq(
+        roundStable(when(col("__hr") > 0, lam), digits).as("ref_rate"),
+        roundStable(when(col("__hc") > 0, col("__cc") / col("__hc")),
+          digits).as("cur_rate"),
+        roundStable(when(ok, col("__cc") / expect), digits)
+          .as("rate_ratio"),
+        roundStable(when(ok, (col("__cc") - expect) / sqrt(expect)),
+          digits).as("poisson_z"),
+        col("__cr").as("n_ref"), col("__cc").as("n_cur")): _*)
+  }
+
   /** Benford first-significant-digit conformance per key — the
     * fabricated-data / instrument-fault screen: naturally occurring
     * multi-scale magnitudes put digit d first with probability

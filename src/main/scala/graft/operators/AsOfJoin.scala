@@ -95,6 +95,55 @@ object AsOfJoin {
     asOfDF(left, right, leftKey, rightKey, leftTime, rightTime, carryCol, outCol,
       forward = false)
 
+  /** Backward as-of with a TOLERANCE (pandas `merge_asof(tolerance=…)`,
+    * kdb `wj`): the latest right value at or before the left time, but
+    * only if it is at most `toleranceSecs` old — a stale quote/reading
+    * beyond the horizon attaches NULL instead of silently carrying
+    * forward forever (the staleness bug plain as-of invites: a sensor
+    * that died in January still "has" a value in June). Same
+    * union-then-window plan — one keyed shuffle, no range explosion;
+    * the carried value rides a (time, value) struct so the staleness
+    * test is one expression on the left row. Ties at equal carried time
+    * resolve to the max value (the backward direction's convention).
+    */
+  def latestAtOrBeforeWithin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      carryCol: String, outCol: String,
+      toleranceSecs: Long): DataFrame = {
+    require(toleranceSecs >= 0, s"need toleranceSecs >= 0, got $toleranceSecs")
+    val l = left
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__k", col(leftKey))
+      .withColumn("__cv", lit(null).cast(right.schema(carryCol).dataType))
+      .withColumn("__cs",
+        lit(null).cast(s"struct<ct:timestamp,cv:${right.schema(carryCol).dataType.sql}>"))
+      .withColumn("__isLeft", lit(1))
+    val leftCols = left.columns
+    val r = right
+      .select(
+        col(rightTime).cast("timestamp").as("__t"),
+        col(rightKey).as("__k"),
+        col(carryCol).as("__cv"),
+        struct(col(rightTime).cast("timestamp").as("ct"),
+          col(carryCol).as("cv")).as("__cs"),
+        lit(0).as("__isLeft"))
+    val rAligned = leftCols.foldLeft(r) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__isLeft"), col("__cv"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(rAligned)
+      .withColumn("__last", last(col("__cs"), ignoreNulls = true).over(w))
+      .withColumn(outCol,
+        when(unix_micros(col("__t")) - unix_micros(col("__last.ct")) <=
+          toleranceSecs * 1000000L, col("__last.cv")))
+      .filter(col("__isLeft") === 1)
+      .drop("__t", "__k", "__cv", "__cs", "__isLeft", "__last")
+  }
+
   private def asOfDF(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,

@@ -420,6 +420,39 @@ object Corpus {
       .filter(col("rk") <= maxPerDomain)
   }
 
+  /** Weighted sampling WITHOUT replacement per domain, k exact —
+    * Efraimidis & Spirakis (IPL 2006): each row draws a uniform
+    * `u ∈ (0,1)` and the k largest `u^(1/w)` are a weighted
+    * without-replacement sample. Completes the sampling ladder:
+    * [[sampleToMix]] is weighted but in-expectation, [[quotaSample]]
+    * exact but unweighted — this one is both (heavier rows more likely,
+    * never twice, exactly k per domain).
+    *
+    * Determinism/engine-portability: `u` derives from [[idHash]]
+    * (+0.5 / 2³¹ keeps it strictly inside (0,1) — `ln 0` guarded by
+    * construction), and the selection key is the MONOTONE-equivalent
+    * log form `ln(u)/w` (no pow: less cross-engine fp wobble), ROUNDED
+    * to 6dp before the rank cut with the id as tiebreak — the q94/q144
+    * discipline, so the selected SET is engine-identical. One keyed
+    * window shuffle; weights must be > 0 (enforced via filter — a
+    * zero-weight row can never be sampled, matching the math: u^(1/w)
+    * → 0).
+    */
+  def weightedSample(docs: DataFrame, domainCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val u = (idHash(col(idCol)).cast("double") + lit(0.5)) / lit(2147483648.0)
+    val key = graft.functions.roundStable(
+      log(u) / col(weightCol).cast("double"), 6)
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__es").desc, col(idCol))
+    docs.filter(col(weightCol) > 0)
+      .withColumn("__es", key)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .drop("__es")
+  }
+
   /** Deterministic per-epoch corpus reshuffle: each epoch `e` induces a
     * fresh pseudo-random total order and a balanced shard assignment
     * from ONE epoch-salted multiplicative hash — `h` is the order key,

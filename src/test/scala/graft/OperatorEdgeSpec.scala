@@ -1531,6 +1531,109 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(capped.count() == 0, "degree-3 center must be excluded at maxDeg=2")
   }
 
+  test("rateShift: a planted collapse drives z strongly negative; no-baseline keys are NULL") {
+    // ref: 100 events over ~10 h (rate 10/h) for a and b; current: b
+    // stays at 100, a collapses to 5 → z_a = (5 − 100)/√100 = −9.5;
+    // key c has no ref events → NULL z (no baseline)
+    def evs(k: String, base: Long, cnt: Int, ref: Boolean) =
+      (0 until cnt).map(i => (k, base + i * 36000L / cnt * 10, ref))
+    val rows = evs("a", 0L, 100, true) ++ evs("b", 0L, 100, true) ++
+      evs("a", 100000L, 5, false) ++ evs("b", 100000L, 100, false) ++
+      evs("c", 100000L, 50, false)
+    val df = rows.toDF("k", "sec", "r")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = etl.Drift.rateShift(df, Seq("k"), col("ts"), col("r"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(4) < -5, s"collapse must alarm: ${out("a")}")
+    assert(math.abs(out("b").getDouble(4)) < 1, s"stable near 0: ${out("b")}")
+    assert(out("c").isNullAt(4) && out("c").isNullAt(3),
+      s"no-baseline key: z and ratio must be NULL: ${out("c")}")
+    assert(out("c").getDouble(1) == 0.0, "zero observed ref rate")
+    assert(out("a").getLong(6) == 5L && out("c").getLong(6) == 50L)
+  }
+
+  test("weightedSample: exact k, heavy rows dominate, repartition-stable") {
+    val docs = (1 to 100).map(i =>
+      (i.toLong, "d", if (i > 50) 100L else 1L)).toDF("id", "dom", "w")
+    val out = text.Corpus.weightedSample(docs, "dom", "id", "w", k = 20)
+    val ids = out.select("id").as[Long].collect().toSeq
+    assert(ids.length == 20 && ids.distinct.length == 20, "exactly k, no repeats")
+    val heavy = ids.count(_ > 50)
+    assert(heavy >= 15, s"100×-weighted rows must dominate the sample: $heavy/20")
+    val again = text.Corpus.weightedSample(docs.repartition(7), "dom", "id", "w", 20)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(again == ids.sorted, "selection must not depend on partitioning")
+    // zero-weight rows can never be sampled
+    val withZero = docs.withColumn("w",
+      when(col("id") <= 90, lit(0L)).otherwise(col("w")))
+    val z = text.Corpus.weightedSample(withZero, "dom", "id", "w", 20)
+      .select("id").as[Long].collect()
+    assert(z.forall(_ > 90) && z.length == 10, s"got ${z.toSeq}")
+  }
+
+  test("rollingCorr: perfect linear frames are ±1, constant frames NULL, warm-up excluded") {
+    val xs = (1 to 6).map(_.toDouble)
+    val pos = xs.map(x => ("pos", x, x, 2 * x + 1))
+    val neg = xs.map(x => ("neg", x, x, -x))
+    val flat = xs.map(x => ("flat", x, x, 7.0))
+    val out = etl.Aggregates.rollingCorr(
+      (pos ++ neg ++ flat).toDF("k", "t", "x", "y"),
+      Seq("k"), orderCol = col("t"), tieCol = col("t"),
+      xCol = "x", yCol = "y", window = 3)
+      .collect().groupBy(_.getString(0))
+    assert(out("pos").length == 4, "6 rows, window 3 → 4 full frames")
+    assert(out("pos").forall(_.getDouble(3) == 1.0), s"${out("pos").toSeq}")
+    assert(out("neg").forall(_.getDouble(3) == -1.0))
+    assert(out("flat").forall(_.isNullAt(3)), "zero variance must be NULL")
+  }
+
+  test("seasonalNaiveError: an exact daily cycle scores mae24 = 0; grid gaps do not slide the lag") {
+    val hours = (0 until 48).filter(_ != 30)
+    val rows = hours.map(h => ("k", h * 3600L, (h % 24).toDouble))
+    val df = rows.toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = etl.Aggregates.seasonalNaiveError(df, Seq("k"), col("ts"), "v")
+      .collect().head
+    assert(r.getDouble(1) == 0.0, s"mae_24h=${r.getDouble(1)}")
+    assert(r.getDouble(3) == 0.0, s"mase24=${r.getDouble(3)}")
+    // hour 30 is missing: its 24h-echo (hour 54) doesn't exist, hour 6's
+    // echo IS hour 30 → absent; 24h pairs = hours 24..47 minus {30 gone,
+    // 6+24=30's target... } → 24 − 1 = 23 matched pairs
+    assert(r.getLong(4) == 23L, s"n_24h=${r.getLong(4)}")
+    // 1h pairs: h and h−1 both present → h ∈ 1..47 minus {30, 31} = 45
+    // (a row-LAG would have wrongly compared hour 31 against hour 29)
+    assert(r.getLong(5) == 45L, s"n_1h=${r.getLong(5)}")
+    assert(r.getLong(6) == 47L)
+  }
+
+  test("asof tolerance: in-horizon carries, stale attaches NULL, plain asof would carry") {
+    // left events at t=100s and t=1000s; right readings at t=90 (v=1.0)
+    // and t=95 (v=2.0). Tolerance 60 s: the t=100 event carries v=2.0
+    // (latest in horizon), the t=1000 event gets NULL — where the plain
+    // as-of would fossilize v=2.0 forever
+    val l = Seq((1L, "k", 100L), (2L, "k", 1000L)).toDF("id", "k", "sec")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val r = Seq(("k", 90L, 1.0), ("k", 95L, 2.0)).toDF("k", "sec", "v")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val out = operators.AsOfJoin.latestAtOrBeforeWithin(l, r,
+      "k", "k", "t", "t", "v", "asof_v", toleranceSecs = 60L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(out(1L).getAs[Double]("asof_v") == 2.0, s"got ${out(1L)}")
+    assert(out(2L).isNullAt(out(2L).fieldIndex("asof_v")),
+      s"stale must be NULL: ${out(2L)}")
+    val plain = operators.AsOfJoin.latestAtOrBefore(l, r,
+      "k", "k", "t", "t", "v", "asof_v")
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("asof_v")).toMap
+    assert(plain(2L) == 2.0, "the contrast: plain as-of carries forever")
+    // boundary: exactly at the tolerance edge is IN (<=)
+    val edge = operators.AsOfJoin.latestAtOrBeforeWithin(
+      Seq((3L, "k", 155L)).toDF("id", "k", "sec")
+        .withColumn("t", timestamp_seconds(col("sec"))).drop("sec"),
+      r, "k", "k", "t", "t", "v", "asof_v", toleranceSecs = 60L)
+      .collect().head
+    assert(edge.getAs[Double]("asof_v") == 2.0, s"edge inclusive: $edge")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)

@@ -1049,6 +1049,43 @@ class PipelineSpec extends AnyFunSuite {
       s"split ${b1.getAs[Double]("max_s_lo")} != one-shot ${oneShot.getAs[Double]("max_s_lo")}")
   }
 
+  test("RateStream: collapse and surge alarm; silent keys emitted; replay byte-stable") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ratestream").toString
+    // reference: keys a,b at 100 events over ~an hour each
+    def evs(k: String, base: Long, cnt: Int) =
+      (0 until cnt).map(i => (k, base + i.toLong * 3600 / cnt))
+    val ref = (evs("a", 0L, 100) ++ evs("b", 0L, 100)).toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val mon = streaming.RateStream.buildReference(ref, Seq("k"), "ts")
+    // batch: b surges 4×, a is SILENT — but must still appear with a
+    // large negative z (reference keys drive the output)
+    val batch = evs("b", 10000L, 400).toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    streaming.RateStream.rateBatch(mon, batch, 0L, "ts", s"$tmp/mon")
+    val out = spark.read.parquet(s"$tmp/mon/batch=0").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.contains("a"), "silent reference key must be emitted")
+    assert(out("a").getAs[Long]("n_cur") == 0L)
+    assert(out("a").getAs[Double]("poisson_z") < -3,
+      s"collapse must alarm: ${out("a")}")
+    assert(out("b").getAs[Double]("poisson_z") > 3,
+      s"surge must alarm: ${out("b")}")
+    // replay: deterministic scoring into the same batch dir → byte-stable
+    val before = spark.read.parquet(s"$tmp/mon/batch=0").collect().toSeq
+    streaming.RateStream.rateBatch(mon, batch, 0L, "ts", s"$tmp/mon")
+    assert(spark.read.parquet(s"$tmp/mon/batch=0").collect().toSeq == before)
+    // a key with too little reference history scores NULL, not noise
+    val thinRef = (evs("a", 0L, 100) ++ evs("c", 0L, 5)).toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val mon2 = streaming.RateStream.buildReference(thinRef, Seq("k"), "ts")
+    streaming.RateStream.rateBatch(mon2, batch, 0L, "ts", s"$tmp/mon2")
+    val thin = spark.read.parquet(s"$tmp/mon2/batch=0").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(thin("c").isNullAt(thin("c").fieldIndex("poisson_z")),
+      s"thin-baseline key must be NULL: ${thin("c")}")
+  }
+
   test("CusumStream: an empty first batch cannot wedge the gate") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cusumempty").toString
