@@ -336,6 +336,22 @@ object DedupScale {
       val k0 = System.nanoTime()
       val coreN = operators.KCore.core(withHub, "src", "dst", k = 7).count()
       println(f"[hubscale] kcore k=7: core=${coreN}%8d  ${(System.nanoTime() - k0) / 1e9}%7.2f s")
+
+      // LPA rounds shuffle votes BY NEIGHBOR — the hub is the hot key;
+      // plain vs salted pins the same trade PageRank's rows measure.
+      for ((label, buckets) <- Seq(("plain", 1), ("salted8", 8))) {
+        val l0 = System.nanoTime()
+        val nLabels = operators.LabelProp.run(sym, "src", "dst",
+          rounds = 3, saltBuckets = buckets)
+          .select(countDistinct(col("label"))).collect().head.getLong(0)
+        println(f"[hubscale] lpa $label%-8s 3 rounds: labels=$nLabels%7d  ${(System.nanoTime() - l0) / 1e9}%7.2f s")
+      }
+      // BFS from the hub: 2 rounds reach ~everything the hub touches
+      // (frontier growth is the cost driver, not total graph size)
+      val b0 = System.nanoTime()
+      val reached = operators.Bfs.hops(sym, "src", "dst",
+        spark.range(1).select(lit(0L).as("node")), "node", rounds = 2).count()
+      println(f"[hubscale] bfs 2 rounds from hub: reached=$reached%8d  ${(System.nanoTime() - b0) / 1e9}%7.2f s")
     }
 
     // BM25 with a 50-query batch over an R×-replicated corpus: the

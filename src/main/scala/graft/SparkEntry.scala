@@ -1538,6 +1538,130 @@ object SparkEntry {
         .orderBy(col("day"), col("metric"))
     }),
 
+    "q162_asof_nearest" -> ((s, dir) =>
+      // nearest-direction as-of within 7 days: whichever of the latest
+      // at-or-before / earliest at-or-after order is CLOSER in time —
+      // aligning two irregular clocks where "before" alone discards a
+      // measurement taken seconds later; exact-tie distances go backward
+      operators.AsOfJoin.nearestWithin(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"),
+            col("ts")),
+          Tables.orders(s, dir),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          carryCol = "o_totalprice", outCol = "near_price",
+          toleranceSecs = 7L * 86400L)
+        .select(col("event_id"), col("near_price"))
+        .orderBy(col("event_id"))),
+
+    "q163_label_prop" -> ((s, dir) => {
+      // synchronous min-tie label propagation over the trade graph, 3
+      // rounds — community structure INSIDE the connected component
+      // (q66 answers reachability; this finds the dense clusters);
+      // deterministic by construction, oracle unrolls the same rounds
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      operators.LabelProp.run(edges, "src", "dst", rounds = 3)
+        .orderBy(col("node"))
+    }),
+
+    "q164_theilsen" -> ((s, dir) =>
+      // Theil-Sen robust trend per type: median-of-pairwise-slopes over
+      // the hourly-mean series — the 50%-breakdown twin of q118's OLS
+      // (one wild reading tilts OLS; here ~29% of hours can be corrupt)
+      etl.Aggregates.theilSen(Tables.events(s, dir), Seq("event_type"),
+          col("ts"), "value")
+        .orderBy(col("event_type"))),
+
+    "q165_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-fit screen: per-doc OOV rate against the corpus's own
+      // top-500 token vocabulary (deterministic boundary cut) — docs
+      // that shatter into unknowns at training time surface here
+      text.Corpus.vocabCoverage(Tables.documents(s, dir), "doc_id",
+          "text", vocabSize = 500)
+        .orderBy(col("doc_id"))),
+
+    "q166_name_match" -> ((s, dir) =>
+      // Jaro-Winkler record linkage over part names (first-char-blocked
+      // pairs, native codegen'd expression — Spark has no similarity
+      // function beyond levenshtein; DuckDB replays its built-in)
+      operators.FuzzyJoin.jaroWinklerPairs(
+          Tables.part(s, dir).filter(col("p_partkey") <= 600)
+            .select(col("p_name")),
+          "p_name", minSim = 0.88)
+        .orderBy(col("s_a"), col("s_b"))),
+
+    "q167_trimmed_mean" -> ((s, dir) =>
+      // robust-location ladder closed: 10/90 trimmed + winsorized means
+      // per type — the mean believes every glitch, the median throws
+      // away 98% of the data; these are the standard middle ground
+      etl.Aggregates.trimmedStats(Tables.events(s, dir),
+          Seq("event_type"), "value", lo = 0.1, hi = 0.9)
+        .orderBy(col("event_type"))),
+
+    "q168_modularity" -> ((s, dir) => {
+      // Newman modularity of the nation partition over the trade graph:
+      // is same-nation trade denser than chance? (the quality readout
+      // any community labeling plugs into — q163's labels included)
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val cust = Tables.customer(s, dir)
+        .select(concat(lit("c"), col("c_custkey")).as("node"),
+          col("c_nationkey").as("nat"))
+      val supp = Tables.supplier(s, dir)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"),
+          col("s_nationkey").as("nat"))
+      operators.LabelProp.modularity(edges, "src", "dst",
+          cust.unionByName(supp), "node", "nat")
+        .orderBy(col("label"))
+    }),
+
+    "q169_chunk_dedup" -> ((s, dir) =>
+      // C4-style within-doc boilerplate strip: non-overlapping 8-token
+      // chunks, repeats of an already-seen chunk dropped (first kept,
+      // in position order), survivors re-assembled
+      text.Corpus.chunkDedup(Tables.documents(s, dir), "doc_id", "text",
+          window = 8)
+        .orderBy(col("doc_id"))),
+
+    "q170_sssp" -> ((s, dir) => {
+      // multi-source BFS blast radius: hop distance from nation-0
+      // customers out to 4 rounds over the trade graph — the distance
+      // axis next to q66 reachability / q163 density / q106 centrality
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      operators.Bfs.hops(edges, "src", "dst", seeds, "node", rounds = 4)
+        .orderBy(col("node"))
+    }),
+
+    "q171_jsd" -> ((s, dir) =>
+      // bounded symmetric divergence (the thresholdable twin of q125's
+      // PSI): JSD of value per type, ref = first half, ref-frozen bins
+      etl.Drift.jsd(Tables.events(s, dir), Seq("event_type"), "value",
+          isRef = dayofmonth(col("ts")) <= 15, bins = 10)
+        .orderBy(col("event_type"))),
+
     "q148_hopping" -> ((s, dir) =>
       // overlapping (hopping) event-time windows in BATCH — the
       // streaming window shape q27's tumbling buckets don't cover:
@@ -4262,6 +4386,221 @@ object SparkEntry {
         |UNION ALL SELECT day, 'max_value', mx FROM d
         |UNION ALL SELECT day, 'min_value', mn FROM d
         |ORDER BY day, metric""".stripMargin,
+
+    "q162_asof_nearest" ->
+      // global min |Δt| within tolerance; distance ties backward (fwd=0
+      // first), equal-time ties to the side's value convention (max
+      // backward / min forward — the q54/q160 contracts)
+      """WITH j AS (SELECT e.event_id, o.o_totalprice,
+        |        abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS ad,
+        |        CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END AS fwd
+        |      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+        |        AND abs(epoch_us(e.ts) - epoch_us(o.o_orderdate))
+        |          <= 604800000000),
+        |r AS (SELECT event_id, o_totalprice,
+        |        row_number() OVER (PARTITION BY event_id ORDER BY ad, fwd,
+        |          CASE WHEN fwd = 0 THEN -o_totalprice
+        |               ELSE o_totalprice END) AS rn
+        |      FROM j)
+        |SELECT e2.event_id, r.o_totalprice AS near_price
+        |FROM events e2 LEFT JOIN r
+        |  ON r.event_id = e2.event_id AND r.rn = 1
+        |ORDER BY e2.event_id""".stripMargin,
+
+    "q163_label_prop" -> {
+      // 3 synchronous rounds unrolled (the q106/q146 feat): per round,
+      // per-node argmax of neighbor-label counts, ties to the min label
+      val roundCtes = (1 to 3).map { i =>
+        s"""l$i AS (SELECT n.node, coalesce(b.label, n.label) AS label
+           |      FROM l${i - 1} n LEFT JOIN (
+           |        SELECT e.src AS node, l.label,
+           |          row_number() OVER (PARTITION BY e.src
+           |            ORDER BY count(*) DESC, l.label) AS rn
+           |        FROM e JOIN l${i - 1} l ON l.node = e.dst
+           |        GROUP BY e.src, l.label) b
+           |      ON b.node = n.node AND b.rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         |             's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+         |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$roundCtes
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
+
+    "q164_theilsen" ->
+      // median of pairwise slopes over the hourly-mean series; x =
+      // epoch-hours as double on both engines, identical interpolation
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |        avg(value) AS v
+        |      FROM events GROUP BY 1, 2),
+        |hx AS (SELECT event_type, epoch_us(hh) / 3.6e9 AS x, v FROM h),
+        |p AS (SELECT a.event_type, (b.v - a.v) / (b.x - a.x) AS s
+        |      FROM hx a JOIN hx b ON b.event_type = a.event_type
+        |        AND b.x > a.x),
+        |sl AS (SELECT event_type, median(s) AS slope, count(*) AS np
+        |      FROM p GROUP BY 1)
+        |SELECT hx.event_type,
+        |  roundStable(max(sl.slope), 6) AS slope_per_hour,
+        |  roundStable(median(hx.v - sl.slope * hx.x), 6) AS intercept,
+        |  count(*) AS n_hours,
+        |  CAST(coalesce(max(sl.np), 0) AS BIGINT) AS n_pairs
+        |FROM hx LEFT JOIN sl ON sl.event_type = hx.event_type
+        |GROUP BY hx.event_type ORDER BY hx.event_type""".stripMargin,
+
+    "q165_vocab_coverage" ->
+      // top-500 vocab with the deterministic (tf DESC, token ASC)
+      // boundary cut, then per-doc OOV tallies
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+        |      FROM documents),
+        |v AS (SELECT t FROM (SELECT t, count(*) AS tf FROM tok
+        |      GROUP BY 1 ORDER BY tf DESC, t LIMIT 500)),
+        |j AS (SELECT tok.doc_id, tok.t,
+        |        CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tok LEFT JOIN v ON v.t = tok.t)
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  roundStable(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate,
+        |  CAST(count(DISTINCT CASE WHEN oov = 1 THEN t END) AS BIGINT)
+        |    AS n_oov_types
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q166_name_match" ->
+      // DuckDB's built-in jaro_winkler_similarity replays the native
+      // expression; identical first-char blocking on both sides
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part
+        |      WHERE p_partkey <= 600)
+        |SELECT a.s AS s_a, b.s AS s_b,
+        |  roundStable(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+        |FROM n a JOIN n b ON substr(a.s, 1, 1) = substr(b.s, 1, 1)
+        |  AND a.s < b.s
+        |WHERE roundStable(jaro_winkler_similarity(a.s, b.s), 6) >= 0.88
+        |ORDER BY s_a, s_b""".stripMargin,
+
+    "q167_trimmed_mean" ->
+      // interpolated exact quantile bounds (quantile_cont ≡ Spark's
+      // percentile), then conditional / clamped means over the same scan
+      """WITH b AS (SELECT event_type,
+        |        quantile_cont(value, 0.1) AS qlo,
+        |        quantile_cont(value, 0.9) AS qhi
+        |      FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  roundStable(avg(value), 6) AS mean,
+        |  roundStable(avg(CASE WHEN value >= qlo AND value <= qhi
+        |    THEN value END), 6) AS trimmed_mean,
+        |  roundStable(avg(greatest(least(value, qhi), qlo)), 6)
+        |    AS winsor_mean,
+        |  roundStable(max(qlo), 6) AS q_lo,
+        |  roundStable(max(qhi), 6) AS q_hi,
+        |  count(value) AS n
+        |FROM events e JOIN b ON b.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q168_modularity" ->
+      // per-nation census over the symmetrized trade graph; x*x (not
+      // power()) for the null-model term, matching the engine
+      """WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+        |             's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |lab AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+        |          c_nationkey AS nat FROM customer
+        |        UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |          s_nationkey FROM supplier),
+        |el AS (SELECT ls.nat AS lsrc, ld.nat AS ldst FROM e
+        |       JOIN lab ls ON ls.node = e.src
+        |       JOIN lab ld ON ld.node = e.dst),
+        |m2 AS (SELECT count(*) AS m2 FROM el),
+        |d AS (SELECT lsrc AS label, count(*) AS dc FROM el GROUP BY 1),
+        |i AS (SELECT lsrc AS label, count(*) AS ic FROM el
+        |      WHERE lsrc = ldst GROUP BY 1),
+        |nn AS (SELECT nat AS label, count(*) AS n_nodes FROM lab GROUP BY 1)
+        |SELECT nn.label, nn.n_nodes,
+        |  CAST(coalesce(i.ic, 0) / 2 AS BIGINT) AS internal_edges,
+        |  CAST(coalesce(d.dc, 0) AS BIGINT) AS degree_sum,
+        |  roundStable(CAST(coalesce(i.ic, 0) AS DOUBLE) / m2.m2
+        |    - (CAST(coalesce(d.dc, 0) AS DOUBLE) / m2.m2)
+        |      * (CAST(coalesce(d.dc, 0) AS DOUBLE) / m2.m2), 6) AS q_contrib
+        |FROM nn LEFT JOIN d ON d.label = nn.label
+        |LEFT JOIN i ON i.label = nn.label CROSS JOIN m2
+        |ORDER BY nn.label""".stripMargin,
+
+    "q169_chunk_dedup" ->
+      // the same non-overlapping chunk geometry, keep-first via
+      // row_number, rebuild via ordered string_agg (NULLs skipped)
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, i AS ci,
+        |        array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk
+        |      FROM (SELECT doc_id, w,
+        |              unnest(range(0, greatest(
+        |                CAST(ceil(len(w) / 8.0) AS INT), 1))) AS i
+        |            FROM t)),
+        |r AS (SELECT doc_id, ci, chunk,
+        |        row_number() OVER (PARTITION BY doc_id, chunk
+        |          ORDER BY ci) AS rn
+        |      FROM ch)
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ci)
+        |    AS clean_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q170_sssp" -> {
+      // min-plus relaxation unrolled 4 rounds (the q106/q163 feat)
+      val roundCtes = (1 to 4).map { i =>
+        s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+           |        SELECT node, dist FROM d${i - 1}
+           |        UNION ALL SELECT e.dst AS node, d.dist + 1 AS dist
+           |        FROM e JOIN d${i - 1} d ON d.node = e.src) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         |             's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+         |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |d0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+         |         CAST(0 AS BIGINT) AS dist
+         |       FROM customer WHERE c_nationkey = 0),
+         |$roundCtes
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+         |ORDER BY node""".stripMargin
+    },
+
+    "q171_jsd" ->
+      // the q125 binning verbatim; per-bin term
+      // (p·ln(p/m) + q·ln(q/m)) / 2 with m = (p+q)/2
+      """WITH t AS (SELECT event_type, value,
+        |             (day(ts) <= 15) AS ref FROM events),
+        |r AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |      FROM t WHERE ref GROUP BY event_type),
+        |b AS (SELECT t.event_type,
+        |        CAST(least(greatest(CASE WHEN hi - lo <= 0 THEN 0
+        |          ELSE floor((value - lo) / (hi - lo) * 10) END, 0), 9)
+        |          AS BIGINT) AS bin,
+        |        ref
+        |      FROM t JOIN r ON t.event_type = r.event_type),
+        |c AS (SELECT event_type, bin,
+        |        sum(CASE WHEN ref THEN 1 ELSE 0 END) AS rc,
+        |        sum(CASE WHEN ref THEN 0 ELSE 1 END) AS cc
+        |      FROM b GROUP BY event_type, bin),
+        |w AS (SELECT event_type, rc, cc,
+        |        sum(rc) OVER (PARTITION BY event_type) AS nr,
+        |        sum(cc) OVER (PARTITION BY event_type) AS nc
+        |      FROM c),
+        |p AS (SELECT event_type,
+        |        (rc + 0.5) / (nr + 5.0) AS p,
+        |        (cc + 0.5) / (nc + 5.0) AS q,
+        |        nr, nc
+        |      FROM w)
+        |SELECT event_type,
+        |  roundStable(sum((p * ln(p / ((p + q) / 2))
+        |    + q * ln(q / ((p + q) / 2))) / 2), 6) AS jsd,
+        |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q152_chi2_keyed" ->
       // per-source contingency: same observed-cells-only identity as

@@ -465,6 +465,84 @@ object Aggregates {
         count(lit(1)).as("n"))
   }
 
+  /** Theil-Sen robust trend per key — the 50%-breakdown twin of
+    * [[olsTrend]]: slope = MEDIAN of all pairwise slopes
+    * `(v_j − v_i)/(x_j − x_i)` over the per-hour mean series, intercept
+    * = median of `v − slope·x` (Sen 1968). One wild reading tilts an
+    * OLS fit; here up to ~29% of the series can be corrupt before the
+    * estimate moves — the trend you actually want from a misbehaving
+    * sensor.
+    *
+    * Scale shape: the pairwise self-join runs over the AGGREGATED
+    * per-(key, hour) series, so pair count is O(hours²) per key —
+    * bounded by the CALENDAR, not the data volume (a year is ~38M pairs
+    * per key, and the raw 100 TB is touched exactly once by the first
+    * keyed agg). x is epoch-hours as double: both engines difference
+    * identical values, and `median` interpolates identically over the
+    * identical slope multiset. Keys with < 2 distinct hours emit NULL
+    * slope/intercept (no pair to vote — the σ=0 convention), n_pairs 0.
+    */
+  def theilSen(df: DataFrame, keys: Seq[String], tsCol: Column,
+               valueCol: String, decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val hourly = df
+      .groupBy(keyCols :+ date_trunc("hour", tsCol).as("__h"): _*)
+      .agg(avg(col(valueCol)).as("__v"))
+      .withColumn("__x", unix_micros(col("__h")).cast("double") / 3.6e9)
+    val a = hourly.select(keyCols :+ col("__x").as("__x1") :+
+      col("__v").as("__v1"): _*)
+    val b = hourly.select(keyCols :+ col("__x").as("__x2") :+
+      col("__v").as("__v2"): _*)
+    val slopes = a.join(b, keys).filter(col("__x2") > col("__x1"))
+      .withColumn("__s",
+        (col("__v2") - col("__v1")) / (col("__x2") - col("__x1")))
+      .groupBy(keyCols: _*)
+      .agg(expr("percentile(__s, 0.5)").as("__slope"),
+        count(lit(1)).as("__np"))
+    hourly.join(slopes, keys, "left")
+      .withColumn("__r", col("__v") - col("__slope") * col("__x"))
+      .groupBy(keyCols: _*)
+      .agg(roundStable(max(col("__slope")), decimals).as("slope_per_hour"),
+        roundStable(expr("percentile(__r, 0.5)"), decimals).as("intercept"),
+        count(lit(1)).as("n_hours"),
+        coalesce(max(col("__np")), lit(0L)).as("n_pairs"))
+  }
+
+  /** Trimmed and winsorized means per key — the robust-location ladder's
+    * remaining rungs (plain mean → A29 median → A37 MAD flags → these):
+    * `trimmed_mean` averages only values inside the [lo, hi] quantile
+    * band (discard the tails), `winsor_mean` CLAMPS the tails to the
+    * band edges instead (keep the observation, cap its influence) — the
+    * standard pair for contaminated sensor feeds where the median
+    * throws away too much and the mean believes every glitch.
+    *
+    * Two keyed passes by necessity (the band depends on the key's own
+    * quantiles): one exact-percentile agg, then the bound join rides
+    * AQE's broadcast (#keys rows) over the same scan. Interpolated
+    * exact percentiles — identical to the oracle's `quantile_cont`.
+    */
+  def trimmedStats(df: DataFrame, keys: Seq[String], valueCol: String,
+                   lo: Double = 0.1, hi: Double = 0.9,
+                   decimals: Int = 6): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val keyCols = keys.map(col)
+    val bounds = df.groupBy(keyCols: _*)
+      .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
+        expr(s"percentile($valueCol, $hi)").as("__hi"))
+    val v = col(valueCol)
+    df.join(bounds, keys)
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(avg(v), decimals).as("mean"),
+        roundStable(avg(when(v >= col("__lo") && v <= col("__hi"), v)),
+          decimals).as("trimmed_mean"),
+        roundStable(avg(greatest(least(v, col("__hi")), col("__lo"))),
+          decimals).as("winsor_mean"),
+        roundStable(max(col("__lo")), decimals).as("q_lo"),
+        roundStable(max(col("__hi")), decimals).as("q_hi"),
+        count(v).as("n"))
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

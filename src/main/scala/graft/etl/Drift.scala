@@ -248,6 +248,44 @@ object Drift {
         col("__cr").as("n_ref"), col("__cc").as("n_cur")): _*)
   }
 
+  /** Jensen-Shannon divergence per key between the `isRef` and current
+    * windows — the BOUNDED, SYMMETRIC member of the divergence family
+    * ([[psi]] is unbounded and blows up on vanishing bins; JSD lives in
+    * [0, ln 2] and is the square of a proper metric — the right number
+    * to THRESHOLD uniformly across thousands of keys or feed a
+    * downstream model): `JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)` with
+    * `m = (p+q)/2`, over the [[psi]] binning convention (reference
+    * window freezes the per-key ranges, add-half smoothing; a bin
+    * observed on neither side has p = q and contributes exactly 0, so
+    * the observed-bins-only aggregation is exact). Same scale shape as
+    * psi: one keyed conditional-count agg + one O(bins) window.
+    */
+  def jsd(df: DataFrame, keys: Seq[String], valueCol: String, isRef: Column,
+          bins: Int = 10, digits: Int = 6): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val keyCols = keys.map(col)
+    val tagged = df.withColumn("__ref", isRef)
+    val ranges = tagged.filter(col("__ref"))
+      .groupBy(keyCols: _*)
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    val counts = tagged.join(broadcast(ranges), keys)
+      .withColumn("__bin", binId(col(valueCol), col("__lo"), col("__hi"), bins))
+      .groupBy(keyCols :+ col("__bin"): _*)
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__rc"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("__cc"))
+    val w = Window.partitionBy(keyCols: _*)
+    val p = (col("__rc") + lit(0.5)) / (sum(col("__rc")).over(w) + lit(0.5) * bins)
+    val q = (col("__cc") + lit(0.5)) / (sum(col("__cc")).over(w) + lit(0.5) * bins)
+    val m = (p + q) / 2
+    counts
+      .withColumn("__term", (p * log(p / m) + q * log(q / m)) / 2)
+      .withColumn("__nr", sum(col("__rc")).over(w))
+      .withColumn("__nc", sum(col("__cc")).over(w))
+      .groupBy(keyCols: _*)
+      .agg(roundStable(sum(col("__term")), digits).as("jsd"),
+        max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
+  }
+
   /** Benford first-significant-digit conformance per key — the
     * fabricated-data / instrument-fault screen: naturally occurring
     * multi-scale magnitudes put digit d first with probability

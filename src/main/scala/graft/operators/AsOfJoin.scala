@@ -144,6 +144,68 @@ object AsOfJoin {
       .drop("__t", "__k", "__cv", "__cs", "__isLeft", "__last")
   }
 
+  /** NEAREST as-of within a tolerance (pandas `merge_asof(direction=
+    * 'nearest', tolerance=…)`): each left row attaches whichever
+    * in-horizon right value is CLOSER in time — the latest at-or-before
+    * or the earliest at-or-after — and NULL when neither exists within
+    * `toleranceSecs`. The shape for aligning two irregular clocks
+    * (sensor readings vs maintenance logs) where "before" alone throws
+    * away a measurement taken seconds later.
+    *
+    * Plan: the same union as the directional forms, then TWO window
+    * passes over the SAME hash partitioning — forward is the backward
+    * traversal in reverse time order, so Catalyst plans one Exchange
+    * and two sorts, never a join. Exact-tie distances resolve backward
+    * (the pandas convention); equal-time ties within a side resolve to
+    * the side's convention (max backward, min forward).
+    */
+  def nearestWithin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      carryCol: String, outCol: String,
+      toleranceSecs: Long): DataFrame = {
+    require(toleranceSecs >= 0, s"need toleranceSecs >= 0, got $toleranceSecs")
+    val tolUs = toleranceSecs * 1000000L
+    val l = left
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__k", col(leftKey))
+      .withColumn("__cv", lit(null).cast(right.schema(carryCol).dataType))
+      .withColumn("__cs",
+        lit(null).cast(s"struct<ct:timestamp,cv:${right.schema(carryCol).dataType.sql}>"))
+      .withColumn("__isLeft", lit(1))
+    val leftCols = left.columns
+    val r = right
+      .select(
+        col(rightTime).cast("timestamp").as("__t"),
+        col(rightKey).as("__k"),
+        col(carryCol).as("__cv"),
+        struct(col(rightTime).cast("timestamp").as("ct"),
+          col(carryCol).as("cv")).as("__cs"),
+        lit(0).as("__isLeft"))
+    val rAligned = leftCols.foldLeft(r) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col).toIndexedSeq: _*)
+    val wBack = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__isLeft"), col("__cv"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__isLeft"), col("__cv").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val backDiff = unix_micros(col("__t")) - unix_micros(col("__b.ct"))
+    val fwdDiff = unix_micros(col("__f.ct")) - unix_micros(col("__t"))
+    val backOk = col("__b").isNotNull && backDiff <= tolUs
+    val fwdOk = col("__f").isNotNull && fwdDiff <= tolUs
+    l.unionByName(rAligned)
+      .withColumn("__b", last(col("__cs"), ignoreNulls = true).over(wBack))
+      .withColumn("__f", last(col("__cs"), ignoreNulls = true).over(wFwd))
+      .withColumn(outCol,
+        when(backOk && (!fwdOk || backDiff <= fwdDiff), col("__b.cv"))
+          .when(fwdOk, col("__f.cv")))
+      .filter(col("__isLeft") === 1)
+      .drop("__t", "__k", "__cv", "__cs", "__isLeft", "__b", "__f")
+  }
+
   private def asOfDF(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,

@@ -85,6 +85,41 @@ object FuzzyJoin {
       .select(col("s_a"), col("s_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** All unordered pairs of DISTINCT non-null values of `strCol` with
+    * Jaro-Winkler similarity ≥ `minSim` (the census-name scorer —
+    * prefix-weighted, transposition-tolerant; scored by the native
+    * codegen'd [[graft.functions.JaroWinkler]] expression, since Spark
+    * ships no string-similarity function beyond levenshtein).
+    *
+    * Blocking: candidates must share their FIRST character — part of
+    * the match CONTRACT, not an approximation swept under the rug.
+    * Unlike the length band (lossless for edit distance), no cheap
+    * equi-key is lossless for JW; first-char is the standard
+    * record-linkage choice precisely because Winkler's boost puts the
+    * weight on the prefix (a high-JW pair differing in char 1 forfeits
+    * the boost and most of its match mass). Cost: one equi-join with
+    * ~|Σ| buckets instead of n² pairs; compose with a second key
+    * (phonetic code, sorted-token prefix) for tighter blocks at scale.
+    * Scores are rounded BEFORE the threshold cut (the q94 discipline)
+    * so the selected pair set is engine-identical.
+    */
+  def jaroWinklerPairs(strings: DataFrame, strCol: String, minSim: Double,
+                       decimals: Int = 6): DataFrame = {
+    require(minSim > 0.7 && minSim <= 1.0,
+      s"need 0.7 < minSim <= 1.0 (below the boost threshold the prefix " +
+        s"block is baseless), got $minSim")
+    val names = distinctStrings(strings, strCol)
+      .withColumn("__k", substring(col("s"), 1, 1))
+    names.select(col("s").as("s_a"), col("__k"))
+      .join(names.select(col("s").as("s_b"), col("__k")), Seq("__k"))
+      .filter(col("s_a") < col("s_b"))
+      .withColumn("jw", graft.functions.roundStable(
+        graft.functions.JaroWinkler.jaroWinkler(col("s_a"), col("s_b")),
+        decimals))
+      .filter(col("jw") >= minSim)
+      .select(col("s_a"), col("s_b"), col("jw"))
+  }
+
   private def distinctStrings(strings: DataFrame, strCol: String): DataFrame =
     strings.select(col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull).distinct()

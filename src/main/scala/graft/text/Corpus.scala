@@ -453,6 +453,90 @@ object Corpus {
       .drop("__es")
   }
 
+  /** Per-doc vocabulary coverage against the corpus's own top-`vocabSize`
+    * tokens — the tokenizer-fit screen run BEFORE committing to a vocab:
+    * a doc whose tokens mostly fall outside the candidate vocabulary
+    * will shatter into bytes/unknowns at training time (OCR garbage,
+    * wrong-language slivers, code in a prose corpus all surface here as
+    * high OOV rate). Emits per doc: token count, OOV count, OOV rate,
+    * distinct OOV types.
+    *
+    * The vocab is the top `vocabSize` tokens by corpus frequency with a
+    * DETERMINISTIC boundary cut (count DESC, token ASC — the q94
+    * tie-break discipline). One persisted token scan feeds both the
+    * vocab aggregation and the scoring pass (the bigramLogProb recipe);
+    * the scoring join BROADCASTS the vocab — unlike the full-vocabulary
+    * LM models (never broadcast, they scale with the corpus), a top-K
+    * cut is K rows by construction.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int, decimals: Int = 6): DataFrame = {
+    require(vocabSize >= 1, s"need vocabSize >= 1, got $vocabSize")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+      .orderBy(col("__tf").desc, col("__tok"))
+      .limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__in"))
+    val out = toks
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"),
+        graft.functions.roundStable(
+          sum(when(col("__in").isNull, 1.0).otherwise(0.0)) / count(lit(1)),
+          decimals).as("oov_rate"),
+        countDistinct(when(col("__in").isNull, col("__tok")))
+          .as("n_oov_types"))
+    out
+  }
+
+  /** WITHIN-doc repeated-chunk removal — the C4-style boilerplate strip
+    * (nav bars, cookie banners, repeated headers paste the same block
+    * many times into ONE page; cross-doc dedup never sees it): the doc
+    * is cut into non-overlapping `window`-token chunks (the C29
+    * chunking geometry at stride = window), every repeat of an
+    * already-seen chunk TEXT is dropped (first occurrence kept, in
+    * position order), and the survivors re-assemble in order. Emits
+    * `clean_text`, total/dup chunk counts.
+    *
+    * Two keyed shuffles: first-occurrence detection partitions by
+    * (doc, chunk) — within-doc, so a chunk repeated across a billion
+    * docs never concentrates on one task (contrast C39, which chases
+    * CROSS-doc spans and must key by chunk alone); the rebuild
+    * aggregates by doc. Order is pinned by sorting (position, chunk)
+    * structs — `collect_list` alone has NO ordering guarantee (the B34
+    * lesson). The trailing partial chunk participates like any other.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 window: Int): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val toks = tokens(col(textCol))
+    // split("", " ") = [""] — size >= 1 always, so the sequence upper
+    // bound never drops below 0 (the descending-sequence trap)
+    val nChunks = ceil(size(toks).cast("double") / window).cast("int")
+    val chunks = docs
+      .select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), greatest(nChunks, lit(1)) - 1)).as("__ci"))
+      .select(col(idCol), col("__ci"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__ci") * window + 1, lit(window)))
+          .as("__chunk"))
+    val w = Window.partitionBy(col(idCol), col("__chunk"))
+      .orderBy(col("__ci"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("__ci"), col("__chunk"))))),
+          s => s.getField("__chunk"))).as("clean_text"))
+  }
+
   /** Deterministic per-epoch corpus reshuffle: each epoch `e` induces a
     * fresh pseudo-random total order and a balanced shard assignment
     * from ONE epoch-salted multiplicative hash — `h` is the order key,

@@ -1634,6 +1634,198 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(edge.getAs[Double]("asof_v") == 2.0, s"edge inclusive: $edge")
   }
 
+  test("JaroWinkler: pinned to the standard values; DuckDB conventions on edges") {
+    val cases = Seq(
+      ("martha", "marhta", 0.961111), // the census-paper classic
+      ("dixon", "dicksonx", 0.813333),
+      ("dwayne", "duane", 0.84),
+      ("aaaaa", "aaaab", 0.92),          // prefix boost capped at 4
+      ("abcdxxxx", "abcdyyyy", 0.666667), // jaro <= 0.7 -> NO boost
+      ("abc", "xyz", 0.0),
+      ("a", "a", 1.0),
+      ("ab", "ba", 0.0),                 // window 0: no cross-position match
+      ("", "abc", 0.0), ("", "", 0.0),   // empty -> 0, INCLUDING both-empty
+      ("ABCD", "abcd", 0.0))             // case-sensitive
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .withColumn("jw", graft.functions.roundStable(
+        graft.functions.JaroWinkler.jaroWinkler(col("a"), col("b")), 6))
+    val got = df.select("jw").as[Double].collect()
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(math.abs(g - want) < 1e-6, s"jw($a, $b) = $g, want $want")
+    }
+    // interpreted path (no codegen) must agree with the codegen'd one
+    val interp = cases.map { case (a, b, _) =>
+      graft.functions.JaroWinkler.score(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }
+    interp.zip(got).foreach { case (i, g) =>
+      assert(math.abs(math.floor(i * 1e6 + 0.5) / 1e6 - g) < 1e-9) }
+  }
+
+  test("LabelProp: planted communities found through the bridge; salted ≡ plain") {
+    // two 5-cliques joined by ONE bridge edge: 3 rounds of min-tie LPA
+    // label each clique by its min member, and the bridge does not leak
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      clique(Seq(10L, 11L, 12L, 13L, 14L)) ++ Seq((5L, 10L), (10L, 5L)))
+      .toDF("src", "dst")
+    val out = operators.LabelProp.run(e, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L), s"$out")
+    assert(Seq(11L, 12L, 13L, 14L).forall(out(_) == 10L), s"$out")
+    val salted = operators.LabelProp.run(e, "src", "dst", rounds = 3,
+      saltBuckets = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == out, "salting must not change the vote")
+    // communities() census over the same labels
+    val cs = operators.LabelProp.communities(e, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cs(1L) >= 4L && cs(10L) >= 4L, s"census: $cs")
+  }
+
+  test("theilSen: a planted outlier moves OLS but not Theil-Sen; single-hour key NULL") {
+    // y = 2x + 1 over 20 hours, one wild spike at the end (where it
+    // tilts OLS hardest — a center spike mostly moves the intercept)
+    val rows = (0 until 20).map { h =>
+      val v = if (h == 19) 1000.0 else 2.0 * h + 1.0
+      ("k", h * 3600L, v)
+    } ++ Seq(("solo", 0L, 5.0))
+    val df = rows.toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = etl.Aggregates.theilSen(df, Seq("k"), col("ts"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("k").getDouble(1) - 2.0) < 1e-6,
+      s"robust slope must survive the spike: ${out("k")}")
+    val ols = etl.Aggregates.olsTrend(
+      df.filter(col("k") === "k").withColumn("x", col("sec") / 3600.0),
+      Seq("k"), col("x"), col("v")).collect().head.getDouble(1)
+    assert(math.abs(ols - 2.0) > 1, s"the contrast: OLS is tilted ($ols)")
+    assert(out("solo").isNullAt(1) && out("solo").isNullAt(2),
+      s"no pair to vote: ${out("solo")}")
+    assert(out("solo").getLong(4) == 0L)
+    assert(out("k").getLong(4) == 190L, "C(20,2) pairs")
+  }
+
+  test("vocabCoverage: hand corpus with a known OOV tally; boundary cut deterministic") {
+    // vocab size 2 over tf: the=3, cat=2, dog=1, emu=1 -> vocab {the, cat}
+    // (dog/emu tie at 1 but both fall outside the cut)
+    val docs = Seq((1L, "the cat the"), (2L, "the cat dog"), (3L, "emu"))
+      .toDF("doc_id", "text")
+    val out = text.Corpus.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L && out(1L).getLong(2) == 0L)
+    assert(out(2L).getLong(2) == 1L && out(2L).getLong(4) == 1L) // dog OOV
+    assert(out(3L).getDouble(3) == 1.0, s"all-OOV doc: ${out(3L)}")
+    // tie at the boundary: vocabSize 3 must pick dog (token ASC) not emu
+    val v3 = text.Corpus.vocabCoverage(docs, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(v3(2L).getLong(2) == 0L, "dog in vocab at size 3 (tf tie, token asc)")
+    assert(v3(3L).getDouble(3) == 1.0, "emu still out")
+  }
+
+  test("asof nearest: picks the closer side, distance ties backward, horizon NULL") {
+    // readings at t=100 (v=1.0) and t=130 (v=2.0)
+    val r = Seq(("k", 100L, 1.0), ("k", 130L, 2.0)).toDF("k", "sec", "v")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    def go(leftSec: Long, tol: Long) =
+      operators.AsOfJoin.nearestWithin(
+        Seq((1L, "k", leftSec)).toDF("id", "k", "sec")
+          .withColumn("t", timestamp_seconds(col("sec"))).drop("sec"),
+        r, "k", "k", "t", "t", "v", "nv", toleranceSecs = tol)
+        .collect().head
+    assert(go(105L, 60L).getAs[Double]("nv") == 1.0, "5s back beats 25s fwd")
+    assert(go(125L, 60L).getAs[Double]("nv") == 2.0, "5s fwd beats 25s back")
+    assert(go(115L, 60L).getAs[Double]("nv") == 1.0, "exact tie goes backward")
+    assert(go(127L, 2L).isNullAt(3), "neither side within 2s")
+    assert(go(131L, 1L).getAs[Double]("nv") == 2.0, "boundary inclusive")
+  }
+
+  test("trimmedStats: tails discarded vs clamped; all-equal key degenerates to the mean") {
+    // 1..10 plus a wild 1000: mean believes it, trimmed drops it,
+    // winsorized caps it at the 90th-pct bound
+    val rows = ((1 to 10).map(_.toDouble) :+ 1000.0).map(("k", _)) ++
+      Seq(("flat", 7.0), ("flat", 7.0))
+    val out = etl.Aggregates.trimmedStats(rows.toDF("k", "v"), Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getDouble(1) > 90, s"plain mean believes the glitch: $k")
+    assert(k.getDouble(2) < 10, s"trimmed mean must not: $k")
+    assert(k.getDouble(3) < 20 && k.getDouble(3) >= k.getDouble(2) - 1e-9,
+      s"winsorized caps the glitch, never below trimmed: $k")
+    val f = out("flat")
+    assert(f.getDouble(1) == 7.0 && f.getDouble(2) == 7.0 &&
+      f.getDouble(3) == 7.0, s"degenerate key: $f")
+  }
+
+  test("modularity: two triangles + a bridge score the textbook Q; cross-label edges dilute") {
+    // communities {a,b,c} / {d,e,f}, bridge c-d: per side
+    // contrib = 6/14 - (7/14)^2 = 0.178571
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq("a" -> 1L, "b" -> 1L, "c" -> 1L,
+      "d" -> 2L, "e" -> 2L, "f" -> 2L).toDF("node", "lab")
+    val out = operators.LabelProp.modularity(edges, "src", "dst",
+      labels, "node", "lab")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (l <- Seq(1L, 2L)) {
+      assert(out(l).getLong(2) == 3L, s"3 internal undirected: ${out(l)}")
+      assert(out(l).getLong(3) == 7L, s"degree sum 7: ${out(l)}")
+      assert(math.abs(out(l).getDouble(4) - 0.178571) < 1e-6, s"${out(l)}")
+    }
+    // everything one label: Q = 1 - 1 = 0 exactly
+    val one = operators.LabelProp.modularity(edges, "src", "dst",
+      labels.withColumn("lab", lit(9L)), "node", "lab").collect().head
+    assert(one.getDouble(4) == 0.0, s"single community is chance: $one")
+  }
+
+  test("chunkDedup: repeated chunk dropped keep-first, partial tail kept, order stable") {
+    // window 2: doc 1 = [ab] [cd] [ab] [e] -> dup [ab] dropped, tail kept
+    val docs = Seq((1L, "a b c d a b e"), (2L, "x y")).toDF("doc_id", "text")
+    val out = text.Corpus.chunkDedup(docs, "doc_id", "text", window = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4L && out(1L).getLong(2) == 1L, s"${out(1L)}")
+    assert(out(1L).getString(3) == "a b c d e", s"${out(1L)}")
+    assert(out(2L).getLong(2) == 0L && out(2L).getString(3) == "x y")
+  }
+
+  test("Bfs.hops: min over paths, horizon excludes, multi-seed min, seed dist 0") {
+    // chain a->b->c->d->e plus shortcut a->c; seeds {a}
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"))
+      .toDF("src", "dst")
+    val out = operators.Bfs.hops(e, "src", "dst",
+      Seq("a").toDF("node"), "node", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L),
+      s"shortcut must win and the horizon reach e: $out")
+    val short = operators.Bfs.hops(e, "src", "dst",
+      Seq("a").toDF("node"), "node", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!short.contains("e"), s"beyond the horizon = absent, not capped: $short")
+    // a second seed at d pulls e to 1 and leaves the a-side untouched
+    val multi = operators.Bfs.hops(e, "src", "dst",
+      Seq("a", "d").toDF("node"), "node", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(multi("e") == 1L && multi("d") == 0L && multi("b") == 1L, s"$multi")
+  }
+
+  test("jsd: identical windows score exactly 0; a full-range shift is large but <= ln 2") {
+    val same = (1 to 200).flatMap(i =>
+      Seq(("k", i.toDouble, true), ("k", i.toDouble, false)))
+    val z = etl.Drift.jsd(same.toDF("k", "v", "r"), Seq("k"), "v", col("r"))
+      .collect().head
+    assert(z.getDouble(1) == 0.0, s"identical halves: $z")
+    // current window entirely above the reference range clamps into the
+    // top bin -> near-maximal divergence, still bounded by ln 2
+    val shifted = (1 to 200).map(i => ("k", i.toDouble, true)) ++
+      (1 to 200).map(i => ("k", 1000.0 + i, false))
+    val s = etl.Drift.jsd(shifted.toDF("k", "v", "r"), Seq("k"), "v", col("r"))
+      .collect().head
+    assert(s.getDouble(1) > 0.3 && s.getDouble(1) <= math.log(2) + 1e-9,
+      s"shift must be large and bounded: $s")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)

@@ -1086,6 +1086,39 @@ class PipelineSpec extends AnyFunSuite {
       s"thin-baseline key must be NULL: ${thin("c")}")
   }
 
+  test("HistStream: split batches merge to the one-shot quantiles; replay byte-stable; clamp") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_histstream").toString
+    val all = (1 to 1000).map(i => ("k", i.toDouble)).toDF("k", "v")
+    val geom = streaming.HistStream.buildGeometry(all, Seq("k"), "v", bins = 50)
+    // two batches vs the whole series in one histSketch call
+    streaming.HistStream.histBatch(geom,
+      all.filter(col("v") <= 400), 0L, "v", s"$tmp/sk")
+    streaming.HistStream.histBatch(geom,
+      all.filter(col("v") > 400), 1L, "v", s"$tmp/sk")
+    val merged = streaming.HistStream.quantiles(spark, s"$tmp/sk", geom,
+      Seq(0.5, 0.9)).collect().head
+    val oneShot = etl.Aggregates.histQuantiles(
+      etl.Aggregates.histSketch(all.withColumn("__s", lit(0L)), Seq("k"),
+        "__s", "v", bins = 50, ranges = Some(geom.ranges)),
+      Seq("k"), Seq(0.5, 0.9)).collect().head
+    assert(merged.getDouble(1) == oneShot.getDouble(1) &&
+      merged.getDouble(2) == oneShot.getDouble(2),
+      s"merged $merged != one-shot $oneShot")
+    // replay overwrites byte-identically (deterministic batch sketch)
+    val before = spark.read.parquet(s"$tmp/sk/batch=1").collect().toSeq
+    streaming.HistStream.histBatch(geom,
+      all.filter(col("v") > 400), 1L, "v", s"$tmp/sk")
+    assert(spark.read.parquet(s"$tmp/sk/batch=1").collect().toSeq == before)
+    // values beyond the frozen range clamp into the edge bin — counted,
+    // never dropped (the binId contract)
+    streaming.HistStream.histBatch(geom,
+      Seq(("k", 99999.0)).toDF("k", "v"), 2L, "v", s"$tmp/sk")
+    val top = spark.read.parquet(s"$tmp/sk/batch=2").collect()
+    assert(top.length == 1 && top.head.getAs[Long]("__bin") == 49L,
+      s"out-of-range clamps to the top bin: ${top.toSeq}")
+  }
+
   test("CusumStream: an empty first batch cannot wedge the gate") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cusumempty").toString

@@ -511,6 +511,35 @@ class PlanSpec extends AnyFunSuite {
     assert(hopEx == 1, s"hopping: expected one Exchange, got $hopEx")
   }
 
+  test("AsOfJoin.nearestWithin: both direction windows ride ONE key Exchange") {
+    // forward is the backward traversal in reverse order over the SAME
+    // hash partitioning — EnsureRequirements must plan one Exchange and
+    // two sorts, never a second shuffle (and never a join).
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val near = operators.AsOfJoin.nearestWithin(ev,
+      Tables.orders(spark, sfDir), "user_id", "o_custkey", "ts",
+      "o_orderdate", "o_totalprice", "np", toleranceSecs = 86400L)
+    val p = near.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one Exchange:\n$p")
+    assert(!p.contains("Join"), s"nearest as-of must not plan a join:\n$p")
+    assert(p.linesIterator.count(_.trim.matches(".*\\bSort \\[.*")) >= 2,
+      s"expected a sort per direction:\n$p")
+  }
+
+  test("vocabCoverage: the scoring join broadcasts the bounded vocab") {
+    // the top-K vocab is K rows by construction — a shuffled join here
+    // would re-shuffle the whole token corpus against 500 rows.
+    import org.apache.spark.sql.functions.col
+    val vc = text.Corpus.vocabCoverage(
+      Tables.documents(spark, sfDir), "doc_id", "text", vocabSize = 500)
+    val p = vc.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$p")
+  }
+
   test("Drift: corpus-scale aggs reduce BEFORE the per-key windows") {
     // ksTest's first shuffle keys on (key, value) — fine-grained, skew-
     // free reduction of the raw rows; only the reduced distinct-value
