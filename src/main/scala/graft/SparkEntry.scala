@@ -1662,6 +1662,68 @@ object SparkEntry {
           isRef = dayofmonth(col("ts")) <= 15, bins = 10)
         .orderBy(col("event_type"))),
 
+    "q172_kaplan_meier" -> ((s, dir) => {
+      // time-to-first-error survival per cohort: subject = user, event =
+      // the user's first 'error', censored at last sighting if none —
+      // the right-censoring KM exists for (calling never-erroring users
+      // "errored at last sighting" biases every curve down)
+      val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"), max(col("ts")).as("__last"),
+          min(when(col("event_type") === "error", col("ts"))).as("__err"))
+      val subj = perUser
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(to_date(coalesce(col("__err"), col("__last"))),
+            to_date(col("__first"))).cast("long").as("dur"),
+          col("__err").isNotNull.as("obs"))
+      etl.Aggregates.kaplanMeier(subj, Seq("cohort"), "dur", col("obs"))
+        .orderBy(col("cohort"), col("t"))
+    }),
+
+    "q173_ndcg" -> ((s, dir) => {
+      // retrieval-quality readout over the oracle-gated q37 ranking:
+      // binary-relevance nDCG@10 against the label column, ideal DCG
+      // from each query's ACTUAL relevant-corpus count
+      val emb = Tables.embeddings(s, dir)
+      sim.Similarity.ndcgAtK(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", "label", k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    "q174_scalable_median" -> ((s, dir) =>
+      // EXACT median via two bounded passes (histogram narrows to the
+      // candidate bin, only that sliver ranks) — the oracle's plain
+      // median() proves exactness; percentile() would OOM a 100 TB key
+      etl.Aggregates.scalableMedian(Tables.events(s, dir),
+          Seq("event_type"), "value", bins = 100)
+        .orderBy(col("event_type"))),
+
+    "q175_kfold" -> ((s, dir) =>
+      // deterministic k-fold census: fold sizes + char mass per fold —
+      // the cross-validation corner of the split family (q82/q109/q114)
+      text.Corpus.kFold(Tables.documents(s, dir), "doc_id", k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("fold"))),
+
+    "q176_rbo" -> ((s, dir) => {
+      // ranking-agreement readout: RBO@10 between the exact 64-dim
+      // cosine ranking and the matryoshka prefix-16 ranking — "how much
+      // retrieval does the cheap prefix change", per query, no labels
+      // (q173's nDCG scores quality; this scores agreement — the pair
+      // you tune a prefix deployment BY)
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+      val a = sim.Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+      val pre = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val b = sim.Similarity.bruteForceTopK(pre,
+        pre.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+      text.Retrieval.rbo(a, b, "query_id", "neighbor_id", "rank", k = 10)
+        .orderBy(col("qid"))
+    }),
+
     "q148_hopping" -> ((s, dir) =>
       // overlapping (hopping) event-time windows in BATCH — the
       // streaming window shape q27's tumbling buckets don't cover:
@@ -4601,6 +4663,136 @@ object SparkEntry {
         |    + q * ln(q / ((p + q) / 2))) / 2), 6) AS jsd,
         |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q172_kaplan_meier" ->
+      // identical per-duration reduction, reverse-cumulative at-risk,
+      // exp(Σ ln(1−d/n)) survival with the zero-factor pin
+      """WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+        |        min(CASE WHEN event_type = 'error' THEN ts END) AS err
+        |      FROM events GROUP BY 1),
+        |s AS (SELECT user_id % 3 AS cohort,
+        |        date_diff('day', CAST(f AS DATE),
+        |          CAST(coalesce(err, l) AS DATE)) AS t,
+        |        (err IS NOT NULL) AS obs
+        |      FROM u),
+        |g AS (SELECT cohort, t,
+        |        sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+        |        sum(CASE WHEN obs THEN 0 ELSE 1 END) AS c
+        |      FROM s GROUP BY 1, 2),
+        |w AS (SELECT cohort, t, d, c,
+        |        sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+        |      FROM g),
+        |f AS (SELECT cohort, t, d, c, n,
+        |        1.0 - CAST(d AS DOUBLE) / n AS fac FROM w)
+        |SELECT cohort, t, CAST(n AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+        |  roundStable(CASE WHEN min(fac) OVER win <= 0 THEN 0.0
+        |    ELSE exp(sum(CASE WHEN fac > 0 THEN ln(fac) ELSE 0.0 END)
+        |      OVER win) END, 6) AS survival
+        |FROM f
+        |WINDOW win AS (PARTITION BY cohort ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY cohort, t""".stripMargin,
+
+    "q173_ndcg" ->
+      // the q37 exact ranking verbatim at k=10, then the identical
+      // DCG / ideal-DCG expression trees (1/(ln(i+1)/ln 2) prefix sums)
+      """WITH v AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    q.label AS ql, c.label AS cl,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+        |d AS (SELECT query_id,
+        |        sum(CASE WHEN cl = ql THEN 1.0 / (ln(rank + 1) / ln(2))
+        |          ELSE 0 END) AS dcg,
+        |        CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_rel_at_k
+        |      FROM r WHERE rank <= 10 GROUP BY 1),
+        |tot AS (SELECT label, count(*) AS tot FROM embeddings GROUP BY 1),
+        |q AS (SELECT e.vec_id AS query_id, t.tot - 1 AS rr
+        |      FROM embeddings e JOIN tot t ON t.label = e.label
+        |      WHERE e.vec_id < 50)
+        |SELECT q.query_id, coalesce(d.n_rel_at_k, 0) AS n_rel_at_k,
+        |  CAST(q.rr AS BIGINT) AS n_rel_corpus,
+        |  roundStable(CASE WHEN q.rr >= 1 THEN coalesce(d.dcg, 0)
+        |    / list_sum([1.0 / (ln(i + 1) / ln(2))
+        |        FOR i IN range(1, least(10, q.rr) + 1)]) END, 6) AS ndcg
+        |FROM q LEFT JOIN d ON d.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
+
+    "q174_scalable_median" ->
+      // the oracle states the CONTRACT (exact interpolated median) —
+      // proving the histogram-narrowed two-pass is exact, not approximate
+      """SELECT event_type, roundStable(median(value), 6) AS median,
+        |  count(value) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q175_kfold" ->
+      // the idHash fold assignment replayed in int64 arithmetic
+      """WITH f AS (SELECT ((doc_id % 2147483648) * 2654435761)
+        |        % 2147483648 % 5 AS fold, n_chars, source
+        |      FROM documents)
+        |SELECT fold, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM f GROUP BY 1 ORDER BY fold""".stripMargin,
+
+    "q176_rbo" ->
+      // both rankings replayed from one pair scan (cosine and raw dot,
+      // each rounded-then-ranked); the per-item RBO weight is the same
+      // ascending pow/d prefix sum
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, 17)])) AS pnrm
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |              FOR i IN range(1, len(q.embedding) + 1)]) AS rawdot,
+        |    list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |              FOR i IN range(1, 17)]) AS predot,
+        |    q.nrm AS qn, c.nrm AS cn, q.pnrm AS qpn, c.pnrm AS cpn
+        |  FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ra AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY roundStable(rawdot / (qn * cn), 4) DESC,
+        |            neighbor_id) AS rka
+        |      FROM pr),
+        |rb AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY roundStable(predot / (qpn * cpn), 4) DESC,
+        |            neighbor_id) AS rkb
+        |      FROM pr),
+        |j AS (SELECT ra.query_id,
+        |        greatest(ra.rka, rb.rkb) AS m
+        |      FROM ra JOIN rb ON rb.query_id = ra.query_id
+        |        AND rb.neighbor_id = ra.neighbor_id
+        |      WHERE ra.rka <= 10 AND rb.rkb <= 10),
+        |s AS (SELECT query_id,
+        |        sum((1 - 0.9) * list_sum([pow(0.9, d - 1) / d
+        |          FOR d IN range(CAST(m AS INT), 11)]))
+        |          / (1 - pow(0.9, 10)) AS rbo,
+        |        count(*) AS n_common
+        |      FROM j GROUP BY 1)
+        |SELECT u.query_id AS qid,
+        |  roundStable(coalesce(s.rbo, 0), 6) AS rbo,
+        |  CAST(coalesce(s.n_common, 0) AS BIGINT) AS n_common
+        |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+        |      WHERE vec_id < 50) u
+        |LEFT JOIN s ON s.query_id = u.query_id
+        |ORDER BY qid""".stripMargin,
 
     "q152_chi2_keyed" ->
       // per-source contingency: same observed-cells-only identity as

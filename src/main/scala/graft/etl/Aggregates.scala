@@ -543,6 +543,106 @@ object Aggregates {
         count(v).as("n"))
   }
 
+  /** Kaplan-Meier survival estimator per key (Kaplan & Meier 1958) —
+    * right-censored retention/churn curves done correctly: treating a
+    * still-active user as churned-at-last-sighting biases every curve
+    * down, and dropping them biases it up; KM discounts the at-risk set
+    * instead. Input: ONE ROW PER SUBJECT with its observation length
+    * (`durationCol`) and whether the terminal event was OBSERVED
+    * (`observedCol` true) or the subject was CENSORED there (false —
+    * still alive at the horizon). Output per (key, t): at-risk count,
+    * observed events, censored, and `S(t) = Π_{t_j ≤ t} (1 − d_j/n_j)`.
+    *
+    * Shape: one keyed agg to per-duration rows (state O(#distinct
+    * durations) — the raw subjects reduce FIRST), then two cumulative
+    * windows over the same keyed sort: at-risk = reverse-cumulative
+    * subjects, survival = exp of the cumulative Σ ln(1 − d/n) (d = 0
+    * rows contribute ln 1 = 0, so no row filtering); a factor hitting
+    * exactly 0 (everyone at risk dies) pins S to 0 via a cumulative-min
+    * guard rather than ln(0). Both engines replay the identical
+    * exp/Σln expression tree.
+    */
+  def kaplanMeier(df: DataFrame, keys: Seq[String], durationCol: String,
+                  observedCol: Column, decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val byT = df.groupBy(keyCols :+ col(durationCol).as("t"): _*)
+      .agg(sum(when(observedCol, 1L).otherwise(0L)).as("__d"),
+        sum(when(observedCol, 0L).otherwise(1L)).as("__c"))
+    val wCum = Window.partitionBy(keyCols: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRev = Window.partitionBy(keyCols: _*).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val nRisk = sum(col("__d") + col("__c")).over(wRev)
+    val factor = lit(1.0) - col("__d").cast("double") / col("__n")
+    byT
+      .withColumn("__n", nRisk)
+      .withColumn("__f", factor)
+      .withColumn("__dead", min(col("__f")).over(wCum) <= 0.0)
+      .withColumn("survival", graft.functions.roundStable(
+        when(col("__dead"), 0.0).otherwise(
+          exp(sum(when(col("__f") > 0, log(col("__f"))).otherwise(0.0))
+            .over(wCum))), decimals))
+      .select(keyCols ++ Seq(col("t"), col("__n").as("n_risk"),
+        col("__d").as("n_events"), col("__c").as("n_censored"),
+        col("survival")): _*)
+  }
+
+  /** EXACT per-key median with BOUNDED executor memory at ANY group
+    * size — the scale-out of `percentile(v, 0.5)`, whose
+    * implementation materializes every value of a group in one task's
+    * memory (fine at millions, an OOM at a 100 TB key). Two passes,
+    * both bounded:
+    *
+    *   1. histogram: per-key n/min/max + per-(key, bin) counts —
+    *      map-side partial aggregation, O(bins) state per key;
+    *   2. the candidate bin(s): cumulative counts locate which bin(s)
+    *      hold the interpolation ranks `⌊(n+1)/2⌋`/`⌈(n+1)/2⌉`; ONLY
+    *      rows falling in those bins re-scan into a per-(key, bin)
+    *      rank window — ~n/bins rows per key, bounded by construction —
+    *      and the global rank is the bin's cumulative offset plus the
+    *      within-bin rank.
+    *
+    * Result is the exact interpolated median (even n: mean of the two
+    * middle order statistics — identical to `percentile(0.5)` and the
+    * oracle's `median`), provable because rank arithmetic is exact;
+    * the histogram only NARROWS, never approximates. NULLs excluded.
+    */
+  def scalableMedian(df0: DataFrame, keys: Seq[String], valueCol: String,
+                     bins: Int = 1000, decimals: Int = 6): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val keyCols = keys.map(col)
+    val df = df0.filter(col(valueCol).isNotNull)
+    val rng = df.groupBy(keyCols: _*)
+      .agg(count(col(valueCol)).as("__n"), min(col(valueCol)).as("__lo"),
+        max(col(valueCol)).as("__hi"))
+    val binOf = Drift.binId(col(valueCol), col("__lo"), col("__hi"), bins)
+    val hist = df.join(broadcast(rng), keys)
+      .withColumn("__bin", binOf)
+      .groupBy(keyCols :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"), max(col("__n")).as("__n"))
+    val wCumB = Window.partitionBy(keyCols: _*).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // 1-based interpolation ranks: odd n -> one rank, even n -> the two
+    // middle order statistics (what percentile(0.5) averages)
+    val r1 = floor((col("__n") + 1) / 2)
+    val r2 = ceil((col("__n") + lit(1.0)) / 2).cast("long")
+    val cand = hist
+      .withColumn("__below", coalesce(sum(col("__cnt")).over(wCumB), lit(0L)))
+      .filter((col("__below") < r1 && col("__below") + col("__cnt") >= r1) ||
+        (col("__below") < r2 && col("__below") + col("__cnt") >= r2))
+      .select(keyCols ++ Seq(col("__bin"), col("__below"), col("__n")): _*)
+    val wInBin = Window.partitionBy(keyCols :+ col("__bin"): _*)
+      .orderBy(col(valueCol))
+    df.join(broadcast(rng.drop("__n")), keys)
+      .withColumn("__bin", binOf)
+      .join(cand, keys :+ "__bin")
+      .withColumn("__rk", col("__below") + row_number().over(wInBin))
+      .filter(col("__rk") === r1 || col("__rk") === r2)
+      .groupBy(keyCols: _*)
+      .agg(roundStable(avg(col(valueCol)), decimals).as("median"),
+        max(col("__n")).as("n"))
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

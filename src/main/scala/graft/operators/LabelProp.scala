@@ -63,7 +63,12 @@ object LabelProp {
           e.select(col("__dst").as("node"), col("node").as("__voter")),
           labels, "node", saltBuckets, saltFrom = Some("__voter"))
           .select(col("__voter").as("node"), col("label"))
-      val votes = joined.groupBy(col("node"), col("label"))
+      // ONE exchange by node: hash(node) satisfies the (node, label)
+      // grouping (subset rule) AND the argmax window's partitioning —
+      // a plain groupBy(node, label) would partition on the pair and
+      // force the window to re-Exchange (the histQuantiles move)
+      val votes = joined.repartition(col("node"))
+        .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
       val w = Window.partitionBy(col("node"))
         .orderBy(col("__c").desc, col("label"))

@@ -54,6 +54,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Binary-relevance nDCG@k of the exact cosine run against a label
+    * column — the retrieval-quality readout the ANN ladder is tuned BY
+    * (recall@k says "found the true neighbors"; nDCG says "and ranked
+    * the relevant ones high"): relevance = the neighbor shares the
+    * query's label, `DCG = Σ rel_i / log₂(i+1)` over the top-k,
+    * normalized by the ideal DCG for the query's ACTUAL relevant-corpus
+    * count R (excluding the query's own id) capped at k. Queries with
+    * R = 0 emit NULL (no achievable gain — undefined, not zero).
+    *
+    * Shape: rides [[bruteForceTopK]]'s ranking verbatim (rounded score
+    * + id tie-break — the run being scored IS the oracle-gated one),
+    * plus one broadcast label lookup per side and a per-label corpus
+    * count; the ideal-DCG prefix sum is a bounded `aggregate` HOF over
+    * `sequence(1, min(k, R))` — codegen'd, no UDF.
+    */
+  def ndcgAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, labelCol: String, k: Int,
+              simDigits: Int = 4, decimals: Int = 6): DataFrame = {
+    val run = bruteForceTopK(corpus, queries, idCol, vecCol, k, simDigits)
+    val qLab = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    val cLab = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"))
+    val log2 = (x: Column) => log(x) / log(lit(2.0))
+    val dcg = run
+      .join(broadcast(qLab), Seq("query_id"))
+      .join(cLab, Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("__cl") === col("__ql"), lit(1.0) /
+          log2(col("rank") + 1)).otherwise(0.0)).as("__dcg"),
+        sum((col("__cl") === col("__ql")).cast("long")).as("n_rel_at_k"))
+    val labCounts = cLab.groupBy(col("__cl").as("__ql"))
+      .agg(count(lit(1)).as("__tot"))
+    val selfRow = corpus.select(col(idCol).as("query_id"),
+      col(labelCol).as("__sl"))
+    val r = qLab
+      .join(labCounts, Seq("__ql"), "left")
+      .join(selfRow, Seq("query_id"), "left")
+      .withColumn("__r", coalesce(col("__tot"), lit(0L)) -
+        when(col("__sl") === col("__ql"), 1L).otherwise(0L))
+    val idcg = aggregate(
+      sequence(lit(1L), least(lit(k.toLong), col("__r"))),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + 1))
+    r.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
+        col("__r").as("n_rel_corpus"),
+        graft.functions.roundStable(
+          when(col("__r") >= 1, coalesce(col("__dcg"), lit(0.0)) / idcg),
+          decimals).as("ndcg"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query (anchor), the top-k most similar corpus vectors with a
     * DIFFERENT label — maximally confusing non-matches, the pairs a

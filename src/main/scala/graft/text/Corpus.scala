@@ -537,6 +537,21 @@ object Corpus {
           s => s.getField("__chunk"))).as("clean_text"))
   }
 
+  /** Deterministic k-fold assignment — the cross-validation corner of
+    * the split family ([[trainSplit]] fixed fractions,
+    * [[stratifiedSplit]] exact per-stratum, this: k rotating
+    * hold-outs): fold = width-safe multiplicative hash of the id mod
+    * k. Map-only, RNG-free, engine-replayable, stable under
+    * repartition and across runs — the property sklearn's shuffled
+    * KFold does NOT give you on a distributed rerun. Fold sizes are
+    * in-expectation n/k (hash variance; use [[stratifiedSplit]]-style
+    * exact cuts when a fold must be exact).
+    */
+  def kFold(docs: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    docs.withColumn("fold", (idHash(col(idCol)) % k).cast("long"))
+  }
+
   /** Deterministic per-epoch corpus reshuffle: each epoch `e` induces a
     * fresh pseudo-random total order and a balanced shard assignment
     * from ONE epoch-salted multiplicative hash — `h` is the order key,

@@ -126,4 +126,50 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Rank-biased overlap at fixed depth k (Webber, Moffat & Zobel TOIS
+    * 2010): how much two rankings of the same queries AGREE, with
+    * top-weighted emphasis — `RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩
+    * B_d|/d`. The similarity-of-rankings twin of nDCG's
+    * quality-of-ranking: compare an ANN run against the exact run, a
+    * normalized scorer against a raw one, yesterday's index against
+    * today's — no relevance labels needed.
+    *
+    * Shape: the prefix-overlap sum regroups PER ITEM — an item first
+    * common to both prefixes at depth `m = max(rank_a, rank_b)`
+    * contributes `(1−p)·Σ_{d=m..k} p^{d−1}/d`, a bounded `aggregate`
+    * HOF over `sequence(m, k)` (codegen'd, no UDF) — so the whole
+    * computation is one inner join of two already-top-k lists + one
+    * keyed agg: O(queries·k), corpus-size-free. Queries present in
+    * only one list score 0 (no agreement), via the left join from the
+    * query universe.
+    */
+  def rbo(listA: DataFrame, listB: DataFrame, qidCol: String,
+          docCol: String, rankCol: String, k: Int, p: Double = 0.9,
+          decimals: Int = 6): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(p > 0 && p < 1, s"need 0 < p < 1, got $p")
+    def side(df: DataFrame, r: String) = df
+      .filter(col(rankCol) <= k)
+      .select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+        col(rankCol).as(r))
+    val joined = side(listA, "__ra").join(side(listB, "__rb"),
+      Seq("qid", "__doc"))
+    val m = greatest(col("__ra"), col("__rb"))
+    val weight = aggregate(sequence(m.cast("long"), lit(k.toLong)),
+      lit(0.0), (acc, d) => acc + pow(lit(p), d - 1) / d)
+    // normalized by the depth-k maximum (1 − p^k) so identical
+    // rankings score exactly 1 — truncated RBO alone tops out below 1
+    // and reads as disagreement that isn't there
+    val perQuery = joined
+      .withColumn("__w", weight * (1.0 - p))
+      .groupBy(col("qid"))
+      .agg((sum(col("__w")) / (lit(1.0) - pow(lit(p), lit(k)))).as("__rbo"),
+        count(lit(1)).as("n_common"))
+    listA.select(col(qidCol).as("qid")).distinct()
+      .join(perQuery, Seq("qid"), "left")
+      .select(col("qid"),
+        roundStable(coalesce(col("__rbo"), lit(0.0)), decimals).as("rbo"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
 }

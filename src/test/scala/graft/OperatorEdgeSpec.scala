@@ -1826,6 +1826,119 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"shift must be large and bounded: $s")
   }
 
+  test("kaplanMeier: textbook small case; censored subjects discount the at-risk set") {
+    // classic: events at t=1 (d=1, n=5) and t=3 (d=1, n=3), censored at
+    // t=2 and t=4, one survivor to t=5 censored:
+    // S(1)=4/5=0.8, S(3)=0.8*(2/3)=0.533333, S stays there after
+    val subj = Seq((1L, true), (2L, false), (3L, true), (4L, false),
+      (5L, false)).toDF("dur", "obs").withColumn("k", lit("g"))
+    val out = etl.Aggregates.kaplanMeier(subj, Seq("k"), "dur", col("obs"))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(1L).getLong(2) == 5L && out(1L).getDouble(5) == 0.8, s"${out(1L)}")
+    assert(out(3L).getLong(2) == 3L, "two dropped before t=3")
+    assert(math.abs(out(3L).getDouble(5) - 0.533333) < 1e-6, s"${out(3L)}")
+    assert(out(5L).getDouble(5) == out(3L).getDouble(5),
+      "censoring alone never steps the curve")
+    // everyone dies at the end: survival pinned to exactly 0, no ln(0)
+    val all = Seq((1L, true), (2L, true)).toDF("dur", "obs")
+      .withColumn("k", lit("g"))
+    val dead = etl.Aggregates.kaplanMeier(all, Seq("k"), "dur", col("obs"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    assert(dead(1L) == 0.5 && dead(2L) == 0.0, s"$dead")
+  }
+
+  test("ndcgAtK: perfect ranking = 1, relevant-last < 1, no relevant = NULL") {
+    // 2-d unit-ish vectors: query q points at (1,0); same-label docs at
+    // tiny angles rank first -> perfect; a disjoint-label query has R=0
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (1L, v(1, 0), 7),     // query, label 7
+      (2L, v(0.99, 0.1), 7), (3L, v(0.98, 0.2), 7), // relevant, closest
+      (4L, v(0.5, 0.8), 8), (5L, v(0.3, 0.9), 8),   // irrelevant, far
+      (10L, v(0, 1), 99))   // query with label 99: nothing else has it
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = sim.Similarity.ndcgAtK(df,
+      df.filter(col("vec_id") === 1L || col("vec_id") === 10L),
+      "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 1.0,
+      s"both relevant docs rank 1-2 of 3, R=2 -> ideal: ${out(1L)}")
+    assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 2L)
+    assert(out(10L).isNullAt(3) && out(10L).getLong(2) == 0L,
+      s"R=0 is undefined, not zero: ${out(10L)}")
+    // flip the geometry: relevant docs now FARTHEST -> ndcg strictly < 1
+    val flipped = Seq((1L, v(1, 0), 7), (2L, v(0, 1), 7), (3L, v(0.1, 1), 7),
+      (4L, v(0.99, 0.1), 8), (5L, v(0.98, 0.2), 8)).toDF("vec_id", "embedding", "label")
+    val worse = sim.Similarity.ndcgAtK(flipped,
+      flipped.filter(col("vec_id") === 1L), "vec_id", "embedding", "label",
+      k = 3).collect().head
+    assert(worse.getDouble(3) < 1.0 && worse.getDouble(3) > 0.0, s"$worse")
+  }
+
+  test("scalableMedian: exact vs percentile on hostile shapes; ranks straddling bins") {
+    // shapes chosen to stress the narrowing: even/odd n, duplicates,
+    // skewed mass, constant key, and a case where the two middle order
+    // statistics land in DIFFERENT histogram bins (n=4 with the middle
+    // pair far apart at bins=4)
+    val data =
+      (1 to 101).map(i => ("odd", i.toDouble)) ++
+      (1 to 100).map(i => ("even", i.toDouble)) ++
+      Seq.fill(50)(("dup", 7.0)) ++ Seq.fill(49)(("dup", 9.0)) ++
+      (1 to 99).map(_ => ("skew", 1.0)) ++ Seq(("skew", 1000.0)) ++
+      Seq(("flat", 3.0), ("flat", 3.0)) ++
+      Seq(("straddle", 0.0), ("straddle", 1.0), ("straddle", 99.0),
+        ("straddle", 100.0))
+    val df = data.toDF("k", "v")
+    val got = etl.Aggregates.scalableMedian(df, Seq("k"), "v", bins = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = df.groupBy("k")
+      .agg(expr("percentile(v, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, m) <- want)
+      assert(math.abs(got(k) - m) < 1e-9, s"$k: got ${got(k)}, want $m")
+    assert(got("straddle") == 50.0, "middle pair (1.0, 99.0) spans bins")
+    assert(got("even") == 50.5 && got("odd") == 51.0 && got("dup") == 7.0)
+  }
+
+  test("kFold: total partition, repartition-stable, all folds populated") {
+    val docs = (1L to 500L).toDF("doc_id")
+    val f = text.Corpus.kFold(docs, "doc_id", k = 5)
+    val counts = f.groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0L, 1L, 2L, 3L, 4L), s"$counts")
+    assert(counts.values.sum == 500L, "every doc in exactly one fold")
+    val again = text.Corpus.kFold(docs.repartition(7), "doc_id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first, "assignment must not depend on partitioning")
+  }
+
+  test("rbo: identical = 1, disjoint = 0, deeper swaps hurt less, one-sided query = 0") {
+    def list(q: Long, docs: Seq[Long]) =
+      docs.zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+    val a = (list(1L, Seq(1, 2, 3, 4)) ++ list(2L, Seq(1, 2, 3, 4)) ++
+      list(3L, Seq(1, 2, 3, 4)) ++ list(4L, Seq(1, 2, 3, 4)))
+      .toDF("qid", "doc", "rank")
+    val b = (list(1L, Seq(1, 2, 3, 4)) ++      // identical
+      list(2L, Seq(9, 8, 7, 6)) ++             // disjoint
+      list(3L, Seq(2, 1, 3, 4)))               // top-2 swapped; q4 absent
+    .toDF("qid", "doc", "rank")
+    val out = text.Retrieval.rbo(a, b, "qid", "doc", "rank", k = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(1) == 1.0, s"identical: ${out(1L)}")
+    assert(out(2L).getDouble(1) == 0.0 && out(2L).getLong(2) == 0L)
+    assert(out(3L).getDouble(1) > 0.5 && out(3L).getDouble(1) < 1.0,
+      s"adjacent top swap is a mild disagreement: ${out(3L)}")
+    assert(out(4L).getDouble(1) == 0.0, "query missing from B scores 0")
+    // a swap at the BOTTOM hurts less than the same swap at the TOP
+    val bBottom = (list(1L, Seq(1, 2, 4, 3))).toDF("qid", "doc", "rank")
+    val aTop = (list(1L, Seq(1, 2, 3, 4))).toDF("qid", "doc", "rank")
+    val bottom = text.Retrieval.rbo(aTop, bBottom, "qid", "doc", "rank", 4)
+      .collect().head.getDouble(1)
+    assert(bottom > out(3L).getDouble(1),
+      s"bottom swap $bottom must beat top swap ${out(3L).getDouble(1)}")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)

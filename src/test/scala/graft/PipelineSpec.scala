@@ -1119,6 +1119,49 @@ class PipelineSpec extends AnyFunSuite {
       s"out-of-range clamps to the top bin: ${top.toSeq}")
   }
 
+  test("EnrichStream: facts see the version valid at THEIR time; replay stable after dim evolves") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    val dimPath = s"$tmp/dim"
+    // dimension: k=1 is "A" from Jan 1, "B" from Feb 1
+    val d0 = Seq((1L, "2021-01-01", "A")).toDF("k", "ts", "v")
+      .withColumn("ts", to_date(col("ts")))
+    streaming.DimStream.scd2Batch(d0, dimPath, Seq("k"), Seq("v"), "ts")
+    val d1 = Seq((1L, "2021-02-01", "B")).toDF("k", "ts", "v")
+      .withColumn("ts", to_date(col("ts")))
+    streaming.DimStream.scd2Batch(d1, dimPath, Seq("k"), Seq("v"), "ts")
+    // batch 0: one fact in the A era, one on the B boundary (half-open:
+    // sees B), one predating everything (null attrs)
+    val facts = Seq((10L, 1L, "2021-01-15"), (11L, 1L, "2021-02-01"),
+      (12L, 1L, "2020-12-25")).toDF("fid", "k", "ft")
+      .withColumn("ft", to_date(col("ft")))
+    streaming.EnrichStream.enrichBatch(facts, 0L, Seq("k"), "ft",
+      Seq("fid"), dimPath, s"$tmp/out")
+    def read0() = spark.read.parquet(s"$tmp/out/batch=0")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    val got = read0()
+    assert(got == Map(10L -> Some("A"), 11L -> Some("B"), 12L -> None),
+      s"$got")
+    // the dim gains a version ("C" from Mar 1); replaying the OLD batch
+    // is byte-identical — the SCD2 invariant (closed versions immutable,
+    // new versions strictly later) makes re-enrichment reproducible
+    val before = spark.read.parquet(s"$tmp/out/batch=0").collect().toSeq
+    val d2 = Seq((1L, "2021-03-01", "C")).toDF("k", "ts", "v")
+      .withColumn("ts", to_date(col("ts")))
+    streaming.DimStream.scd2Batch(d2, dimPath, Seq("k"), Seq("v"), "ts")
+    streaming.EnrichStream.enrichBatch(facts, 0L, Seq("k"), "ft",
+      Seq("fid"), dimPath, s"$tmp/out")
+    assert(spark.read.parquet(s"$tmp/out/batch=0").collect().toSeq == before,
+      "replay after dim evolution must be byte-identical")
+    // and a NEW batch in the C era sees C
+    val f2 = Seq((20L, 1L, "2021-03-15")).toDF("fid", "k", "ft")
+      .withColumn("ft", to_date(col("ft")))
+    streaming.EnrichStream.enrichBatch(f2, 1L, Seq("k"), "ft",
+      Seq("fid"), dimPath, s"$tmp/out")
+    val b1 = spark.read.parquet(s"$tmp/out/batch=1").collect().head
+    assert(b1.getString(3) == "C", s"$b1")
+  }
+
   test("CusumStream: an empty first batch cannot wedge the gate") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cusumempty").toString
