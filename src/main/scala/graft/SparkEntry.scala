@@ -1707,6 +1707,86 @@ object SparkEntry {
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("fold"))),
 
+    "q177_assoc_rules" -> ((s, dir) =>
+      // directed association rules over order baskets with the full
+      // support/confidence/lift triple — q147's cosine ranks recs, these
+      // are what a RULE needs to be acted on (lift kills the popularity
+      // confound); lift >= 2 and >= 3 shared baskets
+      operators.MarketBasket.assocRules(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minCount = 3L, minLift = 2.0)
+        .orderBy(col("antecedent"), col("consequent"))),
+
+    "q178_skew_report" -> ((s, dir) =>
+      // the measurement half of the salting module: top-10 heaviest
+      // users with share and skew factor — the "which keys die at 100x"
+      // readout that picks saltedAgg/saltedJoin targets
+      operators.Skew.skewReport(Tables.events(s, dir), Seq("user_id"),
+          topN = 10)
+        .orderBy(col("rank"))),
+
+    "q179_profile" -> ((s, dir) =>
+      // one-scan column profile in long form: null/distinct counts and
+      // rates per column (exact distincts via Expand; approx HLL flag
+      // for very wide tables)
+      etl.Profile.profile(Tables.events(s, dir),
+          Seq("event_type", "user_id", "value", "props"))
+        .orderBy(col("column"))),
+
+    "q180_spearman" -> ((s, dir) =>
+      // monotone price/quantity association per supplier — the rank
+      // correlation q158's Pearson isn't (outlier-proof, catches any
+      // monotone relation, not just linear)
+      etl.Aggregates.spearman(
+          Tables.lineitem(s, dir).filter(col("l_suppkey") <= 50),
+          Seq("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+        .orderBy(col("l_suppkey"))),
+
+    "q181_pettitt" -> ((s, dir) => {
+      // WHERE did the series shift: rank-based changepoint per type over
+      // the daily mean series, no reference window needed (the cusum
+      // complement); a +50 step planted after day 15 on the error type
+      // must localize there with a tiny p, untouched types stay flat
+      val ev = Tables.events(s, dir).withColumn("value",
+        when(col("event_type") === "error" && dayofmonth(col("ts")) > 15,
+          col("value") + 50).otherwise(col("value")))
+      etl.Drift.pettitt(ev, Seq("event_type"), to_date(col("ts")), "value")
+        .orderBy(col("event_type"))
+    }),
+
+    "q182_retrieval_eval" -> ((s, dir) => {
+      // the order-sensitive eval triple (MRR / AP@10 / P+R@10) over the
+      // same oracle-gated exact ranking q173's nDCG rides — together the
+      // full quality dashboard the ANN ladder is tuned by
+      val emb = Tables.embeddings(s, dir)
+      sim.Similarity.retrievalEvalAtK(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", "label", k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    "q183_dq_rules" -> ((s, dir) =>
+      // the declarative contract gate: five rule kinds (incl. exact
+      // uniqueness) evaluated in ONE scan — rules chosen so some PASS
+      // and some FAIL on the real feed (a gate that can't fail proves
+      // nothing)
+      etl.Rules.check(Tables.events(s, dir), Seq(
+          etl.Rules.NotNull("user_id"),
+          etl.Rules.InRange("value", 0.0, 100.0),
+          etl.Rules.InSet("event_type",
+            Seq("click", "view", "purchase", "signup")),
+          etl.Rules.MatchesRegex("props", "^\\{.*\\}$"),
+          etl.Rules.Unique(Seq("event_id"))))
+        .orderBy(col("rule"), col("target"))),
+
+    "q184_winnow" -> ((s, dir) =>
+      // winnowing fingerprint census (the MOSS selection, k=8 w=4):
+      // per-doc selected-gram count and density vs the ~2/(w+1)
+      // expectation; the md5-prefix hash makes the SELECTION itself
+      // oracle-replayable, not just the counts
+      text.Winnow.density(Tables.documents(s, dir), "doc_id", "text",
+          k = 8, w = 4)
+        .orderBy(col("doc"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -4745,6 +4825,218 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         |FROM f GROUP BY 1 ORDER BY fold""".stripMargin,
+
+    "q177_assoc_rules" ->
+      // identical metric triple; lift filtered on the ROUNDED value
+      // (the q94 discipline)
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |      FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS nb FROM b),
+        |p0 AS (SELECT x.it AS a, y.it AS c, count(*) AS n_ab
+        |      FROM b x JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |p AS (SELECT a, c, n_ab FROM p0
+        |      UNION ALL SELECT c, a, n_ab FROM p0),
+        |f AS (SELECT it, count(*) AS n FROM b GROUP BY 1)
+        |SELECT p.a AS antecedent, p.c AS consequent, p.n_ab,
+        |  roundStable(CAST(p.n_ab AS DOUBLE) / nb.nb, 6) AS support,
+        |  roundStable(CAST(p.n_ab AS DOUBLE) / fa.n, 6) AS confidence,
+        |  roundStable((CAST(p.n_ab AS DOUBLE) / fa.n)
+        |    / (CAST(fc.n AS DOUBLE) / nb.nb), 6) AS lift
+        |FROM p JOIN f fa ON fa.it = p.a JOIN f fc ON fc.it = p.c
+        |CROSS JOIN nb
+        |WHERE roundStable((CAST(p.n_ab AS DOUBLE) / fa.n)
+        |    / (CAST(fc.n AS DOUBLE) / nb.nb), 6) >= 2.0
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    "q178_skew_report" ->
+      // top-10 by (count DESC, key) with global share / mean factors
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS tt, count(*) AS kk, max(n) AS mx FROM c),
+        |r AS (SELECT user_id, n,
+        |        row_number() OVER (ORDER BY n DESC, user_id) AS rank
+        |      FROM c)
+        |SELECT user_id, CAST(rank AS BIGINT) AS rank, n,
+        |  roundStable(CAST(n AS DOUBLE) / tt, 6) AS share,
+        |  roundStable(CAST(n AS DOUBLE) / (CAST(tt AS DOUBLE) / kk), 6)
+        |    AS skew_factor,
+        |  roundStable(CAST(mx AS DOUBLE) / (CAST(tt AS DOUBLE) / kk), 6)
+        |    AS max_skew_factor
+        |FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q179_profile" ->
+      // per-column tallies replayed as a UNION ALL over the same scan
+      """WITH n AS (SELECT count(*) AS nr FROM events),
+        |u AS (
+        |  SELECT 'event_type' AS col_name, n.nr AS n_rows,
+        |    (SELECT count(*) FROM events WHERE event_type IS NULL) AS n_null,
+        |    (SELECT count(DISTINCT event_type) FROM events) AS n_distinct
+        |  FROM n
+        |  UNION ALL SELECT 'user_id', n.nr,
+        |    (SELECT count(*) FROM events WHERE user_id IS NULL),
+        |    (SELECT count(DISTINCT user_id) FROM events) FROM n
+        |  UNION ALL SELECT 'value', n.nr,
+        |    (SELECT count(*) FROM events WHERE value IS NULL),
+        |    (SELECT count(DISTINCT value) FROM events) FROM n
+        |  UNION ALL SELECT 'props', n.nr,
+        |    (SELECT count(*) FROM events WHERE props IS NULL),
+        |    (SELECT count(DISTINCT props) FROM events) FROM n)
+        |SELECT col_name AS "column", n_rows, n_null, n_distinct,
+        |  roundStable(CAST(n_null AS DOUBLE) / n_rows, 6) AS null_rate,
+        |  roundStable(CAST(n_distinct AS DOUBLE)
+        |    / greatest(n_rows - n_null, 1), 6) AS distinct_rate
+        |FROM u ORDER BY "column" """.stripMargin,
+
+    "q180_spearman" ->
+      // identical midrank (rank + (peers-1)/2) and product-moment trees
+      """WITH b AS (SELECT l_suppkey AS k, l_extendedprice AS x,
+        |        l_quantity AS y FROM lineitem WHERE l_suppkey <= 50),
+        |r AS (SELECT k,
+        |    CAST(rank() OVER (PARTITION BY k ORDER BY x) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY k, x) AS DOUBLE) - 1) / 2
+        |      AS rx,
+        |    CAST(rank() OVER (PARTITION BY k ORDER BY y) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY k, y) AS DOUBLE) - 1) / 2
+        |      AS ry
+        |  FROM b),
+        |m AS (SELECT k, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |    sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT k AS l_suppkey,
+        |  roundStable(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        |    THEN (n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+        |    AS spearman_rho,
+        |  CAST(n AS BIGINT) AS n
+        |FROM m ORDER BY l_suppkey""".stripMargin,
+
+    "q181_pettitt" ->
+      // U_t = 2*W_t - t*(n+1) over midranks, argmax with earliest-day
+      // tiebreak, the same 2*exp(-6K^2/(n^3+n^2)) significance
+      """WITH e AS (SELECT event_type AS k, CAST(ts AS DATE) AS b,
+        |    CASE WHEN event_type = 'error' AND day(ts) > 15
+        |      THEN value + 50 ELSE value END AS val FROM events),
+        |d AS (SELECT k, b, roundStable(avg(val), 6) AS v
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT k, b,
+        |    CAST(rank() OVER (PARTITION BY k ORDER BY v) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY k, v) AS DOUBLE) - 1) / 2
+        |      AS rr,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY b) AS DOUBLE)
+        |      AS t
+        |  FROM d),
+        |u AS (SELECT k, b, n, t,
+        |    2.0 * sum(rr) OVER (PARTITION BY k ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - t * (n + 1) AS uu
+        |  FROM r),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY abs(uu) DESC, b) AS rk
+        |  FROM u WHERE t < n OR n = 1)
+        |SELECT k AS event_type,
+        |  CASE WHEN n >= 3 THEN b END AS change_at,
+        |  roundStable(CASE WHEN n >= 3 THEN abs(uu) END, 6) AS k_stat,
+        |  roundStable(CASE WHEN n >= 3 THEN least(
+        |    2.0 * exp(-6.0 * uu * uu / (CAST(n AS DOUBLE) * n * n
+        |      + CAST(n AS DOUBLE) * n)), 1.0) END, 6) AS p_value,
+        |  n AS n_buckets
+        |FROM f WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q182_retrieval_eval" ->
+      // the q37 exact ranking verbatim at k=10, then the identical
+      // rr / P@i prefix-sum / AP trees
+      """WITH v AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    q.label AS ql, c.label AS cl,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+        |tk AS (SELECT query_id, rank,
+        |        CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel
+        |      FROM r WHERE rank <= 10),
+        |c AS (SELECT query_id, rank, rel,
+        |        sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum
+        |      FROM tk),
+        |d AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+        |        coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0)
+        |          AS rr,
+        |        sum(CASE WHEN rel = 1
+        |          THEN CAST(cum AS DOUBLE) / rank END) AS apsum
+        |      FROM c GROUP BY 1),
+        |tot AS (SELECT label, count(*) AS tot FROM embeddings GROUP BY 1),
+        |q AS (SELECT e.vec_id AS query_id, t.tot - 1 AS rc
+        |      FROM embeddings e JOIN tot t ON t.label = e.label
+        |      WHERE e.vec_id < 50)
+        |SELECT q.query_id, coalesce(d.n_rel_at_k, 0) AS n_rel_at_k,
+        |  CAST(q.rc AS BIGINT) AS n_rel_corpus,
+        |  roundStable(coalesce(d.rr, 0.0), 6) AS reciprocal_rank,
+        |  roundStable(coalesce(d.n_rel_at_k, 0) / 10.0, 6) AS precision_at_k,
+        |  roundStable(CASE WHEN q.rc >= 1 THEN
+        |    CAST(coalesce(d.n_rel_at_k, 0) AS DOUBLE) / q.rc END, 6)
+        |    AS recall_at_k,
+        |  roundStable(CASE WHEN q.rc >= 1 THEN coalesce(d.apsum, 0.0)
+        |    / least(10, q.rc) END, 6) AS ap_at_k
+        |FROM q LEFT JOIN d ON d.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
+
+    "q183_dq_rules" ->
+      // each rule's violation count replayed as its own aggregate over
+      // one scan; uniqueness = count(*) - count(DISTINCT key)
+      """WITH a AS (SELECT
+        |    count(*) AS n,
+        |    count(*) FILTER (user_id IS NULL) AS v_nn,
+        |    count(*) FILTER (value IS NOT NULL
+        |      AND (value < 0.0 OR value > 100.0)) AS v_rng,
+        |    count(*) FILTER (event_type IS NOT NULL AND event_type
+        |      NOT IN ('click', 'view', 'purchase', 'signup')) AS v_set,
+        |    count(*) FILTER (props IS NOT NULL
+        |      AND NOT regexp_matches(props, '^\{.*\}$')) AS v_re,
+        |    count(*) - count(DISTINCT event_id) AS v_uq
+        |  FROM events),
+        |u AS (
+        |  SELECT 'not_null' AS rule, 'user_id' AS target, v_nn AS v, n FROM a
+        |  UNION ALL SELECT 'in_range', 'value', v_rng, n FROM a
+        |  UNION ALL SELECT 'in_set', 'event_type', v_set, n FROM a
+        |  UNION ALL SELECT 'matches_regex', 'props', v_re, n FROM a
+        |  UNION ALL SELECT 'unique', 'event_id', v_uq, n FROM a)
+        |SELECT rule, target, CAST(v AS BIGINT) AS n_violations,
+        |  CAST(n AS BIGINT) AS n_rows,
+        |  roundStable(CAST(v AS DOUBLE) / greatest(n, 1), 6)
+        |    AS violation_rate,
+        |  v = 0 AS passed
+        |FROM u ORDER BY rule, target""".stripMargin,
+
+    "q184_winnow" ->
+      // the identical packed (md5-prefix-hash, rightmost-pos) argmin:
+      // hex parsed digit-by-digit (exact below 2^53), same window frame
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+        |      WHERE len(lower(text)) >= 8 AND len(lower(text)) < 1048576),
+        |g AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM d),
+        |x AS (SELECT doc_id, pos, md5(substr(t, pos, 8)) AS hh FROM g),
+        |h AS (SELECT doc_id, pos,
+        |    CAST(list_sum([CAST((CASE WHEN unicode(hh[i]) >= 97
+        |        THEN unicode(hh[i]) - 87 ELSE unicode(hh[i]) - 48 END)
+        |        AS BIGINT) * 16 ** (10 - i) FOR i IN range(1, 11)])
+        |      AS BIGINT) * 1048576 + (1048576 - pos) AS packed
+        |  FROM x),
+        |s AS (SELECT doc_id, pos, min(packed) OVER (PARTITION BY doc_id
+        |        ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |        AS sel FROM h),
+        |f AS (SELECT doc_id, count(DISTINCT sel) AS n_fp
+        |      FROM s WHERE pos >= 4 GROUP BY 1)
+        |SELECT d.doc_id AS doc, CAST(len(d.t) - 7 AS BIGINT) AS n_grams,
+        |  f.n_fp,
+        |  roundStable(CAST(f.n_fp AS DOUBLE)
+        |    / greatest(len(d.t) - 7 - 3, 1), 6) AS fp_density
+        |FROM d JOIN f ON f.doc_id = d.doc_id ORDER BY doc""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -860,6 +860,54 @@ object Aggregates {
         count(lit(1)).as("n"))
   }
 
+  /** Spearman rank correlation per key — the monotone-association
+    * readout Pearson isn't (Spearman 1904): ρ = Pearson on the
+    * fractional (average) ranks of each side, so ANY monotone relation
+    * scores ±1 and a single outlier can't dominate the statistic.
+    * Tie-exact: a tie group gets the mean of the ranks it spans
+    * (`rank() + (peers − 1)/2`, the [[mannWhitneyU]] midrank
+    * convention), which is what the textbook tie-corrected formula
+    * reduces to when both sides run through the full product-moment
+    * form — so no separate tie-correction term is needed.
+    *
+    * Shape: ONE keyed shuffle total. Both rank windows and the peer
+    * counts partition by the same keys (two sort orders over one
+    * Exchange); peers come from a RANGE frame [current, current] on the
+    * value sort — the same Window node as the rank, no extra
+    * partitioning on (key, value). The closing per-key moment agg
+    * reuses the window's HashPartitioning. A side with zero variance
+    * (all values tie) emits NULL (undefined, the rollingCorr guard
+    * convention), never a 0/0.
+    */
+  def spearman(df: DataFrame, keys: Seq[String], xCol: Column, yCol: Column,
+               decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df.select(keyCols :+ xCol.as("__x") :+ yCol.as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def midrank(v: Column) = {
+      val wOrd = Window.partitionBy(keyCols: _*).orderBy(v)
+      val wPeers = wOrd.rangeBetween(Window.currentRow, Window.currentRow)
+      rank().over(wOrd).cast("double") +
+        (count(lit(1)).over(wPeers).cast("double") - 1) / 2
+    }
+    val ranked = base
+      .withColumn("__rx", midrank(col("__x")))
+      .withColumn("__ry", midrank(col("__y")))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("__rx"))
+    val sy = sum(col("__ry"))
+    val sxy = sum(col("__rx") * col("__ry"))
+    val sxx = sum(col("__rx") * col("__rx"))
+    val syy = sum(col("__ry") * col("__ry"))
+    val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    ranked
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(when(den > 0, (n * sxy - sx * sy) / den), decimals)
+          .as("spearman_rho"),
+        count(lit(1)).as("n"))
+  }
+
   /** Gini concentration coefficient per key over a nonnegative value —
     * the inequality readout for corpus/traffic balance (is one user /
     * domain / shard absorbing the volume?): 0 = uniform, → 1 = one row

@@ -148,6 +148,74 @@ object Drift {
         count(lit(1)).as("n_cur"))
   }
 
+  /** Pettitt changepoint test per key (Pettitt 1979) — WHERE did the
+    * series shift, rank-based so it needs no σ estimate and no reference
+    * window (the complement of [[cusum]], which needs a calibrated
+    * baseline and answers "has it shifted by now"): the statistic
+    * `U_t = Σ_{i≤t} Σ_{j>t} sign(x_i − x_j)` is maximized at the most
+    * probable split, with the approximate significance
+    * `p ≈ 2·exp(−6K²/(n³+n²))`, K = max|U_t|.
+    *
+    * The double sum LOOKS O(n²) but collapses through midranks:
+    * `U_t = 2·W_t − t·(n+1)` where `W_t` is the prefix sum (in TIME
+    * order) of the average ranks (in VALUE order) — tie-exact, because
+    * midranks make `Σ sign` over a tie group vanish exactly as the
+    * direct formula does. So: one keyed agg to the per-`bucketCol` mean
+    * series, then rank + peer-count windows (value sort) and a prefix
+    * window (time sort) all over the SAME key partitioning — one
+    * shuffle after the agg, nothing quadratic, exactly replayable in
+    * SQL. The last point is excluded from the argmax (U_n ≡ 0 by
+    * construction — "change after everything" is not a split).
+    *
+    * Output per key: `change_at` (last bucket of the pre-shift segment;
+    * earliest-bucket tiebreak on equal |U|), `k_stat`, `p_value`
+    * (clamped to ≤ 1), `n_buckets`. Keys with < 3 buckets emit NULL
+    * statistics (no interior split to test) with their count — visible,
+    * not dropped.
+    */
+  def pettitt(df: DataFrame, keys: Seq[String], bucketCol: Column,
+              valueCol: String, digits: Int = 6,
+              seriesDigits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    // the bucket means are ROUNDED before ranking: rank ties must be
+    // decided identically by every engine that replays this, and raw
+    // double averages differ across summation orders by ulps — enough
+    // to swap two near-equal days' integer ranks and shift U_t by ±2
+    val series = df
+      .groupBy(keyCols :+ bucketCol.as("__b"): _*)
+      .agg(roundStable(avg(col(valueCol)), seriesDigits).as("__v"))
+    val wVal = Window.partitionBy(keyCols: _*).orderBy(col("__v"))
+    val wPeers = wVal.rangeBetween(Window.currentRow, Window.currentRow)
+    val midrank = rank().over(wVal).cast("double") +
+      (count(lit(1)).over(wPeers).cast("double") - 1) / 2
+    val wTime = Window.partitionBy(keyCols: _*).orderBy(col("__b"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val wPrefix = wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = series
+      .withColumn("__r", midrank)
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__t", row_number().over(wTime).cast("double"))
+      .withColumn("__u", lit(2.0) * sum(col("__r")).over(wPrefix) -
+        col("__t") * (col("__n") + 1))
+      // interior splits only; a 1-bucket key keeps its sole row so the
+      // key still surfaces (with NULL statistics) instead of vanishing
+      .filter(col("__t") < col("__n") || col("__n") === 1)
+    val wBest = Window.partitionBy(keyCols: _*)
+      .orderBy(abs(col("__u")).desc, col("__b"))
+    val nD = col("__n").cast("double")
+    val k = abs(col("__u"))
+    ranked
+      .withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .select(keyCols ++ Seq(
+        when(col("__n") >= 3, col("__b")).as("change_at"),
+        roundStable(when(col("__n") >= 3, k), digits).as("k_stat"),
+        roundStable(when(col("__n") >= 3,
+          least(lit(2.0) * exp(lit(-6.0) * k * k / (nD * nD * nD + nD * nD)),
+            lit(1.0))), digits).as("p_value"),
+        col("__n").as("n_buckets")): _*)
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns, plus Cramér's V (the [0,1]-normalized effect size) — the
     * categorical complement of [[psi]]/[[ksTest]]: is the `b` mix the

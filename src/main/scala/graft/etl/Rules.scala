@@ -1,0 +1,89 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.roundStable
+
+/** Declarative data-quality rules (the Deequ/Great-Expectations idea,
+  * Schelter et al. VLDB'18): a rule set is DATA, the evaluation is ONE
+  * aggregation — the contract gate a 100 TB feed runs before anything
+  * downstream trusts it, generalizing the fixed checks of
+  * `Aggregates.validate` / `AirQualityPipeline.validateOrFail`.
+  *
+  * Every rule — including uniqueness — evaluates in a SINGLE scan:
+  * row-level rules are conditional counts, uniqueness is
+  * `count(*) − countDistinct(struct(cols))` folded into the same
+  * aggregation (Catalyst plans the distincts through one Expand, row
+  * multiplier = #unique-rules + 1 — bounded and explicit, the
+  * `Profile` trade). The wide one-row result explodes to the long-form
+  * report map-side. A per-rule loop would rescan the table per rule;
+  * this never reads it twice.
+  *
+  * Violation semantics (each rule counts ONLY its own failure mode, so
+  * reports compose): `NotNull` counts nulls; `InRange`/`InSet`/
+  * `MatchesRegex` count non-null values outside the contract (nulls are
+  * `NotNull`'s job — a null is not "out of range"); `Unique` counts
+  * duplicate rows beyond each first occurrence.
+  */
+object Rules {
+
+  sealed trait Rule {
+    def ruleName: String
+    def target: String
+  }
+  final case class NotNull(column: String) extends Rule {
+    val ruleName = "not_null"; val target = column
+  }
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Rule {
+    val ruleName = "in_range"; val target = column
+  }
+  final case class InSet(column: String, allowed: Seq[String]) extends Rule {
+    val ruleName = "in_set"; val target = column
+  }
+  final case class MatchesRegex(column: String, pattern: String)
+      extends Rule {
+    val ruleName = "matches_regex"; val target = column
+  }
+  final case class Unique(columns: Seq[String]) extends Rule {
+    val ruleName = "unique"; val target = columns.mkString(",")
+  }
+
+  /** One row per rule: `rule`, `target`, `n_violations`, `n_rows`,
+    * `violation_rate`, `passed` — sorted-by-caller, joinable by
+    * (rule, target) into alerting.
+    */
+  def check(df: DataFrame, rules: Seq[Rule], digits: Int = 6): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val viol: Seq[Column] = rules.zipWithIndex.map { case (r, i) =>
+      val c = r match {
+        case NotNull(column) =>
+          sum(when(col(column).isNull, 1L).otherwise(0L))
+        case InRange(column, lo, hi) =>
+          sum(when(col(column).isNotNull &&
+            (col(column) < lo || col(column) > hi), 1L).otherwise(0L))
+        case InSet(column, allowed) =>
+          sum(when(col(column).isNotNull &&
+            !col(column).isin(allowed: _*), 1L).otherwise(0L))
+        case MatchesRegex(column, pattern) =>
+          sum(when(col(column).isNotNull &&
+            !col(column).rlike(pattern), 1L).otherwise(0L))
+        case Unique(columns) =>
+          count(lit(1)) - countDistinct(struct(columns.map(col): _*))
+      }
+      c.as(s"__v_$i")
+    }
+    val row = df.agg(viol.head, (viol.tail :+ count(lit(1)).as("__n")): _*)
+    val items = array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.ruleName).as("rule"), lit(r.target).as("target"),
+        col(s"__v_$i").as("__v"))
+    }: _*)
+    row.select(col("__n").as("n_rows"), explode(items).as("m"))
+      .select(col("m.rule").as("rule"), col("m.target").as("target"),
+        col("m.__v").as("n_violations"), col("n_rows"),
+        roundStable(col("m.__v").cast("double") /
+          greatest(col("n_rows"), lit(1L)), digits).as("violation_rate"),
+        (col("m.__v") === 0L).as("passed"))
+  }
+}

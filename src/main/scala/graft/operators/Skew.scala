@@ -52,6 +52,41 @@ object Skew {
       .agg(sum(col("__s")).as("sum_value"), sum(col("__c")).as("n"))
       .withColumn("avg_value", col("sum_value") / col("n"))
 
+  /** Skew DIAGNOSTIC — the measurement half of this module (salting is
+    * the cure; this tells you whether, and on which keys, you need it):
+    * the top `topN` heaviest keys with row count, share of the table,
+    * and the skew factor `count / mean-rows-per-key`. A factor near 1
+    * is uniform; ≫ 1 on the head key is the shuffle that dies at 100×
+    * scale (one key > one task's memory) — feed exactly those keys to
+    * `saltedAgg`/`saltedJoin` buckets. One keyed count + one global
+    * one-row agg (broadcast) + a top-N window over the per-key rows.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String], topN: Int,
+                 digits: Int = 6): DataFrame = {
+    require(topN >= 1, s"need topN >= 1, got $topN")
+    val keyCols = keys.map(col)
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"),
+      count(lit(1)).as("__k"), max(col("n")).as("__mx"))
+    // TakeOrdered cuts to topN DISTRIBUTED (partial top-N per
+    // partition); only then does the single-partition rank window run —
+    // over ≤ topN rows, never over the full #keys table
+    val ord = col("n").desc +: keyCols
+    val top = counts.orderBy(ord: _*).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(keyCols ++ Seq(col("rank"), col("n"),
+        graft.functions.roundStable(
+          col("n").cast("double") / col("__t"), digits).as("share"),
+        graft.functions.roundStable(
+          col("n").cast("double") / (col("__t").cast("double") / col("__k")),
+          digits).as("skew_factor"),
+        graft.functions.roundStable(
+          col("__mx").cast("double") / (col("__t").cast("double") / col("__k")),
+          digits).as("max_skew_factor")): _*)
+  }
+
   /** Salted join for a skewed left key: left rows get a salt in
     * [0, buckets), the (small) right side is exploded `buckets`× so every
     * salted left row still finds its match. Right side must be the small

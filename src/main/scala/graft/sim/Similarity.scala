@@ -106,6 +106,72 @@ object Similarity {
           decimals).as("ndcg"))
   }
 
+  /** The order-sensitive retrieval-eval triple [[ndcgAtK]] doesn't
+    * cover, per query over the SAME oracle-gated exact run: reciprocal
+    * rank (MRR's per-query term — 1/rank of the FIRST relevant hit, 0
+    * if none in the top-k), average precision@k (AP — the area under
+    * the precision-recall hops, `Σ_{rel i} P@i / min(k, R)`; what MAP
+    * means over a query set), and precision/recall@k. Relevance =
+    * neighbor shares the query's label; R = the query's relevant-corpus
+    * count excluding itself; R = 0 queries emit NULL recall/AP (no
+    * achievable gain — undefined, not zero) but a real precision.
+    *
+    * Shape: [[bruteForceTopK]]'s ranking verbatim, labels broadcast,
+    * the running `P@i` a prefix-sum window over ≤ k rows per query, one
+    * closing keyed agg; the per-label corpus count is the [[ndcgAtK]]
+    * lookup. Swap the exact run for an ANN run to eval the ladder.
+    */
+  def retrievalEvalAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String, k: Int,
+                       simDigits: Int = 4, decimals: Int = 6): DataFrame = {
+    val run = bruteForceTopK(corpus, queries, idCol, vecCol, k, simDigits)
+    val qLab = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    val cLab = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"))
+    val wPrefix = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rel = (col("__cl") === col("__ql")).cast("long")
+    val scored = run
+      .join(broadcast(qLab), Seq("query_id"))
+      .join(cLab, Seq("neighbor_id"))
+      .withColumn("__rel", rel)
+      .withColumn("__cum", sum(col("__rel")).over(wPrefix))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(col("__rel")).as("n_rel_at_k"),
+        coalesce(max(when(col("__rel") === 1,
+          lit(1.0) / col("rank"))), lit(0.0)).as("__rr"),
+        sum(when(col("__rel") === 1,
+          col("__cum").cast("double") / col("rank"))).as("__apsum"))
+    val labCounts = cLab.groupBy(col("__cl").as("__ql"))
+      .agg(count(lit(1)).as("__tot"))
+    val selfRow = corpus.select(col(idCol).as("query_id"),
+      col(labelCol).as("__sl"))
+    val r = qLab
+      .join(labCounts, Seq("__ql"), "left")
+      .join(selfRow, Seq("query_id"), "left")
+      .withColumn("__r", coalesce(col("__tot"), lit(0L)) -
+        when(col("__sl") === col("__ql"), 1L).otherwise(0L))
+    r.join(scored, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
+        col("__r").as("n_rel_corpus"),
+        graft.functions.roundStable(
+          coalesce(col("__rr"), lit(0.0)), decimals).as("reciprocal_rank"),
+        graft.functions.roundStable(
+          coalesce(col("n_rel_at_k"), lit(0L)).cast("double") / k,
+          decimals).as("precision_at_k"),
+        graft.functions.roundStable(
+          when(col("__r") >= 1,
+            coalesce(col("n_rel_at_k"), lit(0L)).cast("double") / col("__r")),
+          decimals).as("recall_at_k"),
+        graft.functions.roundStable(
+          when(col("__r") >= 1, coalesce(col("__apsum"), lit(0.0)) /
+            least(lit(k.toLong), col("__r"))),
+          decimals).as("ap_at_k"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query (anchor), the top-k most similar corpus vectors with a
     * DIFFERENT label — maximally confusing non-matches, the pairs a

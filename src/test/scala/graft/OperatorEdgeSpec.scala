@@ -1939,6 +1939,187 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"bottom swap $bottom must beat top swap ${out(3L).getDouble(1)}")
   }
 
+  test("assocRules: hand baskets give the textbook triple; lift kills the popularity confound") {
+    // 10 baskets: {a,b} in 4, {a} alone in 2, {b} alone in 0, popular
+    // item p in ALL 10, {a,p} co-occurs wherever a is (6 baskets)
+    val rows =
+      (1 to 4).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "b"), (i.toLong, "p"))) ++
+      (5 to 6).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "p"))) ++
+      (7 to 10).map(i => (i.toLong, "p"))
+    val out = operators.MarketBasket.assocRules(rows.toDF("bk", "it"),
+      "bk", "it", minCount = 2L, minLift = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    // support 4/10, conf 4/6, lift (4/6)/(4/10) = 1.666667
+    assert(ab.getDouble(3) == 0.4 && math.abs(ab.getDouble(4) - 0.666667) < 1e-6)
+    assert(math.abs(ab.getDouble(5) - 1.666667) < 1e-6, s"$ab")
+    // a => p has perfect confidence but lift EXACTLY 1 (p is everywhere
+    // — association by popularity alone)
+    val ap = out(("a", "p"))
+    assert(ap.getDouble(4) == 1.0 && ap.getDouble(5) == 1.0, s"$ap")
+    // confidence is asymmetric: b => a is 4/4 = 1.0
+    assert(out(("b", "a")).getDouble(4) == 1.0)
+  }
+
+  test("skewReport: planted hub dominates with the right factors; topN cuts deterministically") {
+    // 9 keys with 10 rows + one hub with 910 -> mean 100, hub factor 9.1
+    val rows = (1L to 9L).flatMap(k => Seq.fill(10)(k)) ++ Seq.fill(910)(99L)
+    val out = operators.Skew.skewReport(rows.toDF("k"), Seq("k"), topN = 3)
+      .collect()
+    assert(out.length == 3)
+    val hub = out.head
+    assert(hub.getLong(0) == 99L && hub.getLong(1) == 1L && hub.getLong(2) == 910L)
+    assert(hub.getDouble(3) == 0.91, s"share: $hub")
+    assert(hub.getDouble(4) == 9.1 && hub.getDouble(5) == 9.1, s"factors: $hub")
+    // ranks 2-3: count ties broken by key ascending
+    assert(out(1).getLong(0) == 1L && out(2).getLong(0) == 2L)
+  }
+
+  test("profile: nulls and distincts exact per column in one scan; approx flag stays sane") {
+    val df = Seq((1L, Some("x"), Some(1.0)), (2L, Some("x"), None),
+      (3L, None, Some(2.0)), (4L, Some("y"), Some(2.0)))
+      .toDF("id", "s", "v")
+    val out = etl.Profile.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("id").getLong(2) == 0L && out("id").getLong(3) == 4L)
+    assert(out("s").getLong(2) == 1L && out("s").getLong(3) == 2L)
+    assert(out("v").getLong(2) == 1L && out("v").getLong(3) == 2L)
+    assert(out("v").getDouble(4) == 0.25, s"null_rate: ${out("v")}")
+    assert(math.abs(out("v").getDouble(5) - 0.666667) < 1e-6, "2 distinct / 3 non-null")
+    // the one-scan plan: exactly one row source feeding the agg
+    val plan = etl.Profile.profile(df, Seq("id", "s", "v"))
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
+    assert(scans.length == 1, s"profiling must scan ONCE:\n$plan")
+    val approx = etl.Profile.profile(df, Seq("s"), approxDistinct = true)
+      .collect().head
+    assert(approx.getLong(3) == 2L, "HLL exact at tiny cardinality")
+  }
+
+  test("spearman: monotone-nonlinear = exactly 1, hand ties case, constant side = NULL") {
+    // y = x^3 is monotone but not linear: Pearson < 1, Spearman == 1
+    val cube = (1 to 20).map(i => ("c", i.toDouble, math.pow(i, 3)))
+    val rev = (1 to 20).map(i => ("r", i.toDouble, -math.pow(i, 3)))
+    // hand case with a y tie: ranks x 1..5, ranks y (1,2,3.5,5,3.5)
+    // -> rho = 8/sqrt(10*9.5) = 0.820783
+    val hand = Seq(("h", 1.0, 5.0), ("h", 2.0, 6.0), ("h", 3.0, 7.0),
+      ("h", 4.0, 8.0), ("h", 5.0, 7.0))
+    val flat = (1 to 5).map(i => ("f", 1.0, i.toDouble))
+    val out = etl.Aggregates.spearman(
+      (cube ++ rev ++ hand ++ flat).toDF("k", "x", "y"),
+      Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("c").getDouble(1) == 1.0 && out("r").getDouble(1) == -1.0)
+    assert(math.abs(out("h").getDouble(1) - 0.820783) < 1e-6, s"${out("h")}")
+    assert(out("f").isNullAt(1), "zero-variance side is undefined, not 0/0")
+    assert(out("c").getLong(2) == 20L)
+  }
+
+  test("pettitt: planted step localizes exactly; flat key quiet; short keys visible with NULLs") {
+    // step key: 15 days at 0, 15 at 100 (two rows/day to exercise the
+    // bucket agg) -> by hand: U_t = -15t for t<=15, K = 225 at day 15,
+    // p = 2*exp(-6*225^2 / (27000+900)) ~ 3.7e-5
+    val step = (1 to 30).flatMap(d =>
+      Seq.fill(2)(("step", d, if (d <= 15) 0.0 else 100.0)))
+    // alternating key: no level shift, statistic small / p large
+    val alt = (1 to 30).map(d => ("alt", d, if (d % 2 == 0) 1.0 else 2.0))
+    val short2 = Seq(("two", 1, 5.0), ("two", 2, 9.0))
+    val one = Seq(("one", 1, 5.0))
+    val df = (step ++ alt ++ short2 ++ one).toDF("k", "d", "v")
+    val out = etl.Drift.pettitt(df, Seq("k"), col("d"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("step").getInt(1) == 15 && out("step").getDouble(2) == 225.0,
+      s"${out("step")}")
+    assert(out("step").getDouble(3) < 1e-4, s"p: ${out("step")}")
+    assert(out("alt").getDouble(3) > 0.5, s"no shift -> big p: ${out("alt")}")
+    // < 3 buckets: key present, statistics NULL, count real
+    assert(out("two").isNullAt(2) && out("two").getLong(4) == 2L)
+    assert(out("one").isNullAt(2) && out("one").getLong(4) == 1L,
+      "a 1-bucket key must not vanish")
+  }
+
+  test("retrievalEvalAtK: perfect run scores 1s; known interleave gives the textbook AP; R=0 NULL") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // query 1 (label 7): relevant docs at ranks 1 and 3 of k=3 ->
+    // rr = 1, P@3 = 2/3, recall = 2/2 = 1, AP = (1/1 + 2/3)/2 = 5/6
+    val rows = Seq(
+      (1L, v(1, 0), 7),
+      (2L, v(0.99, 0.1), 7),   // rank 1 (relevant)
+      (4L, v(0.9, 0.43), 8),   // rank 2 (irrelevant)
+      (3L, v(0.8, 0.6), 7),    // rank 3 (relevant)
+      (5L, v(0.1, 0.99), 8),
+      (10L, v(0, 1), 99))      // R=0 query
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = sim.Similarity.retrievalEvalAtK(df,
+      df.filter(col("vec_id") === 1L || col("vec_id") === 10L),
+      "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = out(1L)
+    assert(q1.getDouble(3) == 1.0, s"first hit at rank 1: $q1")
+    assert(math.abs(q1.getDouble(4) - 0.666667) < 1e-6, s"P@3: $q1")
+    assert(q1.getDouble(5) == 1.0, s"recall: $q1")
+    assert(math.abs(q1.getDouble(6) - 0.833333) < 1e-6, s"AP: $q1")
+    val q10 = out(10L)
+    assert(q10.getDouble(3) == 0.0 && q10.isNullAt(5) && q10.isNullAt(6),
+      s"R=0: rr is a real 0, recall/AP undefined: $q10")
+  }
+
+  test("Rules.check: every rule kind exact on hand data; nulls belong to not_null only; one scan") {
+    val df = Seq(
+      (1L, Some("click"), Some(5.0), Some("{\"a\":1}")),
+      (1L, Some("click"), Some(50.0), Some("oops")),    // dup id, bad json
+      (2L, None, Some(-3.0), None),                     // null type+props, low
+      (3L, Some("drag"), Some(101.0), Some("{}")),      // bad set, high
+      (4L, Some("view"), None, Some("{}")))             // null value
+      .toDF("id", "etype", "v", "props")
+    val out = etl.Rules.check(df, Seq(
+      etl.Rules.NotNull("v"),
+      etl.Rules.InRange("v", 0.0, 100.0),
+      etl.Rules.InSet("etype", Seq("click", "view")),
+      etl.Rules.MatchesRegex("props", "^\\{.*\\}$"),
+      etl.Rules.Unique(Seq("id"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("not_null").getLong(2) == 1L)
+    // nulls are NOT range violations — only -3 and 101 are
+    assert(out("in_range").getLong(2) == 2L)
+    assert(out("in_set").getLong(2) == 1L, "null etype is not_null's job")
+    assert(out("matches_regex").getLong(2) == 1L)
+    assert(out("unique").getLong(2) == 1L, "one row beyond the first")
+    assert(!out("unique").getBoolean(5) && out("unique").getLong(3) == 5L)
+    assert(out("in_range").getDouble(4) == 0.4)
+    val plan = etl.Rules.check(df, Seq(etl.Rules.NotNull("v"),
+      etl.Rules.Unique(Seq("id")))).queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
+    assert(scans.length == 1, s"rules must evaluate in ONE scan:\n$plan")
+  }
+
+  test("Winnow: shared >= k+w-1 substring shares a fingerprint; positions decode; density sane") {
+    // k=4, w=3: guarantee threshold k+w-1 = 6 chars
+    val shared = "zqxjwvky" // 8 > 6 chars, rare-ish gram content
+    val a = s"the first document text $shared and more tail here"
+    val b = s"completely other words $shared unrelated trailing part"
+    val c = "no overlap with either one of those two documents at all"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fp = text.Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 3)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "a >= k+w-1 shared substring must contribute a common fingerprint")
+    // positions decode into the doc (1-based, within gram range)
+    val pos = fp.filter(col("doc") === 1L).collect().map(_.getLong(2))
+    assert(pos.forall(p => p >= 1 && p <= a.length - 3), s"${pos.toSeq}")
+    val dens = text.Winnow.density(docs, "doc_id", "text", k = 4, w = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // expected density 2/(w+1) = 0.5; real text sits in a loose band
+    assert(dens.values.forall(d => d > 0.25 && d < 0.85), s"$dens")
+    // a doc shorter than k is dropped, not errored
+    val tiny = text.Winnow.density(Seq((9L, "ab")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 4, w = 3)
+    assert(tiny.count() == 0L)
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
