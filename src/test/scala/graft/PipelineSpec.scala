@@ -1119,6 +1119,39 @@ class PipelineSpec extends AnyFunSuite {
       s"out-of-range clamps to the top bin: ${top.toSeq}")
   }
 
+  test("ProfileStream: split batches merge to the one-shot profile; counts exact, HLL exact at small cardinality; replay idempotent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_profstream").toString
+    val all = (1 to 300).map(i =>
+      (i.toLong % 40, if (i % 10 == 0) None else Some(s"u${i % 25}")))
+      .toDF("uid", "tag")
+    streaming.ProfileStream.profileBatch(
+      all.filter(col("uid") < 20), 0L, Seq("uid", "tag"), s"$tmp/st")
+    streaming.ProfileStream.profileBatch(
+      all.filter(col("uid") >= 20), 1L, Seq("uid", "tag"), s"$tmp/st")
+    val merged = streaming.ProfileStream.profile(spark, s"$tmp/st")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // null/row tallies are EXACT under merge
+    val nNullTag = all.filter(col("tag").isNull).count()
+    assert(merged("tag").getLong(1) == 300L &&
+      merged("tag").getLong(2) == nNullTag, s"${merged("tag")}")
+    assert(merged("uid").getLong(2) == 0L)
+    // HLL is exact at these cardinalities (sparse mode), across the union
+    assert(merged("uid").getLong(3) == 40L, s"${merged("uid")}")
+    assert(merged("tag").getLong(3) ==
+      all.filter(col("tag").isNotNull).select("tag").distinct().count(),
+      s"${merged("tag")}")
+    // at-least-once replay: the batch dir is wholly re-derived -> the
+    // merged readout is unchanged, nothing double-counts
+    val before = streaming.ProfileStream.profile(spark, s"$tmp/st")
+      .collect().sortBy(_.getString(0)).toSeq
+    streaming.ProfileStream.profileBatch(
+      all.filter(col("uid") >= 20), 1L, Seq("uid", "tag"), s"$tmp/st")
+    val after = streaming.ProfileStream.profile(spark, s"$tmp/st")
+      .collect().sortBy(_.getString(0)).toSeq
+    assert(after == before, "replayed batch must not change the readout")
+  }
+
   test("EnrichStream: facts see the version valid at THEIR time; replay stable after dim evolves") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_enrich").toString
