@@ -1787,6 +1787,42 @@ object SparkEntry {
           k = 8, w = 4)
         .orderBy(col("doc"))),
 
+    "q185_winnow_pairs" -> ((s, dir) =>
+      // the MOSS report: doc pairs by DISTINCT shared fingerprints,
+      // doc-freq-capped candidates (the q135 discipline) — every shared
+      // run >= k+w-1 = 11 chars has a provable floor in n_shared; the
+      // threshold sits past the measured background (random pairs share
+      // a median of 8 common-English fingerprints, 99.9% < 34; planted
+      // near-dups reach 200+)
+      text.Winnow.sharedPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 8, w = 4, maxDocFreq = 1000L, minShared = 40L)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q186_kendall" -> ((s, dir) =>
+      // concordance between monthly revenue and quantity per supplier —
+      // tau-b over the calendar-bounded aggregated series (83 months =
+      // 3.4k pairs, however many rows fed them)
+      etl.Aggregates.kendallTau(
+          Tables.lineitem(s, dir).filter(col("l_suppkey") <= 50),
+          Seq("l_suppkey"), date_trunc("month", col("l_shipdate")),
+          "l_extendedprice", "l_quantity")
+        .orderBy(col("l_suppkey"))),
+
+    "q187_bh_fdr" -> ((s, dir) => {
+      // the monitor-fleet capstone: a 150-user Pettitt changepoint
+      // battery with a shift planted on every 10th user, then
+      // Benjamini-Hochberg at alpha=0.05 — the shifted users must
+      // survive FDR control, the quiet ones mostly shouldn't
+      val ev = Tables.events(s, dir).withColumn("value",
+        when(col("user_id") % 10 === 0 && dayofmonth(col("ts")) > 15,
+          col("value") + 80).otherwise(col("value")))
+      val battery = etl.Drift.pettitt(ev, Seq("user_id"),
+        to_date(col("ts")), "value")
+      etl.Drift.bhAdjust(battery.select(col("user_id"), col("p_value")),
+          Seq("user_id"), "p_value", alpha = 0.05)
+        .orderBy(col("user_id"))
+    }),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5037,6 +5073,106 @@ object SparkEntry {
         |  roundStable(CAST(f.n_fp AS DOUBLE)
         |    / greatest(len(d.t) - 7 - 3, 1), 6) AS fp_density
         |FROM d JOIN f ON f.doc_id = d.doc_id ORDER BY doc""".stripMargin,
+
+    "q185_winnow_pairs" ->
+      // the q184 selection replayed, then distinct (doc, hash), the
+      // same doc-freq cap, and the pair join
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+        |      WHERE len(lower(text)) >= 8 AND len(lower(text)) < 1048576),
+        |g AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM d),
+        |x AS (SELECT doc_id, pos, md5(substr(t, pos, 8)) AS hh FROM g),
+        |h AS (SELECT doc_id, pos,
+        |    CAST(list_sum([CAST((CASE WHEN unicode(hh[i]) >= 97
+        |        THEN unicode(hh[i]) - 87 ELSE unicode(hh[i]) - 48 END)
+        |        AS BIGINT) * 16 ** (10 - i) FOR i IN range(1, 11)])
+        |      AS BIGINT) * 1048576 + (1048576 - pos) AS packed
+        |  FROM x),
+        |s AS (SELECT doc_id, pos, min(packed) OVER (PARTITION BY doc_id
+        |        ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |        AS sel FROM h),
+        |fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS fh
+        |      FROM s WHERE pos >= 4),
+        |rare AS (SELECT fh FROM fp GROUP BY 1
+        |      HAVING count(DISTINCT doc_id) <= 1000),
+        |ix AS (SELECT fp.doc_id, fp.fh FROM fp JOIN rare USING (fh))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared
+        |FROM ix a JOIN ix b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 40
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q186_kendall" ->
+      // same rounded monthly series, same pair enumeration; tau-b
+      // denominators are the unequal-pair counts from the SAME join
+      """WITH m AS (SELECT l_suppkey AS k,
+        |    date_trunc('month', l_shipdate) AS b,
+        |    roundStable(avg(l_extendedprice), 6) AS x,
+        |    roundStable(avg(l_quantity), 6) AS y
+        |  FROM lineitem WHERE l_suppkey <= 50 GROUP BY 1, 2),
+        |p AS (SELECT a.k,
+        |    sign(b.x - a.x) * sign(b.y - a.y) AS dxy,
+        |    CASE WHEN a.x <> b.x THEN 1 ELSE 0 END AS xne,
+        |    CASE WHEN a.y <> b.y THEN 1 ELSE 0 END AS yne
+        |  FROM m a JOIN m b ON a.k = b.k AND a.b < b.b)
+        |SELECT k AS l_suppkey,
+        |  roundStable(CASE WHEN sum(xne) > 0 AND sum(yne) > 0 THEN
+        |    CAST(sum(CASE WHEN dxy > 0 THEN 1 ELSE 0 END)
+        |       - sum(CASE WHEN dxy < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sqrt(CAST(sum(xne) AS DOUBLE) * sum(yne)) END, 6) AS tau_b,
+        |  CAST(sum(CASE WHEN dxy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_concordant,
+        |  CAST(sum(CASE WHEN dxy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_discordant,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+
+    "q187_bh_fdr" ->
+      // the q181 per-user Pettitt battery (shift on every 10th user),
+      // then the BH step-up: rank window, suffix-min window, clamp
+      """WITH e AS (SELECT user_id AS k, CAST(ts AS DATE) AS b,
+        |    CASE WHEN user_id % 10 = 0 AND day(ts) > 15
+        |      THEN value + 80 ELSE value END AS val FROM events),
+        |d AS (SELECT k, b, roundStable(avg(val), 6) AS v
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT k, b,
+        |    CAST(rank() OVER (PARTITION BY k ORDER BY v) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY k, v) AS DOUBLE) - 1) / 2
+        |      AS rr,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY b) AS DOUBLE)
+        |      AS t
+        |  FROM d),
+        |u AS (SELECT k, b, n, t,
+        |    2.0 * sum(rr) OVER (PARTITION BY k ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - t * (n + 1) AS uu
+        |  FROM r),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY abs(uu) DESC, b) AS rk
+        |  FROM u WHERE t < n OR n = 1),
+        |pt AS (SELECT k AS user_id,
+        |    roundStable(CASE WHEN n >= 3 THEN least(
+        |      2.0 * exp(-6.0 * uu * uu / (CAST(n AS DOUBLE) * n * n
+        |        + CAST(n AS DOUBLE) * n)), 1.0) END, 6) AS p_value
+        |  FROM f WHERE rk = 1),
+        |bh AS (SELECT user_id, p_value,
+        |    CAST(row_number() OVER (ORDER BY p_value, user_id) AS BIGINT)
+        |      AS rank,
+        |    count(*) OVER () AS m
+        |  FROM pt WHERE p_value IS NOT NULL),
+        |adj AS (SELECT user_id, p_value, rank,
+        |    roundStable(least(min(p_value * m / rank) OVER (
+        |      ORDER BY p_value DESC, user_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6)
+        |      AS q_value
+        |  FROM bh)
+        |SELECT user_id, p_value, rank, q_value, q_value <= 0.05 AS rejected
+        |FROM adj
+        |UNION ALL
+        |SELECT user_id, p_value, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS DOUBLE), false
+        |FROM pt WHERE p_value IS NULL
+        |ORDER BY user_id""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -908,6 +908,53 @@ object Aggregates {
         count(lit(1)).as("n"))
   }
 
+  /** Kendall tau-b per key between two bucket-aggregated series — the
+    * concordance coefficient (Kendall 1938): of all bucket pairs, how
+    * many order x and y the SAME way minus how many invert, normalized
+    * by the tie-adjusted pair counts (tau-b). Next to [[spearman]] it
+    * is the more robust/interpretable of the two rank measures (a
+    * probability difference, less sensitive to a few large rank gaps)
+    * at a quadratic-pairs price — which is why this form runs over the
+    * AGGREGATED per-bucket series: pair count is bounded by the
+    * CALENDAR (the [[theilSen]] bound), never by row count; 83 months
+    * is 3.4k pairs however many trillion rows fed them.
+    *
+    * Ties need no separate correction pass: tau-b's denominators are
+    * exactly `#pairs with x_a ≠ x_b` × `#pairs with y_a ≠ y_b`, counted
+    * on the SAME pair join that counts concordance. Bucket means are
+    * rounded before comparison (the [[graft.etl.Drift.pettitt]]
+    * cross-engine tie-stability rule). One keyed agg + one keyed
+    * self-join; all-tied sides emit NULL.
+    */
+  def kendallTau(df: DataFrame, keys: Seq[String], bucketCol: Column,
+                 xCol: String, yCol: String, digits: Int = 6,
+                 seriesDigits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val series = df
+      .groupBy(keyCols :+ bucketCol.as("__b"): _*)
+      .agg(roundStable(avg(col(xCol)), seriesDigits).as("__x"),
+        roundStable(avg(col(yCol)), seriesDigits).as("__y"))
+    val a = series.select(keyCols :+ col("__b").as("__ba") :+
+      col("__x").as("__xa") :+ col("__y").as("__ya"): _*)
+    val b = series.select(keyCols :+ col("__b").as("__bb") :+
+      col("__x").as("__xb") :+ col("__y").as("__yb"): _*)
+    val dxy = signum(col("__xb") - col("__xa")) *
+      signum(col("__yb") - col("__ya"))
+    val nc = sum(when(dxy > 0, 1L).otherwise(0L))
+    val nd = sum(when(dxy < 0, 1L).otherwise(0L))
+    val nxNe = sum(when(col("__xa") =!= col("__xb"), 1L).otherwise(0L))
+    val nyNe = sum(when(col("__ya") =!= col("__yb"), 1L).otherwise(0L))
+    a.join(b, keys).filter(col("__ba") < col("__bb"))
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(when(nxNe > 0 && nyNe > 0,
+          (nc - nd).cast("double") /
+            sqrt(nxNe.cast("double") * nyNe.cast("double"))), digits)
+          .as("tau_b"),
+        nc.as("n_concordant"), nd.as("n_discordant"),
+        count(lit(1)).as("n_pairs"))
+  }
+
   /** Gini concentration coefficient per key over a nonnegative value —
     * the inequality readout for corpus/traffic balance (is one user /
     * domain / shard absorbing the volume?): 0 = uniform, → 1 = one row

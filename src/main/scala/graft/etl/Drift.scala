@@ -216,6 +216,47 @@ object Drift {
         col("__n").as("n_buckets")): _*)
   }
 
+  /** Benjamini–Hochberg FDR adjustment (Benjamini & Hochberg 1995) over
+    * a battery of p-values — the multiple-testing control every keyed
+    * monitor in this family NEEDS at fleet scale: scanning 10,000
+    * sensors with [[pettitt]]/[[ksTest]] at α = 0.05 hands you ~500
+    * false alarms by construction; BH caps the FALSE DISCOVERY RATE of
+    * the whole battery instead. `q_i = min_{j ≥ i}(p_(j) · m / j)`
+    * clamped at 1 (the step-up suffix minimum), reject where
+    * `q ≤ alpha`.
+    *
+    * Input is one row per hypothesis (a monitor's per-key output), so
+    * the battery is O(#keys) — key-count-sized, never data-sized. The
+    * rank and suffix-min windows are deliberately GLOBAL (the whole
+    * point is one ordered pass over the battery): a single-partition
+    * window over ≤ #keys rows, the [[graft.operators.Skew.skewReport]]
+    * bounded-window convention. NULL p-values (unmonitorable keys
+    * upstream — the σ=0 convention) pass through unranked and
+    * never rejected, visible to the end.
+    */
+  def bhAdjust(df: DataFrame, idCols: Seq[String], pCol: String,
+               alpha: Double = 0.05, digits: Int = 6): DataFrame = {
+    val ids = idCols.map(col)
+    val live = df.filter(col(pCol).isNotNull)
+    val wRank = Window.orderBy(col(pCol) +: ids: _*)
+    val wSuffix = Window.orderBy((col(pCol) +: ids).map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val adjusted = live
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("q_value", roundStable(least(
+        min(col(pCol) * col("__m") / col("rank")).over(wSuffix),
+        lit(1.0)), digits))
+      .withColumn("rejected", col("q_value") <= alpha)
+      .drop("__m")
+    val nulls = df.filter(col(pCol).isNull)
+      .withColumn("rank", lit(null).cast("long"))
+      .withColumn("q_value", lit(null).cast("double"))
+      .withColumn("rejected", lit(false))
+    adjusted.unionByName(nulls)
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns, plus Cramér's V (the [0,1]-normalized effect size) — the
     * categorical complement of [[psi]]/[[ksTest]]: is the `b` mix the

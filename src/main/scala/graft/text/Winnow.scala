@@ -67,6 +67,33 @@ object Winnow {
         (lit(PosCap) - pmod(col("__sel"), lit(PosCap))).as("fp_pos"))
   }
 
+  /** The MOSS report: document pairs ranked by how many DISTINCT
+    * fingerprints they share — by the selection guarantee, any shared
+    * run ≥ k+w−1 chars contributes here, so `n_shared` is a
+    * plagiarism/boilerplate-overlap score with a provable floor.
+    * Candidate generation is the q135 inverted-index discipline:
+    * fingerprints seen in more than `maxDocFreq` docs are dropped
+    * BEFORE the pair join (a universal header would otherwise
+    * quadratically pair the corpus); the join then rides only the
+    * discriminative sliver. Output both-directions-free (`doc_a <
+    * doc_b`), filtered to `minShared`.
+    */
+  def sharedPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 4, maxDocFreq: Long = 1000L,
+                  minShared: Long = 2L): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc"), col("fp_hash")).distinct()
+    val rare = fp.groupBy(col("fp_hash"))
+      .agg(countDistinct(col("doc")).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+    val indexed = fp.join(rare.select(col("fp_hash")), Seq("fp_hash"))
+    indexed.as("x").join(indexed.as("y"), Seq("fp_hash"))
+      .filter(col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-doc fingerprint census: gram count, selected count, density
     * (≈ 2/(w+1) on random text — the paper's expected value; a sharp
     * deviation means degenerate/repetitive content).

@@ -2120,6 +2120,68 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(tiny.count() == 0L)
   }
 
+  test("kendallTau: textbook 0.4 case, tie-adjusted hand case, monotone = exactly 1, constant NULL") {
+    // x 1..5 vs y (3,1,2,5,4): C=7 D=3 no ties -> tau = 0.4
+    val book = Seq(1 -> 3.0, 2 -> 1.0, 3 -> 2.0, 4 -> 5.0, 5 -> 4.0)
+      .map { case (b, y) => ("book", b, b.toDouble, y) }
+    // x (1,1,2,3) vs y (1,2,3,4): C=5, D=0, xne=5, yne=6
+    // -> tau_b = 5/sqrt(30) = 0.912871
+    val ties = Seq((1, 1.0, 1.0), (2, 1.0, 2.0), (3, 2.0, 3.0),
+      (4, 3.0, 4.0)).map { case (b, x, y) => ("ties", b, x, y) }
+    val mono = (1 to 10).map(i => ("mono", i, i.toDouble, math.exp(i)))
+    val flat = (1 to 5).map(i => ("flat", i, i.toDouble, 7.0))
+    val out = etl.Aggregates.kendallTau(
+      (book ++ ties ++ mono ++ flat).toDF("k", "b", "x", "y"),
+      Seq("k"), col("b"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("book").getDouble(1) == 0.4, s"${out("book")}")
+    assert(out("book").getLong(2) == 7L && out("book").getLong(3) == 3L)
+    assert(math.abs(out("ties").getDouble(1) - 0.912871) < 1e-6,
+      s"${out("ties")}")
+    assert(out("mono").getDouble(1) == 1.0 && out("mono").getLong(4) == 45L)
+    assert(out("flat").isNullAt(1), "an all-tied side is undefined")
+  }
+
+  test("bhAdjust: textbook step-up, q monotone in rank, nulls pass through unrejected") {
+    val ps = Seq(("a", Some(0.01)), ("b", Some(0.02)), ("c", Some(0.03)),
+      ("d", Some(0.04)), ("e", Some(0.30)), ("z", None: Option[Double]))
+      .toDF("id", "p")
+    val out = etl.Drift.bhAdjust(ps, Seq("id"), "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // raw p*m/i = (.05,.05,.05,.05,.30); suffix-min leaves them as-is
+    Seq("a", "b", "c", "d").foreach { id =>
+      assert(out(id).getDouble(3) == 0.05 && out(id).getBoolean(4),
+        s"$id: ${out(id)}") }
+    assert(out("e").getDouble(3) == 0.3 && !out("e").getBoolean(4))
+    assert(out("a").getLong(2) == 1L && out("e").getLong(2) == 5L)
+    assert(out("z").isNullAt(2) && out("z").isNullAt(3) &&
+      !out("z").getBoolean(4), "null p visible, never rejected")
+    // the step-up can PULL a p down past a smaller raw value:
+    // p=(0.02, 0.021, 0.9): raw=(0.06, 0.0315, 0.9) -> q=(0.0315, 0.0315, 0.9)
+    val pull = etl.Drift.bhAdjust(
+      Seq(("a", 0.02), ("b", 0.021), ("c", 0.9)).toDF("id", "p"),
+      Seq("id"), "p").collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(pull("a") == 0.0315 && pull("b") == 0.0315 && pull("c") == 0.9,
+      s"$pull")
+  }
+
+  test("Winnow.sharedPairs: planted overlap found with the floor; doc-freq cap prunes; direction-free") {
+    val boiler = "this exact shared boilerplate sentence occurs in both"
+    val a = s"alpha unique opening words $boiler alpha closing remark"
+    val b = s"beta different starting text $boiler beta separate ending"
+    val c = "gamma text with nothing in common whatsoever here today"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = text.Winnow.sharedPairs(docs, "doc_id", "text",
+      k = 4, w = 3, maxDocFreq = 1000L, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"$pairs")
+    // the >= 50-char shared run guarantees many shared fingerprints
+    assert(pairs((1L, 2L)) >= 5L, s"${pairs((1L, 2L))}")
+    // a cap of 1 removes every cross-doc fingerprint by definition
+    assert(text.Winnow.sharedPairs(docs, "doc_id", "text", k = 4, w = 3,
+      maxDocFreq = 1L, minShared = 1L).count() == 0L)
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
