@@ -1823,6 +1823,49 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q188_weighted_median" -> ((s, dir) =>
+      // the price at which half the QUANTITY traded, per return flag —
+      // what plain median gets wrong whenever rows carry unequal mass
+      etl.Aggregates.weightedMedian(Tables.lineitem(s, dir),
+          Seq("l_returnflag"), "l_extendedprice", "l_quantity")
+        .orderBy(col("l_returnflag"))),
+
+    "q189_interval_overlap" -> ((s, dir) => {
+      // which browsing sessions were hit by an error session: the
+      // interval×interval grid join (canonical-cell dedup, no distinct)
+      // over per-user 6h-gap sessions of each type
+      val ev = Tables.events(s, dir)
+      def sess(t: String) = etl.Aggregates.sessionizeBatch(
+        ev.filter(col("event_type") === t), "user_id", "ts", "event_id",
+        "value", gapMicros = 6L * 3600L * 1000000L)
+        .select(col("user_id"), col("session_start"), col("session_end"))
+      operators.Intervals.overlapJoin(sess("click"), sess("error"),
+          Seq("user_id"), "session_start", "session_end",
+          binMicros = 86400L * 1000000L)
+        .orderBy(col("user_id"), col("start_l"), col("start_r"))
+    }),
+
+    "q190_ppr" -> ((s, dir) => {
+      // personalized PageRank: importance AS SEEN FROM customers 1-5 —
+      // restart mass on the seed set only, 5 rounds over the q106
+      // symmetrized trade graph; the oracle unrolls the same recurrence
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = o.filter(col("o_custkey") <= 5)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      operators.PageRank.personalized(edges, "src", "dst", seeds, "node",
+          iters = 5)
+        .select(col("node"), roundStable(col("rank"), 6).as("rank_r"))
+        .filter(col("rank_r") > 0)
+        .orderBy(col("node"))
+    }),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5173,6 +5216,86 @@ object SparkEntry {
         |  CAST(NULL AS DOUBLE), false
         |FROM pt WHERE p_value IS NULL
         |ORDER BY user_id""".stripMargin,
+
+    "q188_weighted_median" ->
+      // lower weighted median: smallest value whose cumulative weight
+      // reaches half the total; intra-tie row order is engine-free
+      // because min(v) only needs SOME row of the crossing value to
+      // qualify, and integral weights sum exactly
+      """WITH b AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+        |    l_quantity AS w FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+        |c AS (SELECT k, v,
+        |    sum(w) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY k) AS tw
+        |  FROM b)
+        |SELECT k AS l_returnflag, roundStable(min(v), 6) AS w_median,
+        |  roundStable(max(tw), 6) AS total_weight
+        |FROM c WHERE cw >= tw / 2 GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q189_interval_overlap" ->
+      // the q45 sessionize replay per type, then the plain overlap
+      // predicate — the grid join's canonical-cell dedup must emit each
+      // overlapping pair exactly once
+      """WITH t AS (
+        |  SELECT user_id, event_type, ts, value, epoch_us(ts) AS tu,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev,
+        |    event_id
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |s AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(CASE WHEN prev IS NULL OR tu - prev > 21600000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_n
+        |  FROM t),
+        |g AS (SELECT user_id, event_type, session_n,
+        |    CAST(min(ts) AS TIMESTAMP) AS st, CAST(max(ts) AS TIMESTAMP) AS en
+        |  FROM s GROUP BY 1, 2, 3)
+        |SELECT a.user_id, a.st AS start_l, a.en AS end_l,
+        |  b.st AS start_r, b.en AS end_r,
+        |  CAST(least(epoch_us(a.en), epoch_us(b.en))
+        |    - greatest(epoch_us(a.st), epoch_us(b.st)) AS BIGINT)
+        |    AS overlap_us
+        |FROM g a JOIN g b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'error'
+        | AND epoch_us(a.st) <= epoch_us(b.en)
+        | AND epoch_us(b.st) <= epoch_us(a.en)
+        |ORDER BY a.user_id, start_l, start_r""".stripMargin,
+
+    "q190_ppr" -> {
+      // the q106 unroll with restart mass on the seed set only
+      val iterCtes = (1 to 5).map { i =>
+        s"""r$i AS (SELECT sv.node,
+           |        (CAST(1 AS DOUBLE) - 0.85) * sv.s + 0.85 * coalesce(c.s, CAST(0 AS DOUBLE)) AS rank
+           |       FROM sv
+           |       LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+           |                  FROM e JOIN r${i - 1} r ON e.src = r.node
+           |                  JOIN deg ON deg.node = e.src
+           |                  GROUP BY 1) c ON c.node = sv.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         |             's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+         |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |seeds AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS node
+         |          FROM orders WHERE o_custkey <= 5),
+         |ns AS (SELECT count(*) AS n FROM seeds),
+         |sv AS (SELECT nodes.node,
+         |         CASE WHEN seeds.node IS NOT NULL
+         |           THEN CAST(1 AS DOUBLE) / ns.n ELSE CAST(0 AS DOUBLE) END AS s
+         |       FROM nodes CROSS JOIN ns
+         |       LEFT JOIN seeds ON seeds.node = nodes.node),
+         |r0 AS (SELECT node, s AS rank FROM sv),
+         |$iterCtes
+         |SELECT node, roundStable(rank, 6) AS rank_r FROM r5
+         |WHERE roundStable(rank, 6) > 0 ORDER BY node""".stripMargin
+    },
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

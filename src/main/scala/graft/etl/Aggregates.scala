@@ -908,6 +908,37 @@ object Aggregates {
         count(lit(1)).as("n"))
   }
 
+  /** Weighted median per key — the 50% point of the WEIGHT mass, not
+    * the row count: "the price at which half the QUANTITY traded", "the
+    * latency below which half the TRAFFIC falls" — what plain median
+    * silently gets wrong whenever rows carry unequal mass. Lower
+    * weighted median convention: the smallest value whose cumulative
+    * weight reaches half the total (exact, deterministic, and what both
+    * engines replay identically — no interpolation convention to
+    * disagree on). One keyed window (cumulative weight over the value
+    * sort) + one closing agg on the same partitioning; nonpositive
+    * weights are rejected up front (a zero-weight row cannot carry the
+    * crossing). Scale: the window is per-key rows, no global sort; a
+    * 100 TB key works iff its rows fit a partition's spill budget —
+    * same contract as every keyed window here (A50's two-pass narrows
+    * further if needed).
+    */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: String,
+                     weightCol: String, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df.filter(col(valueCol).isNotNull && col(weightCol) > 0)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    base
+      .withColumn("__cw", sum(col(weightCol)).over(wOrd))
+      .withColumn("__tw", sum(col(weightCol)).over(wAll))
+      .filter(col("__cw") >= col("__tw") / 2)
+      .groupBy(keyCols: _*)
+      .agg(roundStable(min(col(valueCol)), digits).as("w_median"),
+        roundStable(max(col("__tw")), digits).as("total_weight"))
+  }
+
   /** Kendall tau-b per key between two bucket-aggregated series — the
     * concordance coefficient (Kendall 1938): of all bucket pairs, how
     * many order x and y the SAME way minus how many invert, normalized

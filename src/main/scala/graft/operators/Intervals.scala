@@ -61,6 +61,55 @@ object Intervals {
         col("__next_start").as("gap_end"): _*)
   }
 
+  /** Keyed interval-OVERLAP join — every (left, right) interval pair
+    * that intersects, with the overlap duration: sessions hit by
+    * incident windows, bookings against maintenance, exposure × outage.
+    * The interval×interval sibling of [[graft.operators.RangeJoin]]'s
+    * point-in-interval: a bare `aLo <= bHi AND bLo <= aHi` join plans
+    * as a nested loop (the 100 TB cliff), so both sides explode onto a
+    * time grid (`binMicros` cells over each interval's span) and the
+    * join runs as an EQUI join on (keys, cell), exact predicate inside
+    * the cell.
+    *
+    * An overlapping pair meets in EVERY shared cell — instead of a
+    * distinct (a second corpus-scale shuffle), each pair is counted
+    * only in ONE canonical cell: the one holding `max(aLo, bLo)` (the
+    * overlap's left edge, which both sides cover by definition).
+    * Map-side filter, no dedup shuffle. Closed-interval semantics
+    * (touching endpoints overlap with `overlap_us = 0`, matching
+    * [[mergeIntervals]]); pick `binMicros` near the typical span (the
+    * RangeJoin sizing rule). Left/right columns survive with `_l`/`_r`
+    * suffixes on the interval bounds.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  startCol: String, endCol: String,
+                  binMicros: Long): DataFrame = {
+    require(binMicros > 0, s"need binMicros > 0, got $binMicros")
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    // integer DIV, not fp division — a quotient rounding up at a cell
+    // boundary would misplace the canonical cell (the RangeJoin rule)
+    def side(df: DataFrame, tag: String) =
+      df.filter(col(startCol) <= col(endCol))
+        .select(keys.map(col) :+ col(startCol).as(s"start_$tag") :+
+          col(endCol).as(s"end_$tag"): _*)
+        .withColumn("__lo", us(col(s"start_$tag")))
+        .withColumn("__hi", us(col(s"end_$tag")))
+        .withColumn("__cell", explode(sequence(
+          expr(s"__lo DIV ${binMicros}L"), expr(s"__hi DIV ${binMicros}L"))))
+        .drop("__lo", "__hi")
+    val l = side(left, "l")
+    val r = side(right, "r")
+    val loMax = greatest(us(col("start_l")), us(col("start_r")))
+    val hiMin = least(us(col("end_l")), us(col("end_r")))
+    l.join(r, keys :+ "__cell")
+      .withColumn("__edge", loMax)
+      .filter(loMax <= hiMin &&
+        expr(s"__edge DIV ${binMicros}L") === col("__cell"))
+      .select(keys.map(col) ++ Seq(col("start_l"), col("end_l"),
+        col("start_r"), col("end_r"),
+        (hiMin - loMax).as("overlap_us")): _*)
+  }
+
   /** Total covered duration per key in `unit`-second units — the
     * de-overlapped "time on site" / uptime metric that a naive
     * sum(end - start) double-counts.

@@ -96,4 +96,74 @@ object PageRank {
     edgeDeg.unpersist(blocking = false)
     ranks
   }
+
+  /** Personalized PageRank (random walk with restart to a SEED set —
+    * Page et al. 1999 §6, the workhorse of graph-based recommendation
+    * and local community scoring): identical power iteration, but the
+    * teleport mass lands uniformly on `seeds` instead of everywhere —
+    * `r'(v) = (1−d)·s(v) + d · Σ_{u→v} r(u)/outdeg(u)` with
+    * `s(v) = 1/|S|` on seeds, 0 elsewhere; start from `s`. Ranks
+    * concentrate NEAR the seeds ("importance from HERE"), the global
+    * run's view from nowhere. Same per-round shape, persist discipline,
+    * and `saltBuckets` hub mitigation as [[run]]; the seed indicator
+    * joins once up front (O(nodes)) so rounds stay two-shuffle. Seeds
+    * absent from the graph contribute teleport mass to nobody —
+    * callers pass graph nodes (spec-gated: unknown seeds just dilute).
+    */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   iters: Int, damping: Double = 0.85,
+                   saltBuckets: Int = 1): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    require(saltBuckets >= 1, s"need saltBuckets >= 1, got $saltBuckets")
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val nSeeds = seedSet.count()
+    require(nSeeds >= 1, "need at least one seed")
+    val nodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node"))).distinct()
+      .join(seedSet.withColumn("__isSeed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("__s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    val deg = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("__deg"))
+    val edgeDeg = edges.select(col(srcCol).as("node"), col(dstCol).as("__dst"))
+      .join(deg, Seq("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgeDeg.count()
+    var ranks = nodes.select(col("node"), col("__s").as("rank"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val joined =
+        if (saltBuckets <= 1) edgeDeg.join(ranks, Seq("node"))
+        else Skew.saltedJoin(edgeDeg, ranks, "node", saltBuckets,
+          saltFrom = Some("__dst"))
+      val sums =
+        if (saltBuckets <= 1)
+          joined.groupBy(col("__dst").as("node"))
+            .agg(sum(col("rank") / col("__deg")).as("__c"))
+        else joined
+          .withColumn("__s2", pmod(xxhash64(col("node")), lit(saltBuckets)))
+          .groupBy(col("__dst").as("node"), col("__s2"))
+          .agg(sum(col("rank") / col("__deg")).as("__cp"))
+          .groupBy(col("node"))
+          .agg(sum(col("__cp")).as("__c"))
+      val next = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - damping) * col("__s") +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+      val spark = next.sparkSession
+      val cut = spark.createDataFrame(next.rdd, next.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cut.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = cut
+      ranks = cut
+    }
+    nodes.unpersist(blocking = false)
+    edgeDeg.unpersist(blocking = false)
+    ranks
+  }
 }

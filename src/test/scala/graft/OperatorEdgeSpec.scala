@@ -2182,6 +2182,78 @@ class OperatorEdgeSpec extends AnyFunSuite {
       maxDocFreq = 1L, minShared = 1L).count() == 0L)
   }
 
+  test("weightedMedian: weight mass beats row count; boundary and tie cases; zero weights rejected") {
+    // key a: values (1,2,3) weights (1,1,10) -> half of 12 is 6, first
+    // value whose cum reaches 6 is 3 (plain median would say 2)
+    val a = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0))
+    // key b: exact boundary: (1,2) weights (5,5) -> cum at v=1 is 5 = tw/2
+    // -> lower weighted median = 1
+    val b = Seq(("b", 1.0, 5.0), ("b", 2.0, 5.0))
+    // key c: crossing value split across TIED rows: (1 w2, 2 w1+w1+w2)
+    // -> tw=6, crossing at v=2 regardless of intra-tie order
+    val c = Seq(("c", 1.0, 2.0), ("c", 2.0, 1.0), ("c", 2.0, 1.0),
+      ("c", 2.0, 2.0))
+    // zero/negative weights must not carry the crossing
+    val d = Seq(("d", 0.5, 0.0), ("d", 7.0, 3.0), ("d", 9.0, -1.0))
+    val out = etl.Aggregates.weightedMedian(
+      (a ++ b ++ c ++ d).toDF("k", "v", "w"), Seq("k"), "v", "w")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(1) == 3.0 && out("a").getDouble(2) == 12.0)
+    assert(out("b").getDouble(1) == 1.0, "inclusive boundary: cum == tw/2")
+    assert(out("c").getDouble(1) == 2.0)
+    assert(out("d").getDouble(1) == 7.0 && out("d").getDouble(2) == 3.0,
+      s"zero/negative weights dropped: ${out("d")}")
+  }
+
+  test("overlapJoin: exact pairs once each across cell boundaries; touching counts; disjoint doesn't") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // left interval spans 3 daily cells; right overlaps it in cell 2 —
+    // the pair must appear ONCE (canonical-cell dedup), not 2-3 times
+    val left = Seq(
+      (1L, t("2021-01-01 06:00:00"), t("2021-01-03 18:00:00")),
+      (1L, t("2021-01-10 00:00:00"), t("2021-01-10 01:00:00")),
+      (2L, t("2021-01-01 00:00:00"), t("2021-01-01 02:00:00")))
+      .toDF("k", "session_start", "session_end")
+    val right = Seq(
+      (1L, t("2021-01-02 12:00:00"), t("2021-01-04 12:00:00")),
+      // touching exactly at the left's end: closed semantics, overlap 0
+      (1L, t("2021-01-03 18:00:00"), t("2021-01-05 00:00:00")),
+      // disjoint from everything
+      (1L, t("2021-02-01 00:00:00"), t("2021-02-02 00:00:00")),
+      // other key: never joins key 1
+      (2L, t("2021-01-01 01:00:00"), t("2021-01-01 03:00:00")))
+      .toDF("k", "session_start", "session_end")
+    val out = operators.Intervals.overlapJoin(left, right, Seq("k"),
+      "session_start", "session_end", binMicros = 86400L * 1000000L)
+      .collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.length == 2, s"exactly the two true pairs, once each: ${out.toSeq}")
+    val touching = k1.filter(_.getLong(5) == 0L)
+    assert(touching.length == 1, "end==start overlaps with zero duration")
+    val proper = k1.filter(_.getLong(5) > 0L).head
+    assert(proper.getLong(5) == 30L * 3600L * 1000000L,
+      s"Jan2 12:00 .. Jan3 18:00 = 30h: $proper")
+    assert(out.count(_.getLong(0) == 2L) == 1)
+  }
+
+  test("personalized PageRank: mass concentrates at seeds; sums to ~1; plain run differs") {
+    // star-ish graph: hub 0 <-> leaves 1..6, plus a far pair 7 <-> 8
+    val edges = ((1 to 6).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L))) ++
+      Seq((7L, 8L), (8L, 7L))).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val ppr = operators.PageRank.personalized(edges, "src", "dst",
+      seeds, "node", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // walk restarts at 1: rank(1) > rank(hub-adjacent others); the
+    // disconnected far pair gets NO mass at all
+    assert(ppr(1L) > ppr(2L) && ppr(0L) > ppr(2L), s"$ppr")
+    assert(ppr(7L) == 0.0 && ppr(8L) == 0.0, "unreachable from seeds")
+    // total mass conserved (no dangling nodes in this graph)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9, s"sum=${ppr.values.sum}")
+    // leaves 2..6 are symmetric
+    assert((2 to 6).map(i => ppr(i.toLong)).distinct.size == 1)
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
