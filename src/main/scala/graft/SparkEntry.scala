@@ -1866,6 +1866,36 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "q191_tfidf_top" -> ((s, dir) =>
+      // keyphrase extraction: top-5 TF-IDF terms per doc, rounded
+      // before ranking (deterministic cut), WindowGroupLimit plan
+      text.Tfidf.topTerms(Tables.documents(s, dir), "doc_id", "text",
+          k = 5)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    "q192_ccf" -> ((s, dir) =>
+      // does click activity LEAD purchase activity, and by how many
+      // hours: lagged cross-correlation of the two hourly mean series
+      // at lags -6..6 (exact-hour alignment, gaps drop the pair)
+      etl.Aggregates.crossCorr(Tables.events(s, dir), col("ts"),
+          isX = col("event_type") === "click",
+          isY = col("event_type") === "purchase",
+          "value", lags = (-6 to 6).toSeq)
+        .orderBy(col("lag"))),
+
+    "q193_attribution" -> ((s, dir) => {
+      // linear multi-touch credit: every click in the 7 days before a
+      // purchase shares the credit equally; orphan purchases surface
+      // with NULL touch and full unattributed credit
+      val ev = Tables.events(s, dir)
+      operators.Attribution.linear(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          Seq("user_id"), "event_id", "ts", "event_id", "ts",
+          windowSecs = 7L * 86400L)
+        .orderBy(col("conv_id"), col("touch_id"))
+    }),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5296,6 +5326,78 @@ object SparkEntry {
          |SELECT node, roundStable(rank, 6) AS rank_r FROM r5
          |WHERE roundStable(rank, 6) > 0 ORDER BY node""".stripMargin
     },
+
+    "q191_tfidf_top" ->
+      // the q44 scores, rounded, then the same (tfidf desc, term)
+      // row_number cut
+      """WITH terms AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |    FROM documents) t
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |    roundStable(CAST(tf AS DOUBLE)
+        |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+        |      AS tfidf_r
+        |  FROM terms JOIN dfreq USING (term) CROSS JOIN nd)
+        |SELECT doc_id, term, tf, df, tfidf_r, rank FROM (
+        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_r DESC, term) AS BIGINT) AS rank
+        |  FROM sc) t
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q192_ccf" ->
+      // hourly means per side, int64-micros lag alignment, the shared
+      // explicit-moment correlation per lag
+      """WITH hx AS (SELECT epoch_us(date_trunc('hour', ts)) AS h,
+        |    avg(value) AS x FROM events WHERE event_type = 'click'
+        |  GROUP BY 1),
+        |hy AS (SELECT epoch_us(date_trunc('hour', ts)) AS h,
+        |    avg(value) AS y FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1),
+        |lags AS (SELECT unnest(range(-6, 7)) AS lag),
+        |p AS (SELECT l.lag, hx.x, hy.y
+        |  FROM lags l JOIN hx ON true
+        |  JOIN hy ON hy.h = hx.h + l.lag * 3600000000)
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        |  roundStable(CASE WHEN
+        |    (count(*) * sum(x*x) - sum(x) * sum(x))
+        |      * (count(*) * sum(y*y) - sum(y) * sum(y)) > 0 THEN
+        |    (count(*) * sum(x*y) - sum(x) * sum(y))
+        |    / sqrt((count(*) * sum(x*x) - sum(x) * sum(x))
+        |         * (count(*) * sum(y*y) - sum(y) * sum(y))) END, 6) AS ccf,
+        |  count(*) AS n_hours
+        |FROM p GROUP BY 1 ORDER BY lag""".stripMargin,
+
+    "q193_attribution" ->
+      // per-user window join, per-conversion touch count, 1/n credit,
+      // first/last position flags, orphan conversions via anti-join
+      """WITH c AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT c.user_id, c.conv_id, c.conv_ts, t.touch_id,
+        |    t.touch_ts
+        |  FROM c JOIN t ON t.user_id = c.user_id
+        |   AND epoch_us(t.touch_ts) <= epoch_us(c.conv_ts)
+        |   AND epoch_us(t.touch_ts) > epoch_us(c.conv_ts) - 604800000000),
+        |w AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n_touches,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts, touch_id) AS rn
+        |  FROM m)
+        |SELECT user_id, conv_id, conv_ts, touch_id, touch_ts,
+        |  CAST(n_touches AS BIGINT) AS n_touches,
+        |  roundStable(1.0 / n_touches, 6) AS weight,
+        |  rn = 1 AS is_first, rn = n_touches AS is_last
+        |FROM w
+        |UNION ALL
+        |SELECT c.user_id, c.conv_id, c.conv_ts,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+        |  CAST(0 AS BIGINT), 1.0, false, false
+        |FROM c WHERE conv_id NOT IN (SELECT conv_id FROM m)
+        |ORDER BY conv_id, touch_id""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

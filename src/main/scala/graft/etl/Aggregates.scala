@@ -908,6 +908,53 @@ object Aggregates {
         count(lit(1)).as("n"))
   }
 
+  /** Lagged cross-correlation between two hourly series — the "which
+    * series LEADS which" readout ([[rollingCorr]] asks "do they move
+    * together"; this asks "at what OFFSET"): for each lag L in `lags`,
+    * the Pearson correlation of x(t) against y(t + L·hour) over all
+    * hours where both exist. A peak at positive L means x leads y by L
+    * hours (x's moves show up in y later) — the cheap causal screen
+    * before anything heavier.
+    *
+    * Both series aggregate to per-hour means FIRST (state O(#hours),
+    * corpus-size-free), the lag alignment is an EXACT-hour shifted
+    * equi-join (the q95/q159 rule: a gap in the grid must drop the
+    * pair, not slide the comparison), lags explode map-side from a
+    * literal array, and each lag's correlation uses the explicit
+    * shared-moment form (the [[rollingCorr]] ANSI + one-formula
+    * lesson). Output per lag: `ccf`, `n_hours`; lags with < 2 aligned
+    * hours or a zero-variance side emit NULL.
+    */
+  def crossCorr(df: DataFrame, tsCol: Column, isX: Column, isY: Column,
+                valueCol: String, lags: Seq[Int],
+                decimals: Int = 6): DataFrame = {
+    require(lags.nonEmpty, "need at least one lag")
+    def hourly(sel: Column, out: String) = df.filter(sel)
+      .groupBy(date_trunc("hour", tsCol).as("__h"))
+      .agg(avg(col(valueCol)).as(out))
+    // alignment key in integer micros — interval arithmetic differs in
+    // edge conventions across engines; int64 micros don't
+    val hx = hourly(isX, "__x")
+      .withColumn("lag", explode(array(lags.map(lit(_)): _*)))
+      .withColumn("__ha",
+        unix_micros(col("__h").cast("timestamp")) +
+          col("lag").cast("long") * lit(3600000000L))
+    val hy = hourly(isY, "__y")
+      .select(unix_micros(col("__h").cast("timestamp")).as("__ha"),
+        col("__y"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("__x")); val sy = sum(col("__y"))
+    val sxy = sum(col("__x") * col("__y"))
+    val sxx = sum(col("__x") * col("__x"))
+    val syy = sum(col("__y") * col("__y"))
+    val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    hx.join(hy, Seq("__ha"))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(roundStable(when(den > 0, (n * sxy - sx * sy) / den), decimals)
+          .as("ccf"),
+        count(lit(1)).as("n_hours"))
+  }
+
   /** Weighted median per key — the 50% point of the WEIGHT mass, not
     * the row count: "the price at which half the QUANTITY traded", "the
     * latency below which half the TRAFFIC falls" — what plain median

@@ -31,4 +31,28 @@ object Tfidf {
           log(col("n_docs").cast("double") / col("df").cast("double")))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Top-`k` highest-TF-IDF terms per document — the keyphrase/tag
+    * extraction readout the raw scores exist for (per-doc topical
+    * labels, index keys, weak supervision features). Scores are ROUNDED
+    * before ranking (cross-engine rank-tie stability — the
+    * `graft.etl.Drift.pettitt` rule) with a lexicographic tie-break, so
+    * the cut is deterministic and replayable. The per-doc window rides
+    * the (doc, term) aggregation's own partitioning; Spark 4 plans the
+    * rank filter as WindowGroupLimit — partial top-k per partition
+    * before the window sort, never a full per-doc sort of the
+    * vocabulary.
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+               k: Int, digits: Int = 6): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf_r").desc, col("term"))
+    scores(docs, idCol, textCol)
+      .withColumn("tfidf_r", graft.functions.roundStable(col("tfidf"), digits))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf_r"), col("rank"))
+  }
 }

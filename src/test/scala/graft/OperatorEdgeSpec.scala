@@ -2254,6 +2254,85 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert((2 to 6).map(i => ppr(i.toLong)).distinct.size == 1)
   }
 
+  test("Tfidf.topTerms: distinctive terms win, ubiquitous terms score 0, k cuts deterministically") {
+    val docs = Seq(
+      (1L, "shared shared apple apple apple banana"),
+      (2L, "shared cherry cherry banana"),
+      (3L, "shared date")).toDF("doc_id", "text")
+    val out = text.Tfidf.topTerms(docs, "doc_id", "text", k = 2)
+      .collect().groupBy(_.getLong(0))
+    // doc 1: apple (tf=3, df=1) beats banana (tf=1, df=2); 'shared'
+    // (df=3) has idf ln(1)=0 and never makes the cut over positives
+    val d1 = out(1L).sortBy(_.getLong(5)).map(_.getString(1)).toSeq
+    assert(d1 == Seq("apple", "banana"), s"$d1")
+    assert(out.values.forall(_.length <= 2))
+    // all-ubiquitous doc: every term scores exactly 0; rank still total
+    val mono = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val z = text.Tfidf.topTerms(mono, "doc_id", "text", k = 2).collect()
+    assert(z.forall(_.getDouble(4) == 0.0) && z.length == 6)
+    assert(z.filter(_.getLong(0) == 1L).sortBy(_.getLong(5))
+      .map(_.getString(1)).toSeq == Seq("x", "y"), "0-ties break by term")
+  }
+
+  test("crossCorr: a planted 2-hour lead peaks at exactly that lag; gaps drop pairs; flat NULL") {
+    // x at hour h follows pattern p(h); y follows p(h-2): x LEADS y by 2
+    // -> ccf at lag +2 is exactly 1 (y(t+2) = x(t) shifted pattern)
+    def p(h: Int) = (h * 37 % 11).toDouble
+    val hours = 0 until 48
+    val rows =
+      hours.map(h => ("x", h, p(h))) ++
+      hours.map(h => ("y", h, p(h - 2)))
+    val df = rows.toDF("s", "h", "v")
+      .withColumn("ts", timestamp_seconds(col("h") * 3600L))
+    val out = etl.Aggregates.crossCorr(df, col("ts"),
+      isX = col("s") === "x", isY = col("s") === "y", "v",
+      lags = Seq(-2, 0, 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getDouble(1) == 1.0, s"exact shifted copy: ${out(2L)}")
+    assert(out(2L).getLong(2) == 46L, "46 aligned hours at lag 2")
+    assert(math.abs(out(0L).getDouble(1)) < 1.0, "unshifted is imperfect")
+    // a flat y side has zero variance -> NULL, not 0/0
+    val flat = (hours.map(h => ("x", h, p(h))) ++
+      hours.map(h => ("y", h, 5.0))).toDF("s", "h", "v")
+      .withColumn("ts", timestamp_seconds(col("h") * 3600L))
+    val f = etl.Aggregates.crossCorr(flat, col("ts"),
+      col("s") === "x", col("s") === "y", "v", Seq(0)).collect().head
+    assert(f.isNullAt(1), s"$f")
+  }
+
+  test("Attribution.linear: equal split, window edges, position flags, orphan conversions visible") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val conv = Seq(
+      (1L, 100L, t("2021-01-10 12:00:00")),
+      (1L, 101L, t("2021-01-20 12:00:00")),  // orphan: no click in window
+      (2L, 200L, t("2021-01-10 12:00:00")))
+      .toDF("u", "cid", "cts")
+    val touch = Seq(
+      (1L, 10L, t("2021-01-08 09:00:00")),   // in window (conv 100)
+      (1L, 11L, t("2021-01-10 12:00:00")),   // boundary: touch == conv time counts
+      (1L, 12L, t("2021-01-03 12:00:00")),   // exactly 7d before: EXCLUDED (open edge)
+      (1L, 13L, t("2021-01-25 00:00:00")),   // after conv: excluded
+      (2L, 20L, t("2021-01-09 00:00:00")))
+      .toDF("u", "tid", "tts")
+    val out = operators.Attribution.linear(conv, touch, Seq("u"),
+      "cid", "cts", "tid", "tts", windowSecs = 7L * 86400L)
+      .collect()
+    val c100 = out.filter(_.getLong(1) == 100L).sortBy(_.getLong(3))
+    assert(c100.map(_.getLong(3)).toSeq == Seq(10L, 11L), s"${c100.toSeq}")
+    assert(c100.forall(r => r.getLong(5) == 2L && r.getDouble(6) == 0.5))
+    assert(c100.head.getBoolean(7) && !c100.head.getBoolean(8), "10 is first")
+    assert(c100.last.getBoolean(8), "11 (at conv instant) is last")
+    val orphan = out.filter(_.getLong(1) == 101L)
+    assert(orphan.length == 1 && orphan.head.isNullAt(3) &&
+      orphan.head.getDouble(6) == 1.0 && orphan.head.getLong(5) == 0L,
+      s"orphan visible with full credit: ${orphan.toSeq}")
+    val c200 = out.filter(_.getLong(1) == 200L)
+    assert(c200.length == 1 && c200.head.getLong(3) == 20L &&
+      c200.head.getBoolean(7) && c200.head.getBoolean(8),
+      "sole touch is both first and last")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
