@@ -1896,6 +1896,46 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("touch_id"))
     }),
 
+    "q194_band_join" -> ((s, dir) => {
+      // duplicate-payment screen: order pairs whose totals agree within
+      // $1 — the numeric band join (cell + adjacent-cell equi join,
+      // integer-cents band so no fp boundary flake)
+      val o = Tables.orders(s, dir)
+      operators.RangeJoin.band(
+          o.select(col("o_orderkey").as("key_a"),
+            col("o_totalprice").as("price_a")),
+          o.select(col("o_orderkey").as("key_b"),
+            col("o_totalprice").as("price_b")),
+          "price_a", "price_b", eps = 1.0, scale = 100L)
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"), col("price_a"), col("price_b"),
+          roundStable(abs(col("price_a") - col("price_b")), 2).as("diff"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
+    "q195_pop" -> ((s, dir) =>
+      // month-over-month revenue per return flag with EXACT calendar
+      // alignment — a missing month yields NULL, never a silent
+      // compare-to-two-months-ago
+      etl.Aggregates.periodDelta(Tables.lineitem(s, dir),
+          Seq("l_returnflag"), col("l_shipdate"), "l_extendedprice",
+          unit = "month")
+        .orderBy(col("l_returnflag"), col("period"))),
+
+    "q196_golden" -> ((s, dir) =>
+      // golden profile per user: modal event type, most recent props,
+      // peak value — each rule with a deterministic total tiebreak
+      operators.Survivorship.golden(
+          Tables.events(s, dir).select(col("user_id"), col("event_type"),
+            col("props"), col("value"), col("ts")),
+          "user_id", Seq(
+            operators.Survivorship.MostFrequent("event_type"),
+            operators.Survivorship.Latest("props", "ts"),
+            operators.Survivorship.MaxVal("value")))
+        .select(col("user_id"), col("event_type"), col("props"),
+          col("value"), col("n_members"))
+        .orderBy(col("user_id"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5398,6 +5438,52 @@ object SparkEntry {
         |  CAST(0 AS BIGINT), 1.0, false, false
         |FROM c WHERE conv_id NOT IN (SELECT conv_id FROM m)
         |ORDER BY conv_id, touch_id""".stripMargin,
+
+    "q194_band_join" ->
+      // the band replayed in integer cents — the SAME rounding the
+      // engine's cells use, so the boundary is exact on both sides
+      """SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+        |  a.o_totalprice AS price_a, b.o_totalprice AS price_b,
+        |  roundStable(abs(a.o_totalprice - b.o_totalprice), 2) AS diff
+        |FROM orders a JOIN orders b
+        |  ON abs(CAST(round(a.o_totalprice * 100) AS BIGINT)
+        |       - CAST(round(b.o_totalprice * 100) AS BIGINT)) <= 100
+        | AND a.o_orderkey < b.o_orderkey
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "q195_pop" ->
+      // per-(flag, month) totals, prev month by CALENDAR arithmetic
+      """WITH t AS (SELECT l_returnflag AS k,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+        |    roundStable(sum(l_extendedprice), 6) AS value
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT t.k AS l_returnflag, t.period, t.value,
+        |  p.value AS prev_value,
+        |  roundStable(t.value - p.value, 6) AS delta,
+        |  roundStable(CASE WHEN p.value <> 0
+        |    THEN (t.value - p.value) / p.value * 100 END, 6) AS pct_change
+        |FROM t LEFT JOIN t p ON p.k = t.k
+        | AND p.period = CAST(t.period - INTERVAL 1 MONTH AS DATE)
+        |ORDER BY l_returnflag, t.period""".stripMargin,
+
+    "q196_golden" ->
+      // each rule replayed as its ordered pick: modal = (count, value)
+      // max, latest = (ts, value) max, peak = plain max
+      """WITH m AS (SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type DESC) AS rn
+        |    FROM events WHERE event_type IS NOT NULL
+        |    GROUP BY user_id, event_type) t WHERE rn = 1),
+        |l AS (SELECT user_id, props FROM (
+        |    SELECT user_id, props, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, props DESC) AS rn
+        |    FROM events WHERE props IS NOT NULL) t WHERE rn = 1),
+        |g AS (SELECT user_id, max(value) AS value,
+        |    count(*) AS n_members FROM events GROUP BY 1)
+        |SELECT g.user_id, m.event_type, l.props, g.value, g.n_members
+        |FROM g LEFT JOIN m USING (user_id) LEFT JOIN l USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

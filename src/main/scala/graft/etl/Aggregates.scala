@@ -908,6 +908,46 @@ object Aggregates {
         count(lit(1)).as("n"))
   }
 
+  /** Period-over-period deltas — the WoW/MoM dashboard readout done
+    * with EXACT calendar alignment: per (key, period) totals, each
+    * joined to the key's PREVIOUS CALENDAR period (month arithmetic via
+    * `add_months`, day/week via exact day intervals) — never a row
+    * `lag`, which slides across gaps and silently compares March to
+    * January when February is missing (the q95/q159 rule, applied to
+    * reporting). A missing previous period emits NULL delta/pct —
+    * visible, not fabricated; pct is NULL when the previous total is 0
+    * (no base). One keyed agg + one self-join on the aggregated table
+    * (O(#keys × #periods) rows).
+    */
+  def periodDelta(df: DataFrame, keys: Seq[String], tsCol: Column,
+                  valueCol: String, unit: String,
+                  digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val period = unit match {
+      case "day" | "week" | "month" => to_date(date_trunc(unit, tsCol))
+      case other => throw new IllegalArgumentException(
+        s"unit must be day|week|month, got $other")
+    }
+    val totals = df
+      .groupBy(keyCols :+ period.as("period"): _*)
+      .agg(roundStable(sum(col(valueCol)), digits).as("value"))
+    val prevPeriod = unit match {
+      case "month" => add_months(col("period"), -1)
+      case "week"  => date_add(col("period"), -7)
+      case "day"   => date_add(col("period"), -1)
+    }
+    val prev = totals.select(keyCols :+ col("period").as("__pp") :+
+      col("value").as("prev_value"): _*)
+    totals
+      .withColumn("__pp", prevPeriod)
+      .join(prev, keys :+ "__pp", "left")
+      .select(keyCols ++ Seq(col("period"), col("value"), col("prev_value"),
+        roundStable(col("value") - col("prev_value"), digits).as("delta"),
+        roundStable(when(col("prev_value") =!= 0,
+          (col("value") - col("prev_value")) / col("prev_value") * 100),
+          digits).as("pct_change")): _*)
+  }
+
   /** Lagged cross-correlation between two hourly series — the "which
     * series LEADS which" readout ([[rollingCorr]] asks "do they move
     * together"; this asks "at what OFFSET"): for each lag L in `lags`,

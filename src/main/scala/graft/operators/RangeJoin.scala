@@ -40,4 +40,42 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Numeric BAND join: every (left, right) pair with
+    * `|leftVal − rightVal| ≤ eps` — near-price reconciliation,
+    * duplicate-payment detection, tolerance matching between systems.
+    * The numeric sibling of [[binned]]: a bare `abs(a−b) <= eps` join
+    * is a nested loop; here the left keys by its `eps`-width cell and
+    * the right explodes to its cell ± 1 (any in-band partner's cell is
+    * within one of its own), so the join is EQUI on the cell with the
+    * exact band filter inside. Each qualifying pair meets EXACTLY once
+    * (the left row's cell is unique) — no dedup shuffle. Cells come
+    * from int64 `floor(v/eps)` on values scaled by `scale` (pass the
+    * value's native precision, e.g. 100 for cents) so cell ids are
+    * exact integer arithmetic, never fp-boundary-dependent.
+    */
+  def band(left: DataFrame, right: DataFrame,
+           leftValCol: String, rightValCol: String,
+           eps: Double, scale: Long): DataFrame = {
+    require(eps > 0, s"need eps > 0, got $eps")
+    require(scale > 0, s"need scale > 0, got $scale")
+    val epsI = math.round(eps * scale)
+    require(epsI > 0, "eps must be representable at the given scale")
+    // uniform +1e15 shift before the DIV: truncating division is only
+    // floor for nonnegative operands, and a negative value straddling
+    // cell 0 would otherwise land one cell high and MISS its partners
+    def cellOf(c: String) =
+      expr(s"(CAST(round($c * $scale) AS BIGINT) + 1000000000000000L)" +
+        s" DIV ${epsI}L")
+    val lb = left.withColumn("__cell", cellOf(leftValCol))
+    val rb = right
+      .withColumn("__rc", cellOf(rightValCol))
+      .withColumn("__cell",
+        explode(array(col("__rc") - 1, col("__rc"), col("__rc") + 1)))
+      .drop("__rc")
+    lb.join(rb, Seq("__cell"))
+      .filter(abs(expr(s"CAST(round($leftValCol * $scale) AS BIGINT)") -
+        expr(s"CAST(round($rightValCol * $scale) AS BIGINT)")) <= epsI)
+      .drop("__cell")
+  }
 }

@@ -2333,6 +2333,74 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "sole touch is both first and last")
   }
 
+  test("RangeJoin.band: boundary-exact pairs once each; cross-cell matches; negatives align") {
+    val left = Seq((1L, 10.00), (2L, 10.99), (3L, -0.50))
+      .toDF("lid", "price_a")
+    val right = Seq((10L, 11.00), (11L, 12.01), (12L, 0.49), (13L, 50.0))
+      .toDF("rid", "price_b")
+    val out = operators.RangeJoin.band(left, right, "price_a", "price_b",
+      eps = 1.0, scale = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 10.00~11.00 exactly at the band edge: included; 10.00~12.01 not;
+    // 10.99~11.00 and 10.99~12.01 (1.02 > 1: out); -0.50~0.49 within 0.99
+    assert(out == Set((1L, 10L), (2L, 10L), (3L, 12L)), s"$out")
+    // each pair exactly once despite the 3-cell explode
+    val rows = operators.RangeJoin.band(left, right, "price_a", "price_b",
+      eps = 1.0, scale = 100L).collect()
+    assert(rows.length == out.size, s"no duplicate pairs: ${rows.length}")
+  }
+
+  test("periodDelta: exact calendar alignment skips gaps; pct math; zero base NULL") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // key a: Jan 100, Feb 150, Apr 120 (March MISSING), May 0, Jun 30
+    val rows = Seq(
+      ("a", d("2021-01-15"), 100.0), ("a", d("2021-02-10"), 150.0),
+      ("a", d("2021-04-01"), 120.0), ("a", d("2021-05-20"), 0.0),
+      ("a", d("2021-06-05"), 30.0))
+      .toDF("k", "dt", "v")
+    val out = etl.Aggregates.periodDelta(rows, Seq("k"),
+      col("dt").cast("timestamp"), "v", unit = "month")
+      .collect().map(r => r.getDate(1).toString -> r).toMap
+    assert(out("2021-01-01").isNullAt(3), "no previous month")
+    assert(out("2021-02-01").getDouble(4) == 50.0 &&
+      out("2021-02-01").getDouble(5) == 50.0, s"${out("2021-02-01")}")
+    // April's previous CALENDAR month is March — absent, so NULL (a row
+    // lag would have silently compared April to February)
+    assert(out("2021-04-01").isNullAt(3) && out("2021-04-01").isNullAt(5))
+    assert(out("2021-05-01").getDouble(4) == -120.0)
+    // June's base is May = 0: delta real, pct undefined
+    assert(out("2021-06-01").getDouble(4) == 30.0 &&
+      out("2021-06-01").isNullAt(5), s"${out("2021-06-01")}")
+  }
+
+  test("Survivorship.golden: each rule's pick with deterministic ties; nulls never win") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // cluster 1: mode tie b/c broken to larger value; latest has a
+      // null at the max ts which must NOT win; longest-ish via Latest
+      (1L, Some("b"), Some("p1"), 5.0, t("2021-01-01 00:00:00")),
+      (1L, Some("c"), Some("p2"), 7.0, t("2021-01-02 00:00:00")),
+      (1L, Some("b"), None, 6.0, t("2021-01-03 00:00:00")),
+      (1L, Some("c"), Some("p3"), 1.0, t("2021-01-02 00:00:00")),
+      // cluster 2: all type nulls -> modal NULL, others fine
+      (2L, None, Some("q"), 3.0, t("2021-02-01 00:00:00")))
+      .toDF("cl", "ty", "pr", "v", "ts")
+    val out = operators.Survivorship.golden(rows, "cl", Seq(
+      operators.Survivorship.MostFrequent("ty"),
+      operators.Survivorship.Latest("pr", "ts"),
+      operators.Survivorship.MaxVal("v")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = out(1L)
+    // ty: b and c both count 2 -> lexicographically larger 'c' wins
+    assert(c1.getAs[String]("ty") == "c", s"$c1")
+    // pr: the max-ts row is null -> fall back to the latest NON-null;
+    // at the tied 01-02 instant 'p3' > 'p2'
+    assert(c1.getAs[String]("pr") == "p3", s"$c1")
+    assert(c1.getAs[Double]("v") == 7.0 && c1.getAs[Long]("n_members") == 4L)
+    val c2 = out(2L)
+    assert(c2.getAs[String]("ty") == null && c2.getAs[String]("pr") == "q")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
