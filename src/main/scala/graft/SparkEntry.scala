@@ -1936,6 +1936,30 @@ object SparkEntry {
           col("value"), col("n_members"))
         .orderBy(col("user_id"))),
 
+    "q197_tail_risk" -> ((s, dir) =>
+      // p95 VaR + expected shortfall per type — the SLO readout that
+      // distinguishes a fat tail from a near-miss (exact order-stat
+      // convention, no interpolation to disagree on)
+      etl.Aggregates.tailStats(Tables.events(s, dir), Seq("event_type"),
+          "value", tieCol = col("event_id"), p = 0.95)
+        .orderBy(col("event_type"))),
+
+    "q198_decay" -> ((s, dir) =>
+      // recency-weighted activity per user with a 7-day half-life,
+      // anchored at each user's own latest event — the feature-store
+      // score, closed-form in one aggregation
+      etl.Aggregates.decayAgg(Tables.events(s, dir), Seq("user_id"),
+          col("ts"), "value", halfLifeSecs = 7L * 86400L)
+        .orderBy(col("user_id"))),
+
+    "q199_novelty" -> ((s, dir) =>
+      // per-doc first-occurrence rate of word trigrams vs all EARLIER
+      // docs — the curation signal between exact dedup and
+      // decontamination (a re-crawling feed's novelty curve collapses)
+      text.Corpus.novelty(Tables.documents(s, dir), "doc_id", "text",
+          n = 3)
+        .orderBy(col("doc_id"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5484,6 +5508,57 @@ object SparkEntry {
         |SELECT g.user_id, m.event_type, l.props, g.value, g.n_members
         |FROM g LEFT JOIN m USING (user_id) LEFT JOIN l USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q197_tail_risk" ->
+      // the same ceil(n·(1 − 0.95)) tail cut — (1 − 0.95) spelled as a
+      // SUBTRACTION on both sides so the fp literal is identical
+      """WITH b AS (SELECT event_type AS k, value AS v, event_id AS tie
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT k, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY v DESC, tie DESC)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM b),
+        |t AS (SELECT k, v, n,
+        |    CAST(ceil(n * (1 - CAST(0.95 AS DOUBLE))) AS BIGINT) AS kk
+        |  FROM r WHERE rn <= ceil(n * (1 - CAST(0.95 AS DOUBLE))))
+        |SELECT k AS event_type, roundStable(min(v), 6) AS var_p,
+        |  roundStable(avg(v), 6) AS es_p,
+        |  max(kk) AS n_tail, max(n) AS n
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q198_decay" ->
+      // identical exp(ln2 · Δt/halflife) tree with ln 2 PINNED as a
+      // literal (libm ln is not correctly rounded across engines)
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+        |m AS (SELECT user_id, tu, value,
+        |    max(tu) OVER (PARTITION BY user_id) AS mx FROM b)
+        |SELECT user_id,
+        |  roundStable(sum(value * exp(0.6931471805599453
+        |    * (CAST(tu - mx AS DOUBLE) / 604800000000.0))), 6)
+        |    AS decayed_sum,
+        |  roundStable(sum(exp(0.6931471805599453
+        |    * (CAST(tu - mx AS DOUBLE) / 604800000000.0))), 6)
+        |    AS effective_n,
+        |  roundStable(sum(value), 6) AS plain_sum,
+        |  count(*) AS n
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q199_novelty" ->
+      // distinct trigrams per doc (the q34 shingle convention), global
+      // first-occurrence by min(doc_id), per-doc novel fraction
+      """WITH s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0),
+        |f AS (SELECT sh, min(doc_id) AS fd FROM ex GROUP BY 1)
+        |SELECT e.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  roundStable(CAST(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS novelty_rate
+        |FROM ex e JOIN f USING (sh) GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -908,6 +908,71 @@ object Aggregates {
         count(lit(1)).as("n"))
   }
 
+  /** Tail risk per key — VaR and expected shortfall at level `p`
+    * (Artzner 1999; the latency-SLO twin: "p99, and the MEAN of what's
+    * beyond it"): a p99 alone hides whether the worst 1% is 1.1× or
+    * 100× the threshold — ES is the number that distinguishes a fat
+    * tail from a near-miss. Exact ORDER-STATISTIC convention (no
+    * interpolation to disagree on): the tail is the top
+    * `k = ceil((1−p)·n)` rows of the (value, tie) sort; `var_p` = the
+    * smallest tail value (the (n−k+1)-th order statistic), `es_p` =
+    * the tail mean. One keyed window (descending row_number) + one
+    * closing agg on the same partitioning. Keys with n < 1/(1−p) have
+    * k = 1: VaR = ES = max — the degenerate case is well-defined, not
+    * special-cased.
+    */
+  def tailStats(df: DataFrame, keys: Seq[String], valueCol: String,
+                tieCol: Column, p: Double, digits: Int = 6): DataFrame = {
+    require(p > 0 && p < 1, s"need 0 < p < 1, got $p")
+    val keyCols = keys.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*)
+      .orderBy(col(valueCol).desc, tieCol.desc)
+    val wAll = Window.partitionBy(keyCols: _*)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k", ceil(col("__n") * (1.0 - p)).cast("long"))
+      .filter(col("__rn") <= col("__k"))
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(min(col(valueCol)), digits).as("var_p"),
+        roundStable(avg(col(valueCol)), digits).as("es_p"),
+        max(col("__k")).as("n_tail"),
+        max(col("__n")).as("n"))
+  }
+
+  /** Exponential time-decay aggregate per key — the recency-weighted
+    * score every feature store keeps ("activity that counts, with a
+    * half-life"): `Σ v_i · 2^(−(t_ref − t_i)/halflife)`, anchored at
+    * the key's own latest event (`t_ref = max t`), so scores compare
+    * keys by SHAPE of recent activity, not by when the data ends. A
+    * closed-form single aggregation — no fold, no state; the decayed
+    * sum, the equivalent-events count (same sum with v ≡ 1), and the
+    * plain total for contrast. Exponent in exact micros ratio; both
+    * engines evaluate the identical `exp(ln 2 · Δ)` tree.
+    */
+  def decayAgg(df: DataFrame, keys: Seq[String], tsCol: Column,
+               valueCol: String, halfLifeSecs: Long,
+               digits: Int = 6): DataFrame = {
+    require(halfLifeSecs > 0, s"need halfLifeSecs > 0, got $halfLifeSecs")
+    val keyCols = keys.map(col)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val tUs = unix_micros(tsCol.cast("timestamp"))
+    // ln 2 as a pinned literal, not Math.log/ln(2) — libm log is not
+    // correctly rounded and engines may disagree in the last ulp
+    val decay = exp(lit(0.6931471805599453) *
+      ((tUs - max(tUs).over(wAll)).cast("double") /
+        lit(halfLifeSecs * 1000000.0)))
+    df.withColumn("__w", decay)
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(sum(col(valueCol) * col("__w")), digits)
+          .as("decayed_sum"),
+        roundStable(sum(col("__w")), digits).as("effective_n"),
+        roundStable(sum(col(valueCol)), digits).as("plain_sum"),
+        count(lit(1)).as("n"))
+  }
+
   /** Period-over-period deltas — the WoW/MoM dashboard readout done
     * with EXACT calendar alignment: per (key, period) totals, each
     * joined to the key's PREVIOUS CALENDAR period (month arithmetic via

@@ -160,6 +160,34 @@ object Corpus {
       .select(cols :+ concat_ws(" ", slice(toks, col("__i"), lit(n))).as("sh"): _*)
   }
 
+  /** Corpus novelty per document — what fraction of a doc's distinct
+    * word `n`-grams appear HERE FIRST (no earlier doc in `idCol` order
+    * contains them): the curation signal between exact dedup (whole-doc)
+    * and [[contamination]] (vs an external suite) — a feed whose
+    * novelty curve collapses is re-crawling what the corpus already
+    * holds, and near-boilerplate docs score ≈ 0 without matching any
+    * single prior doc. First-occurrence is ONE `min(doc)` aggregation
+    * over the corpus's distinct (doc, shingle) rows — no pairwise work,
+    * no window over the corpus; the probe join rides the shingle
+    * aggregation's own partitioning. Docs shorter than `n` tokens drop
+    * (the [[contamination]] convention).
+    */
+  def novelty(docs: DataFrame, idCol: String, textCol: String,
+              n: Int = 3, digits: Int = 6): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val sh = shingleRows(docs, textCol, n, col(idCol))
+      .select(col(idCol), col("sh")).distinct()
+    val first = sh.groupBy(col("sh")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        roundStable(col("n_novel").cast("double") / col("n_shingles"),
+          digits).as("novelty_rate"))
+  }
+
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")

@@ -2401,6 +2401,65 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(c2.getAs[String]("ty") == null && c2.getAs[String]("pr") == "q")
   }
 
+  test("tailStats: exact order-stat tail; fat vs thin tails separate; tiny keys degenerate to max") {
+    // 100 values 1..100 at p=0.9 -> k=10, tail = 91..100:
+    // VaR = 91, ES = 95.5
+    val thin = (1 to 100).map(i => ("thin", i.toDouble, i.toLong))
+    // same VaR, fat tail: top value is 10x
+    val fat = ((1 to 99).map(i => ("fat", i.toDouble, i.toLong)) :+
+      ("fat", 1000.0, 100L))
+    val one = Seq(("one", 42.0, 1L))
+    val out = etl.Aggregates.tailStats(
+      (thin ++ fat ++ one).toDF("k", "v", "tie"), Seq("k"), "v",
+      col("tie"), p = 0.9)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("thin").getDouble(1) == 91.0 && out("thin").getDouble(2) == 95.5)
+    assert(out("thin").getLong(3) == 10L && out("thin").getLong(4) == 100L)
+    // same 90th-percentile cut, wildly different ES — the point of ES
+    assert(out("fat").getDouble(1) == 91.0 &&
+      out("fat").getDouble(2) > 180.0, s"${out("fat")}")
+    assert(out("one").getDouble(1) == 42.0 && out("one").getDouble(2) == 42.0
+      && out("one").getLong(3) == 1L, "k = ceil(0.1) = 1: VaR = ES = max")
+  }
+
+  test("decayAgg: hand half-life checkpoints; anchored per key; weightless far past") {
+    def ts(daysAgo: Double) = new java.sql.Timestamp(
+      (86400000L * 30) - (daysAgo * 86400000L).toLong)
+    // events at 0, 7, 14 days before the key's latest: weights 1, .5, .25
+    val a = Seq(("a", ts(0), 8.0), ("a", ts(7), 8.0), ("a", ts(14), 8.0))
+    // key b ends earlier — anchoring is per key, so same shape, same score
+    val b = Seq(("b", ts(10), 8.0), ("b", ts(17), 8.0), ("b", ts(24), 8.0))
+    val far = Seq(("f", ts(0), 1.0), ("f", ts(700), 1e6))
+    val out = etl.Aggregates.decayAgg(
+      (a ++ b ++ far).toDF("k", "ts", "v"), Seq("k"), col("ts"), "v",
+      halfLifeSecs = 7L * 86400L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("a").getDouble(1) - 14.0) < 1e-9, s"${out("a")}")
+    assert(math.abs(out("a").getDouble(2) - 1.75) < 1e-9, "1 + .5 + .25")
+    assert(out("b").getDouble(1) == out("a").getDouble(1),
+      "per-key anchor: same shape, same score")
+    // 700-day-old million contributes ~nothing; plain_sum says otherwise
+    assert(out("f").getDouble(1) < 1.01 && out("f").getDouble(3) > 1e6,
+      s"${out("f")}")
+  }
+
+  test("novelty: first doc all-novel, verbatim dup zero, partial overlap exact, short docs drop") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // trigrams: ab-g, b-g-d
+      (2L, "alpha beta gamma delta"),      // verbatim dup -> 0 novel
+      (3L, "alpha beta gamma epsilon"),    // 1 of 2 trigrams seen
+      (4L, "tiny doc"))                    // < 3 tokens: drops
+      .toDF("doc_id", "text")
+    val out = text.Corpus.novelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 2L && out(1L).getDouble(3) == 1.0)
+    assert(out(2L).getLong(2) == 0L && out(2L).getDouble(3) == 0.0,
+      s"${out(2L)}")
+    assert(out(3L).getLong(1) == 2L && out(3L).getLong(2) == 1L &&
+      out(3L).getDouble(3) == 0.5, s"${out(3L)}")
+    assert(!out.contains(4L), "sub-n docs drop (the contamination rule)")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
