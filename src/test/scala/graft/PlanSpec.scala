@@ -540,6 +540,55 @@ class PlanSpec extends AnyFunSuite {
       s"vocab join must broadcast:\n$p")
   }
 
+  test("band/overlap/attribution/winnow-pairs joins stay keyed — no all-pairs stage") {
+    // each of these REPLACES a nested-loop-shaped predicate (band,
+    // interval overlap, time window, shared fingerprint) with an equi
+    // join on a derived key; a BNLJ/Cartesian node anywhere means the
+    // derivation silently degenerated to all-pairs at 100 TB
+    for (q <- Seq("q194_band_join", "q189_interval_overlap",
+        "q193_attribution", "q185_winnow_pairs")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$q: expected an equi join:\n$p")
+    }
+  }
+
+  test("spearman / weightedMedian / tailStats: ONE keyed Exchange end-to-end") {
+    // window(s) partition by the key and the closing agg groups by the
+    // same key — HashPartitioning(key) must be planned ONCE; a second
+    // Exchange would re-shuffle rows the window already placed
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sfDir)
+    val plans = Seq(
+      etl.Aggregates.spearman(ev, Seq("event_type"), col("value"),
+        col("user_id").cast("double")),
+      etl.Aggregates.weightedMedian(ev, Seq("event_type"), "value",
+        "event_id"),
+      etl.Aggregates.tailStats(ev, Seq("event_type"), "value",
+        col("event_id"), p = 0.95))
+    for (df <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"expected exactly one Exchange:\n$p")
+    }
+  }
+
+  test("Rules.check and Profile.profile evaluate in one scan (single Expand aggregation)") {
+    val ev = Tables.events(spark, sfDir)
+    for (df <- Seq(
+        etl.Rules.check(ev, Seq(etl.Rules.NotNull("value"),
+          etl.Rules.Unique(Seq("event_id")))),
+        etl.Profile.profile(ev, Seq("event_type", "value")))) {
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      assert(scans.length == 1, s"must scan the table once:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("Drift: corpus-scale aggs reduce BEFORE the per-key windows") {
     // ksTest's first shuffle keys on (key, value) — fine-grained, skew-
     // free reduction of the raw rows; only the reduced distinct-value
