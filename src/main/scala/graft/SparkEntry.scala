@@ -1960,6 +1960,23 @@ object SparkEntry {
           n = 3)
         .orderBy(col("doc_id"))),
 
+    "q200_target_encode" -> ((s, dir) =>
+      // leave-one-out target encoding of event_type by value (m=10):
+      // the leakage-guarded categorical encoder; singletons fall out as
+      // exactly the global mean with no special case
+      etl.Features.targetEncodeLoo(Tables.events(s, dir), "event_type",
+          "value", m = 10.0)
+        .select(col("event_id"), col("event_type"), col("te"))
+        .orderBy(col("event_id"))),
+
+    "q201_label_confusion" -> ((s, dir) =>
+      // which classes does the embedding space confuse: pairwise
+      // centroid cosines in long form — label-count-sized after one
+      // explode+agg, the 45-number summary before a full eval
+      sim.Centroids.centroidConfusion(Tables.embeddings(s, dir),
+          "embedding", "label")
+        .orderBy(col("label_a"), col("label_b"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5559,6 +5576,36 @@ object SparkEntry {
         |  roundStable(CAST(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 6) AS novelty_rate
         |FROM ex e JOIN f USING (sh) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q200_target_encode" ->
+      // the identical LOO + smoothing expression tree
+      """WITH s AS (SELECT event_type, sum(value) AS sv,
+        |    count(value) AS nv FROM events GROUP BY 1),
+        |g AS (SELECT sum(value) / count(value) AS g FROM events)
+        |SELECT e.event_id, e.event_type,
+        |  roundStable(CASE WHEN e.value IS NOT NULL THEN
+        |    (s.sv - e.value + 10.0 * g.g) / (s.nv - 1 + 10.0) END, 6)
+        |    AS te
+        |FROM events e JOIN s USING (event_type) CROSS JOIN g
+        |ORDER BY event_id""".stripMargin,
+
+    "q201_label_confusion" ->
+      // long-form centroids (9dp-rounded means), label norms, dim-keyed
+      // pair dot products — the identical staging
+      """WITH x AS (SELECT label,
+        |    unnest([{'d': i, 'v': CAST(embedding[i] AS DOUBLE)}
+        |      FOR i IN range(1, len(embedding) + 1)]) AS s
+        |  FROM embeddings),
+        |e AS (SELECT label, s.d AS dim, s.v AS v FROM x),
+        |c AS (SELECT label, dim, roundStable(avg(v), 9) AS mu
+        |  FROM e GROUP BY 1, 2),
+        |n AS (SELECT label, sum(mu * mu) AS nn FROM c GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  roundStable(sum(a.mu * b.mu)
+        |    / (sqrt(max(na.nn)) * sqrt(max(nb.nn))), 6) AS cosine
+        |FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |JOIN n na ON na.label = a.label JOIN n nb ON nb.label = b.label
+        |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

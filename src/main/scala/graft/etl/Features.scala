@@ -3,6 +3,8 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.roundStable
+
 /** Feature engineering — the reference's transform-phase derived columns,
   * re-expressed as pure Catalyst column expressions (codegen'd, no UDFs).
   *
@@ -80,5 +82,37 @@ object Features {
       .groupBy(keyCols :+ col("bin"): _*)
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Leave-one-out target encoding with additive smoothing (the
+    * high-cardinality categorical encoder gradient-boosting pipelines
+    * standardize on; Micci-Barreca SIGKDD'01): each row's category is
+    * replaced by the mean TARGET of the OTHER rows of that category,
+    * shrunk toward the global mean by a prior weight `m` —
+    * `enc = (Σ_c y − y_row + m·g) / (n_c − 1 + m)`. Leave-one-out is
+    * the leakage guard (the row's own label never encodes itself);
+    * the smoothing makes singleton categories fall out as exactly the
+    * global mean with NO special case (`(0 + m·g)/(0 + m) = g`).
+    *
+    * Shape: one category aggregation (O(#categories)) joined back —
+    * AQE broadcasts when it fits — plus one global one-row aggregate;
+    * the encoding itself is a map-side expression. Rows with a NULL
+    * target pass through with a NULL encoding (they contribute nothing
+    * to the sums either).
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      m: Double, digits: Int = 6): DataFrame = {
+    require(m > 0, s"need m > 0, got $m")
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(col(targetCol)).as("__s"), count(col(targetCol)).as("__n"))
+    val g = df.agg((sum(col(targetCol)) /
+      count(col(targetCol))).as("__g"))
+    df.join(stats, Seq(catCol), "left")
+      .crossJoin(broadcast(g))
+      .withColumn("te", roundStable(
+        when(col(targetCol).isNotNull,
+          (col("__s") - col(targetCol) + lit(m) * col("__g")) /
+            (col("__n") - 1 + lit(m))), digits))
+      .drop("__s", "__n", "__g")
   }
 }

@@ -2460,6 +2460,40 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(!out.contains(4L), "sub-n docs drop (the contamination rule)")
   }
 
+  test("targetEncodeLoo: hand LOO values, singleton = exactly global mean, null target passthrough") {
+    // cat a: targets (10, 20, 30); global mean over all = (10+20+30+100)/4 = 40
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(30.0)),
+      ("b", Some(100.0)), ("c", None: Option[Double]))
+      .toDF("cat", "y")
+    val out = etl.Features.targetEncodeLoo(df, "cat", "y", m = 2.0)
+      .collect().map(r => (r.getString(0), Option(r.get(1))) -> r).toMap
+    // row (a, 10): (60-10 + 2*40)/(3-1+2) = 130/4 = 32.5
+    assert(out(("a", Some(10.0))).getDouble(2) == 32.5)
+    assert(out(("a", Some(30.0))).getDouble(2) == 27.5, "(30+80)/4")
+    // singleton b: (100-100 + 2*40)/(1-1+2) = exactly the global mean
+    assert(out(("b", Some(100.0))).getDouble(2) == 40.0)
+    // null target: encoding NULL, row kept
+    assert(out(("c", None)).isNullAt(2))
+  }
+
+  test("centroidConfusion: aligned labels cosine 1, orthogonal 0, opposed -1; long-form exact") {
+    def v(a: Double, b: Double) = Array(a.toFloat, b.toFloat)
+    val df = Seq(
+      (1L, v(1, 0), 0), (2L, v(3, 0), 0),    // centroid (2, 0)
+      (3L, v(0, 2), 1), (4L, v(0, 4), 1),    // centroid (0, 3)
+      (5L, v(2, 0), 2),                      // centroid (2, 0): == label 0 dir
+      (6L, v(-1, 0), 3))                     // centroid (-1, 0): opposed
+      .toDF("vec_id", "embedding", "label")
+    val out = sim.Centroids.centroidConfusion(df, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((0, 2)) == 1.0 && out((0, 1)) == 0.0 && out((0, 3)) == -1.0,
+      s"$out")
+    assert(out((1, 2)) == 0.0 && out((2, 3)) == -1.0)
+    val cent = sim.Centroids.labelCentroids(df, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cent((0, 0)) == 2.0 && cent((1, 1)) == 3.0, s"$cent")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)

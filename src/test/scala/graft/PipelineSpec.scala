@@ -1152,6 +1152,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(after == before, "replayed batch must not change the readout")
   }
 
+  test("NoveltyStream: per-batch novelty vs EARLIER batches only; replay idempotent; state stays deduped") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_novstream").toString
+    val (st, rp) = (s"$tmp/state", s"$tmp/report")
+    // batch 0: two docs, all trigrams new
+    val b0 = Seq("alpha beta gamma delta", "one two three four")
+      .toDF("text")
+    // batch 1: one doc repeats b0 verbatim, one brand new
+    val b1 = Seq("alpha beta gamma delta", "five six seven eight")
+      .toDF("text")
+    streaming.NoveltyStream.noveltyBatch(b0, 0L, "text", st, rp)
+    streaming.NoveltyStream.noveltyBatch(b1, 1L, "text", st, rp)
+    val rep = streaming.NoveltyStream.report(spark, rp)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep(0L).getDouble(4) == 1.0, s"first batch all novel: ${rep(0L)}")
+    // b1: 4 distinct trigrams (2+2), 2 seen in b0 -> 0.5
+    assert(rep(1L).getLong(2) == 4L && rep(1L).getLong(3) == 2L &&
+      rep(1L).getDouble(4) == 0.5, s"${rep(1L)}")
+    // replay batch 1: its own stored shingles must NOT lower its score
+    streaming.NoveltyStream.noveltyBatch(b1, 1L, "text", st, rp)
+    val rep2 = streaming.NoveltyStream.report(spark, rp)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep2(1L).getDouble(4) == 0.5, "replay is idempotent")
+    // state holds each shingle ONCE, owned by its first batch
+    val state = spark.read.parquet(st)
+    assert(state.count() == state.select("sh").distinct().count(),
+      "state must stay deduped across batches")
+  }
+
   test("EnrichStream: facts see the version valid at THEIR time; replay stable after dim evolves") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_enrich").toString
