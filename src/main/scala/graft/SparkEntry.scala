@@ -1977,6 +1977,34 @@ object SparkEntry {
           "embedding", "label")
         .orderBy(col("label_a"), col("label_b"))),
 
+    "q202_auc" -> ((s, dir) =>
+      // threshold-free ranking power per cohort via the rank identity
+      // AUC = (Σranks⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) — tie-exact midranks, state
+      // O(#distinct scores) per key
+      etl.MlEval.auc(
+          Tables.events(s, dir)
+            .withColumn("cohort", (col("user_id") % 5).cast("long")),
+          Seq("cohort"), col("value"), col("event_type") === "purchase")
+        .orderBy(col("cohort"))),
+
+    "q203_calibration" -> ((s, dir) =>
+      // reliability bins + ECE terms for a [0,1] score (value/500
+      // clamped): per-bin confidence vs observed rate — map-side
+      // equal-width binning, the scale path of the eval family
+      etl.MlEval.calibration(Tables.events(s, dir),
+          least(col("value") / 500, lit(1.0)),
+          col("event_type") === "purchase", bins = 10)
+        .orderBy(col("bin"))),
+
+    "q204_gains" -> ((s, dir) =>
+      // decile gains/lift for the same score: explicit rank-arithmetic
+      // buckets (never ntile — engine-specific tie placement)
+      etl.MlEval.gainsTable(Tables.events(s, dir),
+          least(col("value") / 500, lit(1.0)),
+          col("event_type") === "purchase", tieCol = col("event_id"),
+          parts = 10)
+        .orderBy(col("bucket"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5606,6 +5634,66 @@ object SparkEntry {
         |FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
         |JOIN n na ON na.label = a.label JOIN n nb ON nb.label = b.label
         |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
+
+    "q202_auc" ->
+      // the q132 midrank staging, closed by the AUC identity instead
+      // of the z statistic
+      """WITH c AS (SELECT user_id % 5 AS cohort, value AS v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT cohort, ca, cb, ca + cb AS t,
+        |    sum(ca + cb) OVER (PARTITION BY cohort ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) - (ca + cb) AS below,
+        |    sum(ca) OVER (PARTITION BY cohort) AS na,
+        |    sum(cb) OVER (PARTITION BY cohort) AS nb FROM c),
+        |r AS (SELECT cohort,
+        |    (CAST(below AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2) * ca AS ra,
+        |    na, nb FROM w)
+        |SELECT cohort,
+        |  roundStable(CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+        |    (sum(ra) - CAST(max(na) AS DOUBLE)
+        |      * (CAST(max(na) AS DOUBLE) + 1) / 2)
+        |    / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)) END, 6)
+        |    AS auc,
+        |  CAST(max(na) AS BIGINT) AS n_pos, CAST(max(nb) AS BIGINT) AS n_neg
+        |FROM r GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "q203_calibration" ->
+      // identical rounded-score binning and per-bin means
+      """WITH b AS (SELECT
+        |    roundStable(least(value / 500, CAST(1 AS DOUBLE)), 9) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin,
+        |    count(*) AS n, avg(s) AS conf, avg(y) AS acc FROM b GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM g)
+        |SELECT bin, n, roundStable(conf, 6) AS confidence,
+        |  roundStable(acc, 6) AS accuracy,
+        |  roundStable(CAST(n AS DOUBLE) / tot * abs(acc - conf), 6)
+        |    AS ece_term
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "q204_gains" ->
+      // the same (score desc, tie) rank and (rn-1)·parts DIV n buckets
+      """WITH b AS (SELECT
+        |    roundStable(least(value / 500, CAST(1 AS DOUBLE)), 9) AS s,
+        |    event_id AS tie,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT s, y, row_number() OVER (ORDER BY s DESC, tie) AS rn,
+        |    count(*) OVER () AS n FROM b),
+        |g AS (SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+        |    count(*) AS n, sum(y) AS np FROM r GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot, sum(np) AS totp FROM g),
+        |c AS (SELECT bucket, n, np, sum(np) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS cump FROM g)
+        |SELECT c.bucket, c.n, CAST(c.np AS BIGINT) AS n_pos,
+        |  roundStable(CASE WHEN totp > 0
+        |    THEN CAST(cump AS DOUBLE) / totp END, 6) AS capture_rate,
+        |  roundStable(CASE WHEN totp > 0 THEN (CAST(np AS DOUBLE) / c.n)
+        |    / (CAST(totp AS DOUBLE) / tot) END, 6) AS lift
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

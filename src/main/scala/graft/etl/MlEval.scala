@@ -1,0 +1,125 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.roundStable
+
+/** Classifier-evaluation aggregates at corpus scale — the readouts a
+  * quality/toxicity/language filter model is judged by before it gates
+  * a 100 TB corpus: AUC (threshold-free ranking power), calibration
+  * (do predicted probabilities MEAN anything), and the gains table
+  * (what does acting on the top decile actually capture). All exact,
+  * all keyed aggregations — no sampling, no sklearn-on-the-driver.
+  */
+object MlEval {
+
+  /** ROC AUC per key via the rank (Mann-Whitney) identity
+    * `AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)` — the probability a
+    * random positive outranks a random negative, tie-exact through
+    * midranks (the [[Aggregates.mannWhitneyU]] machinery: scores
+    * reduce to per-(key, score) counts FIRST, so per-key state is
+    * O(#distinct scores) and nothing corpus-scale sorts). A key
+    * missing a class emits NULL (AUC undefined), with both class
+    * counts visible.
+    */
+  def auc(df: DataFrame, keys: Seq[String], scoreCol: Column,
+          isPositive: Column, decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = df
+      .groupBy(keyCols :+ scoreCol.as("__v"): _*)
+      .agg(sum(when(isPositive, 1L).otherwise(0L)).as("__ca"),
+        sum(when(!isPositive, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val below = sum(col("__t")).over(wOrd) - col("__t")
+    val avgRank = below.cast("double") + (col("__t") + lit(1)).cast("double") / 2
+    val enriched = counts
+      .withColumn("__ra", avgRank * col("__ca"))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    val na = max(col("__na")).cast("double")
+    val nb = max(col("__nb")).cast("double")
+    val u = sum(col("__ra")) - na * (na + 1) / 2
+    enriched
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(when(na > 0 && nb > 0, u / (na * nb)), decimals)
+          .as("auc"),
+        max(col("__na")).as("n_pos"), max(col("__nb")).as("n_neg"))
+  }
+
+  /** Reliability diagram + ECE terms: scores in [0, 1] cut into `bins`
+    * equal-width bins (top edge closed); per bin the mean predicted
+    * score (confidence), the observed positive rate (accuracy), and
+    * the bin's ECE contribution `n_b/N · |acc − conf|` — sum the
+    * column for the scalar ECE. One aggregation; bin ids are exact
+    * integer floors of the rounded score (cross-engine boundary
+    * stability — the binId discipline).
+    */
+  def calibration(df: DataFrame, scoreCol: Column, isPositive: Column,
+                  bins: Int = 10, decimals: Int = 6): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val s = roundStable(scoreCol, 9)
+    val bin = least(floor(s * bins), lit(bins - 1)).cast("long")
+    val wAll = Window.partitionBy()
+    df.filter(scoreCol.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(s).as("__conf"),
+        avg(when(isPositive, 1.0).otherwise(0.0)).as("__acc"))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .select(col("bin"), col("n"),
+        roundStable(col("__conf"), decimals).as("confidence"),
+        roundStable(col("__acc"), decimals).as("accuracy"),
+        roundStable(col("n").cast("double") / col("__tot") *
+          abs(col("__acc") - col("__conf")), decimals).as("ece_term"))
+  }
+
+  /** Gains/lift table: rank DESC by (score, tie), cut into `parts`
+    * equal row-count buckets by EXPLICIT rank arithmetic
+    * (`(rank−1)·parts DIV n` — never `ntile`, whose tie placement is
+    * engine-specific); per bucket: positives, cumulative capture of
+    * all positives, and lift vs the base rate. The "act on the top
+    * decile" planning readout.
+    *
+    * Scale note, stated honestly: EXACT equal-count buckets need a
+    * total order, so the rank window is global (one partition over N
+    * rows) — the deliberate trade of this surface. At corpus scale
+    * prefer [[calibration]] (map-side equal-WIDTH bins) or cut buckets
+    * at score quantiles from `Aggregates.histSketch` and accept
+    * approximate bucket sizes; this exact form is for the
+    * post-aggregation / sampled-eval sizes a gains table is read at.
+    */
+  def gainsTable(df: DataFrame, scoreCol: Column, isPositive: Column,
+                 tieCol: Column, parts: Int = 10,
+                 decimals: Int = 6): DataFrame = {
+    require(parts >= 2, s"need parts >= 2, got $parts")
+    val wOrd = Window.orderBy(col("__s").desc, tieCol)
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(scoreCol.isNotNull)
+      .withColumn("__s", roundStable(scoreCol, 9))
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("bucket", expr(s"(__rn - 1) * $parts DIV __n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isPositive, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("__totPos", sum(col("n_pos")).over(wAll))
+      .withColumn("__cumPos", sum(col("n_pos")).over(wCum))
+    base.select(col("bucket"), col("n"), col("n_pos"),
+      roundStable(when(col("__totPos") > 0,
+        col("__cumPos").cast("double") / col("__totPos")), decimals)
+        .as("capture_rate"),
+      roundStable(when(col("__totPos") > 0,
+        (col("n_pos").cast("double") / col("n")) /
+          (col("__totPos").cast("double") / col("__tot"))), decimals)
+        .as("lift"))
+  }
+}

@@ -2494,6 +2494,65 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(cent((0, 0)) == 2.0 && cent((1, 1)) == 3.0, s"$cent")
   }
 
+  test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
+    val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
+    val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
+    val allTie = (1 to 10).map(i => ("t", 7.0, i % 2 == 0))
+    // hand: pos scores (3, 5), neg (1, 4): pairs pos>neg: (3>1),(5>1),(5>4)
+    // + 0 ties -> AUC = 3/4
+    val hand = Seq(("h", 3.0, true), ("h", 5.0, true),
+      ("h", 1.0, false), ("h", 4.0, false))
+    val onecls = Seq(("o", 1.0, true), ("o", 2.0, true))
+    val out = etl.MlEval.auc(
+      (perfect ++ inverted ++ allTie ++ hand ++ onecls).toDF("k", "s", "y"),
+      Seq("k"), col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("p").getDouble(1) == 1.0 && out("i").getDouble(1) == 0.0)
+    assert(out("t").getDouble(1) == 0.5, "all-tied scores are chance")
+    assert(out("h").getDouble(1) == 0.75, s"${out("h")}")
+    assert(out("o").isNullAt(1) && out("o").getLong(2) == 2L,
+      "one-class AUC undefined, counts visible")
+  }
+
+  test("MlEval.calibration: perfectly calibrated bins have ece 0; miscalibrated don't; edges") {
+    // scores exactly at bin centers with matching positive rates
+    val calib = (0 until 10).flatMap { b =>
+      val p = b / 10.0 + 0.05
+      (1 to 20).map(i => (p, i <= (p * 20).round))
+    }
+    val out = etl.MlEval.calibration(calib.toDF("s", "y"), col("s"),
+      col("y"), bins = 10).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 10)
+    // bin 0: conf 0.05, acc 1/20 = 0.05 -> ece_term 0
+    assert(out(0L).getDouble(2) == 0.05 && out(0L).getDouble(3) == 0.05 &&
+      out(0L).getDouble(4) == 0.0, s"${out(0L)}")
+    // score exactly 1.0 lands in the TOP bin, not bin 10
+    val edge = etl.MlEval.calibration(
+      Seq((1.0, true), (0.0, false)).toDF("s", "y"), col("s"), col("y"),
+      bins = 10).collect().map(_.getLong(0)).toSet
+    assert(edge == Set(0L, 9L), s"$edge")
+    // overconfident predictor: conf 0.9, acc 0 -> big term
+    val over = etl.MlEval.calibration(
+      Seq.fill(10)((0.95, false)).toDF("s", "y"), col("s"), col("y"),
+      bins = 10).collect().head
+    assert(over.getDouble(4) == 0.95, s"$over")
+  }
+
+  test("MlEval.gainsTable: top bucket captures a planted head; buckets equal-count; lift sane") {
+    // 100 rows, scores 100..1: positives exactly the top 10 scores
+    val rows = (1 to 100).map(i => (i.toDouble, i.toLong, i > 90))
+    val out = etl.MlEval.gainsTable(rows.toDF("s", "tie", "y"), col("s"),
+      col("y"), col("tie"), parts = 10)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 10 && out.forall(_.getLong(1) == 10L))
+    val top = out.head
+    assert(top.getLong(2) == 10L && top.getDouble(3) == 1.0 &&
+      top.getDouble(4) == 10.0,
+      s"top decile holds every positive at 10x lift: $top")
+    assert(out.tail.forall(_.getLong(2) == 0L))
+    assert(out.last.getDouble(3) == 1.0, "capture is cumulative to 1")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
