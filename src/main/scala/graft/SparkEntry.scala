@@ -2005,6 +2005,48 @@ object SparkEntry {
           parts = 10)
         .orderBy(col("bucket"))),
 
+    "q205_conformal" -> ((s, dir) => {
+      // split-conformal upper bound per type at alpha=0.1 (calibrate on
+      // even event_ids, check empirical coverage on odd) — a threshold
+      // with a finite-sample guarantee instead of a vibe
+      val ev = Tables.events(s, dir)
+      val thr = etl.MlEval.conformalThreshold(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"),
+        col("value"), col("event_id"), alpha = 0.1)
+      ev.filter(col("event_id") % 2 === 1)
+        .join(thr, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("qhat")).as("qhat"), max(col("n_cal")).as("n_cal"),
+          max(col("guaranteed_cov")).as("guaranteed_cov"),
+          count(lit(1)).as("n_test"),
+          roundStable(avg((col("value") <= col("qhat")).cast("double")), 6)
+            .as("test_cov"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q206_assortativity" -> ((s, dir) => {
+      // one graph-census scalar: do trade hubs attach to hubs? —
+      // decides whether saltBuckets matters before ten PageRank rounds
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      operators.Assortativity.degreeAssortativity(edges, "src", "dst")
+    }),
+
+    "q207_twonn" -> ((s, dir) => {
+      // two-NN intrinsic dimension of the embedding space (Facco 2017)
+      // over a deterministic 10% query sample — the "how many effective
+      // dimensions am I actually indexing" readout
+      val emb = Tables.embeddings(s, dir)
+      sim.IntrinsicDim.twoNN(emb, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding")
+    }),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5694,6 +5736,81 @@ object SparkEntry {
         |  roundStable(CASE WHEN totp > 0 THEN (CAST(np AS DOUBLE) / c.n)
         |    / (CAST(totp AS DOUBLE) / tot) END, 6) AS lift
         |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "q205_conformal" ->
+      // the ⌈(n+1)(1−α)⌉ order statistic with (1 − α) spelled as the
+      // same IEEE subtraction, then the odd-half coverage check
+      """WITH cal AS (SELECT event_type, value AS v, event_id AS tie
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, tie)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM cal),
+        |k AS (SELECT event_type, v, rn, n,
+        |    CAST(ceil((n + 1) * (1 - CAST(0.1 AS DOUBLE))) AS BIGINT) AS kk
+        |  FROM r),
+        |th AS (SELECT event_type,
+        |    roundStable(min(CASE WHEN kk <= n THEN v END), 6) AS qhat,
+        |    CAST(max(n) AS BIGINT) AS n_cal,
+        |    roundStable(max(CAST(kk AS DOUBLE) / (n + 1)), 6) AS gcov
+        |  FROM k WHERE rn = least(kk, n) GROUP BY 1),
+        |te AS (SELECT event_type, value FROM events WHERE event_id % 2 = 1)
+        |SELECT te.event_type, th.qhat, th.n_cal,
+        |  th.gcov AS guaranteed_cov, count(*) AS n_test,
+        |  roundStable(avg(CASE WHEN te.value <= th.qhat
+        |    THEN 1.0 ELSE 0.0 END), 6) AS test_cov
+        |FROM te JOIN th USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY te.event_type""".stripMargin,
+
+    "q206_assortativity" ->
+      // endpoint degrees over the symmetrized edge list, explicit
+      // moment Pearson
+      """WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |x AS (SELECT CAST(dj.d AS DOUBLE) AS x, CAST(dk.d AS DOUBLE) AS y
+        |  FROM e JOIN deg dj ON dj.node = e.src
+        |  JOIN deg dk ON dk.node = e.dst)
+        |SELECT roundStable(CASE WHEN
+        |    (count(*) * sum(x*x) - sum(x) * sum(x))
+        |      * (count(*) * sum(y*y) - sum(y) * sum(y)) > 0 THEN
+        |    (count(*) * sum(x*y) - sum(x) * sum(y))
+        |    / sqrt((count(*) * sum(x*x) - sum(x) * sum(x))
+        |         * (count(*) * sum(y*y) - sum(y) * sum(y))) END, 6)
+        |    AS assortativity,
+        |  count(*) AS n_edges
+        |FROM x""".stripMargin,
+
+    "q207_twonn" ->
+      // identical squared-norm/dot euclidean tree, rounded distances,
+      // (d, cid) rank, the n/Σln(μ) MLE
+      """WITH v AS (SELECT vec_id, embedding,
+        |    list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(embedding) + 1)]) AS nsq
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    roundStable(sqrt(greatest(q.nsq + c.nsq
+        |      - 2.0 * list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |          FOR i IN range(1, len(q.embedding) + 1)]),
+        |      CAST(0 AS DOUBLE))), 6) AS d
+        |  FROM v q JOIN v c ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT qid, cid, d,
+        |    row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        |  FROM p),
+        |nn AS (SELECT qid, min(CASE WHEN rn = 1 THEN d END) AS r1,
+        |    min(CASE WHEN rn = 2 THEN d END) AS r2
+        |  FROM r WHERE rn <= 2 GROUP BY 1),
+        |s AS (SELECT CASE WHEN r1 > 0 THEN ln(r2 / r1) END AS lnmu FROM nn)
+        |SELECT CAST(sum(CASE WHEN lnmu IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_used,
+        |  CAST(sum(CASE WHEN lnmu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped_dup,
+        |  roundStable(sum(lnmu), 6) AS sum_ln_mu,
+        |  roundStable(CAST(sum(CASE WHEN lnmu IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / sum(lnmu), 6) AS id_hat
+        |FROM s""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -79,6 +79,40 @@ object MlEval {
           abs(col("__acc") - col("__conf")), decimals).as("ece_term"))
   }
 
+  /** Split-conformal threshold per key (Vovk's conformal prediction,
+    * the Angelopoulos & Bates '21 recipe): the `⌈(n+1)(1−α)⌉`-th
+    * smallest calibration score — the cutoff that guarantees
+    * `P(score_new ≤ q̂) ≥ 1−α` for exchangeable data, distribution-free.
+    * The ML-pipeline use: calibrate a filter's nonconformity once,
+    * then gate the corpus with a threshold that carries a COVERAGE
+    * guarantee instead of a vibe. Exact order statistic via one keyed
+    * rank window (deterministic (score, tie) order); keys too small
+    * for the rank (`⌈(n+1)(1−α)⌉ > n`) emit NULL — "cannot guarantee
+    * 1−α at this n" is a visible answer. Also emits the EXACT
+    * guaranteed level `⌈(n+1)(1−α)⌉/(n+1)` (finite-sample, ≥ 1−α).
+    */
+  def conformalThreshold(df: DataFrame, keys: Seq[String],
+                         scoreCol: Column, tieCol: Column, alpha: Double,
+                         decimals: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    val keyCols = keys.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(scoreCol, tieCol)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val rank = ceil((col("__n") + 1) * (1.0 - alpha)).cast("long")
+    df.filter(scoreCol.isNotNull)
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k", rank)
+      .filter(col("__rn") === least(col("__k"), col("__n")))
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(min(when(col("__k") <= col("__n"), scoreCol)), decimals)
+          .as("qhat"),
+        max(col("__n")).as("n_cal"),
+        roundStable(max(col("__k").cast("double") / (col("__n") + 1)),
+          decimals).as("guaranteed_cov"))
+  }
+
   /** Gains/lift table: rank DESC by (score, tie), cut into `parts`
     * equal row-count buckets by EXPLICIT rank arithmetic
     * (`(rank−1)·parts DIV n` — never `ntile`, whose tie placement is

@@ -2553,6 +2553,77 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.last.getDouble(3) == 1.0, "capture is cumulative to 1")
   }
 
+  test("conformalThreshold: textbook order statistic, small-n NULL, guaranteed level exact") {
+    // n=9 calibration scores 1..9, alpha=0.1: k = ceil(10*0.9) = 9
+    // -> qhat = 9th smallest = 9, guaranteed 9/10 = 0.9
+    val nine = (1 to 9).map(i => ("a", i.toDouble, i.toLong))
+    // n=19, alpha=0.1: k = ceil(20*0.9) = 18 -> qhat = 18
+    val nineteen = (1 to 19).map(i => ("b", i.toDouble, i.toLong))
+    // n=5, alpha=0.1: k = ceil(6*0.9) = 6 > 5 -> NULL qhat, visible n
+    val five = (1 to 5).map(i => ("c", i.toDouble, i.toLong))
+    val out = etl.MlEval.conformalThreshold(
+      (nine ++ nineteen ++ five).toDF("k", "s", "tie"), Seq("k"),
+      col("s"), col("tie"), alpha = 0.1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(1) == 9.0 && out("a").getDouble(3) == 0.9,
+      s"${out("a")}")
+    assert(out("b").getDouble(1) == 18.0 && out("b").getLong(2) == 19L)
+    assert(out("c").isNullAt(1) && out("c").getLong(2) == 5L,
+      "cannot guarantee 0.9 at n=5 — visible, not fabricated")
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative; mixed ring+star in (-1, 0); regular NULL") {
+    // symmetrized star: hub 0 <-> leaves 1..5 -> every edge pairs
+    // degree 5 with degree 1 -> r = -1 exactly
+    val star = (1 to 5).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+    val r1 = operators.Assortativity.degreeAssortativity(
+      star.toDF("src", "dst"), "src", "dst").collect().head
+    assert(r1.getDouble(0) == -1.0 && r1.getLong(1) == 10L, s"$r1")
+    // 4-ring: every node degree 2 -> zero variance -> NULL
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val r2 = operators.Assortativity.degreeAssortativity(
+      ring.toDF("src", "dst"), "src", "dst").collect().head
+    assert(r2.isNullAt(0), "regular graph has no degree correlation")
+    // star + disjoint ring: still negative but not -1
+    val r3 = operators.Assortativity.degreeAssortativity(
+      (star ++ ring.map { case (a, b) => (a + 100L, b + 100L) })
+        .toDF("src", "dst"), "src", "dst").collect().head
+    assert(r3.getDouble(0) < 0.0 && r3.getDouble(0) > -1.0, s"$r3")
+  }
+
+  test("twoNN: random 1-D manifold reads ~1, random 2-D reads higher, duplicates dropped visibly") {
+    // deterministic pseudo-random coordinates (the estimator assumes a
+    // POINT PROCESS — equally spaced points have r1 = r2 everywhere and
+    // ln(mu) = 0, a degenerate input, not a manifold sample)
+    def pr(i: Int, salt: Int): Float = {
+      val x = math.sin(i * 12.9898 + salt * 78.233) * 43758.5453
+      ((x - math.floor(x)) * 100).toFloat
+    }
+    def embed(xs: Float*) = Array.tabulate(8)(d =>
+      if (d < xs.length) xs(d) else 0f)
+    val d1 = (1 to 80).map(i => (i.toLong, embed(pr(i, 1))))
+    val out1 = sim.IntrinsicDim.twoNN(d1.toDF("vec_id", "embedding"),
+      d1.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().head
+    val id1 = out1.getDouble(3)
+    assert(out1.getLong(0) == 80L && id1 > 0.6 && id1 < 1.6,
+      s"random line should read ~1: $out1")
+    val d2 = (1 to 120).map(i => (i.toLong, embed(pr(i, 1), pr(i, 2))))
+    val out2 = sim.IntrinsicDim.twoNN(d2.toDF("vec_id", "embedding"),
+      d2.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().head
+    val id2 = out2.getDouble(3)
+    assert(id2 > id1 && id2 > 1.4 && id2 < 3.2,
+      s"random plane must read above the line: $out2")
+    // exact duplicate pair: r1 = 0 rows drop with a visible count
+    val dup = d1 ++ Seq((1000L, embed(pr(1, 1))))
+    val out3 = sim.IntrinsicDim.twoNN(dup.toDF("vec_id", "embedding"),
+      dup.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().head
+    assert(out3.getLong(1) >= 2L, s"dup pair must drop visibly: $out3")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
