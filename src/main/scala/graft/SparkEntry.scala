@@ -2047,6 +2047,29 @@ object SparkEntry {
         "vec_id", "embedding")
     }),
 
+    "q208_scalable_quantile" -> ((s, dir) =>
+      // EXACT p99 per type via the two-pass histogram narrowing (the
+      // q174 machinery at any p) — the oracle's quantile_cont IS the
+      // exactness proof; percentile() would buffer a 100 TB key
+      etl.Aggregates.scalableQuantile(Tables.events(s, dir),
+          Seq("event_type"), "value", p = 0.99, bins = 100)
+        .orderBy(col("event_type"))),
+
+    "q209_density_ratio" -> ((s, dir) =>
+      // the cure to the drift q125 diagnoses: per-(type, bin)
+      // importance weights p/q that make current-window averages
+      // estimate reference-window expectations again
+      etl.Drift.densityRatio(Tables.events(s, dir), Seq("event_type"),
+          "value", isRef = dayofmonth(col("ts")) <= 15, bins = 10)
+        .orderBy(col("event_type"), col("bin"))),
+
+    "q210_hash_features" -> ((s, dir) =>
+      // fixed-dim sparse vectors, no vocabulary table: the hashing
+      // trick with md5-replayable buckets and ±1 signs
+      text.HashFeatures.hashFeatures(Tables.documents(s, dir), "doc_id",
+          "text", dim = 512)
+        .orderBy(col("doc_id"), col("feature"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5811,6 +5834,58 @@ object SparkEntry {
         |  roundStable(CAST(sum(CASE WHEN lnmu IS NOT NULL THEN 1 ELSE 0 END)
         |    AS DOUBLE) / sum(lnmu), 6) AS id_hat
         |FROM s""".stripMargin,
+
+    "q208_scalable_quantile" ->
+      // the CONTRACT (exact continuous quantile) — proving the
+      // histogram-narrowed two-pass exact, not approximate
+      """SELECT event_type,
+        |  roundStable(quantile_cont(value, 0.99), 6) AS quantile,
+        |  count(value) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q209_density_ratio" ->
+      // the q125 binning replay closed by p/q instead of the PSI term
+      """WITH t AS (SELECT event_type, value,
+        |    (day(ts) <= 15) AS ref FROM events),
+        |r AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM t WHERE ref GROUP BY event_type),
+        |b AS (SELECT t.event_type, r.lo, r.hi,
+        |    CAST(least(greatest(CASE WHEN hi - lo <= 0 THEN 0
+        |      ELSE floor((value - lo) / (hi - lo) * 10) END, 0), 9)
+        |      AS BIGINT) AS bin,
+        |    ref
+        |  FROM t JOIN r ON t.event_type = r.event_type),
+        |c AS (SELECT event_type, bin, min(lo) AS lo, min(hi) AS hi,
+        |    sum(CASE WHEN ref THEN 1 ELSE 0 END) AS rc,
+        |    sum(CASE WHEN ref THEN 0 ELSE 1 END) AS cc
+        |  FROM b GROUP BY event_type, bin),
+        |w AS (SELECT event_type, bin, lo, hi, rc, cc,
+        |    sum(rc) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM c)
+        |SELECT event_type, bin, CAST(rc AS BIGINT) AS ref_n,
+        |  CAST(cc AS BIGINT) AS cur_n, lo, hi,
+        |  roundStable(((rc + 0.5) / (nr + 5.0))
+        |    / ((cc + 0.5) / (nc + 5.0)), 6) AS weight
+        |FROM w ORDER BY event_type, bin""".stripMargin,
+
+    "q210_hash_features" ->
+      // md5 hex prefix mod dim for the bucket, 11th hex digit parity
+      // for the sign — the winnow digit-parse convention
+      """WITH tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS hh FROM tk WHERE tok <> ''),
+        |f AS (SELECT doc_id,
+        |    CAST(list_sum([CAST((CASE WHEN unicode(hh[i]) >= 97
+        |        THEN unicode(hh[i]) - 87 ELSE unicode(hh[i]) - 48 END)
+        |        AS BIGINT) * 16 ** (10 - i) FOR i IN range(1, 11)])
+        |      AS BIGINT) % 512 AS feature,
+        |    (CASE WHEN unicode(hh[11]) >= 97 THEN unicode(hh[11]) - 87
+        |      ELSE unicode(hh[11]) - 48 END) % 2 * 2 - 1 AS s
+        |  FROM h)
+        |SELECT doc_id, feature, CAST(sum(s) AS BIGINT) AS value
+        |FROM f GROUP BY 1, 2 HAVING sum(s) <> 0
+        |ORDER BY doc_id, feature""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

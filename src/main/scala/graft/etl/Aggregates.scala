@@ -643,6 +643,61 @@ object Aggregates {
         max(col("__n")).as("n"))
   }
 
+  /** [[scalableMedian]] generalized to ANY quantile — exact
+    * `percentile(p)` semantics (linear interpolation at rank
+    * `(n−1)·p`) with BOUNDED memory at any group size: the per-key
+    * histogram locates the bin(s) holding the two interpolation order
+    * statistics, only that ~n/bins sliver re-ranks. The p99.9 SLO
+    * number, EXACT, on a key whose values would OOM a
+    * `percentile()` buffer. Interpolation arithmetic (`(n−1)·p`,
+    * fraction g, `v_lo + g·(v_hi − v_lo)`) is the textbook continuous
+    * form both engines define — the oracle's plain `quantile_cont` IS
+    * the exactness proof.
+    */
+  def scalableQuantile(df0: DataFrame, keys: Seq[String], valueCol: String,
+                       p: Double, bins: Int = 1000,
+                       decimals: Int = 6): DataFrame = {
+    require(p >= 0 && p <= 1, s"need 0 <= p <= 1, got $p")
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val keyCols = keys.map(col)
+    val df = df0.filter(col(valueCol).isNotNull)
+    val rng = df.groupBy(keyCols: _*)
+      .agg(count(col(valueCol)).as("__n"), min(col(valueCol)).as("__lo"),
+        max(col(valueCol)).as("__hi"))
+    val binOf = Drift.binId(col(valueCol), col("__lo"), col("__hi"), bins)
+    val hist = df.join(broadcast(rng), keys)
+      .withColumn("__bin", binOf)
+      .groupBy(keyCols :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"), max(col("__n")).as("__n"))
+    val wCumB = Window.partitionBy(keyCols: _*).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // 1-based bracketing ranks of the (n-1)*p interpolation index
+    val h = (col("__n") - 1).cast("double") * p
+    val r1 = (floor(h) + 1).cast("long")
+    val r2 = (ceil(h) + 1).cast("long")
+    val g = h - floor(h)
+    val cand = hist
+      .withColumn("__below", coalesce(sum(col("__cnt")).over(wCumB), lit(0L)))
+      .filter((col("__below") < r1 && col("__below") + col("__cnt") >= r1) ||
+        (col("__below") < r2 && col("__below") + col("__cnt") >= r2))
+      .select(keyCols ++ Seq(col("__bin"), col("__below"), col("__n")): _*)
+    val wInBin = Window.partitionBy(keyCols :+ col("__bin"): _*)
+      .orderBy(col(valueCol))
+    df.join(broadcast(rng.drop("__n")), keys)
+      .withColumn("__bin", binOf)
+      .join(cand, keys :+ "__bin")
+      .withColumn("__rk", col("__below") + row_number().over(wInBin))
+      .filter(col("__rk") === r1 || col("__rk") === r2)
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(
+          min(when(col("__rk") === r1, col(valueCol))) +
+            max(g) * (max(when(col("__rk") === r2, col(valueCol))) -
+              min(when(col("__rk") === r1, col(valueCol)))),
+          decimals).as("quantile"),
+        max(col("__n")).as("n"))
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

@@ -80,6 +80,47 @@ object Drift {
         max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
   }
 
+  /** Covariate-shift importance weights per (key, bin) — the CURE to
+    * the drift [[psi]] diagnoses: when the current window's feature
+    * distribution q has shifted from the reference p, rows reweighted
+    * by `w = p/q` (density ratio, binned) make current-window averages
+    * estimate REFERENCE-window expectations again (Shimodaira 2000) —
+    * train-on-fresh-data-as-if-reference without discarding it. Same
+    * frozen-reference binning and add-half smoothing as [[psi]]
+    * (smoothing caps the weight a near-empty current bin can get —
+    * unbounded importance weights are how reweighting blows up
+    * variance). One (key, bin) aggregation; apply by binning new rows
+    * against the SAME ranges (emitted per row) and joining on
+    * (keys, bin). Only observed bins emit — an unobserved bin has no
+    * rows to weight.
+    */
+  def densityRatio(df: DataFrame, keys: Seq[String], valueCol: String,
+                   isRef: Column, bins: Int = 10,
+                   digits: Int = 6): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val keyCols = keys.map(col)
+    val tagged = df.withColumn("__ref", isRef)
+    val ranges = tagged.filter(col("__ref"))
+      .groupBy(keyCols: _*)
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    val bin = binId(col(valueCol), col("__lo"), col("__hi"), bins)
+    val counts = tagged.join(broadcast(ranges), keys)
+      .withColumn("__bin", bin)
+      .groupBy(keyCols :+ col("__bin"): _*)
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__rc"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("__cc"),
+        min(col("__lo")).as("lo"), min(col("__hi")).as("hi"))
+    val w = Window.partitionBy(keyCols: _*)
+    val p = (col("__rc") + lit(0.5)) /
+      (sum(col("__rc")).over(w) + lit(0.5) * bins)
+    val q = (col("__cc") + lit(0.5)) /
+      (sum(col("__cc")).over(w) + lit(0.5) * bins)
+    counts
+      .withColumn("weight", roundStable(p / q, digits))
+      .select(keyCols ++ Seq(col("__bin").as("bin"), col("__rc").as("ref_n"),
+        col("__cc").as("cur_n"), col("lo"), col("hi"), col("weight")): _*)
+  }
+
   /** Two-sided CUSUM change-point monitor per key — the third member of
     * the drift family: [[psi]]/[[ksTest]] say THAT a window drifted,
     * CUSUM localizes WHEN the shift began and alarms online. Reference

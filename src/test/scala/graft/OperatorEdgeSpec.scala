@@ -2624,6 +2624,64 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out3.getLong(1) >= 2L, s"dup pair must drop visibly: $out3")
   }
 
+  test("scalableQuantile: matches percentile() exactly on hostile shapes incl. cross-bin interpolation") {
+    val data =
+      (1 to 101).map(i => ("odd", i.toDouble)) ++
+      (1 to 100).map(i => ("even", i.toDouble)) ++
+      Seq.fill(99)(("skew", 1.0)) ++ Seq(("skew", 1000.0)) ++
+      Seq(("flat", 3.0), ("flat", 3.0)) ++
+      // interpolation ranks straddle two far-apart histogram bins
+      Seq(("straddle", 0.0), ("straddle", 1.0), ("straddle", 99.0),
+        ("straddle", 100.0))
+    val df = data.toDF("k", "v")
+    for (p <- Seq(0.25, 0.5, 0.9, 0.99)) {
+      val got = etl.Aggregates.scalableQuantile(df, Seq("k"), "v", p,
+        bins = 4).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = df.groupBy("k")
+        .agg(expr(s"percentile(v, $p)").as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for ((k, m) <- want)
+        assert(math.abs(got(k) - m) < 1e-6, s"p=$p $k: got ${got(k)}, want $m")
+    }
+  }
+
+  test("densityRatio: planted shift gives reciprocal-ish weights; reweighted mean recovers reference") {
+    // ref: 80% low / 20% high; cur: 20% low / 80% high
+    val ref = Seq.fill(80)(("k", 1.0, true)) ++ Seq.fill(20)(("k", 9.0, true))
+    val cur = Seq.fill(20)(("k", 1.0, false)) ++ Seq.fill(80)(("k", 9.0, false))
+    val df = (ref ++ cur).toDF("k", "v", "r")
+    val w = etl.Drift.densityRatio(df, Seq("k"), "v", col("r"), bins = 10)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val lowW = w(0L).getDouble(6); val highW = w(9L).getDouble(6)
+    assert(lowW > 3.0 && highW < 0.3, s"low $lowW high $highW")
+    // reweighted current mean ~ reference mean (2.6), not current (7.4)
+    val reMean = (20 * lowW * 1.0 + 80 * highW * 9.0) /
+      (20 * lowW + 80 * highW)
+    assert(math.abs(reMean - 2.6) < 0.35, s"reweighted mean $reMean")
+    // only observed bins emit; ref totals visible
+    assert(w.keySet == Set(0L, 9L) && w(0L).getLong(2) == 80L)
+  }
+
+  test("hashFeatures: deterministic buckets in range, same tokens same cell, sparse long form") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "alpha  gamma"))
+      .toDF("doc_id", "text")
+    val out = text.HashFeatures.hashFeatures(docs, "doc_id", "text",
+      dim = 64).collect()
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // 'alpha' twice with the same sign -> |value| = 2 in its cell
+    assert(d1.exists(r => math.abs(r.getLong(2)) == 2L), s"${d1.toSeq}")
+    // cross-doc determinism: alpha's cell is identical in doc 2
+    val alphaCell = d1.filter(r => math.abs(r.getLong(2)) == 2L)
+      .head.getLong(1)
+    assert(out.filter(_.getLong(0) == 2L).map(_.getLong(1))
+      .contains(alphaCell))
+    // double space yields an empty token: filtered, not hashed
+    val rerun = text.HashFeatures.hashFeatures(docs, "doc_id", "text",
+      dim = 64).collect()
+    assert(rerun.toSet == out.toSet, "pure function of the input")
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
