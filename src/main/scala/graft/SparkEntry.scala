@@ -2070,6 +2070,16 @@ object SparkEntry {
           "text", dim = 512)
         .orderBy(col("doc_id"), col("feature"))),
 
+    "q211_binscatter" -> ((s, dir) =>
+      // what does revenue do as quantity rises, per return flag: the
+      // equal-mass conditional-mean curve with CIs — the readout a
+      // 10^10-point scatter can't draw
+      etl.Aggregates.binScatter(Tables.lineitem(s, dir),
+          Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          tieCol = col("l_orderkey") * 10 + col("l_linenumber"),
+          parts = 10)
+        .orderBy(col("l_returnflag"), col("bucket"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5886,6 +5896,28 @@ object SparkEntry {
         |SELECT doc_id, feature, CAST(sum(s) AS BIGINT) AS value
         |FROM f GROUP BY 1, 2 HAVING sum(s) <> 0
         |ORDER BY doc_id, feature""".stripMargin,
+
+    "q211_binscatter" ->
+      // the same (x, tie) rank and (rn-1)·parts DIV n equal-mass cut,
+      // sample-sd standard errors
+      """WITH b AS (SELECT l_returnflag AS k, l_quantity AS x,
+        |    l_extendedprice AS y,
+        |    l_orderkey * 10 + l_linenumber AS tie
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT k, x, y,
+        |    row_number() OVER (PARTITION BY k ORDER BY x, tie) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM b),
+        |g AS (SELECT k, CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+        |    count(*) AS n, avg(x) AS xm, avg(y) AS ym,
+        |    stddev_samp(y) / sqrt(CAST(count(*) AS DOUBLE)) AS se
+        |  FROM r GROUP BY 1, 2)
+        |SELECT k AS l_returnflag, bucket, n,
+        |  roundStable(xm, 6) AS x_mean, roundStable(ym, 6) AS y_mean,
+        |  roundStable(se, 6) AS y_se,
+        |  roundStable(ym - 1.96 * se, 6) AS ci_lo,
+        |  roundStable(ym + 1.96 * se, 6) AS ci_hi
+        |FROM g ORDER BY l_returnflag, bucket""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

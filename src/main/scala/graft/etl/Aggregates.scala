@@ -698,6 +698,38 @@ object Aggregates {
         max(col("__n")).as("n"))
   }
 
+  /** Binned scatter ("binscatter", the econometrics workhorse —
+    * Cattaneo et al. 2024 formalize it): x cut into `parts` EQUAL-MASS
+    * buckets by explicit rank arithmetic per key (the A63 convention —
+    * never ntile), each bucket reporting mean x, mean y, and the
+    * 95% CI of the conditional mean — the nonparametric "what does y
+    * do as x rises" curve that a scatter plot of 10¹⁰ points can't
+    * draw and a global correlation flattens away. One keyed rank
+    * window + one closing agg; buckets with n < 2 have no sample sd →
+    * NULL CI, mean still real.
+    */
+  def binScatter(df: DataFrame, keys: Seq[String], xCol: Column,
+                 yCol: Column, tieCol: Column, parts: Int = 20,
+                 decimals: Int = 6): DataFrame = {
+    require(parts >= 2, s"need parts >= 2, got $parts")
+    val keyCols = keys.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(xCol, tieCol)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val se = stddev_samp(col("__y")) / sqrt(count(lit(1)).cast("double"))
+    df.filter(xCol.isNotNull && yCol.isNotNull)
+      .withColumn("__x", xCol).withColumn("__y", yCol)
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("bucket", expr(s"(__rn - 1) * $parts DIV __n"))
+      .groupBy(keyCols :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        roundStable(avg(col("__x")), decimals).as("x_mean"),
+        roundStable(avg(col("__y")), decimals).as("y_mean"),
+        roundStable(se, decimals).as("y_se"),
+        roundStable(avg(col("__y")) - lit(1.96) * se, decimals).as("ci_lo"),
+        roundStable(avg(col("__y")) + lit(1.96) * se, decimals).as("ci_hi"))
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

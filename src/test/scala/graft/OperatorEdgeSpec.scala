@@ -2682,6 +2682,28 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(rerun.toSet == out.toSet, "pure function of the input")
   }
 
+  test("binScatter: equal-mass buckets recover a nonlinear curve a correlation flattens; tiny-bucket CI NULL") {
+    // y = (x - 50)^2: strong relation, near-zero linear correlation
+    val rows = (1 to 100).map(i =>
+      ("k", i.toDouble, math.pow(i - 50.0, 2), i.toLong))
+    val out = etl.Aggregates.binScatter(rows.toDF("k", "x", "y", "t"),
+      Seq("k"), col("x"), col("y"), col("t"), parts = 10)
+      .collect().sortBy(_.getLong(1))
+    assert(out.length == 10 && out.forall(_.getLong(2) == 10L))
+    // U-shape: ends high, middle low
+    assert(out.head.getDouble(4) > 1500 && out.last.getDouble(4) > 1500)
+    assert(out(4).getDouble(4) < 100 && out(5).getDouble(4) < 100,
+      s"${out.map(_.getDouble(4)).toSeq}")
+    // CI brackets the mean and is ordered
+    assert(out.forall(r => r.getDouble(6) <= r.getDouble(4) &&
+      r.getDouble(4) <= r.getDouble(7)))
+    // a 1-row key: mean real, sd undefined -> NULL CI
+    val one = etl.Aggregates.binScatter(
+      Seq(("s", 1.0, 5.0, 1L)).toDF("k", "x", "y", "t"), Seq("k"),
+      col("x"), col("y"), col("t"), parts = 2).collect().head
+    assert(one.getDouble(4) == 5.0 && one.isNullAt(5) && one.isNullAt(6))
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)

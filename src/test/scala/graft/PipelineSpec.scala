@@ -1181,6 +1181,30 @@ class PipelineSpec extends AnyFunSuite {
       "state must stay deduped across batches")
   }
 
+  test("RulesStream: per-batch gate rows exact; violation introduced by batch 1 localizes there; replay byte-stable") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rulestream").toString
+    val rules = Seq(etl.Rules.NotNull("v"), etl.Rules.InRange("v", 0, 10),
+      etl.Rules.Unique(Seq("id")))
+    val clean = Seq((1L, Some(5.0)), (2L, Some(7.0))).toDF("id", "v")
+    val dirty = Seq((3L, Some(99.0)), (3L, None: Option[Double]))
+      .toDF("id", "v")
+    streaming.RulesStream.rulesBatch(clean, 0L, rules, s"$tmp/rep")
+    streaming.RulesStream.rulesBatch(dirty, 1L, rules, s"$tmp/rep")
+    val rep = streaming.RulesStream.report(spark, s"$tmp/rep")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(rep((0L, "not_null")).getBoolean(6) &&
+      rep((0L, "in_range")).getBoolean(6) && rep((0L, "unique")).getBoolean(6))
+    assert(rep((1L, "not_null")).getLong(3) == 1L &&
+      rep((1L, "in_range")).getLong(3) == 1L &&
+      rep((1L, "unique")).getLong(3) == 1L, "each failure mode counted once")
+    assert(!rep((1L, "in_range")).getBoolean(6))
+    // replay overwrites byte-identically (deterministic per-batch report)
+    val before = spark.read.parquet(s"$tmp/rep/batch=1").collect().toSeq
+    streaming.RulesStream.rulesBatch(dirty, 1L, rules, s"$tmp/rep")
+    assert(spark.read.parquet(s"$tmp/rep/batch=1").collect().toSeq == before)
+  }
+
   test("EnrichStream: facts see the version valid at THEIR time; replay stable after dim evolves") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_enrich").toString
