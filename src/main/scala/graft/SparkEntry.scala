@@ -2080,6 +2080,78 @@ object SparkEntry {
           parts = 10)
         .orderBy(col("l_returnflag"), col("bucket"))),
 
+    "q212_psi_quantile" -> ((s, dir) =>
+      // the PSI variant risk teams standardize on: reference-DECILE
+      // bins (equal mass by construction — an outlier can't stretch
+      // the range until drift hides in two bins)
+      etl.Drift.psiQuantileBins(Tables.events(s, dir), Seq("event_type"),
+          "value", isRef = dayofmonth(col("ts")) <= 15, bins = 10)
+        .orderBy(col("event_type"))),
+
+    "q213_bootstrap_ci" -> ((s, dir) =>
+      // distribution-free CI on the mean via the deterministic Poisson
+      // bootstrap (md5-hash draws, pinned CDF thresholds) — 50 replicas,
+      // exact order-stat quantiles of the replica means
+      etl.Aggregates.bootstrapMeanCi(Tables.events(s, dir),
+          Seq("event_type"), "value", idCol = col("event_id"),
+          reps = 50, alpha = 0.05)
+        .orderBy(col("event_type"))),
+
+    "q214_fertility" -> ((s, dir) =>
+      // tokenizer fertility census per language: tokens/doc,
+      // chars/token (the cross-lingual equity metric), type-token ratio
+      text.Corpus.fertility(Tables.documents(s, dir), "lang", "text")
+        .orderBy(col("lang"))),
+
+    "q215_wasserstein" -> ((s, dir) =>
+      // the drift family's magnitude axis: earth-mover distance in the
+      // value's own units (KS reads the worst CDF gap, PSI binned mass
+      // ratios; W1 says how FAR the mass moved)
+      etl.Drift.wasserstein1(Tables.events(s, dir), Seq("event_type"),
+          "value", isRef = dayofmonth(col("ts")) <= 15)
+        .orderBy(col("event_type"))),
+
+    "q216_mann_kendall" -> ((s, dir) =>
+      // the significance half of the robust-trend pair (Theil-Sen q164
+      // estimates the slope; MK says whether a monotone trend is THERE),
+      // daily buckets so the pair count is calendar-bounded
+      etl.Aggregates.mannKendall(Tables.events(s, dir), Seq("event_type"),
+          bucketCol = to_date(col("ts")), valueCol = "value")
+        .orderBy(col("event_type"))),
+
+    "q217_mutual_info" -> ((s, dir) =>
+      // information-theoretic companion to q152's chi2 on the same
+      // per-source lang x length contingency: MI in nats + NMI on [0,1]
+      etl.Drift.mutualInfo(
+          Tables.documents(s, dir).withColumn("len_class",
+            when(col("n_chars") >= 300, lit("long")).otherwise(lit("short"))),
+          Seq("source"), "lang", "len_class")
+        .orderBy(col("source"))),
+
+    "q218_max_drawdown" -> ((s, dir) =>
+      // worst peak-to-trough drop per key, order-aware (max-min
+      // overstates whenever the min precedes the max), with the
+      // earliest-trough determinism contract
+      etl.Aggregates.maxDrawdown(Tables.events(s, dir), Seq("event_type"),
+          "value", orderCol = col("ts"), tieCol = col("event_id"))
+        .orderBy(col("event_type"))),
+
+    "q219_runs_test" -> ((s, dir) =>
+      // Wald-Wolfowitz randomness check against each key's own exact
+      // median: too few runs = the series lingers (autocorrelation),
+      // too many = oscillation
+      etl.Aggregates.runsTest(Tables.events(s, dir), Seq("event_type"),
+          "value", orderCol = col("ts"), tieCol = col("event_id"))
+        .orderBy(col("event_type"))),
+
+    "q220_hodges_lehmann" -> ((s, dir) =>
+      // the robust center the Wilcoxon test inverts to: median of all
+      // Walsh averages over the daily-mean series (calendar-bounded
+      // pairs — the Theil-Sen discipline)
+      etl.Aggregates.hodgesLehmann(Tables.events(s, dir), Seq("event_type"),
+          bucketCol = to_date(col("ts")), valueCol = "value")
+        .orderBy(col("event_type"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -5918,6 +5990,270 @@ object SparkEntry {
         |  roundStable(ym - 1.96 * se, 6) AS ci_lo,
         |  roundStable(ym + 1.96 * se, 6) AS ci_hi
         |FROM g ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "q212_psi_quantile" ->
+      // reference-decile edges as exact order statistics, value > edge
+      // counting, the q125 smoothing
+      """WITH t AS (SELECT event_type, value,
+        |    (day(ts) <= 15) AS ref FROM events),
+        |rr AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM t WHERE ref),
+        |ed AS (SELECT event_type,
+        |    list_sort(list(DISTINCT value)) AS edges
+        |  FROM rr WHERE rn IN ((n * 1 + 9) // 10, (n * 2 + 9) // 10,
+        |    (n * 3 + 9) // 10, (n * 4 + 9) // 10, (n * 5 + 9) // 10,
+        |    (n * 6 + 9) // 10, (n * 7 + 9) // 10, (n * 8 + 9) // 10,
+        |    (n * 9 + 9) // 10)
+        |  GROUP BY 1),
+        |b AS (SELECT t.event_type, t.ref,
+        |    len([e FOR e IN ed.edges IF t.value > e]) AS bin
+        |  FROM t JOIN ed USING (event_type)),
+        |c AS (SELECT event_type, bin,
+        |    sum(CASE WHEN ref THEN 1 ELSE 0 END) AS rc,
+        |    sum(CASE WHEN ref THEN 0 ELSE 1 END) AS cc
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT event_type, rc, cc,
+        |    sum(rc) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM c)
+        |SELECT event_type,
+        |  roundStable(sum(((rc + 0.5) / (nr + 5.0) - (cc + 0.5) / (nc + 5.0))
+        |    * ln(((rc + 0.5) / (nr + 5.0)) / ((cc + 0.5) / (nc + 5.0)))), 6)
+        |    AS psi,
+        |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q213_bootstrap_ci" ->
+      // md5 uniforms, pinned Poisson(1) CDF (every threshold CAST to
+      // DOUBLE — decimal-literal comparisons are the q197 trap), same
+      // replica means and order-stat CI
+      """WITH b AS (SELECT event_type, value, event_id,
+        |    unnest(range(0, 50)) AS r
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, value, r,
+        |    md5(CAST(event_id AS VARCHAR) || '#' || CAST(r AS VARCHAR))
+        |      AS hh FROM b),
+        |u AS (SELECT event_type, value, r,
+        |    CAST(list_sum([CAST((CASE WHEN unicode(hh[i]) >= 97
+        |        THEN unicode(hh[i]) - 87 ELSE unicode(hh[i]) - 48 END)
+        |        AS BIGINT) * 16 ** (10 - i) FOR i IN range(1, 11)])
+        |      AS BIGINT) / CAST(1099511627776 AS DOUBLE) AS uu
+        |  FROM h),
+        |w AS (SELECT event_type, value, r,
+        |    CASE WHEN uu < CAST(0.36787944117144233 AS DOUBLE) THEN 0
+        |         WHEN uu < CAST(0.7357588823428847 AS DOUBLE) THEN 1
+        |         WHEN uu < CAST(0.9196986029286058 AS DOUBLE) THEN 2
+        |         WHEN uu < CAST(0.9810118431238462 AS DOUBLE) THEN 3
+        |         WHEN uu < CAST(0.9963401531726563 AS DOUBLE) THEN 4
+        |         WHEN uu < CAST(0.9994058151824183 AS DOUBLE) THEN 5
+        |         ELSE 6 END AS wt
+        |  FROM u),
+        |rep AS (SELECT event_type, r, sum(wt * value) AS sw,
+        |    sum(wt) AS w0 FROM w GROUP BY 1, 2),
+        |m AS (SELECT event_type, r,
+        |    roundStable(CASE WHEN w0 > 0 THEN sw / w0 END, 9) AS mm
+        |  FROM rep),
+        |lv AS (SELECT event_type, mm, r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY mm, r)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nb
+        |  FROM m WHERE mm IS NOT NULL),
+        |sel AS (SELECT * FROM lv
+        |  WHERE rn = greatest(CAST(ceil(nb
+        |      * (CAST(0.05 AS DOUBLE) / 2)) AS BIGINT), 1)
+        |   OR rn = CAST(ceil(nb
+        |      * (1 - CAST(0.05 AS DOUBLE) / 2)) AS BIGINT)),
+        |ci AS (SELECT event_type, roundStable(min(mm), 6) AS ci_lo,
+        |    roundStable(max(mm), 6) AS ci_hi,
+        |    CAST(max(nb) AS BIGINT) AS n_reps FROM sel GROUP BY 1),
+        |pl AS (SELECT event_type, roundStable(avg(value), 6) AS mean,
+        |    count(value) AS n FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT pl.event_type, pl.mean, pl.n, ci.ci_lo, ci.ci_hi, ci.n_reps
+        |FROM pl LEFT JOIN ci USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q214_fertility" ->
+      // whitespace tokens (the q42 convention), empty tokens filtered
+      """WITH tk AS (SELECT lang, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT lang, tok FROM tk WHERE tok <> ''),
+        |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |a AS (SELECT lang, count(*) AS total_tokens,
+        |    count(DISTINCT tok) AS n_types,
+        |    sum(length(tok)) AS chars FROM f GROUP BY 1)
+        |SELECT a.lang, d.n_docs, a.total_tokens,
+        |  CAST(a.n_types AS BIGINT) AS n_types,
+        |  roundStable(CAST(a.total_tokens AS DOUBLE) / d.n_docs, 6)
+        |    AS tokens_per_doc,
+        |  roundStable(CAST(chars AS DOUBLE) / a.total_tokens, 6)
+        |    AS chars_per_token,
+        |  roundStable(CAST(a.n_types AS DOUBLE) / a.total_tokens, 6)
+        |    AS type_token_ratio
+        |FROM a JOIN d USING (lang) ORDER BY lang""".stripMargin,
+
+    "q215_wasserstein" ->
+      // same construction: (key, value) side counts, cumulative CDFs,
+      // each gap weighted by the distance to the next value
+      """WITH t AS (SELECT event_type, value AS v,
+        |    (day(ts) <= 15) AS ref FROM events),
+        |c AS (SELECT event_type, v,
+        |    sum(CASE WHEN ref THEN 1 ELSE 0 END) AS rc,
+        |    sum(CASE WHEN ref THEN 0 ELSE 1 END) AS cc
+        |  FROM t GROUP BY 1, 2),
+        |w AS (SELECT event_type, v,
+        |    sum(rc) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crc,
+        |    sum(cc) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccc,
+        |    sum(rc) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc,
+        |    lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nxt,
+        |    max(v) OVER (PARTITION BY event_type)
+        |      - min(v) OVER (PARTITION BY event_type) AS rng
+        |  FROM c)
+        |SELECT event_type,
+        |  roundStable(sum(CASE WHEN nr > 0 AND nc > 0 THEN
+        |    abs(CAST(crc AS DOUBLE) / nr - CAST(ccc AS DOUBLE) / nc)
+        |      * coalesce(nxt - v, 0) END), 6) AS w1,
+        |  roundStable(CASE WHEN max(rng) > 0 THEN
+        |    sum(CASE WHEN nr > 0 AND nc > 0 THEN
+        |      abs(CAST(crc AS DOUBLE) / nr - CAST(ccc AS DOUBLE) / nc)
+        |        * coalesce(nxt - v, 0) END) / max(rng) END, 6) AS w1_norm,
+        |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q216_mann_kendall" ->
+      // daily bucket means rounded before comparison, pair sign sum,
+      // tie-corrected variance, continuity-corrected z
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS b,
+        |    roundStable(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(sum(sign(b2.v - a.v)) AS BIGINT) AS s_stat,
+        |    count(*) AS np
+        |  FROM s a JOIN s b2 ON b2.event_type = a.event_type
+        |    AND a.b < b2.b
+        |  GROUP BY 1),
+        |t AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS t
+        |  FROM s GROUP BY event_type, v),
+        |g AS (SELECT event_type,
+        |    sum(t * (t - 1) * (2 * t + 5)) AS tieterm,
+        |    sum(t) AS n FROM t GROUP BY 1)
+        |SELECT g.event_type,
+        |  p.s_stat,
+        |  CAST(g.n AS BIGINT) AS n_buckets,
+        |  CAST(coalesce(p.np, 0) AS BIGINT) AS n_pairs,
+        |  roundStable(CASE WHEN p.s_stat IS NOT NULL THEN
+        |    (g.n * (g.n - 1) * (2 * g.n + 5) - g.tieterm) / 18.0 END, 6)
+        |    AS var_s,
+        |  roundStable(CASE WHEN p.s_stat IS NOT NULL
+        |      AND (g.n * (g.n - 1) * (2 * g.n + 5) - g.tieterm) / 18.0 > 0
+        |    THEN CASE
+        |      WHEN p.s_stat > 0 THEN (CAST(p.s_stat AS DOUBLE) - 1)
+        |        / sqrt((g.n * (g.n - 1) * (2 * g.n + 5) - g.tieterm) / 18.0)
+        |      WHEN p.s_stat < 0 THEN (CAST(p.s_stat AS DOUBLE) + 1)
+        |        / sqrt((g.n * (g.n - 1) * (2 * g.n + 5) - g.tieterm) / 18.0)
+        |      ELSE 0.0 END END, 6) AS z
+        |FROM g LEFT JOIN p USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q217_mutual_info" ->
+      // observed cells only; marginal entropies fold over the same cell
+      // rows via sum_b n_ab = n_a
+      """WITH cells AS (SELECT source, lang AS a,
+        |    CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS b,
+        |    CAST(count(*) AS DOUBLE) AS o
+        |  FROM documents GROUP BY 1, 2, 3),
+        |m AS (SELECT source, o,
+        |    sum(o) OVER (PARTITION BY source) AS n,
+        |    sum(o) OVER (PARTITION BY source, a) AS na,
+        |    sum(o) OVER (PARTITION BY source, b) AS nb
+        |  FROM cells)
+        |SELECT source,
+        |  roundStable(sum((o / n) * ln(o * n / (na * nb))), 6) AS mi,
+        |  roundStable(sum(-(o / n) * ln(na / n)), 6) AS h_a,
+        |  roundStable(sum(-(o / n) * ln(nb / n)), 6) AS h_b,
+        |  roundStable(CASE WHEN sum(-(o / n) * ln(na / n)) > 0
+        |      AND sum(-(o / n) * ln(nb / n)) > 0
+        |    THEN sum((o / n) * ln(o * n / (na * nb)))
+        |      / sqrt(sum(-(o / n) * ln(na / n))
+        |           * sum(-(o / n) * ln(nb / n))) END, 6) AS nmi,
+        |  CAST(max(n) AS BIGINT) AS n,
+        |  count(*) AS n_cells
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q218_max_drawdown" ->
+      // cumulative peak window, then the (drawdown desc, time asc)
+      // rank picks the earliest worst trough
+      """WITH s AS (SELECT event_type, value, ts, event_id,
+        |    max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM events),
+        |d AS (SELECT event_type, ts, peak, peak - value AS dd,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY peak - value DESC, ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM s)
+        |SELECT event_type,
+        |  roundStable(dd, 6) AS max_dd,
+        |  roundStable(CASE WHEN peak > 0 THEN dd / peak END, 6)
+        |    AS max_dd_frac,
+        |  roundStable(peak, 6) AS peak_value,
+        |  ts AS trough_at,
+        |  CAST(n AS BIGINT) AS n
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q219_runs_test" ->
+      // same exact interpolated median, same tie exclusion, same
+      // run-boundary lag
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT e.event_type, (e.value > m.med) AS s, e.ts, e.event_id
+        |  FROM events e JOIN m USING (event_type) WHERE e.value <> m.med),
+        |r AS (SELECT event_type, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS DOUBLE) AS np,
+        |    CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS DOUBLE) AS nn,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(nw) AS BIGINT) AS r FROM r GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  r AS n_runs,
+        |  roundStable(CASE WHEN n > 1 THEN 1.0 + 2.0 * np * nn / n END, 6)
+        |    AS expected_runs,
+        |  roundStable(CASE WHEN n > 1
+        |      AND 2.0 * np * nn * (2.0 * np * nn - n) / (n * n * (n - 1)) > 0
+        |    THEN (CAST(r AS DOUBLE) - (1.0 + 2.0 * np * nn / n))
+        |      / sqrt(2.0 * np * nn * (2.0 * np * nn - n)
+        |             / (n * n * (n - 1))) END, 6) AS z
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q220_hodges_lehmann" ->
+      // rounded daily means, i <= j Walsh pairs, interpolated median
+      // of the averages
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS b,
+        |    roundStable(avg(value), 6) AS v FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    quantile_cont((a.v + b2.v) / 2, 0.5) AS hl,
+        |    count(*) AS n_pairs
+        |  FROM s a JOIN s b2 ON b2.event_type = a.event_type
+        |    AND a.b <= b2.b
+        |  GROUP BY 1),
+        |g AS (SELECT event_type, quantile_cont(v, 0.5) AS med,
+        |    count(*) AS n_buckets FROM s GROUP BY 1)
+        |SELECT g.event_type, roundStable(p.hl, 6) AS hl_location,
+        |  roundStable(g.med, 6) AS series_median,
+        |  CAST(g.n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(p.n_pairs AS BIGINT) AS n_pairs
+        |FROM g JOIN p USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

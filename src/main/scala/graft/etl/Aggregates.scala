@@ -730,6 +730,74 @@ object Aggregates {
         roundStable(avg(col("__y")) + lit(1.96) * se, decimals).as("ci_hi"))
   }
 
+  /** Deterministic Poisson bootstrap CI for the mean (Efron's bootstrap
+    * in the Poissonized form every distributed implementation uses —
+    * Chamandy et al., Google 2012): each of `reps` replicas reweights
+    * every row by a Poisson(1) draw, and the α/2 and 1−α/2 EXACT order
+    * statistics of the replica means are the CI — no normality
+    * assumption, no closed-form SE needed (medians of ratios, trimmed
+    * things, whatever the metric is). The draw is DETERMINISTIC:
+    * uniform from the md5 hex prefix of `(id, replica)` (the C77
+    * engine-shared hash) inverted through the Poisson(1) CDF with
+    * PINNED literal thresholds (the ln-2 lesson) — reproducible on any
+    * engine, no RNG state.
+    *
+    * Cost, stated plainly: a `reps`× map-side explode feeding one
+    * (keys, replica) aggregation (combiner-reduced), then
+    * O(#keys·reps) rows rank. Replica means rounded 9dp before
+    * ranking (tie stability); a replica whose weights all drew 0
+    * (possible at tiny n) is NULL and excluded with a visible count.
+    */
+  def bootstrapMeanCi(df: DataFrame, keys: Seq[String], valueCol: String,
+                      idCol: Column, reps: Int = 50, alpha: Double = 0.05,
+                      digits: Int = 6): DataFrame = {
+    require(reps >= 10, s"need reps >= 10, got $reps")
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    val keyCols = keys.map(col)
+    val u = conv(substring(md5(concat(idCol.cast("string"), lit("#"),
+      col("__b").cast("string"))), 1, 10), 16, 10).cast("double") /
+      lit(1099511627776.0) // 2^40
+    // Poisson(1) CDF, pinned literals: P(<=k) for k = 0..5, else 6
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val replicas = df.filter(col(valueCol).isNotNull)
+      .withColumn("__b", explode(array((0 until reps).map(lit(_)): _*)))
+      .withColumn("__w", w)
+      .groupBy(keyCols :+ col("__b"): _*)
+      .agg(sum(col("__w") * col(valueCol)).as("__sw"),
+        sum(col("__w")).as("__w0"), count(lit(1)).as("__n"))
+      .withColumn("__m", roundStable(
+        when(col("__w0") > 0, col("__sw") / col("__w0")), 9))
+    val live = replicas.filter(col("__m").isNotNull)
+    val wOrd = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__m"), col("__b"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    // DOUBLE literals via lit(), never SQL-text decimals — a decimal
+    // 0.025 ceils differently than the IEEE double at exact multiples
+    // (the q197 lesson, on our own side this time)
+    val rLo = ceil(col("__nb") * lit(alpha / 2)).cast("long")
+    val rHi = ceil(col("__nb") * lit(1.0 - alpha / 2)).cast("long")
+    val ranked = live
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__nb", count(lit(1)).over(wAll))
+      .filter(col("__rn") === greatest(rLo, lit(1L)) || col("__rn") === rHi)
+    val plain = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols: _*)
+      .agg(roundStable(avg(col(valueCol)), digits).as("mean"),
+        count(lit(1)).as("n"))
+    plain.join(
+      ranked.groupBy(keyCols: _*)
+        .agg(roundStable(min(col("__m")), digits).as("ci_lo"),
+          roundStable(max(col("__m")), digits).as("ci_hi"),
+          max(col("__nb")).as("n_reps")),
+      keys, "left")
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout
@@ -1223,6 +1291,193 @@ object Aggregates {
           .as("tau_b"),
         nc.as("n_concordant"), nd.as("n_discordant"),
         count(lit(1)).as("n_pairs"))
+  }
+
+  /** Mann–Kendall trend test per key (Mann 1945; Kendall's S against
+    * time) — the SIGNIFICANCE half of the robust-trend pair:
+    * [[theilSen]] says HOW FAST the series moves, MK says whether a
+    * monotone trend is THERE at all, distribution-free (no residual
+    * normality assumed, outlier-immune — each pair contributes ±1
+    * regardless of magnitude). `S = Σ_{i<j} sign(x_j − x_i)` over the
+    * per-`bucketCol` mean series, with the tie-corrected variance
+    * `Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18` and the
+    * continuity-corrected `z = (S ∓ 1)/√Var(S)` (|z| > 1.96 ≈ α 0.05).
+    *
+    * Shape — the [[kendallTau]] discipline: the corpus reduces FIRST
+    * to the bucket series (pair count bounded by the CALENDAR, not the
+    * data; 60 daily buckets = 1.8k pairs/key), then one pair self-join
+    * feeds S while the tie term and n come from a per-key agg over the
+    * SAME series; bucket means are ROUNDED before comparison so sign
+    * ties resolve identically on every engine. Keys with < 2 buckets
+    * emit NULL S (no pair to sign); an all-tied key has Var(S) = 0 and
+    * emits NULL z ("no evidence either way" stays visible).
+    */
+  def mannKendall(df: DataFrame, keys: Seq[String], bucketCol: Column,
+                  valueCol: String, digits: Int = 6,
+                  seriesDigits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val series = df
+      .groupBy(keyCols :+ bucketCol.as("__b"): _*)
+      .agg(roundStable(avg(col(valueCol)), seriesDigits).as("__v"))
+    val a = series.select(keyCols :+ col("__b").as("__ba") :+
+      col("__v").as("__va"): _*)
+    val b = series.select(keyCols :+ col("__b").as("__bb") :+
+      col("__v").as("__vb"): _*)
+    val sAgg = a.join(b, keys).filter(col("__ba") < col("__bb"))
+      .groupBy(keyCols: _*)
+      .agg(sum(signum(col("__vb") - col("__va"))).cast("long").as("__s"),
+        count(lit(1)).as("__npairs"))
+    val t = count(lit(1)).cast("double")
+    val tieAgg = series
+      .groupBy(keyCols :+ col("__v"): _*)
+      .agg(t.as("__t"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5))
+          .as("__tieterm"),
+        sum(col("__t")).cast("double").as("__n"))
+    val n = col("__n")
+    val varS = (n * (n - 1) * (lit(2) * n + 5) - col("__tieterm")) / lit(18.0)
+    val s = col("__s").cast("double")
+    val z = when(varS > 0,
+      when(s > 0, (s - 1) / sqrt(varS))
+        .when(s < 0, (s + 1) / sqrt(varS))
+        .otherwise(lit(0.0)))
+    tieAgg.join(sAgg, keys, "left")
+      .select(keyCols ++ Seq(
+        col("__s").as("s_stat"),
+        col("__n").cast("long").as("n_buckets"),
+        coalesce(col("__npairs"), lit(0L)).as("n_pairs"),
+        roundStable(when(col("__s").isNotNull, varS), digits).as("var_s"),
+        roundStable(when(col("__s").isNotNull, z), digits).as("z")): _*)
+  }
+
+  /** Maximum drawdown per key — the worst peak-to-trough drop a series
+    * ever suffered (the risk number SLO burn-down, revenue, and any
+    * cumulative-health series is judged by): `max_t (peak_t − x_t)`
+    * with `peak_t = max_{s≤t} x_s`, plus the peak-relative fraction
+    * and WHEN the trough landed. A plain `max(x) − min(x)` overstates
+    * it whenever the min precedes the max — drawdown is order-aware,
+    * which is exactly why it needs the cumulative window.
+    *
+    * Shape: one keyed cumulative-max window (time order), then a
+    * second window on the SAME key partitioning ranks (drawdown desc,
+    * time asc) so the reported trough is the EARLIEST worst point —
+    * deterministic under ties by construction, no argmax ambiguity.
+    * Two sorts, one shuffle. `max_dd_frac` is NULL when the peak at
+    * the trough is ≤ 0 (no positive base to be relative to).
+    */
+  def maxDrawdown(df: DataFrame, keys: Seq[String], valueCol: String,
+                  orderCol: Column, tieCol: Column,
+                  digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val wCum = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df
+      .withColumn("__peak", max(col(valueCol)).over(wCum))
+      .withColumn("__dd", col("__peak") - col(valueCol))
+    val wPick = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__dd").desc, orderCol, tieCol)
+    staged
+      .withColumn("__rn", row_number().over(wPick))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+      .filter(col("__rn") === 1)
+      .select(keyCols ++ Seq(
+        roundStable(col("__dd"), digits).as("max_dd"),
+        roundStable(when(col("__peak") > 0, col("__dd") / col("__peak")),
+          digits).as("max_dd_frac"),
+        roundStable(col("__peak"), digits).as("peak_value"),
+        orderCol.as("trough_at"),
+        col("__n").as("n")): _*)
+  }
+
+  /** Wald–Wolfowitz runs test per key — "are the fluctuations around
+    * the median RANDOM, or does the series stick?" The residual-
+    * independence check run after a trend fit (A30/A46) or before
+    * trusting an i.i.d. assumption anywhere: too FEW runs = positive
+    * autocorrelation (the series lingers on one side — the common
+    * sensor-drift shape), too MANY = oscillation. R = number of
+    * maximal same-side runs against the key's own exact median;
+    * `z = (R − μ)/σ` with `μ = 1 + 2·n₊n₋/n`,
+    * `σ² = 2n₊n₋(2n₊n₋ − n) / (n²(n−1))`.
+    *
+    * Values equal to the median are EXCLUDED (the textbook convention
+    * — they belong to neither side); the interpolated exact median is
+    * the same `percentile` both engines compute, so the exclusion set
+    * is identical cross-engine. One broadcast of per-key medians, one
+    * keyed lag window; a key with an empty side (n₊ or n₋ = 0) has
+    * σ = 0 and emits NULL z with both counts visible.
+    */
+  def runsTest(df: DataFrame, keys: Seq[String], valueCol: String,
+               orderCol: Column, tieCol: Column,
+               digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val med = df.groupBy(keyCols: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
+    val staged = df.join(broadcast(med), keys)
+      .filter(col(valueCol) =!= col("__med"))
+      .withColumn("__s", (col(valueCol) > col("__med")).cast("int"))
+      .withColumn("__new",
+        when(lag(col("__s"), 1).over(wOrd).isNull ||
+          lag(col("__s"), 1).over(wOrd) =!= col("__s"), 1L).otherwise(0L))
+    val np = sum(col("__s")).cast("double")
+    val nn = (count(lit(1)) - sum(col("__s"))).cast("double")
+    val n = count(lit(1)).cast("double")
+    val mu = lit(1.0) + lit(2.0) * np * nn / n
+    val v = lit(2.0) * np * nn * (lit(2.0) * np * nn - n) /
+      (n * n * (n - 1))
+    staged
+      .groupBy(keyCols: _*)
+      .agg(
+        np.cast("long").as("n_pos"),
+        nn.cast("long").as("n_neg"),
+        sum(col("__new")).as("n_runs"),
+        roundStable(when(n > 1, mu), digits).as("expected_runs"),
+        roundStable(when(n > 1 && v > 0,
+          (sum(col("__new")).cast("double") - mu) / sqrt(v)), digits)
+          .as("z"))
+  }
+
+  /** Hodges–Lehmann location estimator per key (Hodges & Lehmann
+    * 1963): the median of all Walsh averages `(x_i + x_j)/2, i ≤ j` —
+    * the robust center the Wilcoxon test inverts to, sitting BETWEEN
+    * the mean (efficient, fragile) and the median (robust, throws
+    * away data): ~96% Gaussian efficiency at a 29% breakdown point.
+    * The readout to publish when the mean and median of a skewed
+    * series disagree and both camps have a point.
+    *
+    * Shape — the [[theilSen]]/[[kendallTau]] discipline: the corpus
+    * reduces FIRST to per-`bucketCol` means (pair count bounded by
+    * the CALENDAR: 30 daily buckets = 465 Walsh pairs/key, data-size-
+    * independent), means ROUNDED before pairing so both engines pair
+    * identical doubles; one pair self-join (i ≤ j — singletons ARE
+    * Walsh pairs), exact interpolated median of the averages. The
+    * plain series median rides along for the skew contrast.
+    */
+  def hodgesLehmann(df: DataFrame, keys: Seq[String], bucketCol: Column,
+                    valueCol: String, digits: Int = 6,
+                    seriesDigits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val series = df
+      .groupBy(keyCols :+ bucketCol.as("__b"): _*)
+      .agg(roundStable(avg(col(valueCol)), seriesDigits).as("__v"))
+    val a = series.select(keyCols :+ col("__b").as("__ba") :+
+      col("__v").as("__va"): _*)
+    val b = series.select(keyCols :+ col("__b").as("__bb") :+
+      col("__v").as("__vb"): _*)
+    val pairs = a.join(b, keys).filter(col("__ba") <= col("__bb"))
+      .withColumn("__w", (col("__va") + col("__vb")) / 2)
+      .groupBy(keyCols: _*)
+      .agg(expr("percentile(__w, 0.5)").as("__hl"),
+        count(lit(1)).as("n_pairs"))
+    val plain = series.groupBy(keyCols: _*)
+      .agg(expr("percentile(__v, 0.5)").as("__med"),
+        count(lit(1)).as("n_buckets"))
+    plain.join(pairs, keys)
+      .select(keyCols ++ Seq(
+        roundStable(col("__hl"), digits).as("hl_location"),
+        roundStable(col("__med"), digits).as("series_median"),
+        col("n_buckets"), col("n_pairs")): _*)
   }
 
   /** Gini concentration coefficient per key over a nonnegative value —

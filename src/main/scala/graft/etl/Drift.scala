@@ -121,6 +121,58 @@ object Drift {
         col("__cc").as("cur_n"), col("lo"), col("hi"), col("weight")): _*)
   }
 
+  /** PSI over EQUAL-FREQUENCY (reference-decile) bins — the variant
+    * risk teams actually standardize on: [[psi]]'s equal-width bins let
+    * one outlier stretch the range until all mass piles into two bins
+    * (drift hides); decile edges from the REFERENCE give every bin
+    * ~10% of reference mass by construction, so the statistic watches
+    * the distribution's body. Edges are exact lower order statistics
+    * at ranks `ceil(k·n/bins)` (deterministic, engine-replayable — no
+    * interpolation); a current value's bin = #edges < value, clamped
+    * by construction to [0, bins−1] since only bins−1 interior edges
+    * exist. Shape: one keyed rank window over the REF side narrows to
+    * bins−1 edge rows per key (collected to a per-key ARRAY — O(bins),
+    * broadcast-friendly), then binning is a map-side HOF over that
+    * array and the counting agg is the [[psi]] shape. Identical
+    * add-half smoothing.
+    */
+  def psiQuantileBins(df: DataFrame, keys: Seq[String], valueCol: String,
+                      isRef: Column, bins: Int = 10,
+                      digits: Int = 6): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val keyCols = keys.map(col)
+    val tagged = df.withColumn("__ref", isRef)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val ref = tagged.filter(col("__ref"))
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    // interior edge k (1..bins-1) sits at rank ceil(k*n/bins); integer
+    // arithmetic: ceil(a/b) = (a + b - 1) DIV b
+    val isEdge = (1 until bins).map { k =>
+      col("__rn") === expr(s"(__n * $k + ${bins - 1}) DIV ${bins}L")
+    }.reduce(_ || _)
+    val edges = ref.filter(isEdge)
+      .groupBy(keyCols: _*)
+      .agg(array_sort(collect_set(col(valueCol))).as("__edges"))
+    val bin = aggregate(col("__edges"), lit(0L),
+      (acc, e) => acc + when(col(valueCol) > e, 1L).otherwise(0L))
+    val counts = tagged.join(broadcast(edges), keys)
+      .withColumn("__bin", bin)
+      .groupBy(keyCols :+ col("__bin"): _*)
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__rc"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("__cc"))
+    val w = Window.partitionBy(keyCols: _*)
+    counts
+      .withColumn("__term", psiTerm(col("__rc"), col("__cc"),
+        sum(col("__rc")).over(w), sum(col("__cc")).over(w), bins))
+      .withColumn("__nr", sum(col("__rc")).over(w))
+      .withColumn("__nc", sum(col("__cc")).over(w))
+      .groupBy(keyCols: _*)
+      .agg(roundStable(sum(col("__term")), digits).as("psi"),
+        max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
+  }
+
   /** Two-sided CUSUM change-point monitor per key — the third member of
     * the drift family: [[psi]]/[[ksTest]] say THAT a window drifted,
     * CUSUM localizes WHEN the shift began and alarms online. Reference
@@ -511,5 +563,104 @@ object Drift {
             max(col("__nb")) / (max(col("__na")) + max(col("__nb")))),
           digits).as("ks_scaled"),
         max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
+  }
+
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance per key between the
+    * `isRef` rows and the rest — the drift family's MAGNITUDE axis:
+    * [[ksTest]] reads the worst single CDF gap (a sup — one bad point
+    * decides it) and [[psi]] reads binned mass ratios (unit-free, blind
+    * to HOW FAR mass moved); W1 `= ∫|F_ref − F_cur| dx` is the average
+    * distance mass must travel, in the VALUE's own units — "the p50
+    * moved 12 ms", not "PSI 0.31". The closed 1-D form needs no
+    * transport solver: both empirical CDFs evaluate at every observed
+    * value and each gap is weighted by the distance to the next value.
+    *
+    * Shape: the [[ksTest]] machinery verbatim — one keyed agg to
+    * (key, value) side counts (state O(#distinct values), raw rows
+    * reduce FIRST), then cumulative + lead windows sharing ONE keyed
+    * sort, and a closing agg on the same partitioning. Also emits
+    * `w1_norm` (W1 / observed pooled range — scale-free, comparable
+    * across keys). One-sided keys (no ref or no cur rows) emit NULL
+    * distances with both counts visible; a single-valued key has zero
+    * range and emits `w1` 0 with NULL `w1_norm`.
+    */
+  def wasserstein1(df: DataFrame, keys: Seq[String], valueCol: String,
+                   isRef: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = df
+      .groupBy(keyCols :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("__rc"),
+        sum(when(!isRef, 1L).otherwise(0L)).as("__cc"))
+    val wVal = Window.partitionBy(keyCols: _*).orderBy(col("__v"))
+    val wCum = wVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val nr = sum(col("__rc")).over(wAll)
+    val nc = sum(col("__cc")).over(wAll)
+    // guarded BEFORE the division: a one-sided key would otherwise put
+    // IEEE Inf/NaN into the sum instead of a clean NULL
+    val gap = when(nr > 0 && nc > 0, abs(
+      sum(col("__rc")).over(wCum).cast("double") / nr.cast("double") -
+      sum(col("__cc")).over(wCum).cast("double") / nc.cast("double")))
+    val step = lead(col("__v"), 1).over(wVal) - col("__v")
+    counts
+      .withColumn("__t", gap * coalesce(step, lit(0.0)))
+      .withColumn("__nr", nr).withColumn("__nc", nc)
+      .withColumn("__range",
+        max(col("__v")).over(wAll) - min(col("__v")).over(wAll))
+      .groupBy(keyCols: _*)
+      .agg(roundStable(sum(col("__t")), digits).as("w1"),
+        roundStable(when(max(col("__range")) > 0,
+          sum(col("__t")) / max(col("__range"))), digits).as("w1_norm"),
+        max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
+  }
+
+  /** Mutual information (and normalized MI) between two categoricals
+    * per key — the information-theoretic companion to
+    * [[chiSquareIndep]]: chi-square answers "are they independent"
+    * against a null; MI measures HOW MANY NATS one column tells you
+    * about the other, and `NMI = MI / sqrt(H_a·H_b)` puts it on [0, 1]
+    * for cross-cohort comparison — the feature-redundancy screen run
+    * before two correlated features both enter a model.
+    *
+    * Single pass: one agg to observed (key, a, b) cells, then the
+    * marginals come from windows partitioned by (key, a) / (key, b)
+    * over those cell rows — nothing re-scans the input. The marginal
+    * entropies fold over the SAME cell rows via `Σ_b n_ab = n_a`
+    * (each cell contributes `(n_ab/n)·ln(n_a/n)` — summing recovers
+    * `Σ_a (n_a/n)·ln(n_a/n)` exactly), so no second aggregation
+    * exists. Observed cells only; every term is finite (n_ab ≥ 1).
+    * A key where either column is constant has H = 0: MI is 0 by
+    * construction and NMI is NULL (nothing to normalize by).
+    */
+  def mutualInfo(df: DataFrame, keys: Seq[String], aCol: String,
+                 bCol: String, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val cells = df
+      .groupBy(keyCols :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
+      .agg(count(lit(1)).cast("double").as("__o"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val wA = Window.partitionBy(keyCols :+ col("__a"): _*)
+    val wB = Window.partitionBy(keyCols :+ col("__b"): _*)
+    val n = sum(col("__o")).over(wAll)
+    val na = sum(col("__o")).over(wA)
+    val nb = sum(col("__o")).over(wB)
+    val p = col("__o") / col("__n")
+    cells
+      .withColumn("__n", n)
+      .withColumn("__na", na).withColumn("__nb", nb)
+      .withColumn("__mi", p * log(col("__o") * col("__n") /
+        (col("__na") * col("__nb"))))
+      .withColumn("__ha", -p * log(col("__na") / col("__n")))
+      .withColumn("__hb", -p * log(col("__nb") / col("__n")))
+      .groupBy(keyCols: _*)
+      .agg(
+        roundStable(sum(col("__mi")), digits).as("mi"),
+        roundStable(sum(col("__ha")), digits).as("h_a"),
+        roundStable(sum(col("__hb")), digits).as("h_b"),
+        roundStable(when(sum(col("__ha")) > 0 && sum(col("__hb")) > 0,
+          sum(col("__mi")) / sqrt(sum(col("__ha")) * sum(col("__hb")))),
+          digits).as("nmi"),
+        max(col("__n")).cast("long").as("n"),
+        count(lit(1)).as("n_cells"))
   }
 }

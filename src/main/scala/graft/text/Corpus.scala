@@ -160,6 +160,38 @@ object Corpus {
       .select(cols :+ concat_ws(" ", slice(toks, col("__i"), lit(n))).as("sh"): _*)
   }
 
+  /** Tokenizer fertility census per cohort (lang/source/domain) — the
+    * numbers a tokenizer change is judged by before anyone retrains:
+    * tokens per doc, chars per token (FERTILITY — how many pieces the
+    * tokenizer shreds a character stream into; the cross-lingual
+    * equity metric), and the type/token ratio (lexical diversity; a
+    * collapsing TTR flags boilerplate/template floods the dedup family
+    * then localizes). One explode + one aggregation per cohort —
+    * exact distinct for the TTR (swap to HLL at 100 TB cohorts, the
+    * B43 trade).
+    */
+  def fertility(docs: DataFrame, cohortCol: String, textCol: String,
+                digits: Int = 6): DataFrame = {
+    val toks = docs
+      .select(col(cohortCol), explode(split(col(textCol), " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val perDoc = docs.groupBy(col(cohortCol))
+      .agg(count(lit(1)).as("n_docs"))
+    toks.groupBy(col(cohortCol))
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("__tok")).as("n_types"),
+        sum(length(col("__tok"))).as("__chars"))
+      .join(perDoc, Seq(cohortCol))
+      .select(col(cohortCol), col("n_docs"), col("total_tokens"),
+        col("n_types"),
+        roundStable(col("total_tokens").cast("double") / col("n_docs"),
+          digits).as("tokens_per_doc"),
+        roundStable(col("__chars").cast("double") / col("total_tokens"),
+          digits).as("chars_per_token"),
+        roundStable(col("n_types").cast("double") / col("total_tokens"),
+          digits).as("type_token_ratio"))
+  }
+
   /** Corpus novelty per document — what fraction of a doc's distinct
     * word `n`-grams appear HERE FIRST (no earlier doc in `idCol` order
     * contains them): the curation signal between exact dedup (whole-doc)

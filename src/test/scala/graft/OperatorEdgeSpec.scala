@@ -2704,6 +2704,66 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(one.getDouble(4) == 5.0 && one.isNullAt(5) && one.isNullAt(6))
   }
 
+  test("psiQuantileBins: outlier-stretched range that HIDES from equal-width PSI is caught; identical halves ~0") {
+    // ref: uniform 1..100; cur: shifted 31..130 — but ONE ref outlier
+    // at 1e9 makes equal-width bins put ~everything in bin 0 (drift
+    // hidden); decile bins don't care about the range
+    val ref = (1 to 100).map(i => ("k", i.toDouble, true)) :+
+      (("k", 1e9, true))
+    val cur = (31 to 130).map(i => ("k", i.toDouble, false))
+    val df = (ref ++ cur).toDF("k", "v", "r")
+    val eqw = etl.Drift.psi(df, Seq("k"), "v", col("r"), bins = 10)
+      .collect().head.getDouble(1)
+    val qb = etl.Drift.psiQuantileBins(df, Seq("k"), "v", col("r"),
+      bins = 10).collect().head.getDouble(1)
+    assert(qb > 5 * math.max(eqw, 0.01),
+      s"decile PSI $qb must dwarf the outlier-blinded equal-width $eqw")
+    // identical distributions (same multiset both halves): near zero
+    val same = (0 until 200).map(i => ("k", (i % 50).toDouble, i < 100))
+    val z = etl.Drift.psiQuantileBins(same.toDF("k", "v", "r"), Seq("k"),
+      "v", col("r"), bins = 10).collect().head.getDouble(1)
+    assert(z < 0.02, s"identical halves must read ~0: $z")
+  }
+
+  test("bootstrapMeanCi: CI brackets the mean, width shrinks with n, deterministic across runs") {
+    def rows(k: String, n: Int) =
+      (1 to n).map(i => (k, 10.0 + (i % 21 - 10) * 0.5, i.toLong))
+    val df = (rows("small", 40) ++ rows("big", 640)).toDF("k", "v", "id")
+    val out = etl.Aggregates.bootstrapMeanCi(df, Seq("k"), "v", col("id"),
+      reps = 50).collect().map(r => r.getString(0) -> r).toMap
+    for ((_, r) <- out) {
+      assert(r.getDouble(3) <= r.getDouble(1) &&
+        r.getDouble(1) <= r.getDouble(4), s"CI must bracket the mean: $r")
+      assert(r.getLong(5) == 50L)
+    }
+    val wSmall = out("small").getDouble(4) - out("small").getDouble(3)
+    val wBig = out("big").getDouble(4) - out("big").getDouble(3)
+    assert(wBig < wSmall / 2, s"16x the data: CI much tighter ($wBig vs $wSmall)")
+    val rerun = etl.Aggregates.bootstrapMeanCi(df, Seq("k"), "v",
+      col("id"), reps = 50).collect().map(r => r.getString(0) -> r).toMap
+    assert(rerun("small").getDouble(3) == out("small").getDouble(3) &&
+      rerun("big").getDouble(4) == out("big").getDouble(4),
+      "hash draws: byte-deterministic, no RNG state")
+  }
+
+  test("fertility: hand counts exact; empty tokens filtered; TTR separates diverse from template") {
+    val docs = Seq(
+      ("en", "the cat sat"), ("en", "the  dog ran fast"),
+      ("tpl", "buy now buy now"), ("tpl", "buy now"))
+      .toDF("lang", "text")
+    val out = text.Corpus.fertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    // 3 + 4 tokens (double space filtered), 6 types, 22 chars
+    assert(en.getLong(1) == 2L && en.getLong(2) == 7L && en.getLong(3) == 6L)
+    assert(en.getDouble(4) == 3.5, s"tokens/doc: $en")
+    assert(math.abs(en.getDouble(5) - 22.0 / 7) < 1e-6, s"chars/token: $en")
+    val tpl = out("tpl")
+    assert(tpl.getDouble(6) < en.getDouble(6),
+      "template flood must show a collapsed TTR")
+    assert(math.abs(tpl.getDouble(6) - 2.0 / 6) < 1e-6)
+  }
+
   test("Bpe: exact merge sequence on a hand corpus; segment replays the merges") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
     val m = text.Bpe.trainMerges(docs, "text", numMerges = 5)
@@ -3263,6 +3323,135 @@ class OperatorEdgeSpec extends AnyFunSuite {
       Seq("src"), "lang", "len").collect().head
     assert(r.getLong(2) == 0L, s"dof=${r.getLong(2)}")
     assert(r.isNullAt(3), "cramers_v must be NULL, not 0/0")
+  }
+
+  test("wasserstein1: pure location shift reads exactly the shift; identical halves 0; one-sided key NULL") {
+    // ref {0,1}, cur {1,2}: every unit of mass travels exactly 1
+    val hand = Seq(("k", 0.0, true), ("k", 1.0, true),
+      ("k", 1.0, false), ("k", 2.0, false)).toDF("k", "v", "r")
+    val h = etl.Drift.wasserstein1(hand, Seq("k"), "v", col("r"))
+      .collect().head
+    assert(h.getDouble(1) == 1.0, s"shift-by-1 must read W1=1: $h")
+    assert(h.getDouble(2) == 0.5, s"range 2 -> w1_norm 0.5: $h")
+    // a +7 shift of an arbitrary shape reads exactly 7
+    val base = (1 to 50).map(i => ("s", math.pow(1.07, i % 13), true))
+    val shifted = base.map { case (k, v, _) => (k, v + 7.0, false) }
+    val s = etl.Drift.wasserstein1((base ++ shifted).toDF("k", "v", "r"),
+      Seq("k"), "v", col("r")).collect().head
+    assert(math.abs(s.getDouble(1) - 7.0) < 1e-6, s"location shift: $s")
+    // identical halves: 0; one-sided key: NULL with counts visible
+    val mixed = (1 to 40).map(i => ("same", (i % 10).toDouble, i <= 20)) ++
+      Seq(("refonly", 1.0, true), ("refonly", 2.0, true))
+    val out = etl.Drift.wasserstein1(mixed.toDF("k", "v", "r"), Seq("k"),
+      "v", col("r")).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("same").getDouble(1) == 0.0)
+    assert(out("refonly").isNullAt(1) && out("refonly").isNullAt(2) &&
+      out("refonly").getLong(3) == 2L && out("refonly").getLong(4) == 0L)
+  }
+
+  test("mannKendall: monotone series textbook z; all-tied NULL z with S=0; single-bucket key visible") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(d: Int) = new java.sql.Timestamp(ts0.getTime + d * 86400000L)
+    val up = (0 until 10).map(d => ("up", at(d), d.toDouble))
+    val down = (0 until 10).map(d => ("down", at(d), -d.toDouble))
+    val flat = (0 until 10).map(d => ("flat", at(d), 3.0))
+    val lone = Seq(("lone", at(0), 1.0))
+    val df = (up ++ down ++ flat ++ lone).toDF("k", "ts", "v")
+    val out = etl.Aggregates.mannKendall(df, Seq("k"), to_date(col("ts")),
+      "v").collect().map(r => r.getString(0) -> r).toMap
+    // S = 45, Var = 10*9*25/18 = 125, z = 44/sqrt(125)
+    assert(out("up").getLong(1) == 45L &&
+      out("up").getDouble(4) == 125.0 &&
+      math.abs(out("up").getDouble(5) - 44.0 / math.sqrt(125.0)) < 1e-6)
+    assert(out("down").getLong(1) == -45L &&
+      math.abs(out("down").getDouble(5) + 44.0 / math.sqrt(125.0)) < 1e-6)
+    assert(out("flat").getLong(1) == 0L && out("flat").isNullAt(5),
+      "all-tied: Var(S)=0, z NULL, not 0/0")
+    assert(out("lone").isNullAt(1) && out("lone").getLong(3) == 0L,
+      "single bucket: no pair to sign, visible not dropped")
+  }
+
+  test("mutualInfo: identical columns give NMI=1, independence ~0, constant column NULL NMI") {
+    val dep = (1 to 40).map(i => ("dep", s"c${i % 3}", s"c${i % 3}"))
+    val ind = for (i <- 0 until 10; j <- 0 until 10)
+      yield ("ind", s"a$i".take(2), s"b${j % 2}")
+    val const = (1 to 10).map(i => ("const", "only", s"b${i % 2}"))
+    val df = (dep ++ ind ++ const).toDF("k", "a", "b")
+    val out = etl.Drift.mutualInfo(df, Seq("k"), "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val d = out("dep")
+    assert(math.abs(d.getDouble(4) - 1.0) < 1e-9, s"a==b: NMI 1: $d")
+    assert(math.abs(d.getDouble(1) - d.getDouble(2)) < 1e-9,
+      "a==b: MI equals the marginal entropy")
+    assert(math.abs(out("ind").getDouble(1)) < 1e-9, "uniform grid: MI 0")
+    assert(out("const").getDouble(1) == 0.0 && out("const").isNullAt(4),
+      "constant a: MI 0 by construction, NMI NULL")
+  }
+
+  test("maxDrawdown: order-aware (beats max-min), earliest trough on ties, non-positive peak NULL frac") {
+    // [5,3,4,1,6,2]: peak path [5,5,5,5,6,6], dd [0,2,1,4,0,4] — the
+    // worst drop is 4 TWICE (value 1 off peak 5, value 2 off peak 6);
+    // earliest wins. max-min would claim 6-1=5, which never happened
+    // as a decline.
+    val vals = Seq(5.0, 3.0, 4.0, 1.0, 6.0, 2.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) } ++
+      (0 until 4).map(i => ("up", i.toLong, i.toDouble)) ++
+      Seq(("neg", 0L, -5.0), ("neg", 1L, -7.0))
+    val df = rows.toDF("k", "o", "v")
+    val out = etl.Aggregates.maxDrawdown(df, Seq("k"), "v", col("o"),
+      col("o")).collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getDouble(1) == 4.0 && k.getDouble(2) == 0.8 &&
+      k.getDouble(3) == 5.0 && k.getLong(4) == 3L,
+      s"dd 4 at the EARLIEST trough (o=3, peak 5): $k")
+    assert(out("up").getDouble(1) == 0.0 && out("up").getLong(4) == 0L,
+      "monotone rise: zero drawdown, trough pinned to the first row")
+    assert(out("neg").getDouble(1) == 2.0 && out("neg").isNullAt(2),
+      "negative peak: absolute dd real, relative NULL not nonsense")
+  }
+
+  test("runsTest: alternation reads high z, clustering low z, median ties excluded") {
+    // 12 values alternating around median -> R = 12 (max possible)
+    val alt = (0 until 12).map(i =>
+      ("alt", i.toLong, if (i % 2 == 0) 1.0 else 2.0))
+    // same multiset clustered -> R = 2 (min possible)
+    val clu = (0 until 12).map(i =>
+      ("clu", i.toLong, if (i < 6) 1.0 else 2.0))
+    // 1,2,3 with median 2: the 2 is EXCLUDED, leaving one run boundary
+    val tie = Seq(("tie", 0L, 1.0), ("tie", 1L, 2.0), ("tie", 2L, 3.0))
+    val df = (alt ++ clu ++ tie).toDF("k", "o", "v")
+    val out = etl.Aggregates.runsTest(df, Seq("k"), "v", col("o"), col("o"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val np = 6.0; val nn = 6.0; val n = 12.0
+    val mu = 1.0 + 2 * np * nn / n
+    val sd = math.sqrt(2 * np * nn * (2 * np * nn - n) / (n * n * (n - 1)))
+    assert(out("alt").getLong(3) == 12L &&
+      math.abs(out("alt").getDouble(5) - (12 - mu) / sd) < 1e-6,
+      s"alternation: R=12, z=+(12-mu)/sd: ${out("alt")}")
+    assert(out("clu").getLong(3) == 2L &&
+      math.abs(out("clu").getDouble(5) - (2 - mu) / sd) < 1e-6,
+      s"clustering: R=2: ${out("clu")}")
+    val t = out("tie")
+    assert(t.getLong(1) == 1L && t.getLong(2) == 1L && t.getLong(3) == 2L,
+      s"median row excluded, 2 runs remain: $t")
+  }
+
+  test("hodgesLehmann: sits between median and mean on skewed data; symmetric case equals both") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(d: Int) = new java.sql.Timestamp(ts0.getTime + d * 86400000L)
+    // daily values [1,2,10]: Walsh avgs {1,1.5,5.5,2,6,10} -> HL 3.75;
+    // series median 2, mean 4.33 — HL strictly between
+    val skew = Seq(("skew", at(0), 1.0), ("skew", at(1), 2.0),
+      ("skew", at(2), 10.0))
+    val sym = (0 until 5).map(d => ("sym", at(d), (d + 1).toDouble))
+    val df = (skew ++ sym).toDF("k", "ts", "v")
+    val out = etl.Aggregates.hodgesLehmann(df, Seq("k"), to_date(col("ts")),
+      "v").collect().map(r => r.getString(0) -> r).toMap
+    val s = out("skew")
+    assert(s.getDouble(1) == 3.75 && s.getDouble(2) == 2.0 &&
+      s.getLong(3) == 3L && s.getLong(4) == 6L, s"skewed: $s")
+    assert(out("sym").getDouble(1) == 3.0 && out("sym").getDouble(2) == 3.0,
+      "symmetric 1..5: HL == median == mean == 3")
   }
 
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
