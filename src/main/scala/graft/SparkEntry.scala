@@ -2152,6 +2152,27 @@ object SparkEntry {
           bucketCol = to_date(col("ts")), valueCol = "value")
         .orderBy(col("event_type"))),
 
+    "q221_burstiness" -> ((s, dir) =>
+      // content-vs-function word separation: population Fano factor of
+      // per-doc counts (zeros included, computed algebraically)
+      text.Corpus.burstiness(Tables.documents(s, dir), "doc_id", "text",
+          minDf = 3)
+        .orderBy(col("tok"))),
+
+    "q222_heaps" -> ((s, dir) =>
+      // vocabulary-growth law per source: V ~ K*n^beta over doc-boundary
+      // checkpoints — predicts the OOV cost of the next 10x of corpus
+      text.Corpus.heapsLaw(Tables.documents(s, dir), "source", "doc_id",
+          "text")
+        .orderBy(col("source"))),
+
+    "q223_rfm" -> ((s, dir) =>
+      // the customer-value grid: quintile scores by explicit rank
+      // arithmetic (never ntile), segment cells with average raw metrics
+      etl.Features.rfm(Tables.orders(s, dir), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -6254,6 +6275,79 @@ object SparkEntry {
         |  CAST(p.n_pairs AS BIGINT) AS n_pairs
         |FROM g JOIN p USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q221_burstiness" ->
+      // same algebraic Fano (df, cf, sum c^2 against total docs — the
+      // zero rows never materialize), same minDf pruning
+      """WITH tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents),
+        |pd AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS ndocs FROM documents),
+        |a AS (SELECT tok, count(*) AS df, sum(c) AS cf,
+        |    sum(c * c) AS s2
+        |  FROM pd GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT tok, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+        |  roundStable((s2 / ndocs - (cf / ndocs) * (cf / ndocs))
+        |    / (cf / ndocs), 6) AS fano
+        |FROM a, nd ORDER BY tok""".stripMargin,
+
+    "q222_heaps" ->
+      // type introductions from one min(doc) agg, cumulative windows,
+      // the q118 population-moment OLS over the log-log checkpoints
+      """WITH tk AS (SELECT source, doc_id AS d,
+        |    unnest(str_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT source, d, tok FROM tk WHERE tok <> ''),
+        |pd AS (SELECT source, d, count(*) AS nt FROM f GROUP BY 1, 2),
+        |iv AS (SELECT source, tok, min(d) AS d FROM f GROUP BY 1, 2),
+        |ic AS (SELECT source, d, count(*) AS nv FROM iv GROUP BY 1, 2),
+        |cp AS (SELECT pd.source,
+        |    sum(pd.nt) OVER (PARTITION BY pd.source ORDER BY pd.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |    sum(coalesce(ic.nv, 0)) OVER (PARTITION BY pd.source
+        |      ORDER BY pd.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM pd LEFT JOIN ic ON ic.source = pd.source AND ic.d = pd.d),
+        |l AS (SELECT source, ln(CAST(n AS DOUBLE)) AS x,
+        |    ln(CAST(v AS DOUBLE)) AS y FROM cp WHERE n > 0 AND v > 0)
+        |SELECT source,
+        |  roundStable(CASE WHEN var_pop(x) > 0
+        |    THEN covar_pop(y, x) / var_pop(x) END, 6) AS beta,
+        |  roundStable(exp(roundStable(CASE WHEN var_pop(x) > 0
+        |    THEN avg(y) - covar_pop(y, x) / var_pop(x) * avg(x) END, 6)),
+        |    6) AS k,
+        |  roundStable(CASE WHEN var_pop(x) > 0 AND var_pop(y) > 0
+        |    THEN covar_pop(y, x) * covar_pop(y, x)
+        |      / (var_pop(x) * var_pop(y)) END, 6) AS r2,
+        |  count(*) AS n_checkpoints
+        |FROM l GROUP BY source ORDER BY source""".stripMargin,
+
+    "q223_rfm" ->
+      // same entity rollup, same (rn-1)*5 DIV n + 1 quintile arithmetic
+      // on (metric asc, custkey) row_numbers
+      """WITH e AS (SELECT o_custkey AS id, max(o_orderdate) AS last_ts,
+        |    count(*) AS freq, sum(o_totalprice) AS money
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        |r AS (SELECT e.*, a.anchor,
+        |    date_diff('day', CAST(e.last_ts AS DATE),
+        |      CAST(a.anchor AS DATE)) AS rdays,
+        |    count(*) OVER () AS n,
+        |    row_number() OVER (ORDER BY e.last_ts, e.id) AS rnr,
+        |    row_number() OVER (ORDER BY e.freq, e.id) AS rnf,
+        |    row_number() OVER (ORDER BY e.money, e.id) AS rnm
+        |  FROM e, a),
+        |s AS (SELECT CAST((rnr - 1) * 5 // n + 1 AS INT) AS r_score,
+        |    CAST((rnf - 1) * 5 // n + 1 AS INT) AS f_score,
+        |    CAST((rnm - 1) * 5 // n + 1 AS INT) AS m_score,
+        |    rdays, freq, money FROM r)
+        |SELECT r_score, f_score, m_score,
+        |  count(*) AS n_entities,
+        |  roundStable(avg(rdays), 6) AS avg_recency_days,
+        |  roundStable(avg(freq), 6) AS avg_frequency,
+        |  roundStable(avg(money), 6) AS avg_monetary
+        |FROM s GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.roundStable
@@ -114,5 +115,56 @@ object Features {
           (col("__s") - col(targetCol) + lit(m) * col("__g")) /
             (col("__n") - 1 + lit(m))), digits))
       .drop("__s", "__n", "__g")
+  }
+
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * customer-value grid every lifecycle program starts from: one row
+    * per entity collapses to three quintile scores (1–5, 5 best:
+    * most recent, most often, most spent) and the segment report
+    * aggregates entities per (r, f, m) cell with the cell's average
+    * raw metrics — ≤125 output rows regardless of entity count.
+    *
+    * Scores use the q204 explicit rank-bucket arithmetic
+    * (`(rn−1)·5 DIV n + 1` over a (metric asc, id) `row_number`) —
+    * never `ntile`, whose tie placement is engine-specific. Recency
+    * ranks the LAST-SEEN instant ascending (oldest = 1, freshest = 5);
+    * `recency_days` is measured against the dataset's own max date so
+    * the query is reproducible with no wall-clock dependence. Shape:
+    * one entity aggregation, then three rank windows over the ENTITY
+    * rows — these are global sorts (the q204 trade, documented there):
+    * they rank the aggregated entity table, never the raw corpus, and
+    * quintile boundaries are inherently global. One closing cell agg.
+    */
+  def rfm(df: DataFrame, idCol: Column, tsCol: Column, amountCol: Column,
+          digits: Int = 6): DataFrame = {
+    val entities = df.groupBy(idCol.as("__id"))
+      .agg(max(tsCol).as("__last"), count(lit(1)).as("__freq"),
+        sum(amountCol).as("__money"))
+    val anchor = df.agg(max(tsCol).as("__anchor"))
+    def score(rn: String): Column =
+      expr(s"CAST(($rn - 1) * 5 DIV __n + 1 AS INT)")
+    entities
+      .crossJoin(broadcast(anchor))
+      .withColumn("__rdays",
+        datediff(to_date(col("__anchor")), to_date(col("__last")))
+          .cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__rnr",
+        row_number().over(Window.orderBy(col("__last"), col("__id")))
+          .cast("long"))
+      .withColumn("__rnf",
+        row_number().over(Window.orderBy(col("__freq"), col("__id")))
+          .cast("long"))
+      .withColumn("__rnm",
+        row_number().over(Window.orderBy(col("__money"), col("__id")))
+          .cast("long"))
+      .withColumn("r_score", score("__rnr"))
+      .withColumn("f_score", score("__rnf"))
+      .withColumn("m_score", score("__rnm"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_entities"),
+        roundStable(avg(col("__rdays")), digits).as("avg_recency_days"),
+        roundStable(avg(col("__freq")), digits).as("avg_frequency"),
+        roundStable(avg(col("__money")), digits).as("avg_monetary"))
   }
 }

@@ -192,6 +192,104 @@ object Corpus {
           digits).as("type_token_ratio"))
   }
 
+  /** Per-token burstiness (Church & Gale 1995, as the population Fano
+    * factor `var/mean` of per-document counts with absent-doc ZEROS
+    * included): the signal that separates CONTENT words (bursty — a doc
+    * either ignores "volcano" or says it five times) from FUNCTION
+    * words (spread thin and even), which is the principled version of
+    * a stopword list and the feature behind df-vs-cf term weighting.
+    * Fano 0 = perfectly even (one occurrence in every doc), larger =
+    * burstier; computed algebraically from (df, cf, Σc²) against the
+    * cohort's total doc count so the zero rows NEVER materialize —
+    * per-token state is three numbers, not N_docs counters.
+    *
+    * One explode + one (token) agg; `minDf` prunes the hapax tail
+    * BEFORE the output (mirrored by the oracle — candidate semantics
+    * shared, the q135 lesson). Vocabulary-sized output, key-partitioned
+    * all the way.
+    */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Int = 3, digits: Int = 6): DataFrame = {
+    require(minDf >= 1, s"need minDf >= 1, got $minDf")
+    val perDoc = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__nd"))
+    val mean = col("__cf") / col("__nd")
+    val fano = (col("__s2") / col("__nd") - mean * mean) / mean
+    perDoc
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("__c")).cast("long").as("cf"),
+        sum(col("__c") * col("__c")).as("__s2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__cf", col("cf").cast("double"))
+      .select(col("tok"), col("df"), col("cf"),
+        roundStable(fano, digits).as("fano"))
+  }
+
+  /** Heaps'-law vocabulary growth per cohort: checkpoints of
+    * (cumulative tokens n, cumulative distinct types V) at every doc
+    * boundary in `idCol` order, fit `V ≈ K·n^β` by log-log OLS — the
+    * two numbers (β, K) that PREDICT how much new vocabulary the next
+    * 10× of corpus will bring (tokenizer sizing, OOV budgeting) and
+    * whose collapse (β → 0 early) flags a template-flooded feed the
+    * dedup family then localizes. Typical natural text: β ≈ 0.4–0.6.
+    *
+    * Distributed shape: type-introduction counts come from ONE
+    * `min(doc)` aggregation over distinct (cohort, token, doc) rows
+    * (the [[novelty]] machinery pointed at the vocabulary axis — no
+    * window over the corpus); both cumulative series then ride a
+    * single keyed window over per-doc rows (#docs per cohort, already
+    * reduced). The closing OLS uses EXPLICIT population moments, not
+    * `olsTrend`'s `corr` — Spark's Corr divides by the y standard
+    * deviation and THROWS under ANSI on a zero-variance cohort, and a
+    * frozen vocabulary (the template flood this operator exists to
+    * flag!) is exactly that case (the A44 lesson again): slope 0 with
+    * NULL r2 is the correct, visible answer there. Single-checkpoint
+    * cohorts (var x = 0) emit NULL slope/k/r2 with the count.
+    */
+  def heapsLaw(docs: DataFrame, cohortCol: String, idCol: String,
+               textCol: String, digits: Int = 6): DataFrame = {
+    val tokRows = docs
+      .select(col(cohortCol), col(idCol).as("__d"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val perDoc = tokRows.groupBy(col(cohortCol), col("__d"))
+      .agg(count(lit(1)).as("__nt"))
+    val intro = tokRows
+      .groupBy(col(cohortCol), col("tok"))
+      .agg(min(col("__d")).as("__first"))
+      .groupBy(col(cohortCol), col("__first").as("__d"))
+      .agg(count(lit(1)).as("__nv"))
+    val wCum = Window.partitionBy(col(cohortCol)).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val checkpoints = perDoc
+      .join(intro, Seq(cohortCol, "__d"), "left")
+      .withColumn("__n", sum(col("__nt")).over(wCum))
+      .withColumn("__v", sum(coalesce(col("__nv"), lit(0L))).over(wCum))
+      .filter(col("__n") > 0 && col("__v") > 0)
+    val pts = checkpoints
+      .withColumn("__x", log(col("__n").cast("double")))
+      .withColumn("__y", log(col("__v").cast("double")))
+    val cxy = covar_pop(col("__y"), col("__x"))
+    val vx = var_pop(col("__x"))
+    val vy = var_pop(col("__y"))
+    val slope = when(vx > 0, cxy / vx)
+    pts.groupBy(col(cohortCol))
+      .agg(
+        roundStable(slope, digits).as("beta"),
+        roundStable(exp(roundStable(
+          avg(col("__y")) - slope * avg(col("__x")), digits)), digits)
+          .as("k"),
+        roundStable(when(vx > 0 && vy > 0, cxy * cxy / (vx * vy)), digits)
+          .as("r2"),
+        count(lit(1)).as("n_checkpoints"))
+  }
+
   /** Corpus novelty per document — what fraction of a doc's distinct
     * word `n`-grams appear HERE FIRST (no earlier doc in `idCol` order
     * contains them): the curation signal between exact dedup (whole-doc)

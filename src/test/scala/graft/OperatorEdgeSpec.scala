@@ -3454,6 +3454,69 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "symmetric 1..5: HL == median == mean == 3")
   }
 
+  test("burstiness: even spread reads 0, one-doc burst reads n-1, partial clump exact") {
+    val docs = Seq(
+      (1L, "the x x x x"), (2L, "the b b"), (3L, "the b b"), (4L, "the"))
+      .toDF("doc_id", "text")
+    val out = text.Corpus.burstiness(docs, "doc_id", "text", minDf = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // "the": [1,1,1,1] -> var 0 -> fano 0 (perfectly even)
+    assert(out("the").getDouble(3) == 0.0 && out("the").getLong(1) == 4L)
+    // "x": [4,0,0,0] -> mean 1, E[x^2] 4, var 3 -> fano 3
+    assert(out("x").getDouble(3) == 3.0 && out("x").getLong(1) == 1L &&
+      out("x").getLong(2) == 4L)
+    // "b": [0,2,2,0] -> mean 1, E[x^2] 2, var 1 -> fano 1
+    assert(out("b").getDouble(3) == 1.0)
+    // minDf prunes: df("x") = 1 < 2
+    val pruned = text.Corpus.burstiness(docs, "doc_id", "text", minDf = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(pruned == Set("the", "b"), s"minDf=2 must drop x: $pruned")
+  }
+
+  test("heapsLaw: all-new tokens fit beta=1 k=1 exactly; template flood collapses beta to 0") {
+    // grow: doc d contributes d tokens, all globally new -> V == n
+    val grow = (1 to 6).map(d =>
+      ("grow", d.toLong, (1 to d).map(i => s"g${d}_$i").mkString(" ")))
+    // tpl: every doc is the same 3 tokens -> V frozen at 3 after doc 1
+    val tpl = (1 to 6).map(d => ("tpl", d.toLong, "a b c"))
+    val df = (grow ++ tpl).toDF("source", "doc_id", "text")
+    val out = text.Corpus.heapsLaw(df, "source", "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("grow")
+    assert(g.getDouble(1) == 1.0 && g.getDouble(2) == 1.0 &&
+      g.getDouble(3) == 1.0 && g.getLong(4) == 6L,
+      s"V==n: beta 1, k 1, r2 1: $g")
+    val t = out("tpl")
+    assert(t.getDouble(1) == 0.0 && t.isNullAt(3),
+      s"frozen vocabulary: beta 0, r2 NULL (zero y-variance — the case " +
+        s"that made corr unusable here): $t")
+    assert(math.abs(t.getDouble(2) - 3.0) < 1e-5,
+      s"frozen vocab: K ~ the vocabulary size itself: $t")
+  }
+
+  test("rfm: aligned deciles give diagonal segments with exact cell averages") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def day(d: Int) = new java.sql.Timestamp(ts0.getTime + d * 86400000L)
+    // customer i: i orders, total i*100, last active day i — all three
+    // rankings coincide, so segments are the 5 diagonal cells
+    val rows = for (i <- 1 to 10; j <- 1 to i)
+      yield (i.toLong, day(if (j == i) i else 0), 100.0)
+    val out = etl.Features.rfm(rows.toDF("c", "ts", "amt"), col("c"),
+      col("ts"), col("amt"))
+      .orderBy("r_score").collect()
+    assert(out.length == 5, s"diagonal only: ${out.mkString("; ")}")
+    for ((r, idx) <- out.zipWithIndex) {
+      val k = idx + 1
+      assert(r.getInt(0) == k && r.getInt(1) == k && r.getInt(2) == k)
+      assert(r.getLong(3) == 2L, s"two customers per quintile: $r")
+      // pair (2k-1, 2k): freq avg 2k-0.5, money avg 100*(2k-0.5),
+      // recency vs anchor day 10: avg 10-(2k-0.5)
+      assert(r.getDouble(5) == 2 * k - 0.5 &&
+        r.getDouble(6) == 100.0 * (2 * k - 0.5) &&
+        r.getDouble(4) == 10.0 - (2 * k - 0.5), s"cell $k: $r")
+    }
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")
