@@ -2173,6 +2173,28 @@ object SparkEntry {
           col("o_orderdate"), col("o_totalprice"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))),
 
+    "q224_qq_shift" -> ((s, dir) =>
+      // WHERE in the distribution did it drift: per-decile shift
+      // function (KS says THAT, W1 says HOW MUCH, this says WHERE)
+      etl.Drift.qqShift(Tables.events(s, dir), Seq("event_type"), "value",
+          isRef = dayofmonth(col("ts")) <= 15)
+        .orderBy(col("event_type"), col("decile"))),
+
+    "q225_contribution" -> ((s, dir) =>
+      // "why did revenue move": per-segment delta decomposition between
+      // the pre-1998 and post-1998 halves, ranked by absolute movement
+      etl.Aggregates.contribution(Tables.orders(s, dir),
+          Seq("o_orderpriority", "o_orderstatus"), "o_totalprice",
+          isRef = year(col("o_orderdate")) < 1998, digits = 2)
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))),
+
+    "q226_effect_size" -> ((s, dir) =>
+      // the magnitude companion to q121's Welch significance on the
+      // same A/B split: pooled-SD Cohen's d + Hedges' g
+      etl.Aggregates.effectSize(Tables.events(s, dir), Seq("event_type"),
+          isA = col("user_id") % 2 === 0, yCol = col("value"))
+        .orderBy(col("event_type"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -6348,6 +6370,71 @@ object SparkEntry {
         |  roundStable(avg(money), 6) AS avg_monetary
         |FROM s GROUP BY 1, 2, 3
         |ORDER BY r_score, f_score, m_score""".stripMargin,
+
+    "q224_qq_shift" ->
+      // same interpolated quantiles both sides, list-indexed per decile
+      """WITH t AS (SELECT event_type, value,
+        |    (day(ts) <= 15) AS ref FROM events),
+        |q AS (SELECT event_type,
+        |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+        |      0.8, 0.9]) FILTER (WHERE ref) AS qr,
+        |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+        |      0.8, 0.9]) FILTER (WHERE NOT ref) AS qc
+        |  FROM t GROUP BY 1),
+        |i AS (SELECT unnest(range(1, 10)) AS d)
+        |SELECT event_type, CAST(d AS BIGINT) AS decile,
+        |  roundStable(qr[CAST(d AS INT)], 6) AS q_ref,
+        |  roundStable(qc[CAST(d AS INT)], 6) AS q_cur,
+        |  roundStable(qc[CAST(d AS INT)] - qr[CAST(d AS INT)], 6) AS shift
+        |FROM q, i ORDER BY event_type, decile""".stripMargin,
+
+    "q225_contribution" ->
+      // same conditional totals; |delta| ROUNDED before ranking with
+      // the full-segment tiebreak
+      """WITH b AS (SELECT o_orderpriority, o_orderstatus,
+        |    sum(CASE WHEN year(o_orderdate) < 1998 THEN o_totalprice
+        |      ELSE 0 END) AS r,
+        |    sum(CASE WHEN NOT (year(o_orderdate) < 1998)
+        |      THEN o_totalprice ELSE 0 END) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT *, c - r AS d,
+        |    sum(abs(c - r)) OVER () AS ta,
+        |    row_number() OVER (ORDER BY roundStable(abs(c - r), 2) DESC,
+        |      o_orderpriority, o_orderstatus) AS rk
+        |  FROM b)
+        |SELECT o_orderpriority, o_orderstatus,
+        |  roundStable(r, 2) AS ref_total, roundStable(c, 2) AS cur_total,
+        |  roundStable(d, 2) AS delta,
+        |  roundStable(CASE WHEN ta > 0 THEN abs(d) / ta END, 2)
+        |    AS abs_share,
+        |  CAST(rk AS BIGINT) AS rank
+        |FROM w ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q226_effect_size" ->
+      // same arm moments, pooled SD, Hedges correction
+      """WITH t AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN value END AS a,
+        |    CASE WHEN user_id % 2 <> 0 THEN value END AS b
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    count(a) AS na, count(b) AS nb,
+        |    avg(a) AS ma, avg(b) AS mb,
+        |    var_samp(a) AS va, var_samp(b) AS vb
+        |  FROM t GROUP BY 1),
+        |s AS (SELECT *,
+        |    CAST(na + nb AS DOUBLE) AS n,
+        |    (CAST(na - 1 AS DOUBLE) * va + CAST(nb - 1 AS DOUBLE) * vb)
+        |      / (CAST(na + nb AS DOUBLE) - 2) AS pv
+        |  FROM g)
+        |SELECT event_type,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  roundStable(ma, 6) AS mean_a, roundStable(mb, 6) AS mean_b,
+        |  roundStable(CASE WHEN na >= 2 AND nb >= 2 AND pv > 0
+        |    THEN (ma - mb) / sqrt(pv) END, 6) AS cohen_d,
+        |  roundStable(CASE WHEN na >= 2 AND nb >= 2 AND pv > 0
+        |    THEN ((ma - mb) / sqrt(pv)) * (1.0 - 3.0 / (4.0 * n - 9))
+        |    END, 6) AS hedges_g
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

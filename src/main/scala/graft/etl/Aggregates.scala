@@ -798,6 +798,71 @@ object Aggregates {
       keys, "left")
   }
 
+  /** Metric-delta contribution report — the "why did the number move"
+    * decomposition every metrics review starts with: the total between
+    * the reference window and the current one moved by Δ; which
+    * segments DROVE it? Per segment: both totals, the delta, the
+    * segment's share of the total ABSOLUTE movement (stable even when
+    * offsetting segments cancel the net — the case where a naive
+    * share-of-net divides by ~0 and explodes), and the rank by
+    * |delta| — ROUNDED before ranking with a full-segment tiebreak
+    * (the q94 discipline: raw double sums differ across summation
+    * orders by ulps, enough to swap two near-tied ranks between
+    * engines). One conditional aggregation + windows over the segment
+    * rows (O(#segments) after the agg — the corpus is scanned once).
+    */
+  def contribution(df: DataFrame, segCols: Seq[String], valueCol: String,
+                   isRef: Column, digits: Int = 6): DataFrame = {
+    val segs = segCols.map(col)
+    val wAll = Window.partitionBy()
+    val base = df
+      .groupBy(segs: _*)
+      .agg(sum(when(isRef, col(valueCol)).otherwise(lit(0.0))).as("__r"),
+        sum(when(!isRef, col(valueCol)).otherwise(lit(0.0))).as("__c"))
+      .withColumn("__d", col("__c") - col("__r"))
+      .withColumn("__totAbs", sum(abs(col("__d"))).over(wAll))
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(roundStable(abs(col("__d")), digits).desc +: segs: _*)))
+    base.select(segs ++ Seq(
+      roundStable(col("__r"), digits).as("ref_total"),
+      roundStable(col("__c"), digits).as("cur_total"),
+      roundStable(col("__d"), digits).as("delta"),
+      roundStable(when(col("__totAbs") > 0,
+        abs(col("__d")) / col("__totAbs")), digits).as("abs_share"),
+      col("__rank").cast("long").as("rank")): _*)
+  }
+
+  /** Cohen's d and Hedges' g per key between the `isA` arm and the
+    * rest — the MAGNITUDE companion to [[welchTTest]]'s significance:
+    * at 100 TB everything is significant, and the only question left
+    * is whether the difference is big enough to matter (d ≈ 0.2
+    * small / 0.5 medium / 0.8 large). Pooled-SD standardized mean
+    * difference, plus Hedges' small-sample correction
+    * `g = d·(1 − 3/(4n − 9))` — the bias term reviewers ask for on
+    * small cohorts and that vanishes at scale. One conditional
+    * aggregation; keys where either arm has < 2 rows or the pooled
+    * variance is 0 emit NULL effect sizes with the counts visible.
+    */
+  def effectSize(df: DataFrame, keys: Seq[String], isA: Column,
+                 yCol: Column, digits: Int = 6): DataFrame = {
+    val a = when(isA, yCol)
+    val b = when(!isA, yCol)
+    val (na, nb) = (count(a), count(b))
+    val n = (na + nb).cast("double")
+    val pooledVar = ((na - 1).cast("double") * var_samp(a) +
+      (nb - 1).cast("double") * var_samp(b)) / (n - 2)
+    val d = when(na >= 2 && nb >= 2 && pooledVar > 0,
+      (avg(a) - avg(b)) / sqrt(pooledVar))
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        na.as("n_a"), nb.as("n_b"),
+        roundStable(avg(a), digits).as("mean_a"),
+        roundStable(avg(b), digits).as("mean_b"),
+        roundStable(d, digits).as("cohen_d"),
+        roundStable(d * (lit(1.0) - lit(3.0) / (lit(4.0) * n - 9)),
+          digits).as("hedges_g"))
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

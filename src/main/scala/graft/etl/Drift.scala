@@ -614,6 +614,47 @@ object Drift {
         max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
   }
 
+  /** Quantile-shift profile (the Doksum "shift function", sampled at
+    * the interior deciles): `Δ(p) = q_cur(p) − q_ref(p)` per key —
+    * WHERE in the distribution the drift happened, which none of the
+    * scalar monitors say: [[ksTest]] flags THAT, [[wasserstein1]] says
+    * HOW MUCH on average, this says "the body is stable but p90 moved
+    * +40 ms" — the readout that turns a drift alarm into a diagnosis
+    * (tail regression vs location shift vs spread change read as three
+    * distinct signatures across the deciles).
+    *
+    * Exact interpolated percentiles on BOTH sides (the same
+    * `percentile` ≡ `quantile_cont` semantics as A50/A65), probe
+    * points spelled as double literals (`D` suffix — the q197
+    * decimal-literal trap, dodged). One conditional aggregation per
+    * key (two percentile buffers over one scan), then a bounded
+    * explode to (key, decile) rows. One-sided keys keep their rows
+    * with the missing side NULL — visible, not dropped.
+    */
+  def qqShift(df: DataFrame, keys: Seq[String], valueCol: String,
+              isRef: Column, parts: Int = 10, digits: Int = 6): DataFrame = {
+    require(parts >= 2, s"need parts >= 2, got $parts")
+    val keyCols = keys.map(col)
+    val probs = (1 until parts).map(_.toDouble / parts)
+    val pSql = probs.map(p => s"${p}D").mkString("array(", ",", ")")
+    val nullArr = array(probs.map(_ => lit(null).cast("double")): _*)
+    val staged = df.withColumn("__ref", isRef)
+      .groupBy(keyCols: _*)
+      .agg(
+        expr(s"percentile(IF(__ref, $valueCol, NULL), $pSql)").as("__qr"),
+        expr(s"percentile(IF(NOT __ref, $valueCol, NULL), $pSql)").as("__qc"))
+      .withColumn("__qr", coalesce(col("__qr"), nullArr))
+      .withColumn("__qc", coalesce(col("__qc"), nullArr))
+    staged
+      .select(keyCols :+ posexplode(arrays_zip(col("__qr"), col("__qc"))): _*)
+      .select(keyCols ++ Seq(
+        (col("pos") + 1).cast("long").as("decile"),
+        roundStable(col("col.__qr"), digits).as("q_ref"),
+        roundStable(col("col.__qc"), digits).as("q_cur"),
+        roundStable(col("col.__qc") - col("col.__qr"), digits)
+          .as("shift")): _*)
+  }
+
   /** Mutual information (and normalized MI) between two categoricals
     * per key — the information-theoretic companion to
     * [[chiSquareIndep]]: chi-square answers "are they independent"

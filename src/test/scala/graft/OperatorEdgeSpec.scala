@@ -3517,6 +3517,65 @@ class OperatorEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("qqShift: location shift reads +delta at every decile; one-sided key keeps NULL rows") {
+    val ref = (0 to 100).map(i => ("k", i.toDouble, true))
+    val cur = (0 to 100).map(i => ("k", i + 10.0, false))
+    val lone = (1 to 5).map(i => ("refonly", i.toDouble, true))
+    val out = etl.Drift.qqShift((ref ++ cur ++ lone).toDF("k", "v", "r"),
+      Seq("k"), "v", col("r"))
+      .collect().groupBy(_.getString(0))
+    val ks = out("k").sortBy(_.getLong(1))
+    assert(ks.length == 9)
+    for (r <- ks) {
+      val d = r.getLong(1).toDouble
+      assert(r.getDouble(2) == d * 10 && r.getDouble(3) == d * 10 + 10 &&
+        r.getDouble(4) == 10.0, s"decile ${d.toInt}: $r")
+    }
+    val lo = out("refonly")
+    assert(lo.length == 9 && lo.forall(r =>
+      !r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)),
+      s"one-sided: ref quantiles real, cur and shift NULL: ${lo.head}")
+  }
+
+  test("contribution: abs-share decomposition survives offsetting segments; ranked by |delta|") {
+    val rows =
+      (1 to 10).map(_ => ("A", 10.0, true)) ++
+        (1 to 16).map(_ => ("A", 10.0, false)) ++
+        (1 to 10).map(_ => ("B", 10.0, true)) ++
+        (1 to 7).map(_ => ("B", 10.0, false)) ++
+        (1 to 5).map(_ => ("C", 10.0, true)) ++
+        (1 to 6).map(_ => ("C", 10.0, false))
+    val out = etl.Aggregates.contribution(rows.toDF("seg", "v", "r"),
+      Seq("seg"), "v", col("r"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // deltas: A +60, B -30, C +10; net +40 but total |movement| 100
+    assert(out("A").getDouble(3) == 60.0 && out("A").getDouble(4) == 0.6 &&
+      out("A").getLong(5) == 1L, s"A drives 60%: ${out("A")}")
+    assert(out("B").getDouble(3) == -30.0 && out("B").getDouble(4) == 0.3 &&
+      out("B").getLong(5) == 2L, s"B offsets 30%: ${out("B")}")
+    assert(out("C").getDouble(3) == 10.0 && out("C").getDouble(4) == 0.1 &&
+      out("C").getLong(5) == 3L)
+  }
+
+  test("effectSize: textbook pooled d and Hedges g exact; degenerate arms NULL with counts") {
+    val good = Seq(("g", 0L, 1.0), ("g", 2L, 2.0), ("g", 4L, 3.0),
+      ("g", 1L, 3.0), ("g", 3L, 4.0), ("g", 5L, 5.0))
+    val oneArm = Seq(("one", 0L, 1.0), ("one", 2L, 2.0))
+    val flat = Seq(("flat", 0L, 2.0), ("flat", 2L, 2.0),
+      ("flat", 1L, 2.0), ("flat", 3L, 2.0))
+    val df = (good ++ oneArm ++ flat).toDF("k", "u", "v")
+    val out = etl.Aggregates.effectSize(df, Seq("k"),
+      isA = col("u") % 2 === 0, yCol = col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    // arms [1,2,3] vs [3,4,5]: means 2/4, both var 1 -> pooled SD 1,
+    // d = -2; g = d*(1 - 3/(4*6-9)) = -1.6 exactly
+    assert(g.getDouble(5) == -2.0 && g.getDouble(6) == -1.6, s"$g")
+    assert(out("one").isNullAt(5) && out("one").getLong(1) == 2L,
+      "empty arm: NULL effect, counts visible")
+    assert(out("flat").isNullAt(5), "zero pooled variance: NULL not Inf")
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")
