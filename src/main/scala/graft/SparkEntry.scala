@@ -2195,6 +2195,36 @@ object SparkEntry {
           isA = col("user_id") % 2 === 0, yCol = col("value"))
         .orderBy(col("event_type"))),
 
+    "q227_neighbor_jaccard" -> ((s, dir) => {
+      // the complementary link-prediction normalization to q153's AA on
+      // the same thin graph: what FRACTION of their worlds overlap
+      val sp = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 48)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = sp.as("r1").join(sp.as("r2"),
+          col("r1.pk") === col("r2.pk") && col("r1.sk") < col("r2.sk"))
+        .select(col("r1.sk").as("src"), col("r2.sk").as("dst"))
+      operators.LinkPrediction.jaccardTopK(edges, "src", "dst",
+          k = 5, maxDeg = 500)
+        .orderBy(col("u"), col("rank"))
+    }),
+
+    "q228_abc" -> ((s, dir) =>
+      // Pareto/ABC customer classification by lifetime spend: the head
+      // that carries 80%, the middle to 95%, the tail
+      etl.Aggregates.abcClasses(Tables.orders(s, dir), Nil,
+          idCol = col("o_custkey"), valueCol = "o_totalprice", digits = 2)
+        .orderBy(col("abc_class"))),
+
+    "q229_interarrival" -> ((s, dir) =>
+      // is the arrival process actually Poisson? CV of gaps and the
+      // Goh-Barabasi burstiness the A43 rate monitor's model assumes
+      etl.Aggregates.interArrival(Tables.events(s, dir), Seq("event_type"),
+          tsCol = col("ts"), tieCol = col("event_id"))
+        .orderBy(col("event_type"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -6435,6 +6465,76 @@ object SparkEntry {
         |    THEN ((ma - mb) / sqrt(pv)) * (1.0 - 3.0 / (4.0 * n - 9))
         |    END, 6) AS hedges_g
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q227_neighbor_jaccard" ->
+      // q153's wedge skeleton; union size from the UNCAPPED degree
+      // table, jaccard rounded before the rank cut
+      """WITH sp AS (SELECT DISTINCT l.l_suppkey AS sk, l.l_partkey AS pk
+        |      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |      WHERE l.l_quantity > 48),
+        |e AS (SELECT r1.sk AS a, r2.sk AS b FROM sp r1 JOIN sp r2
+        |      ON r1.pk = r2.pk AND r1.sk < r2.sk GROUP BY 1, 2),
+        |deg AS (SELECT w, count(*) AS deg FROM
+        |        (SELECT a AS w FROM e UNION ALL SELECT b FROM e)
+        |      GROUP BY 1),
+        |adj AS (SELECT j.w, j.n, d.deg FROM
+        |        (SELECT a AS w, b AS n FROM e
+        |         UNION ALL SELECT b AS w, a AS n FROM e) j
+        |      JOIN deg d ON j.w = d.w WHERE d.deg <= 500),
+        |ps AS (SELECT x.n AS u, y.n AS v, count(*) AS cn
+        |      FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+        |      GROUP BY 1, 2),
+        |pred AS (SELECT ps.u, ps.v, ps.cn AS common_neighbors,
+        |        roundStable(CAST(ps.cn AS DOUBLE)
+        |          / (du.deg + dv.deg - ps.cn), 6) AS jaccard
+        |      FROM ps JOIN deg du ON du.w = ps.u
+        |        JOIN deg dv ON dv.w = ps.v
+        |      WHERE NOT EXISTS
+        |        (SELECT 1 FROM e WHERE e.a = ps.u AND e.b = ps.v)),
+        |bth AS (SELECT u, v, common_neighbors, jaccard FROM pred
+        |      UNION ALL
+        |      SELECT v AS u, u AS v, common_neighbors, jaccard FROM pred),
+        |r AS (SELECT u, v, common_neighbors, jaccard,
+        |        row_number() OVER (PARTITION BY u
+        |          ORDER BY jaccard DESC, v) AS rank
+        |      FROM bth)
+        |SELECT u, v, common_neighbors, jaccard, rank
+        |FROM r WHERE rank <= 5 ORDER BY u, rank""".stripMargin,
+
+    "q228_abc" ->
+      // same item rollup, (rounded value desc, id) running total, class
+      // from the 9dp-rounded cumulative share BEFORE each item
+      """WITH it AS (SELECT o_custkey AS id, sum(o_totalprice) AS v
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT id, v,
+        |    sum(v) OVER () AS tot,
+        |    sum(v) OVER (ORDER BY roundStable(v, 2) DESC, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM it),
+        |c AS (SELECT *, roundStable((cum - v) / tot, 9) AS ps FROM w),
+        |s AS (SELECT CASE WHEN tot > 0 THEN
+        |      CASE WHEN ps < 0.8 THEN 'A' WHEN ps < 0.95 THEN 'B'
+        |        ELSE 'C' END END AS abc_class, v, tot FROM c)
+        |SELECT abc_class, count(*) AS n_items,
+        |  roundStable(sum(v), 2) AS class_total,
+        |  roundStable(CASE WHEN max(tot) > 0 THEN sum(v) / max(tot) END,
+        |    2) AS share
+        |FROM s GROUP BY 1 ORDER BY abc_class""".stripMargin,
+
+    "q229_interarrival" ->
+      // same keyed lag gaps in seconds, same spread guards
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id))) / 1e6 AS gap
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events, count(gap) AS n_gaps,
+        |  roundStable(avg(gap), 6) AS mean_gap_s,
+        |  roundStable(CASE WHEN count(gap) >= 2 AND avg(gap) > 0
+        |    THEN stddev_samp(gap) / avg(gap) END, 6) AS cv,
+        |  roundStable(CASE WHEN count(gap) >= 2 AND avg(gap) > 0
+        |    THEN (stddev_samp(gap) - avg(gap))
+        |      / (stddev_samp(gap) + avg(gap)) END, 6) AS b_burstiness
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

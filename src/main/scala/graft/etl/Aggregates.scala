@@ -863,6 +863,85 @@ object Aggregates {
           digits).as("hedges_g"))
   }
 
+  /** ABC / Pareto classification per key — the inventory-and-traffic
+    * workhorse next to [[gini]]'s scalar: rank items by value
+    * descending, class A = the head items that carry the first `aCut`
+    * (default 80%) of total value, B = up to `bCut` (95%), C = the
+    * tail; report per (key, class): item count, class total, share.
+    * An item's class comes from the cumulative share BEFORE it (so the
+    * first item is always A, even when it alone exceeds the cut — the
+    * textbook convention), with the cumulative ROUNDED at 9dp before
+    * the threshold compare so a boundary item classifies identically
+    * on every engine (running double sums agree in order but not
+    * always in the last ulp).
+    *
+    * Shape: item rollup first (O(#items) after the agg), one keyed
+    * (rounded value desc, id) window for rank + running total, closing
+    * class agg on the same partitioning. Keys with zero/negative total
+    * emit NULL class rows with counts — no mass to classify.
+    */
+  def abcClasses(df: DataFrame, keys: Seq[String], idCol: Column,
+                 valueCol: String, aCut: Double = 0.8, bCut: Double = 0.95,
+                 digits: Int = 6): DataFrame = {
+    require(aCut > 0 && aCut < bCut && bCut < 1,
+      s"need 0 < aCut < bCut < 1, got ($aCut, $bCut)")
+    val keyCols = keys.map(col)
+    val items = df.groupBy(keyCols :+ idCol.as("__id"): _*)
+      .agg(sum(col(valueCol)).as("__v"))
+      .withColumn("__vr", roundStable(col("__v"), digits))
+    val wOrd = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__vr").desc, col("__id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val tot = sum(col("__v")).over(wAll)
+    val prevShare = roundStable(
+      (sum(col("__v")).over(wCum) - col("__v")) / tot, 9)
+    val cls = when(tot > 0,
+      when(prevShare < aCut, "A").when(prevShare < bCut, "B")
+        .otherwise("C"))
+    items
+      .withColumn("__cls", cls)
+      .withColumn("__tot", tot)
+      .groupBy(keyCols :+ col("__cls").as("abc_class"): _*)
+      .agg(count(lit(1)).as("n_items"),
+        roundStable(sum(col("__v")), digits).as("class_total"),
+        roundStable(when(max(col("__tot")) > 0,
+          sum(col("__v")) / max(col("__tot"))), digits).as("share"))
+  }
+
+  /** Inter-arrival process census per key — "is this stream actually
+    * Poisson?": the assumption behind every rate monitor (A43 scores
+    * AGAINST a Poisson λ; this checks whether the process earns the
+    * model). Gaps between consecutive events (seconds), their mean,
+    * coefficient of variation (≈ 1 memoryless / < 1 regular-metronome
+    * / > 1 clumped), and the Goh–Barabási burstiness
+    * `B = (σ − μ)/(σ + μ)` ∈ (−1, 1) — the bounded form the
+    * human-dynamics literature reports (0 Poisson, → 1 heavy bursts,
+    * → −1 clockwork). One keyed lag window + one agg on its
+    * partitioning; keys with < 3 events (< 2 gaps) emit NULL spread
+    * statistics with counts visible.
+    */
+  def interArrival(df: DataFrame, keys: Seq[String], tsCol: Column,
+                   tieCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(tsCol, tieCol)
+    val gap = (unix_micros(tsCol) -
+      unix_micros(lag(tsCol, 1).over(wOrd))).cast("double") / 1e6
+    val staged = df.withColumn("__g", gap)
+    val mu = avg(col("__g"))
+    val sd = stddev_samp(col("__g"))
+    val ok = count(col("__g")) >= 2 && mu > 0
+    staged
+      .groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("__g")).as("n_gaps"),
+        roundStable(mu, digits).as("mean_gap_s"),
+        roundStable(when(ok, sd / mu), digits).as("cv"),
+        roundStable(when(ok, (sd - mu) / (sd + mu)), digits)
+          .as("b_burstiness"))
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

@@ -79,4 +79,59 @@ object LinkPrediction {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
   }
+
+  /** (u, v, common_neighbors, jaccard, rank): top-`k` predicted
+    * partners by NEIGHBORHOOD Jaccard
+    * `J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| = cn/(deg u + deg v − cn)` —
+    * the complementary normalization to [[adamicAdarTopK]]: AA asks
+    * "how RARE is the shared company" (weights each common neighbor),
+    * Jaccard asks "what FRACTION of their worlds overlap" (penalizes
+    * big neighborhoods as a whole) — a pair sharing 3 of 4 total
+    * contacts outranks a pair sharing 10 of 200. Same wedge
+    * enumeration, same `maxDeg` center cap with the same principle
+    * (a hub's wedges say little under EITHER normalization), same
+    * rounded-before-rank cut; the union size comes from the UNCAPPED
+    * degree table — the cap bounds enumeration, never the denominator.
+    */
+  def jaccardTopK(edges: DataFrame, srcCol: String, dstCol: String,
+                  k: Int, maxDeg: Int = 1000,
+                  digits: Int = 6): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxDeg >= 2, s"need maxDeg >= 2, got $maxDeg")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("deg"))
+    val adj = e.select(col("a").as("w"), col("b").as("n"))
+      .union(e.select(col("b").as("w"), col("a").as("n")))
+      .join(deg, "w")
+      .filter(col("deg") <= maxDeg)
+    val cn = adj.as("x").join(adj.as("y"), "w")
+      .filter(col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    val du = deg.select(col("w").as("u"), col("deg").as("__du"))
+    val dv = deg.select(col("w").as("v"), col("deg").as("__dv"))
+    val predicted = cn
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(du, "u").join(dv, "v")
+      .withColumn("jaccard", graft.functions.roundStable(
+        col("common_neighbors").cast("double") /
+          (col("__du") + col("__dv") - col("common_neighbors")), digits))
+    val both = predicted
+      .select(col("u"), col("v"), col("common_neighbors"), col("jaccard"))
+      .union(predicted
+        .select(col("v").as("u"), col("u").as("v"),
+          col("common_neighbors"), col("jaccard")))
+    val wTop = Window.partitionBy(col("u"))
+      .orderBy(col("jaccard").desc, col("v"))
+    both
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
 }

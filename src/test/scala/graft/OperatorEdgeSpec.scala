@@ -3576,6 +3576,74 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out("flat").isNullAt(5), "zero pooled variance: NULL not Inf")
   }
 
+  test("jaccardTopK: overlap fraction discriminates where counts tie; maxDeg excludes hub centers") {
+    // (1,3),(2,3),(2,4),(2,5): pair (1,2) shares 1 of 3 total contacts
+    // (J=1/3); pair (4,5) shares its ONLY contact (J=1) — same raw
+    // common-neighbor count, opposite verdicts
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L), (2L, 5L))
+      .toDF("src", "dst")
+    val out = operators.LinkPrediction.jaccardTopK(edges, "src", "dst",
+      k = 5, maxDeg = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(math.abs(out((1L, 2L)).getDouble(3) - 1.0 / 3) < 1e-6)
+    assert(out((4L, 5L)).getDouble(3) == 1.0 &&
+      out((4L, 5L)).getLong(2) == 1L)
+    // u=4's ranking: the full-overlap 5 before the half-overlap 3
+    val u4 = operators.LinkPrediction.jaccardTopK(edges, "src", "dst",
+      k = 5, maxDeg = 100).filter(col("u") === 4)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(u4 == Seq(5L, 3L), s"u=4 ranks by fraction: $u4")
+    // center 2 (deg 3) excluded at maxDeg=2: (4,5) vanishes, (1,2)
+    // survives via center 3 (deg 2)
+    val capped = operators.LinkPrediction.jaccardTopK(edges, "src", "dst",
+      k = 5, maxDeg = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)) && !capped.contains((4L, 5L)),
+      s"hub-center wedges must not enumerate: $capped")
+  }
+
+  test("abcClasses: textbook 80/15/5 splits A/B/C; zero-total key NULL class") {
+    val items = Seq(("k", 1L, 80.0), ("k", 2L, 15.0)) ++
+      (3 to 7).map(i => ("k", i.toLong, 1.0)) ++
+      Seq(("z", 1L, 0.0), ("z", 2L, 0.0))
+    val byCls = etl.Aggregates.abcClasses(items.toDF("k", "id", "v"),
+      Seq("k"), col("id"), "v").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("null")) -> r)
+      .toMap
+    assert(byCls(("k", "A")).getLong(2) == 1L &&
+      byCls(("k", "A")).getDouble(3) == 80.0 &&
+      byCls(("k", "A")).getDouble(4) == 0.8)
+    assert(byCls(("k", "B")).getLong(2) == 1L &&
+      byCls(("k", "B")).getDouble(3) == 15.0)
+    assert(byCls(("k", "C")).getLong(2) == 5L &&
+      byCls(("k", "C")).getDouble(3) == 5.0)
+    assert(byCls(("z", "null")).getLong(2) == 2L &&
+      byCls(("z", "null")).isNullAt(4),
+      "no mass to classify: NULL class visible, not dropped")
+  }
+
+  test("interArrival: clockwork reads B=-1, planted bursts positive, single gap NULL spread") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    val clock = (0 until 10).map(i => ("clock", i.toLong, at(i * 10L)))
+    // gaps [1,1,1,97]: mean 25, sd 48 -> cv 1.92, B = 23/73
+    val burst = Seq(0L, 1L, 2L, 3L, 100L).zipWithIndex.map {
+      case (s, i) => ("burst", i.toLong, at(s)) }
+    val lone = Seq(("lone", 0L, at(0)), ("lone", 1L, at(5)))
+    val df = (clock ++ burst ++ lone).toDF("k", "id", "ts")
+    val out = etl.Aggregates.interArrival(df, Seq("k"), col("ts"),
+      col("id")).collect().map(r => r.getString(0) -> r).toMap
+    val c = out("clock")
+    assert(c.getDouble(3) == 10.0 && c.getDouble(4) == 0.0 &&
+      c.getDouble(5) == -1.0, s"metronome: cv 0, B -1: $c")
+    val b = out("burst")
+    assert(b.getDouble(3) == 25.0 &&
+      math.abs(b.getDouble(4) - 48.0 / 25) < 1e-6 &&
+      math.abs(b.getDouble(5) - 23.0 / 73) < 1e-6, s"bursty: $b")
+    assert(out("lone").getLong(2) == 1L && out("lone").isNullAt(4),
+      "one gap: mean real, spread NULL")
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")
