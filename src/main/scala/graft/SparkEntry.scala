@@ -2225,6 +2225,31 @@ object SparkEntry {
           tsCol = col("ts"), tieCol = col("event_id"))
         .orderBy(col("event_type"))),
 
+    "q230_median_ci" -> ((s, dir) =>
+      // the median with distribution-free error bars: order-statistic
+      // CI (integer ranks — no resampling, no shape assumption)
+      etl.Aggregates.quantileCi(Tables.events(s, dir), Seq("event_type"),
+          "value", p = 0.5)
+        .orderBy(col("event_type"))),
+
+    "q231_brier" -> ((s, dir) =>
+      // Brier + the exact Murphy decomposition on q202's cohort
+      // staging: REL (calibration gap) - RES (separation) + UNC (base
+      // rate's own entropy) — catches calibrated-but-useless, ECE can't
+      etl.MlEval.brierDecomposition(
+          Tables.events(s, dir)
+            .withColumn("cohort", (col("user_id") % 5).cast("long")),
+          Seq("cohort"), least(col("value") / 500, lit(1.0)),
+          col("event_type") === "purchase")
+        .orderBy(col("cohort"))),
+
+    "q232_seasonal_strength" -> ((s, dir) =>
+      // which keys have a daily cycle worth modeling: Hyndman
+      // seasonal/trend strength over the q88 decomposition staging
+      etl.Aggregates.seasonalStrength(Tables.events(s, dir), "event_type",
+          "ts", "event_id", "value", halfWindow = 12)
+        .orderBy(col("event_type"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -6535,6 +6560,86 @@ object SparkEntry {
         |    THEN (stddev_samp(gap) - avg(gap))
         |      / (stddev_samp(gap) + avg(gap)) END, 6) AS b_burstiness
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q230_median_ci" ->
+      // identical integer rank arithmetic (p = 0.5 keeps every literal
+      // an exact double), exact order-stat endpoints, interpolated point
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT event_type, value, rn, n,
+        |    greatest(CAST(ceil(CAST(n AS DOUBLE) * 0.5
+        |      - 1.96 * sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5)) AS BIGINT),
+        |      1) AS lo,
+        |    least(CAST(ceil(CAST(n AS DOUBLE) * 0.5
+        |      + 1.96 * sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5)) AS BIGINT),
+        |      n) AS hi
+        |  FROM r),
+        |pk AS (SELECT event_type,
+        |    roundStable(min(value), 6) AS ci_lo,
+        |    roundStable(max(value), 6) AS ci_hi,
+        |    max(lo) AS lo_rank, max(hi) AS hi_rank, max(n) AS n
+        |  FROM b WHERE rn = lo OR rn = hi GROUP BY 1),
+        |pt AS (SELECT event_type,
+        |    roundStable(quantile_cont(value, 0.5), 6) AS point
+        |  FROM events GROUP BY 1)
+        |SELECT pt.event_type, pt.point, pk.ci_lo, pk.ci_hi,
+        |  CAST(pk.lo_rank AS BIGINT) AS lo_rank,
+        |  CAST(pk.hi_rank AS BIGINT) AS hi_rank,
+        |  CAST(pk.n AS BIGINT) AS n
+        |FROM pt JOIN pk USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q231_brier" ->
+      // distinct-score cells make Murphy an identity:
+      // sum(s-y)^2 over a cell = n*s^2 - 2*s*pos + pos since y^2 = y
+      """WITH t AS (SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+        |    roundStable(least(value / 500, 1.0), 9) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |c AS (SELECT cohort, s, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y) AS pos FROM t GROUP BY 1, 2),
+        |w AS (SELECT *, sum(n) OVER (PARTITION BY cohort) AS nt,
+        |    sum(pos) OVER (PARTITION BY cohort)
+        |      / sum(n) OVER (PARTITION BY cohort) AS ybar
+        |  FROM c)
+        |SELECT cohort,
+        |  roundStable(sum(n * s * s - 2.0 * s * pos + pos) / max(nt), 6)
+        |    AS brier,
+        |  roundStable(sum(n * (s - pos / n) * (s - pos / n)) / max(nt), 6)
+        |    AS reliability,
+        |  roundStable(sum(n * (pos / n - ybar) * (pos / n - ybar))
+        |    / max(nt), 6) AS resolution,
+        |  roundStable(max(ybar) * (1.0 - max(ybar)), 6) AS uncertainty,
+        |  roundStable(max(ybar), 6) AS base_rate,
+        |  CAST(max(nt) AS BIGINT) AS n
+        |FROM w GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q232_seasonal_strength" ->
+      // the q88 decomposition staging with UNROUNDED components, two
+      // guarded variance ratios
+      """WITH t AS (SELECT event_type, ts, value,
+        |    avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        |  FROM events),
+        |s AS (SELECT event_type, value, value - trend AS detr,
+        |    hour(ts) AS hh FROM t),
+        |m AS (SELECT event_type AS met, hh AS mhh, avg(detr) AS seas
+        |  FROM s GROUP BY 1, 2),
+        |j AS (SELECT s.event_type, s.detr, s.detr - m.seas AS resid,
+        |    s.value - m.seas AS deseas
+        |  FROM s JOIN m ON s.event_type = m.met AND s.hh = m.mhh)
+        |SELECT event_type,
+        |  roundStable(CASE WHEN var_pop(detr) > 0 THEN
+        |    greatest(0.0, 1.0 - var_pop(resid) / var_pop(detr)) END, 6)
+        |    AS strength_seasonal,
+        |  roundStable(CASE WHEN var_pop(deseas) > 0 THEN
+        |    greatest(0.0, 1.0 - var_pop(resid) / var_pop(deseas)) END, 6)
+        |    AS strength_trend,
+        |  count(*) AS n
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -942,6 +942,93 @@ object Aggregates {
           .as("b_burstiness"))
   }
 
+  /** Distribution-free confidence interval for a quantile per key —
+    * the companion to [[bootstrapMeanCi]] for ORDER statistics: the
+    * p99 SLO number ships with error bars that assume NOTHING about
+    * the tail's shape, from the classic order-statistic recipe: the
+    * interval between the `⌈np − z√(np(1−p))⌉`-th and
+    * `⌈np + z√(np(1−p))⌉`-th smallest values covers the true quantile
+    * with ≈ the nominal confidence (binomial counts, normal-
+    * approximated — the textbook large-n form, stated as such). Ranks
+    * are INTEGERS computed identically on both engines, so the CI
+    * endpoints are exact data values, no resampling, no interpolation
+    * ambiguity; the point estimate is the usual interpolated exact
+    * percentile. One keyed rank window + a tiny percentile agg joined
+    * back; tiny keys clamp to [1, n] (degenerate-but-visible CI).
+    */
+  def quantileCi(df: DataFrame, keys: Seq[String], valueCol: String,
+                 p: Double = 0.5, z: Double = 1.96,
+                 digits: Int = 6): DataFrame = {
+    require(p > 0 && p < 1, s"need 0 < p < 1, got $p")
+    require(z > 0, s"need z > 0, got $z")
+    val keyCols = keys.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val n = count(lit(1)).over(wAll)
+    val nd = n.cast("double")
+    val spread = lit(z) * sqrt(nd * lit(p) * lit(1.0 - p))
+    val loR = greatest(ceil(nd * lit(p) - spread), lit(1L))
+    val hiR = least(ceil(nd * lit(p) + spread), n)
+    val picked = df
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__lo", loR).withColumn("__hi", hiR)
+      .withColumn("__n", n)
+      .filter(col("__rn") === col("__lo") || col("__rn") === col("__hi"))
+      .groupBy(keyCols: _*)
+      .agg(roundStable(min(col(valueCol)), digits).as("ci_lo"),
+        roundStable(max(col(valueCol)), digits).as("ci_hi"),
+        max(col("__lo")).as("lo_rank"), max(col("__hi")).as("hi_rank"),
+        max(col("__n")).as("n"))
+    val point = df.groupBy(keyCols: _*)
+      .agg(roundStable(expr(s"percentile($valueCol, ${p}D)"), digits)
+        .as("point"))
+    point.join(picked, keys)
+      .select(keyCols ++ Seq(col("point"), col("ci_lo"), col("ci_hi"),
+        col("lo_rank"), col("hi_rank"), col("n")): _*)
+  }
+
+  /** Seasonal and trend STRENGTH per key (Hyndman & Athanasopoulos,
+    * fpp3 §4.4, adapted to the A25 hour-of-day decomposition): the two
+    * [0,1] scalars that say whether the A25 components MATTER —
+    * `F_seasonal = max(0, 1 − Var(resid)/Var(detrended))` (how much of
+    * the detrended variance the hourly pattern explains) and
+    * `F_trend = max(0, 1 − Var(resid)/Var(deseasonalized))`. The
+    * fleet-scan form of the question q88 answers one key at a time by
+    * eyeball: WHICH of 10⁵ sensors actually have a daily cycle worth
+    * modeling. Identical staging to [[seasonalDecompose]] but with
+    * UNROUNDED components (this is a closing aggregate, not a dump —
+    * rounding belongs at the output); zero-variance keys emit NULL
+    * ("no variance to explain" visible).
+    */
+  def seasonalStrength(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, valueCol: String,
+                       halfWindow: Int = 12, digits: Int = 6): DataFrame = {
+    val wTrend = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-halfWindow, halfWindow)
+    val series = df
+      .withColumn("__trend", avg(col(valueCol)).over(wTrend))
+      .withColumn("__detr", col(valueCol) - col("__trend"))
+      .withColumn("__hh", hour(col(tsCol)))
+    val seasonal = series.groupBy(col(keyCol), col("__hh"))
+      .agg(avg(col("__detr")).as("__seas"))
+    val joined = series.join(broadcast(seasonal), Seq(keyCol, "__hh"))
+      .withColumn("__resid", col("__detr") - col("__seas"))
+      .withColumn("__deseas", col(valueCol) - col("__seas"))
+    val vResid = var_pop(col("__resid"))
+    val vDetr = var_pop(col("__detr"))
+    val vDeseas = var_pop(col("__deseas"))
+    joined.groupBy(col(keyCol))
+      .agg(
+        roundStable(when(vDetr > 0,
+          greatest(lit(0.0), lit(1.0) - vResid / vDetr)), digits)
+          .as("strength_seasonal"),
+        roundStable(when(vDeseas > 0,
+          greatest(lit(0.0), lit(1.0) - vResid / vDeseas)), digits)
+          .as("strength_trend"),
+        count(lit(1)).as("n"))
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

@@ -79,6 +79,56 @@ object MlEval {
           abs(col("__acc") - col("__conf")), decimals).as("ece_term"))
   }
 
+  /** Brier score with the EXACT Murphy (1973) decomposition per key —
+    * the probabilistic-forecast score card one level deeper than
+    * [[calibration]]'s ECE: `Brier = REL − RES + UNC`, where
+    * reliability is the calibration gap (lower better), resolution is
+    * how much the forecasts actually SEPARATE outcomes (higher
+    * better — a perfectly calibrated forecaster that always says the
+    * base rate has REL 0 and RES 0: calibrated and useless, the
+    * failure mode ECE alone cannot see), and uncertainty `ȳ(1−ȳ)` is
+    * the base rate's own entropy — the floor no forecaster beats
+    * without information. Grouping by DISTINCT (rounded) forecast
+    * value rather than bins makes the decomposition an IDENTITY, not
+    * an approximation (spec'd to 1e-9): per cell
+    * `Σ(s−y)² = n·s² − 2·s·pos + pos` since y² = y. Per-key state
+    * O(#distinct scores) — the A61 discipline.
+    */
+  def brierDecomposition(df: DataFrame, keys: Seq[String],
+                         scoreCol: Column, isPositive: Column,
+                         decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val s = roundStable(scoreCol, 9)
+    val cells = df.filter(scoreCol.isNotNull)
+      .groupBy(keyCols :+ s.as("__s"): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(when(isPositive, 1.0).otherwise(0.0)).as("__pos"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val nTot = sum(col("__n")).over(wAll)
+    val yBar = sum(col("__pos")).over(wAll) / nTot
+    val yB = col("__pos") / col("__n")
+    val staged = cells
+      .withColumn("__tot", nTot)
+      .withColumn("__ybar", yBar)
+      .withColumn("__bt", col("__n") * col("__s") * col("__s") -
+        lit(2.0) * col("__s") * col("__pos") + col("__pos"))
+      .withColumn("__rel", col("__n") * (col("__s") - yB) * (col("__s") - yB))
+      .withColumn("__res", col("__n") * (yB - col("__ybar")) *
+        (yB - col("__ybar")))
+    staged.groupBy(keyCols: _*)
+      .agg(
+        roundStable(sum(col("__bt")) / max(col("__tot")), decimals)
+          .as("brier"),
+        roundStable(sum(col("__rel")) / max(col("__tot")), decimals)
+          .as("reliability"),
+        roundStable(sum(col("__res")) / max(col("__tot")), decimals)
+          .as("resolution"),
+        roundStable(max(col("__ybar")) * (lit(1.0) - max(col("__ybar"))),
+          decimals).as("uncertainty"),
+        roundStable(max(col("__ybar")), decimals).as("base_rate"),
+        max(col("__tot")).cast("long").as("n"))
+  }
+
   /** Split-conformal threshold per key (Vovk's conformal prediction,
     * the Angelopoulos & Bates '21 recipe): the `⌈(n+1)(1−α)⌉`-th
     * smallest calibration score — the cutoff that guarantees

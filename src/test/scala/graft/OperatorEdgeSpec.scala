@@ -3644,6 +3644,66 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "one gap: mean real, spread NULL")
   }
 
+  test("quantileCi: textbook ranks on 1..100; tiny key clamps to [1, n]") {
+    val df = ((1 to 100).map(i => ("k", i.toDouble)) ++
+      Seq(("tiny", 3.0), ("tiny", 7.0))).toDF("k", "v")
+    val out = etl.Aggregates.quantileCi(df, Seq("k"), "v", p = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // n=100: spread = 1.96*sqrt(25) = 9.8 -> ranks ceil(40.2)=41,
+    // ceil(59.8)=60; point = interpolated median 50.5
+    assert(k.getDouble(1) == 50.5 && k.getDouble(2) == 41.0 &&
+      k.getDouble(3) == 60.0 && k.getLong(4) == 41L &&
+      k.getLong(5) == 60L, s"$k")
+    val t = out("tiny")
+    assert(t.getLong(4) == 1L && t.getLong(5) == 2L &&
+      t.getDouble(2) == 3.0 && t.getDouble(3) == 7.0,
+      s"degenerate-but-visible CI spans the data: $t")
+  }
+
+  test("brierDecomposition: perfect forecaster 0, base-rate forecaster REL 0 RES 0, Murphy identity holds") {
+    val perfect = (1 to 40).map(i => ("perf", if (i % 4 == 0) 1.0 else 0.0,
+      i % 4 == 0))
+    // always predicts the base rate 0.25: calibrated (REL 0) and
+    // useless (RES 0) — brier == uncertainty
+    val base = (1 to 40).map(i => ("base", 0.25, i % 4 == 0))
+    val messy = (1 to 60).map(i =>
+      ("messy", (i % 7).toDouble / 7, i % 3 == 0))
+    val df = (perfect ++ base ++ messy).toDF("k", "s", "y")
+    val out = etl.MlEval.brierDecomposition(df, Seq("k"), col("s"),
+      col("y")).collect().map(r => r.getString(0) -> r).toMap
+    val p = out("perf")
+    assert(p.getDouble(1) == 0.0 && p.getDouble(2) == 0.0,
+      s"perfect: brier 0, rel 0: $p")
+    val b = out("base")
+    assert(b.getDouble(2) == 0.0 && b.getDouble(3) == 0.0 &&
+      b.getDouble(1) == b.getDouble(4),
+      s"calibrated-and-useless: REL 0, RES 0, brier == UNC: $b")
+    val m = out("messy")
+    assert(math.abs(m.getDouble(1) -
+      (m.getDouble(2) - m.getDouble(3) + m.getDouble(4))) <= 2e-6,
+      s"Murphy identity REL - RES + UNC == brier: $m")
+  }
+
+  test("seasonalStrength: planted daily cycle reads ~1, pseudo-noise low, constant key NULL") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(ts0.getTime + h * 3600000L)
+    val seas = (0 until 240).map(h =>
+      ("seas", h.toLong, at(h), math.sin(2 * math.Pi * (h % 24) / 24) * 10))
+    val rand = (0 until 240).map(h =>
+      ("rand", h.toLong, at(h), ((h * 2654435761L) % 1000) / 100.0))
+    val flat = (0 until 48).map(h => ("flat", h.toLong, at(h), 5.0))
+    val df = (seas ++ rand ++ flat).toDF("k", "id", "ts", "v")
+    val out = etl.Aggregates.seasonalStrength(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("seas").getDouble(1) > 0.8,
+      s"pure daily cycle: seasonal strength ~1: ${out("seas")}")
+    assert(out("rand").getDouble(1) < out("seas").getDouble(1) - 0.3,
+      s"noise must read far below the cycle: ${out("rand")}")
+    assert(out("flat").isNullAt(1) && out("flat").isNullAt(2),
+      "no variance to explain: NULL, visible")
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")
