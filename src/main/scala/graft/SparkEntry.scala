@@ -2250,6 +2250,30 @@ object SparkEntry {
           "ts", "event_id", "value", halfWindow = 12)
         .orderBy(col("event_type"))),
 
+    "q233_concurrency" -> ((s, dir) =>
+      // capacity census: how many user sessions were open AT ONCE —
+      // sweep-line over the q45 session intervals, half-open semantics
+      operators.Intervals.concurrency(
+        Aggregates.sessionizeBatch(Tables.events(s, dir), "user_id",
+          "ts", "event_id", "value", gapMicros = 1800L * 1000000L),
+        Nil, "session_start", "session_end")),
+
+    "q234_ols2" -> ((s, dir) =>
+      // trend CONTROLLING FOR hour-of-day: the two-regressor normal
+      // equations (a cycled series reads a biased plain slope)
+      etl.Aggregates.ols2(Tables.events(s, dir), Seq("event_type"),
+          x1 = (unix_micros(col("ts")) - lit(1704067200000000L))
+            .cast("double") / lit(86400000000.0),
+          x2 = hour(col("ts")).cast("double"),
+          y = col("value"))
+        .orderBy(col("event_type"))),
+
+    "q235_freq_spectrum" -> ((s, dir) =>
+      // the Good-Turing frequency-of-frequencies table: vocabulary and
+      // mass share per occurrence count (hapax share = feed health)
+      text.Corpus.freqSpectrum(Tables.documents(s, dir), "text")
+        .orderBy(col("r"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -6640,6 +6664,101 @@ object SparkEntry {
         |    AS strength_trend,
         |  count(*) AS n
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q233_concurrency" ->
+      // same sessionization, same (t, delta) sweep order — ends before
+      // starts at an instant (half-open), tie-group levels deterministic
+      """WITH st AS (SELECT user_id, ts, event_id, epoch_us(ts) AS eu,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |sx AS (SELECT user_id, ts,
+        |    sum(CASE WHEN prev IS NULL OR eu - prev > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM st),
+        |ses AS (SELECT user_id, sess, min(ts) AS st, max(ts) AS en
+        |  FROM sx GROUP BY 1, 2),
+        |pts AS (SELECT epoch_us(st) AS t, 1 AS d FROM ses
+        |  UNION ALL SELECT epoch_us(en), -1 FROM ses),
+        |sw AS (SELECT t, d,
+        |    sum(d) OVER (ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvl,
+        |    lead(t) OVER (ORDER BY t, d) AS nxt
+        |  FROM pts),
+        |m AS (SELECT max(lvl) AS mx FROM sw)
+        |SELECT CAST(m.mx AS BIGINT) AS max_concurrency,
+        |  roundStable(CASE WHEN max(sw.t) > min(sw.t) THEN
+        |    sum(sw.lvl * CAST(nxt - sw.t AS DOUBLE))
+        |      / CAST(max(sw.t) - min(sw.t) AS DOUBLE) END, 6)
+        |    AS avg_concurrency,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+        |  make_timestamp(min(CASE WHEN sw.lvl = m.mx THEN sw.t END))
+        |    AS peak_at
+        |FROM sw, m GROUP BY m.mx""".stripMargin,
+
+    "q234_ols2" ->
+      // identical six-moment trees, identical 2x2 solve and guards
+      """WITH t AS (SELECT event_type, value AS y,
+        |    (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x1,
+        |    CAST(hour(ts) AS DOUBLE) AS x2
+        |  FROM events)
+        |SELECT event_type,
+        |  roundStable(CASE WHEN var_pop(x1) * var_pop(x2)
+        |      - covar_pop(x1, x2) * covar_pop(x1, x2) > 0 THEN
+        |    (covar_pop(x1, y) * var_pop(x2)
+        |      - covar_pop(x2, y) * covar_pop(x1, x2))
+        |    / (var_pop(x1) * var_pop(x2)
+        |      - covar_pop(x1, x2) * covar_pop(x1, x2)) END, 6) AS b1,
+        |  roundStable(CASE WHEN var_pop(x1) * var_pop(x2)
+        |      - covar_pop(x1, x2) * covar_pop(x1, x2) > 0 THEN
+        |    (covar_pop(x2, y) * var_pop(x1)
+        |      - covar_pop(x1, y) * covar_pop(x1, x2))
+        |    / (var_pop(x1) * var_pop(x2)
+        |      - covar_pop(x1, x2) * covar_pop(x1, x2)) END, 6) AS b2,
+        |  roundStable(avg(y)
+        |    - (CASE WHEN var_pop(x1) * var_pop(x2)
+        |        - covar_pop(x1, x2) * covar_pop(x1, x2) > 0 THEN
+        |      (covar_pop(x1, y) * var_pop(x2)
+        |        - covar_pop(x2, y) * covar_pop(x1, x2))
+        |      / (var_pop(x1) * var_pop(x2)
+        |        - covar_pop(x1, x2) * covar_pop(x1, x2)) END) * avg(x1)
+        |    - (CASE WHEN var_pop(x1) * var_pop(x2)
+        |        - covar_pop(x1, x2) * covar_pop(x1, x2) > 0 THEN
+        |      (covar_pop(x2, y) * var_pop(x1)
+        |        - covar_pop(x1, y) * covar_pop(x1, x2))
+        |      / (var_pop(x1) * var_pop(x2)
+        |        - covar_pop(x1, x2) * covar_pop(x1, x2)) END) * avg(x2),
+        |    6) AS intercept,
+        |  roundStable(CASE WHEN var_pop(x1) * var_pop(x2)
+        |      - covar_pop(x1, x2) * covar_pop(x1, x2) > 0
+        |      AND var_pop(y) > 0 THEN
+        |    ((covar_pop(x1, y) * var_pop(x2)
+        |      - covar_pop(x2, y) * covar_pop(x1, x2))
+        |     / (var_pop(x1) * var_pop(x2)
+        |      - covar_pop(x1, x2) * covar_pop(x1, x2)) * covar_pop(x1, y)
+        |    + (covar_pop(x2, y) * var_pop(x1)
+        |      - covar_pop(x1, y) * covar_pop(x1, x2))
+        |     / (var_pop(x1) * var_pop(x2)
+        |      - covar_pop(x1, x2) * covar_pop(x1, x2)) * covar_pop(x2, y))
+        |    / var_pop(y) END, 6) AS r2,
+        |  count(*) AS n
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q235_freq_spectrum" ->
+      // token counts then count-of-counts; shares off the same windows
+      """WITH tk AS (SELECT unnest(str_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS r FROM tk WHERE tok <> ''
+        |  GROUP BY 1),
+        |s AS (SELECT r, count(*) AS n_types FROM c GROUP BY 1),
+        |w AS (SELECT *, sum(r * n_types) OVER () AS mass,
+        |    sum(n_types) OVER () AS v FROM s)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(n_types AS BIGINT) AS n_types,
+        |  roundStable(CAST(r * n_types AS DOUBLE) / mass, 6) AS mass_share,
+        |  roundStable(CAST(n_types AS DOUBLE) / v, 6) AS type_share
+        |FROM w ORDER BY r""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -1029,6 +1029,39 @@ object Aggregates {
         count(lit(1)).as("n"))
   }
 
+  /** Two-regressor OLS per key by the closed-form normal equations —
+    * the "trend, CONTROLLING FOR the confounder" upgrade of [[olsTrend]]
+    * that one extra covariate buys (a rising daily series with a strong
+    * hour-of-day cycle reads a biased slope unless the cycle is in the
+    * model): centered population moments into the explicit 2×2 solve
+    * `b = (X'X)⁻¹X'y`, intercept from the means, and R² via the
+    * single-pass identity `(b₁·c₁y + b₂·c₂y)/Var(y)` — no residual
+    * second scan. One aggregation, six moments. Collinear regressors
+    * (determinant ≤ 0 after FP — Cauchy–Schwarz makes the true value
+    * ≥ 0) emit NULL coefficients: "these two variables are the same
+    * signal" is the visible answer, not a 1/0 blowup.
+    */
+  def ols2(df: DataFrame, keys: Seq[String], x1: Column, x2: Column,
+           y: Column, digits: Int = 6): DataFrame = {
+    val s11 = var_pop(x1)
+    val s22 = var_pop(x2)
+    val c12 = covar_pop(x1, x2)
+    val c1y = covar_pop(x1, y)
+    val c2y = covar_pop(x2, y)
+    val det = s11 * s22 - c12 * c12
+    val b1 = when(det > 0, (c1y * s22 - c2y * c12) / det)
+    val b2 = when(det > 0, (c2y * s11 - c1y * c12) / det)
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        roundStable(b1, digits).as("b1"),
+        roundStable(b2, digits).as("b2"),
+        roundStable(avg(y) - b1 * avg(x1) - b2 * avg(x2), digits)
+          .as("intercept"),
+        roundStable(when(det > 0 && var_pop(y) > 0,
+          (b1 * c1y + b2 * c2y) / var_pop(y)), digits).as("r2"),
+        count(lit(1)).as("n"))
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

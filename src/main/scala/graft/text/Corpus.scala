@@ -290,6 +290,37 @@ object Corpus {
         count(lit(1)).as("n_checkpoints"))
   }
 
+  /** Token frequency-of-frequencies spectrum (the Good–Turing table):
+    * for each occurrence count r, how many TYPES occur exactly r times
+    * and what share of corpus MASS and VOCABULARY they carry — the
+    * table smoothing estimators are built from (Good 1953) and the
+    * corpus-health profile next to [[zipfSlope]]/[[heapsLaw]]: a
+    * hapax share (r = 1) collapsing toward 0 flags template floods,
+    * ballooning toward 1 flags OCR noise / tokenizer breakage. Two
+    * aggregations (token counts → count-of-counts); the closing
+    * windows ride O(#distinct r) rows — nothing corpus-scale after
+    * the vocabulary agg.
+    */
+  def freqSpectrum(docs: DataFrame, textCol: String,
+                   digits: Int = 6): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("r"))
+    val wAll = Window.partitionBy()
+    counts
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("__mass", sum(col("r") * col("n_types")).over(wAll))
+      .withColumn("__v", sum(col("n_types")).over(wAll))
+      .select(col("r"), col("n_types"),
+        roundStable((col("r") * col("n_types")).cast("double") /
+          col("__mass"), digits).as("mass_share"),
+        roundStable(col("n_types").cast("double") / col("__v"), digits)
+          .as("type_share"))
+  }
+
   /** Corpus novelty per document — what fraction of a doc's distinct
     * word `n`-grams appear HERE FIRST (no earlier doc in `idCol` order
     * contains them): the curation signal between exact dedup (whole-doc)

@@ -3704,6 +3704,55 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "no variance to explain: NULL, visible")
   }
 
+  test("concurrency: sweep-line hand case exact; end-meets-start does not overlap; zero-length invisible") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    val iv = Seq((at(0), at(10)), (at(5), at(15)), (at(20), at(30)))
+      .toDF("st", "en")
+    val r = operators.Intervals.concurrency(iv, Nil, "st", "en")
+      .collect().head
+    assert(r.getLong(0) == 2L, s"peak 2 during [5,10): $r")
+    assert(r.getDouble(1) == 1.0, s"time-weighted avg (5*1+5*2+5*1+5*0+10*1)/30: $r")
+    assert(r.getLong(2) == 3L &&
+      r.getTimestamp(3).getTime == at(5).getTime, s"peak first at t=5: $r")
+    // half-open: [0,10] and [10,20] never overlap
+    val touch = Seq((at(0), at(10)), (at(10), at(20))).toDF("st", "en")
+    assert(operators.Intervals.concurrency(touch, Nil, "st", "en")
+      .collect().head.getLong(0) == 1L, "end-meets-start must read 1")
+    // a zero-length interval adds nothing
+    val zero = Seq((at(0), at(10)), (at(5), at(5))).toDF("st", "en")
+    assert(operators.Intervals.concurrency(zero, Nil, "st", "en")
+      .collect().head.getLong(0) == 1L, "empty [5,5) is invisible")
+  }
+
+  test("ols2: exact plane recovered to the bit; collinear regressors NULL") {
+    val pts = for (i <- 0 to 3; j <- Seq(0.0, 2.0))
+      yield ("k", i.toDouble, j, 2.0 + 3.0 * i - 1.5 * j)
+    val out = etl.Aggregates.ols2(pts.toDF("k", "x1", "x2", "y"),
+      Seq("k"), col("x1"), col("x2"), col("y")).collect().head
+    assert(out.getDouble(1) == 3.0 && out.getDouble(2) == -1.5 &&
+      out.getDouble(3) == 2.0 && out.getDouble(4) == 1.0,
+      s"y = 2 + 3*x1 - 1.5*x2 on a power-of-two grid is exact: $out")
+    val col2 = pts.map { case (k, x1, _, y) => (k, x1, 2 * x1, y) }
+    val c = etl.Aggregates.ols2(col2.toDF("k", "x1", "x2", "y"),
+      Seq("k"), col("x1"), col("x2"), col("y")).collect().head
+    assert(c.isNullAt(1) && c.isNullAt(2) && c.isNullAt(4),
+      s"x2 = 2*x1: same signal, NULL not a blowup: $c")
+  }
+
+  test("freqSpectrum: hand counts exact, shares sum to 1") {
+    val docs = Seq(("a a b"), ("a c")).toDF("text")
+    val out = text.Corpus.freqSpectrum(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2L &&
+      out(1L).getDouble(2) == 0.4 &&
+      math.abs(out(1L).getDouble(3) - 2.0 / 3) < 1e-6, s"${out(1L)}")
+    assert(out(3L).getLong(1) == 1L && out(3L).getDouble(2) == 0.6,
+      s"${out(3L)}")
+    assert(math.abs(out.values.map(_.getDouble(2)).sum - 1.0) < 1e-9,
+      "mass shares partition the corpus")
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")
