@@ -2274,6 +2274,24 @@ object SparkEntry {
       text.Corpus.freqSpectrum(Tables.documents(s, dir), "text")
         .orderBy(col("r"))),
 
+    "q236_fk_audit" -> ((s, dir) =>
+      // cross-table referential integrity: per declared FK relation,
+      // broken pointers vs null FKs (different diseases, never mixed)
+      etl.Rules.fkAudit(Seq(
+          ("customer.nationkey->nation", Tables.customer(s, dir),
+            col("c_nationkey"), Tables.nation(s, dir), col("n_nationkey")),
+          ("lineitem.orderkey->orders", Tables.lineitem(s, dir),
+            col("l_orderkey"), Tables.orders(s, dir), col("o_orderkey")),
+          ("lineitem.partkey->part", Tables.lineitem(s, dir),
+            col("l_partkey"), Tables.part(s, dir), col("p_partkey")),
+          ("lineitem.suppkey->supplier", Tables.lineitem(s, dir),
+            col("l_suppkey"), Tables.supplier(s, dir), col("s_suppkey")),
+          ("nation.regionkey->region", Tables.nation(s, dir),
+            col("n_regionkey"), Tables.region(s, dir), col("r_regionkey")),
+          ("orders.custkey->customer", Tables.orders(s, dir),
+            col("o_custkey"), Tables.customer(s, dir), col("c_custkey"))))
+        .orderBy(col("relation"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -6759,6 +6777,68 @@ object SparkEntry {
         |  roundStable(CAST(r * n_types AS DOUBLE) / mass, 6) AS mass_share,
         |  roundStable(CAST(n_types AS DOUBLE) / v, 6) AS type_share
         |FROM w ORDER BY r""".stripMargin,
+
+    "q236_fk_audit" ->
+      // same per-relation split: nulls are a nullability count, orphans
+      // a broken-pointer count against the parent's distinct keys
+      """WITH
+        |a1 AS (SELECT 'customer.nationkey->nation' AS relation,
+        |  sum(CASE WHEN c_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS nc,
+        |  sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        |  sum(CASE WHEN c_nationkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS no
+        |  FROM customer LEFT JOIN
+        |    (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c_nationkey = p.k),
+        |a2 AS (SELECT 'lineitem.orderkey->orders' AS relation,
+        |  sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS nc,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        |  sum(CASE WHEN l_orderkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS no
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON l_orderkey = p.k),
+        |a3 AS (SELECT 'lineitem.partkey->part' AS relation,
+        |  sum(CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS nc,
+        |  sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        |  sum(CASE WHEN l_partkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS no
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l_partkey = p.k),
+        |a4 AS (SELECT 'lineitem.suppkey->supplier' AS relation,
+        |  sum(CASE WHEN l_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS nc,
+        |  sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        |  sum(CASE WHEN l_suppkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS no
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |    ON l_suppkey = p.k),
+        |a5 AS (SELECT 'nation.regionkey->region' AS relation,
+        |  sum(CASE WHEN n_regionkey IS NOT NULL THEN 1 ELSE 0 END) AS nc,
+        |  sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        |  sum(CASE WHEN n_regionkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS no
+        |  FROM nation LEFT JOIN
+        |    (SELECT DISTINCT r_regionkey AS k FROM region) p
+        |    ON n_regionkey = p.k),
+        |a6 AS (SELECT 'orders.custkey->customer' AS relation,
+        |  sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS nc,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        |  sum(CASE WHEN o_custkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS no
+        |  FROM orders LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON o_custkey = p.k),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |  UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
+        |  UNION ALL SELECT * FROM a5 UNION ALL SELECT * FROM a6)
+        |SELECT relation, CAST(nc AS BIGINT) AS n_child,
+        |  CAST(nn AS BIGINT) AS n_null_fk,
+        |  CAST(no AS BIGINT) AS n_orphans,
+        |  roundStable(CASE WHEN nc > 0
+        |    THEN CAST(no AS DOUBLE) / nc END, 6) AS orphan_rate
+        |FROM u ORDER BY relation""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

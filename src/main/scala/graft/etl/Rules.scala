@@ -86,4 +86,46 @@ object Rules {
           greatest(col("n_rows"), lit(1L)), digits).as("violation_rate"),
         (col("m.__v") === 0L).as("passed"))
   }
+
+  /** Referential-integrity audit across tables — the CROSS-table rule
+    * [[check]]'s single-scan contract can't express: for each declared
+    * (child.fk → parent.pk) relation, how many child rows point at a
+    * parent that does not exist. NULL foreign keys are counted
+    * SEPARATELY, not as orphans — a null FK is a nullability question
+    * (`NotNull`'s jurisdiction), an orphan is a broken pointer; mixing
+    * them hides whichever is rarer.
+    *
+    * Shape per relation: the child aggregates to its DISTINCT non-null
+    * key values first (orphanhood is a property of the KEY — the
+    * 100 TB child table reduces before any join), then one left join
+    * against the parent's distinct keys; child-row counts come from
+    * the same pre-aggregation. Output one row per relation, unioned —
+    * a ≤ #relations-row report.
+    */
+  def fkAudit(relations: Seq[(String, DataFrame, Column, DataFrame, Column)],
+              digits: Int = 6): DataFrame = {
+    require(relations.nonEmpty, "need at least one relation")
+    relations.map { case (name, child, fk, parent, pk) =>
+      val childKeys = child
+        .groupBy(fk.as("__k"))
+        .agg(count(lit(1)).as("__cnt"))
+      val nullRow = childKeys.filter(col("__k").isNull)
+        .agg(coalesce(sum(col("__cnt")), lit(0L)).as("__nulls"))
+      val parents = parent.select(pk.as("__k")).distinct()
+        .withColumn("__hit", lit(1))
+      val joined = childKeys.filter(col("__k").isNotNull)
+        .join(parents, Seq("__k"), "left")
+        .agg(coalesce(sum(col("__cnt")), lit(0L)).as("__n"),
+          coalesce(sum(when(col("__hit").isNull, col("__cnt"))
+            .otherwise(0L)), lit(0L)).as("__orphans"))
+      joined.crossJoin(nullRow)
+        .select(lit(name).as("relation"),
+          col("__n").as("n_child"),
+          col("__nulls").as("n_null_fk"),
+          col("__orphans").as("n_orphans"),
+          roundStable(when(col("__n") > 0,
+            col("__orphans").cast("double") / col("__n")), digits)
+            .as("orphan_rate"))
+    }.reduce(_ unionByName _)
+  }
 }

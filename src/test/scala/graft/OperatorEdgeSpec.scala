@@ -3753,6 +3753,23 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "mass shares partition the corpus")
   }
 
+  test("fkAudit: orphans vs null FKs counted separately; clean relation reads 0") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val clean = Seq(Some(3L), Some(3L)).toDF("fk")
+    val out = etl.Rules.fkAudit(Seq(
+      ("dirty", child, col("fk"), parent, col("pk")),
+      ("clean", clean, col("fk"), parent, col("pk"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val d = out("dirty")
+    assert(d.getLong(1) == 4L && d.getLong(2) == 1L &&
+      d.getLong(3) == 1L && d.getDouble(4) == 0.25,
+      s"4 non-null children, 1 null FK, 1 broken pointer (9): $d")
+    val c = out("clean")
+    assert(c.getLong(3) == 0L && c.getDouble(4) == 0.0, s"$c")
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")

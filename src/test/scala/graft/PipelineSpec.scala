@@ -951,6 +951,42 @@ class PipelineSpec extends AnyFunSuite {
       "replay must leave both landings unchanged")
   }
 
+  test("QqStream: matching batch zero shift, shifted batch reads +50 at every decile, silent key NULL, replay byte-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qqstream").toString
+    // reference: 0..100 on both keys
+    val ref = (0 to 100).flatMap(i =>
+      Seq(("k", i.toDouble), ("s", i.toDouble))).toDF("k", "v")
+    val r = streaming.QqStream.buildReference(ref, Seq("k"), "v")
+    val mem = MemoryStream[(String, Double)]
+    val q = streaming.QqStream.toQqSink(mem.toDF().toDF("k", "v"),
+      "v", r, s"$tmp/mon", s"$tmp/ck").start()
+    // batch 0: both keys matching; batch 1: k shifted +50, s SILENT
+    mem.addData((0 to 100).flatMap(i =>
+      Seq(("k", i.toDouble), ("s", i.toDouble))): _*)
+    q.processAllAvailable()
+    mem.addData((0 to 100).map(i => ("k", i + 50.0)): _*)
+    q.processAllAvailable(); q.stop()
+    val mon = spark.read.parquet(s"$tmp/mon")
+      .select("batch_id", "k", "decile", "shift").collect()
+    val b0 = mon.filter(_.getLong(0) == 0L)
+    assert(b0.length == 18 && b0.forall(_.getDouble(3) == 0.0),
+      "identical batch: zero shift at all deciles, both keys")
+    val b1k = mon.filter(r => r.getLong(0) == 1L && r.getString(1) == "k")
+    assert(b1k.length == 9 && b1k.forall(_.getDouble(3) == 50.0),
+      s"location shift reads +50 at every decile: ${b1k.toSeq}")
+    val b1s = mon.filter(r => r.getLong(0) == 1L && r.getString(1) == "s")
+    assert(b1s.length == 9 && b1s.forall(_.isNullAt(3)),
+      "silent key: reference deciles emitted with NULL shift")
+    // replay overwrites byte-identically
+    val before = spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq
+    streaming.QqStream.qqBatch(r,
+      (0 to 100).map(i => ("k", i + 50.0)).toDF("k", "v"),
+      1L, "v", s"$tmp/mon")
+    assert(spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq == before)
+  }
+
   test("DriftStream: frozen reference bins score each batch; shifted batch alarms; replay overwrites") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
