@@ -2292,6 +2292,27 @@ object SparkEntry {
             col("o_custkey"), Tables.customer(s, dir), col("c_custkey"))))
         .orderBy(col("relation"))),
 
+    "q237_levene" -> ((s, dir) =>
+      // the drift family's SPREAD axis: did the NOISE change between
+      // month halves, robust to heavy tails (median-centered deviations)
+      etl.Aggregates.levene(Tables.events(s, dir), Seq("event_type"),
+          isA = dayofmonth(col("ts")) <= 15, yCol = col("value"))
+        .orderBy(col("event_type"))),
+
+    "q238_rate_mix" -> ((s, dir) =>
+      // did average order value move because segment RATES changed, or
+      // because traffic SHIFTED between segments? exact two-term split
+      etl.Aggregates.rateMix(Tables.orders(s, dir),
+          Seq("o_orderpriority"), "o_totalprice",
+          isRef = year(col("o_orderdate")) < 1998, digits = 2)
+        .orderBy(col("o_orderpriority"))),
+
+    "q239_embedding_census" -> ((s, dir) =>
+      // the vector-corpus preflight: dims, norm profile, zero vectors,
+      // adjacent-pair |cos| as the isotropy proxy
+      sim.Similarity.embeddingCensus(Tables.embeddings(s, dir),
+          "vec_id", "embedding")),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -6839,6 +6860,90 @@ object SparkEntry {
         |  roundStable(CASE WHEN nc > 0
         |    THEN CAST(no AS DOUBLE) / nc END, 6) AS orphan_rate
         |FROM u ORDER BY relation""".stripMargin,
+
+    "q237_levene" ->
+      // same group medians, same absolute deviations, same two-group F
+      """WITH t AS (SELECT event_type, value AS y,
+        |    (day(ts) <= 15) AS a FROM events),
+        |m AS (SELECT event_type,
+        |    quantile_cont(CASE WHEN a THEN y END, 0.5) AS ma,
+        |    quantile_cont(CASE WHEN NOT a THEN y END, 0.5) AS mb
+        |  FROM t GROUP BY 1),
+        |z AS (SELECT t.event_type, t.a,
+        |    CASE WHEN a THEN abs(y - ma) ELSE abs(y - mb) END AS z
+        |  FROM t JOIN m USING (event_type)),
+        |g AS (SELECT event_type,
+        |    CAST(count(CASE WHEN a THEN 1 END) AS DOUBLE) AS na,
+        |    CAST(count(CASE WHEN NOT a THEN 1 END) AS DOUBLE) AS nb,
+        |    avg(CASE WHEN a THEN z END) AS za,
+        |    avg(CASE WHEN NOT a THEN z END) AS zb,
+        |    sum(z) AS sz,
+        |    var_pop(CASE WHEN a THEN z END) AS vza,
+        |    var_pop(CASE WHEN NOT a THEN z END) AS vzb
+        |  FROM z GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  roundStable(za, 6) AS mean_absdev_a,
+        |  roundStable(zb, 6) AS mean_absdev_b,
+        |  roundStable(CASE WHEN na >= 2 AND nb >= 2
+        |      AND na * vza + nb * vzb > 0 THEN
+        |    (na + nb - 2)
+        |      * (na * (za - sz / (na + nb)) * (za - sz / (na + nb))
+        |        + nb * (zb - sz / (na + nb)) * (zb - sz / (na + nb)))
+        |      / (na * vza + nb * vzb) END, 6) AS f_stat
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q238_rate_mix" ->
+      // same conditional rollup; a one-sided segment coalesces to the
+      // present side's rate so its whole move lands in mix
+      """WITH b AS (SELECT o_orderpriority,
+        |    sum(CASE WHEN year(o_orderdate) < 1998
+        |      THEN o_totalprice END) AS sr,
+        |    count(CASE WHEN year(o_orderdate) < 1998 THEN 1 END) AS nr,
+        |    sum(CASE WHEN NOT (year(o_orderdate) < 1998)
+        |      THEN o_totalprice END) AS sc,
+        |    count(CASE WHEN NOT (year(o_orderdate) < 1998) THEN 1 END)
+        |      AS nc
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT *, sum(nr) OVER () AS tnr, sum(nc) OVER () AS tnc
+        |  FROM b),
+        |x AS (SELECT o_orderpriority,
+        |    CAST(nr AS DOUBLE) / tnr AS shr,
+        |    CAST(nc AS DOUBLE) / tnc AS shc,
+        |    coalesce(sr / nr, sc / nc) AS rr,
+        |    coalesce(sc / nc, sr / nr) AS rc
+        |  FROM w)
+        |SELECT o_orderpriority,
+        |  roundStable(shr, 2) AS share_ref, roundStable(shc, 2) AS share_cur,
+        |  roundStable(rr, 2) AS rate_ref, roundStable(rc, 2) AS rate_cur,
+        |  roundStable(shc * (rc - rr), 2) AS rate_effect,
+        |  roundStable((shc - shr) * rr, 2) AS mix_effect
+        |FROM x ORDER BY o_orderpriority""".stripMargin,
+
+    "q239_embedding_census" ->
+      // same double-accumulated norms/dots, same adjacent-id pairing
+      """WITH s AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+        |        * CAST(embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(embedding) + 1)])) AS nrm,
+        |    len(embedding) AS dim
+        |  FROM embeddings),
+        |c AS (SELECT count(*) AS n, CAST(min(dim) AS BIGINT) AS dim_min,
+        |    CAST(max(dim) AS BIGINT) AS dim_max,
+        |    roundStable(avg(nrm), 6) AS mean_norm,
+        |    roundStable(stddev_samp(nrm), 6) AS sd_norm,
+        |    CAST(sum(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero
+        |  FROM s),
+        |p AS (SELECT roundStable(avg(cc), 6) AS mean_abs_cos_adjacent,
+        |    count(cc) AS n_pairs FROM (
+        |    SELECT CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN
+        |        abs(list_sum([CAST(a.embedding[i] AS DOUBLE)
+        |            * CAST(b.embedding[i] AS DOUBLE)
+        |          FOR i IN range(1, len(a.embedding) + 1)])
+        |          / (a.nrm * b.nrm)) END AS cc
+        |    FROM s a JOIN s b ON b.vec_id = a.vec_id + 1))
+        |SELECT c.*, p.* FROM c, p""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -1062,6 +1062,99 @@ object Aggregates {
         count(lit(1)).as("n"))
   }
 
+  /** Brown–Forsythe (median-centered Levene) variance-equality test
+    * per key — the SPREAD axis of the two-window drift family: CUSUM /
+    * Mann-Whitney / Welch all watch the CENTER, but a sensor whose
+    * mean holds while its noise doubles is failing too. Robust by
+    * construction (absolute deviations from each group's own exact
+    * MEDIAN — the Brown-Forsythe variant, which survives heavy tails
+    * where classic Levene's mean-centering doesn't), then the textbook
+    * two-group one-way F on those deviations:
+    * `F = (N−2)·[n_a(z̄_a−z̄)² + n_b(z̄_b−z̄)²] / Σ_g Σ(z−z̄_g)²`
+    * (≈ 3.85 at α 0.05 for large N). Two passes by necessity (the
+    * centers depend on each group's own quantile — the A47 shape):
+    * one medians agg broadcast back, one conditional aggregation.
+    * Degenerate keys (either group < 2 rows, or zero within-group
+    * deviation variance) emit NULL F with counts visible.
+    */
+  def levene(df: DataFrame, keys: Seq[String], isA: Column, yCol: Column,
+             digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val meds = df.withColumn("__a", isA).withColumn("__y", yCol)
+      .groupBy(keyCols: _*)
+      .agg(expr("percentile(IF(__a, __y, NULL), 0.5D)").as("__ma"),
+        expr("percentile(IF(NOT __a, __y, NULL), 0.5D)").as("__mb"))
+    val z = when(col("__a"), abs(col("__y") - col("__ma")))
+      .otherwise(abs(col("__y") - col("__mb")))
+    val za = when(col("__a"), col("__z"))
+    val zb = when(!col("__a"), col("__z"))
+    val (na, nb) = (count(za).cast("double"), count(zb).cast("double"))
+    val n = na + nb
+    val zbarA = avg(za)
+    val zbarB = avg(zb)
+    val zbar = sum(col("__z")) / n
+    val between = na * (zbarA - zbar) * (zbarA - zbar) +
+      nb * (zbarB - zbar) * (zbarB - zbar)
+    val within = na * var_pop(za) + nb * var_pop(zb)
+    val f = when(na >= 2 && nb >= 2 && within > 0,
+      (n - 2) * between / within)
+    df.withColumn("__a", isA).withColumn("__y", yCol)
+      .join(broadcast(meds), keys)
+      .withColumn("__z", z)
+      .groupBy(keyCols: _*)
+      .agg(
+        na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
+        roundStable(zbarA, digits).as("mean_absdev_a"),
+        roundStable(zbarB, digits).as("mean_absdev_b"),
+        roundStable(f, digits).as("f_stat"))
+  }
+
+  /** Rate/mix decomposition of a ratio metric's move between two
+    * windows — the follow-up question [[contribution]] leaves open:
+    * the overall average moved, but did the SEGMENTS' rates change
+    * (rate effect), or did traffic just SHIFT toward segments that
+    * were always different (mix effect)? The classic two-term split:
+    * `Δoverall = Σ share_cur·(r_cur − r_ref) + Σ (share_cur −
+    * share_ref)·r_ref` — an EXACT identity (spec-gated), which is the
+    * whole point: the two columns sum to the observed move, no
+    * residual. A segment absent on one side takes the PRESENT side's
+    * rate for the missing one, so its rate effect is exactly 0 and
+    * its entire contribution lands in mix — appearing/disappearing
+    * traffic IS a mix story, and the identity survives. One
+    * conditional aggregation + windows over segment rows.
+    */
+  def rateMix(df: DataFrame, segCols: Seq[String], valueCol: String,
+              isRef: Column, digits: Int = 6): DataFrame = {
+    val segs = segCols.map(col)
+    val wAll = Window.partitionBy()
+    val base = df
+      .groupBy(segs: _*)
+      .agg(sum(when(isRef, col(valueCol))).as("__sr"),
+        count(when(isRef, lit(1))).as("__nr"),
+        sum(when(!isRef, col(valueCol))).as("__sc"),
+        count(when(!isRef, lit(1))).as("__nc"))
+      .withColumn("__totr", sum(col("__nr")).over(wAll))
+      .withColumn("__totc", sum(col("__nc")).over(wAll))
+    val shareR = col("__nr").cast("double") / col("__totr")
+    val shareC = col("__nc").cast("double") / col("__totc")
+    val rateR0 = col("__sr") / col("__nr")
+    val rateC0 = col("__sc") / col("__nc")
+    val rateR = coalesce(rateR0, rateC0)
+    val rateC = coalesce(rateC0, rateR0)
+    base
+      .withColumn("share_ref", roundStable(shareR, digits))
+      .withColumn("share_cur", roundStable(shareC, digits))
+      .withColumn("rate_ref", roundStable(rateR, digits))
+      .withColumn("rate_cur", roundStable(rateC, digits))
+      .withColumn("rate_effect",
+        roundStable(shareC * (rateC - rateR), digits))
+      .withColumn("mix_effect",
+        roundStable((shareC - shareR) * rateR, digits))
+      .select(segs ++ Seq(col("share_ref"), col("share_cur"),
+        col("rate_ref"), col("rate_cur"), col("rate_effect"),
+        col("mix_effect")): _*)
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

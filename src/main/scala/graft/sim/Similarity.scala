@@ -26,6 +26,47 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** One-row embedding-space census — the preflight a vector corpus
+    * gets BEFORE anyone sizes an index on it: count, dimension (min
+    * and max — a ragged column is a broken export), norm mean/sd
+    * (near-zero sd ⇒ vectors are already normalized; skip the
+    * per-query normalize), zero-vector count (cosine is undefined on
+    * them — they poison top-k silently), and the mean |cos| between
+    * ADJACENT ids as the isotropy proxy (→ 0 isotropic / healthy;
+    * → 1 the anisotropic cone Ethayarajh '19 warns about, where
+    * cosine stops discriminating). Adjacent pairs come from an
+    * equi-join on `id+1` — deterministic, O(n), NO global sort and no
+    * quadratic sample; the census agg and the pair agg are two 1-row
+    * frames cross-joined.
+    */
+  def embeddingCensus(df: DataFrame, idCol: String, vecCol: String,
+                      digits: Int = 6): DataFrame = {
+    val v = col(vecCol)
+    val staged = df.select(col(idCol).as("__id"), v.as("__v"),
+      sqrt(dot(v, v)).as("__nrm"), size(v).as("__dim"))
+    val census = staged.agg(
+      count(lit(1)).as("n"),
+      min(col("__dim")).cast("long").as("dim_min"),
+      max(col("__dim")).cast("long").as("dim_max"),
+      graft.functions.roundStable(avg(col("__nrm")), digits)
+        .as("mean_norm"),
+      graft.functions.roundStable(stddev_samp(col("__nrm")), digits)
+        .as("sd_norm"),
+      sum(when(col("__nrm") < 1e-12, 1L).otherwise(0L)).as("n_zero"))
+    val a = staged.select(col("__id"), col("__v").as("__va"),
+      col("__nrm").as("__na"))
+    val b = staged.select((col("__id") - 1).as("__id"),
+      col("__v").as("__vb"), col("__nrm").as("__nb"))
+    val pairs = a.join(b, "__id")
+      .select(when(col("__na") > 0 && col("__nb") > 0,
+        abs(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
+        .as("__c"))
+      .agg(graft.functions.roundStable(avg(col("__c")), digits)
+        .as("mean_abs_cos_adjacent"),
+        count(col("__c")).as("n_pairs"))
+    census.crossJoin(pairs)
+  }
+
   /** Exact top-k neighbors for each query vector, brute force.
     *
     * The query side is expected to be small (it is broadcast); the corpus

@@ -3770,6 +3770,62 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(c.getLong(3) == 0L && c.getDouble(4) == 0.0, s"$c")
   }
 
+  test("levene: hand-exact two-group F; zero-deviation-variance key NULL with counts") {
+    val a = Seq(0.0, 1.0, 2.0, 3.0, 4.0).map(("k", true, _))
+    val b = Seq(0.0, 5.0, 10.0, 15.0, 20.0).map(("k", false, _))
+    // degenerate: both groups symmetric two-value -> all |dev| equal,
+    // within-variance 0
+    val d = Seq(("d", true, -1.0), ("d", true, 1.0),
+      ("d", false, -3.0), ("d", false, 3.0))
+    val df = (a ++ b ++ d).toDF("k", "arm", "v")
+    val out = etl.Aggregates.levene(df, Seq("k"), col("arm"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // za=[2,1,0,1,2] zb=[10,5,0,5,10]: F = 8*57.6/72.8
+    assert(k.getDouble(3) == 1.2 && k.getDouble(4) == 6.0 &&
+      math.abs(k.getDouble(5) - 8 * 57.6 / 72.8) < 1e-5, s"$k")
+    assert(out("d").isNullAt(5) && out("d").getLong(1) == 2L,
+      s"no deviation variance: NULL F, counts visible: ${out("d")}")
+  }
+
+  test("rateMix: identity closes exactly; same-rate segments put everything in mix; new segment pure mix") {
+    val rows =
+      (1 to 10).map(_ => ("A", 10.0, true)) ++
+        (1 to 30).map(_ => ("A", 10.0, false)) ++
+        (1 to 30).map(_ => ("B", 50.0, true)) ++
+        (1 to 10).map(_ => ("B", 50.0, false)) ++
+        (1 to 10).map(_ => ("C", 20.0, false)) // absent in ref
+    val df = rows.toDF("seg", "v", "r")
+    val out = etl.Aggregates.rateMix(df, Seq("seg"), "v", col("r"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    // per-segment rates never change -> rate effects all exactly 0
+    for ((s0, r) <- out)
+      assert(r.getDouble(5) == 0.0, s"same rates: rate_effect 0 for $s0: $r")
+    // identity: sum of effects == overall_cur - overall_ref
+    val overallRef = (10 * 10.0 + 30 * 50.0) / 40
+    val overallCur = (30 * 10.0 + 10 * 50.0 + 10 * 20.0) / 50
+    val total = out.values.map(r => r.getDouble(5) + r.getDouble(6)).sum
+    assert(math.abs(total - (overallCur - overallRef)) < 1e-6,
+      s"decomposition must close: $total vs ${overallCur - overallRef}")
+    assert(out("C").getDouble(1) == 0.0 && out("C").getDouble(3) == 20.0,
+      s"new segment: ref share 0, rate borrowed from cur: ${out("C")}")
+  }
+
+  test("embeddingCensus: hand norms, zero vector counted and excluded from cosine, adjacent pairing") {
+    val vecs = Seq(
+      (0L, Array(3f, 4f)), (1L, Array(6f, 8f)),
+      (2L, Array(0f, 0f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = sim.Similarity.embeddingCensus(vecs, "vec_id", "embedding")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 4.0, s"mean norm (5+10+0+1)/4: $r")
+    assert(math.abs(r.getDouble(4) - math.sqrt(62.0 / 3)) < 1e-5)
+    assert(r.getLong(5) == 1L, s"zero vector counted: $r")
+    // pairs (0,1) cos 1; (1,2),(2,3) involve the zero vector -> excluded
+    assert(r.getDouble(6) == 1.0 && r.getLong(7) == 1L, s"$r")
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")
