@@ -2313,6 +2313,40 @@ object SparkEntry {
       sim.Similarity.embeddingCensus(Tables.embeddings(s, dir),
           "vec_id", "embedding")),
 
+    "q240_page_hinkley" -> ((s, dir) =>
+      // the no-baseline sequential monitor: deviations from the series'
+      // OWN running mean (CUSUM's q143 needs a calibrated reference)
+      etl.Drift.pageHinkley(Tables.events(s, dir), Seq("event_type"),
+          "value", orderCol = col("ts"), tieCol = col("event_id"),
+          delta = 1.0, lambda = 200.0)
+        .orderBy(col("event_type"))),
+
+    "q241_degree_census" -> ((s, dir) => {
+      // the pre-flight that decides whether salting will matter: degree
+      // extremes, power-law alpha (CSN MLE), hub endpoint share
+      val sp = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 48)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = sp.as("r1").join(sp.as("r2"),
+          col("r1.pk") === col("r2.pk") && col("r1.sk") < col("r2.sk"))
+        .select(col("r1.sk").as("src"), col("r2.sk").as("dst"))
+      operators.Triangles.degreeCensus(edges, "src", "dst")
+    }),
+
+    "q242_langid_confusion" -> ((s, dir) => {
+      // declared-vs-detected language confusion: the census that says
+      // whether the lang column can be TRUSTED before anyone filters on it
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), TextStats.langId(col("text")).as("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_of_lang", roundStable(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("lang"))), 6))
+        .orderBy(col("lang"), col("predicted_lang"))
+    }),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -6944,6 +6978,85 @@ object SparkEntry {
         |          / (a.nrm * b.nrm)) END AS cc
         |    FROM s a JOIN s b ON b.vec_id = a.vec_id + 1))
         |SELECT c.*, p.* FROM c, p""".stripMargin,
+
+    "q240_page_hinkley" ->
+      // same running-mean deviations, same prefix sums and running
+      // mins, same unrounded alarm thresholds
+      """WITH o AS (SELECT event_type, ts, event_id, value,
+        |    avg(value) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mu
+        |  FROM events),
+        |m AS (SELECT event_type, ts, event_id,
+        |    sum(value - mu - 1.0) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mup,
+        |    sum(mu - value - 1.0) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mlo
+        |  FROM o),
+        |p AS (SELECT event_type, ts,
+        |    mup - min(mup) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS php,
+        |    mlo - min(mlo) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phl
+        |  FROM m)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN php > 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  min(CASE WHEN php > 200.0 THEN ts END) AS first_alarm_at,
+        |  roundStable(max(php), 6) AS max_ph,
+        |  CAST(sum(CASE WHEN phl > 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms_lo,
+        |  min(CASE WHEN phl > 200.0 THEN ts END) AS first_alarm_lo_at,
+        |  roundStable(max(phl), 6) AS max_ph_lo,
+        |  count(*) AS n
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q241_degree_census" ->
+      // q153's graph prologue, one degree rollup, CSN alpha with
+      // d_min pinned to 1 (every ln(2d) term positive)
+      """WITH sp AS (SELECT DISTINCT l.l_suppkey AS sk, l.l_partkey AS pk
+        |      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |      WHERE l.l_quantity > 48),
+        |e AS (SELECT r1.sk AS a, r2.sk AS b FROM sp r1 JOIN sp r2
+        |      ON r1.pk = r2.pk AND r1.sk < r2.sk GROUP BY 1, 2),
+        |deg AS (SELECT w, count(*) AS deg FROM
+        |        (SELECT a AS w FROM e UNION ALL SELECT b FROM e)
+        |      GROUP BY 1)
+        |SELECT count(*) AS n_nodes,
+        |  CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+        |  CAST(min(deg) AS BIGINT) AS min_deg,
+        |  CAST(max(deg) AS BIGINT) AS max_deg,
+        |  roundStable(CAST(sum(deg) AS DOUBLE) / count(*), 6) AS mean_deg,
+        |  roundStable(1.0 + CAST(count(*) AS DOUBLE)
+        |    / sum(ln(CAST(deg AS DOUBLE) / 0.5)), 6) AS alpha_mle,
+        |  roundStable(CAST(max(deg) AS DOUBLE) / sum(deg), 6)
+        |    AS hub_endpoint_share
+        |FROM deg""".stripMargin,
+
+    "q242_langid_confusion" ->
+      // the q32 scoring verbatim, folded to the confusion cells
+      """WITH p AS (SELECT lang,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END
+        |      AS predicted_lang
+        |  FROM (SELECT lang,
+        |      CAST(len(list_filter(str_split(text,' '),
+        |        x -> x IN ('the','a'))) AS BIGINT) AS s_en,
+        |      CAST(len(list_filter(str_split(text,' '),
+        |        x -> x IN ('el','la','de','que'))) AS BIGINT) AS s_es,
+        |      CAST(len(list_filter(str_split(text,' '),
+        |        x -> x IN ('的','是','了'))) AS BIGINT) AS s_zh
+        |    FROM documents) t),
+        |c AS (SELECT lang, predicted_lang, count(*) AS n
+        |  FROM p GROUP BY 1, 2)
+        |SELECT lang, predicted_lang, n,
+        |  roundStable(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY lang), 6) AS share_of_lang
+        |FROM c ORDER BY lang, predicted_lang""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

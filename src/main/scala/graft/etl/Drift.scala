@@ -241,6 +241,52 @@ object Drift {
         count(lit(1)).as("n_cur"))
   }
 
+  /** Page–Hinkley test per key (Page 1954; the Gama et al. 2004 form
+    * the concept-drift literature standardizes on) — the SELF-REFERENCED
+    * member of the sequential family: [[cusum]] needs a calibrated
+    * reference window (μ, σ); PH tracks deviations from the series'
+    * OWN running mean, so it monitors a stream with no baseline at all
+    * — the cold-start monitor, at the price of absolute (not σ-scaled)
+    * thresholds. Upper side: `m_t = Σ_{i≤t}(x_i − x̄_{1..i} − δ)`,
+    * alarm when `m_t − min_{j≤t} m_j > λ`; lower side symmetric over
+    * `(x̄_{1..i} − x_i − δ)`. All three per-row series (running mean,
+    * prefix sum, running min) ride ONE keyed sort — the [[cusum]]
+    * plan shape with one extra cumulative window.
+    *
+    * Output per key: alarm count / first alarm / peak statistic for
+    * both sides, plus n. δ and λ are in the VALUE's units (stated —
+    * that is the no-reference trade).
+    */
+  def pageHinkley(df: DataFrame, keys: Seq[String], valueCol: String,
+                  orderCol: Column, tieCol: Column,
+                  delta: Double = 0.005, lambda: Double = 50.0,
+                  digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumMean = avg(col(valueCol)).over(wCum)
+    val staged = df
+      .withColumn("__mu", cumMean)
+      .withColumn("__mup",
+        sum(col(valueCol) - col("__mu") - lit(delta)).over(wCum))
+      .withColumn("__mlo",
+        sum(col("__mu") - col(valueCol) - lit(delta)).over(wCum))
+      .withColumn("__php", col("__mup") - min(col("__mup")).over(wCum))
+      .withColumn("__phl", col("__mlo") - min(col("__mlo")).over(wCum))
+    staged
+      .withColumn("__au", (col("__php") > lambda).cast("long"))
+      .withColumn("__al", (col("__phl") > lambda).cast("long"))
+      .groupBy(keyCols: _*)
+      .agg(
+        sum(col("__au")).as("n_alarms"),
+        min(when(col("__au") === 1, orderCol)).as("first_alarm_at"),
+        roundStable(max(col("__php")), digits).as("max_ph"),
+        sum(col("__al")).as("n_alarms_lo"),
+        min(when(col("__al") === 1, orderCol)).as("first_alarm_lo_at"),
+        roundStable(max(col("__phl")), digits).as("max_ph_lo"),
+        count(lit(1)).as("n"))
+  }
+
   /** Pettitt changepoint test per key (Pettitt 1979) — WHERE did the
     * series shift, rank-based so it needs no σ estimate and no reference
     * window (the complement of [[cusum]], which needs a calibrated

@@ -109,4 +109,41 @@ object Triangles {
               (col("deg") * (col("deg") - lit(1)))).otherwise(lit(0.0)),
           6).as("clustering_coef"))
   }
+
+  /** One-row degree census — the shape readout that decides the
+    * partitioning strategy BEFORE any expensive graph pass: node/edge
+    * counts, degree extremes and mean, the power-law exponent by the
+    * continuous MLE approximation `α = 1 + n / Σ ln(d/(d_min − ½))`
+    * with d_min pinned to 1 (Clauset–Shalizi–Newman 2009 — every
+    * term `ln(2d)` > 0, no zero-division island; α ≲ 2.5 = heavy-hub
+    * regime where [[graft.operators.Skew]]'s salting earns its keep,
+    * large α = homogeneous, skip it), and the hub's share of all edge
+    * endpoints (`max_deg / 2E` — how much one key can concentrate on
+    * one task). One degree aggregation, O(#nodes) after it.
+    */
+  def degreeCensus(edges: DataFrame, srcCol: String, dstCol: String,
+                   digits: Int = 6): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      min(col("deg")).as("min_deg"),
+      max(col("deg")).as("max_deg"),
+      graft.functions.roundStable(
+        sum(col("deg")).cast("double") / count(lit(1)), digits)
+        .as("mean_deg"),
+      graft.functions.roundStable(
+        lit(1.0) + count(lit(1)).cast("double") /
+          sum(log(col("deg").cast("double") / lit(0.5))), digits)
+        .as("alpha_mle"),
+      graft.functions.roundStable(
+        max(col("deg")).cast("double") / sum(col("deg")), digits)
+        .as("hub_endpoint_share"))
+  }
 }

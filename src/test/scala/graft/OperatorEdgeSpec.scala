@@ -3826,6 +3826,38 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 1.0 && r.getLong(7) == 1L, s"$r")
   }
 
+  test("pageHinkley: upward step alarms upper side only, downward the lower, flat neither") {
+    def series(k: String, post: Double) =
+      (0 until 30).map(i => (k, i.toLong, 0.0)) ++
+        (30 until 60).map(i => (k, i.toLong, post))
+    val df = (series("up", 20.0) ++ series("down", -20.0) ++
+      (0 until 60).map(i => ("flat", i.toLong, 5.0))).toDF("k", "o", "v")
+    val out = etl.Drift.pageHinkley(df, Seq("k"), "v", col("o"), col("o"),
+      delta = 1.0, lambda = 50.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = out("up")
+    assert(up.getLong(1) > 0 && up.getLong(4) == 0L,
+      s"+20 step: upper alarms, lower quiet: $up")
+    val dn = out("down")
+    assert(dn.getLong(1) == 0L && dn.getLong(4) > 0,
+      s"-20 step: lower alarms, upper quiet: $dn")
+    assert(out("flat").getLong(1) == 0L && out("flat").getLong(4) == 0L &&
+      out("flat").getDouble(3) == 0.0,
+      s"constant series: PH identically 0: ${out("flat")}")
+  }
+
+  test("degreeCensus: star graph hand-exact including the CSN alpha") {
+    val star = (1 to 5).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val r = operators.Triangles.degreeCensus(star, "src", "dst")
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L &&
+      r.getLong(2) == 1L && r.getLong(3) == 5L)
+    assert(math.abs(r.getDouble(4) - 10.0 / 6) < 1e-6)
+    val alpha = 1.0 + 6.0 / (math.log(10.0) + 5 * math.log(2.0))
+    assert(math.abs(r.getDouble(5) - alpha) < 1e-5, s"alpha: $r")
+    assert(r.getDouble(6) == 0.5, s"hub holds half the endpoints: $r")
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")
