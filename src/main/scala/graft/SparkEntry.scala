@@ -2347,6 +2347,26 @@ object SparkEntry {
         .orderBy(col("lang"), col("predicted_lang"))
     }),
 
+    "q243_cohen_kappa" -> ((s, dir) =>
+      // chance-corrected agreement between the declared lang column and
+      // the content detector — raw accuracy flatters majority-class luck
+      etl.MlEval.cohenKappa(Tables.documents(s, dir), Nil,
+          aCol = col("lang"), bCol = text.TextStats.langId(col("text")))),
+
+    "q244_audience_overlap" -> ((s, dir) =>
+      // do these segments reach the same people? pairwise user-set
+      // intersection/Jaccard/lift over distinct memberships
+      etl.Aggregates.audienceOverlap(Tables.events(s, dir),
+          entityCol = col("user_id"), catCol = col("event_type"))
+        .orderBy(col("cat_a"), col("cat_b"))),
+
+    "q245_prop_test" -> ((s, dir) =>
+      // the conversion-rate A/B readout: pooled-null z plus the
+      // unpooled CI on the rate difference, per cohort
+      etl.Aggregates.propTest(Tables.events(s, dir), Seq("event_type"),
+          isA = col("user_id") % 2 === 0, isSuccess = col("value") > 250)
+        .orderBy(col("event_type"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -7057,6 +7077,89 @@ object SparkEntry {
         |  roundStable(CAST(n AS DOUBLE)
         |    / sum(n) OVER (PARTITION BY lang), 6) AS share_of_lang
         |FROM c ORDER BY lang, predicted_lang""".stripMargin,
+
+    "q243_cohen_kappa" ->
+      // q32 scoring; p_e meets on the distinct-label table (the
+      // missing-diagonal case), marginals coalesced to 0
+      """WITH p AS (SELECT lang AS a,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS b
+        |  FROM (SELECT lang,
+        |      CAST(len(list_filter(str_split(text,' '),
+        |        x -> x IN ('the','a'))) AS BIGINT) AS s_en,
+        |      CAST(len(list_filter(str_split(text,' '),
+        |        x -> x IN ('el','la','de','que'))) AS BIGINT) AS s_es,
+        |      CAST(len(list_filter(str_split(text,' '),
+        |        x -> x IN ('的','是','了'))) AS BIGINT) AS s_zh
+        |    FROM documents) t),
+        |cells AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o
+        |  FROM p GROUP BY 1, 2),
+        |lbl AS (SELECT a AS l FROM cells UNION SELECT b FROM cells),
+        |am AS (SELECT a AS l, sum(o) AS ma FROM cells GROUP BY 1),
+        |bm AS (SELECT b AS l, sum(o) AS mb FROM cells GROUP BY 1),
+        |pe AS (SELECT sum(coalesce(ma, 0) * coalesce(mb, 0)) AS pexn
+        |  FROM lbl LEFT JOIN am USING (l) LEFT JOIN bm USING (l)),
+        |po AS (SELECT sum(CASE WHEN a = b THEN o ELSE 0 END) AS agree,
+        |    sum(o) AS N FROM cells)
+        |SELECT roundStable(agree / N, 6) AS observed_agreement,
+        |  roundStable(pexn / (N * N), 6) AS expected_agreement,
+        |  roundStable(CASE WHEN pexn / (N * N) < 1 THEN
+        |    (agree / N - pexn / (N * N)) / (1.0 - pexn / (N * N)) END, 6)
+        |    AS kappa,
+        |  CAST(N AS BIGINT) AS n
+        |FROM po, pe""".stripMargin,
+
+    "q244_audience_overlap" ->
+      // distinct memberships first, co-membership pairs by entity,
+      // lift against total distinct entities
+      """WITH m AS (SELECT DISTINCT user_id AS e, event_type AS c
+        |  FROM events),
+        |sz AS (SELECT c, count(*) AS sz FROM m GROUP BY 1),
+        |t AS (SELECT count(DISTINCT e) AS N FROM m),
+        |pr AS (SELECT x.c AS cat_a, y.c AS cat_b, count(*) AS n_both
+        |  FROM m x JOIN m y ON y.e = x.e AND x.c < y.c GROUP BY 1, 2)
+        |SELECT cat_a, cat_b,
+        |  CAST(a.sz AS BIGINT) AS n_a, CAST(b.sz AS BIGINT) AS n_b,
+        |  CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(a.sz + b.sz - n_both AS BIGINT) AS n_union,
+        |  roundStable(CAST(n_both AS DOUBLE)
+        |    / (a.sz + b.sz - n_both), 6) AS jaccard,
+        |  roundStable(CAST(n_both AS DOUBLE) * t.N / (a.sz * b.sz), 6)
+        |    AS lift
+        |FROM pr JOIN sz a ON a.c = pr.cat_a
+        |  JOIN sz b ON b.c = pr.cat_b, t
+        |ORDER BY cat_a, cat_b""".stripMargin,
+
+    "q245_prop_test" ->
+      // same conditional counts, pooled-null z, unpooled CI
+      """WITH g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS n2,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 250
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS s1,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND value > 250
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT event_type, n1, n2, s1, s2,
+        |    s1 / n1 AS p1, s2 / n2 AS p2,
+        |    (s1 + s2) / (n1 + n2) AS pp FROM g)
+        |SELECT event_type,
+        |  CAST(n1 AS BIGINT) AS n_a, CAST(s1 AS BIGINT) AS succ_a,
+        |  CAST(n2 AS BIGINT) AS n_b, CAST(s2 AS BIGINT) AS succ_b,
+        |  roundStable(CASE WHEN n1 > 0 THEN p1 END, 6) AS p_a,
+        |  roundStable(CASE WHEN n2 > 0 THEN p2 END, 6) AS p_b,
+        |  roundStable(CASE WHEN n1 > 0 AND n2 > 0 AND pp > 0 AND pp < 1
+        |    THEN (p1 - p2) / sqrt(pp * (1.0 - pp)
+        |      * (1.0 / n1 + 1.0 / n2)) END, 6) AS z,
+        |  roundStable(CASE WHEN n1 > 0 AND n2 > 0 AND pp > 0 AND pp < 1
+        |    THEN (p1 - p2) - 1.96 * sqrt(p1 * (1.0 - p1) / n1
+        |      + p2 * (1.0 - p2) / n2) END, 6) AS diff_ci_lo,
+        |  roundStable(CASE WHEN n1 > 0 AND n2 > 0 AND pp > 0 AND pp < 1
+        |    THEN (p1 - p2) + 1.96 * sqrt(p1 * (1.0 - p1) / n1
+        |      + p2 * (1.0 - p2) / n2) END, 6) AS diff_ci_hi
+        |FROM x ORDER BY event_type""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -1155,6 +1155,80 @@ object Aggregates {
         col("mix_effect")): _*)
   }
 
+  /** Pairwise audience-overlap matrix — "do these segments reach the
+    * same people?": for every pair of categories, the distinct-entity
+    * intersection, union, Jaccard, and lift
+    * `|A∩B|·N / (|A|·|B|)` (1 = independent reach, > 1 = the same
+    * crowd — the number a dedup'd campaign plan is built from).
+    * Entities dedupe to distinct (entity, category) memberships FIRST
+    * (the corpus reduces before any pairing), then one self-join on
+    * the ENTITY enumerates only co-memberships an entity actually has
+    * — #pairs per entity = C(its categories, 2), never all-pairs of
+    * the corpus. N = total distinct entities (for lift). Pairs with
+    * ZERO shared entities do not appear (nothing co-enumerates them)
+    * — absence reads as "no overlap at all", stated here.
+    */
+  def audienceOverlap(df: DataFrame, entityCol: Column, catCol: Column,
+                      digits: Int = 6): DataFrame = {
+    val m = df.select(entityCol.as("__e"), catCol.as("__c")).distinct()
+    val sizes = m.groupBy(col("__c")).agg(count(lit(1)).as("__sz"))
+    val total = m.select(countDistinct(col("__e")).as("__N"))
+    val pairs = m.as("x").join(m.as("y"), "__e")
+      .filter(col("x.__c") < col("y.__c"))
+      .groupBy(col("x.__c").as("cat_a"), col("y.__c").as("cat_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(sizes.select(col("__c").as("cat_a"), col("__sz").as("__na")),
+        "cat_a")
+      .join(sizes.select(col("__c").as("cat_b"), col("__sz").as("__nb")),
+        "cat_b")
+      .crossJoin(broadcast(total))
+      .select(col("cat_a"), col("cat_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"), col("n_both"),
+        (col("__na") + col("__nb") - col("n_both")).as("n_union"),
+        roundStable(col("n_both").cast("double") /
+          (col("__na") + col("__nb") - col("n_both")), digits)
+          .as("jaccard"),
+        roundStable(col("n_both").cast("double") * col("__N") /
+          (col("__na") * col("__nb")), digits).as("lift"))
+  }
+
+  /** Two-proportion z-test per key — the conversion-rate A/B readout
+    * (the single most-run test in industry, next to [[welchTTest]]'s
+    * means): success share in the `isA` arm vs the rest,
+    * `z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂))` with the POOLED p̂
+    * under the null (the textbook form), plus the unpooled 95% CI on
+    * the difference (the effect size that ships with the verdict).
+    * One conditional aggregation; degenerate keys (an empty arm, or
+    * pooled p̂ ∈ {0, 1} — no variance under the null) emit NULL z
+    * with all four counts visible.
+    */
+  def propTest(df: DataFrame, keys: Seq[String], isA: Column,
+               isSuccess: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val n1 = sum(when(isA, 1L).otherwise(0L)).cast("double")
+    val n2 = sum(when(!isA, 1L).otherwise(0L)).cast("double")
+    val s1 = sum(when(isA && isSuccess, 1L).otherwise(0L)).cast("double")
+    val s2 = sum(when(!isA && isSuccess, 1L).otherwise(0L)).cast("double")
+    val p1 = s1 / n1
+    val p2 = s2 / n2
+    val pp = (s1 + s2) / (n1 + n2)
+    val se0 = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2))
+    val seU = sqrt(p1 * (lit(1.0) - p1) / n1 + p2 * (lit(1.0) - p2) / n2)
+    val ok = n1 > 0 && n2 > 0 && pp > 0 && pp < 1
+    df.groupBy(keyCols: _*)
+      .agg(
+        n1.cast("long").as("n_a"), s1.cast("long").as("succ_a"),
+        n2.cast("long").as("n_b"), s2.cast("long").as("succ_b"),
+        roundStable(when(n1 > 0, p1), digits).as("p_a"),
+        roundStable(when(n2 > 0, p2), digits).as("p_b"),
+        roundStable(when(ok, (p1 - p2) / se0), digits).as("z"),
+        roundStable(when(ok, (p1 - p2) - lit(1.96) * seU), digits)
+          .as("diff_ci_lo"),
+        roundStable(when(ok, (p1 - p2) + lit(1.96) * seU), digits)
+          .as("diff_ci_hi"))
+  }
+
   /** Per-key Welch two-sample t-test between the rows where `isA` and
     * the rest: t statistic, Welch–Satterthwaite degrees of freedom, and
     * a 1/0 significance verdict at |t| > `critical` — the A/B readout

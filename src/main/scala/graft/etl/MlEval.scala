@@ -129,6 +129,60 @@ object MlEval {
         max(col("__tot")).cast("long").as("n"))
   }
 
+  /** Cohen's kappa per key between two categorical label columns —
+    * chance-corrected agreement (Cohen 1960): raw accuracy flatters
+    * any pair of raters that both favor the majority class; kappa
+    * `(p_o − p_e)/(1 − p_e)` subtracts the agreement their marginals
+    * would produce by luck. The readout for annotator pairs, model-vs-
+    * model label comparisons, and metadata-vs-detector audits (a lang
+    * column vs a content detector). One cell aggregation; expected
+    * agreement meets on a per-key LABEL table (not a cell fold — see
+    * the in-body note on the missing-diagonal case). Keys where both
+    * raters are constant-and-identical have p_e = 1: kappa is NULL
+    * there ("agreement is unfalsifiable"), with observed agreement
+    * still emitted.
+    */
+  def cohenKappa(df: DataFrame, keys: Seq[String], aCol: Column,
+                 bCol: Column, decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val cells = df
+      .groupBy(keyCols :+ aCol.as("__a") :+ bCol.as("__b"): _*)
+      .agg(count(lit(1)).cast("double").as("__o"))
+    // p_e = Σ_l (row_l · col_l) / N² sums over DISTINCT labels, not
+    // cells: a label with both marginals nonzero but no (l, l) cell
+    // would be missed by any cell-local fold — so the marginals meet
+    // on a label table (both sides' labels unioned, absent marginal
+    // coalesced to 0).
+    val labels = cells.select(keyCols :+ col("__a").as("__l"): _*)
+      .union(cells.select(keyCols :+ col("__b").as("__l"): _*))
+      .distinct()
+    val aMarg = cells.groupBy(keyCols :+ col("__a").as("__l"): _*)
+      .agg(sum(col("__o")).as("__ma"))
+    val bMarg = cells.groupBy(keyCols :+ col("__b").as("__l"): _*)
+      .agg(sum(col("__o")).as("__mb"))
+    val pe = labels
+      .join(aMarg, keys :+ "__l", "left")
+      .join(bMarg, keys :+ "__l", "left")
+      .groupBy(keyCols: _*)
+      .agg(sum(coalesce(col("__ma"), lit(0.0)) *
+        coalesce(col("__mb"), lit(0.0))).as("__pexn"))
+    val po = cells.groupBy(keyCols: _*)
+      .agg(sum(when(col("__a") === col("__b"), col("__o"))
+        .otherwise(lit(0.0))).as("__agree"),
+        sum(col("__o")).as("__N"))
+    po.join(pe, keys)
+      .select(keyCols ++ {
+        val pO = col("__agree") / col("__N")
+        val pE = col("__pexn") / (col("__N") * col("__N"))
+        Seq(
+          roundStable(pO, decimals).as("observed_agreement"),
+          roundStable(pE, decimals).as("expected_agreement"),
+          roundStable(when(pE < 1, (pO - pE) / (lit(1.0) - pE)), decimals)
+            .as("kappa"),
+          col("__N").cast("long").as("n"))
+      }: _*)
+  }
+
   /** Split-conformal threshold per key (Vovk's conformal prediction,
     * the Angelopoulos & Bates '21 recipe): the `⌈(n+1)(1−α)⌉`-th
     * smallest calibration score — the cutoff that guarantees

@@ -3858,6 +3858,63 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 0.5, s"hub holds half the endpoints: $r")
   }
 
+  test("cohenKappa: textbook 0.4, crossed labels -1 (the missing-diagonal case), unfalsifiable NULL") {
+    val textbook =
+      (1 to 20).map(_ => ("t", "y", "y")) ++ (1 to 5).map(_ => ("t", "y", "n")) ++
+        (1 to 10).map(_ => ("t", "n", "y")) ++ (1 to 15).map(_ => ("t", "n", "n"))
+    // raters NEVER use the same label for the same row AND no (l,l)
+    // cell exists — a cell-local p_e fold would read 0 here
+    val crossed = Seq(("x", "a", "b"), ("x", "b", "a"))
+    val const = Seq(("c", "s", "s"), ("c", "s", "s"))
+    val df = (textbook ++ crossed ++ const).toDF("k", "ra", "rb")
+    val out = etl.MlEval.cohenKappa(df, Seq("k"), col("ra"), col("rb"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t = out("t")
+    assert(t.getDouble(1) == 0.7 && t.getDouble(2) == 0.5 &&
+      t.getDouble(3) == 0.4, s"Cohen's worked example: $t")
+    assert(out("x").getDouble(3) == -1.0,
+      s"perfect disagreement with shared label SET: kappa -1: ${out("x")}")
+    assert(out("c").isNullAt(3) && out("c").getDouble(1) == 1.0,
+      s"constant identical raters: p_e = 1, kappa unfalsifiable: ${out("c")}")
+  }
+
+  test("audienceOverlap: hand Jaccard/lift; zero-overlap pair absent by contract") {
+    val rows = Seq((1L, "A"), (2L, "A"), (3L, "A"), (2L, "B"), (3L, "B"),
+      (4L, "B"), (1L, "C"), (2L, "A")) // dup membership dedupes
+    val out = etl.Aggregates.audienceOverlap(rows.toDF("u", "c"),
+      col("u"), col("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getLong(4) == 2L && ab.getLong(5) == 4L &&
+      ab.getDouble(6) == 0.5 &&
+      math.abs(ab.getDouble(7) - 8.0 / 9) < 1e-6, s"$ab")
+    val ac = out(("A", "C"))
+    assert(math.abs(ac.getDouble(6) - 1.0 / 3) < 1e-6 &&
+      math.abs(ac.getDouble(7) - 4.0 / 3) < 1e-6, s"$ac")
+    assert(!out.contains(("B", "C")),
+      "B and C share nobody: the pair must be absent, not zero")
+  }
+
+  test("propTest: hand z and CI; empty arm NULL with counts") {
+    val a = (1 to 10).map(i => ("k", 0L, i <= 5))
+    val b = (1 to 10).map(i => ("k", 1L, i <= 2))
+    val lone = (1 to 4).map(i => ("lone", 0L, i <= 2))
+    val df = (a ++ b ++ lone).toDF("k", "arm", "hit")
+    val out = etl.Aggregates.propTest(df, Seq("k"),
+      isA = col("arm") === 0, isSuccess = col("hit"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    val (p1, p2, pp) = (0.5, 0.2, 0.35)
+    val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / 10 + 1.0 / 10))
+    val se = math.sqrt(p1 * 0.5 / 10 + p2 * 0.8 / 10)
+    assert(k.getDouble(5) == 0.5 && k.getDouble(6) == 0.2)
+    assert(math.abs(k.getDouble(7) - z) < 1e-6, s"$k")
+    assert(math.abs(k.getDouble(8) - (0.3 - 1.96 * se)) < 1e-6 &&
+      math.abs(k.getDouble(9) - (0.3 + 1.96 * se)) < 1e-6, s"$k")
+    assert(out("lone").isNullAt(7) && out("lone").getLong(1) == 4L,
+      s"one-arm key: NULL z, counts visible: ${out("lone")}")
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")
