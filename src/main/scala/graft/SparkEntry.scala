@@ -2367,6 +2367,38 @@ object SparkEntry {
           isA = col("user_id") % 2 === 0, isSuccess = col("value") > 250)
         .orderBy(col("event_type"))),
 
+    "q246_weighted_quantile" -> ((s, dir) =>
+      // the p90 price PER UNIT SOLD: lower-quantile convention (an
+      // actual data value — no interpolation to disagree on)
+      etl.Aggregates.weightedQuantile(Tables.lineitem(s, dir),
+          Seq("l_returnflag"), "l_extendedprice", "l_quantity", p = 0.9)
+        .orderBy(col("l_returnflag"))),
+
+    "q247_km_summary" -> ((s, dir) => {
+      // the two numbers a survival curve is quoted by: median survival
+      // (NULL = "not reached", an answer) and the restricted mean —
+      // q172's staging, summarized
+      val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"), max(col("ts")).as("__last"),
+          min(when(col("event_type") === "error", col("ts"))).as("__err"))
+      val subj = perUser
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(to_date(coalesce(col("__err"), col("__last"))),
+            to_date(col("__first"))).cast("long").as("dur"),
+          col("__err").isNotNull.as("obs"))
+      etl.Aggregates.kmSummary(subj, Seq("cohort"), "dur", col("obs"))
+        .orderBy(col("cohort"))
+    }),
+
+    "q248_mode" -> ((s, dir) =>
+      // busiest weekday per type, deterministic under ties (count desc,
+      // value asc) — "the mode" must not depend on partition order
+      etl.Aggregates.modeValue(
+          Tables.events(s, dir)
+            .withColumn("dow", weekday(col("ts")).cast("long")),
+          Seq("event_type"), "dow")
+        .orderBy(col("event_type"))),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -7160,6 +7192,80 @@ object SparkEntry {
         |    THEN (p1 - p2) + 1.96 * sqrt(p1 * (1.0 - p1) / n1
         |      + p2 * (1.0 - p2) / n2) END, 6) AS diff_ci_hi
         |FROM x ORDER BY event_type""".stripMargin,
+
+    "q246_weighted_quantile" ->
+      // same cumulative-weight threshold, same exclusions
+      """WITH b AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+        |    l_quantity AS w FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+        |c AS (SELECT k, v,
+        |    sum(w) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY k) AS tw
+        |  FROM b)
+        |SELECT k AS l_returnflag, roundStable(min(v), 6) AS w_quantile,
+        |  roundStable(max(tw), 6) AS total_weight
+        |FROM c WHERE cw >= tw * 0.9 GROUP BY k
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q247_km_summary" ->
+      // the q172 curve verbatim, then one lead window integrates the
+      // staircase from the same 6dp-rounded survival values
+      """WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+        |        min(CASE WHEN event_type = 'error' THEN ts END) AS err
+        |      FROM events GROUP BY 1),
+        |s AS (SELECT user_id % 3 AS cohort,
+        |        date_diff('day', CAST(f AS DATE),
+        |          CAST(coalesce(err, l) AS DATE)) AS t,
+        |        (err IS NOT NULL) AS obs
+        |      FROM u),
+        |g AS (SELECT cohort, t,
+        |        sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+        |        sum(CASE WHEN obs THEN 0 ELSE 1 END) AS c
+        |      FROM s GROUP BY 1, 2),
+        |w AS (SELECT cohort, t, d, c,
+        |        sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+        |      FROM g),
+        |f AS (SELECT cohort, t, d, c, n,
+        |        1.0 - CAST(d AS DOUBLE) / n AS fac FROM w),
+        |k AS (SELECT cohort, t, n,
+        |        roundStable(CASE WHEN min(fac) OVER win <= 0 THEN 0.0
+        |          ELSE exp(sum(CASE WHEN fac > 0 THEN ln(fac)
+        |            ELSE 0.0 END) OVER win) END, 6) AS surv
+        |      FROM f
+        |      WINDOW win AS (PARTITION BY cohort ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (SELECT cohort, t, surv, n,
+        |        lead(t) OVER (PARTITION BY cohort ORDER BY t) AS nxt,
+        |        min(t) OVER (PARTITION BY cohort) AS t0
+        |      FROM k)
+        |SELECT cohort,
+        |  CAST(min(CASE WHEN surv <= 0.5 THEN t END) AS BIGINT)
+        |    AS median_survival_t,
+        |  roundStable(CAST(max(t0) AS DOUBLE)
+        |    + sum(surv * CAST(coalesce(nxt, t) - t AS DOUBLE)), 6)
+        |    AS rmst,
+        |  CAST(max(t) AS BIGINT) AS horizon_t,
+        |  roundStable(min(surv), 6) AS final_survival,
+        |  CAST(max(n) AS BIGINT) AS n_subjects
+        |FROM l GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q248_mode" ->
+      // Monday=0 weekday pin, (count desc, value asc) tiebreak
+      """WITH c AS (SELECT event_type, isodow(ts) - 1 AS mode,
+        |    count(*) AS mc FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, mode, mc,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY mc DESC, mode) AS rn,
+        |    sum(mc) OVER (PARTITION BY event_type) AS tot,
+        |    count(*) OVER (PARTITION BY event_type) AS nv
+        |  FROM c)
+        |SELECT event_type, CAST(mode AS BIGINT) AS mode,
+        |  CAST(mc AS BIGINT) AS mode_count,
+        |  CAST(nv AS BIGINT) AS n_distinct,
+        |  roundStable(CAST(mc AS DOUBLE) / tot, 6) AS mode_share
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

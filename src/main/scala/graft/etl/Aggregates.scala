@@ -1677,6 +1677,97 @@ object Aggregates {
         roundStable(max(col("__tw")), digits).as("total_weight"))
   }
 
+  /** Weighted p-quantile per key — the general rung of [[weightedMedian]]
+    * (same lower-quantile convention, chosen FOR cross-engine
+    * exactness: the smallest value whose cumulative weight reaches
+    * `p·W` is an actual data value, no interpolation convention to
+    * disagree on): "the p90 price paid, PER UNIT SOLD" and every other
+    * where-does-the-weighted-mass-sit question a row-quantile answers
+    * wrongly. One keyed (value, tie) cumulative-weight window; rows
+    * with NULL value or non-positive weight excluded by the same
+    * [[weightedMedian]] contract.
+    */
+  def weightedQuantile(df: DataFrame, keys: Seq[String], valueCol: String,
+                       weightCol: String, p: Double,
+                       digits: Int = 6): DataFrame = {
+    require(p > 0 && p < 1, s"need 0 < p < 1, got $p")
+    val keyCols = keys.map(col)
+    val base = df.filter(col(valueCol).isNotNull && col(weightCol) > 0)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    base
+      .withColumn("__cw", sum(col(weightCol)).over(wOrd))
+      .withColumn("__tw", sum(col(weightCol)).over(wAll))
+      .filter(col("__cw") >= col("__tw") * lit(p))
+      .groupBy(keyCols: _*)
+      .agg(roundStable(min(col(valueCol)), digits).as("w_quantile"),
+        roundStable(max(col("__tw")), digits).as("total_weight"))
+  }
+
+  /** Kaplan–Meier curve SUMMARY per key — the two numbers a survival
+    * curve is quoted by, computed from [[kaplanMeier]]'s own output:
+    * `median_survival_t` (the first time the curve crosses 0.5 — NULL
+    * while more than half survive, which is an ANSWER: "median not
+    * reached"), and the restricted mean survival time
+    * `RMST = ∫₀^τ S(t) dt` to the observed horizon τ — the
+    * model-free "average days healthy" effect size the hazard-ratio
+    * literature recommends when proportional hazards is dubious
+    * (Royston & Parmar 2013). The step-function integral is exact:
+    * the pre-first-event segment at S = 1 plus each step's
+    * `S(tᵢ)·(tᵢ₊₁ − tᵢ)` — one lead window over the O(#distinct
+    * durations) curve rows. The 6dp-rounded survival values feed both
+    * the 0.5 crossing and the integral, so every engine integrates
+    * the identical staircase.
+    */
+  def kmSummary(df: DataFrame, keys: Seq[String], durationCol: String,
+                observedCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val km = kaplanMeier(df, keys, durationCol, observedCol, digits)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("t"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    km
+      .withColumn("__next", lead(col("t"), 1).over(wOrd))
+      .withColumn("__seg", col("survival") *
+        (coalesce(col("__next"), col("t")) - col("t")).cast("double"))
+      .withColumn("__t0", min(col("t")).over(wAll))
+      .groupBy(keyCols: _*)
+      .agg(
+        min(when(col("survival") <= 0.5, col("t"))).as("median_survival_t"),
+        roundStable(max(col("__t0")).cast("double") + sum(col("__seg")),
+          digits).as("rmst"),
+        max(col("t")).as("horizon_t"),
+        roundStable(min(col("survival")), digits).as("final_survival"),
+        max(col("n_risk")).as("n_subjects"))
+  }
+
+  /** Deterministic mode per key — the most frequent value with a TOTAL
+    * tiebreak (count desc, value asc), because "the mode" of a tied
+    * column is otherwise whichever partition answered last: the
+    * categorical twin of the median, and the value-imputation default
+    * for discrete columns. One (key, value) count aggregation + one
+    * keyed rank window over the distinct values.
+    */
+  def modeValue(df: DataFrame, keys: Seq[String], valueCol: String,
+                digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols :+ col(valueCol).as("mode"): _*)
+      .agg(count(lit(1)).as("mode_count"))
+    val wOrd = Window.partitionBy(keyCols: _*)
+      .orderBy(col("mode_count").desc, col("mode"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    counts
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__tot", sum(col("mode_count")).over(wAll))
+      .withColumn("__nv", count(lit(1)).over(wAll))
+      .filter(col("__rn") === 1)
+      .select(keyCols ++ Seq(col("mode"), col("mode_count"),
+        col("__nv").as("n_distinct"),
+        roundStable(col("mode_count").cast("double") / col("__tot"),
+          digits).as("mode_share")): _*)
+  }
+
   /** Kendall tau-b per key between two bucket-aggregated series — the
     * concordance coefficient (Kendall 1938): of all bucket pairs, how
     * many order x and y the SAME way minus how many invert, normalized

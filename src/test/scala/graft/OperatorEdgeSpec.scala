@@ -3915,6 +3915,42 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"one-arm key: NULL z, counts visible: ${out("lone")}")
   }
 
+  test("weightedQuantile: mass sits where the weight says, not where the rows do") {
+    val df = Seq(("k", 1.0, 1.0), ("k", 2.0, 1.0), ("k", 3.0, 1.0),
+      ("k", 4.0, 7.0), ("k", 9.0, 0.0)).toDF("k", "v", "w")
+    def q(p: Double) = etl.Aggregates.weightedQuantile(df, Seq("k"),
+      "v", "w", p).collect().head.getDouble(1)
+    assert(q(0.5) == 4.0, "half the 10kg of mass sits on v=4")
+    assert(q(0.3) == 3.0, "30% threshold lands at v=3")
+    assert(etl.Aggregates.weightedQuantile(df, Seq("k"), "v", "w", 0.5)
+      .collect().head.getDouble(2) == 10.0, "zero-weight row excluded")
+  }
+
+  test("kmSummary: textbook staircase integral, median crossing, not-reached NULL") {
+    val full = (1 to 4).map(d => ("full", d.toLong, true))
+    val alive = (1 to 4).map(d => ("alive", d.toLong, false))
+    val df = (full ++ alive).toDF("k", "dur", "obs")
+    val out = etl.Aggregates.kmSummary(df, Seq("k"), "dur", col("obs"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f = out("full")
+    assert(f.getLong(1) == 2L, s"S first <= 0.5 at t=2: $f")
+    assert(f.getDouble(2) == 2.5,
+      s"integral 1*1 + .75 + .5 + .25 + 0*0 = 2.5: $f")
+    assert(f.getDouble(4) == 0.0 && f.getLong(5) == 4L)
+    val a = out("alive")
+    assert(a.isNullAt(1) && a.getDouble(4) == 1.0,
+      s"all censored: median NOT REACHED (NULL), curve stays at 1: $a")
+  }
+
+  test("modeValue: lexicographic tiebreak, share and distinct counts exact") {
+    val rows = Seq("b", "b", "b", "a", "a", "a", "c").map(("k", _))
+    val r = etl.Aggregates.modeValue(rows.toDF("k", "v"), Seq("k"), "v")
+      .collect().head
+    assert(r.getString(1) == "a" && r.getLong(2) == 3L &&
+      r.getLong(3) == 3L && math.abs(r.getDouble(4) - 3.0 / 7) < 1e-6,
+      s"tie a/b at 3: value-asc tiebreak picks a deterministically: $r")
+  }
+
   test("hll sketches: merged dailies track the direct sketch; estimate near exact") {
     val rows = (1 to 2000).map(i => ("a", i % 7, i.toLong))
     val df = rows.toDF("g", "day", "id")
