@@ -2399,6 +2399,39 @@ object SparkEntry {
           Seq("event_type"), "dow")
         .orderBy(col("event_type"))),
 
+    "q249_anova" -> ((s, dir) =>
+      // is the metric day-of-week sensitive AT ALL — the k-group mean
+      // test behind q14/q15's eyeballed profiles, with the η² effect
+      // size that keeps a huge-N significant-but-tiny F honest
+      etl.Aggregates.anovaF(Tables.events(s, dir), Seq("event_type"),
+          factorCol = weekday(col("ts")).cast("long"), yCol = col("value"))
+        .orderBy(col("event_type"))),
+
+    "q250_mcnemar" -> ((s, dir) =>
+      // did the high-value hit rate change between the month's halves
+      // for the SAME users — only discordant pairs carry information;
+      // pooled-rows z (q245) would wrongly count the concordant ones
+      etl.Aggregates.mcnemar(Tables.events(s, dir), Seq("event_type"),
+          subjectCol = col("user_id"),
+          inFirst = col("ts") < lit("2024-01-16").cast("timestamp"),
+          isHit = col("value") > 250)
+        .orderBy(col("event_type"))),
+
+    "q251_nelson_aalen" -> ((s, dir) => {
+      // the hazard-scale twin of q172's KM curve: cumulative hazard,
+      // its Poisson variance, and exp(−H) — same per-user staging
+      val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"), max(col("ts")).as("__last"),
+          min(when(col("event_type") === "error", col("ts"))).as("__err"))
+      val subj = perUser
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(to_date(coalesce(col("__err"), col("__last"))),
+            to_date(col("__first"))).cast("long").as("dur"),
+          col("__err").isNotNull.as("obs"))
+      etl.Aggregates.nelsonAalen(subj, Seq("cohort"), "dur", col("obs"))
+        .orderBy(col("cohort"), col("t"))
+    }),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -7266,6 +7299,93 @@ object SparkEntry {
         |  CAST(nv AS BIGINT) AS n_distinct,
         |  roundStable(CAST(mc AS DOUBLE) / tot, 6) AS mode_share
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q249_anova" ->
+      // same per-(type, dow) moments, same SSB/SSW decomposition
+      """WITH c AS (SELECT event_type, isodow(ts) - 1 AS lvl,
+        |    CAST(count(value) AS DOUBLE) AS n, sum(value) AS s,
+        |    sum(value * value) AS ss
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT event_type, sum(n) AS n, CAST(count(*) AS DOUBLE)
+        |      AS k, sum(s) AS s, sum(ss) AS ss, sum(s * s / n) AS sb
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, CAST(k AS BIGINT) AS k_groups,
+        |  CAST(n AS BIGINT) AS n, CAST(k - 1 AS BIGINT) AS df_between,
+        |  CAST(n - k AS BIGINT) AS df_within,
+        |  roundStable(CASE WHEN k > 1 AND n > k AND (ss - sb) > 0
+        |    THEN ((sb - s * s / n) / (k - 1))
+        |      / ((ss - sb) / (n - k)) END, 6) AS f_stat,
+        |  roundStable(CASE WHEN (ss - s * s / n) > 0
+        |    THEN (sb - s * s / n) / (ss - s * s / n) END, 6) AS eta_sq
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q250_mcnemar" ->
+      // same per-(type, user) phase flags, same discordant-cell χ²
+      """WITH p AS (SELECT event_type, user_id,
+        |    max(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+        |      END) AS pf,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+        |      END) AS ps,
+        |    max(CASE WHEN ts < TIMESTAMP '2024-01-16' AND value > 250
+        |      THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND value > 250
+        |      THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS ns,
+        |    sum(CASE WHEN pf = 1 AND ps = 1 THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN pf = 1 AND ps = 1 AND a = 1 AND b = 1
+        |      THEN 1 ELSE 0 END) AS bh,
+        |    sum(CASE WHEN pf = 1 AND ps = 1 AND a = 0 AND b = 0
+        |      THEN 1 ELSE 0 END) AS nh,
+        |    CAST(sum(CASE WHEN pf = 1 AND ps = 1 AND a = 1 AND b = 0
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS bb,
+        |    CAST(sum(CASE WHEN pf = 1 AND ps = 1 AND a = 0 AND b = 1
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS cc
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, CAST(ns AS BIGINT) AS n_subjects,
+        |  CAST(np AS BIGINT) AS n_pairs, CAST(bh AS BIGINT) AS both_hit,
+        |  CAST(nh AS BIGINT) AS neither_hit,
+        |  CAST(bb AS BIGINT) AS first_only,
+        |  CAST(cc AS BIGINT) AS second_only,
+        |  roundStable(CASE WHEN bb + cc > 0
+        |    THEN (bb - cc) * (bb - cc) / (bb + cc) END, 6) AS chi2,
+        |  roundStable(CASE WHEN bb + cc > 0
+        |    THEN pow(abs(bb - cc) - 1.0, 2) / (bb + cc) END, 6)
+        |    AS chi2_cc
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q251_nelson_aalen" ->
+      // q247's per-user staging verbatim; ordered cumulative sums over
+      // the same keyed sort are bit-deterministic on both engines
+      """WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+        |        min(CASE WHEN event_type = 'error' THEN ts END) AS err
+        |      FROM events GROUP BY 1),
+        |s AS (SELECT user_id % 3 AS cohort,
+        |        date_diff('day', CAST(f AS DATE),
+        |          CAST(coalesce(err, l) AS DATE)) AS t,
+        |        (err IS NOT NULL) AS obs
+        |      FROM u),
+        |g AS (SELECT cohort, t,
+        |        sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+        |        sum(CASE WHEN obs THEN 0 ELSE 1 END) AS c
+        |      FROM s GROUP BY 1, 2),
+        |w AS (SELECT cohort, t, d, c,
+        |        sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+        |      FROM g),
+        |h AS (SELECT cohort, t, d, c, n,
+        |        roundStable(sum(CAST(d AS DOUBLE) / n) OVER win, 6)
+        |          AS cum_hazard,
+        |        roundStable(sum(CAST(d AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * n)) OVER win, 6) AS hazard_var
+        |      FROM w
+        |      WINDOW win AS (PARTITION BY cohort ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort, CAST(t AS BIGINT) AS t,
+        |  CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+        |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
+        |  roundStable(exp(-cum_hazard), 6) AS fh_survival
+        |FROM h ORDER BY cohort, t""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

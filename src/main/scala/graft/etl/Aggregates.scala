@@ -2031,4 +2031,122 @@ object Aggregates {
         count(lit(1)).as("n"),
         roundStable(sum(col(valueCol)), decimals).as("total"))
   }
+
+  /** One-way ANOVA F-test per key — does the metric's MEAN differ
+    * across the levels of a factor (the k-group generalization of
+    * [[welchTTest]]'s two arms): `F = (SSB/(k−1)) / (SSW/(N−k))` from
+    * the between/within sum-of-squares decomposition, plus `η² =
+    * SSB/SST` — the share of variance the factor explains, the effect
+    * size that keeps a huge-N significant-but-tiny F honest. Two
+    * aggregations, both from moments (n, Σy, Σy² per cell — the
+    * [[olsTrend]] discipline): the first reduces raw rows to one row
+    * per (key, level), the second folds those O(#keys × #levels) rows
+    * — no window, no sort, nothing quadratic. Degenerate keys (k < 2
+    * levels, N ≤ k, or zero within-variance) emit NULL F with the
+    * counts visible.
+    */
+  def anovaF(df: DataFrame, keys: Seq[String], factorCol: Column,
+             yCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val cells = df.filter(yCol.isNotNull)
+      .groupBy(keyCols :+ factorCol.as("__lvl"): _*)
+      .agg(count(yCol).as("__n"), sum(yCol.cast("double")).as("__s"),
+        sum(yCol.cast("double") * yCol.cast("double")).as("__ss"))
+    val n   = sum(col("__n")).cast("double")
+    val k   = count(lit(1)).cast("double")
+    val s   = sum(col("__s"))
+    val ss  = sum(col("__ss"))
+    val ssb = sum(col("__s") * col("__s") / col("__n")) - s * s / n
+    val sst = ss - s * s / n
+    val ssw = ss - sum(col("__s") * col("__s") / col("__n"))
+    val ok  = k > 1 && n > k && ssw > 0
+    cells.groupBy(keyCols: _*)
+      .agg(
+        k.cast("long").as("k_groups"), n.cast("long").as("n"),
+        (k - lit(1)).cast("long").as("df_between"),
+        (n - k).cast("long").as("df_within"),
+        roundStable(when(ok, (ssb / (k - lit(1))) / (ssw / (n - k))),
+          digits).as("f_stat"),
+        roundStable(when(sst > 0, ssb / sst), digits).as("eta_sq"))
+  }
+
+  /** McNemar test per key — did the HIT RATE change between two phases
+    * over the SAME subjects (before/after a release, first/second half
+    * of a window): the paired-binary test whose whole point is that
+    * only the DISCORDANT pairs carry information — a subject that hits
+    * (or misses) in both phases says nothing about change, and a
+    * two-proportion z over the pooled rows ([[propTest]]) wrongly
+    * counts it. `χ² = (b−c)²/(b+c)` over b = hit→miss, c = miss→hit,
+    * plus the continuity-corrected `(|b−c|−1)²/(b+c)` (Edwards 1948).
+    * Subjects present in only one phase have no pair and are excluded
+    * (visible via `n_subjects` vs `n_pairs`). Two aggregations: raw
+    * rows reduce to one row per (key, subject) first; b+c = 0 (no
+    * discordance) emits NULL χ² with all four cells visible.
+    */
+  def mcnemar(df: DataFrame, keys: Seq[String], subjectCol: Column,
+              inFirst: Column, isHit: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val perSubj = df.groupBy(keyCols :+ subjectCol.as("__subj"): _*)
+      .agg(
+        max(when(inFirst, 1L).otherwise(0L)).as("__pf"),
+        max(when(!inFirst, 1L).otherwise(0L)).as("__ps"),
+        max(when(inFirst && isHit, 1L).otherwise(0L)).as("__a"),
+        max(when(!inFirst && isHit, 1L).otherwise(0L)).as("__b"))
+    val paired = col("__pf") === 1L && col("__ps") === 1L
+    val b = sum(when(paired && col("__a") === 1L && col("__b") === 0L, 1L)
+      .otherwise(0L)).cast("double")
+    val c = sum(when(paired && col("__a") === 0L && col("__b") === 1L, 1L)
+      .otherwise(0L)).cast("double")
+    val disc = b + c
+    perSubj.groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("n_subjects"),
+        sum(when(paired, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(paired && col("__a") === 1L && col("__b") === 1L, 1L)
+          .otherwise(0L)).as("both_hit"),
+        sum(when(paired && col("__a") === 0L && col("__b") === 0L, 1L)
+          .otherwise(0L)).as("neither_hit"),
+        b.cast("long").as("first_only"),
+        c.cast("long").as("second_only"),
+        roundStable(when(disc > 0, (b - c) * (b - c) / disc), digits)
+          .as("chi2"),
+        roundStable(when(disc > 0,
+          pow(abs(b - c) - lit(1.0), 2) / disc), digits).as("chi2_cc"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator per key (Nelson 1972,
+    * Aalen 1978) — the hazard-scale twin of [[kaplanMeier]]: `H(t) =
+    * Σ_{t_j ≤ t} d_j/n_j`, the thing to plot when the QUESTION is
+    * rate-shaped ("is risk accelerating?" — a straight H line is
+    * constant hazard, convex is acceleration) and the quantity
+    * hazard-ratio models are fit against. Emits the Poisson-form
+    * variance `Σ d_j/n_j²` and the Fleming–Harrington survival
+    * `exp(−H)` — KM's product and exp(−H) agree to O(d/n²), and the
+    * gap between them at a given t is a small-risk-set warning flag.
+    * Identical scale shape to [[kaplanMeier]]: subjects reduce to
+    * O(#distinct durations) rows FIRST, then two cumulative windows
+    * over one keyed sort.
+    */
+  def nelsonAalen(df: DataFrame, keys: Seq[String], durationCol: String,
+                  observedCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val byT = df.groupBy(keyCols :+ col(durationCol).as("t"): _*)
+      .agg(sum(when(observedCol, 1L).otherwise(0L)).as("__d"),
+        sum(when(observedCol, 0L).otherwise(1L)).as("__c"))
+    val wCum = Window.partitionBy(keyCols: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRev = Window.partitionBy(keyCols: _*).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val nD = col("__n").cast("double")
+    byT
+      .withColumn("__n", sum(col("__d") + col("__c")).over(wRev))
+      .withColumn("cum_hazard", roundStable(
+        sum(col("__d").cast("double") / nD).over(wCum), digits))
+      .withColumn("hazard_var", roundStable(
+        sum(col("__d").cast("double") / (nD * nD)).over(wCum), digits))
+      .select(keyCols ++ Seq(col("t"), col("__n").as("n_risk"),
+        col("__d").as("n_events"), col("__c").as("n_censored"),
+        col("cum_hazard"), col("hazard_var"),
+        roundStable(exp(-col("cum_hazard")), digits).as("fh_survival")): _*)
+  }
 }

@@ -3967,4 +3967,67 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"merged=$merged direct=$direct")
     assert(math.abs(merged - 2000.0) / 2000.0 < 0.05, s"estimate=$merged")
   }
+
+  test("anovaF: hand F and eta^2; one-level and zero-variance keys NULL F") {
+    val two = Seq(("k", 0L, 1.0), ("k", 0L, 2.0), ("k", 0L, 3.0),
+      ("k", 1L, 4.0), ("k", 1L, 5.0), ("k", 1L, 6.0))
+    val one = Seq(("mono", 0L, 1.0), ("mono", 0L, 2.0))
+    val flat = Seq(("flat", 0L, 5.0), ("flat", 1L, 5.0),
+      ("flat", 0L, 5.0), ("flat", 1L, 5.0))
+    val df = (two ++ one ++ flat).toDF("k", "lvl", "y")
+    val out = etl.Aggregates.anovaF(df, Seq("k"), col("lvl"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // SSB = 3(2-3.5)^2 + 3(5-3.5)^2 = 13.5, SSW = 4, F = 13.5/(4/4)
+    assert(k.getLong(1) == 2L && k.getLong(2) == 6L &&
+      k.getLong(3) == 1L && k.getLong(4) == 4L, s"$k")
+    assert(math.abs(k.getDouble(5) - 13.5) < 1e-6, s"$k")
+    assert(math.abs(k.getDouble(6) - 13.5 / 17.5) < 1e-6, s"$k")
+    assert(out("mono").isNullAt(5), "one level: no between-variance")
+    assert(out("flat").isNullAt(5) && out("flat").isNullAt(6),
+      "zero within-variance AND zero total: both NULL")
+  }
+
+  test("mcnemar: discordant cells only; unpaired subject excluded; concordant key NULL") {
+    // phase 0 = first, 1 = second; hit as boolean
+    def subj(s: Long, first: Boolean, second: Boolean) =
+      Seq(("k", s, 0L, first), ("k", s, 1L, second))
+    val rows = subj(1, true, false) ++ subj(2, true, false) ++
+      subj(3, true, false) ++ subj(4, false, true) ++
+      subj(5, true, true) ++ subj(6, false, false) ++
+      Seq(("k", 7L, 0L, true)) ++ // present only in the first phase → no pair
+      (subj(8, true, true) ++ subj(9, false, false))
+        .map { case (_, s, p, h) => ("conc", s, p, h) }
+    val out = etl.Aggregates.mcnemar(rows.toDF("k", "s", "phase", "hit"),
+        Seq("k"), col("s"), inFirst = col("phase") === 0L,
+        isHit = col("hit"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) == 7L && k.getLong(2) == 6L, s"$k")
+    assert(k.getLong(3) == 1L && k.getLong(4) == 1L &&
+      k.getLong(5) == 3L && k.getLong(6) == 1L, s"$k")
+    assert(math.abs(k.getDouble(7) - 1.0) < 1e-9, s"chi2 (3-1)^2/4: $k")
+    assert(math.abs(k.getDouble(8) - 0.25) < 1e-9, s"cc (2-1)^2/4: $k")
+    assert(out("conc").isNullAt(7) && out("conc").getLong(2) == 2L,
+      s"no discordance: NULL chi2, pairs visible: ${out("conc")}")
+  }
+
+  test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
+    val full = (1 to 4).map(d => ("full", d.toLong, true))
+    val alive = (1 to 4).map(d => ("alive", d.toLong, false))
+    val out = etl.Aggregates.nelsonAalen(
+        (full ++ alive).toDF("k", "dur", "obs"), Seq("k"), "dur",
+        col("obs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val t1 = out(("full", 1L))
+    assert(t1.getLong(2) == 4L && t1.getLong(3) == 1L, s"$t1")
+    assert(t1.getDouble(5) == 0.25 && t1.getDouble(6) == 0.0625, s"$t1")
+    assert(math.abs(t1.getDouble(7) - math.exp(-0.25)) < 1e-6, s"$t1")
+    val t4 = out(("full", 4L))
+    // H = 1/4 + 1/3 + 1/2 + 1 rounded at 6dp
+    assert(t4.getDouble(5) == 2.083333, s"$t4")
+    val a4 = out(("alive", 4L))
+    assert(a4.getDouble(5) == 0.0 && a4.getDouble(7) == 1.0 &&
+      a4.getLong(4) == 1L, s"all censored: hazard never accrues: $a4")
+  }
 }
