@@ -2432,6 +2432,41 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q252_cuped" -> ((s, dir) => {
+      // CUPED: each user's first-half mean is the covariate that
+      // shrinks the second-half A/B read by exactly rho^2 — one
+      // per-user staging agg, then ONE moments agg does theta AND
+      // both arm means
+      val cut = lit("2024-01-16").cast("timestamp")
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(avg(when(col("ts") < cut, col("value"))).as("x"),
+          avg(when(col("ts") >= cut, col("value"))).as("y"))
+      etl.Aggregates.cuped(perUser, Seq("event_type"),
+          isA = col("user_id") % 2 === 0, yCol = col("y"),
+          xCol = col("x"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q253_power_mde" -> ((s, dir) =>
+      // can this traffic even SEE a 5% move — the pre-ship power
+      // check and the flat-test autopsy, from one moments pass
+      etl.Aggregates.powerMde(Tables.events(s, dir), Seq("event_type"),
+          isA = col("user_id") % 2 === 0, yCol = col("value"))
+        .orderBy(col("event_type"))),
+
+    "q254_ratio_ci" -> ((s, dir) => {
+      // value PER EVENT as a ratio-of-sums over users: the delta
+      // method prices the shared-denominator variance a naive mean
+      // CI understates
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value")).as("y"), count(col("value")).as("x"))
+      etl.Aggregates.ratioMetricCi(perUser, Seq("event_type"),
+          numCol = col("y"), denCol = col("x"))
+        .orderBy(col("event_type"))
+    }),
+
     "q176_rbo" -> ((s, dir) => {
       // ranking-agreement readout: RBO@10 between the exact 64-dim
       // cosine ranking and the matryoshka prefix-16 ranking — "how much
@@ -7386,6 +7421,99 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q252_cuped" ->
+      // same per-user halves staging, same one-pass conditional moments
+      """WITH p AS (SELECT event_type, user_id,
+        |    avg(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value END)
+        |      AS x,
+        |    avg(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value END)
+        |      AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT * FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    count(CASE WHEN user_id % 2 = 0 THEN y END) AS na,
+        |    count(CASE WHEN user_id % 2 <> 0 THEN y END) AS nb,
+        |    covar_samp(x, y) AS cxy, var_samp(x) AS vx,
+        |    var_samp(y) AS vy,
+        |    avg(CASE WHEN user_id % 2 = 0 THEN y END) AS ya,
+        |    avg(CASE WHEN user_id % 2 <> 0 THEN y END) AS yb,
+        |    avg(CASE WHEN user_id % 2 = 0 THEN x END) AS xa,
+        |    avg(CASE WHEN user_id % 2 <> 0 THEN x END) AS xb
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  roundStable(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS theta,
+        |  roundStable(ya - yb, 6) AS diff_raw,
+        |  roundStable(CASE WHEN vx > 0 AND vy > 0 AND na > 0 AND nb > 0
+        |    THEN (ya - yb) - (cxy / vx) * (xa - xb) END, 6) AS diff_adj,
+        |  roundStable(CASE WHEN vx > 0 AND vy > 0 AND na > 0 AND nb > 0
+        |    THEN (cxy * cxy) / (vx * vy) END, 6) AS var_reduction
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q253_power_mde" ->
+      // the z-sum pinned as a DOUBLE literal on both engines (a bare
+      // DuckDB decimal literal would square exactly, Spark's double
+      // wouldn't — the q197 lesson); ceil steps on the 6dp-rounded value
+      """WITH g AS (SELECT event_type,
+        |    CAST(count(CASE WHEN user_id % 2 = 0 THEN value END)
+        |      AS DOUBLE) AS na,
+        |    CAST(count(CASE WHEN user_id % 2 <> 0 THEN value END)
+        |      AS DOUBLE) AS nb,
+        |    var_samp(value) AS s2, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  roundStable(m, 6) AS mean, roundStable(sqrt(s2), 6) AS sd,
+        |  roundStable(CASE WHEN na > 1 AND nb > 1 AND s2 > 0
+        |    THEN CAST(2.801586 AS DOUBLE)
+        |      * sqrt(s2 * (1.0 / na + 1.0 / nb)) END, 6) AS mde_abs,
+        |  roundStable(CASE WHEN na > 1 AND nb > 1 AND s2 > 0
+        |      AND abs(m) > 0
+        |    THEN CAST(2.801586 AS DOUBLE)
+        |      * sqrt(s2 * (1.0 / na + 1.0 / nb)) / abs(m) END, 6)
+        |    AS mde_rel,
+        |  CAST(CASE WHEN na > 1 AND nb > 1 AND s2 > 0
+        |      AND abs(m) * 0.05 > 0
+        |    THEN ceil(roundStable(2.0 * s2 * CAST(2.801586 AS DOUBLE)
+        |      * CAST(2.801586 AS DOUBLE)
+        |      / ((abs(m) * 0.05) * (abs(m) * 0.05)), 6)) END AS BIGINT)
+        |    AS n_per_arm_needed
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q254_ratio_ci" ->
+      // same per-user totals, same delta-method quadratic form with the
+      // identical greatest(…, 0) clamp
+      """WITH p AS (SELECT event_type, user_id, sum(value) AS y,
+        |    count(value) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT * FROM p WHERE y IS NOT NULL AND x IS NOT NULL),
+        |g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CAST(y AS DOUBLE)) AS sy, sum(CAST(x AS DOUBLE)) AS sx,
+        |    var_samp(CAST(y AS DOUBLE)) AS vy,
+        |    var_samp(CAST(x AS DOUBLE)) AS vx,
+        |    covar_samp(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS cxy,
+        |    avg(CAST(x AS DOUBLE)) AS mx
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_units,
+        |  roundStable(sy, 6) AS num_total,
+        |  roundStable(sx, 6) AS den_total,
+        |  roundStable(CASE WHEN sx > 0 THEN sy / sx END, 6) AS ratio,
+        |  roundStable(CASE WHEN sx > 0 AND n > 1 AND mx > 0
+        |    THEN sqrt(greatest(vy - 2.0 * (sy / sx) * cxy
+        |      + (sy / sx) * (sy / sx) * vx, 0.0) / n) / mx END, 6)
+        |    AS se,
+        |  roundStable(CASE WHEN sx > 0 AND n > 1 AND mx > 0
+        |    THEN sy / sx - 1.96 * (sqrt(greatest(vy
+        |      - 2.0 * (sy / sx) * cxy
+        |      + (sy / sx) * (sy / sx) * vx, 0.0) / n) / mx) END, 6)
+        |    AS ci_lo,
+        |  roundStable(CASE WHEN sx > 0 AND n > 1 AND mx > 0
+        |    THEN sy / sx + 1.96 * (sqrt(greatest(vy
+        |      - 2.0 * (sy / sx) * cxy
+        |      + (sy / sx) * (sy / sx) * vx, 0.0) / n) / mx) END, 6)
+        |    AS ci_hi
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "q176_rbo" ->
       // both rankings replayed from one pair scan (cosine and raw dot,

@@ -2114,6 +2114,120 @@ object Aggregates {
           pow(abs(b - c) - lit(1.0), 2) / disc), digits).as("chi2_cc"))
   }
 
+  /** CUPED variance reduction per key (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013) — the standard industrial trick for making an A/B
+    * test read faster: adjust each unit's metric by its PRE-experiment
+    * covariate, `Y_adj = Y − θ(X − E[X])` with `θ = cov(X,Y)/var(X)`,
+    * which shrinks metric variance by exactly ρ²(X,Y) without biasing
+    * the treatment difference (assignment is independent of X).
+    * Input: ONE ROW PER UNIT with its metric `yCol`, covariate `xCol`,
+    * and arm. Output: raw vs adjusted difference, θ, and the realized
+    * variance-reduction share ρ². Everything derives from conditional
+    * moments in ONE aggregation — θ's global moments and each arm's
+    * means ride the same pass, no second scan, no join. Keys with
+    * var(X) = 0 (constant covariate — nothing to regress out) emit
+    * NULL θ/adjusted with the raw numbers visible.
+    */
+  def cuped(df: DataFrame, keys: Seq[String], isA: Column, yCol: Column,
+            xCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df.filter(yCol.isNotNull && xCol.isNotNull)
+    val x = xCol.cast("double")
+    val y = yCol.cast("double")
+    val theta = covar_samp(x, y) / var_samp(x)
+    val rawDiff = avg(when(isA, y)) - avg(when(!isA, y))
+    val adjDiff = rawDiff -
+      theta * (avg(when(isA, x)) - avg(when(!isA, x)))
+    val ok = var_samp(x) > 0 && var_samp(y) > 0 &&
+      count(when(isA, y)) > 0 && count(when(!isA, y)) > 0
+    // rho^2 from cov^2/(vx*vy) as a GUARDED projection — Spark's corr
+    // aggregate ANSI-throws DIVIDE_BY_ZERO on a zero-variance key
+    // before any CaseWhen can skip it (the q222 Heaps'-law lesson)
+    val rho2 = (covar_samp(x, y) * covar_samp(x, y)) /
+      (var_samp(x) * var_samp(y))
+    base.groupBy(keyCols: _*)
+      .agg(
+        count(when(isA, y)).as("n_a"),
+        count(when(!isA, y)).as("n_b"),
+        roundStable(when(var_samp(x) > 0, theta), digits).as("theta"),
+        roundStable(rawDiff, digits).as("diff_raw"),
+        roundStable(when(ok, adjDiff), digits).as("diff_adj"),
+        roundStable(when(ok, rho2), digits).as("var_reduction"))
+  }
+
+  /** Power / minimum-detectable-effect readout per key — the question
+    * to ask BEFORE an A/B test ships ("can this traffic even see the
+    * effect we care about?") and the autopsy after a flat one ("was it
+    * powered to?"): at α = 0.05 two-sided and 80% power,
+    * `MDE = (z_{0.975} + z_{0.8}) · √(σ²(1/n_a + 1/n_b))` over the
+    * observed arm sizes and pooled sample variance, plus the per-arm n
+    * REQUIRED to detect a `targetRel` relative move of the current
+    * mean. The z-sum 2.801586 is pinned as a literal (the cross-engine
+    * transcendental discipline); `n_needed` applies ceil AFTER the
+    * 6dp rounding so both engines step at the same boundary. One
+    * aggregation from moments. Zero-variance or single-arm keys emit
+    * NULL effects with counts visible.
+    */
+  def powerMde(df: DataFrame, keys: Seq[String], isA: Column, yCol: Column,
+               targetRel: Double = 0.05, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val y = yCol.cast("double")
+    val zSum = lit(2.801586) // z_{0.975} + z_{0.8} = 1.959964 + 0.841621
+    val na = count(when(isA, y)).cast("double")
+    val nb = count(when(!isA, y)).cast("double")
+    val s2 = var_samp(y)
+    val m = avg(y)
+    val mde = zSum * sqrt(s2 * (lit(1.0) / na + lit(1.0) / nb))
+    val delta = abs(m) * lit(targetRel)
+    val ok = na > 1 && nb > 1 && s2 > 0
+    df.filter(y.isNotNull).groupBy(keyCols: _*)
+      .agg(
+        na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
+        roundStable(m, digits).as("mean"),
+        roundStable(sqrt(s2), digits).as("sd"),
+        roundStable(when(ok, mde), digits).as("mde_abs"),
+        roundStable(when(ok && abs(m) > 0, mde / abs(m)), digits)
+          .as("mde_rel"),
+        when(ok && delta > 0, ceil(roundStable(
+          lit(2.0) * s2 * zSum * zSum / (delta * delta), digits))
+          .cast("long")).as("n_per_arm_needed"))
+  }
+
+  /** Delta-method CI for a RATIO-of-sums metric per key (Deng et al.,
+    * "Applying the Delta Method in Metric Analytics", KDD 2018) —
+    * revenue per session, clicks per user, value per event: the
+    * metric is `R = ΣY/ΣX` over units, and treating it as a plain
+    * mean understates its variance because each unit contributes to
+    * numerator AND denominator. `var(R) ≈ (σ²_y − 2R·σ_xy + R²σ²_x) /
+    * (n · x̄²)`, the first-order Taylor expansion around (x̄, ȳ).
+    * Input: ONE ROW PER UNIT with its numerator and denominator
+    * totals. One aggregation from moments; keys with Σx ≤ 0 or n < 2
+    * emit NULL CI with the ratio's components visible.
+    */
+  def ratioMetricCi(df: DataFrame, keys: Seq[String], numCol: Column,
+                    denCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val y = numCol.cast("double")
+    val x = denCol.cast("double")
+    val n = count(lit(1)).cast("double")
+    val r = sum(y) / sum(x)
+    // the quadratic form is var(y − Rx) ≥ 0 mathematically; clamp the
+    // floating-point subtraction so an epsilon-negative can't NaN the CI
+    // (the oracle applies the identical greatest(…, 0))
+    val se = sqrt(greatest(var_samp(y) - lit(2.0) * r * covar_samp(x, y) +
+      r * r * var_samp(x), lit(0.0)) / n) / avg(x)
+    val ok = sum(x) > 0 && n > 1 && avg(x) > 0
+    df.filter(y.isNotNull && x.isNotNull).groupBy(keyCols: _*)
+      .agg(
+        n.cast("long").as("n_units"),
+        roundStable(sum(y), digits).as("num_total"),
+        roundStable(sum(x), digits).as("den_total"),
+        roundStable(when(sum(x) > 0, r), digits).as("ratio"),
+        roundStable(when(ok, se), digits).as("se"),
+        roundStable(when(ok, r - lit(1.96) * se), digits).as("ci_lo"),
+        roundStable(when(ok, r + lit(1.96) * se), digits).as("ci_hi"))
+  }
+
   /** Nelson–Aalen cumulative-hazard estimator per key (Nelson 1972,
     * Aalen 1978) — the hazard-scale twin of [[kaplanMeier]]: `H(t) =
     * Σ_{t_j ≤ t} d_j/n_j`, the thing to plot when the QUESTION is

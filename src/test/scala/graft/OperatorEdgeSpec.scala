@@ -4012,6 +4012,69 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"no discordance: NULL chi2, pairs visible: ${out("conc")}")
   }
 
+  test("cuped: theta from pooled moments, adjusted diff, rho^2 reduction; constant covariate NULL") {
+    // arm A: y = x + 1, arm B: y = x → theta = 1, raw diff = adj diff = 1
+    val a = Seq(1.0, 2.0, 3.0).map(x => ("k", 0L, x, x + 1))
+    val b = Seq(1.0, 2.0, 3.0).map(x => ("k", 1L, x, x))
+    val flat = Seq(("c", 0L, 5.0, 1.0), ("c", 0L, 5.0, 2.0),
+      ("c", 1L, 5.0, 3.0))
+    val out = etl.Aggregates.cuped((a ++ b ++ flat).toDF("k", "arm", "x", "y"),
+        Seq("k"), isA = col("arm") === 0L, yCol = col("y"), xCol = col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) == 3L && k.getLong(2) == 3L, s"$k")
+    assert(math.abs(k.getDouble(3) - 1.0) < 1e-6, s"theta cov/var = 0.8/0.8: $k")
+    assert(math.abs(k.getDouble(4) - 1.0) < 1e-6 &&
+      math.abs(k.getDouble(5) - 1.0) < 1e-6,
+      s"balanced covariate: adjustment changes nothing: $k")
+    assert(math.abs(k.getDouble(6) - 0.64 / 0.88) < 1e-6,
+      s"rho^2 = cov^2/(vx*vy): $k")
+    assert(out("c").isNullAt(3) && out("c").isNullAt(5),
+      s"constant covariate: nothing to regress out: ${out("c")}")
+  }
+
+  test("powerMde: closed-form MDE and required n; degenerate arm NULL") {
+    val k = Seq(("k", 0L, 0.0), ("k", 0L, 2.0), ("k", 1L, 0.0),
+      ("k", 1L, 2.0))
+    val lone = Seq(("lone", 0L, 1.0), ("lone", 0L, 2.0))
+    val out = etl.Aggregates.powerMde((k ++ lone).toDF("k", "arm", "y"),
+        Seq("k"), isA = col("arm") === 0L, yCol = col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r = out("k")
+    val z = 2.801586
+    val s2 = 4.0 / 3
+    val mde = z * math.sqrt(s2 * (1.0 / 2 + 1.0 / 2))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getDouble(5) - mde) < 1e-5, s"$r")
+    assert(math.abs(r.getDouble(6) - mde) < 1e-5, "mean = 1: rel == abs")
+    val nReq = math.ceil(r6(2.0 * s2 * z * z / (0.05 * 0.05))).toLong
+    assert(r.getLong(7) == nReq, s"expected $nReq: $r")
+    assert(out("lone").isNullAt(5) && out("lone").getLong(1) == 2L,
+      s"empty B arm: NULL MDE, counts visible: ${out("lone")}")
+  }
+
+  test("ratioMetricCi: exact-ratio key has zero se; hand delta-method se; single unit NULL") {
+    val exact = Seq(("e", 2.0, 1L), ("e", 4.0, 2L), ("e", 6.0, 3L))
+    val varied = Seq(("v", 1.0, 1L), ("v", 3.0, 1L))
+    val lone = Seq(("l", 5.0, 2L))
+    val out = etl.Aggregates.ratioMetricCi(
+        (exact ++ varied ++ lone).toDF("k", "y", "x"), Seq("k"),
+        numCol = col("y"), denCol = col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val e = out("e")
+    assert(e.getDouble(4) == 2.0 && e.getDouble(5) == 0.0 &&
+      e.getDouble(6) == 2.0 && e.getDouble(7) == 2.0,
+      s"y = 2x exactly: ratio 2, zero variance: $e")
+    val v = out("v")
+    // vy = 2, vx = 0, cov = 0, n = 2, mx = 1 → se = sqrt(2/2)/1 = 1
+    assert(v.getDouble(4) == 2.0 && math.abs(v.getDouble(5) - 1.0) < 1e-9,
+      s"$v")
+    assert(math.abs(v.getDouble(6) - (2.0 - 1.96)) < 1e-9 &&
+      math.abs(v.getDouble(7) - (2.0 + 1.96)) < 1e-9, s"$v")
+    assert(out("l").isNullAt(5) && out("l").getDouble(4) == 2.5,
+      s"single unit: ratio visible, no CI: ${out("l")}")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
