@@ -2432,6 +2432,37 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q255_logrank" -> ((s, dir) => {
+      // ARE the two arms' survival curves different — the inferential
+      // step after q172 draws them; same per-user staging
+      val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"), max(col("ts")).as("__last"),
+          min(when(col("event_type") === "error", col("ts"))).as("__err"))
+      val subj = perUser
+        .select((col("user_id") % 3).as("cohort"),
+          (col("user_id") % 2 === 0).as("ga"),
+          datediff(to_date(coalesce(col("__err"), col("__last"))),
+            to_date(col("__first"))).cast("long").as("dur"),
+          col("__err").isNotNull.as("obs"))
+      etl.Aggregates.logRank(subj, Seq("cohort"), "dur", col("obs"),
+          isGroupA = col("ga"))
+        .orderBy(col("cohort"))
+    }),
+
+    "q256_bartlett" -> ((s, dir) =>
+      // the q249 ANOVA's assumption check, and a spread-drift readout:
+      // are the day-of-week VARIANCES equal per type
+      etl.Aggregates.bartlett(Tables.events(s, dir), Seq("event_type"),
+          factorCol = weekday(col("ts")).cast("long"), yCol = col("value"))
+        .orderBy(col("event_type"))),
+
+    "q257_xbar_chart" -> ((s, dir) =>
+      // the SPC view: daily subgroup means vs pooled-noise limits,
+      // rule-1 excursions + rule-4 runs, flagged on rounded values
+      etl.Drift.xbarChart(Tables.events(s, dir), Seq("event_type"),
+          bucketCol = to_date(col("ts")), valueCol = "value")
+        .orderBy(col("event_type"), col("bucket"))),
+
     "q252_cuped" -> ((s, dir) => {
       // CUPED: each user's first-half mean is the covariate that
       // shrinks the second-half A/B read by exactly rho^2 — one
@@ -7421,6 +7452,115 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q255_logrank" ->
+      // q251's staging + arm flag; identical O−E / hypergeometric-V
+      // association, zero variance pinned at single-subject times
+      """WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+        |        min(CASE WHEN event_type = 'error' THEN ts END) AS err
+        |      FROM events GROUP BY 1),
+        |s AS (SELECT user_id % 3 AS cohort, user_id % 2 = 0 AS ga,
+        |        date_diff('day', CAST(f AS DATE),
+        |          CAST(coalesce(err, l) AS DATE)) AS t,
+        |        (err IS NOT NULL) AS obs
+        |      FROM u),
+        |g AS (SELECT cohort, t,
+        |        sum(CASE WHEN ga AND obs THEN 1 ELSE 0 END) AS d1,
+        |        sum(CASE WHEN ga AND NOT obs THEN 1 ELSE 0 END) AS c1,
+        |        sum(CASE WHEN NOT ga AND obs THEN 1 ELSE 0 END) AS d2,
+        |        sum(CASE WHEN NOT ga AND NOT obs THEN 1 ELSE 0 END)
+        |          AS c2
+        |      FROM s GROUP BY 1, 2),
+        |w AS (SELECT cohort, d1, c1, d2, c2,
+        |        CAST(sum(d1 + c1) OVER win AS DOUBLE) AS n1,
+        |        CAST(sum(d2 + c2) OVER win AS DOUBLE) AS n2,
+        |        CAST(d1 + d2 AS DOUBLE) AS d
+        |      FROM g
+        |      WINDOW win AS (PARTITION BY cohort ORDER BY t
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |x AS (SELECT cohort, d1, c1, d2, c2,
+        |        CASE WHEN d > 0 THEN d * n1 / (n1 + n2) END AS e1,
+        |        CASE WHEN d > 0 THEN
+        |          CASE WHEN n1 + n2 > 1
+        |            THEN d * (n1 / (n1 + n2)) * (n2 / (n1 + n2))
+        |              * (((n1 + n2) - d) / ((n1 + n2) - 1.0))
+        |            ELSE 0.0 END END AS v
+        |      FROM w),
+        |f AS (SELECT cohort, sum(d1 + c1) AS na, sum(d2 + c2) AS nb,
+        |        sum(d1) AS o1, sum(d2) AS o2, sum(e1) AS es,
+        |        sum(v) AS vs,
+        |        CAST(sum(d1) AS DOUBLE) - sum(e1) AS ome
+        |      FROM x GROUP BY 1)
+        |SELECT cohort, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(o1 AS BIGINT) AS events_a,
+        |  CAST(o2 AS BIGINT) AS events_b,
+        |  roundStable(es, 6) AS expected_a,
+        |  roundStable(CASE WHEN vs > 0 THEN ome / sqrt(vs) END, 6) AS z,
+        |  roundStable(CASE WHEN vs > 0 THEN ome * ome / vs END, 6)
+        |    AS chi2
+        |FROM f ORDER BY cohort""".stripMargin,
+
+    "q256_bartlett" ->
+      // same per-cell moments; per-cell ln guarded INSIDE the fold
+      """WITH c AS (SELECT event_type, isodow(ts) - 1 AS lvl,
+        |    CAST(count(value) AS DOUBLE) AS n, var_samp(value) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT event_type, sum(n) AS bn,
+        |    CAST(count(*) AS DOUBLE) AS k,
+        |    sum(CASE WHEN v IS NOT NULL THEN (n - 1.0) * v END) AS ssw,
+        |    sum(CASE WHEN v > 0 THEN (n - 1.0) * ln(v) END) AS lns,
+        |    sum(CASE WHEN n > 1 THEN 1.0 / (n - 1.0) END) AS invs,
+        |    min(n) AS minn, min(v) AS minv
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, CAST(k AS BIGINT) AS k_groups,
+        |  CAST(bn AS BIGINT) AS n, CAST(k - 1.0 AS BIGINT) AS df,
+        |  roundStable(CASE WHEN bn > k THEN ssw / (bn - k) END, 6)
+        |    AS pooled_var,
+        |  roundStable(CASE WHEN k > 1 AND bn > k AND minn > 1
+        |      AND minv > 0 AND ssw / (bn - k) > 0
+        |    THEN ((bn - k) * ln(ssw / (bn - k)) - lns)
+        |      / (1.0 + (invs - 1.0 / (bn - k)) / (3.0 * (k - 1.0)))
+        |    END, 6) AS bartlett_t
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q257_xbar_chart" ->
+      // same subgroup staging, pooled variance and limits from windows
+      // over subgroup rows, flags from the SAME 6dp-rounded values
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS bucket,
+        |    count(*) AS n, avg(value) AS xb, var_samp(value) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket, n, xb, v,
+        |    sum(xb * CAST(n AS DOUBLE)) OVER wa
+        |      / sum(CAST(n AS DOUBLE)) OVER wa AS grand,
+        |    sum(CASE WHEN v IS NOT NULL THEN CAST(n AS DOUBLE) - 1.0
+        |      END) OVER wa AS pdf,
+        |    sum(CASE WHEN v IS NOT NULL
+        |      THEN (CAST(n AS DOUBLE) - 1.0) * v END) OVER wa AS pnum
+        |  FROM s
+        |  WINDOW wa AS (PARTITION BY event_type)),
+        |x AS (SELECT event_type, bucket, n,
+        |    roundStable(xb, 6) AS xbar, roundStable(grand, 6) AS center,
+        |    roundStable(grand + 3.0 * sqrt((CASE WHEN pdf > 0
+        |      THEN pnum / pdf END) / CAST(n AS DOUBLE)), 6) AS ucl,
+        |    roundStable(grand - 3.0 * sqrt((CASE WHEN pdf > 0
+        |      THEN pnum / pdf END) / CAST(n AS DOUBLE)), 6) AS lcl
+        |  FROM w),
+        |y AS (SELECT event_type, bucket, n, xbar, center, ucl, lcl,
+        |    CASE WHEN ucl IS NOT NULL
+        |      AND (xbar > ucl OR xbar < lcl) THEN 1 ELSE 0 END AS ooc,
+        |    CASE WHEN xbar > center THEN 1 ELSE 0 END AS ab,
+        |    CASE WHEN xbar < center THEN 1 ELSE 0 END AS bl
+        |  FROM x),
+        |z AS (SELECT event_type, bucket, n, xbar, center, ucl, lcl, ooc,
+        |    CASE WHEN count(*) OVER w8 = 8 AND (sum(ab) OVER w8 = 8
+        |      OR sum(bl) OVER w8 = 8) THEN 1 ELSE 0 END AS run_flag
+        |  FROM y
+        |  WINDOW w8 AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, CAST(n AS BIGINT) AS n, xbar, center,
+        |  ucl, lcl, CAST(ooc AS BIGINT) AS out_of_control,
+        |  CAST(run_flag AS BIGINT) AS run_flag
+        |FROM z ORDER BY event_type, bucket""".stripMargin,
 
     "q252_cuped" ->
       // same per-user halves staging, same one-pass conditional moments

@@ -2228,6 +2228,99 @@ object Aggregates {
         roundStable(when(ok, r + lit(1.96) * se), digits).as("ci_hi"))
   }
 
+  /** Two-cohort log-rank test per key (Mantel 1966) — ARE the two
+    * survival curves different, the inferential step after
+    * [[kaplanMeier]] draws them: at each pooled event time the
+    * observed cohort-A events are compared to the expectation
+    * `d·n₁/n` under "no difference", with the hypergeometric variance
+    * `d·(n₁/n)(n₂/n)(n−d)/(n−1)`; `z = Σ(O−E)/√ΣV`, χ² = z². The
+    * whole test weights early and late times by their risk sets,
+    * which is why it beats comparing medians or a fixed-horizon
+    * share. Same scale shape as [[kaplanMeier]]: subjects reduce to
+    * O(#distinct durations) rows first, two reverse-cumulative
+    * windows give both risk sets from one keyed sort, and the closing
+    * agg folds the tiny per-t table. Single-event times (n = 1)
+    * contribute zero variance by the guard; keys with ΣV = 0 emit
+    * NULL z with all counts visible.
+    */
+  def logRank(df: DataFrame, keys: Seq[String], durationCol: String,
+              observedCol: Column, isGroupA: Column,
+              digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val byT = df.groupBy(keyCols :+ col(durationCol).as("t"): _*)
+      .agg(
+        sum(when(isGroupA && observedCol, 1L).otherwise(0L)).as("__d1"),
+        sum(when(isGroupA && !observedCol, 1L).otherwise(0L)).as("__c1"),
+        sum(when(!isGroupA && observedCol, 1L).otherwise(0L)).as("__d2"),
+        sum(when(!isGroupA && !observedCol, 1L).otherwise(0L)).as("__c2"))
+    val wRev = Window.partitionBy(keyCols: _*).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val n1 = col("__n1").cast("double")
+    val n2 = col("__n2").cast("double")
+    val n = n1 + n2
+    val d = (col("__d1") + col("__d2")).cast("double")
+    val e1 = d * n1 / n
+    val v = when(n > 1,
+      d * (n1 / n) * (n2 / n) * ((n - d) / (n - lit(1.0))))
+      .otherwise(lit(0.0))
+    val perT = byT
+      .withColumn("__n1", sum(col("__d1") + col("__c1")).over(wRev))
+      .withColumn("__n2", sum(col("__d2") + col("__c2")).over(wRev))
+      .withColumn("__e1", when(d > 0, e1))
+      .withColumn("__v", when(d > 0, v))
+    val oMinusE = sum(col("__d1")).cast("double") - sum(col("__e1"))
+    val vs = sum(col("__v"))
+    perT.groupBy(keyCols: _*)
+      .agg(
+        sum(col("__d1") + col("__c1")).as("n_a"),
+        sum(col("__d2") + col("__c2")).as("n_b"),
+        sum(col("__d1")).as("events_a"),
+        sum(col("__d2")).as("events_b"),
+        roundStable(sum(col("__e1")), digits).as("expected_a"),
+        roundStable(when(vs > 0, oMinusE / sqrt(vs)), digits).as("z"),
+        roundStable(when(vs > 0, oMinusE * oMinusE / vs), digits)
+          .as("chi2"))
+  }
+
+  /** Bartlett's test per key (Bartlett 1937) — are the k group
+    * VARIANCES equal: the assumption [[anovaF]] leans on, and a drift
+    * readout in its own right (a metric whose spread diverges across
+    * segments is degrading even when means agree — the parametric,
+    * more powerful sibling of A83's rank-robust Brown–Forsythe).
+    * `T = ((N−k)·ln(s²_p) − Σ(nᵢ−1)·ln(s²ᵢ)) / C` with the usual
+    * small-sample correction C; T ~ χ²(k−1) under normality. Two
+    * moment aggregations like [[anovaF]]. The per-cell `ln` is
+    * guarded INSIDE the fold (a zero-variance cell would -Inf/throw
+    * before the outer verdict could mask it); keys with any cell
+    * n < 2 or zero variance emit NULL T with counts visible.
+    */
+  def bartlett(df: DataFrame, keys: Seq[String], factorCol: Column,
+               yCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val y = yCol.cast("double")
+    val cells = df.filter(y.isNotNull)
+      .groupBy(keyCols :+ factorCol.as("__lvl"): _*)
+      .agg(count(y).as("__n"), var_samp(y).as("__v"))
+    val nD = col("__n").cast("double")
+    val bigN = sum(col("__n")).cast("double")
+    val k = count(lit(1)).cast("double")
+    val ssw = sum(when(col("__v").isNotNull, (nD - lit(1.0)) * col("__v")))
+    val sp2 = ssw / (bigN - k)
+    val lnSum = sum(when(col("__v") > 0, (nD - lit(1.0)) * log(col("__v"))))
+    val invSum = sum(when(nD > 1, lit(1.0) / (nD - lit(1.0))))
+    val c = lit(1.0) + (invSum - lit(1.0) / (bigN - k)) /
+      (lit(3.0) * (k - lit(1.0)))
+    val t = ((bigN - k) * log(sp2) - lnSum) / c
+    val ok = k > 1 && bigN > k && min(col("__n")) > 1 &&
+      min(col("__v")) > 0 && sp2 > 0
+    cells.groupBy(keyCols: _*)
+      .agg(
+        k.cast("long").as("k_groups"), bigN.cast("long").as("n"),
+        (k - lit(1.0)).cast("long").as("df"),
+        roundStable(when(bigN > k, sp2), digits).as("pooled_var"),
+        roundStable(when(ok, t), digits).as("bartlett_t"))
+  }
+
   /** Nelson–Aalen cumulative-hazard estimator per key (Nelson 1972,
     * Aalen 1978) — the hazard-scale twin of [[kaplanMeier]]: `H(t) =
     * Σ_{t_j ≤ t} d_j/n_j`, the thing to plot when the QUESTION is

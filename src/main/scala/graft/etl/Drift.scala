@@ -750,4 +750,65 @@ object Drift {
         max(col("__n")).cast("long").as("n"),
         count(lit(1)).as("n_cells"))
   }
+
+  /** X̄ control chart per key over time buckets (Shewhart 1931, with
+    * Western Electric rule 4) — the SPC view of a monitored metric:
+    * each bucket's subgroup mean is judged against `x̄̄ ± L·σ̂/√n_d`
+    * where x̄̄ is the grand (row-weighted) mean and σ̂² the POOLED
+    * within-bucket variance — pooling is the point: the limits price
+    * ordinary within-bucket noise, so a bucket mean outside them is a
+    * between-bucket shift ([[cusum]] hears slow drifts sooner; the
+    * chart localizes single-bucket excursions and needs no reference
+    * window). Flags: `out_of_control` (rule 1, |x̄_d| beyond limits)
+    * and `run_flag` (rule 4: 8 consecutive buckets same side of
+    * center). All comparisons run on 6dp-ROUNDED values so both
+    * engines flag the identical buckets (the rank-tie discipline).
+    * One subgroup agg + per-key stats via windows over the O(#keys ×
+    * #buckets) subgroup rows — no join, no second scan of raw rows.
+    * Single-row buckets carry no variance contribution; keys with
+    * zero pooled d.f. emit NULL limits.
+    */
+  def xbarChart(df: DataFrame, keys: Seq[String], bucketCol: Column,
+                valueCol: String, l: Double = 3.0,
+                digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val sub = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols :+ bucketCol.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        avg(col(valueCol)).as("__xbar"),
+        var_samp(col(valueCol)).as("__v"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("bucket"))
+      .rowsBetween(-7, Window.currentRow)
+    val nD = col("n").cast("double")
+    val grand = sum(col("__xbar") * nD).over(wAll) / sum(nD).over(wAll)
+    val poolDf = sum(when(col("__v").isNotNull, nD - lit(1.0))).over(wAll)
+    val pooled = sum(when(col("__v").isNotNull,
+      (nD - lit(1.0)) * col("__v"))).over(wAll) / poolDf
+    val se = sqrt(col("__pool") / nD)
+    val staged = sub
+      .withColumn("__grand", grand)
+      .withColumn("__pdf", poolDf)
+      .withColumn("__pool", when(col("__pdf") > 0, pooled))
+      .withColumn("xbar", roundStable(col("__xbar"), digits))
+      .withColumn("center", roundStable(col("__grand"), digits))
+      .withColumn("ucl",
+        roundStable(col("__grand") + lit(l) * se, digits))
+      .withColumn("lcl",
+        roundStable(col("__grand") - lit(l) * se, digits))
+      .withColumn("__above", (col("xbar") > col("center")).cast("long"))
+      .withColumn("__below", (col("xbar") < col("center")).cast("long"))
+    staged
+      .withColumn("out_of_control",
+        (col("ucl").isNotNull &&
+          (col("xbar") > col("ucl") || col("xbar") < col("lcl")))
+          .cast("long"))
+      .withColumn("run_flag",
+        (count(lit(1)).over(wOrd) === 8 &&
+          (sum(col("__above")).over(wOrd) === 8 ||
+            sum(col("__below")).over(wOrd) === 8)).cast("long"))
+      .select(keyCols ++ Seq(col("bucket"), col("n"), col("xbar"),
+        col("center"), col("ucl"), col("lcl"), col("out_of_control"),
+        col("run_flag")): _*)
+  }
 }

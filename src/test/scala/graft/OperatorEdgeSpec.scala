@@ -4075,6 +4075,73 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"single unit: ratio visible, no CI: ${out("l")}")
   }
 
+  test("logRank: identical curves z=0; separated curves hand chi2; one-arm key NULL") {
+    val same = Seq(("same", true, 1L, true), ("same", true, 2L, true),
+      ("same", false, 1L, true), ("same", false, 2L, true))
+    // A both die at t=1; B both censored at t=2 → O−E = 1, V = 1/3
+    val sep = Seq(("sep", true, 1L, true), ("sep", true, 1L, true),
+      ("sep", false, 2L, false), ("sep", false, 2L, false))
+    val solo = Seq(("solo", true, 1L, true))
+    val out = etl.Aggregates.logRank(
+        (same ++ sep ++ solo).toDF("k", "ga", "dur", "obs"), Seq("k"),
+        "dur", col("obs"), isGroupA = col("ga"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("same").getDouble(6) == 0.0 &&
+      out("same").getDouble(7) == 0.0, s"${out("same")}")
+    val s = out("sep")
+    assert(s.getLong(1) == 2L && s.getLong(2) == 2L &&
+      s.getLong(3) == 2L && s.getLong(4) == 0L, s"$s")
+    assert(math.abs(s.getDouble(5) - 1.0) < 1e-9, s"E_a = 2*2/4: $s")
+    assert(math.abs(s.getDouble(6) - math.sqrt(3.0)) < 1e-5 &&
+      math.abs(s.getDouble(7) - 3.0) < 1e-5, s"$s")
+    assert(out("solo").isNullAt(6) && out("solo").getLong(2) == 0L,
+      s"one-arm key: zero variance, NULL z: ${out("solo")}")
+  }
+
+  test("bartlett: equal variances T=0, hand unequal case, single-obs cell NULL") {
+    val eq = Seq(("eq", 0L, 1.0), ("eq", 0L, 3.0), ("eq", 1L, 5.0),
+      ("eq", 1L, 7.0))
+    val ne = Seq(("ne", 0L, 0.0), ("ne", 0L, 2.0), ("ne", 1L, 0.0),
+      ("ne", 1L, 6.0))
+    val deg = Seq(("deg", 0L, 1.0), ("deg", 0L, 2.0), ("deg", 1L, 9.0))
+    val out = etl.Aggregates.bartlett((eq ++ ne ++ deg).toDF("k", "lvl", "y"),
+        Seq("k"), col("lvl"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val e = out("eq")
+    assert(e.getLong(1) == 2L && e.getDouble(4) == 2.0 &&
+      e.getDouble(5) == 0.0, s"equal variances: T exactly 0: $e")
+    val n = out("ne")
+    val t = (2.0 * math.log(10.0) - (math.log(2.0) + math.log(18.0))) /
+      (1.0 + (2.0 - 0.5) / 3.0)
+    assert(math.abs(n.getDouble(5) - t) < 1e-5, s"expected $t: $n")
+    assert(out("deg").isNullAt(5) && out("deg").getLong(2) == 3L,
+      s"single-obs cell: NULL T, counts visible: ${out("deg")}")
+  }
+
+  test("xbarChart: pooled limits, rule-1 excursions both sides, rule-4 run of 8") {
+    val sub = Seq(1 -> 1.0, 2 -> 5.0, 3 -> 3.0, 4 -> 11.0).flatMap {
+      case (b, m) => Seq(("k", b.toLong, m - 1), ("k", b.toLong, m + 1))
+    }
+    // 2 buckets far below, then 8 consecutive above the grand mean of 0
+    val run = (1 to 2).flatMap(b =>
+      Seq(("run", b.toLong, -11.0), ("run", b.toLong, -9.0))) ++
+      (3 to 10).flatMap(b =>
+        Seq(("run", b.toLong, 1.5), ("run", b.toLong, 3.5)))
+    val out = etl.Drift.xbarChart((sub ++ run).toDF("k", "b", "v"),
+        Seq("k"), bucketCol = col("b"), valueCol = "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val b1 = out(("k", 1L))
+    assert(b1.getDouble(4) == 5.0 && b1.getDouble(5) == 8.0 &&
+      b1.getDouble(6) == 2.0, s"grand 5, pooled var 2, n 2 → 5±3: $b1")
+    assert(b1.getLong(7) == 1L, s"xbar 1 < lcl 2: $b1")
+    assert(out(("k", 4L)).getLong(7) == 1L, "xbar 11 > ucl 8")
+    assert(out(("k", 2L)).getLong(7) == 0L && out(("k", 3L)).getLong(7) == 0L)
+    assert(out(("run", 10L)).getLong(8) == 1L,
+      s"8th consecutive above-center bucket flags: ${out(("run", 10L))}")
+    assert(out(("run", 9L)).getLong(8) == 0L,
+      "frame still contains a below-center bucket")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
