@@ -2432,6 +2432,31 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q258_tukey" -> ((s, dir) =>
+      // WHICH weekdays differ — the post-hoc step q249's single F
+      // refuses to answer; q-stats against the pooled within-variance
+      etl.Aggregates.tukeyPairs(Tables.events(s, dir), Seq("event_type"),
+          factorCol = weekday(col("ts")).cast("long"), yCol = col("value"))
+        .orderBy(col("event_type"), col("lvl_a"), col("lvl_b"))),
+
+    "q259_funnel_window" -> ((s, dir) =>
+      // view→click→purchase with the WHOLE chain inside 3 days —
+      // "viewed in January, bought in June" must not count (q48's
+      // first-touch funnel has no clock)
+      operators.Sequences.windowFunnel(Tables.events(s, dir), "user_id",
+          tsCol = col("ts"), tieCol = col("event_id"),
+          typeCol = col("event_type"),
+          steps = Seq("view", "click", "purchase"),
+          windowMicros = 3L * 86400L * 1000000L)
+        .orderBy(col("depth"))),
+
+    "q260_lmoments" -> ((s, dir) =>
+      // the order-statistics distribution fingerprint: L-scale/skew/
+      // kurtosis, outlier-robust where moment skew cubes its tails
+      etl.Aggregates.lMoments(Tables.events(s, dir), Seq("event_type"),
+          "value", tieCol = col("event_id"))
+        .orderBy(col("event_type"))),
+
     "q255_logrank" -> ((s, dir) => {
       // ARE the two arms' survival curves different — the inferential
       // step after q172 draws them; same per-user staging
@@ -7452,6 +7477,93 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q258_tukey" ->
+      // same cell moments, MSW via the same per-key window, same
+      // se association sqrt(msw/2 * (1/na + 1/nb))
+      """WITH c AS (SELECT event_type, isodow(ts) - 1 AS lvl,
+        |    CAST(count(value) AS DOUBLE) AS n, avg(value) AS m,
+        |    sum(value * value) AS ss, sum(value) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT event_type, lvl, n, m,
+        |    sum(n) OVER wa AS bn,
+        |    CAST(count(*) OVER wa AS DOUBLE) AS k,
+        |    sum(ss - s * s / n) OVER wa AS ssw
+        |  FROM c WINDOW wa AS (PARTITION BY event_type)),
+        |x AS (SELECT event_type, lvl, n, m,
+        |    CASE WHEN bn > k THEN ssw / (bn - k) END AS msw FROM w)
+        |SELECT a.event_type, a.lvl AS lvl_a, b.lvl AS lvl_b,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  roundStable(a.m - b.m, 6) AS mean_diff,
+        |  roundStable(CASE WHEN a.msw > 0 AND a.n > 0 AND b.n > 0
+        |    THEN abs(a.m - b.m)
+        |      / sqrt(a.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)) END, 6)
+        |    AS q_stat
+        |FROM x a JOIN x b
+        |  ON a.event_type = b.event_type AND a.lvl < b.lvl
+        |ORDER BY a.event_type, lvl_a, lvl_b""".stripMargin,
+
+    "q259_funnel_window" ->
+      // same two stacked running-max windows over the same (us, id)
+      // sort; window arithmetic in integer microseconds
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |s AS (SELECT user_id, event_type, us, event_id,
+        |    max(CASE WHEN event_type = 'view' THEN us END) OVER w AS v1
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT user_id, event_type, us, v1,
+        |    max(CASE WHEN event_type = 'click' AND v1 IS NOT NULL
+        |      AND us - v1 <= 259200000000 THEN v1 END) OVER w AS v2s
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d1,
+        |    max(CASE WHEN event_type = 'click' AND v1 IS NOT NULL
+        |      AND us - v1 <= 259200000000 THEN 1 ELSE 0 END) AS d2,
+        |    max(CASE WHEN event_type = 'purchase' AND v2s IS NOT NULL
+        |      AND us - v2s <= 259200000000 THEN 1 ELSE 0 END) AS d3
+        |  FROM t GROUP BY 1)
+        |SELECT CAST(d1 + d2 + d3 AS BIGINT) AS depth,
+        |  count(*) AS n_entities
+        |FROM d GROUP BY 1 ORDER BY depth""".stripMargin,
+
+    "q260_lmoments" ->
+      // same rank weights, same Hosking combinations, same guards
+      """WITH r AS (SELECT event_type, CAST(value AS DOUBLE) AS x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS DOUBLE) AS i
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(x) AS b0,
+        |    sum((i - 1.0) * x) AS s1,
+        |    sum((i - 1.0) * (i - 2.0) * x) AS s2,
+        |    sum((i - 1.0) * (i - 2.0) * (i - 3.0) * x) AS s3
+        |  FROM r GROUP BY 1),
+        |m AS (SELECT event_type, n, b0,
+        |    s1 / (n * (n - 1.0)) AS b1,
+        |    s2 / (n * (n - 1.0) * (n - 2.0)) AS b2,
+        |    s3 / (n * (n - 1.0) * (n - 2.0) * (n - 3.0)) AS b3
+        |  FROM g),
+        |l AS (SELECT event_type, n, b0 AS l1,
+        |    2.0 * b1 - b0 AS l2,
+        |    6.0 * b2 - 6.0 * b1 + b0 AS l3,
+        |    20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0 AS l4
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  roundStable(l1, 6) AS l1,
+        |  roundStable(CASE WHEN n > 1 THEN l2 END, 6) AS l2,
+        |  roundStable(CASE WHEN n > 3 THEN l3 END, 6) AS l3,
+        |  roundStable(CASE WHEN n > 3 THEN l4 END, 6) AS l4,
+        |  roundStable(CASE WHEN n > 1 AND abs(l1) > 0 THEN l2 / l1
+        |    END, 6) AS l_cv,
+        |  roundStable(CASE WHEN n > 3 AND abs(l2) > 0 THEN l3 / l2
+        |    END, 6) AS l_skew,
+        |  roundStable(CASE WHEN n > 3 AND abs(l2) > 0 THEN l4 / l2
+        |    END, 6) AS l_kurt
+        |FROM l ORDER BY event_type""".stripMargin,
 
     "q255_logrank" ->
       // q251's staging + arm flag; identical O−E / hypergeometric-V

@@ -2228,6 +2228,101 @@ object Aggregates {
         roundStable(when(ok, r + lit(1.96) * se), digits).as("ci_hi"))
   }
 
+  /** Tukey-style post-hoc pairwise comparisons per key — WHICH groups
+    * differ, the question [[anovaF]]'s single F deliberately does not
+    * answer: for every level pair, the mean difference and the
+    * studentized-range statistic `q = |x̄ᵢ − x̄ⱼ| / √((MSW/2)(1/nᵢ +
+    * 1/nⱼ))` against the POOLED within-group variance (that pooling —
+    * not per-pair t-tests — is what keeps the family honest; compare
+    * q to the studentized-range critical value for (k, N−k) offline).
+    * Cells reduce first (one moments agg); MSW rides a window over the
+    * O(#keys × #levels) cell rows; the pair table is a self-join of
+    * cells on the key with `lvl_a < lvl_b` — O(#levels²) per key,
+    * bounded by the factor's cardinality, never by the data. Pairs
+    * with MSW ≤ 0 or a single-row cell emit NULL q.
+    */
+  def tukeyPairs(df: DataFrame, keys: Seq[String], factorCol: Column,
+                 yCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val y = yCol.cast("double")
+    val cells = df.filter(y.isNotNull)
+      .groupBy(keyCols :+ factorCol.as("__lvl"): _*)
+      .agg(count(y).as("__n"), avg(y).as("__m"),
+        sum(y * y).as("__ss"), sum(y).as("__s"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val nD = col("__n").cast("double")
+    val bigN = sum(col("__n")).over(wAll).cast("double")
+    val k = count(lit(1)).over(wAll).cast("double")
+    val ssw = sum(col("__ss") - col("__s") * col("__s") / col("__n"))
+      .over(wAll)
+    val withMsw = cells
+      .withColumn("__msw", when(bigN > k, ssw / (bigN - k)))
+    val a = withMsw.select(keyCols ++ Seq(col("__lvl").as("lvl_a"),
+      col("__n").as("__na"), col("__m").as("__ma"), col("__msw")): _*)
+    val b = withMsw.select(keyCols ++ Seq(col("__lvl").as("lvl_b"),
+      col("__n").as("__nb"), col("__m").as("__mb")): _*)
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val se = sqrt(col("__msw") / lit(2.0) *
+      (lit(1.0) / na + lit(1.0) / nb))
+    val ok = col("__msw") > 0 && na > 0 && nb > 0
+    require(keys.nonEmpty, "tukeyPairs needs at least one key column")
+    a.join(b, keys).filter(col("lvl_a") < col("lvl_b"))
+      .select(keyCols ++ Seq(col("lvl_a"), col("lvl_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        roundStable(col("__ma") - col("__mb"), digits).as("mean_diff"),
+        roundStable(when(ok, abs(col("__ma") - col("__mb")) / se),
+          digits).as("q_stat")): _*)
+  }
+
+  /** L-moment summary per key (Hosking, JRSS-B 1990) — the
+    * order-statistics alternative to classical moments: L-scale,
+    * L-skewness and L-kurtosis are defined for ANY distribution with
+    * a finite mean, are far less outlier-volatile than moment skew /
+    * kurtosis (each value enters linearly, never cubed), and are the
+    * standard regional-frequency-analysis fingerprint for "which
+    * distribution family is this". Probability-weighted moments
+    * `b_r = (1/n)·Σ C(i−1, r)/C(n−1, r) · x₍ᵢ₎` from ONE rank window
+    * over the (value, tie)-ordered series, then the closed Hosking
+    * combinations; ratios τ = l₂/l₁, τ₃ = l₃/l₂, τ₄ = l₄/l₂. Keys
+    * with n < 4 emit NULL higher ratios; τ requires l₁ ≠ 0.
+    */
+  def lMoments(df: DataFrame, keys: Seq[String], valueCol: String,
+               tieCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+    val wOrd = Window.partitionBy(keyCols: _*)
+      .orderBy(col(valueCol), tieCol)
+    val x = col(valueCol).cast("double")
+    val i = col("__i").cast("double")
+    val n = count(lit(1)).cast("double")
+    val b0 = avg(x)
+    val b1 = sum((i - lit(1.0)) * x) / (n * (n - lit(1.0)))
+    val b2 = sum((i - lit(1.0)) * (i - lit(2.0)) * x) /
+      (n * (n - lit(1.0)) * (n - lit(2.0)))
+    val b3 = sum((i - lit(1.0)) * (i - lit(2.0)) * (i - lit(3.0)) * x) /
+      (n * (n - lit(1.0)) * (n - lit(2.0)) * (n - lit(3.0)))
+    val l1 = b0
+    val l2 = lit(2.0) * b1 - b0
+    val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
+    val l4 = lit(20.0) * b3 - lit(30.0) * b2 + lit(12.0) * b1 - b0
+    val ok = n > 3
+    base.withColumn("__i", row_number().over(wOrd))
+      .groupBy(keyCols: _*)
+      .agg(
+        n.cast("long").as("n"),
+        roundStable(l1, digits).as("l1"),
+        roundStable(when(n > 1, l2), digits).as("l2"),
+        roundStable(when(ok, l3), digits).as("l3"),
+        roundStable(when(ok, l4), digits).as("l4"),
+        roundStable(when(n > 1 && abs(l1) > 0, l2 / l1), digits)
+          .as("l_cv"),
+        roundStable(when(ok && abs(l2) > 0, l3 / l2), digits)
+          .as("l_skew"),
+        roundStable(when(ok && abs(l2) > 0, l4 / l2), digits)
+          .as("l_kurt"))
+  }
+
   /** Two-cohort log-rank test per key (Mantel 1966) — ARE the two
     * survival curves different, the inferential step after
     * [[kaplanMeier]] draws them: at each pooled event time the

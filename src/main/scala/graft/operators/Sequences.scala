@@ -71,4 +71,54 @@ object Sequences {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
   }
+
+  /** Timeout-constrained ordered funnel (the ClickHouse `windowFunnel`
+    * shape): how deep into `steps` does each entity get with the WHOLE
+    * chain inside a `windowMicros` span — the conversion readout where
+    * "viewed in January, bought in June" must NOT count. Strict
+    * ordering, chained nearest-predecessor semantics: each step-k
+    * event links to the LATEST qualified step-(k−1) event before it,
+    * which minimizes the chain's span and is therefore optimal for
+    * distinct consecutive steps. No sequential scan and no self-join:
+    * because events arrive time-sorted per entity, "latest step-k
+    * predecessor (and ITS chain start)" is a running `max(when(...))`
+    * over ONE keyed window — monotone along the sort, so k running
+    * maxes compose into the full chain; depth is then a per-entity
+    * max. Output: one row per depth 0..k with its entity count
+    * (depth d = reached step d+1 within window, monotone ≥ depth
+    * d+1's count). Window arithmetic in integer MICROSECONDS on both
+    * engines (the q95 boundary lesson).
+    */
+  def windowFunnel(df: DataFrame, entityCol: String, tsCol: Column,
+                   tieCol: Column, typeCol: Column, steps: Seq[String],
+                   windowMicros: Long): DataFrame = {
+    require(steps.size == 3, "windowFunnel implements the 3-step chain")
+    val Seq(s1, s2, s3) = steps
+    val w = Window.partitionBy(col(entityCol)).orderBy(tsCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(tsCol)
+    // start of the best (latest-predecessor) chain visible at each row
+    val v1 = max(when(typeCol === s1, us)).over(w)
+    val staged = df
+      .withColumn("__us", us)
+      .withColumn("__v1", v1)
+    // at step-2 rows, the chain start they inherit; running max carries
+    // the latest qualified step-2's start forward (monotone in ts)
+    val v2start = max(when(typeCol === s2 && col("__v1").isNotNull &&
+      col("__us") - col("__v1") <= windowMicros, col("__v1"))).over(w)
+    val chained = staged.withColumn("__v2s", v2start)
+      .withColumn("__d1", when(typeCol === s1, 1L).otherwise(0L))
+      .withColumn("__d2", when(typeCol === s2 && col("__v1").isNotNull &&
+        col("__us") - col("__v1") <= windowMicros, 1L).otherwise(0L))
+      .withColumn("__d3", when(typeCol === s3 && col("__v2s").isNotNull &&
+        col("__us") - col("__v2s") <= windowMicros, 1L).otherwise(0L))
+    // depth = d1 + d2 + d3 directly: a qualified step-3 implies a
+    // qualified step-2 chain start exists, which implies a step-1 —
+    // consecutiveness is structural, not enforced after the fact
+    val perEntity = chained.groupBy(col(entityCol))
+      .agg((max(col("__d1")) + max(col("__d2")) + max(col("__d3")))
+        .as("__depth"))
+    perEntity.groupBy(col("__depth").as("depth"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
 }

@@ -4142,6 +4142,68 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "frame still contains a below-center bucket")
   }
 
+  test("tukeyPairs: hand q against pooled MSW; zero-MSW key NULL q") {
+    val df = Seq(("k", 0L, 1.0), ("k", 0L, 3.0), ("k", 1L, 5.0),
+      ("k", 1L, 7.0), ("z", 0L, 5.0), ("z", 0L, 5.0), ("z", 1L, 7.0),
+      ("z", 1L, 7.0)).toDF("k", "lvl", "y")
+    val out = etl.Aggregates.tukeyPairs(df, Seq("k"), col("lvl"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // MSW = (2+2)/2 = 2 → se = sqrt(2/2 * (1/2+1/2)) = 1, q = 4
+    assert(k.getLong(1) == 0L && k.getLong(2) == 1L &&
+      k.getDouble(5) == -4.0, s"$k")
+    assert(math.abs(k.getDouble(6) - 4.0) < 1e-9, s"$k")
+    assert(out("z").isNullAt(6) && out("z").getDouble(5) == -2.0,
+      s"zero within-variance: NULL q, diff visible: ${out("z")}")
+  }
+
+  test("windowFunnel: chain must fit the window; later view rescues the chain") {
+    val rows = Seq(
+      // u1: clean chain, span 20 ≤ 100
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      // u2: click 200s after view — chain broken at step 2
+      (2L, "view", 0L), (2L, "click", 200L), (2L, "purchase", 210L),
+      // u3: no view at all
+      (3L, "click", 0L), (3L, "purchase", 5L),
+      // u4: view→click fine, purchase stretches the SPAN past 100
+      (4L, "view", 0L), (4L, "click", 50L), (4L, "purchase", 140L),
+      // u5: the LATER view restarts a chain that fits
+      (5L, "view", 0L), (5L, "click", 90L), (5L, "view", 100L),
+      (5L, "click", 110L), (5L, "purchase", 150L))
+      .zipWithIndex.map { case ((u, t, sec), i) => (u, t, sec, i.toLong) }
+    val df = rows.toDF("u", "typ", "sec", "id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = operators.Sequences.windowFunnel(df, "u", col("ts"),
+        col("id"), col("typ"), Seq("view", "click", "purchase"),
+        windowMicros = 100L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 2L, 2L -> 1L, 1L -> 1L, 0L -> 1L),
+      s"u1+u5 full, u4 depth 2, u2 depth 1, u3 depth 0: $out")
+  }
+
+  test("lMoments: uniform sample symmetric, point-mass-with-outlier maximally skewed") {
+    val sym = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map {
+      case (v, i) => ("sym", v, i.toLong) }
+    val skw = Seq(0.0, 0.0, 0.0, 4.0).zipWithIndex.map {
+      case (v, i) => ("skw", v, i.toLong) }
+    val tiny = Seq(1.0, 2.0, 3.0).zipWithIndex.map {
+      case (v, i) => ("tiny", v, i.toLong) }
+    val out = etl.Aggregates.lMoments(
+        (sym ++ skw ++ tiny).toDF("k", "v", "id"), Seq("k"), "v",
+        tieCol = col("id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("sym")
+    assert(s.getDouble(2) == 2.5 && math.abs(s.getDouble(3) - 5.0 / 6) < 1e-6,
+      s"l1 = mean, l2 = 2b1 - b0: $s")
+    assert(s.getDouble(7) == 0.0 && s.getDouble(8) == 0.0,
+      s"1..4 is L-symmetric with zero L-kurtosis: $s")
+    val w = out("skw")
+    assert(w.getDouble(7) == 1.0 && w.getDouble(8) == 1.0,
+      s"0,0,0,4: maximal L-skew and L-kurt of 1: $w")
+    assert(out("tiny").isNullAt(4) && !out("tiny").isNullAt(3),
+      s"n = 3: l2 defined, l3/l4 NULL: ${out("tiny")}")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
