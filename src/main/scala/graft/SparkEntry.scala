@@ -2432,6 +2432,34 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q261_ktruss" -> ((s, dir) =>
+      // edge-level cohesion one notch above q137's k-core: every
+      // surviving tie is embedded in >= 2 triangles (4-truss, <= 3
+      // peels — the oracle unrolls the same rounds)
+      operators.KTruss.truss(supplierGraph(s, dir), "src", "dst",
+          k = 4, maxPeels = 3)
+        .orderBy(col("a"), col("b"))),
+
+    "q262_markov_entropy" -> ((s, dir) =>
+      // HOW PREDICTABLE is the next event given this one — the
+      // information summary of q140's transition matrix, with the
+      // modal successor under the q248 tiebreak
+      operators.Sequences.markovEntropy(Tables.events(s, dir), "user_id",
+          orderCol = col("ts"), tieCol = col("event_id"),
+          stateCol = col("event_type"))
+        .orderBy(col("state"))),
+
+    "q263_gumbel_return" -> ((s, dir) => {
+      // "the spike this monitor sees once a quarter / once a decade":
+      // Gumbel fit on daily maxima by L-moments, pinned constants
+      val dm = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(max(col("value")).as("mx"))
+      etl.Aggregates.gumbelReturn(dm, Seq("event_type"), "mx",
+          tieCol = col("d"))
+        .orderBy(col("event_type"))
+    }),
+
     "q258_tukey" -> ((s, dir) =>
       // WHICH weekdays differ — the post-hoc step q249's single F
       // refuses to answer; q-stats against the pooled within-variance
@@ -7477,6 +7505,94 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q261_ktruss" -> {
+      // the q137 unrolling discipline, on EDGES: each round recomputes
+      // per-edge triangle support (common-neighbor count over the
+      // adjacency) and keeps support >= 2; the inner join drops
+      // zero-support edges exactly as the Spark coalesce-filter does.
+      // AS MATERIALIZED for the same 5^n-inlining reason as q137
+      val peels = (0 until 3).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT a AS v, b AS u FROM e$i
+           |      UNION ALL SELECT b, a FROM e$i),
+           |s$i AS MATERIALIZED (SELECT x.v AS a, y.v AS b,
+           |        count(*) AS sup
+           |      FROM n$i x JOIN n$i y ON x.u = y.u AND x.v < y.v
+           |      JOIN e$i e ON e.a = x.v AND e.b = y.v
+           |      GROUP BY 1, 2),
+           |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+           |      JOIN s$i s ON s.a = e.a AND s.b = e.b
+           |      WHERE s.sup >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE l_quantity > 45),
+         |e0 AS MATERIALIZED (SELECT DISTINCT r1.sk AS a, r2.sk AS b
+         |       FROM sp r1 JOIN sp r2 ON r1.pk = r2.pk AND r1.sk < r2.sk),
+         |$peels,
+         |nf AS MATERIALIZED (SELECT a AS v, b AS u FROM e3
+         |      UNION ALL SELECT b, a FROM e3),
+         |sf AS MATERIALIZED (SELECT x.v AS a, y.v AS b, count(*) AS sup
+         |      FROM nf x JOIN nf y ON x.u = y.u AND x.v < y.v
+         |      JOIN e3 e ON e.a = x.v AND e.b = y.v
+         |      GROUP BY 1, 2)
+         |SELECT e.a, e.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+         |FROM e3 e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    },
+
+    "q262_markov_entropy" ->
+      // same lead pairs, same -p ln p fold over the cell table
+      """WITH p AS (SELECT event_type AS s,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nx
+        |  FROM events),
+        |c AS (SELECT s AS state, nx AS next, count(*) AS n
+        |  FROM p WHERE nx IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT state, next, n,
+        |    sum(n) OVER (PARTITION BY state) AS tot,
+        |    row_number() OVER (PARTITION BY state
+        |      ORDER BY n DESC, next) AS rk
+        |  FROM c)
+        |SELECT state, CAST(max(tot) AS BIGINT) AS n_transitions,
+        |  count(*) AS n_next_states,
+        |  roundStable(sum(-(CAST(n AS DOUBLE) / tot)
+        |    * ln(CAST(n AS DOUBLE) / tot)), 6) AS h_cond,
+        |  max(CASE WHEN rk = 1 THEN next END) AS top_next,
+        |  roundStable(max(CASE WHEN rk = 1
+        |    THEN CAST(n AS DOUBLE) / tot END), 6) AS top_share
+        |FROM w GROUP BY state ORDER BY state""".stripMargin,
+
+    "q263_gumbel_return" ->
+      // daily maxima → the l1/l2 staging of q260 (rounded at 6dp) →
+      // the fit and return levels from PINNED transcendental constants
+      """WITH dm AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    max(value) AS mx
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(mx AS DOUBLE) AS x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY mx, d) AS DOUBLE) AS i
+        |  FROM dm),
+        |g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(x) AS b0, sum((i - 1.0) * x) AS s1
+        |  FROM r GROUP BY 1),
+        |l AS (SELECT event_type, n,
+        |    roundStable(b0, 6) AS l1,
+        |    roundStable(CASE WHEN n > 1
+        |      THEN 2.0 * (s1 / (n * (n - 1.0))) - b0 END, 6) AS l2
+        |  FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, l1, l2,
+        |  roundStable(CASE WHEN l2 IS NOT NULL AND l2 > 0
+        |    THEN l2 / 0.693147 END, 6) AS beta,
+        |  roundStable(CASE WHEN l2 IS NOT NULL AND l2 > 0
+        |    THEN l1 - 0.577216 * (l2 / 0.693147) END, 6) AS mu,
+        |  roundStable(CASE WHEN l2 IS NOT NULL AND l2 > 0
+        |    THEN (l1 - 0.577216 * (l2 / 0.693147))
+        |      + (l2 / 0.693147) * 2.250367 END, 6) AS return_10,
+        |  roundStable(CASE WHEN l2 IS NOT NULL AND l2 > 0
+        |    THEN (l1 - 0.577216 * (l2 / 0.693147))
+        |      + (l2 / 0.693147) * 4.600149 END, 6) AS return_100
+        |FROM l ORDER BY event_type""".stripMargin,
 
     "q258_tukey" ->
       // same cell moments, MSW via the same per-key window, same

@@ -2323,6 +2323,38 @@ object Aggregates {
           .as("l_kurt"))
   }
 
+  /** Gumbel extreme-value fit + return levels per key, by the method
+    * of L-moments (Hosking 1990; the EVT practice standard for block
+    * maxima): feed it per-period MAXIMA (daily/hourly peaks) and get
+    * `β = l₂/ln 2`, `μ = l₁ − γβ`, and the T-period return levels
+    * `x_T = μ − β·ln(−ln(1 − 1/T))` for T = 10 and 100 — "the spike
+    * this monitor should see once a quarter / once a decade", the
+    * principled extrapolation [[tailRisk]]'s empirical VaR cannot
+    * reach (an empirical p99 of 30 maxima says nothing about the
+    * 1-in-100 event; a fitted tail does, and says HOW MUCH). Rides
+    * [[lMoments]]' own 6dp-ROUNDED l₁/l₂ (the q247 chaining
+    * discipline), with γ, ln 2 and both −ln(−ln·) factors pinned as
+    * shared literals — every transcendental a constant, so both
+    * engines replay the identical arithmetic. Keys with n < 2 or
+    * l₂ ≤ 0 emit NULL fit with the L-moments visible.
+    */
+  def gumbelReturn(df: DataFrame, keys: Seq[String], valueCol: String,
+                   tieCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val lm = lMoments(df, keys, valueCol, tieCol, digits)
+    val beta = col("l2") / lit(0.693147)           // l2 / ln 2
+    val mu = col("l1") - lit(0.577216) * beta      // Euler–Mascheroni
+    val ok = col("l2").isNotNull && col("l2") > 0
+    lm.select(keyCols ++ Seq(
+      col("n"), col("l1"), col("l2"),
+      roundStable(when(ok, beta), digits).as("beta"),
+      roundStable(when(ok, mu), digits).as("mu"),
+      roundStable(when(ok, mu + beta * lit(2.250367)), digits)
+        .as("return_10"),                          // −ln(−ln 0.9)
+      roundStable(when(ok, mu + beta * lit(4.600149)), digits)
+        .as("return_100")): _*)                    // −ln(−ln 0.99)
+  }
+
   /** Two-cohort log-rank test per key (Mantel 1966) — ARE the two
     * survival curves different, the inferential step after
     * [[kaplanMeier]] draws them: at each pooled event time the

@@ -72,6 +72,46 @@ object Sequences {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Per-state conditional entropy of the first-order Markov chain —
+    * HOW PREDICTABLE is the next event given the current one, the
+    * information-theoretic summary of [[transitionMatrix]]: `H(next |
+    * state) = −Σ p·ln p` per state in nats, with the modal next state
+    * and its share (deterministic tiebreak: count desc, state asc —
+    * the q248 discipline). A state with H near 0 is a corridor (its
+    * successor is known); H near ln(#states) is a hub. Same scale
+    * shape as [[transitionMatrix]]: one keyed lead window over raw
+    * events, one (state, next) agg, then windows over the O(#states²)
+    * cell table.
+    */
+  def markovEntropy(df: DataFrame, entityCol: String, orderCol: Column,
+                    tieCol: Column, stateCol: Column,
+                    digits: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCol, tieCol)
+    val pairs = df
+      .withColumn("__s", stateCol)
+      .withColumn("__n", lead(col("__s"), 1).over(w))
+      .filter(col("__n").isNotNull)
+    val cells = pairs.groupBy(col("__s").as("state"), col("__n").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val wState = Window.partitionBy(col("state"))
+    val wRank = Window.partitionBy(col("state"))
+      .orderBy(col("n").desc, col("next"))
+    val p = col("n").cast("double") / col("__tot").cast("double")
+    cells
+      .withColumn("__tot", sum(col("n")).over(wState))
+      .withColumn("__h", -p * log(p))
+      .withColumn("__rk", row_number().over(wRank))
+      .groupBy(col("state"))
+      .agg(
+        max(col("__tot")).as("n_transitions"),
+        count(lit(1)).as("n_next_states"),
+        roundStable(sum(col("__h")), digits).as("h_cond"),
+        max(when(col("__rk") === 1, col("next"))).as("top_next"),
+        roundStable(max(when(col("__rk") === 1,
+          col("n").cast("double") / col("__tot"))), digits)
+          .as("top_share"))
+  }
+
   /** Timeout-constrained ordered funnel (the ClickHouse `windowFunnel`
     * shape): how deep into `steps` does each entity get with the WHOLE
     * chain inside a `windowMicros` span — the conversion readout where

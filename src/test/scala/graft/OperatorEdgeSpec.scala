@@ -4204,6 +4204,64 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"n = 3: l2 defined, l3/l4 NULL: ${out("tiny")}")
   }
 
+  test("KTruss: clique survives, pendant triangle and dangling edge peel by k") {
+    // 4-clique {1,2,3,4} + triangle {4,5,6} + dangling edge (6,7)
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (5, 6), (4, 6), (6, 7))
+      .map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+    val t4 = operators.KTruss.truss(edges, "src", "dst", k = 4, maxPeels = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)), s"only the clique survives a 4-truss: $t4")
+    assert(t4.values.forall(_ == 2L), s"each clique edge closes 2 triangles: $t4")
+    val t3 = operators.KTruss.truss(edges, "src", "dst", k = 3, maxPeels = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3.size == 9 && !t3.contains((6L, 7L)),
+      s"3-truss keeps both triangle structures, drops the dangler: $t3")
+  }
+
+  test("markovEntropy: corridor state H=0, hub state ln 2, tie breaks ascending") {
+    val u1 = Seq("a", "b", "a", "b", "a").zipWithIndex.map {
+      case (s, i) => (1L, i.toLong, s) }
+    val u2 = Seq("c", "a", "c", "b").zipWithIndex.map {
+      case (s, i) => (2L, i.toLong, s) }
+    val out = operators.Sequences.markovEntropy(
+        (u1 ++ u2).toDF("u", "o", "s"), "u", orderCol = col("o"),
+        tieCol = col("o"), stateCol = col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L, s"$a")
+    val h = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(math.abs(a.getDouble(3) - h) < 1e-6, s"$a")
+    assert(a.getString(4) == "b" &&
+      math.abs(a.getDouble(5) - 2.0 / 3) < 1e-6, s"$a")
+    assert(out("b").getDouble(3) == 0.0 && out("b").getString(4) == "a",
+      s"corridor: successor known: ${out("b")}")
+    val c = out("c")
+    assert(math.abs(c.getDouble(3) - math.log(2.0)) < 1e-6 &&
+      c.getString(4) == "a", s"50/50 hub, tie -> ascending: $c")
+  }
+
+  test("gumbelReturn: fit replays the pinned-constant formula off rounded L-moments") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map {
+      case (v, i) => ("k", v, i.toLong) } ++ Seq(("solo", 9.0, 0L))
+    val out = etl.Aggregates.gumbelReturn(df.toDF("k", "v", "id"),
+        Seq("k"), "v", tieCol = col("id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val l2 = r6(5.0 / 6)
+    val beta = l2 / 0.693147
+    val mu = 2.5 - 0.577216 * beta
+    assert(k.getDouble(2) == 2.5 && k.getDouble(3) == l2, s"$k")
+    assert(math.abs(k.getDouble(4) - beta) < 1e-6 &&
+      math.abs(k.getDouble(5) - mu) < 1e-6, s"$k")
+    assert(math.abs(k.getDouble(6) - (mu + beta * 2.250367)) < 1e-6 &&
+      math.abs(k.getDouble(7) - (mu + beta * 4.600149)) < 1e-6, s"$k")
+    assert(out("solo").isNullAt(4) && out("solo").getDouble(2) == 9.0,
+      s"single block: no spread, no fit, l1 visible: ${out("solo")}")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
