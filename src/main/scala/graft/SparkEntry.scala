@@ -2432,6 +2432,37 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q264_forecast_band" -> ((s, dir) =>
+      // the alerting layer on q159's screen: same-hour-yesterday
+      // forecast with a distribution-free 95% band, flags on rounded
+      etl.Aggregates.forecastBand(Tables.events(s, dir),
+          Seq("event_type"), tsCol = col("ts"), valueCol = "value")
+        .orderBy(col("event_type"), col("bucket"))),
+
+    "q265_adf" -> ((s, dir) => {
+      // random walk or mean-reverting — whether mean-based monitors
+      // on this series lie; ADF on the hourly-mean series per type
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+        .agg(avg(col("value")).as("hv"))
+      etl.Aggregates.adfTest(hourly, Seq("event_type"),
+          orderCol = col("hb"), tieCol = col("hb"), valueCol = "hv")
+        .orderBy(col("event_type"))
+    }),
+
+    "q266_granger" -> ((s, dir) => {
+      // does yesterday's error count predict today's purchase value
+      // beyond what yesterday's value already does
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(avg(when(col("event_type") === "purchase", col("value")))
+          .as("y"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("double").as("x"))
+      etl.Aggregates.granger(daily, Nil, orderCol = col("dt"),
+        yCol = col("y"), xCol = col("x"))
+    }),
+
     "q261_ktruss" -> ((s, dir) =>
       // edge-level cohesion one notch above q137's k-core: every
       // surviving tie is embedded in >= 2 triangles (4-truss, <= 3
@@ -7505,6 +7536,114 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q264_forecast_band" ->
+      // exact-hour self-join, per-key exact quantile of |residual|,
+      // flags from the identical rounded comparison
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    avg(value) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |j AS (SELECT c.event_type, c.bucket, c.v, p.v AS f,
+        |    c.v - p.v AS r
+        |  FROM h c JOIN h p ON p.event_type = c.event_type
+        |    AND p.bucket + INTERVAL 24 HOURS = c.bucket),
+        |q AS (SELECT event_type, quantile_cont(abs(r), 0.95) AS qr
+        |  FROM j GROUP BY 1),
+        |w AS (SELECT j.event_type, j.bucket, j.v, j.f, j.r, q.qr
+        |  FROM j JOIN q ON q.event_type = j.event_type)
+        |SELECT event_type, bucket, roundStable(v, 6) AS actual,
+        |  roundStable(f, 6) AS forecast, roundStable(r, 6) AS resid,
+        |  roundStable(f - qr, 6) AS band_lo,
+        |  roundStable(f + qr, 6) AS band_hi,
+        |  CAST(CASE WHEN abs(roundStable(r, 6)) > roundStable(qr, 6)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS outside_band
+        |FROM w ORDER BY event_type, bucket""".stripMargin,
+
+    "q265_adf" ->
+      // same hourly series, same centered-moment regression
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hb,
+        |    avg(value) AS hv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT event_type, CAST(hv AS DOUBLE) AS y,
+        |    CAST(lag(hv) OVER (PARTITION BY event_type ORDER BY hb)
+        |      AS DOUBLE) AS yl
+        |  FROM h),
+        |f AS (SELECT event_type, yl, y - yl AS dy
+        |  FROM l WHERE yl IS NOT NULL),
+        |g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(yl * yl) AS a, sum(yl) AS b, sum(dy * dy) AS c,
+        |    sum(dy) AS d, sum(yl * dy) AS e
+        |  FROM f GROUP BY 1),
+        |m AS (SELECT event_type, n,
+        |    a - b * b / n AS sxx, c - d * d / n AS syy,
+        |    e - b * d / n AS sxy
+        |  FROM g),
+        |x AS (SELECT event_type, n, sxx,
+        |    sxy / sxx AS beta,
+        |    syy - (sxy / sxx) * sxy AS rss
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  roundStable(CASE WHEN sxx > 0 THEN beta END, 6) AS beta,
+        |  roundStable(CASE WHEN n > 3 AND sxx > 0 AND rss > 0
+        |    THEN beta / sqrt((rss / (n - 2.0)) / sxx) END, 6) AS t_stat,
+        |  CAST(CASE WHEN n > 3 AND sxx > 0 AND rss > 0
+        |    THEN CASE WHEN beta / sqrt((rss / (n - 2.0)) / sxx) > -2.86
+        |      THEN 1 ELSE 0 END END AS BIGINT) AS is_unit_root
+        |FROM x ORDER BY event_type""".stripMargin,
+
+    "q266_granger" ->
+      // same daily pair, restricted and unrestricted RSS from the one
+      // centered-moment pass, 2x2 normal equations closed-form
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dt,
+        |    avg(CASE WHEN event_type = 'purchase' THEN value END) AS y,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS x
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CAST(y AS DOUBLE) AS y,
+        |    CAST(lag(y) OVER (ORDER BY dt) AS DOUBLE) AS y1,
+        |    CAST(lag(x) OVER (ORDER BY dt) AS DOUBLE) AS x1
+        |  FROM d),
+        |f AS (SELECT y, y1, x1 FROM l
+        |  WHERE y IS NOT NULL AND y1 IS NOT NULL AND x1 IS NOT NULL),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y * y) - sum(y) * sum(y) / CAST(count(*) AS DOUBLE)
+        |      AS syy,
+        |    sum(y1 * y1) - sum(y1) * sum(y1) / CAST(count(*) AS DOUBLE)
+        |      AS s11,
+        |    sum(x1 * x1) - sum(x1) * sum(x1) / CAST(count(*) AS DOUBLE)
+        |      AS s22,
+        |    sum(y1 * x1) - sum(y1) * sum(x1) / CAST(count(*) AS DOUBLE)
+        |      AS s12,
+        |    sum(y * y1) - sum(y) * sum(y1) / CAST(count(*) AS DOUBLE)
+        |      AS sy1,
+        |    sum(y * x1) - sum(y) * sum(x1) / CAST(count(*) AS DOUBLE)
+        |      AS sy2
+        |  FROM f),
+        |m AS (SELECT n, syy, s11, sy1,
+        |    s11 * s22 - s12 * s12 AS det,
+        |    (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) AS b,
+        |    (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) AS c,
+        |    sy2
+        |  FROM g),
+        |x AS (SELECT n, syy, s11, sy1, det, b, c,
+        |    syy - b * sy1 - c * sy2 AS rssu,
+        |    syy - sy1 * sy1 / s11 AS rssr
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  roundStable(CASE WHEN n > 3 AND det > 0 AND rssu > 0
+        |    AND s11 > 0 AND syy > 0 THEN b END, 6) AS beta_ylag,
+        |  roundStable(CASE WHEN n > 3 AND det > 0 AND rssu > 0
+        |    AND s11 > 0 AND syy > 0 THEN c END, 6) AS gamma_xlag,
+        |  roundStable(CASE WHEN s11 > 0 AND syy > 0
+        |    THEN 1.0 - (syy - sy1 * sy1 / s11) / syy END, 6)
+        |    AS r2_restricted,
+        |  roundStable(CASE WHEN n > 3 AND det > 0 AND rssu > 0
+        |    AND s11 > 0 AND syy > 0 THEN 1.0 - rssu / syy END, 6)
+        |    AS r2_unrestricted,
+        |  roundStable(CASE WHEN n > 3 AND det > 0 AND rssu > 0
+        |    AND s11 > 0 AND syy > 0
+        |    THEN (rssr - rssu) / (rssu / (n - 3.0)) END, 6) AS f_stat
+        |FROM x""".stripMargin,
 
     "q261_ktruss" -> {
       // the q137 unrolling discipline, on EDGES: each round recomputes

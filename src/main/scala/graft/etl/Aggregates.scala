@@ -1414,6 +1414,140 @@ object Aggregates {
         count(lit(1)).as("n_hours"))
   }
 
+  /** Seasonal-naive forecast BAND per key — [[seasonalNaiveError]]
+    * screens whether "same hour yesterday" forecasts at all; this
+    * emits the per-bucket forecast WITH its empirical prediction
+    * interval: band = forecast ± the key's `q`-quantile of |residual|
+    * (exact percentile — the distribution-free interval that needs no
+    * normality story), and an `outside_band` flag for actuals beyond
+    * it — the alerting layer on top of the forecast. Exact-hour
+    * self-join, NOT a row lag (a grid gap must not slide the
+    * comparison — the q95 lesson); the flag compares 6dp-ROUNDED
+    * |residual| to the 6dp-rounded band radius so both engines flag
+    * identical buckets. Shape: one hourly agg, one equi-join on the
+    * shifted hour, one per-key percentile window over the O(#keys ×
+    * #hours) series.
+    */
+  def forecastBand(df: DataFrame, keys: Seq[String], tsCol: Column,
+                   valueCol: String, q: Double = 0.95,
+                   digits: Int = 6): DataFrame = {
+    require(q > 0 && q < 1, s"need 0 < q < 1, got $q")
+    val keyCols = keys.map(col)
+    val hourly = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols :+ date_trunc("hour", tsCol).as("bucket"): _*)
+      .agg(avg(col(valueCol)).as("__v"))
+    val lagged = hourly.select(
+      keyCols :+ (col("bucket") + expr("INTERVAL 24 HOURS")).as("bucket") :+
+        col("__v").as("__f"): _*)
+    val wAll = Window.partitionBy(keyCols: _*)
+    hourly
+      .join(lagged, keys :+ "bucket")
+      .withColumn("__r", col("__v") - col("__f"))
+      .withColumn("__qr", expr(s"percentile(abs(__r), $q)").over(wAll))
+      .withColumn("actual", roundStable(col("__v"), digits))
+      .withColumn("forecast", roundStable(col("__f"), digits))
+      .withColumn("resid", roundStable(col("__r"), digits))
+      .withColumn("band_radius", roundStable(col("__qr"), digits))
+      .withColumn("band_lo", roundStable(col("__f") - col("__qr"), digits))
+      .withColumn("band_hi", roundStable(col("__f") + col("__qr"), digits))
+      .withColumn("outside_band",
+        (abs(col("resid")) > col("band_radius")).cast("long"))
+      .select(keyCols ++ Seq(col("bucket"), col("actual"), col("forecast"),
+        col("resid"), col("band_lo"), col("band_hi"),
+        col("outside_band")): _*)
+  }
+
+  /** Augmented Dickey–Fuller test (lag-0 / constant-only form) per key
+    * (Dickey & Fuller 1979) — IS this series mean-reverting or a
+    * random walk: regress `Δy_t = α + β·y_{t−1}`, `t = β̂/se(β̂)`;
+    * a unit root (random walk — variance grows without bound, every
+    * mean-based monitor on it lies) cannot be rejected when t exceeds
+    * the pinned 5% critical value −2.86 (constant-only, large n;
+    * MacKinnon 1991). One keyed lag window, then pure moments — the
+    * A30 regression discipline, nothing quadratic. Keys with n < 4 or
+    * a degenerate lag variance emit NULL t with counts visible.
+    */
+  def adfTest(df: DataFrame, keys: Seq[String], orderCol: Column,
+              tieCol: Column, valueCol: String,
+              digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
+    val staged = df.filter(col(valueCol).isNotNull)
+      .withColumn("__y", col(valueCol).cast("double"))
+      .withColumn("__yl", lag(col("__y"), 1).over(w))
+      .filter(col("__yl").isNotNull)
+      .withColumn("__dy", col("__y") - col("__yl"))
+    val n = count(lit(1)).cast("double")
+    val sxx = sum(col("__yl") * col("__yl")) -
+      sum(col("__yl")) * sum(col("__yl")) / n
+    val syy = sum(col("__dy") * col("__dy")) -
+      sum(col("__dy")) * sum(col("__dy")) / n
+    val sxy = sum(col("__yl") * col("__dy")) -
+      sum(col("__yl")) * sum(col("__dy")) / n
+    val beta = sxy / sxx
+    val rss = syy - beta * sxy
+    val se = sqrt((rss / (n - lit(2.0))) / sxx)
+    val t = beta / se
+    val ok = n > 3 && sxx > 0 && rss > 0
+    staged.groupBy(keyCols: _*)
+      .agg(
+        n.cast("long").as("n"),
+        roundStable(when(sxx > 0, beta), digits).as("beta"),
+        roundStable(when(ok, t), digits).as("t_stat"),
+        when(ok, (t > lit(-2.86)).cast("long")).as("is_unit_root"))
+  }
+
+  /** Granger-causality screen (one lag) per key — does YESTERDAY's x
+    * improve today's y beyond what yesterday's y already explains:
+    * F-test of `y_t ~ y_{t−1}` vs `y_t ~ y_{t−1} + x_{t−1}`, the
+    * standard lead/lag attribution readout on a metric pair (it
+    * detects PREDICTIVE precedence, not causation — the honest name
+    * is "Granger-causes"). Both regressions come from the SAME
+    * centered-moment pass: the restricted RSS in closed form, the
+    * unrestricted via the 2×2 normal equations (the q234 two-regressor
+    * discipline) — one keyed lag window, one aggregation, nothing
+    * iterative. Keys with a singular design (collinear lags) or n ≤ 3
+    * emit NULL F with both R²s visible where defined.
+    */
+  def granger(df: DataFrame, keys: Seq[String], orderCol: Column,
+              yCol: Column, xCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCol)
+    val staged = df
+      .withColumn("__y", yCol.cast("double"))
+      .withColumn("__x", xCol.cast("double"))
+      .withColumn("__y1", lag(col("__y"), 1).over(w))
+      .withColumn("__x1", lag(col("__x"), 1).over(w))
+      .filter(col("__y").isNotNull && col("__y1").isNotNull &&
+        col("__x1").isNotNull)
+    val n = count(lit(1)).cast("double")
+    def c2(a: Column, b: Column) = sum(a * b) - sum(a) * sum(b) / n
+    val syy = c2(col("__y"), col("__y"))
+    val s11 = c2(col("__y1"), col("__y1"))
+    val s22 = c2(col("__x1"), col("__x1"))
+    val s12 = c2(col("__y1"), col("__x1"))
+    val sy1 = c2(col("__y"), col("__y1"))
+    val sy2 = c2(col("__y"), col("__x1"))
+    val rssR = syy - sy1 * sy1 / s11
+    val det = s11 * s22 - s12 * s12
+    val b = (sy1 * s22 - sy2 * s12) / det
+    val c = (sy2 * s11 - sy1 * s12) / det
+    val rssU = syy - b * sy1 - c * sy2
+    val f = (rssR - rssU) / (rssU / (n - lit(3.0)))
+    val ok = n > 3 && det > 0 && rssU > 0 && s11 > 0 && syy > 0
+    staged.groupBy(keyCols: _*)
+      .agg(
+        n.cast("long").as("n"),
+        roundStable(when(ok, b), digits).as("beta_ylag"),
+        roundStable(when(ok, c), digits).as("gamma_xlag"),
+        roundStable(when(s11 > 0 && syy > 0,
+          lit(1.0) - (syy - sy1 * sy1 / s11) / syy), digits)
+          .as("r2_restricted"),
+        roundStable(when(ok, lit(1.0) - rssU / syy), digits)
+          .as("r2_unrestricted"),
+        roundStable(when(ok, f), digits).as("f_stat"))
+  }
+
   /** Time-weighted average per key — the irregular-sampling correction a
     * plain `avg` gets wrong (a sensor that reports every second while
     * misbehaving and hourly while fine biases the plain mean toward the

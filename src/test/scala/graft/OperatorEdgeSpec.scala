@@ -4262,6 +4262,87 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"single block: no spread, no fit, l1 visible: ${out("solo")}")
   }
 
+  test("forecastBand: exact quantile radius, flags only true excursions") {
+    // day 1 all 10; day 2 echoes it except +5 at hour 3 and +1 at hour 7
+    val rows = (0 until 48).map { h =>
+      val v = if (h == 27) 15.0 else if (h == 31) 11.0 else 10.0
+      ("k", h.toLong * 3600L, v)
+    }
+    val df = rows.toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = etl.Aggregates.forecastBand(df, Seq("k"), col("ts"), "v")
+      .collect()
+    assert(out.length == 24, s"24 forecastable hours: ${out.length}")
+    // |resid| sorted: 22 zeros, 1, 5 → interpolated p95 = 0.85
+    val hot = out.filter(_.getLong(7) == 1L)
+    assert(hot.map(_.getDouble(4)).sorted.toSeq == Seq(1.0, 5.0),
+      s"exactly the two planted excursions flag: ${hot.toSeq}")
+    val h27 = out.find(_.getDouble(4) == 5.0).get
+    assert(h27.getDouble(2) == 15.0 && h27.getDouble(3) == 10.0 &&
+      h27.getDouble(5) == 9.15 && h27.getDouble(6) == 10.85,
+      s"band 10 ± 0.85: $h27")
+  }
+
+  test("adfTest: closed-form replay on a drifting walk; constant series NULL") {
+    val steps = (1 to 30).map(i => if (i % 3 == 0) -1.0 else 1.0)
+    val y = steps.scanLeft(0.0)(_ + _)
+    val rows = y.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) } ++
+      (0 until 5).map(i => ("flat", i.toLong, 7.0))
+    val out = etl.Aggregates.adfTest(rows.toDF("k", "o", "v"), Seq("k"),
+        orderCol = col("o"), tieCol = col("o"), valueCol = "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // independent replay of the same closed form
+    val yl = y.dropRight(1); val dy = y.tail.zip(yl).map { case (a, b) => a - b }
+    val n = yl.size.toDouble
+    val sxx = yl.map(a => a * a).sum - yl.sum * yl.sum / n
+    val syy = dy.map(a => a * a).sum - dy.sum * dy.sum / n
+    val sxy = yl.zip(dy).map { case (a, b) => a * b }.sum - yl.sum * dy.sum / n
+    val beta = sxy / sxx
+    val t = beta / math.sqrt(((syy - beta * sxy) / (n - 2.0)) / sxx)
+    val k = out("k")
+    assert(k.getLong(1) == 30L, s"$k")
+    assert(math.abs(k.getDouble(2) - beta) < 1e-6 &&
+      math.abs(k.getDouble(3) - t) < 1e-6, s"expected beta=$beta t=$t: $k")
+    assert(k.getLong(4) == (if (t > -2.86) 1L else 0L), s"$k")
+    assert(out("flat").isNullAt(2) && out("flat").isNullAt(3),
+      s"constant series: no lag variance: ${out("flat")}")
+  }
+
+  test("granger: closed-form replay where x leads y; collinear pair NULL F") {
+    val xs = (0 until 25).map(i => ((i * 7) % 5).toDouble)
+    val ys = xs.indices.scanLeft(1.0) { (prev, i) =>
+      0.5 * prev + 0.8 * xs(i) + ((i * 3) % 7 - 3) * 0.1
+    }.take(25)
+    val rows = (0 until 25).map(i => (i.toLong, ys(i), xs(i)))
+    val out = etl.Aggregates.granger(rows.toDF("t", "y", "x"), Nil,
+      orderCol = col("t"), yCol = col("y"), xCol = col("x"))
+      .collect().head
+    // independent replay
+    val y = ys.tail; val y1 = ys.dropRight(1); val x1 = xs.dropRight(1)
+    val n = y.size.toDouble
+    def c2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (p, q) => p * q }.sum - a.sum * b.sum / n
+    val (syy, s11, s22) = (c2(y, y), c2(y1, y1), c2(x1, x1))
+    val (s12, sy1, sy2) = (c2(y1, x1), c2(y, y1), c2(y, x1))
+    val det = s11 * s22 - s12 * s12
+    val b = (sy1 * s22 - sy2 * s12) / det
+    val c = (sy2 * s11 - sy1 * s12) / det
+    val rssU = syy - b * sy1 - c * sy2
+    val rssR = syy - sy1 * sy1 / s11
+    val f = (rssR - rssU) / (rssU / (n - 3.0))
+    assert(out.getLong(0) == 24L, s"$out")
+    assert(math.abs(out.getDouble(1) - b) < 1e-6 &&
+      math.abs(out.getDouble(2) - c) < 1e-6, s"expected b=$b c=$c: $out")
+    assert(math.abs(out.getDouble(5) - f) < 1e-4, s"expected F=$f: $out")
+    assert(out.getDouble(4) > out.getDouble(3),
+      s"x1 must add explanatory power: $out")
+    val coll = (0 until 10).map(i => (i.toLong, ys(i), ys(i)))
+    val c2r = etl.Aggregates.granger(coll.toDF("t", "y", "x"), Nil,
+      orderCol = col("t"), yCol = col("y"), xCol = col("x"))
+      .collect().head
+    assert(c2r.isNullAt(5), s"x = y exactly: singular design, NULL F: $c2r")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
