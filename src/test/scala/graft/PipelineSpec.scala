@@ -1306,4 +1306,45 @@ class PipelineSpec extends AnyFunSuite {
     val st = spark.read.parquet(s"$tmp/state").collect()
     assert(st.length == 1 && st.head.getAs[Long]("__lb") == 1L, st.mkString(","))
   }
+
+  test("SpcStream: frozen chart, batch-size-adjusted limits, shift alarms, replay overwrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spcstream").toString
+    // in-control reference: 20 buckets of {9, 11} → center 10, pooled var 2
+    val ref = (0 until 20).flatMap(b => Seq(("k", b.toLong, 9.0), ("k", b.toLong, 11.0)))
+      .toDF("k", "b", "v")
+    val chart = streaming.SpcStream.buildChart(ref, Seq("k"), col("b"), "v")
+    val mem = MemoryStream[(String, Double)]
+    val q = streaming.SpcStream.toSpcSink(mem.toDF().toDF("k", "v"), "v",
+      chart, s"$tmp/mon", s"$tmp/ck").start()
+    mem.addData(("k", 9.0), ("k", 11.0), ("k", 9.0), ("k", 11.0))
+    q.processAllAvailable()
+    mem.addData(("k", 14.0), ("k", 14.0), ("k", 14.0), ("k", 14.0))
+    q.processAllAvailable(); q.stop()
+    val mon = spark.read.parquet(s"$tmp/mon")
+      .collect().map(r => r.getAs[Long]("batch_id") -> r).toMap
+    val b0 = mon(0L)
+    assert(b0.getAs[Double]("center") == 10.0 &&
+      b0.getAs[Long]("out_of_control") == 0L &&
+      b0.getAs[Long]("side") == 0L, s"$b0")
+    // n = 4, pooled var 2 → limits 10 ± 3·sqrt(2/4)
+    val r6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    assert(b0.getAs[Double]("ucl") == r6(10.0 + 3.0 * math.sqrt(0.5)), s"$b0")
+    val b1 = mon(1L)
+    assert(b1.getAs[Double]("xbar") == 14.0 &&
+      b1.getAs[Long]("out_of_control") == 1L &&
+      b1.getAs[Long]("side") == 1L, s"shifted batch must alarm: $b1")
+    // a THIN batch widens its own limits: n = 1 vs n = 4
+    streaming.SpcStream.spcBatch(chart, Seq(("k", 10.5)).toDF("k", "v"),
+      2L, "v", s"$tmp/mon")
+    val b2 = spark.read.parquet(s"$tmp/mon/batch=2").collect().head
+    assert(b2.getAs[Double]("ucl") == r6(10.0 + 3.0 * math.sqrt(2.0)) &&
+      b2.getAs[Long]("out_of_control") == 0L, s"$b2")
+    // at-least-once replay overwrites byte-identically
+    val before = spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq
+    streaming.SpcStream.spcBatch(chart,
+      Seq.fill(4)(("k", 14.0)).toDF("k", "v"), 1L, "v", s"$tmp/mon")
+    assert(spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq == before)
+  }
 }
