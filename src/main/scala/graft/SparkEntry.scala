@@ -2432,6 +2432,35 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q267_neyman" -> ((s, dir) =>
+      // how to spend a 1000-row sampling budget: n_h ∝ N_h·σ_h, the
+      // variance-minimizing split; largest-remainder integerization
+      etl.Aggregates.neymanAllocation(Tables.events(s, dir),
+          Seq("event_type"), "value", totalN = 1000L)
+        .orderBy(col("event_type"))),
+
+    "q268_smd_balance" -> ((s, dir) => {
+      // are the two arms comparable BEFORE any claim: standardized
+      // mean differences over per-user covariates, one moments pass
+      val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("double").as("n_events"),
+          avg(col("value")).as("avg_value"),
+          countDistinct(col("event_type")).cast("double").as("n_types"),
+          countDistinct(to_date(col("ts"))).cast("double")
+            .as("active_days"))
+      etl.Aggregates.smdBalance(perUser, isA = col("user_id") % 2 === 0,
+          metricCols = Seq("n_events", "avg_value", "n_types",
+            "active_days"))
+        .orderBy(col("covariate"))
+    }),
+
+    "q269_blocking_eval" -> ((s, dir) =>
+      // audit the candidate-generation stage itself: prefix blocking
+      // vs exact-Jaccard ground truth — RR/PC/PQ without enumerating
+      // a single candidate pair
+      dedup.BlockingEval.prefixBlockingReport(Tables.documents(s, dir),
+        "doc_id", "text", prefixLen = 40, n = 3, minJaccard = 0.5)),
+
     "q264_forecast_band" -> ((s, dir) =>
       // the alerting layer on q159's screen: same-hour-yesterday
       // forecast with a distribution-free 95% band, flags on rounded
@@ -7536,6 +7565,165 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q267_neyman" ->
+      // same mass/remainder staging; remainders rounded BEFORE ranking
+      """WITH c AS (SELECT event_type, count(*) AS n_rows,
+        |    coalesce(sqrt(var_samp(value)), 0.0) AS sd
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |s AS (SELECT event_type, n_rows, sd,
+        |    CAST(n_rows AS DOUBLE) * sd AS mass FROM c),
+        |t AS (SELECT event_type, n_rows, sd, mass,
+        |    sum(mass) OVER () AS tot FROM s),
+        |r AS (SELECT event_type, n_rows, sd,
+        |    CASE WHEN tot > 0 THEN 1000.0 * mass / tot
+        |      ELSE 0.0 END AS raw
+        |  FROM t),
+        |b AS (SELECT event_type, n_rows, sd, raw,
+        |    CAST(floor(raw) AS BIGINT) AS base,
+        |    roundStable(raw - floor(raw), 6) AS remr FROM r),
+        |w AS (SELECT event_type, n_rows, sd, raw, base,
+        |    1000 - sum(base) OVER () AS leftv,
+        |    row_number() OVER (ORDER BY remr DESC, event_type) AS rk
+        |  FROM b),
+        |f AS (SELECT event_type, n_rows, sd, raw,
+        |    least(n_rows, base + CASE WHEN rk <= leftv THEN 1 ELSE 0
+        |      END) AS alloc
+        |  FROM w)
+        |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+        |  roundStable(sd, 6) AS sd, roundStable(raw, 6) AS alloc_raw,
+        |  CAST(alloc AS BIGINT) AS alloc_n,
+        |  roundStable(CAST(alloc AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS sampling_frac
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q268_smd_balance" ->
+      // same per-user covariates, same conditional moments, unpivoted
+      """WITH p AS (SELECT user_id,
+        |    CAST(count(*) AS DOUBLE) AS n_events,
+        |    avg(value) AS avg_value,
+        |    CAST(count(DISTINCT event_type) AS DOUBLE) AS n_types,
+        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+        |      AS active_days
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT
+        |    avg(CASE WHEN user_id % 2 = 0 THEN n_events END) AS ma1,
+        |    avg(CASE WHEN user_id % 2 <> 0 THEN n_events END) AS mb1,
+        |    var_samp(CASE WHEN user_id % 2 = 0 THEN n_events END) AS va1,
+        |    var_samp(CASE WHEN user_id % 2 <> 0 THEN n_events END) AS vb1,
+        |    count(CASE WHEN user_id % 2 = 0 THEN n_events END) AS na1,
+        |    count(CASE WHEN user_id % 2 <> 0 THEN n_events END) AS nb1,
+        |    avg(CASE WHEN user_id % 2 = 0 THEN avg_value END) AS ma2,
+        |    avg(CASE WHEN user_id % 2 <> 0 THEN avg_value END) AS mb2,
+        |    var_samp(CASE WHEN user_id % 2 = 0 THEN avg_value END) AS va2,
+        |    var_samp(CASE WHEN user_id % 2 <> 0 THEN avg_value END) AS vb2,
+        |    count(CASE WHEN user_id % 2 = 0 THEN avg_value END) AS na2,
+        |    count(CASE WHEN user_id % 2 <> 0 THEN avg_value END) AS nb2,
+        |    avg(CASE WHEN user_id % 2 = 0 THEN n_types END) AS ma3,
+        |    avg(CASE WHEN user_id % 2 <> 0 THEN n_types END) AS mb3,
+        |    var_samp(CASE WHEN user_id % 2 = 0 THEN n_types END) AS va3,
+        |    var_samp(CASE WHEN user_id % 2 <> 0 THEN n_types END) AS vb3,
+        |    count(CASE WHEN user_id % 2 = 0 THEN n_types END) AS na3,
+        |    count(CASE WHEN user_id % 2 <> 0 THEN n_types END) AS nb3,
+        |    avg(CASE WHEN user_id % 2 = 0 THEN active_days END) AS ma4,
+        |    avg(CASE WHEN user_id % 2 <> 0 THEN active_days END) AS mb4,
+        |    var_samp(CASE WHEN user_id % 2 = 0 THEN active_days END)
+        |      AS va4,
+        |    var_samp(CASE WHEN user_id % 2 <> 0 THEN active_days END)
+        |      AS vb4,
+        |    count(CASE WHEN user_id % 2 = 0 THEN active_days END) AS na4,
+        |    count(CASE WHEN user_id % 2 <> 0 THEN active_days END) AS nb4
+        |  FROM p)
+        |SELECT covariate, n_a, n_b, mean_a, mean_b, smd, imbalanced
+        |FROM (
+        |  SELECT 'n_events' AS covariate, na1 AS n_a, nb1 AS n_b,
+        |    roundStable(ma1, 6) AS mean_a, roundStable(mb1, 6) AS mean_b,
+        |    roundStable(CASE WHEN (va1 + vb1) / 2.0 > 0
+        |      THEN (ma1 - mb1) / sqrt((va1 + vb1) / 2.0) END, 6) AS smd,
+        |    CAST(CASE WHEN (va1 + vb1) / 2.0 > 0 THEN
+        |      CASE WHEN abs(roundStable((ma1 - mb1)
+        |        / sqrt((va1 + vb1) / 2.0), 6)) > 0.1
+        |      THEN 1 ELSE 0 END END AS BIGINT) AS imbalanced
+        |  FROM g
+        |  UNION ALL
+        |  SELECT 'avg_value', na2, nb2, roundStable(ma2, 6),
+        |    roundStable(mb2, 6),
+        |    roundStable(CASE WHEN (va2 + vb2) / 2.0 > 0
+        |      THEN (ma2 - mb2) / sqrt((va2 + vb2) / 2.0) END, 6),
+        |    CAST(CASE WHEN (va2 + vb2) / 2.0 > 0 THEN
+        |      CASE WHEN abs(roundStable((ma2 - mb2)
+        |        / sqrt((va2 + vb2) / 2.0), 6)) > 0.1
+        |      THEN 1 ELSE 0 END END AS BIGINT)
+        |  FROM g
+        |  UNION ALL
+        |  SELECT 'n_types', na3, nb3, roundStable(ma3, 6),
+        |    roundStable(mb3, 6),
+        |    roundStable(CASE WHEN (va3 + vb3) / 2.0 > 0
+        |      THEN (ma3 - mb3) / sqrt((va3 + vb3) / 2.0) END, 6),
+        |    CAST(CASE WHEN (va3 + vb3) / 2.0 > 0 THEN
+        |      CASE WHEN abs(roundStable((ma3 - mb3)
+        |        / sqrt((va3 + vb3) / 2.0), 6)) > 0.1
+        |      THEN 1 ELSE 0 END END AS BIGINT)
+        |  FROM g
+        |  UNION ALL
+        |  SELECT 'active_days', na4, nb4, roundStable(ma4, 6),
+        |    roundStable(mb4, 6),
+        |    roundStable(CASE WHEN (va4 + vb4) / 2.0 > 0
+        |      THEN (ma4 - mb4) / sqrt((va4 + vb4) / 2.0) END, 6),
+        |    CAST(CASE WHEN (va4 + vb4) / 2.0 > 0 THEN
+        |      CASE WHEN abs(roundStable((ma4 - mb4)
+        |        / sqrt((va4 + vb4) / 2.0), 6)) > 0.1
+        |      THEN 1 ELSE 0 END END AS BIGINT)
+        |  FROM g) u
+        |ORDER BY covariate""".stripMargin,
+
+    "q269_blocking_eval" ->
+      // block sizes give |candidates| without enumerating any pair;
+      // the q34 exact-Jaccard CTE is the ground truth
+      """WITH k AS (SELECT doc_id AS id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      1, 40) AS kk
+        |  FROM documents),
+        |bl AS (SELECT kk, count(*) AS nb FROM k GROUP BY 1),
+        |bs AS (SELECT count(*) AS n_blocks, max(nb) AS max_block,
+        |    sum(CAST(CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)
+        |      / 2.0 AS BIGINT)) AS cand_pairs,
+        |    sum(nb) AS n_docs
+        |  FROM bl),
+        |s AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh
+        |  FROM sh),
+        |tp AS (SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(count(*) AS DOUBLE)
+        |        / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) t WHERE j >= 0.5),
+        |cv AS (SELECT count(*) AS true_pairs,
+        |    sum(CASE WHEN ka.kk = kb.kk THEN 1 ELSE 0 END)
+        |      AS covered_pairs
+        |  FROM tp JOIN k ka ON ka.id = tp.doc_a
+        |    JOIN k kb ON kb.id = tp.doc_b)
+        |SELECT CAST(bs.n_docs AS BIGINT) AS n_docs, bs.n_blocks,
+        |  bs.max_block, bs.cand_pairs, cv.true_pairs, cv.covered_pairs,
+        |  roundStable(CASE WHEN CAST(bs.n_docs AS DOUBLE)
+        |      * (CAST(bs.n_docs AS DOUBLE) - 1.0) / 2.0 > 0
+        |    THEN 1.0 - CAST(bs.cand_pairs AS DOUBLE)
+        |      / (CAST(bs.n_docs AS DOUBLE)
+        |        * (CAST(bs.n_docs AS DOUBLE) - 1.0) / 2.0) END, 6)
+        |    AS reduction_ratio,
+        |  roundStable(CASE WHEN cv.true_pairs > 0
+        |    THEN CAST(cv.covered_pairs AS DOUBLE)
+        |      / CAST(cv.true_pairs AS DOUBLE) END, 6)
+        |    AS pair_completeness,
+        |  roundStable(CASE WHEN bs.cand_pairs > 0
+        |    THEN CAST(cv.covered_pairs AS DOUBLE)
+        |      / CAST(bs.cand_pairs AS DOUBLE) END, 6) AS pair_quality
+        |FROM bs, cv""".stripMargin,
 
     "q264_forecast_band" ->
       // exact-hour self-join, per-key exact quantile of |residual|,

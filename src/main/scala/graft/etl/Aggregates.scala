@@ -2362,6 +2362,100 @@ object Aggregates {
         roundStable(when(ok, r + lit(1.96) * se), digits).as("ci_hi"))
   }
 
+  /** Neyman-optimal sampling allocation across strata (Neyman 1934) —
+    * HOW MANY rows to sample per stratum for a fixed total budget:
+    * `n_h ∝ N_h·σ_h`, which minimizes the variance of the stratified
+    * mean (proportional allocation oversamples big quiet strata and
+    * starves small noisy ones — at 100 TB the difference is the whole
+    * point of stratifying). Integerization by largest remainder with
+    * the remainders 6dp-ROUNDED before ranking (tiebreak stratum
+    * order) so both engines hand out the leftover units identically;
+    * allocations cap at the stratum's population. Zero-variance or
+    * single-row strata get weight 0 — there is nothing to learn from
+    * a second row of a constant stratum (documented; their budget
+    * flows to the others). One moments agg + windows over the
+    * O(#strata) rows.
+    */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+                       valueCol: String, totalN: Long,
+                       digits: Int = 6): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(totalN > 0, s"need totalN > 0, got $totalN")
+    val keyCols = strataCols.map(col)
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sqrt(var_samp(col(valueCol))), lit(0.0)).as("__sd"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("__remr").desc +: keyCols.map(_.asc): _*)
+    val mass = col("n_rows").cast("double") * col("__sd")
+    val staged = cells
+      .withColumn("__mass", mass)
+      .withColumn("__tot", sum(col("__mass")).over(wAll))
+      .withColumn("__raw", when(col("__tot") > 0,
+        lit(totalN.toDouble) * col("__mass") / col("__tot"))
+        .otherwise(lit(0.0)))
+      .withColumn("__base", floor(col("__raw")).cast("long"))
+      .withColumn("__remr", roundStable(col("__raw") - col("__base"), digits))
+      .withColumn("__left",
+        lit(totalN) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("alloc_n",
+        least(col("n_rows"),
+          col("__base") + when(col("__rk") <= col("__left"), 1L)
+            .otherwise(0L)))
+    staged.select(keyCols ++ Seq(col("n_rows"),
+      roundStable(col("__sd"), digits).as("sd"),
+      roundStable(col("__raw"), digits).as("alloc_raw"),
+      col("alloc_n"),
+      roundStable(col("alloc_n").cast("double") /
+        col("n_rows").cast("double"), digits).as("sampling_frac")): _*)
+  }
+
+  /** Standardized-mean-difference balance table (Austin 2009) — the
+    * covariate-balance audit before any observational A-vs-B claim:
+    * per covariate, `SMD = (x̄_A − x̄_B) / √((s²_A + s²_B)/2)` — the
+    * scale-free imbalance measure (a t-test conflates imbalance with
+    * sample size; SMD does not), with the conventional |SMD| > 0.1
+    * flag compared on 6dp-ROUNDED values. All covariates ride ONE
+    * conditional-moments aggregation; the per-covariate rows unpivot
+    * from that single aggregated row — the scan count does not grow
+    * with the covariate list. Degenerate pooled variance emits NULL
+    * SMD with both means visible.
+    */
+  def smdBalance(df: DataFrame, isA: Column, metricCols: Seq[String],
+                 digits: Int = 6): DataFrame = {
+    require(metricCols.nonEmpty, "need at least one covariate")
+    val aggs = metricCols.flatMap { m =>
+      val x = col(m).cast("double")
+      Seq(
+        avg(when(isA, x)).as(s"__ma_$m"),
+        avg(when(!isA, x)).as(s"__mb_$m"),
+        var_samp(when(isA, x)).as(s"__va_$m"),
+        var_samp(when(!isA, x)).as(s"__vb_$m"),
+        count(when(isA, x)).as(s"__na_$m"),
+        count(when(!isA, x)).as(s"__nb_$m"))
+    }
+    // ONE scan: the single aggregated row is pinned so the per-covariate
+    // unpivot selects below do not each re-run the aggregation
+    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val perMetric = metricCols.map { m =>
+      val pooled = (col(s"__va_$m") + col(s"__vb_$m")) / lit(2.0)
+      val smd = (col(s"__ma_$m") - col(s"__mb_$m")) / sqrt(pooled)
+      val ok = pooled > 0
+      one.select(
+        lit(m).as("covariate"),
+        col(s"__na_$m").as("n_a"), col(s"__nb_$m").as("n_b"),
+        roundStable(col(s"__ma_$m"), digits).as("mean_a"),
+        roundStable(col(s"__mb_$m"), digits).as("mean_b"),
+        roundStable(when(ok, smd), digits).as("smd"),
+        when(ok, (abs(roundStable(smd, digits)) > lit(0.1)).cast("long"))
+          .as("imbalanced"))
+    }
+    perMetric.reduce(_ union _)
+  }
+
   /** Tukey-style post-hoc pairwise comparisons per key — WHICH groups
     * differ, the question [[anovaF]]'s single F deliberately does not
     * answer: for every level pair, the mean difference and the

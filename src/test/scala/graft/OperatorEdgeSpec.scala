@@ -4343,6 +4343,57 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(c2r.isNullAt(5), s"x = y exactly: singular design, NULL F: $c2r")
   }
 
+  test("neymanAllocation: mass-proportional split, largest remainder, population cap") {
+    val a = Seq(0.0, 2.0, 0.0, 2.0).map(("A", _))
+    val b = Seq(5.0, 5.0, 5.0, 5.0).map(("B", _))
+    val c = Seq(0.0, 4.0).map(("C", _))
+    val out = etl.Aggregates.neymanAllocation((a ++ b ++ c).toDF("k", "v"),
+        Seq("k"), "v", totalN = 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // masses: A = 4·1.1547, B = 0, C = 2·2.8284; raws 4.494 / 0 / 5.506
+    assert(out("A").getLong(4) == 4L, s"${out("A")}")
+    assert(out("B").getLong(4) == 0L,
+      s"zero variance: nothing to learn from more rows: ${out("B")}")
+    assert(out("C").getLong(4) == 2L,
+      s"remainder unit goes to C but caps at its population 2: ${out("C")}")
+    assert(out("C").getDouble(5) == 1.0, s"${out("C")}")
+  }
+
+  test("smdBalance: hand SMD flags imbalance; constant covariate NULL") {
+    val rows = Seq((0L, 1.0, 5.0), (0L, 3.0, 5.0),
+      (1L, 5.0, 5.0), (1L, 7.0, 5.0))
+    val out = etl.Aggregates.smdBalance(rows.toDF("arm", "m1", "m2"),
+        isA = col("arm") === 0L, metricCols = Seq("m1", "m2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m1 = out("m1")
+    assert(m1.getDouble(3) == 2.0 && m1.getDouble(4) == 6.0, s"$m1")
+    assert(math.abs(m1.getDouble(5) - (-4.0 / math.sqrt(2.0))) < 1e-6 &&
+      m1.getLong(6) == 1L, s"$m1")
+    assert(out("m2").isNullAt(5) && out("m2").getDouble(3) == 5.0,
+      s"constant covariate: NULL SMD, means visible: ${out("m2")}")
+  }
+
+  test("blockingEval: RR from block sizes, PC misses the cross-prefix near-dup") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),                    // exact dup of 1
+      (3L, "alpha beta gamma different tail here now"),  // shares prefix, not a near-dup
+      (4L, "zzz totally other text words entirely"),
+      (5L, "one two three four five six seven"),
+      (6L, "zz one two three four five six seven")       // near-dup of 5, DIFFERENT prefix
+    ).toDF("doc_id", "text")
+    val r = dedup.BlockingEval.prefixBlockingReport(docs, "doc_id", "text",
+      prefixLen = 5, n = 3, minJaccard = 0.5).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 4L &&
+      r.getLong(2) == 3L, s"$r")
+    assert(r.getLong(3) == 3L, s"one block of 3 → C(3,2) candidates: $r")
+    assert(r.getLong(4) == 2L && r.getLong(5) == 1L,
+      s"truth = (1,2) and (5,6); only (1,2) shares a block: $r")
+    assert(r.getDouble(6) == 0.8, s"RR = 1 - 3/15: $r")
+    assert(r.getDouble(7) == 0.5, s"PC misses the cross-prefix pair: $r")
+    assert(math.abs(r.getDouble(8) - 1.0 / 3) < 1e-6, s"PQ = 1/3: $r")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
