@@ -2432,6 +2432,56 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q270_readability" -> ((s, dir) =>
+      // the structural readability screen: Flesch ease + FK grade
+      // from pure regexp counts — run-on machine text scores low,
+      // listy fragments score absurdly high; both are quality flags
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          text.TextStats.wsTokenCount(col("text")).as("n_words"),
+          text.TextStats.sentenceCount(col("text")).as("n_sentences"),
+          text.TextStats.syllableCount(col("text")).as("n_syllables"),
+          roundStable(text.TextStats.fleschEase(col("text")), 6)
+            .as("flesch"),
+          roundStable(text.TextStats.fkGrade(col("text")), 6)
+            .as("fk_grade"))
+        .orderBy(col("doc_id"))),
+
+    "q271_log_odds" -> ((s, dir) =>
+      // WHICH words distinguish the English side of the corpus —
+      // Monroe's prior-shrunk log-odds z, comparable across the
+      // whole frequency spectrum (raw ratios explode on rare words)
+      text.Corpus.logOddsWords(Tables.documents(s, dir),
+          isA = col("lang") === "en", textCol = "text")
+        .orderBy(col("word"))),
+
+    "q272_conversion_latency" -> ((s, dir) => {
+      // how LONG view→purchase takes, not just whether: exact
+      // latency percentiles per cohort + the conversion rate
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("tv"))
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("tp"))
+      v.join(p, Seq("user_id"), "left")
+        .select((col("user_id") % 3).as("cohort"),
+          ((col("tp") - unix_micros(col("tv"))).cast("double") /
+            lit(1000000.0)).as("lat"),
+          col("tp").isNotNull.as("conv"))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_viewed"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"),
+          roundStable(sum(when(col("conv"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("conv_rate"),
+          roundStable(expr("percentile(lat, 0.5)"), 6).as("median_s"),
+          roundStable(expr("percentile(lat, 0.9)"), 6).as("p90_s"),
+          roundStable(avg(col("lat")), 6).as("mean_s"))
+        .orderBy(col("cohort"))
+    }),
+
     "q267_neyman" -> ((s, dir) =>
       // how to spend a 1000-row sampling budget: n_h ∝ N_h·σ_h, the
       // variance-minimizing split; largest-remainder integerization
@@ -7565,6 +7615,73 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q270_readability" ->
+      // same regexp counts: sentence RUNS, vowel-group syllables
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS w,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS DOUBLE) AS s,
+        |    CAST(greatest(1, len(regexp_extract_all(lower(text),
+        |      '[aeiouy]+'))) AS DOUBLE) AS sy
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences,
+        |  CAST(sy AS BIGINT) AS n_syllables,
+        |  roundStable(206.835 - 1.015 * (w / s) - 84.6 * (sy / w), 6)
+        |    AS flesch,
+        |  roundStable(0.39 * (w / s) + 11.8 * (sy / w) - 15.59, 6)
+        |    AS fk_grade
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q271_log_odds" ->
+      // same conditional counts, same prior-shrunk delta/sigma
+      """WITH t AS (SELECT (lang = 'en') AS a,
+        |    unnest(str_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT word,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS y_a,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS y_b
+        |  FROM t WHERE word <> '' GROUP BY 1),
+        |w AS (SELECT word, y_a, y_b,
+        |    CAST(sum(y_a) OVER () AS DOUBLE) AS na,
+        |    CAST(sum(y_b) OVER () AS DOUBLE) AS nb
+        |  FROM c),
+        |x AS (SELECT word, y_a, y_b, na, nb,
+        |    CAST(y_a AS DOUBLE) AS ya, CAST(y_b AS DOUBLE) AS yb,
+        |    500.0 * (CAST(y_a AS DOUBLE) + CAST(y_b AS DOUBLE))
+        |      / (na + nb) AS aw
+        |  FROM w WHERE y_a + y_b >= 20),
+        |z AS (SELECT word, y_a, y_b,
+        |    ln((ya + aw) / (na + 500.0 - ya - aw))
+        |      - ln((yb + aw) / (nb + 500.0 - yb - aw)) AS delta,
+        |    sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)) AS sigma
+        |  FROM x)
+        |SELECT word, CAST(y_a AS BIGINT) AS y_a,
+        |  CAST(y_b AS BIGINT) AS y_b,
+        |  roundStable(delta, 6) AS log_odds,
+        |  roundStable(delta / sigma, 6) AS z
+        |FROM z ORDER BY word""".stripMargin,
+
+    "q272_conversion_latency" ->
+      // same two-stage staging, exact latency percentiles in seconds
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.tv GROUP BY 1),
+        |l AS (SELECT v.user_id % 3 AS cohort,
+        |    CAST(p.tp - epoch_us(v.tv) AS DOUBLE) / 1000000.0 AS lat,
+        |    (p.user_id IS NOT NULL) AS conv
+        |  FROM v LEFT JOIN p ON p.user_id = v.user_id)
+        |SELECT cohort, count(*) AS n_viewed,
+        |  CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  roundStable(CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conv_rate,
+        |  roundStable(quantile_cont(lat, 0.5), 6) AS median_s,
+        |  roundStable(quantile_cont(lat, 0.9), 6) AS p90_s,
+        |  roundStable(avg(lat), 6) AS mean_s
+        |FROM l GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "q267_neyman" ->
       // same mass/remainder staging; remainders rounded BEFORE ranking

@@ -1074,4 +1074,48 @@ object Corpus {
     bg.unpersist()
     out
   }
+
+  /** "Fightin' words" log-odds with an informative Dirichlet prior
+    * (Monroe, Colaresi & Quinn 2008) — WHICH words distinguish corpus
+    * side A from side B, done right: raw frequency ratios explode on
+    * rare words and PMI on common ones; the posterior log-odds-ratio
+    * z-score `δ_w / √(1/(y_aw+α_w) + 1/(y_bw+α_w))` with the prior
+    * `α_w = α₀·p_w` (overall corpus frequency) shrinks both ends and
+    * makes words COMPARABLE across the frequency spectrum — the
+    * principled "distinctive vocabulary" readout for corpus-mix and
+    * source-attribution audits (the lexical companion of C28's domain
+    * mixing). One token explode + one (word) agg with conditional
+    * sums; totals ride a window over the O(vocab) word rows. Words
+    * under `minCount` total occurrences are dropped (their z is prior
+    * noise by construction).
+    */
+  def logOddsWords(df: DataFrame, isA: Column, textCol: String,
+                   alpha0: Double = 500.0, minCount: Long = 20L,
+                   digits: Int = 6): DataFrame = {
+    val toks = df
+      .select(isA.as("__a"), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val counts = toks.groupBy(col("word"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("y_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("y_b"))
+    val wAll = Window.partitionBy(lit(1))
+    val na = sum(col("y_a")).over(wAll).cast("double")
+    val nb = sum(col("y_b")).over(wAll).cast("double")
+    val ya = col("y_a").cast("double")
+    val yb = col("y_b").cast("double")
+    val aw = lit(alpha0) * (ya + yb) / (col("__na") + col("__nb"))
+    val delta = log((ya + col("__aw")) /
+        (col("__na") + lit(alpha0) - ya - col("__aw"))) -
+      log((yb + col("__aw")) /
+        (col("__nb") + lit(alpha0) - yb - col("__aw")))
+    val sigma = sqrt(lit(1.0) / (ya + col("__aw")) +
+      lit(1.0) / (yb + col("__aw")))
+    counts
+      .withColumn("__na", na).withColumn("__nb", nb)
+      .withColumn("__aw", aw)
+      .filter(col("y_a") + col("y_b") >= minCount)
+      .select(col("word"), col("y_a"), col("y_b"),
+        roundStable(delta, digits).as("log_odds"),
+        roundStable(delta / sigma, digits).as("z"))
+  }
 }

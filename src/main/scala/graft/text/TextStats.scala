@@ -47,6 +47,38 @@ object TextStats {
       lit(0.3) * (lit(1.0) - punctRatio(text)) +
       lit(0.2) * stopwordRatio(text, stops)
 
+  /** Sentence count by terminal-punctuation RUNS (`[.!?]+` counts "?!"
+    * once), floored at 1 so fragments still divide.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1L), regexp_count(text, lit("[.!?]+")).cast("long"))
+
+  /** Syllable estimate by vowel-group counting — the standard cheap
+    * approximation (each `[aeiouy]+` run ≈ one syllable); floored at 1.
+    */
+  def syllableCount(text: Column): Column =
+    greatest(lit(1L), regexp_count(lower(text), lit("[aeiouy]+")).cast("long"))
+
+  /** Flesch reading ease: `206.835 − 1.015·(W/S) − 84.6·(Syl/W)` —
+    * the fast structural readability screen (quality gates route on
+    * it: very low scores flag run-on machine text, very high ones
+    * flag listy fragments). Pure regexp counts, codegen'd.
+    */
+  def fleschEase(text: Column): Column = {
+    val w = wsTokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w)
+  }
+
+  /** Flesch–Kincaid grade level: `0.39·(W/S) + 11.8·(Syl/W) − 15.59`. */
+  def fkGrade(text: Column): Column = {
+    val w = wsTokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59)
+  }
+
   /** Marker-word language ID: count stopword hits per candidate language,
     * argmax with a fixed preference order (en > es > zh on ties).
     */

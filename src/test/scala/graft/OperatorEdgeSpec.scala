@@ -4394,6 +4394,49 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(8) - 1.0 / 3) < 1e-6, s"PQ = 1/3: $r")
   }
 
+  test("readability: hand Flesch/FK from run-counted sentences and vowel groups") {
+    val df = Seq((1L, "The cat sat. It ran!"), (2L, "no punctuation here"))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        text.TextStats.wsTokenCount(col("t")).as("w"),
+        text.TextStats.sentenceCount(col("t")).as("s"),
+        text.TextStats.syllableCount(col("t")).as("sy"),
+        text.TextStats.fleschEase(col("t")).as("f"),
+        text.TextStats.fkGrade(col("t")).as("g"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    assert(a.getLong(1) == 5L && a.getLong(2) == 2L && a.getLong(3) == 5L,
+      s"'.' and '!' are two sentence runs; 5 vowel groups: $a")
+    assert(math.abs(a.getDouble(4) -
+      (206.835 - 1.015 * 2.5 - 84.6 * 1.0)) < 1e-9, s"$a")
+    assert(math.abs(a.getDouble(5) -
+      (0.39 * 2.5 + 11.8 * 1.0 - 15.59)) < 1e-9, s"$a")
+    assert(out(2L).getLong(2) == 1L, "fragment floors at one sentence")
+  }
+
+  test("logOddsWords: symmetric z, shared word zero, replay of the shrunk formula") {
+    val df = Seq((true, "x x common"), (false, "y y common"))
+      .toDF("a", "t")
+    val out = text.Corpus.logOddsWords(df, isA = col("a"), textCol = "t",
+        alpha0 = 2.0, minCount = 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (na, nb) = (3.0, 3.0)
+    def rep(ya: Double, yb: Double) = {
+      val aw = 2.0 * (ya + yb) / (na + nb)
+      val d = math.log((ya + aw) / (na + 2.0 - ya - aw)) -
+        math.log((yb + aw) / (nb + 2.0 - yb - aw))
+      (d, d / math.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)))
+    }
+    val x = out("x")
+    assert(math.abs(x.getDouble(3) - rep(2, 0)._1) < 1e-6 &&
+      math.abs(x.getDouble(4) - rep(2, 0)._2) < 1e-6, s"$x")
+    assert(x.getDouble(4) > 0 && out("y").getDouble(4) < 0, "signs")
+    assert(math.abs(x.getDouble(4) + out("y").getDouble(4)) < 1e-9,
+      "mirror-image corpus: z antisymmetric")
+    assert(out("common").getDouble(4) == 0.0,
+      s"equally-used word: exactly zero: ${out("common")}")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
