@@ -2432,6 +2432,35 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q273_binseg" -> ((s, dir) => {
+      // WHERE the hourly series changes, up to 3 changepoints — the
+      // multi-CP upgrade of q181's single Pettitt; all ordered sums
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+        .agg(avg(col("value")).as("hv"))
+      etl.Drift.binseg(hourly, Seq("event_type"), orderCol = col("hb"),
+          tieCol = col("hb"), valueCol = "hv", minSeg = 48)
+        .orderBy(col("event_type"), col("segment"), col("split_i"))
+    }),
+
+    "q274_retention_halflife" -> ((s, dir) =>
+      // "this cohort loses half its actives every H weeks" — the
+      // decay-rate summary of q49's triangle, with r² honesty
+      etl.Aggregates.retentionHalfLife(Tables.events(s, dir),
+          tsCol = col("ts"), entityCol = col("user_id"))
+        .orderBy(col("cohort"))),
+
+    "q275_peaks" -> ((s, dir) => {
+      // the incident finder: local maxima of the hourly series that
+      // are also robustly high (median + 2.5·1.4826·MAD)
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+        .agg(avg(col("value")).as("hv"))
+      etl.Drift.peaks(hourly, Seq("event_type"), orderCol = col("hb"),
+          tieCol = col("hb"), valueCol = "hv", k = 2.5)
+        .orderBy(col("event_type"), col("o"))
+    }),
+
     "q270_readability" -> ((s, dir) =>
       // the structural readability screen: Flesch ease + FK grade
       // from pure regexp counts — run-on machine text scores low,
@@ -7615,6 +7644,125 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q273_binseg" -> {
+      // both levels replayed: ordered prefix sums (bit-deterministic),
+      // totals from the LAST cumulative row, argmin on rounded cost
+      def levelSql(src: String, part: String, segExpr: String) =
+        s"""${src}a1 AS (SELECT *,
+           |    row_number() OVER (PARTITION BY $part ORDER BY i) AS j,
+           |    sum(x) OVER (PARTITION BY $part ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sx,
+           |    sum(x * x) OVER (PARTITION BY $part ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sxx
+           |  FROM ${src}r),
+           |${src}a2 AS (SELECT *,
+           |    count(*) OVER (PARTITION BY $part) AS n,
+           |    last_value(sx) OVER (PARTITION BY $part ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+           |      FOLLOWING) AS sxn,
+           |    last_value(sxx) OVER (PARTITION BY $part ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+           |      FOLLOWING) AS sxxn
+           |  FROM ${src}a1),
+           |${src}c1 AS (SELECT event_type, $segExpr AS segment, n, i, o, j,
+           |    roundStable((sxx - sx * sx / CAST(j AS DOUBLE))
+           |      + ((sxxn - sxx) - (sxn - sx) * (sxn - sx)
+           |        / (CAST(n AS DOUBLE) - CAST(j AS DOUBLE))), 6)
+           |      AS cost,
+           |    roundStable(sxxn - sxn * sxn / CAST(n AS DOUBLE), 6)
+           |      AS sset
+           |  FROM ${src}a2 WHERE j >= 48 AND j <= n - 48),
+           |${src}s1 AS (SELECT event_type, segment, n AS n_seg,
+           |    i AS split_i, o AS split_at,
+           |    roundStable(sset - cost, 6) AS gain,
+           |    row_number() OVER (PARTITION BY event_type, segment
+           |      ORDER BY cost ASC, j ASC) AS rn
+           |  FROM ${src}c1)""".stripMargin
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS o,
+         |    avg(value) AS x
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |lr AS (SELECT event_type, o, x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY o, o)
+         |      AS i
+         |  FROM h),
+         |${levelSql("l", "event_type", "'root'")},
+         |lpick AS (SELECT * FROM ls1 WHERE rn = 1),
+         |rr AS (SELECT lr.event_type, lr.o, lr.x, lr.i,
+         |    CASE WHEN lr.i <= p.split_i THEN 'L' ELSE 'R' END AS side
+         |  FROM lr JOIN (SELECT event_type, split_i FROM lpick) p
+         |    ON p.event_type = lr.event_type),
+         |${levelSql("r", "event_type, side", "side")},
+         |rpick AS (SELECT * FROM rs1 WHERE rn = 1)
+         |SELECT event_type, segment, CAST(n_seg AS BIGINT) AS n_seg,
+         |  CAST(split_i AS BIGINT) AS split_i, split_at, gain
+         |FROM (SELECT event_type, segment, n_seg, split_i, split_at,
+         |    gain FROM lpick
+         |  UNION ALL SELECT event_type, segment, n_seg, split_i,
+         |    split_at, gain FROM rpick) u
+         |ORDER BY event_type, segment, split_i""".stripMargin
+    },
+
+    "q274_retention_halflife" ->
+      // q49's staging, then the log-linear fit from moments
+      """WITH first AS (SELECT user_id, date_trunc('week', min(ts))
+        |    AS cohort FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |cnt AS (SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        |    CAST(date_diff('day', CAST(cohort AS DATE),
+        |      CAST(wk AS DATE)) // 7 AS BIGINT) AS off,
+        |    count(DISTINCT user_id) AS active
+        |  FROM act JOIN first USING (user_id) GROUP BY 1, 2),
+        |b AS (SELECT cohort, off, active,
+        |    max(CASE WHEN off = 0 THEN active END)
+        |      OVER (PARTITION BY cohort) AS base
+        |  FROM cnt),
+        |p AS (SELECT cohort,
+        |    ln(CAST(active AS DOUBLE) / CAST(base AS DOUBLE)) AS y,
+        |    CAST(off AS DOUBLE) AS t
+        |  FROM b WHERE off >= 1 AND base > 0 AND active > 0),
+        |g AS (SELECT cohort, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(t * t) - sum(t) * sum(t) / CAST(count(*) AS DOUBLE)
+        |      AS sxx,
+        |    sum(y * y) - sum(y) * sum(y) / CAST(count(*) AS DOUBLE)
+        |      AS syy,
+        |    sum(t * y) - sum(t) * sum(y) / CAST(count(*) AS DOUBLE)
+        |      AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT cohort, CAST(n AS BIGINT) AS n_weeks,
+        |  roundStable(CASE WHEN n > 1 AND sxx > 0 THEN sxy / sxx END,
+        |    6) AS slope,
+        |  roundStable(CASE WHEN n > 1 AND sxx > 0 AND syy > 0
+        |    THEN sxy * sxy / (sxx * syy) END, 6) AS r2,
+        |  roundStable(CASE WHEN n > 1 AND sxx > 0 AND sxy / sxx < 0
+        |    THEN -0.693147 / (sxy / sxx) END, 6) AS half_life_weeks
+        |FROM g ORDER BY cohort""".stripMargin,
+
+    "q275_peaks" ->
+      // same robust threshold, same plateau convention, rounded flags
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS o,
+        |    avg(value) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+        |  FROM h GROUP BY 1),
+        |d AS (SELECT h.event_type, o, v, med
+        |  FROM h JOIN m ON m.event_type = h.event_type),
+        |a AS (SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
+        |  FROM d GROUP BY 1),
+        |x AS (SELECT d.event_type, o, v, med, mad,
+        |    lag(v) OVER w AS pv, lead(v) OVER w AS nv
+        |  FROM d JOIN a ON a.event_type = d.event_type
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY o, o))
+        |SELECT event_type, o, roundStable(v, 6) AS value,
+        |  roundStable(med + 2.5 * CAST(1.4826 AS DOUBLE) * mad, 6)
+        |    AS threshold,
+        |  roundStable(v - med, 6) AS above_median
+        |FROM x
+        |WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v >= nv
+        |  AND roundStable(v, 6) > roundStable(med
+        |    + 2.5 * CAST(1.4826 AS DOUBLE) * mad, 6)
+        |ORDER BY event_type, o""".stripMargin,
 
     "q270_readability" ->
       // same regexp counts: sentence RUNS, vowel-group syllables

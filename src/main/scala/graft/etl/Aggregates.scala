@@ -2362,6 +2362,57 @@ object Aggregates {
         roundStable(when(ok, r + lit(1.96) * se), digits).as("ci_hi"))
   }
 
+  /** Cohort retention half-life per cohort — the DECAY-RATE summary
+    * of the A14/q49 retention triangle: fit `ln(retention) = α + β·
+    * week` by OLS over the observed offsets (log-linear = the
+    * exponential-decay model every retention curve is eyeballed
+    * against) and report `half_life = −ln2/β` — "this cohort loses
+    * half its actives every H weeks", the one number cohorts are
+    * compared by, plus r² so a badly non-exponential cohort is
+    * visible instead of silently mis-summarized. Same single-pass
+    * staging as q49 (one shuffle per user, one per cohort-offset);
+    * the fit is the A30 moments discipline over O(#cohorts × #weeks)
+    * rows; ln 2 pinned. Growing or flat cohorts (β ≥ 0) emit NULL
+    * half-life with the slope visible.
+    */
+  def retentionHalfLife(df: DataFrame, tsCol: Column, entityCol: Column,
+                        digits: Int = 6): DataFrame = {
+    val counts = df.groupBy(entityCol.as("__u"))
+      .agg(date_trunc("week", min(tsCol)).as("cohort"),
+        collect_set(date_trunc("week", tsCol)).as("__wks"))
+      .select(col("cohort"), explode(col("__wks")).as("__wk"))
+      .groupBy(col("cohort"),
+        floor(datediff(to_date(col("__wk")), to_date(col("cohort"))) / 7)
+          .cast("long").as("__off"))
+      .agg(count(lit(1)).as("__active"))
+    val wC = Window.partitionBy(col("cohort"))
+    val pts = counts
+      .withColumn("__base",
+        max(when(col("__off") === 0L, col("__active"))).over(wC))
+      .filter(col("__off") >= 1L && col("__base") > 0 &&
+        col("__active") > 0)
+      .withColumn("__y", log(col("__active").cast("double") /
+        col("__base").cast("double")))
+      .withColumn("__t", col("__off").cast("double"))
+    val n = count(lit(1)).cast("double")
+    val sxx = sum(col("__t") * col("__t")) -
+      sum(col("__t")) * sum(col("__t")) / n
+    val syy = sum(col("__y") * col("__y")) -
+      sum(col("__y")) * sum(col("__y")) / n
+    val sxy = sum(col("__t") * col("__y")) -
+      sum(col("__t")) * sum(col("__y")) / n
+    val slope = sxy / sxx
+    val ok = n > 1 && sxx > 0
+    pts.groupBy(col("cohort"))
+      .agg(
+        n.cast("long").as("n_weeks"),
+        roundStable(when(ok, slope), digits).as("slope"),
+        roundStable(when(ok && syy > 0, sxy * sxy / (sxx * syy)),
+          digits).as("r2"),
+        roundStable(when(ok && slope < 0, -lit(0.693147) / slope),
+          digits).as("half_life_weeks"))
+  }
+
   /** Neyman-optimal sampling allocation across strata (Neyman 1934) —
     * HOW MANY rows to sample per stratum for a fixed total budget:
     * `n_h ∝ N_h·σ_h`, which minimizes the variance of the stratified

@@ -751,6 +751,113 @@ object Drift {
         count(lit(1)).as("n_cells"))
   }
 
+  /** Binary-segmentation changepoint detection, depth 2 (Scott &
+    * Knott 1974 lineage; the mean-shift cost) — WHERE does the series
+    * change, up to three changepoints: find the split minimizing
+    * `SSE_left + SSE_right`, then split each half again. The
+    * multi-changepoint upgrade of [[pettitt]] (one CP) — a series
+    * that steps up then back down defeats any single-CP test. Each
+    * level is pure windows over the ordered series: per-segment
+    * ORDERED prefix sums give every candidate's two-sided SSE in
+    * closed form (`SSE(l..r) = Σx² − (Σx)²/n`), the argmin ranks on
+    * the 6dp-ROUNDED cost with a position tiebreak, and segment
+    * totals are read from the LAST cumulative row — ordered sums are
+    * bit-deterministic cross-engine where an unordered partition
+    * total is not. Segments shorter than `2·minSeg` emit no split;
+    * `gain` (SSE reduction, rounded) is the caller's significance
+    * knob. Output: one row per accepted split with its segment label
+    * (root / L / R), global split position, order value, and gain.
+    */
+  def binseg(df: DataFrame, keys: Seq[String], orderCol: Column,
+             tieCol: Column, valueCol: String, minSeg: Int = 5,
+             digits: Int = 6): DataFrame = {
+    require(minSeg >= 2, s"need minSeg >= 2, got $minSeg")
+    val keyCols = keys.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("i", row_number().over(wOrd))
+      .select(keyCols :+ orderCol.as("o") :+
+        col(valueCol).cast("double").as("x") :+ col("i"): _*)
+
+    def level(seg: DataFrame, segCols: Seq[Column], label: Column) = {
+      val wLoc = Window.partitionBy(segCols: _*).orderBy(col("i"))
+      val wCum = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFull = wLoc.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val staged = seg
+        .withColumn("__j", row_number().over(wLoc))
+        .withColumn("__sx", sum(col("x")).over(wCum))
+        .withColumn("__sxx", sum(col("x") * col("x")).over(wCum))
+        .withColumn("__n", count(lit(1)).over(wFull))
+        .withColumn("__sxN", last(col("__sx")).over(wFull))
+        .withColumn("__sxxN", last(col("__sxx")).over(wFull))
+      val j = col("__j").cast("double")
+      val n = col("__n").cast("double")
+      val sseL = col("__sxx") - col("__sx") * col("__sx") / j
+      val sseR = (col("__sxxN") - col("__sxx")) -
+        (col("__sxN") - col("__sx")) * (col("__sxN") - col("__sx")) /
+          (n - j)
+      val sseT = col("__sxxN") - col("__sxN") * col("__sxN") / n
+      val cand = staged
+        .filter(col("__j") >= minSeg &&
+          col("__j") <= col("__n") - minSeg)
+        .withColumn("__cost", roundStable(sseL + sseR, digits))
+        .withColumn("__gain", roundStable(sseT, digits) - col("__cost"))
+      val wPick = Window.partitionBy(segCols: _*)
+        .orderBy(col("__cost").asc, col("__j").asc)
+      cand.withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(keyCols :+ label.as("segment") :+
+          col("__n").as("n_seg") :+ col("i").as("split_i") :+
+          col("o").as("split_at") :+
+          roundStable(col("__gain"), digits).as("gain"): _*)
+    }
+
+    val s1 = level(ranked, keyCols, lit("root")).localCheckpoint()
+    val sided = ranked.join(
+        s1.select(keyCols :+ col("split_i").as("__sp"): _*), keys)
+      .withColumn("__side", when(col("i") <= col("__sp"), "L")
+        .otherwise("R"))
+    val s2 = level(sided, keyCols :+ col("__side"), col("__side"))
+      .select(s1.columns.map(col): _*)
+    s1.union(s2)
+  }
+
+  /** Peak detection per key over an ordered series — the incident
+    * finder: points that are LOCAL maxima (strictly above the
+    * previous point, at least the next — a deterministic plateau
+    * convention) AND robustly high (above median + k·1.4826·MAD, the
+    * q136 robust scale with the constant pinned), flagged on
+    * 6dp-ROUNDED comparisons. Endpoints have no two-sided
+    * neighborhood and never flag. Two small percentile aggregations
+    * + one keyed lag/lead window.
+    */
+  def peaks(df: DataFrame, keys: Seq[String], orderCol: Column,
+            tieCol: Column, valueCol: String, k: Double = 3.0,
+            digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+    val med = base.groupBy(keyCols: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = base.join(med, keys)
+    val mad = withMed.groupBy(keyCols: _*)
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
+    val v = col(valueCol).cast("double")
+    val thr = col("__med") + lit(k) * lit(1.4826) * col("__mad")
+    withMed.join(mad, keys)
+      .withColumn("__prev", lag(v, 1).over(wOrd))
+      .withColumn("__next", lead(v, 1).over(wOrd))
+      .withColumn("__vr", roundStable(v, digits))
+      .withColumn("__tr", roundStable(thr, digits))
+      .filter(col("__prev").isNotNull && col("__next").isNotNull &&
+        v > col("__prev") && v >= col("__next") &&
+        col("__vr") > col("__tr"))
+      .select(keyCols :+ orderCol.as("o") :+ col("__vr").as("value") :+
+        col("__tr").as("threshold") :+
+        roundStable(v - col("__med"), digits).as("above_median"): _*)
+  }
+
   /** X̄ control chart per key over time buckets (Shewhart 1931, with
     * Western Electric rule 4) — the SPC view of a monitored metric:
     * each bucket's subgroup mean is judged against `x̄̄ ± L·σ̂/√n_d`

@@ -4437,6 +4437,55 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"equally-used word: exactly zero: ${out("common")}")
   }
 
+  test("binseg: three-level series splits at the big shift, then the halves") {
+    val vals = Seq.fill(20)(0.0) ++ Seq.fill(20)(10.0) ++ Seq.fill(20)(5.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong + 1, v) }
+      .toDF("k", "t", "v")
+    val out = etl.Drift.binseg(df, Seq("k"), orderCol = col("t"),
+        tieCol = col("t"), valueCol = "v", minSeg = 5)
+      .collect().map(r => r.getString(1) -> r).toMap
+    val root = out("root")
+    assert(root.getInt(3) == 20 && root.getDouble(5) == 750.0,
+      s"best single split after the 0-run; gain = 1000 - 250: $root")
+    assert(out("L").getDouble(5) == 0.0,
+      s"constant left half: zero gain, tiebreak split: ${out("L")}")
+    val r = out("R")
+    assert(r.getInt(3) == 40 && r.getDouble(5) == 250.0,
+      s"right half splits 10s from 5s: $r")
+  }
+
+  test("retentionHalfLife: exact halving cohort reads half-life 1.0 with r2 = 1") {
+    // Mondays: 8 actives w0, 4 w1, 2 w2, 1 w3
+    val rows =
+      (1 to 8).map(u => (u.toLong, "2024-01-01 10:00:00")) ++
+      (1 to 4).map(u => (u.toLong, "2024-01-08 10:00:00")) ++
+      (1 to 2).map(u => (u.toLong, "2024-01-15 10:00:00")) ++
+      Seq((1L, "2024-01-22 10:00:00"))
+    val df = rows.toDF("u", "s").withColumn("ts", to_timestamp(col("s")))
+    val out = etl.Aggregates.retentionHalfLife(df, tsCol = col("ts"),
+      entityCol = col("u")).collect()
+    assert(out.length == 1, out.toSeq.toString)
+    val r = out.head
+    assert(r.getLong(1) == 3L, s"$r")
+    assert(math.abs(r.getDouble(2) - math.log(0.5)) < 1e-6, s"$r")
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0,
+      s"exact exponential: r2 = 1, half-life 1 week: $r")
+  }
+
+  test("peaks: local maxima above the robust bar; plateau flags once; endpoints never") {
+    val a = Seq(0.0, 0.0, 10.0, 0.0, 5.0, 0.0).zipWithIndex.map {
+      case (v, i) => ("a", i.toLong + 1, v) }
+    val b = Seq(0.0, 0.0, 7.0, 7.0, 0.0, 0.0, 0.0, 12.0).zipWithIndex.map {
+      case (v, i) => ("b", i.toLong + 1, v) }
+    val out = etl.Drift.peaks((a ++ b).toDF("k", "t", "v"), Seq("k"),
+        orderCol = col("t"), tieCol = col("t"), valueCol = "v", k = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out.keySet == Set(("a", 3L), ("a", 5L), ("b", 3L)),
+      s"two peaks on a; plateau flags once; the 12.0 endpoint never: $out")
+    assert(out(("a", 3L)).getDouble(2) == 10.0 &&
+      out(("a", 3L)).getDouble(4) == 10.0, s"${out(("a", 3L))}")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
