@@ -2432,6 +2432,55 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q276_did" -> ((s, dir) =>
+      // before/after × treat/control netting out both the standing
+      // difference and the common time trend, per event type
+      etl.Aggregates.diffInDiff(Tables.events(s, dir), Seq("event_type"),
+          isTreat = col("user_id") % 2 === 0,
+          isPost = col("ts") >= lit("2024-01-16").cast("timestamp"),
+          yCol = col("value"))
+        .orderBy(col("event_type"))),
+
+    "q277_ltv_curve" -> ((s, dir) => {
+      // cumulative purchase value per cohort user by week offset —
+      // the money twin of q49's activity triangle; ordered cumulative
+      // sums are engine-deterministic
+      val ev = Tables.events(s, dir)
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.partitionBy(col("cohort")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .join(cohorts, "user_id")
+        .groupBy(col("cohort"),
+          floor(datediff(to_date(col("ts")), to_date(col("cohort"))) / 7)
+            .cast("long").as("week_offset"))
+        .agg(sum(col("value")).as("__rev"))
+        .join(cohorts.groupBy(col("cohort"))
+          .agg(countDistinct(col("user_id")).as("cohort_users")), "cohort")
+        .withColumn("rev", roundStable(col("__rev"), 6))
+        .withColumn("cum_rev", roundStable(sum(col("__rev")).over(wCum), 6))
+        .withColumn("ltv_per_user", roundStable(
+          sum(col("__rev")).over(wCum) /
+            col("cohort_users").cast("double"), 6))
+        .select(col("cohort"), col("week_offset"), col("cohort_users"),
+          col("rev"), col("cum_rev"), col("ltv_per_user"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
+    "q278_vocab_overlap" -> ((s, dir) =>
+      // which sources write with the same vocabulary — q244's
+      // overlap machinery on (word, source) memberships: the corpus
+      // redundancy map between ingestion feeds
+      etl.Aggregates.audienceOverlap(
+          Tables.documents(s, dir)
+            .select(col("source"),
+              explode(split(col("text"), " ")).as("word"))
+            .filter(col("word") =!= ""),
+          entityCol = col("word"), catCol = col("source"))
+        .orderBy(col("cat_a"), col("cat_b"))),
+
     "q273_binseg" -> ((s, dir) => {
       // WHERE the hourly series changes, up to 3 changepoints — the
       // multi-CP upgrade of q181's single Pettitt; all ordered sums
@@ -7644,6 +7693,103 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q276_did" ->
+      // same four conditional cells, same independent-cells SE
+      """WITH g AS (SELECT event_type,
+        |    avg(CASE WHEN user_id % 2 = 0
+        |      AND ts >= TIMESTAMP '2024-01-16' THEN value END) AS mtp,
+        |    var_samp(CASE WHEN user_id % 2 = 0
+        |      AND ts >= TIMESTAMP '2024-01-16' THEN value END) AS vtp,
+        |    count(CASE WHEN user_id % 2 = 0
+        |      AND ts >= TIMESTAMP '2024-01-16' THEN value END) AS ntp,
+        |    avg(CASE WHEN user_id % 2 = 0
+        |      AND ts < TIMESTAMP '2024-01-16' THEN value END) AS mtq,
+        |    var_samp(CASE WHEN user_id % 2 = 0
+        |      AND ts < TIMESTAMP '2024-01-16' THEN value END) AS vtq,
+        |    count(CASE WHEN user_id % 2 = 0
+        |      AND ts < TIMESTAMP '2024-01-16' THEN value END) AS ntq,
+        |    avg(CASE WHEN user_id % 2 <> 0
+        |      AND ts >= TIMESTAMP '2024-01-16' THEN value END) AS mcp,
+        |    var_samp(CASE WHEN user_id % 2 <> 0
+        |      AND ts >= TIMESTAMP '2024-01-16' THEN value END) AS vcp,
+        |    count(CASE WHEN user_id % 2 <> 0
+        |      AND ts >= TIMESTAMP '2024-01-16' THEN value END) AS ncp,
+        |    avg(CASE WHEN user_id % 2 <> 0
+        |      AND ts < TIMESTAMP '2024-01-16' THEN value END) AS mcq,
+        |    var_samp(CASE WHEN user_id % 2 <> 0
+        |      AND ts < TIMESTAMP '2024-01-16' THEN value END) AS vcq,
+        |    count(CASE WHEN user_id % 2 <> 0
+        |      AND ts < TIMESTAMP '2024-01-16' THEN value END) AS ncq
+        |  FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(ntp AS BIGINT) AS n_treat_post,
+        |  CAST(ntq AS BIGINT) AS n_treat_pre,
+        |  CAST(ncp AS BIGINT) AS n_ctrl_post,
+        |  CAST(ncq AS BIGINT) AS n_ctrl_pre,
+        |  roundStable(mtp, 6) AS m_treat_post,
+        |  roundStable(mtq, 6) AS m_treat_pre,
+        |  roundStable(mcp, 6) AS m_ctrl_post,
+        |  roundStable(mcq, 6) AS m_ctrl_pre,
+        |  roundStable(CASE WHEN ntp > 1 AND ntq > 1 AND ncp > 1
+        |    AND ncq > 1 THEN (mtp - mtq) - (mcp - mcq) END, 6) AS did,
+        |  roundStable(CASE WHEN ntp > 1 AND ntq > 1 AND ncp > 1
+        |    AND ncq > 1 THEN sqrt(vtp / ntp + vtq / ntq + vcp / ncp
+        |      + vcq / ncq) END, 6) AS se,
+        |  roundStable(CASE WHEN ntp > 1 AND ntq > 1 AND ncp > 1
+        |    AND ncq > 1 THEN ((mtp - mtq) - (mcp - mcq))
+        |      - 1.96 * sqrt(vtp / ntp + vtq / ntq + vcp / ncp
+        |        + vcq / ncq) END, 6) AS ci_lo,
+        |  roundStable(CASE WHEN ntp > 1 AND ntq > 1 AND ncp > 1
+        |    AND ncq > 1 THEN ((mtp - mtq) - (mcp - mcq))
+        |      + 1.96 * sqrt(vtp / ntp + vtq / ntq + vcp / ncp
+        |        + vcq / ncq) END, 6) AS ci_hi
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q277_ltv_curve" ->
+      // q49's cohort staging on purchases; ordered cumulative revenue
+      """WITH c AS (SELECT user_id, date_trunc('week', min(ts))
+        |    AS cohort FROM events GROUP BY 1),
+        |cu AS (SELECT cohort, count(DISTINCT user_id) AS cohort_users
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT c.cohort,
+        |    CAST(date_diff('day', CAST(c.cohort AS DATE),
+        |      CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |    sum(e.value) AS rev0
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT r.cohort, week_offset, cu.cohort_users, rev0,
+        |    sum(rev0) OVER (PARTITION BY r.cohort ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0
+        |  FROM r JOIN cu ON cu.cohort = r.cohort)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort, week_offset,
+        |  CAST(cohort_users AS BIGINT) AS cohort_users,
+        |  roundStable(rev0, 6) AS rev, roundStable(cum0, 6) AS cum_rev,
+        |  roundStable(cum0 / CAST(cohort_users AS DOUBLE), 6)
+        |    AS ltv_per_user
+        |FROM w ORDER BY cohort, week_offset""".stripMargin,
+
+    "q278_vocab_overlap" ->
+      // q244's overlap SQL on (word, source) memberships
+      """WITH t AS (SELECT source AS c,
+        |    unnest(str_split(text, ' ')) AS e FROM documents),
+        |m AS (SELECT DISTINCT e, c FROM t WHERE e <> ''),
+        |sz AS (SELECT c, count(*) AS sz FROM m GROUP BY 1),
+        |tt AS (SELECT count(DISTINCT e) AS N FROM m),
+        |pr AS (SELECT x.c AS cat_a, y.c AS cat_b, count(*) AS n_both
+        |  FROM m x JOIN m y ON y.e = x.e AND x.c < y.c GROUP BY 1, 2)
+        |SELECT cat_a, cat_b,
+        |  CAST(a.sz AS BIGINT) AS n_a, CAST(b.sz AS BIGINT) AS n_b,
+        |  CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(a.sz + b.sz - n_both AS BIGINT) AS n_union,
+        |  roundStable(CAST(n_both AS DOUBLE)
+        |    / (a.sz + b.sz - n_both), 6) AS jaccard,
+        |  roundStable(CAST(n_both AS DOUBLE) * tt.N / (a.sz * b.sz), 6)
+        |    AS lift
+        |FROM pr JOIN sz a ON a.c = pr.cat_a
+        |  JOIN sz b ON b.c = pr.cat_b, tt
+        |ORDER BY cat_a, cat_b""".stripMargin,
 
     "q273_binseg" -> {
       // both levels replayed: ordered prefix sums (bit-deterministic),

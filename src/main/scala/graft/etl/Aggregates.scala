@@ -2362,6 +2362,48 @@ object Aggregates {
         roundStable(when(ok, r + lit(1.96) * se), digits).as("ci_hi"))
   }
 
+  /** Difference-in-differences estimator per key (Card & Krueger
+    * lineage) — the before/after comparison done right when treatment
+    * wasn't randomized: `DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −
+    * ȳ_C,pre)` nets out both the groups' standing difference and the
+    * common time trend, the two things a naive before/after and a
+    * naive treat/control each confound. SE from the four cell
+    * variances (independent-cells normal approximation) with a 95%
+    * CI. ONE conditional-moments aggregation — four cells, no join,
+    * no second scan; any cell with < 2 rows emits NULL effect with
+    * all four cell means visible (the parallel-trends caveat is the
+    * caller's to argue — this reports the arithmetic honestly).
+    */
+  def diffInDiff(df: DataFrame, keys: Seq[String], isTreat: Column,
+                 isPost: Column, yCol: Column,
+                 digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val y = yCol.cast("double")
+    def cell(t: Boolean, p: Boolean) = {
+      val c = (if (t) isTreat else !isTreat) && (if (p) isPost else !isPost)
+      (avg(when(c, y)), var_samp(when(c, y)), count(when(c, y)))
+    }
+    val (mtp, vtp, ntp) = cell(t = true, p = true)
+    val (mtq, vtq, ntq) = cell(t = true, p = false)
+    val (mcp, vcp, ncp) = cell(t = false, p = true)
+    val (mcq, vcq, ncq) = cell(t = false, p = false)
+    val did = (mtp - mtq) - (mcp - mcq)
+    val se = sqrt(vtp / ntp + vtq / ntq + vcp / ncp + vcq / ncq)
+    val ok = ntp > 1 && ntq > 1 && ncp > 1 && ncq > 1
+    df.groupBy(keyCols: _*)
+      .agg(
+        ntp.as("n_treat_post"), ntq.as("n_treat_pre"),
+        ncp.as("n_ctrl_post"), ncq.as("n_ctrl_pre"),
+        roundStable(mtp, digits).as("m_treat_post"),
+        roundStable(mtq, digits).as("m_treat_pre"),
+        roundStable(mcp, digits).as("m_ctrl_post"),
+        roundStable(mcq, digits).as("m_ctrl_pre"),
+        roundStable(when(ok, did), digits).as("did"),
+        roundStable(when(ok, se), digits).as("se"),
+        roundStable(when(ok, did - lit(1.96) * se), digits).as("ci_lo"),
+        roundStable(when(ok, did + lit(1.96) * se), digits).as("ci_hi"))
+  }
+
   /** Cohort retention half-life per cohort — the DECAY-RATE summary
     * of the A14/q49 retention triangle: fit `ln(retention) = α + β·
     * week` by OLS over the observed offsets (log-linear = the

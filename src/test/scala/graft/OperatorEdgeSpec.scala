@@ -4486,6 +4486,27 @@ class OperatorEdgeSpec extends AnyFunSuite {
       out(("a", 3L)).getDouble(4) == 10.0, s"${out(("a", 3L))}")
   }
 
+  test("diffInDiff: nets the standing difference AND the time trend; thin cell NULL") {
+    def rows(k: String, t: Long, p: Long, vs: Seq[Double]) =
+      vs.map(v => (k, t, p, v))
+    val good = rows("k", 1, 0, Seq(1, 3)) ++ rows("k", 1, 1, Seq(5, 7)) ++
+      rows("k", 0, 0, Seq(2, 4)) ++ rows("k", 0, 1, Seq(3, 5))
+    val thin = rows("thin", 1, 0, Seq(1, 3)) ++ rows("thin", 1, 1, Seq(9)) ++
+      rows("thin", 0, 0, Seq(2, 4)) ++ rows("thin", 0, 1, Seq(3, 5))
+    val out = etl.Aggregates.diffInDiff((good ++ thin).toDF("k", "t", "p", "v"),
+        Seq("k"), isTreat = col("t") === 1L, isPost = col("p") === 1L,
+        yCol = col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getDouble(9) == 3.0,
+      s"(6-2) - (4-3): trend and level both netted: $k")
+    assert(math.abs(k.getDouble(10) - 2.0) < 1e-9, s"se sqrt(4*(2/2)): $k")
+    assert(math.abs(k.getDouble(11) - (3.0 - 3.92)) < 1e-6 &&
+      math.abs(k.getDouble(12) - (3.0 + 3.92)) < 1e-6, s"$k")
+    assert(out("thin").isNullAt(9) && out("thin").getDouble(5) == 9.0,
+      s"single-row cell: NULL effect, means visible: ${out("thin")}")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
