@@ -2432,6 +2432,54 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q279_stump" -> ((s, dir) =>
+      // which feature best separates high-value events, and where —
+      // the tree-root split as pure aggregation over distinct values
+      etl.Features.bestStump(Tables.events(s, dir),
+          labelCol = col("value") > 250,
+          features = Seq(
+            "hour" -> hour(col("ts")),
+            "weekday" -> weekday(col("ts")),
+            "day_of_month" -> dayofmonth(col("ts"))))
+        .orderBy(col("feature"))),
+
+    "q280_hll_overlap" -> ((s, dir) => {
+      // audience overlap at sketch scale: inclusion-exclusion over
+      // HLL unions, verdict-gated against the exact pair counts (the
+      // q62/q138 discipline — estimates are engine-specific, the
+      // within-tolerance verdict is not)
+      val m = Tables.events(s, dir)
+        .select(col("event_type").as("c"), col("user_id").as("e"))
+        .distinct()
+      val sk = m.groupBy(col("c")).agg(expr("hll_sketch_agg(e)").as("sk"))
+      val sa = sk.select(col("c").as("cat_a"), col("sk").as("ska"))
+      val sb = sk.select(col("c").as("cat_b"), col("sk").as("skb"))
+      val est = sa.crossJoin(sb).filter(col("cat_a") < col("cat_b"))
+        .select(col("cat_a"), col("cat_b"),
+          (expr("hll_sketch_estimate(ska)") +
+            expr("hll_sketch_estimate(skb)") -
+            expr("hll_sketch_estimate(hll_union(ska, skb))"))
+            .as("__inter_est"))
+      val exact = m.as("x").join(m.as("y"), "e")
+        .filter(col("x.c") < col("y.c"))
+        .groupBy(col("x.c").as("cat_a"), col("y.c").as("cat_b"))
+        .agg(count(lit(1)).as("n_both"))
+      est.join(exact, Seq("cat_a", "cat_b"), "left")
+        .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+        .select(col("cat_a"), col("cat_b"), col("n_both"),
+          (abs(col("__inter_est") - col("n_both")) <=
+            greatest(col("n_both").cast("double") * lit(0.2), lit(3.0)))
+            .cast("long").as("sketch_ok"))
+        .orderBy(col("cat_a"), col("cat_b"))
+    }),
+
+    "q281_poststrat" -> ((s, dir) =>
+      // re-weight the second half's metric to the first half's
+      // event-type mix: the mix-adjusted mean with its SE
+      etl.Aggregates.postStratified(Tables.events(s, dir),
+          Seq("event_type"), valueCol = col("value"),
+          isRef = col("ts") < lit("2024-01-16").cast("timestamp"))),
+
     "q276_did" -> ((s, dir) =>
       // before/after × treat/control netting out both the standing
       // difference and the common time trend, per event type
@@ -7693,6 +7741,128 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q279_stump" ->
+      // same distinct-value staging, prefix-sum class counts, argmin
+      // on rounded impurity
+      """WITH f AS (
+        |  SELECT 'hour' AS feature, CAST(hour(ts) AS DOUBLE) AS v,
+        |    CASE WHEN value > 250 THEN 1 ELSE 0 END AS y FROM events
+        |  UNION ALL
+        |  SELECT 'weekday', CAST(isodow(ts) - 1 AS DOUBLE),
+        |    CASE WHEN value > 250 THEN 1 ELSE 0 END FROM events
+        |  UNION ALL
+        |  SELECT 'day_of_month', CAST(day(ts) AS DOUBLE),
+        |    CASE WHEN value > 250 THEN 1 ELSE 0 END FROM events),
+        |c AS (SELECT feature, v, count(*) AS n, sum(y) AS pos
+        |  FROM f GROUP BY 1, 2),
+        |a1 AS (SELECT *,
+        |    sum(n) OVER wc AS cn, sum(pos) OVER wc AS cp
+        |  FROM c
+        |  WINDOW wc AS (PARTITION BY feature ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a2 AS (SELECT *,
+        |    last_value(cn) OVER wf AS nn, last_value(cp) OVER wf AS pp
+        |  FROM a1
+        |  WINDOW wf AS (PARTITION BY feature ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |g AS (SELECT feature, v, nn,
+        |    roundStable((CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (1.0 - (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |          * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |        - (1.0 - CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |          * (1.0 - CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)))
+        |      + ((CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE))
+        |          / CAST(nn AS DOUBLE))
+        |        * (1.0 - (CAST(pp - cp AS DOUBLE)
+        |            / CAST(nn - cn AS DOUBLE))
+        |          * (CAST(pp - cp AS DOUBLE) / CAST(nn - cn AS DOUBLE))
+        |          - (1.0 - CAST(pp - cp AS DOUBLE)
+        |              / CAST(nn - cn AS DOUBLE))
+        |            * (1.0 - CAST(pp - cp AS DOUBLE)
+        |              / CAST(nn - cn AS DOUBLE))), 6) AS aft,
+        |    roundStable(1.0 - (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      - (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+        |      AS bef,
+        |    row_number() OVER (PARTITION BY feature ORDER BY
+        |      roundStable((CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (1.0 - (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |            * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |          - (1.0 - CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |            * (1.0 - CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)))
+        |        + ((CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE))
+        |            / CAST(nn AS DOUBLE))
+        |          * (1.0 - (CAST(pp - cp AS DOUBLE)
+        |              / CAST(nn - cn AS DOUBLE))
+        |            * (CAST(pp - cp AS DOUBLE)
+        |              / CAST(nn - cn AS DOUBLE))
+        |            - (1.0 - CAST(pp - cp AS DOUBLE)
+        |                / CAST(nn - cn AS DOUBLE))
+        |              * (1.0 - CAST(pp - cp AS DOUBLE)
+        |                / CAST(nn - cn AS DOUBLE))), 6) ASC, v ASC)
+        |      AS rk
+        |  FROM a2 WHERE cn < nn)
+        |SELECT feature, CAST(nn AS BIGINT) AS n, v AS best_threshold,
+        |  bef AS gini_before, aft AS gini_after,
+        |  roundStable(bef - aft, 6) AS gain
+        |FROM g WHERE rk = 1 ORDER BY feature""".stripMargin,
+
+    "q280_hll_overlap" ->
+      // exact pair counts + the always-1 verdict the sketch must earn
+      """WITH m AS (SELECT DISTINCT event_type AS c, user_id AS e
+        |  FROM events),
+        |pr AS (SELECT x.c AS cat_a, y.c AS cat_b, count(*) AS n_both
+        |  FROM m x JOIN m y ON y.e = x.e AND x.c < y.c GROUP BY 1, 2),
+        |allp AS (SELECT a.c AS cat_a, b.c AS cat_b
+        |  FROM (SELECT DISTINCT c FROM m) a
+        |  JOIN (SELECT DISTINCT c FROM m) b ON a.c < b.c)
+        |SELECT allp.cat_a, allp.cat_b,
+        |  CAST(coalesce(pr.n_both, 0) AS BIGINT) AS n_both,
+        |  CAST(1 AS BIGINT) AS sketch_ok
+        |FROM allp LEFT JOIN pr ON pr.cat_a = allp.cat_a
+        |  AND pr.cat_b = allp.cat_b
+        |ORDER BY allp.cat_a, allp.cat_b""".stripMargin,
+
+    "q281_poststrat" ->
+      // same conditional cells, same weighted fold and guards
+      """WITH c AS (SELECT event_type,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+        |      END) AS nh_ref,
+        |    count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+        |      END) AS nh,
+        |    avg(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+        |      END) AS mh,
+        |    var_samp(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+        |      END) AS vh
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT *, CAST(sum(CASE WHEN nh_ref > 0 THEN nh_ref END)
+        |    OVER () AS DOUBLE) AS bigN FROM c)
+        |SELECT
+        |  CAST(sum(CASE WHEN nh_ref > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_strata,
+        |  CAST(sum(CASE WHEN nh_ref > 0 AND nh = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missing_strata,
+        |  CAST(sum(CASE WHEN nh_ref = 0 AND nh > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new_strata,
+        |  roundStable(sum(CASE WHEN nh > 0
+        |      THEN CAST(nh AS DOUBLE) * mh END)
+        |    / sum(CASE WHEN nh > 0 THEN CAST(nh AS DOUBLE) END), 6)
+        |    AS raw_mean,
+        |  roundStable(CASE WHEN sum(CASE WHEN nh_ref > 0 AND nh = 0
+        |      THEN 1 ELSE 0 END) = 0
+        |    THEN sum(CASE WHEN nh_ref > 0 AND nh > 0
+        |      THEN (CAST(nh_ref AS DOUBLE) / bigN) * mh END) END, 6)
+        |    AS ps_mean,
+        |  roundStable(CASE WHEN sum(CASE WHEN nh_ref > 0 AND nh = 0
+        |      THEN 1 ELSE 0 END) = 0 AND sum(CASE WHEN nh_ref > 0
+        |      AND nh > 0 AND nh < 2 THEN 1 ELSE 0 END) = 0
+        |    THEN sqrt(sum(CASE WHEN nh_ref > 0 AND nh > 1
+        |      THEN (CAST(nh_ref AS DOUBLE) / bigN)
+        |        * (CAST(nh_ref AS DOUBLE) / bigN) * vh
+        |        / CAST(nh AS DOUBLE) END)) END, 6) AS se
+        |FROM s""".stripMargin,
 
     "q276_did" ->
       // same four conditional cells, same independent-cells SE

@@ -2362,6 +2362,59 @@ object Aggregates {
         roundStable(when(ok, r + lit(1.96) * se), digits).as("ci_hi"))
   }
 
+  /** Post-stratified mean (survey-weighting classic) — re-weight a
+    * possibly-skewed SAMPLE to a reference population's stratum mix:
+    * `x̂ = Σ (N_h/N)·x̄_h` with `SE = √(Σ (N_h/N)²·s²_h/n_h)` — the
+    * mix-adjusted read when the collection process over/under-samples
+    * strata (the estimation-side complement of [[neymanAllocation]]'s
+    * design side; A84's rate/mix decomposition EXPLAINS a gap, this
+    * CORRECTS one). One conditional aggregation builds reference
+    * counts and sample moments per stratum from the same pass — no
+    * join; the closing fold rides O(#strata) rows. A reference
+    * stratum absent from the sample makes the estimator undefined —
+    * reported as NULL with `n_missing_strata` visible, never silently
+    * renormalized; sample-only strata carry weight 0 and are counted
+    * in `n_new_strata`.
+    */
+  def postStratified(df: DataFrame, strataCols: Seq[String],
+                     valueCol: Column, isRef: Column,
+                     digits: Int = 6): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val y = valueCol.cast("double")
+    val cells = df.groupBy(strataCols.map(col): _*)
+      .agg(
+        sum(when(isRef, 1L).otherwise(0L)).as("__refn"),
+        count(when(!isRef, y)).as("__nh"),
+        avg(when(!isRef, y)).as("__mh"),
+        var_samp(when(!isRef, y)).as("__vh"))
+    val nh = col("__nh").cast("double")
+    // population total via a window over the O(#strata) cell rows — a
+    // nested aggregate (Σ inside the weighted Σ) is not expressible in
+    // one agg
+    val wAll = Window.partitionBy(lit(1))
+    val staged = cells.withColumn("__bigN",
+      sum(when(col("__refn") > 0, col("__refn"))).over(wAll).cast("double"))
+    val wgt = col("__refn").cast("double") / col("__bigN")
+    val missing = sum(when(col("__refn") > 0 && col("__nh") === 0L, 1L)
+      .otherwise(0L))
+    val thin = sum(when(col("__refn") > 0 && col("__nh") > 0 &&
+      col("__nh") < 2L, 1L).otherwise(0L))
+    val ok = missing === 0
+    staged.agg(
+      sum(when(col("__refn") > 0, 1L).otherwise(0L)).as("n_strata"),
+      missing.as("n_missing_strata"),
+      sum(when(col("__refn") === 0L && col("__nh") > 0, 1L).otherwise(0L))
+        .as("n_new_strata"),
+      roundStable(sum(when(col("__nh") > 0, nh * col("__mh"))) /
+        sum(when(col("__nh") > 0, nh)), digits).as("raw_mean"),
+      roundStable(when(ok,
+        sum(when(col("__refn") > 0 && col("__nh") > 0,
+          wgt * col("__mh")))), digits).as("ps_mean"),
+      roundStable(when(ok && thin === 0,
+        sqrt(sum(when(col("__refn") > 0 && col("__nh") > 1,
+          wgt * wgt * col("__vh") / nh)))), digits).as("se"))
+  }
+
   /** Difference-in-differences estimator per key (Card & Krueger
     * lineage) — the before/after comparison done right when treatment
     * wasn't randomized: `DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −

@@ -167,4 +167,64 @@ object Features {
         roundStable(avg(col("__freq")), digits).as("avg_frequency"),
         roundStable(avg(col("__money")), digits).as("avg_monetary"))
   }
+
+  /** Decision-stump feature scoring — WHICH feature best separates a
+    * binary label, and at what threshold: for every candidate feature
+    * the Gini-impurity-minimizing single split (`≤ t` vs `> t`), its
+    * impurity reduction, and the baseline impurity — the one-glance
+    * feature-importance screen (and the exact quantity a tree
+    * learner's root split would compute) that runs as PURE
+    * aggregation: per-feature distinct values reduce first, ordered
+    * prefix sums give every candidate split's two-sided class counts
+    * (the A108 staging, totals from the LAST cumulative row), and
+    * the argmin ranks on 6dp-ROUNDED impurity with a threshold
+    * tiebreak. Scan count: ONE pass per feature (the union is over
+    * projections of the same scan — Spark reuses it), state
+    * O(#features × #distinct values). NULL labels count as negative
+    * (documented); NULL feature values are excluded.
+    */
+  def bestStump(df: DataFrame, labelCol: Column,
+                features: Seq[(String, Column)],
+                digits: Int = 6): DataFrame = {
+    require(features.nonEmpty, "need at least one candidate feature")
+    val frames = features.map { case (name, f) =>
+      df.filter(f.isNotNull)
+        .select(lit(name).as("feature"), f.cast("double").as("v"),
+          when(labelCol, 1L).otherwise(0L).as("__y"))
+    }
+    val cells = frames.reduce(_ union _)
+      .groupBy(col("feature"), col("v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    val wLoc = Window.partitionBy(col("feature")).orderBy(col("v"))
+    val wCum = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = wLoc.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val staged = cells
+      .withColumn("__cn", sum(col("__n")).over(wCum))
+      .withColumn("__cp", sum(col("__pos")).over(wCum))
+      .withColumn("__N", last(col("__cn")).over(wFull))
+      .withColumn("__P", last(col("__cp")).over(wFull))
+    def gini(p: Column) =
+      lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+    val cn = col("__cn").cast("double")
+    val cp = col("__cp").cast("double")
+    val nD = col("__N").cast("double")
+    val pD = col("__P").cast("double")
+    val gL = gini(cp / cn)
+    val gR = gini((pD - cp) / (nD - cn))
+    val after = (cn / nD) * gL + ((nD - cn) / nD) * gR
+    val before = gini(pD / nD)
+    val cand = staged.filter(col("__cn") < col("__N"))
+      .withColumn("__after", roundStable(after, digits))
+      .withColumn("__before", roundStable(before, digits))
+    val wPick = Window.partitionBy(col("feature"))
+      .orderBy(col("__after").asc, col("v").asc)
+    cand.withColumn("__rk", row_number().over(wPick))
+      .filter(col("__rk") === 1)
+      .select(col("feature"), col("__N").as("n"),
+        col("v").as("best_threshold"),
+        col("__before").as("gini_before"),
+        col("__after").as("gini_after"),
+        roundStable(col("__before") - col("__after"), digits).as("gain"))
+  }
 }

@@ -4507,6 +4507,47 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"single-row cell: NULL effect, means visible: ${out("thin")}")
   }
 
+  test("bestStump: perfect split found exactly; constant feature yields no split") {
+    val rows = (1 to 4).flatMap(_ => Seq((1.0, false), (2.0, false),
+      (3.0, true)))
+    val df = rows.toDF("x", "y")
+    val out = etl.Features.bestStump(df, labelCol = col("y"),
+        features = Seq("f" -> col("x"), "g" -> lit(5.0)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("f"),
+      s"single-valued feature has no candidate split: ${out.keySet}")
+    val f = out("f")
+    assert(f.getDouble(2) == 2.0 && f.getDouble(4) == 0.0,
+      s"<=2 vs >2 separates perfectly: $f")
+    assert(math.abs(f.getDouble(3) - 4.0 / 9) < 1e-6 &&
+      math.abs(f.getDouble(5) - 4.0 / 9) < 1e-6,
+      s"before = gini(1/3), gain = all of it: $f")
+  }
+
+  test("postStratified: mix-adjusted mean, SE, missing-stratum NULL with counts") {
+    val a = Seq.fill(30)(("A", true, 0.0)) ++
+      Seq(("A", false, 1.0), ("A", false, 3.0))
+    val b = Seq.fill(10)(("B", true, 0.0)) ++
+      Seq(("B", false, 10.0), ("B", false, 14.0))
+    val newS = Seq(("D", false, 7.0))
+    val out = etl.Aggregates.postStratified(
+        (a ++ b ++ newS).toDF("s", "ref", "v"), Seq("s"),
+        valueCol = col("v"), isRef = col("ref")).collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 0L &&
+      out.getLong(2) == 1L, s"$out")
+    assert(math.abs(out.getDouble(3) - 7.0) < 1e-9,
+      s"raw mean over all 5 sample rows incl. the new stratum: $out")
+    assert(out.getDouble(4) == 4.5,
+      s"(30/40)*2 + (10/40)*12 — the mix correction: $out")
+    assert(math.abs(out.getDouble(5) - math.sqrt(0.8125)) < 1e-6, s"$out")
+    val miss = etl.Aggregates.postStratified(
+        (a ++ b ++ Seq(("C", true, 0.0))).toDF("s", "ref", "v"),
+        Seq("s"), valueCol = col("v"), isRef = col("ref"))
+      .collect().head
+    assert(miss.isNullAt(4) && miss.getLong(1) == 1L,
+      s"reference stratum with no sample: estimator undefined: $miss")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
