@@ -2432,6 +2432,64 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q282_cluster_purity" -> ((s, dir) => {
+      // score q66's dedup clustering against exact-dup truth classes:
+      // B-cubed P/R/F1 from contingency cells — no per-element join
+      val docs = Tables.documents(s, dir)
+      val pairs = NGramJaccard.similarPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+      val comps = operators.ConnectedComponents.minLabel(pairs, "id_a", "id_b")
+      val el = docs.select(col("doc_id"), md5(col("text")).as("truth"))
+        .join(comps.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"),
+          col("truth"))
+      dedup.BlockingEval.bcubed(el, "doc_id", "cluster", "truth")
+    }),
+
+    "q283_dominant_period" -> ((s, dir) => {
+      // WHAT period does this series actually have: argmax of the ACF
+      // over lags 2..48 — the daily cycle should read 24, and a
+      // runner-up far below it says the cycle is clean
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+        .agg(avg(col("value")).as("hv"))
+        .filter(col("hv").isNotNull) // all-null hours must not occupy lag positions
+      val lags = 2 to 48
+      val wide = etl.Aggregates.acf(hourly, Seq("event_type"),
+        col("hb"), col("hb"), col("hv"), lags = lags)
+      val stackExpr = s"stack(${lags.size}, " +
+        lags.map(l => s"$l, acf_$l").mkString(", ") + ") as (lag, acf)"
+      val wR = Window.partitionBy(col("event_type"))
+        .orderBy(col("acf").desc, col("lag"))
+      wide.selectExpr("event_type", stackExpr)
+        .filter(col("acf").isNotNull)
+        .withColumn("rk", row_number().over(wR))
+        .filter(col("rk") <= 2)
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rk") === 1, col("lag"))).cast("long")
+            .as("best_lag"),
+          max(when(col("rk") === 1, col("acf"))).as("best_acf"),
+          max(when(col("rk") === 2, col("lag"))).cast("long")
+            .as("runner_lag"),
+          max(when(col("rk") === 2, col("acf"))).as("runner_acf"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q284_records" -> ((s, dir) => {
+      // the nonparametric trend screen: running-max/min breaks vs the
+      // distribution-free harmonic expectation
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+        .agg(avg(col("value")).as("hv"))
+      etl.Aggregates.recordCounts(hourly, Seq("event_type"),
+          orderCol = col("hb"), tieCol = col("hb"), valueCol = "hv")
+        .orderBy(col("event_type"))
+    }),
+
     "q279_stump" -> ((s, dir) =>
       // which feature best separates high-value events, and where —
       // the tree-root split as pure aggregation over distinct values
@@ -7741,6 +7799,124 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q282_cluster_purity" ->
+      // q66's recursive closure + md5 truth classes, B-cubed as cell
+      // arithmetic
+      """WITH RECURSIVE s AS (SELECT doc_id, str_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh
+        |  FROM sh),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(count(*) AS DOUBLE)
+        |        / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY a.doc_id, b.doc_id) t
+        |  WHERE j >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS comp
+        |    FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.a AS node, r.comp FROM edges e
+        |    JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, min(comp) AS cluster_id FROM reach
+        |  GROUP BY node),
+        |el AS (SELECT d.doc_id,
+        |    coalesce(c.cluster_id, d.doc_id) AS cl, md5(d.text) AS tr
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        |cells AS (SELECT cl, tr, count(*) AS nct FROM el GROUP BY 1, 2),
+        |st AS (SELECT nct,
+        |    CAST(sum(nct) OVER (PARTITION BY cl) AS DOUBLE) AS nc,
+        |    CAST(sum(nct) OVER (PARTITION BY tr) AS DOUBLE) AS nt,
+        |    cl, tr
+        |  FROM cells),
+        |g AS (SELECT CAST(sum(nct) AS DOUBLE) AS nn,
+        |    count(DISTINCT cl) AS ncl, count(DISTINCT tr) AS ntr,
+        |    sum(CAST(nct AS DOUBLE) * CAST(nct AS DOUBLE) / nc) AS sp,
+        |    sum(CAST(nct AS DOUBLE) * CAST(nct AS DOUBLE) / nt) AS sr
+        |  FROM st)
+        |SELECT CAST(nn AS BIGINT) AS n_elements,
+        |  CAST(ncl AS BIGINT) AS n_clusters,
+        |  CAST(ntr AS BIGINT) AS n_truth_classes,
+        |  roundStable(sp / nn, 6) AS bcubed_precision,
+        |  roundStable(sr / nn, 6) AS bcubed_recall,
+        |  roundStable(CASE WHEN roundStable(sp / nn, 6)
+        |      + roundStable(sr / nn, 6) > 0
+        |    THEN 2.0 * roundStable(sp / nn, 6) * roundStable(sr / nn, 6)
+        |      / (roundStable(sp / nn, 6) + roundStable(sr / nn, 6))
+        |    END, 6) AS f1
+        |FROM g""".stripMargin,
+
+    "q283_dominant_period" -> {
+      // the same 47 leads / corrs, unpivoted and ranked on rounded acf
+      val lags = 2 to 48
+      val leadCols = lags.map(l =>
+        s"lead(v, $l) OVER (PARTITION BY event_type ORDER BY hb, hb) AS ld$l")
+        .mkString(",\n    ")
+      val corrCols = lags.map(l =>
+        s"roundStable(corr(v, ld$l), 6) AS a$l").mkString(",\n    ")
+      val unions = lags.map(l =>
+        s"SELECT event_type, $l AS lag, a$l AS acf FROM g")
+        .mkString("\n  UNION ALL ")
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hb,
+         |    avg(value) AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |w AS (SELECT event_type, v,
+         |    $leadCols
+         |  FROM h),
+         |g AS (SELECT event_type,
+         |    $corrCols
+         |  FROM w GROUP BY 1),
+         |u AS ($unions),
+         |r AS (SELECT event_type, lag, acf,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY acf DESC, lag) AS rk
+         |  FROM u WHERE acf IS NOT NULL)
+         |SELECT event_type,
+         |  CAST(max(CASE WHEN rk = 1 THEN lag END) AS BIGINT)
+         |    AS best_lag,
+         |  max(CASE WHEN rk = 1 THEN acf END) AS best_acf,
+         |  CAST(max(CASE WHEN rk = 2 THEN lag END) AS BIGINT)
+         |    AS runner_lag,
+         |  max(CASE WHEN rk = 2 THEN acf END) AS runner_acf
+         |FROM r WHERE rk <= 2 GROUP BY 1
+         |ORDER BY event_type""".stripMargin
+    },
+
+    "q284_records" ->
+      // same running extrema, harmonic expectation over the same ranks
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hb,
+        |    avg(value) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT event_type, hb, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hb, hb) AS j,
+        |    max(v) OVER (PARTITION BY event_type ORDER BY hb, hb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+        |    min(v) OVER (PARTITION BY event_type ORDER BY hb, hb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+        |  FROM h)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN pmax IS NULL OR v > pmax THEN 1 ELSE 0
+        |    END) AS BIGINT) AS records_up,
+        |  CAST(sum(CASE WHEN pmin IS NULL OR v < pmin THEN 1 ELSE 0
+        |    END) AS BIGINT) AS records_down,
+        |  roundStable(sum(1.0 / CAST(j AS DOUBLE)), 6)
+        |    AS expected_records,
+        |  roundStable(CAST(sum(CASE WHEN pmax IS NULL OR v > pmax
+        |    THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(1.0 / CAST(j AS DOUBLE)), 6) AS up_ratio,
+        |  roundStable(CAST(sum(CASE WHEN pmin IS NULL OR v < pmin
+        |    THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(1.0 / CAST(j AS DOUBLE)), 6) AS down_ratio
+        |FROM a GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q279_stump" ->
       // same distinct-value staging, prefix-sum class counts, argmin

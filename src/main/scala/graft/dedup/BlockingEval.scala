@@ -28,6 +28,45 @@ import graft.functions.roundStable
   */
 object BlockingEval {
 
+  /** B-cubed cluster-quality metrics (Bagga & Baldwin 1998; the
+    * Amigó 2009 survey's recommended pair) — score a dedup CLUSTERING
+    * against ground-truth classes: per element, precision = the share
+    * of its cluster that shares its truth class, recall = the share
+    * of its truth class captured by its cluster; averages + F1.
+    * B-cubed, unlike pair-F1, does not let one giant cluster dominate
+    * the score. The per-element averages collapse to CELL arithmetic:
+    * `P = Σ n²_ct/n_c / N`, `R = Σ n²_ct/n_t / N` over the
+    * (cluster, truth) contingency cells — one cell aggregation +
+    * windows over O(#cells) rows, no per-element join, which is what
+    * makes the audit itself 100 TB-safe. F1 from the ROUNDED P and R
+    * so both engines fold identically.
+    */
+  def bcubed(elements: DataFrame, idCol: String, clusterCol: String,
+             truthCol: String, digits: Int = 6): DataFrame = {
+    val cells = elements
+      .groupBy(col(clusterCol).as("__c"), col(truthCol).as("__t"))
+      .agg(count(lit(1)).as("__nct"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("__c"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("__t"))
+    val nct = col("__nct").cast("double")
+    val staged = cells
+      .withColumn("__nc", sum(col("__nct")).over(wc).cast("double"))
+      .withColumn("__nt", sum(col("__nct")).over(wt).cast("double"))
+    val bigN = sum(col("__nct")).cast("double")
+    val p = sum(nct * nct / col("__nc")) / bigN
+    val r = sum(nct * nct / col("__nt")) / bigN
+    val agg = staged.agg(
+      bigN.cast("long").as("n_elements"),
+      countDistinct(col("__c")).as("n_clusters"),
+      countDistinct(col("__t")).as("n_truth_classes"),
+      roundStable(p, digits).as("bcubed_precision"),
+      roundStable(r, digits).as("bcubed_recall"))
+    agg.withColumn("f1", roundStable(
+      when(col("bcubed_precision") + col("bcubed_recall") > 0,
+        lit(2.0) * col("bcubed_precision") * col("bcubed_recall") /
+          (col("bcubed_precision") + col("bcubed_recall"))), digits))
+  }
+
   /** One-row report for prefix blocking of length `prefixLen` over the
     * lowercased, non-alphanumeric-stripped text, with word-`n`-gram
     * Jaccard ≥ `minJaccard` as ground truth.

@@ -2362,6 +2362,46 @@ object Aggregates {
         roundStable(when(ok, r + lit(1.96) * se), digits).as("ci_hi"))
   }
 
+  /** Record-breaking counts per key (Glick 1978, records theory) —
+    * the nonparametric trend screen: in an i.i.d. (trend-free) series
+    * the expected number of running-maximum breaks is the harmonic
+    * number `H_n ≈ ln n` regardless of distribution; observed record
+    * counts far above H_n mean upward trend, record-LOW counts above
+    * it mean decay — no model, no parameters, just counting. Both
+    * directions reported with their observed/expected ratios (rounded
+    * before the caller compares). First point counts as a record in
+    * both directions (the convention that makes H_n exact). One keyed
+    * window pass (running extrema over the preceding frame) + one
+    * agg; the harmonic sum rides the same rank column.
+    */
+  def recordCounts(df: DataFrame, keys: Seq[String], orderCol: Column,
+                   tieCol: Column, valueCol: String,
+                   digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCol, tieCol)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val v = col(valueCol).cast("double")
+    val staged = df.filter(col(valueCol).isNotNull)
+      .withColumn("__j", row_number().over(w))
+      .withColumn("__pmax", max(v).over(wPrev))
+      .withColumn("__pmin", min(v).over(wPrev))
+      .withColumn("__up",
+        (col("__pmax").isNull || v > col("__pmax")).cast("long"))
+      .withColumn("__dn",
+        (col("__pmin").isNull || v < col("__pmin")).cast("long"))
+    val h = sum(lit(1.0) / col("__j").cast("double"))
+    staged.groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__up")).as("records_up"),
+        sum(col("__dn")).as("records_down"),
+        roundStable(h, digits).as("expected_records"),
+        roundStable(sum(col("__up")).cast("double") / h, digits)
+          .as("up_ratio"),
+        roundStable(sum(col("__dn")).cast("double") / h, digits)
+          .as("down_ratio"))
+  }
+
   /** Post-stratified mean (survey-weighting classic) — re-weight a
     * possibly-skewed SAMPLE to a reference population's stratum mix:
     * `x̂ = Σ (N_h/N)·x̄_h` with `SE = √(Σ (N_h/N)²·s²_h/n_h)` — the

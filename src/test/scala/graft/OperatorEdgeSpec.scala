@@ -4548,6 +4548,37 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"reference stratum with no sample: estimator undefined: $miss")
   }
 
+  test("bcubed: hand P/R from contingency cells; giant cluster cannot dominate") {
+    val el = Seq((1L, "X", "a"), (2L, "X", "a"), (3L, "X", "b"),
+      (4L, "Y", "a")).toDF("id", "cl", "tr")
+    val r = dedup.BlockingEval.bcubed(el, "id", "cl", "tr").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L,
+      s"$r")
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-6 &&
+      math.abs(r.getDouble(4) - 2.0 / 3) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(5) - 2.0 / 3) < 1e-5, s"$r")
+    val perfect = Seq((1L, "X", "a"), (2L, "X", "a"), (3L, "Y", "b"))
+      .toDF("id", "cl", "tr")
+    val p = dedup.BlockingEval.bcubed(perfect, "id", "cl", "tr")
+      .collect().head
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 1.0 &&
+      p.getDouble(5) == 1.0, s"clustering == truth: all ones: $p")
+  }
+
+  test("recordCounts: both directions counted, harmonic expectation, first row is a record") {
+    val vals = Seq(1.0, 3.0, 2.0, 5.0, 4.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "t", "v")
+    val r = etl.Aggregates.recordCounts(df, Seq("k"), orderCol = col("t"),
+      tieCol = col("t"), valueCol = "v").collect().head
+    val h = (1 to 5).map(1.0 / _).sum
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L && r.getLong(3) == 1L,
+      s"ups 1,3,5; downs just the first: $r")
+    assert(math.abs(r.getDouble(4) - h) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(5) - 3.0 / h) < 1e-6 &&
+      math.abs(r.getDouble(6) - 1.0 / h) < 1e-6, s"$r")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
