@@ -2432,6 +2432,28 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q285_eb_shrinkage" -> ((s, dir) =>
+      // rank users by high-value rate without letting 1/1 beat
+      // 498/500: beta-binomial shrinkage with a moments prior
+      etl.Aggregates.ebShrinkRates(Tables.events(s, dir),
+          itemCols = Seq("user_id"), isSuccess = col("value") > 250)
+        .orderBy(col("user_id"))),
+
+    "q286_simpson" -> ((s, dir) =>
+      // is the pooled A-vs-B sign a segment-mix artifact — pooled vs
+      // direct-standardized diff across weekday strata
+      etl.Aggregates.simpsonCheck(Tables.events(s, dir),
+          Seq("event_type"), segCol = weekday(col("ts")).cast("long"),
+          isA = col("user_id") % 2 === 0, yCol = col("value"))
+        .orderBy(col("event_type"))),
+
+    "q287_cell_residuals" -> ((s, dir) =>
+      // WHICH cells drive the chi-square: Haberman adjusted residuals
+      // per (type, weekday) cell with the margin correction
+      etl.Drift.cellResiduals(Tables.events(s, dir),
+          aCol = col("event_type"), bCol = weekday(col("ts")).cast("long"))
+        .orderBy(col("a"), col("b"))),
+
     "q282_cluster_purity" -> ((s, dir) => {
       // score q66's dedup clustering against exact-dup truth classes:
       // B-cubed P/R/F1 from contingency cells — no per-element join
@@ -7799,6 +7821,81 @@ object SparkEntry {
         |  CAST(c AS BIGINT) AS n_censored, cum_hazard, hazard_var,
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
+
+    "q285_eb_shrinkage" ->
+      // same per-item counts, same moments prior and shrinkage fold
+      """WITH i AS (SELECT user_id, count(*) AS n,
+        |    sum(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n, x,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rr FROM i),
+        |s AS (SELECT *, avg(rr) OVER () AS m,
+        |    var_samp(rr) OVER () AS v FROM r),
+        |t AS (SELECT *, CASE WHEN v > 0
+        |      AND m * (1.0 - m) / v - 1.0 > 0
+        |    THEN m * (1.0 - m) / v - 1.0 END AS ab FROM s)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+        |  roundStable(rr, 6) AS raw_rate,
+        |  roundStable(m * ab, 6) AS alpha,
+        |  roundStable((1.0 - m) * ab, 6) AS beta,
+        |  roundStable((m * ab + CAST(x AS DOUBLE))
+        |    / (ab + CAST(n AS DOUBLE)), 6) AS shrunk_rate
+        |FROM t ORDER BY user_id""".stripMargin,
+
+    "q286_simpson" ->
+      // same segment cells, pooled vs size-weighted stratified diff
+      """WITH c AS (SELECT event_type, isodow(ts) - 1 AS seg,
+        |    count(CASE WHEN user_id % 2 = 0 THEN value END) AS na,
+        |    count(CASE WHEN user_id % 2 <> 0 THEN value END) AS nb,
+        |    avg(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+        |    avg(CASE WHEN user_id % 2 <> 0 THEN value END) AS mb,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value END) AS sa,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN value END) AS sb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS nseg,
+        |    sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END)
+        |      AS nused,
+        |    roundStable(sum(sa) / sum(na) - sum(sb) / sum(nb), 6)
+        |      AS pooled,
+        |    roundStable(sum(CASE WHEN na > 0 AND nb > 0
+        |        THEN CAST(na + nb AS DOUBLE) * (ma - mb) END)
+        |      / sum(CASE WHEN na > 0 AND nb > 0
+        |        THEN CAST(na + nb AS DOUBLE) END), 6) AS stdd
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, CAST(nseg AS BIGINT) AS n_segments,
+        |  CAST(nused AS BIGINT) AS n_segments_used,
+        |  pooled AS pooled_diff, stdd AS standardized_diff,
+        |  CAST(CASE WHEN pooled IS NOT NULL AND stdd IS NOT NULL
+        |    THEN CASE WHEN sign(pooled) <> sign(stdd)
+        |      AND sign(pooled) <> 0 AND sign(stdd) <> 0
+        |      THEN 1 ELSE 0 END END AS BIGINT) AS reversal
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q287_cell_residuals" ->
+      // same margins, same Haberman denominator association
+      """WITH c AS (SELECT event_type AS a, isodow(ts) - 1 AS b,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT a, b, o,
+        |    CAST(sum(o) OVER (PARTITION BY a) AS DOUBLE) AS na,
+        |    CAST(sum(o) OVER (PARTITION BY b) AS DOUBLE) AS nb,
+        |    CAST(sum(o) OVER () AS DOUBLE) AS n
+        |  FROM c)
+        |SELECT a, CAST(b AS BIGINT) AS b, CAST(o AS BIGINT) AS observed,
+        |  roundStable(na * nb / n, 6) AS expected,
+        |  roundStable(CASE WHEN sqrt(na * nb / n * (1.0 - na / n)
+        |      * (1.0 - nb / n)) > 0
+        |    THEN (CAST(o AS DOUBLE) - na * nb / n)
+        |      / sqrt(na * nb / n * (1.0 - na / n) * (1.0 - nb / n))
+        |    END, 6) AS adj_residual,
+        |  CAST(CASE WHEN sqrt(na * nb / n * (1.0 - na / n)
+        |      * (1.0 - nb / n)) > 0
+        |    THEN CASE WHEN abs(roundStable(
+        |        (CAST(o AS DOUBLE) - na * nb / n)
+        |        / sqrt(na * nb / n * (1.0 - na / n)
+        |          * (1.0 - nb / n)), 6)) > 3.0
+        |      THEN 1 ELSE 0 END END AS BIGINT) AS surprising
+        |FROM s ORDER BY a, b""".stripMargin,
 
     "q282_cluster_purity" ->
       // q66's recursive closure + md5 truth classes, B-cubed as cell

@@ -2362,6 +2362,90 @@ object Aggregates {
         roundStable(when(ok, r + lit(1.96) * se), digits).as("ci_hi"))
   }
 
+  /** Empirical-Bayes rate shrinkage (beta-binomial, method-of-moments
+    * prior — the Robinson "batting average" estimator) — rank items
+    * by success RATE without letting a 1/1 item beat a 4981/5000 one:
+    * fit a Beta(α, β) prior to the observed per-item rates by moments
+    * (`α+β = m(1−m)/v − 1`), then shrink each item toward it:
+    * `(α + x)/(α + β + n)` — items with little data move most, items
+    * with lots barely move, and the ranking becomes defensible. One
+    * item aggregation + prior moments via a window over the O(#items)
+    * rows (the prior must see ALL items — that is the "empirical").
+    * Degenerate priors (zero between-item variance, or MoM outside
+    * the Beta family) emit NULL shrunk rates with the raw ones
+    * visible.
+    */
+  def ebShrinkRates(df: DataFrame, itemCols: Seq[String], isSuccess: Column,
+                    digits: Int = 6): DataFrame = {
+    require(itemCols.nonEmpty, "need at least one item column")
+    val items = df.groupBy(itemCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(isSuccess, 1L).otherwise(0L)).as("x"))
+      .withColumn("__r", col("x").cast("double") / col("n").cast("double"))
+    val wAll = Window.partitionBy(lit(1))
+    val staged = items
+      .withColumn("__m", avg(col("__r")).over(wAll))
+      .withColumn("__v", var_samp(col("__r")).over(wAll))
+    val ab = col("__m") * (lit(1.0) - col("__m")) / col("__v") - lit(1.0)
+    val ok = col("__v") > 0 && ab > 0
+    staged
+      .withColumn("__ab", when(ok, ab))
+      .select(itemCols.map(col) ++ Seq(col("n"), col("x"),
+        roundStable(col("__r"), digits).as("raw_rate"),
+        roundStable(col("__m") * col("__ab"), digits).as("alpha"),
+        roundStable((lit(1.0) - col("__m")) * col("__ab"), digits)
+          .as("beta"),
+        roundStable((col("__m") * col("__ab") + col("x").cast("double")) /
+          (col("__ab") + col("n").cast("double")), digits)
+          .as("shrunk_rate")): _*)
+  }
+
+  /** Simpson's-paradox detector per key — does the POOLED A-vs-B
+    * difference point the opposite way from the STRATIFIED one: the
+    * pooled diff vs the segment-size-weighted (direct-standardized)
+    * within-segment diff, signs compared on 6dp-ROUNDED values. A
+    * reversal means the segment MIX, not the treatment, is driving
+    * the pooled readout (A84 decomposes the gap; this flags when the
+    * gap's very sign is a mix artifact — the classic kidney-stone /
+    * admissions trap). Two aggregations: segments reduce first,
+    * per-key pooled moments ride the same pass via conditional sums;
+    * segments missing an arm are excluded from the standardized diff
+    * and counted visibly.
+    */
+  def simpsonCheck(df: DataFrame, keys: Seq[String], segCol: Column,
+                   isA: Column, yCol: Column,
+                   digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val y = yCol.cast("double")
+    val cells = df.filter(y.isNotNull)
+      .groupBy(keyCols :+ segCol.as("__seg"): _*)
+      .agg(count(when(isA, y)).as("__na"),
+        count(when(!isA, y)).as("__nb"),
+        avg(when(isA, y)).as("__ma"),
+        avg(when(!isA, y)).as("__mb"),
+        sum(when(isA, y)).as("__sa"),
+        sum(when(!isA, y)).as("__sb"))
+    val both = col("__na") > 0 && col("__nb") > 0
+    val nSeg = col("__na") + col("__nb")
+    val pooled = sum(col("__sa")) / sum(col("__na")) -
+      sum(col("__sb")) / sum(col("__nb"))
+    val stdDiff = sum(when(both, nSeg.cast("double") *
+        (col("__ma") - col("__mb")))) /
+      sum(when(both, nSeg.cast("double")))
+    val pooledR = roundStable(pooled, digits)
+    val stdR = roundStable(stdDiff, digits)
+    cells.groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(both, 1L).otherwise(0L)).as("n_segments_used"),
+        pooledR.as("pooled_diff"),
+        stdR.as("standardized_diff"),
+        when(pooledR.isNotNull && stdR.isNotNull,
+          (signum(pooledR) =!= signum(stdR) &&
+            signum(pooledR) =!= 0 && signum(stdR) =!= 0).cast("long"))
+          .as("reversal"))
+  }
+
   /** Record-breaking counts per key (Glick 1978, records theory) —
     * the nonparametric trend screen: in an i.i.d. (trend-free) series
     * the expected number of running-maximum breaks is the harmonic

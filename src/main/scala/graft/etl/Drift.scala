@@ -751,6 +751,44 @@ object Drift {
         count(lit(1)).as("n_cells"))
   }
 
+  /** Adjusted standardized residuals per contingency cell (Haberman
+    * 1973) — WHICH cells drive a significant chi-square: the keyed
+    * test ([[chiSquareIndep]]) says THE TABLE is off; this says
+    * "errors × Sunday is 4.2σ over expectation", the actionable unit.
+    * `r_adj = (O − E) / √(E·(1 − n_i/N)·(1 − n_j/N))` — the margin
+    * correction matters: raw Pearson residuals over-flag fat rows.
+    * One cell aggregation + margin windows over O(#cells) rows;
+    * flags at |r| > 3 compare 6dp-ROUNDED values. Only OBSERVED cells
+    * emit rows — a structurally-absent combination (O = 0 with large
+    * E, the "surprisingly missing" case) needs the caller to pre-fill
+    * the cross product if it matters for their table.
+    */
+  def cellResiduals(df: DataFrame, aCol: Column, bCol: Column,
+                    digits: Int = 6): DataFrame = {
+    val cells = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("__o"))
+    val wA = Window.partitionBy(col("a"))
+    val wB = Window.partitionBy(col("b"))
+    val wAll = Window.partitionBy(lit(1))
+    val o = col("__o").cast("double")
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val n = col("__n").cast("double")
+    val e = na * nb / n
+    val denom = sqrt(e * (lit(1.0) - na / n) * (lit(1.0) - nb / n))
+    val r = (o - e) / denom
+    val staged = cells
+      .withColumn("__na", sum(col("__o")).over(wA))
+      .withColumn("__nb", sum(col("__o")).over(wB))
+      .withColumn("__n", sum(col("__o")).over(wAll))
+    staged.select(col("a"), col("b"), col("__o").as("observed"),
+        roundStable(e, digits).as("expected"),
+        roundStable(when(denom > 0, r), digits).as("adj_residual"))
+      .withColumn("surprising",
+        when(col("adj_residual").isNotNull,
+          (abs(col("adj_residual")) > lit(3.0)).cast("long")))
+  }
+
   /** Binary-segmentation changepoint detection, depth 2 (Scott &
     * Knott 1974 lineage; the mean-shift cost) — WHERE does the series
     * change, up to three changepoints: find the split minimizing

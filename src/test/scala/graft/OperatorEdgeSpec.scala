@@ -4579,6 +4579,59 @@ class OperatorEdgeSpec extends AnyFunSuite {
       math.abs(r.getDouble(6) - 1.0 / h) < 1e-6, s"$r")
   }
 
+  test("ebShrinkRates: 1/1 cannot beat 60/100 after shrinkage; flat prior NULL") {
+    val rows = Seq(("A", 1, 1), ("B", 100, 40), ("C", 100, 60),
+      ("D", 100, 50)).flatMap { case (u, n, x) =>
+      (1 to n).map(i => (u, i <= x)) }
+    val out = etl.Aggregates.ebShrinkRates(rows.toDF("u", "hit"),
+        itemCols = Seq("u"), isSuccess = col("hit"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rates = Seq(1.0, 0.4, 0.6, 0.5)
+    val m = rates.sum / 4
+    val v = rates.map(r => (r - m) * (r - m)).sum / 3
+    val ab = m * (1.0 - m) / v - 1.0
+    def shrunk(x: Double, n: Double) = (m * ab + x) / (ab + n)
+    assert(math.abs(out("A").getDouble(6) - shrunk(1, 1)) < 1e-6,
+      s"${out("A")}")
+    assert(out("A").getDouble(6) < 0.8 && out("A").getDouble(3) == 1.0,
+      "the 1/1 item's rate moves far toward the prior mean")
+    assert(math.abs(out("C").getDouble(6) - shrunk(60, 100)) < 1e-6 &&
+      math.abs(out("C").getDouble(6) - 0.6) < 0.01,
+      s"the 60/100 item barely moves: ${out("C")}")
+    val flat = (1 to 4).flatMap(u => Seq((s"u$u", true), (s"u$u", false)))
+    val f = etl.Aggregates.ebShrinkRates(flat.toDF("u", "hit"),
+      Seq("u"), col("hit")).collect().head
+    assert(f.isNullAt(6), s"zero between-item variance: no prior: $f")
+  }
+
+  test("simpsonCheck: within-segment sign flips against the pooled sign") {
+    def cell(seg: Long, arm: Long, mean: Double, n: Int) =
+      (1 to n).map(_ => ("k", seg, arm, mean))
+    val rows = cell(1, 0, 90, 10) ++ cell(1, 1, 85, 100) ++
+      cell(2, 0, 40, 100) ++ cell(2, 1, 35, 10)
+    val r = etl.Aggregates.simpsonCheck(rows.toDF("k", "seg", "arm", "v"),
+        Seq("k"), segCol = col("seg"), isA = col("arm") === 0L,
+        yCol = col("v")).collect().head
+    assert(r.getDouble(4) == 5.0, s"A wins every segment by 5: $r")
+    assert(r.getDouble(3) < 0, s"pooled says A loses badly: $r")
+    assert(r.getLong(5) == 1L, s"that is the paradox flag: $r")
+  }
+
+  test("cellResiduals: Haberman-adjusted residuals, symmetric 2x2, flags at 3 sigma") {
+    val rows = Seq(("p", 0L, 30), ("p", 1L, 10), ("q", 0L, 10),
+      ("q", 1L, 30)).flatMap { case (a, b, n) =>
+      (1 to n).map(_ => (a, b)) }
+    val out = etl.Drift.cellResiduals(rows.toDF("a", "b"),
+        aCol = col("a"), bCol = col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val p0 = out(("p", 0L))
+    assert(p0.getLong(2) == 30L && p0.getDouble(3) == 20.0, s"$p0")
+    assert(math.abs(p0.getDouble(4) - 10.0 / math.sqrt(5.0)) < 1e-6 &&
+      p0.getLong(5) == 1L, s"$p0")
+    assert(math.abs(out(("p", 1L)).getDouble(4) +
+      10.0 / math.sqrt(5.0)) < 1e-6, "antisymmetric in a 2x2")
+  }
+
   test("nelsonAalen: textbook H and variance; censored-only key stays at H=0") {
     val full = (1 to 4).map(d => ("full", d.toLong, true))
     val alive = (1 to 4).map(d => ("alive", d.toLong, false))
