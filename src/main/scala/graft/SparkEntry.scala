@@ -2432,6 +2432,94 @@ object SparkEntry {
         .orderBy(col("cohort"), col("t"))
     }),
 
+    "q288_crosslang_dups" -> ((s, dir) => {
+      // near-dup pairs that CROSS language labels — mislabeled or
+      // copied-across content the per-lang pipelines would each keep
+      val docs = Tables.documents(s, dir)
+      val pairs = NGramJaccard.similarPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      val langs = docs.select(col("doc_id"), col("lang"))
+      pairs
+        .join(langs.select(col("doc_id").as("id_a"),
+          col("lang").as("__la")), "id_a")
+        .join(langs.select(col("doc_id").as("id_b"),
+          col("lang").as("__lb")), "id_b")
+        .groupBy(least(col("__la"), col("__lb")).as("lang_a"),
+          greatest(col("__la"), col("__lb")).as("lang_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("__la") =!= col("__lb"), 1L).otherwise(0L))
+            .as("n_cross_label"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
+    "q289_source_separation" -> ((s, dir) => {
+      // are sources distinguishable in embedding space — pairwise
+      // cosine between per-source centroids, all relational (no UDF)
+      val dims = Tables.embeddings(s, dir)
+        .join(Tables.documents(s, dir),
+          col("vec_id") === col("doc_id"))
+        .select(col("source"), posexplode(col("embedding"))
+          .as(Seq("pos", "x")))
+      val cent = dims.groupBy(col("source"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("c"))
+      val a = cent.select(col("source").as("src_a"), col("pos"),
+        col("c").as("__ca"))
+      val b = cent.select(col("source").as("src_b"), col("pos"),
+        col("c").as("__cb"))
+      a.join(b, "pos").filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(roundStable(sum(col("__ca") * col("__cb")) /
+          (sqrt(sum(col("__ca") * col("__ca"))) *
+            sqrt(sum(col("__cb") * col("__cb")))), 6)
+          .as("centroid_cosine"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    "q290_context_fit" -> ((s, dir) => {
+      // if we train at context L: truncated-doc share, tokens lost to
+      // truncation, padding share under one-doc-per-sequence
+      import s.implicits._
+      val lens = Tables.documents(s, dir)
+        .select(text.TextStats.wsTokenCount(col("text")).as("n"))
+      val ctx = Seq(128L, 512L, 2048L).toDF("ctx_len")
+      ctx.crossJoin(lens)
+        .groupBy(col("ctx_len"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n")).as("tokens_total"),
+          sum(when(col("n") > col("ctx_len"), 1L).otherwise(0L))
+            .as("truncated_docs"),
+          roundStable(sum(when(col("n") > col("ctx_len"),
+            col("n") - col("ctx_len")).otherwise(0L)).cast("double") /
+            sum(col("n")).cast("double"), 6).as("tokens_lost_share"),
+          roundStable(sum(col("ctx_len") - least(col("n"), col("ctx_len")))
+            .cast("double") /
+            (count(lit(1)) * col("ctx_len")).cast("double"), 6)
+            .as("padding_share"))
+        .orderBy(col("ctx_len"))
+    }),
+
+    "q291_source_silhouette" -> ((s, dir) => {
+      // are the source clusters real in embedding space — simplified
+      // (centroid) silhouette per source + share of misfiled points
+      val pts = Tables.embeddings(s, dir)
+        .join(Tables.documents(s, dir), col("vec_id") === col("doc_id"))
+      sim.Geometry.silhouette(pts, "vec_id", "source", "embedding")
+    }),
+
+    "q292_pc1_power" -> ((s, dir) =>
+      // dominant direction of the embedding corpus: 10-round power
+      // iteration on the d×d covariance (collected as a bounded model
+      // constant), canonical sign, λ1/trace anisotropy share
+      sim.Geometry.pc1Power(Tables.embeddings(s, dir), "embedding",
+        iters = 10)),
+
+    "q293_knn_outlier" -> ((s, dir) =>
+      // geometric outliers: top-20 vectors by mean cosine distance to
+      // their 10 nearest neighbors (Ramaswamy kNN-dist)
+      sim.Geometry.knnOutliers(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 10, topN = 20)),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -7822,6 +7910,125 @@ object SparkEntry {
         |  roundStable(exp(-cum_hazard), 6) AS fh_survival
         |FROM h ORDER BY cohort, t""".stripMargin,
 
+    "q288_crosslang_dups" ->
+      // the q34 exact-pair CTE + language labels on both sides
+      """WITH s AS (SELECT doc_id, str_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      FOR i IN range(1, len(w) - 1)]) AS shingles
+        |  FROM s),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh
+        |  FROM sh),
+        |pr AS (SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(count(*) AS DOUBLE)
+        |        / CAST(max(a.n) + max(b.n) - count(*) AS DOUBLE) AS j
+        |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) t WHERE j >= 0.5)
+        |SELECT least(da.lang, db.lang) AS lang_a,
+        |  greatest(da.lang, db.lang) AS lang_b,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN da.lang <> db.lang THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cross_label
+        |FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+        |  JOIN documents db ON db.doc_id = pr.doc_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q289_source_separation" ->
+      // per-source centroids by dimension, pairwise cosine — position
+      // bases differ per engine but pair identically within each
+      """WITH d AS (SELECT doc.source AS source, e.embedding
+        |  FROM embeddings e JOIN documents doc
+        |    ON e.vec_id = doc.doc_id),
+        |x AS (SELECT source, i AS pos,
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |  FROM d, range(1, 65) t(i)),
+        |c AS (SELECT source, pos, avg(x) AS c FROM x GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  roundStable(sum(a.c * b.c)
+        |    / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 6)
+        |    AS centroid_cosine
+        |FROM c a JOIN c b ON a.pos = b.pos AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q290_context_fit" ->
+      // same length census against the same context grid
+      """WITH lens AS (SELECT CAST(len(str_split(text, ' ')) AS BIGINT)
+        |    AS n FROM documents),
+        |ctx AS (SELECT * FROM (VALUES (128), (512), (2048)) t(ctx_len))
+        |SELECT CAST(ctx_len AS BIGINT) AS ctx_len, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS truncated_docs,
+        |  roundStable(CAST(sum(CASE WHEN n > ctx_len THEN n - ctx_len
+        |    ELSE 0 END) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+        |    AS tokens_lost_share,
+        |  roundStable(CAST(sum(ctx_len - least(n, ctx_len)) AS DOUBLE)
+        |    / CAST(count(*) * ctx_len AS DOUBLE), 6) AS padding_share
+        |FROM ctx, lens GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
+
+    "q291_source_silhouette" ->
+      // same centroid-variant silhouette: per-source centroid lists,
+      // distances via the p·p − 2p·c + c·c identity, fp-clamped at 0
+      """WITH p AS (SELECT e.vec_id, d.source, e.embedding,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE)
+        |        * CAST(e.embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(e.embedding) + 1)]) AS pp
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |x AS (SELECT source, i AS pos,
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |  FROM p, range(1, 65) t(i)),
+        |cm AS (SELECT source, pos, avg(x) AS c FROM x GROUP BY 1, 2),
+        |cent AS (SELECT source AS ck, list(c ORDER BY pos) AS cent,
+        |    list_sum([c * c FOR c IN list(c ORDER BY pos)]) AS cc
+        |  FROM cm GROUP BY 1),
+        |d2 AS (SELECT p.vec_id, p.source, cent.ck,
+        |    sqrt(greatest(0.0, p.pp
+        |      - 2.0 * list_sum([CAST(p.embedding[i] AS DOUBLE)
+        |          * cent.cent[CAST(i AS INT)]
+        |        FOR i IN range(1, len(p.embedding) + 1)])
+        |      + cent.cc)) AS d
+        |  FROM p, cent),
+        |pp AS (SELECT vec_id, source,
+        |    min(CASE WHEN ck = source THEN d END) AS a,
+        |    min(CASE WHEN ck <> source THEN d END) AS b
+        |  FROM d2 GROUP BY 1, 2),
+        |s AS (SELECT source,
+        |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+        |      ELSE 0.0 END AS s
+        |  FROM pp)
+        |SELECT source, count(*) AS n_points,
+        |  roundStable(avg(s), 6) AS mean_silhouette,
+        |  roundStable(avg(CASE WHEN s < 0 THEN 1.0 ELSE 0.0 END), 6)
+        |    AS misfit_share
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
+    "q292_pc1_power" -> Pc1OracleSql.sql,
+
+    "q293_knn_outlier" ->
+      // same all-pairs cosine distance, rounded BEFORE ranking, id
+      // tie-breaks, k=10 mean, top-20 by (score desc, id)
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+        |        * CAST(embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    roundStable(1.0 - list_sum([CAST(a.embedding[i] AS DOUBLE)
+        |        * CAST(b.embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm), 6)
+        |      AS dist
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT ida, dist, row_number() OVER (PARTITION BY ida
+        |    ORDER BY dist ASC, idb ASC) AS rk FROM p),
+        |s AS (SELECT ida, roundStable(avg(dist), 6) AS knn_dist
+        |  FROM r WHERE rk <= 10 GROUP BY 1),
+        |t AS (SELECT ida, knn_dist, row_number() OVER (
+        |    ORDER BY knn_dist DESC, ida ASC) AS rank FROM s)
+        |SELECT CAST(rank AS BIGINT) AS rank, ida AS vec_id, knn_dist
+        |FROM t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold
       """WITH i AS (SELECT user_id, count(*) AS n,
@@ -9324,4 +9531,49 @@ object SparkEntry {
         |  CAST(bin_id AS BIGINT) AS bin_id, CAST(fill AS BIGINT) AS bin_fill
         |FROM p ORDER BY lang, doc_id""".stripMargin,
   )
+}
+
+/** Generated DuckDB oracle for q292: the SAME 10 power-iteration rounds
+  * the engine runs driver-side, unrolled as chained CTEs (the q106/q146
+  * unrolled-iteration feat) — covariance from raw moments, w₀ = 1/√d,
+  * per-round L2 normalization, canonical sign at the max-|loading| dim
+  * (lowest pos on ties), λ₁ as the Rayleigh quotient over trace.
+  */
+private[graft] object Pc1OracleSql {
+  val iters = 10
+  val sql: String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      // MATERIALIZED: each round references its predecessor twice (the
+      // norm scalar + the vector); inlined CTEs would re-evaluate the
+      // whole chain 2^iters times
+      s"""m$r AS MATERIALIZED (SELECT cv.i AS i, sum(cv.c * $prev.w) AS nw
+         |  FROM cv JOIN $prev ON cv.j = $prev.i GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT i,
+         |    nw / sqrt((SELECT sum(nw * nw) FROM m$r)) AS w
+         |  FROM m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH px AS (SELECT i.i AS i, j.j AS j,
+       |    CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS xi,
+       |    CAST(embedding[CAST(j.j AS INT)] AS DOUBLE) AS xj
+       |  FROM embeddings, range(1, 65) i(i), range(1, 65) j(j)),
+       |cv AS MATERIALIZED (SELECT i, j,
+       |    sum(xi * xj) / count(*)
+       |      - (sum(xi) / count(*)) * (sum(xj) / count(*)) AS c
+       |  FROM px GROUP BY 1, 2),
+       |w0 AS (SELECT i, 1.0 / sqrt(64.0) AS w FROM range(1, 65) t(i)),
+       |$rounds,
+       |sgn AS (SELECT CASE WHEN (SELECT w FROM w$iters
+       |    ORDER BY abs(w) DESC, i ASC LIMIT 1) < 0
+       |  THEN -1.0 ELSE 1.0 END AS s),
+       |wf AS (SELECT i, w * s AS w FROM w$iters, sgn),
+       |lam AS (SELECT sum(wi.w * cv.c * wj.w) AS l FROM cv
+       |  JOIN wf wi ON cv.i = wi.i JOIN wf wj ON cv.j = wj.i),
+       |tr AS (SELECT sum(c) AS t FROM cv WHERE i = j)
+       |SELECT CAST(wf.i - 1 AS BIGINT) AS pos,
+       |  roundStable(wf.w, 6) AS pc1_loading,
+       |  roundStable(CASE WHEN tr.t > 0 THEN lam.l / tr.t ELSE 0.0 END, 6)
+       |    AS pc1_var_share
+       |FROM wf, lam, tr ORDER BY pos""".stripMargin
+  }
 }

@@ -1,0 +1,197 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.roundStable
+
+/** Geometric diagnostics over an embedding corpus: cluster separation
+  * (simplified silhouette), dominant-direction extraction (power
+  * iteration on the d×d covariance), and distance-based outliers.
+  *
+  * Everything reduces the n-row corpus to O(d) / O(d²) state before any
+  * driver-side step — the 100 TB path computes moments distributed and
+  * only ever collects dimension-sized constants (the k-means-centroid
+  * discipline, cf. reference dag:365-407 validation stage).
+  */
+object Geometry {
+
+  import Similarity.dot
+
+  /** Per-cluster centroid arrays: one row per key with the mean vector
+    * as `array<double>` (ordered by dimension) — O(#keys) rows, built
+    * from a single keyed aggregation over exploded dims. The struct
+    * sort inside `collect_list` is on the leading `pos` field, so
+    * reassembly is deterministic regardless of partitioning.
+    */
+  def centroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol).as("__k"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("__k"), col("__pos"))
+      .agg(avg(col("__x").cast("double")).as("__c"))
+      .groupBy(col("__k"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__c")))),
+        e => e.getField("__c")).as("__cent"))
+
+  /** Simplified silhouette of a labelled embedding corpus — how
+    * separated the label's clusters are in embedding space, per label:
+    * for each point, `a` = Euclidean distance to its OWN label
+    * centroid, `b` = distance to the NEAREST other label centroid,
+    * `s = (b − a) / max(a, b)` (Hruschka's centroid variant of
+    * Rousseeuw '87 — O(n·k) instead of the O(n²) classic, which is the
+    * only version that survives 100 TB). Emits per label: point count,
+    * mean silhouette, and the share of points sitting closer to a
+    * FOREIGN centroid (`s < 0` — the misfiled mass a labels-based
+    * pipeline split would train on).
+    *
+    * Shape: one keyed agg to k centroids (O(k·d) rows), broadcast
+    * cross join of points × centroids (k is label cardinality — tiny),
+    * distances via the codegen'd dot identity
+    * `‖p−c‖² = p·p − 2 p·c + c·c`, then one keyed agg back. No window
+    * over the corpus, no quadratic pair join.
+    */
+  def silhouette(df: DataFrame, idCol: String, keyCol: String, vecCol: String,
+                 digits: Int = 6): DataFrame = {
+    val cents = centroids(df, keyCol, vecCol)
+      .select(col("__k").as("__ck"), col("__cent"),
+        dot(col("__cent"), col("__cent")).as("__cc"))
+    val pts = df.select(col(idCol).as("__pid"), col(keyCol).as("__k"),
+        col(vecCol).as("__v"))
+      .withColumn("__pp", dot(col("__v"), col("__v")))
+    val d2 = pts.join(broadcast(cents), lit(true))
+      // clamp: fp cancellation can push an exact-zero distance to -1e-16
+      .withColumn("__d", sqrt(greatest(lit(0.0),
+        col("__pp") - lit(2.0) * dot(col("__v"), col("__cent")) + col("__cc"))))
+    val perPoint = d2.groupBy(col("__pid"), col("__k"))
+      .agg(
+        min(when(col("__ck") === col("__k"), col("__d"))).as("__a"),
+        min(when(col("__ck") =!= col("__k"), col("__d"))).as("__b"))
+      .withColumn("__s",
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)))
+    perPoint.groupBy(col("__k").as(keyCol))
+      .agg(
+        count(lit(1)).as("n_points"),
+        roundStable(avg(col("__s")), digits).as("mean_silhouette"),
+        roundStable(avg(when(col("__s") < 0, 1.0).otherwise(0.0)), digits)
+          .as("misfit_share"))
+      .orderBy(col(keyCol))
+  }
+
+  /** First principal component of the embedding corpus by power
+    * iteration — the anisotropy diagnosis of Ethayarajh '19 / Mu '18
+    * ("all-but-the-top"): if PC1 explains a large share of variance,
+    * cosine similarity is dominated by one common direction and should
+    * be debiased before any ANN index is sized.
+    *
+    * The n-row corpus reduces DISTRIBUTED to d(d+1)/2-ish moments: one
+    * pass builds the per-dim mean (O(d) rows) and the centered scatter
+    * matrix (O(d²) rows via a pos×pos self-join of exploded dims —
+    * E[xy] − E[x]E[y], never materializing centered vectors). Only the
+    * d×d matrix is collected (d=64 ⇒ 4096 doubles — a bounded constant,
+    * the trainer-seed discipline); `iters` rounds of w ← C·w with L2
+    * normalization run driver-side in deterministic index order.
+    * Sign is canonicalized (the max-|loading| dim reads positive, ties
+    * to the lowest pos) so both engines agree without relying on
+    * iteration parity.
+    *
+    * Output: one row per dimension — `pos`, `pc1_loading`, plus the
+    * corpus-constant `pc1_var_share` = λ₁/trace(C) (Rayleigh quotient
+    * over total variance) repeated on each row.
+    */
+  def pc1Power(df: DataFrame, vecCol: String, iters: Int = 10,
+               digits: Int = 6): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = df.sparkSession
+    // second moments need pairing within a row: re-explode against the
+    // row's own vector (posexplode twice on the same row via a struct)
+    val paired = df.select(col(vecCol).as("__v"))
+      .select(posexplode(col("__v")).as(Seq("__i", "__xi")), col("__v"))
+      .select(col("__i"), col("__xi").cast("double").as("__xi"),
+        posexplode(col("__v")).as(Seq("__j", "__xj")))
+      .select(col("__i"), col("__j"), col("__xi"),
+        col("__xj").cast("double").as("__xj"))
+    val scatter = paired.groupBy(col("__i"), col("__j"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__xi") * col("__xj")).as("__sxy"),
+        sum(col("__xi")).as("__sx"), sum(col("__xj")).as("__sy"))
+      .select(col("__i"), col("__j"),
+        (col("__sxy") / col("__n") - (col("__sx") / col("__n")) *
+          (col("__sy") / col("__n"))).as("__c"))
+    // bounded collect: O(d²) covariance entries — a model constant, same
+    // class as k-means centroids / PQ codebooks (documented discipline)
+    val entries = scatter.collect()
+    val d = entries.iterator.map(_.getInt(0)).max + 1
+    val c = Array.ofDim[Double](d, d)
+    entries.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val nw = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * w(j); j += 1 }
+        s
+      }
+      val nrm = math.sqrt(nw.map(x => x * x).sum)
+      w = if (nrm > 0) nw.map(_ / nrm) else nw
+      it += 1
+    }
+    // canonical sign: the max-|loading| dim (lowest pos on ties) positive
+    val argmax = w.indices.maxBy(i => (math.abs(w(i)), -i))
+    if (w(argmax) < 0) w = w.map(-_)
+    val lambda1 = { // Rayleigh quotient w'Cw (w is unit)
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d) s += w(i) * c(i)(j) * w(j)
+      s
+    }
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val share = if (trace > 0) lambda1 / trace else 0.0
+    import spark.implicits._
+    w.zipWithIndex.map { case (x, i) => (i, x, share) }.toSeq
+      .toDF("pos", "__l", "__s")
+      .select(col("pos").cast("long").as("pos"),
+        roundStable(col("__l"), digits).as("pc1_loading"),
+        roundStable(col("__s"), digits).as("pc1_var_share"))
+      .orderBy(col("pos"))
+  }
+
+  /** Distance-based outlier score (Ramaswamy '00 kNN-dist variant):
+    * each vector's mean cosine DISTANCE (1 − cos) to its k nearest
+    * neighbors; the top-N scores are the corpus's geometric outliers —
+    * mojibake, wrong-modality rows, or dead-zone padding that survives
+    * every text filter because the text LOOKS fine.
+    *
+    * Brute-force all-pairs (the q37 contract: codegen'd dot, one
+    * window per query side) — correct at audit scale; at 100 TB the
+    * same score rides [[LshAnn]] / [[IvfFlat]] candidates instead, and
+    * this stays the oracle. Pair distances are rounded BEFORE ranking
+    * (the [[Similarity.bruteForceTopK]] discipline — rank on rounded
+    * score + id tie-break so both engines rank identical doubles);
+    * the final ranking is (score desc, id) — fully deterministic.
+    */
+  def knnOutliers(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 10, topN: Int = 20, digits: Int = 6): DataFrame = {
+    require(k >= 1 && topN >= 1, s"need k, topN >= 1, got $k, $topN")
+    val a = df.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
+      .withColumn("__na", Similarity.norm(col("__va")))
+    val b = df.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
+      .withColumn("__nb", Similarity.norm(col("__vb")))
+    val pairs = a.join(broadcast(b), col("__ida") =!= col("__idb"))
+      .select(col("__ida"), col("__idb"),
+        roundStable(lit(1.0) -
+          dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), digits)
+          .as("__dist"))
+    val ranked = pairs.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("__ida"))
+        .orderBy(col("__dist").asc, col("__idb").asc)))
+      .filter(col("__rk") <= k)
+    ranked.groupBy(col("__ida"))
+      .agg(roundStable(avg(col("__dist")), digits).as("knn_dist"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("knn_dist").desc, col("__ida").asc)))
+      .filter(col("rank") <= topN)
+      .select(col("rank").cast("long").as("rank"),
+        col("__ida").as(idCol), col("knn_dist"))
+      .orderBy(col("rank"))
+  }
+}

@@ -4650,4 +4650,51 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(a4.getDouble(5) == 0.0 && a4.getDouble(7) == 1.0 &&
       a4.getLong(4) == 1L, s"all censored: hazard never accrues: $a4")
   }
+
+  test("silhouette: separated clusters read ~1; a misfiled point reads s<0 and counts") {
+    // cluster A hugs (10,0); cluster B hugs (0,10); one "A" point is
+    // planted AT B's centroid — it must be the only misfit
+    val df = Seq(
+      (1L, "A", Array(10.0f, 0.0f)), (2L, "A", Array(10.2f, 0.0f)),
+      (3L, "A", Array(9.8f, 0.0f)),
+      (4L, "B", Array(0.0f, 10.0f)), (5L, "B", Array(0.0f, 10.2f)),
+      (6L, "B", Array(0.0f, 9.8f)),
+      (7L, "A", Array(0.0f, 10.0f)) // misfiled
+    ).toDF("id", "src", "v")
+    val out = sim.Geometry.silhouette(df, "id", "src", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("B").getDouble(2) > 0.9 && out("B").getDouble(3) == 0.0)
+    assert(out("A").getLong(1) == 4L)
+    assert(out("A").getDouble(3) == 0.25, s"exactly the planted misfit: ${out("A")}")
+    assert(out("A").getDouble(2) < out("B").getDouble(2))
+  }
+
+  test("pc1Power: planted dominant axis recovered, canonical sign, var share ~1") {
+    // all variance lives on dim 2 (negative direction first — the
+    // canonical-sign rule must still read the loading positive)
+    val df = (0 until 40).map(i =>
+      (i.toLong, Array(0.5f, 0.0f, (if (i % 2 == 0) -4.0f else 4.0f) * (1 + i % 3), 0.0f)))
+      .toDF("id", "v")
+    val out = sim.Geometry.pc1Power(df, "v", iters = 10).collect()
+    assert(out.length == 4)
+    val byPos = out.map(r => r.getLong(0) -> r).toMap
+    assert(byPos(2L).getDouble(1) > 0.999, s"dominant loading: ${byPos(2L)}")
+    assert(math.abs(byPos(0L).getDouble(1)) < 1e-3)
+    assert(byPos(2L).getDouble(2) > 0.999, s"var share: ${byPos(2L)}")
+  }
+
+  test("knnOutliers: the planted far point ranks first; ranks dense and bounded") {
+    val ring = (0 until 12).map { i =>
+      val a = i * math.Pi / 6
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat, 1.0f))
+    }
+    // the outlier points AWAY in the third dim → large cosine distance
+    val df = (ring :+ ((99L, Array(0.0f, 0.0f, -1.0f)))).toDF("id", "v")
+    val out = sim.Geometry.knnOutliers(df, "id", "v", k = 3, topN = 5).collect()
+    assert(out.length == 5)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 99L,
+      s"planted outlier first: ${out.head}")
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.head.getDouble(2) > out.last.getDouble(2))
+  }
 }
