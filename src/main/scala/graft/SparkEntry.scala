@@ -2520,6 +2520,57 @@ object SparkEntry {
       sim.Geometry.knnOutliers(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 10, topN = 20)),
 
+    "q294_isotonic" -> ((s, dir) =>
+      // monotone (PAV) calibration of the q203 score via the minimax
+      // identity — pure relational over the 20-bin reduction
+      etl.MlEval.isotonicCalibration(Tables.events(s, dir),
+          least(col("value") / 500, lit(1.0)),
+          col("event_type") === "purchase", bins = 20)
+        .orderBy(col("bin"))),
+
+    "q295_dispersion" -> ((s, dir) =>
+      // are arrivals Poisson or clumped: variance/mean of per-
+      // (user, day) counts per type, Fisher chi-square + z
+      etl.Drift.dispersionIndex(Tables.events(s, dir), Seq("event_type"),
+          unitCols = Seq(col("user_id"), to_date(col("ts"))))
+        .orderBy(col("event_type"))),
+
+    "q296_fd_audit" -> ((s, dir) =>
+      // declared-dependency violation audit: g3 (min fraction of rows
+      // to delete for det→dep to hold) over lineitem claims + one
+      // true key dependency on orders as the zero baseline
+      etl.Rules.fdAudit(Tables.lineitem(s, dir), Seq(
+          ("l_partkey", "l_suppkey"),
+          ("l_orderkey", "l_returnflag"),
+          ("l_suppkey", "l_linestatus")))
+        .unionByName(etl.Rules.fdAudit(Tables.orders(s, dir),
+          Seq(("o_orderkey", "o_custkey"))))
+        .orderBy(col("determinant"), col("dependent"))),
+
+    "q297_richness" -> ((s, dir) =>
+      // crawl-scheduling signal: Good-Turing unseen mass + Chao1
+      // vocabulary floor per source — which sources still yield new
+      // types and how big each vocabulary at least is
+      text.Corpus.richness(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))),
+
+    "q298_capture_recapture" -> ((s, dir) =>
+      // how many users exist in total per event type, estimated from
+      // the first-half/second-half overlap (Chapman): the unobserved
+      // audience remainder q244/q280 cannot see
+      etl.Aggregates.captureRecapture(Tables.events(s, dir),
+          Seq("event_type"), col("user_id"),
+          inA = dayofmonth(col("ts")) <= 15,
+          inB = dayofmonth(col("ts")) > 15)
+        .orderBy(col("event_type"))),
+
+    "q299_hill" -> ((s, dir) =>
+      // effective vocabulary at three concentration sensitivities
+      // (D0/D1/D2 on one "equally-common types" scale) + evenness —
+      // the per-source template-flood screen
+      text.Corpus.hillNumbers(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8028,6 +8079,155 @@ object SparkEntry {
         |    ORDER BY knn_dist DESC, ida ASC) AS rank FROM s)
         |SELECT CAST(rank AS BIGINT) AS rank, ida AS vec_id, knn_dist
         |FROM t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q294_isotonic" ->
+      // the same 20-bin reduction, interval means from inclusive prefix
+      // sums, and the minimax identity over (k, i, j) triples
+      """WITH b AS (SELECT
+        |    roundStable(least(value / 500, CAST(1 AS DOUBLE)), 9) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT CAST(least(floor(s * 20), 19) AS BIGINT) AS bin,
+        |    CAST(count(*) AS DOUBLE) AS n, avg(s) AS conf, sum(y) AS pos
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT bin, n, pos,
+        |    sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+        |  FROM g),
+        |iv AS (SELECT a.bin AS i, j.bin AS j,
+        |    (j.cp - (a.cp - a.pos)) / (j.cn - (a.cn - a.n)) AS av
+        |  FROM c a JOIN c j ON a.bin <= j.bin),
+        |mm AS (SELECT k.bin AS bin, iv.i, min(iv.av) AS m
+        |  FROM c k JOIN iv ON iv.i <= k.bin AND k.bin <= iv.j
+        |  GROUP BY 1, 2),
+        |f AS (SELECT bin, max(m) AS fit FROM mm GROUP BY 1)
+        |SELECT g.bin, CAST(g.n AS BIGINT) AS n,
+        |  roundStable(g.conf, 6) AS confidence,
+        |  roundStable(g.pos / g.n, 6) AS accuracy,
+        |  roundStable(f.fit, 6) AS iso_rate
+        |FROM g JOIN f USING (bin) ORDER BY bin""".stripMargin,
+
+    "q295_dispersion" ->
+      // same occupied-unit counts and the identical moment arithmetic
+      """WITH u AS (SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(c) AS s1, sum(c * c) AS s2 FROM u GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_units,
+        |  CAST(s1 AS BIGINT) AS n_events,
+        |  roundStable(s1 / n, 6) AS mean_per_unit,
+        |  roundStable(CASE WHEN n > 1 AND s1 / n > 0 THEN
+        |    ((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) / (s1 / n)
+        |    END, 6) AS dispersion,
+        |  roundStable(CASE WHEN n > 1 AND s1 / n > 0 THEN
+        |    (n - 1) * (((s2 - n * (s1 / n) * (s1 / n)) / (n - 1))
+        |      / (s1 / n)) END, 6) AS chi2,
+        |  roundStable(CASE WHEN n > 1 AND s1 / n > 0 THEN
+        |    sqrt(2.0 * ((n - 1) * (((s2 - n * (s1 / n) * (s1 / n)) / (n - 1))
+        |        / (s1 / n))))
+        |      - sqrt(2.0 * (n - 1) - 1) END, 6) AS z
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q296_fd_audit" ->
+      // per declared pair: distinct cells -> per-det max/sum -> g3
+      """WITH c1 AS (SELECT l_partkey AS det, l_suppkey AS dep, count(*) AS c
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1, 2),
+        |d1 AS (SELECT det, max(c) AS mx, sum(c) AS tot, count(*) AS nd
+        |  FROM c1 GROUP BY 1),
+        |c2 AS (SELECT l_orderkey AS det, l_returnflag AS dep, count(*) AS c
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
+        |d2 AS (SELECT det, max(c) AS mx, sum(c) AS tot, count(*) AS nd
+        |  FROM c2 GROUP BY 1),
+        |c3 AS (SELECT l_suppkey AS det, l_linestatus AS dep, count(*) AS c
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1, 2),
+        |d3 AS (SELECT det, max(c) AS mx, sum(c) AS tot, count(*) AS nd
+        |  FROM c3 GROUP BY 1),
+        |c4 AS (SELECT o_orderkey AS det, o_custkey AS dep, count(*) AS c
+        |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),
+        |d4 AS (SELECT det, max(c) AS mx, sum(c) AS tot, count(*) AS nd
+        |  FROM c4 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'l_partkey' AS determinant, 'l_suppkey' AS dependent,
+        |    CAST(count(*) AS BIGINT) AS n_det,
+        |    CAST(sum(tot) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violating_det,
+        |    roundStable(1.0 - CAST(sum(mx) AS DOUBLE)
+        |      / CAST(sum(tot) AS DOUBLE), 6) AS g3 FROM d1
+        |  UNION ALL
+        |  SELECT 'l_orderkey', 'l_returnflag', CAST(count(*) AS BIGINT),
+        |    CAST(sum(tot) AS BIGINT),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    roundStable(1.0 - CAST(sum(mx) AS DOUBLE)
+        |      / CAST(sum(tot) AS DOUBLE), 6) FROM d2
+        |  UNION ALL
+        |  SELECT 'l_suppkey', 'l_linestatus', CAST(count(*) AS BIGINT),
+        |    CAST(sum(tot) AS BIGINT),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    roundStable(1.0 - CAST(sum(mx) AS DOUBLE)
+        |      / CAST(sum(tot) AS DOUBLE), 6) FROM d3
+        |  UNION ALL
+        |  SELECT 'o_orderkey', 'o_custkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(tot) AS BIGINT),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    roundStable(1.0 - CAST(sum(mx) AS DOUBLE)
+        |      / CAST(sum(tot) AS DOUBLE), 6) FROM d4)
+        |ORDER BY determinant, dependent""".stripMargin,
+
+    "q297_richness" ->
+      // same per-source token cells, same Good-Turing / Chao1 closed
+      // forms (bias-corrected: n1(n1-1)/(2(n2+1)))
+      """WITH c AS (SELECT source, t, count(*) AS c FROM (
+        |    SELECT source, unnest(str_split(text, ' ')) AS t
+        |    FROM documents) WHERE t <> '' GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c) AS n, count(*) AS v,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(v AS BIGINT) AS n_types, CAST(n1 AS BIGINT) AS n_hapax,
+        |  CAST(n2 AS BIGINT) AS n_dis,
+        |  roundStable(CAST(n1 AS DOUBLE) / n, 6) AS p_unseen,
+        |  roundStable(1.0 - CAST(n1 AS DOUBLE) / n, 6) AS coverage,
+        |  roundStable(v + CAST(n1 AS DOUBLE) * (n1 - 1)
+        |    / (2.0 * (n2 + 1)), 6) AS chao1
+        |FROM s ORDER BY source""".stripMargin,
+
+    "q298_capture_recapture" ->
+      // same per-(type, user) membership flags, same Chapman estimate
+      // and Seber variance
+      """WITH i AS (SELECT event_type, user_id,
+        |    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(sum(a) AS DOUBLE) AS n1,
+        |    CAST(sum(b) AS DOUBLE) AS n2, CAST(sum(a * b) AS DOUBLE) AS m
+        |  FROM i WHERE a = 1 OR b = 1 GROUP BY 1)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n_a,
+        |  CAST(n2 AS BIGINT) AS n_b, CAST(m AS BIGINT) AS n_both,
+        |  roundStable((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6) AS n_hat,
+        |  roundStable(sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        |    / ((m + 1) * (m + 1) * (m + 2))), 6) AS se,
+        |  roundStable((n1 + n2 - m)
+        |    / ((n1 + 1) * (n2 + 1) / (m + 1) - 1), 6) AS observed_frac
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q299_hill" ->
+      // same token cells, entropy via the log-sum identity, inverse
+      // Simpson from double-typed squares
+      """WITH c AS (SELECT source, t, CAST(count(*) AS DOUBLE) AS c FROM (
+        |    SELECT source, unnest(str_split(text, ' ')) AS t
+        |    FROM documents) WHERE t <> '' GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c) AS n, count(*) AS v,
+        |    sum(c * ln(c)) AS clc, sum(c * c) AS c2
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(v AS BIGINT) AS d0,
+        |  roundStable(exp(ln(n) - clc / n), 6) AS d1,
+        |  roundStable(n * n / c2, 6) AS d2,
+        |  roundStable(exp(ln(n) - clc / n) / v, 6) AS evenness
+        |FROM s ORDER BY source""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

@@ -2981,4 +2981,47 @@ object Aggregates {
         col("cum_hazard"), col("hazard_var"),
         roundStable(exp(-col("cum_hazard")), digits).as("fh_survival")): _*)
   }
+
+  /** Two-sample capture–recapture population estimate (Chapman 1951 —
+    * the bias-corrected Lincoln–Petersen): per key, how many distinct
+    * items exist IN TOTAL given two overlapping observation windows —
+    * `N̂ = (n₁+1)(n₂+1)/(m+1) − 1` from the distinct counts in window A,
+    * window B, and both, with Seber's variance for the SE. The
+    * "how many users/documents/entities have we NOT seen" estimator:
+    * q244/q280 measure the overlap of two OBSERVED audiences; this
+    * extrapolates past the observations to the unobserved remainder
+    * (assumptions — closed population, independent captures — are the
+    * caller's to argue; the arithmetic is exact). `observed_frac` is
+    * the union count over N̂ — the coverage readout.
+    *
+    * Shape: one (key, item) aggregation collapses the event log to
+    * per-item membership flags (the 100 TB reduction), one per-key
+    * fold over items — no joins, no windows, no distinct-pair blowup.
+    */
+  def captureRecapture(df: DataFrame, keys: Seq[String], itemCol: Column,
+                       inA: Column, inB: Column,
+                       digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val perItem = df
+      .groupBy(keyCols :+ itemCol.as("__item"): _*)
+      .agg(max(when(inA, 1).otherwise(0)).as("__a"),
+        max(when(inB, 1).otherwise(0)).as("__b"))
+      .filter(col("__a") === 1 || col("__b") === 1)
+    val st = perItem.groupBy(keyCols: _*)
+      .agg(sum(col("__a")).cast("double").as("__n1"),
+        sum(col("__b")).cast("double").as("__n2"),
+        sum(col("__a") * col("__b")).cast("double").as("__m"))
+    val n1 = col("__n1"); val n2 = col("__n2"); val m = col("__m")
+    // N̂ ≥ max(n₁, n₂) ≥ 1 whenever the key has any item, so the
+    // observed_frac division is safe by construction
+    val nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    val v = (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) /
+      ((m + 1) * (m + 1) * (m + 2))
+    st.select(keyCols ++ Seq(
+      n1.cast("long").as("n_a"), n2.cast("long").as("n_b"),
+      m.cast("long").as("n_both"),
+      roundStable(nhat, digits).as("n_hat"),
+      roundStable(sqrt(v), digits).as("se"),
+      roundStable((n1 + n2 - m) / nhat, digits).as("observed_frac")): _*)
+  }
 }

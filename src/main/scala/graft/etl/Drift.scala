@@ -956,4 +956,47 @@ object Drift {
         col("center"), col("ucl"), col("lcl"), col("out_of_control"),
         col("run_flag")): _*)
   }
+
+  /** Poisson overdispersion (variance-to-mean) test per key — the
+    * count-side twin of the inter-arrival burstiness screen: arrival
+    * counts per exposure unit (user-day, sensor-hour) should have
+    * variance ≈ mean under a Poisson process; clumped traffic (bots,
+    * retry storms, batched uploads) pushes the dispersion index
+    * `D = s²/x̄` above 1. Emits D, the Fisher chi-square statistic
+    * `(n−1)·D` (~χ²_{n−1} under H₀), and Fisher's normal approximation
+    * `z = √(2χ²) − √(2(n−1)−1)` — comparable across keys with
+    * different unit counts. Counts are over OCCUPIED units only (an
+    * exposure grid would need a calendar join; documented — zeros
+    * make D strictly larger, so this reading is conservative toward
+    * flagging). Variance from raw moments `(Σc² − n·x̄²)/(n−1)` — the
+    * moments discipline, identical on both engines. Keys with < 2
+    * units or zero mean emit NULL statistics with counts visible.
+    */
+  def dispersionIndex(df: DataFrame, keys: Seq[String], unitCols: Seq[Column],
+                      digits: Int = 6): DataFrame = {
+    require(unitCols.nonEmpty, "need at least one unit column")
+    val keyCols = keys.map(col)
+    val units = df
+      .groupBy(keyCols ++ unitCols.zipWithIndex.map { case (c, i) =>
+        c.as(s"__u$i") }: _*)
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val stats = units.groupBy(keyCols: _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__c")).as("__s1"),
+        sum(col("__c") * col("__c")).as("__s2"))
+    val n = col("__n")
+    val mean = col("__s1") / n
+    val variance = (col("__s2") - n * mean * mean) / (n - 1)
+    val d = variance / mean
+    val chi2 = (n - 1) * d
+    val ok = n > 1 && mean > 0
+    stats.select(keyCols ++ Seq(
+      n.cast("long").as("n_units"),
+      col("__s1").cast("long").as("n_events"),
+      roundStable(mean, digits).as("mean_per_unit"),
+      roundStable(when(ok, d), digits).as("dispersion"),
+      roundStable(when(ok, chi2), digits).as("chi2"),
+      roundStable(when(ok, sqrt(lit(2.0) * chi2) -
+        sqrt(lit(2.0) * (n - 1) - 1)), digits).as("z")): _*)
+  }
 }

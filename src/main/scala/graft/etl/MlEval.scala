@@ -260,4 +260,64 @@ object MlEval {
           (col("__totPos").cast("double") / col("__tot"))), decimals)
         .as("lift"))
   }
+
+  /** Isotonic (PAV) calibration curve over score bins — the monotone
+    * upgrade of [[calibration]]'s raw reliability diagram: the
+    * least-squares NON-DECREASING fit of observed positive rate to
+    * score, i.e. what a production re-calibration layer would actually
+    * apply (raw per-bin rates zig-zag with sampling noise; a
+    * calibration map must be monotone or two thresholds invert). Fit
+    * via the minimax identity (Robertson-Wright-Dykstra '88)
+    * `ŷ_k = max_{i≤k} min_{j≥k} wavg(y, bins i..j)` rather than the
+    * sequential pool-adjacent-violators scan — the identity is pure
+    * relational algebra over the BINNED table: the corpus reduces
+    * map-side to ≤ `bins` rows first (the [[calibration]] binning, so
+    * per-bin weights ride along), then interval averages come from
+    * prefix sums (O(B²) intervals) and the minimax is two small
+    * grouped aggregations over the O(B³) (k, i, j) triples — at
+    * B = 20 that is 8 000 in-flight rows regardless of corpus size.
+    * Emits per occupied bin: n, mean score, raw rate, and the fitted
+    * monotone `iso_rate`. Empty bins are absent (no data to pool);
+    * min/max over identically-computed doubles are bit-deterministic
+    * cross-engine.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column,
+                          isPositive: Column, bins: Int = 20,
+                          decimals: Int = 6): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val s = roundStable(scoreCol, 9)
+    val bin = least(floor(s * bins), lit(bins - 1)).cast("long")
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = df.filter(scoreCol.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(s).as("__conf"),
+        sum(when(isPositive, 1.0).otherwise(0.0)).as("__pos"))
+      .withColumn("__cn", sum(col("__n")).over(wCum))
+      .withColumn("__cp", sum(col("__pos")).over(wCum))
+    // interval (i..j) weighted mean from inclusive prefix sums:
+    // (cp_j − cp_{i−1}) / (cn_j − cn_{i−1}), with the i−1 terms carried
+    // on the i side as (cp_i − pos_i, cn_i − n_i)
+    val lo = g.select(col("bin").as("__i"),
+      (col("__cp") - col("__pos")).as("__cp0"),
+      (col("__cn") - col("__n")).as("__cn0"))
+    val hi = g.select(col("bin").as("__j"), col("__cp").as("__cpj"),
+      col("__cn").as("__cnj"))
+    val intervals = lo.join(hi, col("__i") <= col("__j"))
+      .select(col("__i"), col("__j"),
+        ((col("__cpj") - col("__cp0")) / (col("__cnj") - col("__cn0")))
+          .as("__avg"))
+    val fit = g.select(col("bin").as("__k"))
+      .join(intervals, col("__i") <= col("__k") && col("__k") <= col("__j"))
+      .groupBy(col("__k"), col("__i"))
+      .agg(min(col("__avg")).as("__m"))
+      .groupBy(col("__k").as("bin"))
+      .agg(max(col("__m")).as("__fit"))
+    g.join(fit, "bin")
+      .select(col("bin"), col("__n").cast("long").as("n"),
+        roundStable(col("__conf"), decimals).as("confidence"),
+        roundStable(col("__pos") / col("__n"), decimals).as("accuracy"),
+        roundStable(col("__fit"), decimals).as("iso_rate"))
+  }
 }

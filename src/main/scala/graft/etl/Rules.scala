@@ -128,4 +128,47 @@ object Rules {
             .as("orphan_rate"))
     }.reduce(_ unionByName _)
   }
+
+  /** Functional-dependency audit — for each declared candidate
+    * `det → dep`, HOW BADLY the dependency is violated: the
+    * Kivinen-Mannila g₃ measure (the minimum fraction of rows that
+    * would have to be deleted for the FD to hold exactly —
+    * `1 − Σ_det max_dep count / N`), plus the count of determinant
+    * values that map to more than one dependent. g₃ = 0 certifies the
+    * dependency (a candidate key, a derivable column); a small g₃
+    * localizes dirty rows; a large one refutes the assumed schema
+    * invariant before a downstream join dedups on it.
+    *
+    * Shape per pair: one (det, dep) cell aggregation (the 100 TB table
+    * reduces to its distinct cells first), one per-det aggregation over
+    * cells, one global fold — no joins, no windows over data. NULL
+    * determinants are excluded (an FD predicates on a value being
+    * present — [[fkAudit]]'s jurisdiction); a NULL dependent counts as
+    * a distinct value (two rows with dep NULL and 'x' DO violate).
+    * Output one row per pair, unioned.
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)],
+              digits: Int = 6): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate dependency")
+    pairs.map { case (det, dep) =>
+      val cells = df.filter(col(det).isNotNull)
+        .groupBy(col(det).as("__det"), col(dep).as("__dep"))
+        .agg(count(lit(1)).as("__c"))
+      val perDet = cells.groupBy(col("__det"))
+        .agg(sum(col("__c")).as("__tot"), max(col("__c")).as("__mx"),
+          count(lit(1)).as("__ndep"))
+      perDet.agg(
+          count(lit(1)).as("__ndet"),
+          coalesce(sum(col("__tot")), lit(0L)).as("__n"),
+          coalesce(sum(when(col("__ndep") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("__viol"),
+          coalesce(sum(col("__mx")), lit(0L)).as("__keep"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("__ndet").as("n_det"), col("__n").as("n_rows"),
+          col("__viol").as("violating_det"),
+          roundStable(when(col("__n") > 0,
+            lit(1.0) - col("__keep").cast("double") /
+              col("__n").cast("double")), digits).as("g3"))
+    }.reduce(_ unionByName _)
+  }
 }

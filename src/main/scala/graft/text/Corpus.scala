@@ -1118,4 +1118,79 @@ object Corpus {
         roundStable(delta, digits).as("log_odds"),
         roundStable(delta / sigma, digits).as("z"))
   }
+
+  /** Per-slice unseen-mass and vocabulary-richness estimates — "how
+    * much of this source's vocabulary have we NOT yet crawled": the
+    * Good-Turing missing mass `P₀ = n₁/N` (Good 1953 — the probability
+    * that the NEXT token drawn from the source is a never-before-seen
+    * type; its complement is the sample coverage) and the
+    * bias-corrected Chao1 richness floor `V + n₁(n₁−1)/(2(n₂+1))`
+    * (Chao 1984; the `+1` correction — Chiu 2014 — keeps the estimate
+    * finite when no type occurs exactly twice). [[freqSpectrum]] emits
+    * the whole count-of-counts table for one corpus; this is the
+    * per-slice ESTIMATOR readout — the crawl-scheduling signal (a
+    * source with high P₀ still yields new vocabulary; one near 0 is
+    * mined out).
+    *
+    * Shape: one (slice, token) count aggregation — per-slice state is
+    * O(vocab) — then one per-slice fold over those cells. Nothing
+    * corpus-global, no joins, no windows over data.
+    */
+  def richness(docs: DataFrame, sliceCol: String, textCol: String,
+               digits: Int = 6): DataFrame = {
+    val counts = docs
+      .select(col(sliceCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(sliceCol), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+    val n1 = col("__n1").cast("double")
+    counts.groupBy(col(sliceCol))
+      .agg(sum(col("__c")).as("__n"),
+        count(lit(1)).as("__v"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("__n2"))
+      .select(col(sliceCol),
+        col("__n").as("n_tokens"), col("__v").as("n_types"),
+        col("__n1").as("n_hapax"), col("__n2").as("n_dis"),
+        roundStable(n1 / col("__n"), digits).as("p_unseen"),
+        roundStable(lit(1.0) - n1 / col("__n"), digits).as("coverage"),
+        roundStable(col("__v") + n1 * (n1 - 1) /
+          (lit(2.0) * (col("__n2") + 1)), digits).as("chao1"))
+  }
+
+  /** Hill diversity numbers per slice (Hill 1973) — the effective
+    * vocabulary size at three concentration sensitivities on ONE
+    * comparable scale (all in "equally-common types"): `D₀ = V` (raw
+    * type count), `D₁ = e^H` (Shannon — types weighted by their
+    * share), `D₂ = 1/Σp²` (inverse Simpson — dominated by the head).
+    * `D₀ ≫ D₁ ≫ D₂` reads "long tail behind a few dominant tokens";
+    * the evenness ratio `D₁/D₀` is the one-number template-flood
+    * screen ([[tokenEntropy]] scores each DOC against itself; this
+    * profiles each SLICE's aggregate distribution). Entropy via the
+    * log-sum identity `H = ln N − Σc·ln c / N`; Σc² in double from
+    * the start (a 100 TB head token squares past Long).
+    *
+    * Same shape as [[richness]]: one (slice, token) count agg, one
+    * per-slice fold — per-slice state O(vocab), nothing global.
+    */
+  def hillNumbers(docs: DataFrame, sliceCol: String, textCol: String,
+                  digits: Int = 6): DataFrame = {
+    val counts = docs
+      .select(col(sliceCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(sliceCol), col("tok"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val h = log(col("__n")) - col("__clc") / col("__n")
+    counts.groupBy(col(sliceCol))
+      .agg(sum(col("__c")).as("__n"),
+        count(lit(1)).as("__v"),
+        sum(col("__c") * log(col("__c"))).as("__clc"),
+        sum(col("__c") * col("__c")).as("__c2"))
+      .select(col(sliceCol),
+        col("__n").cast("long").as("n_tokens"),
+        col("__v").as("d0"),
+        roundStable(exp(h), digits).as("d1"),
+        roundStable(col("__n") * col("__n") / col("__c2"), digits).as("d2"),
+        roundStable(exp(h) / col("__v"), digits).as("evenness"))
+  }
 }

@@ -4697,4 +4697,110 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
     assert(out.head.getDouble(2) > out.last.getDouble(2))
   }
+
+  test("isotonicCalibration: textbook PAV pooling, monotone fit, clean segments untouched") {
+    // one sample per bin, outcomes 0,1,0,1,1 → PAV pools bins 1-2 to
+    // 0.5; bins 0 and 3-4 keep their raw rates
+    val df = Seq((0.1, false), (0.3, true), (0.5, false), (0.7, true),
+      (0.9, true)).toDF("s", "y")
+    val out = etl.MlEval.isotonicCalibration(df, col("s"), col("y"),
+      bins = 5).orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val fit = out.map(_.getDouble(4)).toSeq
+    assert(fit == Seq(0.0, 0.5, 0.5, 1.0, 1.0), s"PAV fit: $fit")
+    assert(fit == fit.sorted, "fit must be non-decreasing")
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.0, 1.0, 0.0, 1.0, 1.0))
+  }
+
+  test("isotonicCalibration: weights pool correctly (heavier bin drags the pooled mean)") {
+    // bin0 rate 1.0 (1 row), bin1 rate 0.0 (3 rows) → pooled (1+0)/4
+    val df = Seq((0.1, true), (0.5, false), (0.55, false), (0.58, false))
+      .toDF("s", "y")
+    val out = etl.MlEval.isotonicCalibration(df, col("s"), col("y"),
+      bins = 2).orderBy("bin").collect()
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.25, 0.25))
+  }
+
+  test("dispersionIndex: hand moments, single-unit key NULLs, Poisson-flat reads D≈0") {
+    val rows =
+      Seq.fill(2)(("a", 1L, "d1")) ++ Seq.fill(4)(("a", 2L, "d1")) ++
+        Seq.fill(3)(("b", 9L, "d1"))
+    val df = rows.toDF("k", "u", "d")
+    val out = etl.Drift.dispersionIndex(df, Seq("k"),
+      Seq(col("u"), col("d"))).collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a") // counts 2, 4: mean 3, var 2, D = 2/3
+    assert(a.getLong(1) == 2L && a.getLong(2) == 6L)
+    assert(a.getDouble(3) == 3.0)
+    assert(math.abs(a.getDouble(4) - 2.0 / 3) < 1e-6)
+    assert(math.abs(a.getDouble(5) - 2.0 / 3) < 1e-6)
+    assert(math.abs(a.getDouble(6) -
+      (math.sqrt(4.0 / 3) - math.sqrt(1.0))) < 1e-6)
+    val b = out("b") // one unit: variance undefined
+    assert(b.getLong(1) == 1L && b.isNullAt(4) && b.isNullAt(5) && b.isNullAt(6))
+  }
+
+  test("fdAudit: g3 counts minimum deletions, null determinants excluded, true FD reads 0") {
+    val df = Seq(
+      (Some(1L), "x"), (Some(1L), "x"), (Some(1L), "y"),
+      (Some(2L), "x"), (None: Option[Long], "z")
+    ).toDF("d", "p")
+    val out = etl.Rules.fdAudit(df, Seq(("d", "p"), ("p", "p")))
+      .orderBy("determinant").collect()
+    val dp = out(0) // det 1 → {x:2, y:1}, det 2 → {x:1}
+    assert(dp.getLong(2) == 2L && dp.getLong(3) == 4L)
+    assert(dp.getLong(4) == 1L && dp.getDouble(5) == 0.25)
+    val pp = out(1) // a column determines itself exactly
+    assert(pp.getLong(4) == 0L && pp.getDouble(5) == 0.0)
+    assert(pp.getLong(3) == 5L, "null det rule applies to the DET side only")
+  }
+
+  test("richness: hand Good-Turing mass and Chao1, n2=0 stays finite") {
+    // "a b a c": counts a:2 b:1 c:1 → N=4 V=3 n1=2 n2=1,
+    // P0=0.5, chao1 = 3 + 2·1/(2·2) = 3.5
+    val df = Seq((1L, "a b a c", "s"), (2L, "z z", "t"))
+      .toDF("doc_id", "text", "source")
+    val out = text.Corpus.richness(df, "source", "text")
+      .orderBy("source").collect()
+    val s = out(0)
+    assert(s.getLong(1) == 4L && s.getLong(2) == 3L &&
+      s.getLong(3) == 2L && s.getLong(4) == 1L)
+    assert(s.getDouble(5) == 0.5 && s.getDouble(6) == 0.5)
+    assert(s.getDouble(7) == 3.5)
+    val t = out(1) // "z z": n1=0, n2=1 → P0=0, chao1 = V = 1; and a
+    // hapax-free slice with n2=0 would still divide by 2(0+1)
+    assert(t.getDouble(5) == 0.0 && t.getDouble(7) == 1.0)
+  }
+
+  test("hillNumbers: hand D0/D1/D2, uniform slice reads D0=D1=D2") {
+    val df = Seq((1L, "a b a c", "s"), (2L, "x y z w", "u"))
+      .toDF("doc_id", "text", "source")
+    val out = text.Corpus.hillNumbers(df, "source", "text")
+      .orderBy("source").collect()
+    val s = out(0) // H = ln4 − (2ln2)/4 → D1 = 2^1.5; D2 = 16/6
+    assert(s.getLong(2) == 3L)
+    assert(math.abs(s.getDouble(3) - math.pow(2, 1.5)) < 1e-6)
+    assert(math.abs(s.getDouble(4) - 16.0 / 6) < 1e-6)
+    assert(math.abs(s.getDouble(5) - math.pow(2, 1.5) / 3) < 1e-6)
+    val u = out(1) // 4 uniform types: all three numbers = 4, evenness 1
+    assert(u.getLong(2) == 4L && u.getDouble(3) == 4.0 &&
+      u.getDouble(4) == 4.0 && u.getDouble(5) == 1.0)
+  }
+
+  test("captureRecapture: hand Chapman + Seber, single-window items kept, m=0 finite") {
+    // key k: A-only {1,2}, B-only {3}, both {4,5}
+    val df = Seq(("k", 1L, "a"), ("k", 2L, "a"), ("k", 3L, "b"),
+      ("k", 4L, "a"), ("k", 4L, "b"), ("k", 5L, "a"), ("k", 5L, "b"),
+      ("j", 7L, "a"), ("j", 8L, "b")).toDF("key", "item", "win")
+    val out = etl.Aggregates.captureRecapture(df, Seq("key"), col("item"),
+        inA = col("win") === "a", inB = col("win") === "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k") // n1=4 n2=3 m=2 → N̂ = 5·4/3 − 1 = 17/3
+    assert(k.getLong(1) == 4L && k.getLong(2) == 3L && k.getLong(3) == 2L)
+    assert(math.abs(k.getDouble(4) - 17.0 / 3) < 1e-6)
+    assert(math.abs(k.getDouble(5) - math.sqrt(40.0 / 36)) < 1e-6)
+    assert(math.abs(k.getDouble(6) - 5 / (17.0 / 3)) < 1e-6)
+    val j = out("j") // disjoint windows: N̂ = 2·2/1 − 1 = 3, SE defined
+    assert(j.getLong(3) == 0L && j.getDouble(4) == 3.0)
+    assert(math.abs(j.getDouble(6) - 2.0 / 3) < 1e-6)
+  }
 }
