@@ -2571,6 +2571,29 @@ object SparkEntry {
       text.Corpus.hillNumbers(Tables.documents(s, dir), "source", "text")
         .orderBy(col("source"))),
 
+    "q300_durbin_watson" -> ((s, dir) =>
+      // are the q118 trend residuals serially correlated (DW ≈ 2 =
+      // the OLS error bars are honest; DW → 0 = the residuals trend
+      // too and the slope CI is overconfident)
+      etl.Aggregates.durbinWatson(Tables.events(s, dir),
+          Seq("event_type"), col("ts"), "value")
+        .orderBy(col("event_type"))),
+
+    "q301_cooks" -> ((s, dir) =>
+      // which hours bend the trend line: top-3 Cook's distance per
+      // type with leverage and studentized residual
+      etl.Aggregates.cooksInfluence(Tables.events(s, dir),
+          Seq("event_type"), col("ts"), "value", topN = 3)
+        .orderBy(col("event_type"), col("rk"))),
+
+    "q302_breusch_pagan" -> ((s, dir) =>
+      // does residual variance drift with time (Koenker LM = n·R² of
+      // e² on x): fan-shaped residuals mean one s² understates late-
+      // series error
+      etl.Aggregates.breuschPagan(Tables.events(s, dir),
+          Seq("event_type"), col("ts"), "value")
+        .orderBy(col("event_type"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8228,6 +8251,83 @@ object SparkEntry {
         |  roundStable(n * n / c2, 6) AS d2,
         |  roundStable(exp(ln(n) - clc / n) / v, 6) AS evenness
         |FROM s ORDER BY source""".stripMargin,
+
+    "q300_durbin_watson" ->
+      // same hourly series, same moment fit, same t≥2 lag-sum (the
+      // first row's NULL lag drops out of both engines' sums)
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    avg(value) AS y FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, epoch_us(hh) / 3.6e9 AS x, y FROM h),
+        |f AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(x) AS mx, avg(y) AS my, covar_pop(y, x) AS cxy,
+        |    var_pop(x) AS vx FROM p GROUP BY 1),
+        |r AS (SELECT p.event_type,
+        |    p.y - (f.my - f.cxy / f.vx * f.mx) - f.cxy / f.vx * p.x AS e,
+        |    p.x FROM p JOIN f USING (event_type) WHERE f.vx > 0),
+        |d AS (SELECT event_type, e, lag(e) OVER
+        |    (PARTITION BY event_type ORDER BY x) AS ep FROM r)
+        |SELECT event_type, count(*) AS n_hours,
+        |  roundStable(CASE WHEN sum(e * e) > 0 THEN
+        |    sum((e - ep) * (e - ep)) / sum(e * e) END, 6) AS dw,
+        |  roundStable(CASE WHEN sum(e * e) > 0 THEN
+        |    1.0 - sum((e - ep) * (e - ep)) / sum(e * e) / 2 END, 6)
+        |    AS rho_hat
+        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q301_cooks" ->
+      // same residuals; leverage 1/n + (x−mx)²/(n·vx), s² on n−2 df,
+      // rank on 6dp-rounded D desc with the hour as tiebreak
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    avg(value) AS y FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, hh, epoch_us(hh) / 3.6e9 AS x, y FROM h),
+        |f AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(x) AS mx, avg(y) AS my, covar_pop(y, x) AS cxy,
+        |    var_pop(x) AS vx FROM p GROUP BY 1),
+        |r AS (SELECT p.event_type, p.hh, p.y, p.x, f.n, f.mx, f.vx,
+        |    (f.my - f.cxy / f.vx * f.mx) + f.cxy / f.vx * p.x AS fit,
+        |    p.y - (f.my - f.cxy / f.vx * f.mx) - f.cxy / f.vx * p.x AS e
+        |  FROM p JOIN f USING (event_type) WHERE f.vx > 0),
+        |s AS (SELECT event_type, sum(e * e) AS sse FROM r GROUP BY 1),
+        |c AS (SELECT r.*,
+        |    1.0 / n + (x - mx) * (x - mx) / (n * vx) AS hl,
+        |    CASE WHEN n > 2 THEN sse / (n - 2) END AS s2
+        |  FROM r JOIN s USING (event_type)),
+        |t AS (SELECT *, CASE WHEN s2 > 0 AND hl < 1 THEN
+        |    e / sqrt(s2 * (1.0 - hl)) END AS tt FROM c),
+        |dd AS (SELECT *, roundStable(tt * tt * hl / (2.0 * (1.0 - hl)),
+        |    6) AS d FROM t),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY d DESC NULLS LAST, x) AS rk FROM dd)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, hh AS t,
+        |  roundStable(y, 6) AS y, roundStable(fit, 6) AS fitted,
+        |  roundStable(hl, 6) AS leverage, roundStable(tt, 6) AS rstudent,
+        |  d AS cooks_d
+        |FROM rk WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+
+    "q302_breusch_pagan" ->
+      // same residuals; Koenker LM = n·corr(e²,x)², signed z
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    avg(value) AS y FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, epoch_us(hh) / 3.6e9 AS x, y FROM h),
+        |f AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(x) AS mx, avg(y) AS my, covar_pop(y, x) AS cxy,
+        |    var_pop(x) AS vx FROM p GROUP BY 1),
+        |r AS (SELECT p.event_type, p.x, f.vx,
+        |    p.y - (f.my - f.cxy / f.vx * f.mx) - f.cxy / f.vx * p.x AS e
+        |  FROM p JOIN f USING (event_type) WHERE f.vx > 0),
+        |g AS (SELECT event_type, count(*) AS n, covar_samp(e*e, x) AS cs,
+        |    var_samp(e*e) AS ve, var_samp(x) AS vxs,
+        |    covar_pop(e*e, x) AS cex, any_value(vx) AS vxx
+        |  FROM r GROUP BY 1),
+        |q AS (SELECT *, CASE WHEN ve > 0 AND vxs > 0 THEN
+        |    cs / sqrt(ve * vxs) END AS rr FROM g)
+        |SELECT event_type, n AS n_hours,
+        |  roundStable(CASE WHEN vxx > 0 THEN cex / vxx END, 6)
+        |    AS aux_slope,
+        |  roundStable(rr * rr, 6) AS r2_aux,
+        |  roundStable(n * rr * rr, 6) AS lm,
+        |  roundStable(sign(cex) * sqrt(n * rr * rr), 6) AS z
+        |FROM q ORDER BY event_type""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

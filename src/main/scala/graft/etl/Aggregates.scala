@@ -3024,4 +3024,145 @@ object Aggregates {
       roundStable(sqrt(v), digits).as("se"),
       roundStable((n1 + n2 - m) / nhat, digits).as("observed_frac")): _*)
   }
+
+  /** Shared staging for the OLS residual diagnostics ([[durbinWatson]],
+    * [[cooksInfluence]], [[breuschPagan]]): per-(key, hour) mean series
+    * (x = epoch hours as double — the [[theilSen]] convention: both
+    * engines difference identical values), one keyed moments agg for
+    * the fit, fit joined back so every row carries its residual. Keys
+    * with a constant x (single hour) get NULL slope → NULL residuals,
+    * which every consumer's guards pass through as NULL statistics.
+    * The raw 100 TB is touched exactly once by the hourly agg; the
+    * join-back is keyed on O(#keys) fit rows.
+    */
+  private def hourlyResiduals(df: DataFrame, keys: Seq[String],
+                              tsCol: Column, valueCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val hourly = df
+      .groupBy(keyCols :+ date_trunc("hour", tsCol).as("__h"): _*)
+      .agg(avg(col(valueCol)).as("__y"))
+      .withColumn("__x", unix_micros(col("__h")).cast("double") / 3.6e9)
+    val fit = hourly.groupBy(keyCols: _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("__x")).as("__mx"), avg(col("__y")).as("__my"),
+        covar_pop(col("__y"), col("__x")).as("__cxy"),
+        var_pop(col("__x")).as("__vx"))
+      .withColumn("__b", when(col("__vx") > 0, col("__cxy") / col("__vx")))
+      .withColumn("__a", col("__my") - col("__b") * col("__mx"))
+    hourly.join(fit, keys)
+      .withColumn("__e", col("__y") - col("__a") - col("__b") * col("__x"))
+  }
+
+  /** Durbin-Watson test per key (Durbin & Watson 1950) — are the OLS
+    * trend residuals serially correlated: `DW = Σ(e_t − e_{t−1})² /
+    * Σe_t²` over the time-ordered hourly residuals, plus the implied
+    * first-order autocorrelation `ρ̂ ≈ 1 − DW/2`. DW ≈ 2 means the
+    * trend line earned its error bars; DW → 0 (ρ̂ → 1) means the
+    * residuals trend too, so A30's OLS slope CI is overconfident —
+    * the honesty check on every trend readout (A39's ACF reads the
+    * raw series; this reads what's LEFT after the fit). One lag
+    * window over the O(#hours) residual series + one keyed agg;
+    * constant-x keys emit NULL (no fit, no residuals).
+    */
+  def durbinWatson(df: DataFrame, keys: Seq[String], tsCol: Column,
+                   valueCol: String, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__x"))
+    val r = hourlyResiduals(df, keys, tsCol, valueCol)
+      .withColumn("__ep", lag(col("__e"), 1).over(w))
+    r.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("__e") * col("__e")).as("__sse"),
+        // first row's NULL lag drops out of the sum — the t ≥ 2 range
+        sum((col("__e") - col("__ep")) * (col("__e") - col("__ep")))
+          .as("__sd"))
+      .select(keyCols ++ Seq(col("n_hours"),
+        roundStable(when(col("__sse") > 0, col("__sd") / col("__sse")),
+          digits).as("dw"),
+        roundStable(when(col("__sse") > 0,
+          lit(1.0) - col("__sd") / col("__sse") / 2), digits)
+          .as("rho_hat")): _*)
+  }
+
+  /** Cook's-distance influence screen per key (Cook 1977) — WHICH
+    * hours bend the trend line: leverage `h = 1/n + (x−x̄)²/Sxx`,
+    * internally studentized residual `e/√(s²(1−h))`, and Cook's
+    * `D = r²h/(p(1−h))` with p = 2; the `topN` highest-D hours per key
+    * emitted with their fitted values (A4/A37 flag outliers in y; this
+    * flags points that MOVE THE MODEL — a moderate outlier at the
+    * series edge outranks a wild one at the center). Rank on 6dp-
+    * rounded D with the hour as tiebreak (the q94 determinism
+    * discipline). Windows ride the O(#hours) reduced series; n ≤ 2
+    * keys emit NULL diagnostics (s² needs n−2 df).
+    */
+  def cooksInfluence(df: DataFrame, keys: Seq[String], tsCol: Column,
+                     valueCol: String, topN: Int = 3,
+                     digits: Int = 6): DataFrame = {
+    require(topN >= 1, s"need topN >= 1, got $topN")
+    val keyCols = keys.map(col)
+    val wk = Window.partitionBy(keyCols: _*)
+    val sxx = col("__n") * col("__vx")
+    val h = lit(1.0) / col("__n") +
+      (col("__x") - col("__mx")) * (col("__x") - col("__mx")) / sxx
+    val r = hourlyResiduals(df, keys, tsCol, valueCol)
+      .withColumn("__sse", sum(col("__e") * col("__e")).over(wk))
+      .withColumn("__hl", h)
+      .withColumn("__s2",
+        when(col("__n") > 2, col("__sse") / (col("__n") - 2)))
+      // s² = 0 (perfect fit) or h = 1 (two-point series) leave the
+      // studentized residual undefined — NULL, never an ANSI 0-divide
+      .withColumn("__t", when(col("__s2") > 0 && col("__hl") < 1,
+        col("__e") / sqrt(col("__s2") * (lit(1.0) - col("__hl")))))
+      .withColumn("__d", roundStable(col("__t") * col("__t") *
+        col("__hl") / (lit(2.0) * (lit(1.0) - col("__hl"))), digits))
+    val wTop = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__d").desc_nulls_last, col("__x"))
+    r.withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= topN)
+      .select(keyCols ++ Seq(col("rk"), col("__h").as("t"),
+        roundStable(col("__y"), digits).as("y"),
+        roundStable(col("__a") + col("__b") * col("__x"), digits)
+          .as("fitted"),
+        roundStable(col("__hl"), digits).as("leverage"),
+        roundStable(col("__t"), digits).as("rstudent"),
+        col("__d").as("cooks_d")): _*)
+  }
+
+  /** Breusch-Pagan heteroscedasticity screen per key (Breusch & Pagan
+    * 1979; Koenker 1981's studentized LM = n·R² form — the one that
+    * doesn't assume normal errors): does the residual VARIANCE drift
+    * with x — `LM = n · corr(e², x)²`, ~χ²₁ under homoscedasticity,
+    * signed `z = sign(slope)·√LM` for direction (variance growing or
+    * shrinking over time). Fan-shaped residuals mean A30's single s²
+    * understates late-series error — the second honesty check next to
+    * [[durbinWatson]]. Everything from the same per-key moments over
+    * the O(#hours) residuals; degenerate keys (constant x or constant
+    * e²) emit NULL.
+    */
+  def breuschPagan(df: DataFrame, keys: Seq[String], tsCol: Column,
+                   valueCol: String, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val e2 = col("__e") * col("__e")
+    // corr from raw sample moments, guarded — Spark's corr divides
+    // 0/0 under ANSI when a side is constant (e.g. a perfect fit)
+    val r = when(col("__ve") > 0 && col("__vxs") > 0,
+      col("__cs") / sqrt(col("__ve") * col("__vxs")))
+    hourlyResiduals(df, keys, tsCol, valueCol)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_hours"),
+        covar_samp(e2, col("__x")).as("__cs"),
+        var_samp(e2).as("__ve"), var_samp(col("__x")).as("__vxs"),
+        covar_pop(e2, col("__x")).as("__cex"),
+        first(col("__vx")).as("__vxx"))
+      .withColumn("__r", r)
+      .select(keyCols ++ Seq(col("n_hours"),
+        roundStable(when(col("__vxx") > 0, col("__cex") / col("__vxx")),
+          digits).as("aux_slope"),
+        roundStable(col("__r") * col("__r"), digits).as("r2_aux"),
+        roundStable(col("n_hours") * col("__r") * col("__r"), digits)
+          .as("lm"),
+        roundStable(signum(col("__cex")) *
+          sqrt(col("n_hours") * col("__r") * col("__r")), digits)
+          .as("z")): _*)
+  }
 }

@@ -4803,4 +4803,61 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(j.getLong(3) == 0L && j.getDouble(4) == 3.0)
     assert(math.abs(j.getDouble(6) - 2.0 / 3) < 1e-6)
   }
+
+  // OLS diagnostics share one fixture: hourly series 0,1,0,1 fits
+  // b=0.2, a rides the epoch offset; e = −0.2, 0.6, −0.6, 0.2
+  private def diagDf = Seq(
+    ("a", "2024-01-01 00:00:00", 0.0), ("a", "2024-01-01 01:00:00", 1.0),
+    ("a", "2024-01-01 02:00:00", 0.0), ("a", "2024-01-01 03:00:00", 1.0),
+    ("b", "2024-01-01 00:00:00", 0.0), ("b", "2024-01-01 01:00:00", 1.0),
+    ("b", "2024-01-01 02:00:00", 2.0), ("b", "2024-01-01 03:00:00", 3.0)
+  ).toDF("k", "tss", "value").withColumn("ts", to_timestamp(col("tss")))
+
+  test("durbinWatson: hand DW on alternating residuals, perfect line NULLs") {
+    val out = etl.Aggregates.durbinWatson(diagDf, Seq("k"), col("ts"),
+      "value").collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a") // SSE 0.8, Σ(Δe)² = 0.64+1.44+0.64 → DW 3.4
+    assert(a.getLong(1) == 4L)
+    assert(math.abs(a.getDouble(2) - 3.4) < 1e-5)
+    assert(math.abs(a.getDouble(3) - -0.7) < 1e-5)
+    val b = out("b") // y = x exactly: SSE 0 → guard NULL, count visible
+    assert(b.getLong(1) == 4L && b.isNullAt(2) && b.isNullAt(3))
+  }
+
+  test("cooksInfluence: hand leverage/rstudent/D, edge points outrank bigger central residual") {
+    // hl = .7,.3,.3,.7; s² = .4; D = .388889 at the edges, .27551 mid
+    val out = etl.Aggregates.cooksInfluence(
+      diagDf.filter(col("k") === "a"), Seq("k"), col("ts"), "value",
+      topN = 3).orderBy("rk").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 1L &&
+      out(0).getTimestamp(2).toString.startsWith("2024-01-01 00:"))
+    assert(out(1).getTimestamp(2).toString.startsWith("2024-01-01 03:"))
+    assert(out(2).getTimestamp(2).toString.startsWith("2024-01-01 01:"))
+    assert(math.abs(out(0).getDouble(5) - 0.7) < 1e-5, "edge leverage")
+    assert(math.abs(out(0).getDouble(6) - -0.57735) < 1e-4)
+    assert(math.abs(out(0).getDouble(7) - 0.388889) < 1e-5)
+    assert(math.abs(out(2).getDouble(7) - 0.27551) < 1e-5)
+    assert(math.abs(out(0).getDouble(4) - 0.2) < 1e-5, "fitted at x0")
+  }
+
+  test("breuschPagan: symmetric residuals read LM 0, planted fan reads the hand slope") {
+    val out = etl.Aggregates.breuschPagan(diagDf, Seq("k"), col("ts"),
+      "value").collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a") // e² symmetric in x → corr 0 → LM 0, slope 0
+    assert(a.getLong(1) == 4L)
+    assert(math.abs(a.getDouble(2)) < 1e-5 && a.getDouble(4) == 0.0)
+    // fan: y = 0,0,0,6 → e² = 1.44,.36,5.76,3.24; aux slope 1.08,
+    // LM = 4·(1.8²/(5.5728·5/3)), z = +√LM
+    val fan = Seq(("f", "2024-01-01 00:00:00", 0.0),
+      ("f", "2024-01-01 01:00:00", 0.0), ("f", "2024-01-01 02:00:00", 0.0),
+      ("f", "2024-01-01 03:00:00", 6.0)).toDF("k", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val f = etl.Aggregates.breuschPagan(fan, Seq("k"), col("ts"), "value")
+      .collect().head
+    val lm = 4 * 3.24 / 9.288
+    assert(math.abs(f.getDouble(2) - 1.08) < 1e-5)
+    assert(math.abs(f.getDouble(4) - lm) < 1e-5)
+    assert(math.abs(f.getDouble(5) - math.sqrt(lm)) < 1e-5)
+  }
 }
