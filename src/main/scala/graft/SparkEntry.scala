@@ -2594,6 +2594,31 @@ object SparkEntry {
           Seq("event_type"), col("ts"), "value")
         .orderBy(col("event_type"))),
 
+    "q303_cross_perplexity" -> ((s, dir) =>
+      // domain distance in nats/token: each source scored under every
+      // other source's smoothed unigram LM, + excess over self-model
+      text.Corpus.crossPerplexity(Tables.documents(s, dir), "source",
+          "text", k = 0.5)
+        .orderBy(col("source_a"), col("source_b"))),
+
+    "q304_burrows_delta" -> ((s, dir) =>
+      // stylometric distance over the top-150 function words: two
+      // "different" sources with delta ≈ 0 are one pipeline wearing
+      // two names
+      text.Corpus.burrowsDelta(Tables.documents(s, dir), "source",
+          "text", topWords = 150)
+        .orderBy(col("source_a"), col("source_b"))),
+
+    "q305_mnn_pairs" -> ((s, dir) => {
+      // mutual-nearest-neighbor alignment candidates across labels 0/1
+      // (the k=1 MNN bitext-mining criterion — mutuality kills hubs)
+      val e = Tables.embeddings(s, dir)
+      sim.Similarity.mutualNearest(
+          e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding")
+        .orderBy(col("id_a"))
+    }),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8328,6 +8353,79 @@ object SparkEntry {
         |  roundStable(n * rr * rr, 6) AS lm,
         |  roundStable(sign(cex) * sqrt(n * rr * rr), 6) AS z
         |FROM q ORDER BY event_type""".stripMargin,
+
+    "q303_cross_perplexity" ->
+      // same cells, same add-k model over the global vocab, same
+      // −Σ pa·ln qb fold and self-model excess
+      """WITH c AS (SELECT CAST(source AS VARCHAR) AS s, t AS tok,
+        |    CAST(count(*) AS DOUBLE) AS c FROM (
+        |    SELECT source, unnest(str_split(text, ' ')) AS t
+        |    FROM documents) WHERE t <> '' GROUP BY 1, 2),
+        |tot AS (SELECT s, sum(c) AS n FROM c GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM c),
+        |a AS (SELECT c.s AS sa, c.tok, c.c / tot.n AS pa, tot.n AS na
+        |  FROM c JOIN tot USING (s)),
+        |g AS (SELECT a.sa, a.tok, a.pa, a.na, bt.s AS sb, bt.n AS nb,
+        |    bc.c AS cb
+        |  FROM a CROSS JOIN tot bt
+        |  LEFT JOIN c bc ON bc.s = bt.s AND bc.tok = a.tok),
+        |h AS (SELECT sa, sb, CAST(any_value(na) AS BIGINT) AS n_tokens_a,
+        |    -sum(pa * ln((coalesce(cb, 0.0) + 0.5)
+        |      / (nb + 0.5 * (SELECT v FROM vv)))) AS hh
+        |  FROM g GROUP BY 1, 2),
+        |d AS (SELECT sa, hh AS hself FROM h WHERE sa = sb)
+        |SELECT h.sa AS source_a, h.sb AS source_b, h.n_tokens_a,
+        |  roundStable(h.hh, 6) AS cross_entropy,
+        |  roundStable(exp(h.hh), 6) AS ppl,
+        |  roundStable(h.hh - d.hself, 6) AS excess
+        |FROM h JOIN d USING (sa)
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q304_burrows_delta" ->
+      // same deterministic top-150 cut, materialized zero grid, z over
+      // sources with the σ>0 guard, L1 mean over pairs
+      """WITH c AS (SELECT CAST(source AS VARCHAR) AS s, t AS tok,
+        |    CAST(count(*) AS DOUBLE) AS c FROM (
+        |    SELECT source, unnest(str_split(text, ' ')) AS t
+        |    FROM documents) WHERE t <> '' GROUP BY 1, 2),
+        |tot AS (SELECT s, sum(c) AS n FROM c GROUP BY 1),
+        |top AS (SELECT tok FROM (SELECT tok, sum(c) AS tf FROM c
+        |    GROUP BY 1 ORDER BY tf DESC, tok LIMIT 150)),
+        |g AS (SELECT tot.s, top.tok, coalesce(c.c, 0.0) / tot.n AS f
+        |  FROM tot CROSS JOIN top
+        |  LEFT JOIN c ON c.s = tot.s AND c.tok = top.tok),
+        |z AS (SELECT s, tok, CASE WHEN
+        |    stddev_pop(f) OVER (PARTITION BY tok) > 0 THEN
+        |    (f - avg(f) OVER (PARTITION BY tok))
+        |      / stddev_pop(f) OVER (PARTITION BY tok) END AS z FROM g)
+        |SELECT a.s AS source_a, b.s AS source_b,
+        |  count(abs(a.z - b.z)) AS n_words,
+        |  roundStable(avg(abs(a.z - b.z)), 6) AS delta
+        |FROM z a JOIN z b ON a.tok = b.tok AND a.s < b.s
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    "q305_mnn_pairs" ->
+      // same rounded-cosine pair table ranked in both directions; the
+      // mutual join keeps (a,b) iff each is the other's top-1
+      """WITH v AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+        |      * CAST(embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings WHERE label IN (0, 1)),
+        |p AS (SELECT q.vec_id AS qa, c.vec_id AS qb,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE)
+        |      * CAST(c.embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(q.embedding) + 1)])
+        |      / (q.nrm * c.nrm), 4) AS cos
+        |  FROM v q JOIN v c ON q.label = 0 AND c.label = 1),
+        |ab AS (SELECT qa AS id_a, qb AS id_b, cos FROM (SELECT p.*,
+        |    row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb)
+        |      AS rk FROM p) WHERE rk = 1),
+        |ba AS (SELECT qa AS id_a, qb AS id_b FROM (SELECT p.*,
+        |    row_number() OVER (PARTITION BY qb ORDER BY cos DESC, qa)
+        |      AS rk FROM p) WHERE rk = 1)
+        |SELECT ab.id_a, ab.id_b, ab.cos AS cosine
+        |FROM ab JOIN ba USING (id_a, id_b) ORDER BY id_a""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

@@ -95,6 +95,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Mutual-nearest-neighbor alignment pairs across two vector sets
+    * (the MNN criterion of Artetxe & Schwenk ACL'19's margin mining,
+    * at k = 1): a pair (a, b) survives iff b is a's single nearest
+    * neighbor in B AND a is b's single nearest in A — the high-
+    * precision bitext/translation-candidate filter (one-directional
+    * top-1 pairs a hub vector with half the other side; mutuality
+    * kills hubs by construction). Rides [[bruteForceTopK]] verbatim in
+    * both directions (rounded-cosine + id tie-break — deterministic,
+    * oracle-stable), so the exact run IS the gated one; swap in the
+    * ANN ladder for candidate generation at scale, same join.
+    */
+  def mutualNearest(a: DataFrame, b: DataFrame, idCol: String,
+                    vecCol: String, simDigits: Int = 4): DataFrame = {
+    val ab = bruteForceTopK(b, a, idCol, vecCol, k = 1, simDigits)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cosine"))
+    val ba = bruteForceTopK(a, b, idCol, vecCol, k = 1, simDigits)
+      .select(col("query_id").as("id_b"), col("neighbor_id").as("id_a"))
+    ab.join(ba, Seq("id_a", "id_b"))
+  }
+
   /** Binary-relevance nDCG@k of the exact cosine run against a label
     * column — the retrieval-quality readout the ANN ladder is tuned BY
     * (recall@k says "found the true neighbors"; nDCG says "and ranked

@@ -1173,6 +1173,125 @@ object Corpus {
     * Same shape as [[richness]]: one (slice, token) count agg, one
     * per-slice fold — per-slice state O(vocab), nothing global.
     */
+  /** Cross-source unigram cross-entropy matrix — HOW FAR each source's
+    * language is from every other's, in nats per token: for each
+    * ordered pair (a, b), `H(a,b) = −Σ_t p_a(t)·ln q_b(t)` where `p_a`
+    * is a's empirical unigram distribution and `q_b` is b's add-k
+    * smoothed model over the corpus-global vocabulary
+    * (`(c_b+k)/(N_b+kV)` — smoothing is what makes a foreign model
+    * finite on tokens it never saw). Emits the perplexity `e^H` and the
+    * EXCESS over the self-model `H(a,b) − H(a,a)` — the extra nats per
+    * token paid for using b's model instead of a's own, the domain-
+    * distance number that drives mixing weights (C28 reweights to a
+    * target mix; this MEASURES which sources are interchangeable).
+    * q97 scores DOCS under one corpus LM; this scores SOURCES under
+    * each other's.
+    *
+    * Shape: one (source, token) cell agg (the 100 TB reduction), the
+    * pair grid is cells × S rows (S = #sources — small by assumption;
+    * vocab-bounded, never corpus-bounded), V rides a broadcast 1-row
+    * aggregate — no driver round-trip, no collect.
+    */
+  def crossPerplexity(docs: DataFrame, sliceCol: String, textCol: String,
+                      k: Double = 0.5, digits: Int = 6): DataFrame = {
+    require(k > 0, s"need smoothing k > 0, got $k")
+    val cells = docs
+      .select(col(sliceCol).cast("string").as("__s"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("__s"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+    val vdf = cells.agg(
+      count_distinct(col("tok")).cast("double").as("__V"))
+    val aSide = cells
+      .join(totals, "__s")
+      .select(col("__s").as("source_a"), col("tok"),
+        (col("__c") / col("__n")).as("__pa"), col("__n").as("__na"))
+    val bTot = totals.select(col("__s").as("source_b"),
+      col("__n").as("__nb"))
+    val bCells = cells.select(col("__s").as("source_b"), col("tok"),
+      col("__c").as("__cb"))
+    val grid = aSide
+      .crossJoin(broadcast(bTot))
+      .join(bCells, Seq("source_b", "tok"), "left")
+      .crossJoin(broadcast(vdf))
+    val qb = (coalesce(col("__cb"), lit(0.0)) + lit(k)) /
+      (col("__nb") + lit(k) * col("__V"))
+    val h = grid.groupBy(col("source_a"), col("source_b"))
+      .agg(first(col("__na")).cast("long").as("n_tokens_a"),
+        (-sum(col("__pa") * log(qb))).as("__h"))
+      .localCheckpoint()
+    cells.unpersist()
+    val diag = h.filter(col("source_a") === col("source_b"))
+      .select(col("source_a"), col("__h").as("__hself"))
+    h.join(diag, "source_a")
+      .select(col("source_a"), col("source_b"), col("n_tokens_a"),
+        roundStable(col("__h"), digits).as("cross_entropy"),
+        roundStable(exp(col("__h")), digits).as("ppl"),
+        roundStable(col("__h") - col("__hself"), digits).as("excess"))
+  }
+
+  /** Burrows' Delta between sources (Burrows 2002; Argamon 2008's
+    * interpretation as an L1 distance in z-space) — the classical
+    * stylometric distance: over the corpus's top-`topWords` tokens,
+    * each source's relative frequency is z-scored ACROSS sources
+    * (population σ), and `Δ(a,b) = mean_t |z_a(t) − z_b(t)|`. Where
+    * [[crossPerplexity]] measures whole-distribution distance, Delta
+    * isolates the STYLE signature carried by the high-frequency
+    * function words — the authorship/template-provenance screen
+    * (two "different" sources with Δ ≈ 0 are one pipeline wearing two
+    * names). Absent (source, word) combos count as f = 0 — the grid
+    * is materialized, never silently dropped; zero-variance words
+    * yield NULL z for every source and drop out of the mean on both
+    * engines identically (`n_words` reports the surviving count).
+    *
+    * Shape: one cell agg; the vocabulary cut is a deterministic
+    * (tf DESC, token) top-`topWords` broadcast; everything after rides
+    * the S × topWords grid — hundreds of rows regardless of corpus
+    * size. The pair join is S² × topWords.
+    */
+  def burrowsDelta(docs: DataFrame, sliceCol: String, textCol: String,
+                   topWords: Int = 150, digits: Int = 6): DataFrame = {
+    require(topWords >= 2, s"need topWords >= 2, got $topWords")
+    val cells = docs
+      .select(col(sliceCol).cast("string").as("__s"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("__s"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+    val top = cells.groupBy(col("tok"))
+      .agg(sum(col("__c")).as("__tf"))
+      .orderBy(col("__tf").desc, col("tok"))
+      .limit(topWords)
+      .select(col("tok"))
+    val grid = totals.crossJoin(broadcast(top))
+      .join(cells, Seq("__s", "tok"), "left")
+      .withColumn("__f", coalesce(col("__c"), lit(0.0)) / col("__n"))
+    val wTok = Window.partitionBy(col("tok"))
+    val z = grid
+      .withColumn("__mu", avg(col("__f")).over(wTok))
+      .withColumn("__sd", stddev_pop(col("__f")).over(wTok))
+      .withColumn("__z",
+        when(col("__sd") > 0, (col("__f") - col("__mu")) / col("__sd")))
+      .select(col("__s"), col("tok"), col("__z"))
+      .localCheckpoint()
+    cells.unpersist()
+    val a = z.select(col("__s").as("source_a"), col("tok"),
+      col("__z").as("__za"))
+    val b = z.select(col("__s").as("source_b"), col("tok"),
+      col("__z").as("__zb"))
+    a.join(b, Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(abs(col("__za") - col("__zb"))).as("n_words"),
+        roundStable(avg(abs(col("__za") - col("__zb"))), digits)
+          .as("delta"))
+  }
+
   def hillNumbers(docs: DataFrame, sliceCol: String, textCol: String,
                   digits: Int = 6): DataFrame = {
     val counts = docs

@@ -4860,4 +4860,49 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(f.getDouble(4) - lm) < 1e-5)
     assert(math.abs(f.getDouble(5) - math.sqrt(lm)) < 1e-5)
   }
+
+  test("crossPerplexity: hand smoothed cross-entropy matrix, zero excess on the diagonal") {
+    // s: "a a b", t: "a c"; V=3, k=0.5 → H(s,t) hand-computed
+    val df = Seq((1L, "a a b", "s"), (2L, "a c", "t"))
+      .toDF("doc_id", "text", "source")
+    val out = text.Corpus.crossPerplexity(df, "source", "text", k = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val hss = -(2.0 / 3 * math.log(2.5 / 4.5) + 1.0 / 3 * math.log(1.5 / 4.5))
+    val hst = -(2.0 / 3 * math.log(1.5 / 3.5) + 1.0 / 3 * math.log(0.5 / 3.5))
+    val ss = out(("s", "s"))
+    assert(ss.getLong(2) == 3L)
+    assert(math.abs(ss.getDouble(3) - hss) < 1e-5)
+    assert(ss.getDouble(5) == 0.0, "diagonal excess is 0 by definition")
+    val st = out(("s", "t"))
+    assert(math.abs(st.getDouble(3) - hst) < 1e-5)
+    assert(math.abs(st.getDouble(4) - math.exp(hst)) < 1e-4)
+    assert(math.abs(st.getDouble(5) - (hst - hss)) < 1e-5)
+  }
+
+  test("burrowsDelta: hand z-space L1, clone sources read 0, zero-variance word drops") {
+    // A/C clones up to label; "w" has identical rel-freq everywhere →
+    // σ=0 → dropped (n_words 2, not 3)
+    val df = Seq((1L, "x x y w", "A"), (2L, "x y y w", "B"),
+      (3L, "y y x w", "C")).toDF("doc_id", "text", "source")
+    val out = text.Corpus.burrowsDelta(df, "source", "text", topWords = 150)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("B", "C")).getDouble(3) == 0.0,
+      "one pipeline wearing two names")
+    assert(out(("A", "B")).getLong(2) == 2L, "σ=0 word must drop")
+    assert(math.abs(out(("A", "B")).getDouble(3) - 2.12132) < 1e-5)
+    assert(math.abs(out(("A", "C")).getDouble(3) - 2.12132) < 1e-5)
+  }
+
+  test("mutualNearest: only mutually-top-1 pairs survive; the hub loses its one-directional suitors") {
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((11L, Array(1.0f, 0.01f)), (12L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = sim.Similarity.mutualNearest(a, b, "vec_id", "embedding")
+      .collect()
+    // a1→b1, a2→b1 (hub), b1→a1, b2→a2: only (1, 11) is mutual
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 11L)
+    assert(out.head.getDouble(2) > 0.999)
+  }
 }
