@@ -2619,6 +2619,28 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    "q306_hurst" -> ((s, dir) =>
+      // does averaging buy anything: H ≈ 0.5 = i.i.d. (rollups
+      // trustworthy), H → 1 = persistent trends (they aren't)
+      etl.Aggregates.hurstExponent(Tables.events(s, dir),
+          Seq("event_type"), col("ts"), "value")
+        .orderBy(col("event_type"))),
+
+    "q307_wavelet_energy" -> ((s, dir) =>
+      // where the variance lives on the scale axis: Haar detail
+      // energy + share per dyadic level 1..4
+      etl.Aggregates.waveletEnergy(Tables.events(s, dir),
+          Seq("event_type"), col("ts"), "value")
+        .orderBy(col("event_type"), col("level"))),
+
+    "q308_cochran_armitage" -> ((s, dir) =>
+      // does the high-value rate RISE across the month (1-df monotone
+      // trend — seen long before the omnibus chi-square flags)
+      etl.Drift.cochranArmitage(Tables.events(s, dir),
+          Seq("event_type"), scoreCol = dayofmonth(col("ts")),
+          isSuccess = col("value") > 250)
+        .orderBy(col("event_type"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8426,6 +8448,68 @@ object SparkEntry {
         |      AS rk FROM p) WHERE rk = 1)
         |SELECT ab.id_a, ab.id_b, ab.cos AS cosine
         |FROM ab JOIN ba USING (id_a, id_b) ORDER BY id_a""".stripMargin,
+
+    "q306_hurst" ->
+      // same hourly index, same complete-block means per level, same
+      // ln-ln regression (floor() mirrors Spark's positive-cast trunc)
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    avg(value) AS y FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, y, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY hh) - 1 AS t FROM h),
+        |e AS (SELECT i.*, m FROM i
+        |  CROSS JOIN (SELECT unnest([2, 4, 8, 16]) AS m)),
+        |b AS (SELECT event_type, m, CAST(floor(t / m) AS BIGINT) AS blk,
+        |    avg(y) AS bm, count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |l AS (SELECT event_type, m, var_pop(bm) AS v, count(*) AS nb
+        |  FROM b WHERE cnt = m GROUP BY 1, 2),
+        |g AS (SELECT event_type, ln(CAST(m AS DOUBLE)) AS lx, ln(v) AS ly
+        |  FROM l WHERE nb >= 2 AND v > 0)
+        |SELECT event_type, count(*) AS n_levels,
+        |  roundStable(CASE WHEN var_pop(lx) > 0 THEN
+        |    covar_pop(ly, lx) / var_pop(lx) END, 6) AS var_slope,
+        |  roundStable(CASE WHEN var_pop(lx) > 0 THEN
+        |    1.0 + covar_pop(ly, lx) / var_pop(lx) / 2 END, 6) AS hurst
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q307_wavelet_energy" ->
+      // same half-block signed sums, energy = Σd²/2^l with the exact
+      // integer divisor, shares over ≤ 4 rows per key
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    avg(value) AS y FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, y, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY hh) - 1 AS t FROM h),
+        |e AS (SELECT i.*, l, m FROM i CROSS JOIN
+        |  (SELECT unnest([1, 2, 3, 4]) AS l, unnest([2, 4, 8, 16]) AS m)),
+        |b AS (SELECT event_type, l, m, CAST(floor(t / m) AS BIGINT) AS blk,
+        |    sum(CASE WHEN (t % m) * 2 < m THEN y ELSE -y END) AS d,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3, 4),
+        |lv AS (SELECT event_type, l AS level,
+        |    sum(d * d) / CAST(any_value(m) AS DOUBLE) AS e,
+        |    count(*) AS n_blocks FROM b WHERE cnt = m GROUP BY 1, 2)
+        |SELECT event_type, level, n_blocks, roundStable(e, 6) AS energy,
+        |  roundStable(CASE WHEN tot > 0 THEN e / tot END, 6)
+        |    AS energy_share
+        |FROM (SELECT *, sum(e) OVER (PARTITION BY event_type) AS tot
+        |  FROM lv) ORDER BY event_type, level""".stripMargin,
+
+    "q308_cochran_armitage" ->
+      // same (key, score) cells, same T / Var fold
+      """WITH c AS (SELECT event_type, CAST(day(ts) AS DOUBLE) AS w,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CASE WHEN value > 250 THEN 1.0 ELSE 0.0 END) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n_groups, sum(n) AS nn,
+        |    sum(x) AS xx, sum(w * x) AS wx, sum(w * n) AS wn,
+        |    sum(n * w * w) AS wwn FROM c GROUP BY 1)
+        |SELECT event_type, n_groups, CAST(nn AS BIGINT) AS n,
+        |  CAST(xx AS BIGINT) AS n_success,
+        |  roundStable(xx / nn, 6) AS p_bar,
+        |  roundStable(wx - xx / nn * wn, 6) AS t_stat,
+        |  roundStable(CASE WHEN
+        |      xx / nn * (1.0 - xx / nn) * (wwn - wn * wn / nn) > 0 THEN
+        |    (wx - xx / nn * wn) / sqrt(xx / nn * (1.0 - xx / nn)
+        |      * (wwn - wn * wn / nn)) END, 6) AS z
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

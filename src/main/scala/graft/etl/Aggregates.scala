@@ -3128,6 +3128,93 @@ object Aggregates {
         col("__d").as("cooks_d")): _*)
   }
 
+  /** Hurst exponent per key by the aggregated-variance method
+    * (Beran 1994 §4.4; Taqqu, Teverovsky & Willinger 1995's estimator
+    * survey): block-average the hourly series at sizes m ∈ 2,4,8,16,
+    * regress `ln Var(X̄^(m))` on `ln m` — for long-range-dependent
+    * series the variance of m-means decays as `m^(2H−2)`, so
+    * `H = 1 + slope/2`. H ≈ 0.5 reads i.i.d. (aggregation kills
+    * variance at 1/m), H → 1 reads persistent trends (averaging
+    * doesn't help — the "how much does averaging buy" number that
+    * decides whether a daily rollup of this key is trustworthy).
+    * Complete blocks only (a trailing partial block is noise, and
+    * dropping it is deterministic); levels with < 2 blocks or zero
+    * variance drop out; keys with < 2 surviving levels emit NULL
+    * (nothing to regress). One keyed index window over the O(#hours)
+    * reduced series, one explode by the 4-literal level grid, two
+    * keyed aggs — per-key state O(#hours), never raw-corpus scale.
+    */
+  def hurstExponent(df: DataFrame, keys: Seq[String], tsCol: Column,
+                    valueCol: String, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val wIdx = Window.partitionBy(keyCols: _*).orderBy(col("__h"))
+    val hourly = df
+      .groupBy(keyCols :+ date_trunc("hour", tsCol).as("__h"): _*)
+      .agg(avg(col(valueCol)).as("__y"))
+      .withColumn("__t", row_number().over(wIdx).cast("long") - 1)
+    val blocks = hourly
+      .select(keyCols ++ Seq(col("__t"), col("__y"),
+        explode(array((1 to 4).map(l => lit(1L << l)): _*)).as("__m")): _*)
+      .groupBy(keyCols ++ Seq(col("__m"), (col("__t") / col("__m"))
+        .cast("long").as("__blk")): _*)
+      .agg(avg(col("__y")).as("__bm"), count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") === col("__m"))
+    val lv = blocks.groupBy(keyCols :+ col("__m"): _*)
+      .agg(var_pop(col("__bm")).as("__v"), count(lit(1)).as("__nb"))
+      .filter(col("__nb") >= 2 && col("__v") > 0)
+      .withColumn("__lx", log(col("__m").cast("double")))
+      .withColumn("__ly", log(col("__v")))
+    val slope = when(var_pop(col("__lx")) > 0,
+      covar_pop(col("__ly"), col("__lx")) / var_pop(col("__lx")))
+    lv.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_levels"),
+        roundStable(slope, digits).as("var_slope"),
+        roundStable(lit(1.0) + slope / 2, digits).as("hurst"))
+  }
+
+  /** Haar wavelet energy spectrum per key — WHERE the series'
+    * variability lives on the scale axis: orthonormal Haar detail
+    * coefficients `d_{l,j} = (S_L − S_R)/2^{l/2}` (S = half-block sums
+    * of size 2^{l−1}) for levels 1..4, energy `E_l = Σ_j d²` and its
+    * share of the total. All energy at level 1 reads hour-to-hour
+    * noise; energy concentrating at coarse levels reads slow regime
+    * structure — the scale-resolved complement of A112 (which finds
+    * ONE period; this bins ALL the variance by scale). The 2^{l/2}
+    * normalizer enters as the exact integer 2^l dividing d² — no
+    * transcendental pow, bit-identical cross-engine. Complete blocks
+    * only; shares ride a window over ≤ 4 rows per key.
+    */
+  def waveletEnergy(df: DataFrame, keys: Seq[String], tsCol: Column,
+                    valueCol: String, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val wIdx = Window.partitionBy(keyCols: _*).orderBy(col("__h"))
+    val hourly = df
+      .groupBy(keyCols :+ date_trunc("hour", tsCol).as("__h"): _*)
+      .agg(avg(col(valueCol)).as("__y"))
+      .withColumn("__t", row_number().over(wIdx).cast("long") - 1)
+    val d2 = hourly
+      .select(keyCols ++ Seq(col("__t"), col("__y"),
+        explode(array((1 to 4).map(l =>
+          struct(lit(l).as("l"), lit(1L << l).as("m"))): _*)).as("__lm")): _*)
+      .withColumn("__l", col("__lm.l")).withColumn("__m", col("__lm.m"))
+      .groupBy(keyCols ++ Seq(col("__l"), col("__m"),
+        (col("__t") / col("__m")).cast("long").as("__blk")): _*)
+      .agg(sum(when((col("__t") % col("__m")) * 2 < col("__m"),
+          col("__y")).otherwise(-col("__y"))).as("__d"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") === col("__m"))
+    val wk = Window.partitionBy(keyCols: _*)
+    d2.groupBy(keyCols :+ col("__l").as("level"): _*)
+      .agg((sum(col("__d") * col("__d")) /
+          first(col("__m")).cast("double")).as("__e"),
+        count(lit(1)).as("n_blocks"))
+      .withColumn("__tot", sum(col("__e")).over(wk))
+      .select(keyCols ++ Seq(col("level"), col("n_blocks"),
+        roundStable(col("__e"), digits).as("energy"),
+        roundStable(when(col("__tot") > 0, col("__e") / col("__tot")),
+          digits).as("energy_share")): _*)
+  }
+
   /** Breusch-Pagan heteroscedasticity screen per key (Breusch & Pagan
     * 1979; Koenker 1981's studentized LM = n·R² form — the one that
     * doesn't assume normal errors): does the residual VARIANCE drift

@@ -999,4 +999,44 @@ object Drift {
       roundStable(when(ok, sqrt(lit(2.0) * chi2) -
         sqrt(lit(2.0) * (n - 1) - 1)), digits).as("z")): _*)
   }
+
+  /** Cochran-Armitage trend test per key (Cochran 1954; Armitage
+    * 1955) — is a binary RATE monotonically trending across ORDERED
+    * groups: with group scores w and per-group (n_i, x_i) success
+    * tallies, `T = Σw_i x_i − p̄·Σw_i n_i`, `Var = p̄(1−p̄)·(Σn_i w_i²
+    * − (Σn_i w_i)²/N)`, `z = T/√Var` (~N(0,1) under no trend). The
+    * dose-response complement of the drift family: A35/A38 ask "are
+    * the groups different at all"; this asks "do they RISE in the
+    * score order" — one degree of freedom, so it sees a monotone
+    * drift long before the omnibus chi-square does. (q216's
+    * Mann-Kendall trends a CONTINUOUS series; this trends a rate.)
+    * One (key, score) cell agg (the 100 TB reduction), one per-key
+    * fold. Degenerate keys — all-success/all-failure (p̄(1−p̄)=0) or
+    * a single group (score variance 0) — emit NULL z with counts
+    * visible.
+    */
+  def cochranArmitage(df: DataFrame, keys: Seq[String], scoreCol: Column,
+                      isSuccess: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val cells = df
+      .groupBy(keyCols :+ scoreCol.cast("double").as("__w"): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(when(isSuccess, 1.0).otherwise(0.0)).as("__x"))
+    val st = cells.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__n")).as("__nn"), sum(col("__x")).as("__xx"),
+        sum(col("__w") * col("__x")).as("__wx"),
+        sum(col("__w") * col("__n")).as("__wn"),
+        sum(col("__n") * col("__w") * col("__w")).as("__wwn"))
+    val p = col("__xx") / col("__nn")
+    val t = col("__wx") - p * col("__wn")
+    val v = p * (lit(1.0) - p) *
+      (col("__wwn") - col("__wn") * col("__wn") / col("__nn"))
+    st.select(keyCols ++ Seq(col("n_groups"),
+      col("__nn").cast("long").as("n"),
+      col("__xx").cast("long").as("n_success"),
+      roundStable(p, digits).as("p_bar"),
+      roundStable(t, digits).as("t_stat"),
+      roundStable(when(v > 0, t / sqrt(v)), digits).as("z")): _*)
+  }
 }

@@ -4905,4 +4905,65 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 11L)
     assert(out.head.getDouble(2) > 0.999)
   }
+
+  private def hourSeries(k: String, ys: Seq[Double]) =
+    ys.zipWithIndex.map { case (y, i) =>
+      (k, f"2024-01-01 $i%02d:00:00", y) }
+
+  test("hurstExponent: hand block variances on a ramp; flat-block key vanishes") {
+    // ramp 0..15: var of m-means = 21, 20, 16 at m = 2, 4, 8 (m=16 has
+    // one block → dropped); alternating series has zero variance at
+    // every complete level → no levels → key absent
+    val df = (hourSeries("r", (0 until 16).map(_.toDouble)) ++
+      hourSeries("a", Seq.fill(8)(Seq(0.0, 1.0)).flatten))
+      .toDF("k", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = etl.Aggregates.hurstExponent(df, Seq("k"), col("ts"),
+      "value").collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("a"), "no surviving levels → no row")
+    val r = out("r")
+    assert(r.getLong(1) == 3L)
+    val xs = Seq(math.log(2), math.log(4), math.log(8))
+    val ysv = Seq(math.log(21.0), math.log(20.0), math.log(16.0))
+    val mx = xs.sum / 3; val my = ysv.sum / 3
+    val slope = xs.zip(ysv).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(r.getDouble(2) - slope) < 1e-5)
+    assert(math.abs(r.getDouble(3) - (1 + slope / 2)) < 1e-5)
+  }
+
+  test("waveletEnergy: alternating series is all level-1 energy, midpoint step all level-4") {
+    val df = (hourSeries("a", Seq.fill(8)(Seq(0.0, 1.0)).flatten) ++
+      hourSeries("s", Seq.fill(8)(0.0) ++ Seq.fill(8)(1.0)))
+      .toDF("k", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = etl.Aggregates.waveletEnergy(df, Seq("k"), col("ts"),
+      "value").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val a1 = out(("a", 1)) // 8 blocks of d² = 1/2 → E = 4, share 1
+    assert(a1.getLong(2) == 8L && a1.getDouble(3) == 4.0 &&
+      a1.getDouble(4) == 1.0)
+    assert(out(("a", 2)).getDouble(3) == 0.0)
+    val s4 = out(("s", 4)) // d = −8 → 64/16 = 4, the only energy
+    assert(s4.getDouble(3) == 4.0 && s4.getDouble(4) == 1.0)
+    assert(out(("s", 1)).getDouble(3) == 0.0 &&
+      out(("s", 3)).getDouble(3) == 0.0)
+  }
+
+  test("cochranArmitage: hand z = 8/√5, all-success key NULLs") {
+    val rows =
+      (1 to 10).map(i => ("k", 1, i <= 1)) ++
+        (1 to 10).map(i => ("k", 2, i <= 5)) ++
+        (1 to 10).map(i => ("k", 3, i <= 9)) ++
+        Seq(("d", 1, true), ("d", 2, true))
+    val df = rows.toDF("key", "w", "succ")
+    val out = etl.Drift.cochranArmitage(df, Seq("key"), col("w"),
+      col("succ")).collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k") // T = 38 − 30 = 8, Var = 0.25·(140 − 120) = 5
+    assert(k.getLong(1) == 3L && k.getLong(2) == 30L && k.getLong(3) == 15L)
+    assert(k.getDouble(4) == 0.5 && k.getDouble(5) == 8.0)
+    assert(math.abs(k.getDouble(6) - 8.0 / math.sqrt(5)) < 1e-6)
+    val d = out("d") // p̄ = 1 → Var 0 → NULL z, counts visible
+    assert(d.getLong(2) == 2L && d.isNullAt(6))
+  }
 }
