@@ -2641,6 +2641,35 @@ object SparkEntry {
           isSuccess = col("value") > 250)
         .orderBy(col("event_type"))),
 
+    "q309_profile_drift" -> ((s, dir) => {
+      // schema-health tripwire: column profiles of the two month
+      // halves side by side, null-rate delta + cardinality ratio
+      val e = Tables.events(s, dir)
+      etl.Profile.profileDrift(
+          e.filter(dayofmonth(col("ts")) <= 15),
+          e.filter(dayofmonth(col("ts")) > 15),
+          Seq("user_id", "event_type", "value"))
+        .orderBy(col("column"))
+    }),
+
+    "q310_negbin" -> ((s, dir) =>
+      // once q295 says counts are clumped, NB MoM says HOW clumped and
+      // predicts the silent-unit share p^r a Poisson model misses
+      etl.Drift.negbinFit(Tables.events(s, dir), Seq("event_type"),
+          unitCols = Seq(col("user_id"), to_date(col("ts"))))
+        .orderBy(col("event_type"))),
+
+    "q311_token_budget" -> ((s, dir) =>
+      // mixing planner: water-fill 60% of the corpus's tokens across
+      // sources at uniform target weight — which sources are supply-
+      // bound and where the waterline λ sits
+      text.Corpus.waterFill(
+          Tables.documents(s, dir).groupBy(col("source"))
+            .agg(sum(size(split(col("text"), " "))).as("toks"))
+            .withColumn("weight", lit(1.0)),
+          "source", "weight", "toks", budget = 0.6, asFraction = true)
+        .orderBy(col("key"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8510,6 +8539,92 @@ object SparkEntry {
         |    (wx - xx / nn * wn) / sqrt(xx / nn * (1.0 - xx / nn)
         |      * (wwn - wn * wn / nn)) END, 6) AS z
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q309_profile_drift" ->
+      // same two one-pass profiles, deltas on the ROUNDED rates (the
+      // engine rounds inside profile), same flag thresholds
+      """WITH b AS (SELECT count(*) AS n, count(user_id) AS nnu,
+        |    count(DISTINCT user_id) AS ndu, count(event_type) AS nne,
+        |    count(DISTINCT event_type) AS nde, count(value) AS nnv,
+        |    count(DISTINCT value) AS ndv
+        |  FROM events WHERE day(ts) <= 15),
+        |f AS (SELECT count(*) AS n, count(user_id) AS nnu,
+        |    count(DISTINCT user_id) AS ndu, count(event_type) AS nne,
+        |    count(DISTINCT event_type) AS nde, count(value) AS nnv,
+        |    count(DISTINCT value) AS ndv
+        |  FROM events WHERE day(ts) > 15),
+        |r AS (
+        |  SELECT 'user_id' AS col, b.n AS rb,
+        |    roundStable(CASE WHEN b.n > 0 THEN
+        |      1.0 * (b.n - b.nnu) / b.n END, 6) AS nlb, b.ndu AS ndb,
+        |    f.n AS ra, roundStable(CASE WHEN f.n > 0 THEN
+        |      1.0 * (f.n - f.nnu) / f.n END, 6) AS nla, f.ndu AS nda
+        |  FROM b, f
+        |  UNION ALL
+        |  SELECT 'event_type', b.n, roundStable(CASE WHEN b.n > 0 THEN
+        |      1.0 * (b.n - b.nne) / b.n END, 6), b.nde,
+        |    f.n, roundStable(CASE WHEN f.n > 0 THEN
+        |      1.0 * (f.n - f.nne) / f.n END, 6), f.nde FROM b, f
+        |  UNION ALL
+        |  SELECT 'value', b.n, roundStable(CASE WHEN b.n > 0 THEN
+        |      1.0 * (b.n - b.nnv) / b.n END, 6), b.ndv,
+        |    f.n, roundStable(CASE WHEN f.n > 0 THEN
+        |      1.0 * (f.n - f.nnv) / f.n END, 6), f.ndv FROM b, f),
+        |d AS (SELECT *, roundStable(nla - nlb, 6) AS nd,
+        |    roundStable(CASE WHEN ndb > 0 THEN 1.0 * nda / ndb END, 6)
+        |      AS dr FROM r)
+        |SELECT col AS "column", rb AS rows_before, nlb AS null_before,
+        |  ndb AS nd_before, ra AS rows_after, nla AS null_after,
+        |  nda AS nd_after, nd AS null_delta, dr AS distinct_ratio,
+        |  (coalesce(abs(nd) > 0.05, true)
+        |    OR coalesce(dr > 2.0 OR dr < 0.5, true)) AS flag
+        |FROM d ORDER BY "column"""".stripMargin,
+
+    "q310_negbin" ->
+      // same occupied-unit moments as q295, MoM inversion + p^r
+      """WITH u AS (SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(c) AS s1, sum(c * c) AS s2 FROM u GROUP BY 1),
+        |m AS (SELECT event_type, n, s1 / n AS mean,
+        |    CASE WHEN n > 1 THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1)
+        |      END AS v FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_units,
+        |  roundStable(mean, 6) AS mean,
+        |  roundStable(v, 6) AS variance,
+        |  roundStable(CASE WHEN n > 1 AND mean > 0 AND v > mean THEN
+        |    mean * mean / (v - mean) END, 6) AS r_hat,
+        |  roundStable(CASE WHEN n > 1 AND mean > 0 AND v > mean THEN
+        |    mean / v END, 6) AS p_hat,
+        |  roundStable(CASE WHEN n > 1 AND mean > 0 AND v > mean THEN
+        |    pow(mean / v, mean * mean / (v - mean)) END, 6) AS p0_hat
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q311_token_budget" ->
+      // same ratio sort, prefix sums, closed-form waterline, and
+      // LEAST(s, λw) allocation (LEAST ignores the all-capped NULL λ
+      // identically on both engines)
+      """WITH sup AS (SELECT source AS key, 1.0 AS w,
+        |    CAST(sum(len(str_split(text, ' '))) AS DOUBLE) AS s
+        |  FROM documents GROUP BY 1),
+        |o AS (SELECT *, s / w AS rr,
+        |    row_number() OVER (ORDER BY s / w, key) AS j,
+        |    sum(s) OVER (ORDER BY s / w, key ROWS UNBOUNDED PRECEDING)
+        |      AS cs,
+        |    sum(w) OVER (ORDER BY s / w, key ROWS UNBOUNDED PRECEDING)
+        |      AS cw FROM sup),
+        |t AS (SELECT sum(s) AS ss, sum(w) AS ww FROM sup),
+        |m AS (SELECT o.*, (0.6 * t.ss - (cs - s)) / (t.ww - (cw - w))
+        |    AS lp FROM o, t),
+        |js AS (SELECT min(j) AS jstar FROM m WHERE lp <= rr),
+        |lam AS (SELECT lp AS lam FROM m, js WHERE m.j = js.jstar)
+        |SELECT key, w AS weight, roundStable(s, 6) AS supply,
+        |  roundStable(least(s, lam * w), 6) AS allocation,
+        |  (roundStable(least(s, lam * w), 6) = roundStable(s, 6))
+        |    AS capped,
+        |  roundStable(lam, 6) AS fill_level
+        |FROM m LEFT JOIN lam ON true ORDER BY key""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

@@ -1000,6 +1000,44 @@ object Drift {
         sqrt(lit(2.0) * (n - 1) - 1)), digits).as("z")): _*)
   }
 
+  /** Negative-binomial method-of-moments fit per key — the MODEL
+    * upgrade of [[dispersionIndex]]: once D > 1 says counts are
+    * clumped, NB(r, p) with `p = x̄/s²`, `r = x̄²/(s² − x̄)` (mean
+    * `r(1−p)/p`, variance `r(1−p)/p²` — MoM inverts exactly) says HOW
+    * clumped, and `P(X=0) = p^r` predicts the silent-unit share a
+    * Poisson model would underestimate — the capacity/alerting number
+    * (expected zero-traffic user-days). Same occupied-unit staging as
+    * dispersionIndex; keys that are NOT overdispersed (s² ≤ x̄ — MoM
+    * leaves the NB family) or degenerate (< 2 units, zero mean) emit
+    * NULL parameters with moments visible, never a junk fit.
+    */
+  def negbinFit(df: DataFrame, keys: Seq[String], unitCols: Seq[Column],
+                digits: Int = 6): DataFrame = {
+    require(unitCols.nonEmpty, "need at least one unit column")
+    val keyCols = keys.map(col)
+    val units = df
+      .groupBy(keyCols ++ unitCols.zipWithIndex.map { case (c, i) =>
+        c.as(s"__u$i") }: _*)
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val stats = units.groupBy(keyCols: _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__c")).as("__s1"),
+        sum(col("__c") * col("__c")).as("__s2"))
+    val n = col("__n")
+    val mean = col("__s1") / n
+    val variance = (col("__s2") - n * mean * mean) / (n - 1)
+    val ok = n > 1 && mean > 0 && variance > mean
+    val p = mean / variance
+    val r = mean * mean / (variance - mean)
+    stats.select(keyCols ++ Seq(
+      n.cast("long").as("n_units"),
+      roundStable(mean, digits).as("mean"),
+      roundStable(when(n > 1, variance), digits).as("variance"),
+      roundStable(when(ok, r), digits).as("r_hat"),
+      roundStable(when(ok, p), digits).as("p_hat"),
+      roundStable(when(ok, pow(p, r)), digits).as("p0_hat")): _*)
+  }
+
   /** Cochran-Armitage trend test per key (Cochran 1954; Armitage
     * 1955) — is a binary RATE monotonically trending across ORDERED
     * groups: with group scores w and per-group (n_i, x_i) success

@@ -37,9 +37,46 @@ object Profile {
       .select(col("m.column").as("column"), col("n_rows"),
         (col("n_rows") - col("m.__nn")).as("n_null"),
         col("m.__nd").as("n_distinct"),
-        roundStable((col("n_rows") - col("m.__nn")).cast("double") /
-          col("n_rows"), digits).as("null_rate"),
+        roundStable(when(col("n_rows") > 0,
+          (col("n_rows") - col("m.__nn")).cast("double") /
+            col("n_rows")), digits).as("null_rate"),
         roundStable(col("m.__nd").cast("double") /
           greatest(col("m.__nn"), lit(1L)), digits).as("distinct_rate"))
+  }
+
+  /** Schema-health drift between two snapshots of the same table —
+    * the pipeline tripwire a downstream join feels FIRST: per column,
+    * both snapshots' [[profile]] rows side by side with the null-rate
+    * delta and the distinct-count ratio, flagged when the null rate
+    * moved more than `nullTol` (absolute) or the cardinality moved
+    * more than `distinctRatio`× in either direction (an upstream
+    * producer started emitting NULLs / ids collapsed to a constant /
+    * a key exploded). B30's table diff compares ROWS of two tables;
+    * this compares their STATISTICAL SHAPE — O(#columns) output, so
+    * it is the one you can afford hourly at 100 TB (one aggregation
+    * pass per snapshot, nothing pairwise). An empty snapshot yields
+    * NULL rates — flagged, never divided by zero.
+    */
+  def profileDrift(before: DataFrame, after: DataFrame, cols: Seq[String],
+                   nullTol: Double = 0.05, distinctRatio: Double = 2.0,
+                   digits: Int = 6): DataFrame = {
+    require(nullTol >= 0 && distinctRatio >= 1,
+      s"need nullTol >= 0 and distinctRatio >= 1, got $nullTol/$distinctRatio")
+    val a = profile(before, cols, digits = digits).select(col("column"),
+      col("n_rows").as("rows_before"), col("null_rate").as("null_before"),
+      col("n_distinct").as("nd_before"))
+    val b = profile(after, cols, digits = digits).select(col("column"),
+      col("n_rows").as("rows_after"), col("null_rate").as("null_after"),
+      col("n_distinct").as("nd_after"))
+    val dNull = col("null_after") - col("null_before")
+    val ratio = when(col("nd_before") > 0,
+      col("nd_after").cast("double") / col("nd_before"))
+    a.join(b, "column")
+      .withColumn("null_delta", roundStable(dNull, digits))
+      .withColumn("distinct_ratio", roundStable(ratio, digits))
+      .withColumn("flag",
+        coalesce(abs(col("null_delta")) > nullTol, lit(true)) ||
+        coalesce(col("distinct_ratio") > distinctRatio ||
+          col("distinct_ratio") < 1.0 / distinctRatio, lit(true)))
   }
 }

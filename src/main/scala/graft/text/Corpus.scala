@@ -1292,6 +1292,68 @@ object Corpus {
           .as("delta"))
   }
 
+  /** Exact water-filling token-budget allocation across sources — the
+    * mixing PLANNER: given per-source target weight w and available
+    * supply s, allocate a budget B as `a_i = min(s_i, λ·w_i)` with the
+    * unique fill level λ making Σa = B (sources short of their fair
+    * share contribute everything; their unused share spills to the
+    * rest — the classic water-filling solution to max-min fair
+    * allocation, cf. Bertsekas & Gallager, Data Networks §6.5.2).
+    * C28 reweights DOWN to a target mix; this answers the planning
+    * question BEFORE sampling: "with an 0.6·total token budget, how
+    * many tokens do I take from each source, and which sources are
+    * supply-bound?" `asFraction = true` reads `budget` as a fraction
+    * of total supply (scale-free). If B ≥ Σs every source is capped
+    * and λ is NULL (nothing to ration).
+    *
+    * The boundary is closed-form, not iterative: sorted by s/w, the
+    * first row j with `λ_{j−1} = (B − Σ_{i<j}s_i)/(W − Σ_{i<j}w_i) ≤
+    * s_j/w_j` is the waterline (ties yield the identical λ by
+    * algebra). One global sort + prefix windows over O(#sources) rows
+    * — a planner op on the reduced table, deliberately single-stream;
+    * the corpus itself is touched only by whatever built the supply
+    * column. Zero/negative-weight rows are excluded (they cannot
+    * receive allocation).
+    */
+  def waterFill(supply: DataFrame, keyCol: String, weightCol: String,
+                supplyCol: String, budget: Double,
+                asFraction: Boolean = false, digits: Int = 6): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    require(!asFraction || budget <= 1.0,
+      s"fractional budget must be <= 1, got $budget")
+    val base = supply
+      .select(col(keyCol).as("key"), col(weightCol).cast("double").as("__w"),
+        col(supplyCol).cast("double").as("__s"))
+      .filter(col("__w") > 0)
+      .withColumn("__r", col("__s") / col("__w"))
+    val ord = Window.orderBy(col("__r"), col("key"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NB: names differing only by case collide (the q231/q281 bit) —
+    // totals are __totS/__totW, never __S/__W
+    val tot = base.agg(sum(col("__s")).as("__totS"),
+      sum(col("__w")).as("__totW"))
+    val bCol = if (asFraction) lit(budget) * col("__totS") else lit(budget)
+    val marked = base
+      .withColumn("__j", row_number().over(ord).cast("long"))
+      .withColumn("__cs", sum(col("__s")).over(cum))
+      .withColumn("__cw", sum(col("__w")).over(cum))
+      .crossJoin(broadcast(tot))
+      .withColumn("__lp", (bCol - (col("__cs") - col("__s"))) /
+        (col("__totW") - (col("__cw") - col("__w"))))
+    val jStar = marked.filter(col("__lp") <= col("__r"))
+      .agg(min(col("__j")).as("__jstar"))
+    val lam = marked.join(broadcast(jStar), col("__j") === col("__jstar"))
+      .select(col("__lp").as("__lam"))
+    val alloc = least(col("__s"), col("__lam") * col("__w"))
+    marked.join(broadcast(lam), lit(true), "left")
+      .select(col("key"), col("__w").as("weight"),
+        roundStable(col("__s"), digits).as("supply"),
+        roundStable(alloc, digits).as("allocation"),
+        (roundStable(alloc, digits) === roundStable(col("__s"), digits))
+          .as("capped"),
+        roundStable(col("__lam"), digits).as("fill_level"))
+  }
+
   def hillNumbers(docs: DataFrame, sliceCol: String, textCol: String,
                   digits: Int = 6): DataFrame = {
     val counts = docs

@@ -4966,4 +4966,53 @@ class OperatorEdgeSpec extends AnyFunSuite {
     val d = out("d") // p̄ = 1 → Var 0 → NULL z, counts visible
     assert(d.getLong(2) == 2L && d.isNullAt(6))
   }
+
+  test("profileDrift: null surge and cardinality collapse flag, stable column doesn't") {
+    val before = Seq((Some(1L), "x", 1.0), (Some(2L), "x", 2.0),
+      (Some(3L), "x", 3.0)).toDF("id", "cat", "v")
+    val after = Seq((Some(1L), "x", 1.0), (None: Option[Long], "y", 2.0),
+      (None: Option[Long], "z", 2.5)).toDF("id", "cat", "v")
+    val out = etl.Profile.profileDrift(before, after,
+        Seq("id", "cat", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = out("id") // nulls 0 → 2/3, distinct 3 → 1
+    assert(math.abs(id.getAs[Double]("null_delta") - 0.666667) < 1e-6)
+    assert(id.getAs[Double]("distinct_ratio") == 0.333333)
+    assert(id.getAs[Boolean]("flag"))
+    assert(out("cat").getAs[Boolean]("flag"), "1 → 3 distinct trips 2x")
+    assert(!out("v").getAs[Boolean]("flag"), "stable column stays quiet")
+  }
+
+  test("negbinFit: hand MoM on clumped counts, underdispersed key refuses to fit") {
+    val rows = Seq(("o", 1L), ("o", 2L)) ++ Seq.fill(4)(("o", 3L)) ++
+      (Seq.fill(2)(("u", 1L)) ++ Seq.fill(4)(("u", 2L)))
+    val df = rows.toDF("k", "u").withColumn("d", lit("d1"))
+    val out = etl.Drift.negbinFit(df, Seq("k"), Seq(col("u"), col("d")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val o = out("o") // counts {1,1,4}: mean 2, var 3 → r 4, p 2/3
+    assert(o.getDouble(2) == 2.0 && o.getDouble(3) == 3.0)
+    assert(o.getDouble(4) == 4.0)
+    assert(math.abs(o.getDouble(5) - 2.0 / 3) < 1e-6)
+    assert(math.abs(o.getDouble(6) - 16.0 / 81) < 1e-6)
+    val u = out("u") // counts {2,4}: var 2 < mean 3 → not NB, moments visible
+    assert(u.getDouble(2) == 3.0 && u.getDouble(3) == 2.0 && u.isNullAt(4))
+  }
+
+  test("waterFill: hand waterline, supply-bound source spills to the rest, over-budget NULLs λ") {
+    val sup = Seq(("a", 1.0, 1.0), ("b", 1.0, 10.0)).toDF("k", "w", "s")
+    val out = text.Corpus.waterFill(sup, "k", "w", "s", budget = 5.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // λ = (5−1)/1 = 4: a capped at 1, b gets 4, Σ = 5
+    assert(out("a").getDouble(3) == 1.0 && out("a").getBoolean(4))
+    assert(out("b").getDouble(3) == 4.0 && !out("b").getBoolean(4))
+    assert(out("b").getDouble(5) == 4.0)
+    val over = text.Corpus.waterFill(sup, "k", "w", "s", budget = 20.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(over("b").getDouble(3) == 10.0 && over("b").getBoolean(4))
+    assert(over("b").isNullAt(5), "B > Σs: nothing to ration, λ NULL")
+    // fractional budget: B = Σs → the waterline is the largest ratio
+    val frac = text.Corpus.waterFill(sup, "k", "w", "s", budget = 1.0,
+      asFraction = true).collect().map(r => r.getString(0) -> r).toMap
+    assert(frac("b").getDouble(3) == 10.0 && frac("b").getDouble(5) == 10.0)
+  }
 }
