@@ -2670,6 +2670,30 @@ object SparkEntry {
           "source", "weight", "toks", budget = 0.6, asFraction = true)
         .orderBy(col("key"))),
 
+    "q312_hubness" -> ((s, dir) =>
+      // the high-dimensional pathology every ANN stack inherits: top
+      // k-occurrence hubs + N_k skewness + antihub share
+      sim.Geometry.hubness(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 10, topN = 20)
+        .orderBy(col("rank"))),
+
+    "q313_lid" -> ((s, dir) =>
+      // local intrinsic dimensionality per label (Levina-Bickel MLE):
+      // which regions of the space are effectively unstructured
+      sim.Geometry.lidMle(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", k = 10)
+        .orderBy(col("label"))),
+
+    "q314_margin_mnn" -> ((s, dir) => {
+      // q305's pairs rescored with the Artetxe-Schwenk ratio margin —
+      // local-density-normalized, so one global threshold works
+      val e = Tables.embeddings(s, dir)
+      sim.Similarity.marginMutualNearest(
+          e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding", k = 4)
+        .orderBy(col("id_a"))
+    }),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8625,6 +8649,95 @@ object SparkEntry {
         |    AS capped,
         |  roundStable(lam, 6) AS fill_level
         |FROM m LEFT JOIN lam ON true ORDER BY key""".stripMargin,
+
+    "q312_hubness" ->
+      // same rounded-distance kNN lists, zero-occurrence points
+      // materialized, same raw-moment skewness
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+        |      * CAST(embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    roundStable(1.0 - list_sum([CAST(a.embedding[i] AS DOUBLE)
+        |      * CAST(b.embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(a.embedding) + 1)])
+        |      / (a.nrm * b.nrm), 6) AS dist
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT idb FROM (SELECT p.*, row_number() OVER
+        |    (PARTITION BY ida ORDER BY dist, idb) AS rk FROM p)
+        |  WHERE rk <= 10),
+        |oc AS (SELECT v.vec_id, CAST(coalesce(c.c, 0) AS DOUBLE) AS occ
+        |  FROM v LEFT JOIN (SELECT idb, count(*) AS c FROM r GROUP BY 1)
+        |    c ON c.idb = v.vec_id),
+        |st AS (SELECT avg(occ) AS mu, avg(occ * occ) AS m2r,
+        |    avg(occ * occ * occ) AS m3r,
+        |    avg(CASE WHEN occ = 0 THEN 1.0 ELSE 0.0 END) AS ah FROM oc)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+        |  CAST(occ AS BIGINT) AS k_occurrence,
+        |  roundStable(CASE WHEN m2r - mu * mu > 0 THEN
+        |    (m3r - 3.0 * mu * m2r + 2.0 * mu * mu * mu)
+        |      / pow(m2r - mu * mu, 1.5) END, 6) AS skewness,
+        |  roundStable(ah, 6) AS antihub_frac
+        |FROM (SELECT oc.*, row_number() OVER (ORDER BY occ DESC, vec_id)
+        |    AS rank FROM oc), st
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q313_lid" ->
+      // same zero-filtered rounded distances, same (k−1)/Σln(Tk/Tj)
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+        |      * CAST(embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    roundStable(1.0 - list_sum([CAST(a.embedding[i] AS DOUBLE)
+        |      * CAST(b.embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(a.embedding) + 1)])
+        |      / (a.nrm * b.nrm), 6) AS dist
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT * FROM (SELECT p.*, row_number() OVER
+        |    (PARTITION BY ida ORDER BY dist, idb) AS rk
+        |  FROM p WHERE dist > 0) WHERE rk <= 10),
+        |pp AS (SELECT ida, count(*) AS kk, max(dist) AS tk,
+        |    sum(CASE WHEN rk < 10 THEN ln(dist) END) AS sl
+        |  FROM r GROUP BY 1),
+        |l AS (SELECT ida, CASE WHEN 9.0 * ln(tk) - sl > 0 THEN
+        |    9.0 / (9.0 * ln(tk) - sl) END AS lid FROM pp WHERE kk = 10)
+        |SELECT e.label, count(*) AS n_points, count(l.lid) AS n_fit,
+        |  roundStable(avg(l.lid), 6) AS mean_lid
+        |FROM l JOIN embeddings e ON e.vec_id = l.ida
+        |GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q314_margin_mnn" ->
+      // same top-4 runs both directions, kNN means over those runs,
+      // ratio margin on the mutual top-1 pairs
+      """WITH v AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+        |      * CAST(embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings WHERE label IN (0, 1)),
+        |p AS (SELECT q.vec_id AS qa, c.vec_id AS qb,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE)
+        |      * CAST(c.embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, len(q.embedding) + 1)])
+        |      / (q.nrm * c.nrm), 4) AS cos
+        |  FROM v q JOIN v c ON q.label = 0 AND c.label = 1),
+        |fr AS (SELECT p.*, row_number() OVER
+        |    (PARTITION BY qa ORDER BY cos DESC, qb) AS rk FROM p),
+        |br AS (SELECT p.*, row_number() OVER
+        |    (PARTITION BY qb ORDER BY cos DESC, qa) AS rk FROM p),
+        |ft AS (SELECT qa AS id_a, qb AS id_b, cos FROM fr WHERE rk = 1),
+        |bt AS (SELECT qa AS id_a, qb AS id_b FROM br WHERE rk = 1),
+        |fm AS (SELECT qa AS id_a, avg(cos) AS ma FROM fr
+        |  WHERE rk <= 4 GROUP BY 1),
+        |bm AS (SELECT qb AS id_b, avg(cos) AS mb FROM br
+        |  WHERE rk <= 4 GROUP BY 1)
+        |SELECT ft.id_a, ft.id_b, ft.cos AS cosine,
+        |  roundStable(CASE WHEN (ma + mb) / 2 <> 0 THEN
+        |    ft.cos / ((ma + mb) / 2) END, 6) AS margin
+        |FROM ft JOIN bt USING (id_a, id_b) JOIN fm USING (id_a)
+        |  JOIN bm USING (id_b) ORDER BY id_a""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

@@ -194,4 +194,103 @@ object Geometry {
         col("__ida").as(idCol), col("knn_dist"))
       .orderBy(col("rank"))
   }
+
+  /** Hubness census (Radovanović JMLR'10) — the high-dimensional
+    * pathology every ANN/retrieval stack inherits: the k-occurrence
+    * count `N_k(x)` (how many points have x in THEIR k-NN list) grows
+    * right-skewed with dimension, so a few hubs answer everyone's
+    * queries (q305's one-directional failure mode) while antihubs
+    * answer nobody's. Emits the top-`topN` hubs with their counts,
+    * plus the population skewness of N_k (the canonical hubness
+    * score — ≳ 1 means the space needs hubness reduction before
+    * kNN-anything) and the antihub share (N_k = 0), both riding every
+    * row. Zero-occurrence points are materialized via the left join —
+    * skewness over only-observed counts would understate. Same
+    * brute-force pair stage as [[knnOutliers]] (rounded cosine
+    * distance + id tiebreak, oracle-stable); swap in the ANN ladder's
+    * candidate lists at scale.
+    */
+  def hubness(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+              topN: Int = 20, digits: Int = 6): DataFrame = {
+    require(k >= 1 && topN >= 1, s"need k, topN >= 1, got $k, $topN")
+    val a = df.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
+      .withColumn("__na", Similarity.norm(col("__va")))
+    val b = df.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
+      .withColumn("__nb", Similarity.norm(col("__vb")))
+    val pairs = a.join(broadcast(b), col("__ida") =!= col("__idb"))
+      .select(col("__ida"), col("__idb"),
+        roundStable(lit(1.0) - dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb")), digits).as("__dist"))
+    val inLists = pairs.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("__ida"))
+        .orderBy(col("__dist").asc, col("__idb").asc)))
+      .filter(col("__rk") <= k)
+      .groupBy(col("__idb")).agg(count(lit(1)).as("__c"))
+    val occ = df.select(col(idCol).as("__id"))
+      .join(inLists.withColumnRenamed("__idb", "__id"), Seq("__id"), "left")
+      .withColumn("__occ", coalesce(col("__c"), lit(0L)).cast("double"))
+    val mu = avg(col("__occ"))
+    val m2r = avg(col("__occ") * col("__occ"))
+    val m3r = avg(col("__occ") * col("__occ") * col("__occ"))
+    val stats = occ.agg(mu.as("__mu"), m2r.as("__m2r"), m3r.as("__m3r"),
+      avg(when(col("__occ") === 0, 1.0).otherwise(0.0)).as("__ah"))
+    val m2 = col("__m2r") - col("__mu") * col("__mu")
+    val m3 = col("__m3r") - lit(3.0) * col("__mu") * col("__m2r") +
+      lit(2.0) * col("__mu") * col("__mu") * col("__mu")
+    occ.crossJoin(broadcast(stats))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("__occ").desc, col("__id").asc)).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("__id").as(idCol),
+        col("__occ").cast("long").as("k_occurrence"),
+        roundStable(when(m2 > 0, m3 / pow(m2, 1.5)), digits)
+          .as("skewness"),
+        roundStable(col("__ah"), digits).as("antihub_frac"))
+  }
+
+  /** Mean local intrinsic dimensionality per label (Levina & Bickel
+    * NIPS'04 MLE over k-NN distances): per point,
+    * `LID = (k−1) / Σ_{j<k} ln(T_k/T_j)` — how many effective degrees
+    * of freedom the space has LOCALLY. The retrieval-difficulty
+    * number: LID far above the PCA dimension (q292 reads the GLOBAL
+    * axis) means neighborhoods are effectively unstructured and every
+    * ANN index will struggle there; per-label means localize WHICH
+    * region is hard. Zero distances (exact duplicates) are excluded
+    * before ranking — a dup is not a neighbor at radius 0, and ln
+    * needs d > 0 (documented); all-equal-distance points yield a 0
+    * denominator → NULL, dropped from the label mean by avg.
+    * Same rounded-distance pair stage as [[knnOutliers]].
+    */
+  def lidMle(df: DataFrame, idCol: String, vecCol: String,
+             labelCol: String, k: Int = 10, digits: Int = 6): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val a = df.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
+      .withColumn("__na", Similarity.norm(col("__va")))
+    val b = df.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
+      .withColumn("__nb", Similarity.norm(col("__vb")))
+    val pairs = a.join(broadcast(b), col("__ida") =!= col("__idb"))
+      .select(col("__ida"), col("__idb"),
+        roundStable(lit(1.0) - dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb")), digits).as("__dist"))
+      .filter(col("__dist") > 0)
+    val ranked = pairs.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("__ida"))
+        .orderBy(col("__dist").asc, col("__idb").asc)))
+      .filter(col("__rk") <= k)
+    val perPoint = ranked.groupBy(col("__ida"))
+      .agg(count(lit(1)).as("__kk"), max(col("__dist")).as("__tk"),
+        sum(when(col("__rk") < k, log(col("__dist")))).as("__sl"))
+      .filter(col("__kk") === k)
+      .withColumn("__den",
+        (lit(k - 1)) * log(col("__tk")) - col("__sl"))
+      .withColumn("__lid", when(col("__den") > 0, lit((k - 1).toDouble) /
+        col("__den")))
+    perPoint
+      .join(df.select(col(idCol).as("__ida"), col(labelCol).as("label")),
+        "__ida")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        count(col("__lid")).as("n_fit"),
+        roundStable(avg(col("__lid")), digits).as("mean_lid"))
+  }
 }

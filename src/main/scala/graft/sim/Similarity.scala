@@ -116,6 +116,43 @@ object Similarity {
     ab.join(ba, Seq("id_a", "id_b"))
   }
 
+  /** Margin-scored mutual nearest neighbors — [[mutualNearest]]
+    * upgraded with Artetxe & Schwenk ACL'19's RATIO margin:
+    * `margin(a,b) = cos(a,b) / ((Σ_{z∈NN_k(a)} cos(a,z) +
+    * Σ_{z∈NN_k(b)} cos(b,z)) / 2k)` — how much closer the pair is
+    * than each side's typical neighborhood. Raw-cosine thresholds
+    * fail in dense regions (everything scores 0.9); the margin
+    * normalizes by local density, so one global threshold works
+    * across the space — the score that made large-scale bitext
+    * mining precise. Both direction's top-k runs come from
+    * [[bruteForceTopK]] (oracle-stable); the k-NN means are one
+    * keyed agg over those same runs, no extra pair pass. A zero
+    * neighborhood mean (pathological anti-correlated space) yields
+    * NULL margin, never a 0-divide.
+    */
+  def marginMutualNearest(a: DataFrame, b: DataFrame, idCol: String,
+                          vecCol: String, k: Int = 4, simDigits: Int = 4,
+                          digits: Int = 6): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val fwd = bruteForceTopK(b, a, idCol, vecCol, k, simDigits)
+    val bwd = bruteForceTopK(a, b, idCol, vecCol, k, simDigits)
+    val fTop = fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cosine"))
+    val bTop = bwd.filter(col("rank") === 1)
+      .select(col("query_id").as("id_b"), col("neighbor_id").as("id_a"))
+    val fm = fwd.groupBy(col("query_id").as("id_a"))
+      .agg(avg(col("cosine")).as("__ma"))
+    val bm = bwd.groupBy(col("query_id").as("id_b"))
+      .agg(avg(col("cosine")).as("__mb"))
+    val den = (col("__ma") + col("__mb")) / 2
+    fTop.join(bTop, Seq("id_a", "id_b"))
+      .join(fm, "id_a").join(bm, "id_b")
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        graft.functions.roundStable(when(den =!= 0.0,
+          col("cosine") / den), digits).as("margin"))
+  }
+
   /** Binary-relevance nDCG@k of the exact cosine run against a label
     * column — the retrieval-quality readout the ANN ladder is tuned BY
     * (recall@k says "found the true neighbors"; nDCG says "and ranked

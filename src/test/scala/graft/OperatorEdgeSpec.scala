@@ -5015,4 +5015,43 @@ class OperatorEdgeSpec extends AnyFunSuite {
       asFraction = true).collect().map(r => r.getString(0) -> r).toMap
     assert(frac("b").getDouble(3) == 10.0 && frac("b").getDouble(5) == 10.0)
   }
+
+  test("hubness: planted hub counted by everyone, antihub share, zero-occurrence materialized") {
+    // both satellites' 1-NN is the hub; the hub's 1-NN ties → id break
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.31f)),
+      (3L, Array(0.95f, -0.31f))).toDF("vec_id", "embedding")
+    val out = sim.Geometry.hubness(df, "vec_id", "embedding", k = 1,
+      topN = 3).orderBy("rank").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 2L)
+    assert(out(1).getLong(2) == 1L && out(2).getLong(2) == 0L)
+    // occ {2,1,0}: symmetric → skewness 0; one antihub of three
+    assert(out(0).getDouble(3) == 0.0)
+    assert(math.abs(out(0).getDouble(4) - 1.0 / 3) < 1e-6)
+  }
+
+  test("lidMle: hand MLE on planted radii (per-point labels expose each LID)") {
+    // from v0: distances 0.1 and 0.2 → LID = 1/ln2 at k=2
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(0.9f, math.sqrt(0.19).toFloat), 2),
+      (3L, Array(0.8f, 0.6f), 3)).toDF("vec_id", "embedding", "label")
+    val out = sim.Geometry.lidMle(df, "vec_id", "embedding", "label",
+      k = 2).collect().map(r => r.getInt(0) -> r).toMap
+    assert(math.abs(out(1).getDouble(3) - 1.0 / math.log(2)) < 1e-3)
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 1L)
+  }
+
+  test("marginMutualNearest: ratio margin from the rounded runs, hand denominator") {
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((11L, Array(1.0f, 0.02f)), (12L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = sim.Similarity.marginMutualNearest(a, b, "vec_id",
+      "embedding", k = 2).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L &&
+      out.head.getLong(1) == 11L)
+    // ma = (0.9998+0)/2, mb = (0.9998+0.9959)/2 → margin ≈ 1.3351
+    assert(math.abs(out.head.getDouble(3) -
+      0.9998 / ((0.4999 + 0.99785) / 2)) < 1e-3)
+  }
 }
