@@ -2694,6 +2694,29 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    "q315_streaks" -> ((s, dir) =>
+      // gaps-and-islands engagement summary: longest consecutive-day
+      // run per user with bounds, island count, total active days
+      operators.Sequences.longestStreak(Tables.events(s, dir),
+          Seq("user_id"), to_date(col("ts")))
+        .orderBy(col("user_id"))),
+
+    "q316_rank_movers" -> ((s, dir) =>
+      // leaderboard diff: top-20 users by |rank displacement| between
+      // the month halves — the signal a raw value delta isn't
+      etl.Aggregates.rankMovers(Tables.events(s, dir), "user_id",
+          col("value"), isBefore = dayofmonth(col("ts")) <= 15,
+          topN = 20)
+        .orderBy(col("mover_rank"))),
+
+    "q317_skyline" -> ((s, dir) =>
+      // Pareto frontier: parts where no other part is both cheaper
+      // and larger
+      operators.Sequences.skyline2D(Tables.part(s, dir), "p_partkey",
+          minCol = col("p_retailprice").cast("double"),
+          maxCol = col("p_size").cast("long"))
+        .orderBy(col("x"), col("y"), col("p_partkey"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8738,6 +8761,62 @@ object SparkEntry {
         |    ft.cos / ((ma + mb) / 2) END, 6) AS margin
         |FROM ft JOIN bt USING (id_a, id_b) JOIN fm USING (id_a)
         |  JOIN bm USING (id_b) ORDER BY id_a""".stripMargin,
+
+    "q315_streaks" ->
+      // same day − row_number island trick, longest island with
+      // earliest-start tiebreak
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dd
+        |  FROM events),
+        |i AS (SELECT user_id, dd,
+        |    datediff('day', DATE '1970-01-01', dd) - row_number() OVER
+        |      (PARTITION BY user_id ORDER BY dd) AS grp FROM d),
+        |isl AS (SELECT user_id, grp, count(*) AS len, min(dd) AS st,
+        |    max(dd) AS en FROM i GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, st) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS ni,
+        |    sum(len) OVER (PARTITION BY user_id) AS tot FROM isl)
+        |SELECT user_id, CAST(len AS BIGINT) AS max_streak_days,
+        |  st AS streak_start, en AS streak_end,
+        |  CAST(ni AS BIGINT) AS n_islands,
+        |  CAST(tot AS BIGINT) AS n_active_days
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "q316_rank_movers" ->
+      // same rounded-sum ranks per half, inner join on stayers, top-20
+      // by |rank delta| with entity tiebreak
+      """WITH a AS (SELECT user_id AS entity, day(ts) <= 15 AS b,
+        |    roundStable(sum(value), 6) AS v FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY b
+        |    ORDER BY v DESC, entity) AS rk FROM a),
+        |bb AS (SELECT entity, v AS value_before,
+        |    CAST(rk AS BIGINT) AS rank_before FROM r WHERE b),
+        |aa AS (SELECT entity, v AS value_after,
+        |    CAST(rk AS BIGINT) AS rank_after FROM r WHERE NOT b),
+        |j AS (SELECT bb.entity, bb.value_before, bb.rank_before,
+        |    aa.value_after, aa.rank_after,
+        |    bb.rank_before - aa.rank_after AS rank_delta
+        |  FROM bb JOIN aa USING (entity))
+        |SELECT entity, value_before, rank_before, value_after,
+        |  rank_after, rank_delta, CAST(mr AS BIGINT) AS mover_rank
+        |FROM (SELECT j.*,
+        |    row_number() OVER (ORDER BY abs(rank_delta) DESC, entity)
+        |      AS mr FROM j)
+        |WHERE mr <= 20 ORDER BY mr""".stripMargin,
+
+    "q317_skyline" ->
+      // same sort-filter skyline over the distinct value grid, ids
+      // joined back
+      """WITH pts AS (SELECT DISTINCT CAST(p_retailprice AS DOUBLE) AS x,
+        |    CAST(p_size AS BIGINT) AS y FROM part),
+        |s AS (SELECT *, max(y) OVER (ORDER BY x ASC, y DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS my
+        |  FROM pts),
+        |sky AS (SELECT x, y FROM s WHERE my IS NULL OR y > my)
+        |SELECT p.p_partkey, sky.x, sky.y FROM part p
+        |JOIN sky ON CAST(p.p_retailprice AS DOUBLE) = sky.x
+        |  AND CAST(p.p_size AS BIGINT) = sky.y
+        |ORDER BY x, y, p_partkey""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

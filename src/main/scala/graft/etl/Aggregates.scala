@@ -3128,6 +3128,37 @@ object Aggregates {
         col("__d").as("cooks_d")): _*)
   }
 
+  /** Rank movers between two periods — the "movers and shakers"
+    * leaderboard diff: entities ranked by a metric in each period
+    * (dense ordering on the ROUNDED value with id tiebreak — the q94
+    * determinism discipline), joined, and the top-`topN` by absolute
+    * rank displacement emitted with both ranks and values. Rank delta
+    * is the reader-proof signal a raw value delta isn't: +5% volume
+    * means nothing if everyone grew 10%. Entities present in only one
+    * period drop at the inner join (a debut isn't a MOVE — B62 flags
+    * cardinality churn; this ranks the stayers). One keyed agg + two
+    * O(#entities) rank windows.
+    */
+  def rankMovers(df: DataFrame, entityCol: String, metricCol: Column,
+                 isBefore: Column, topN: Int = 20,
+                 digits: Int = 6): DataFrame = {
+    require(topN >= 1, s"need topN >= 1, got $topN")
+    val agg = df.groupBy(col(entityCol).as("entity"), isBefore.as("__b"))
+      .agg(roundStable(sum(metricCol), digits).as("__v"))
+    val wB = Window.partitionBy(col("__b"))
+      .orderBy(col("__v").desc, col("entity"))
+    val ranked = agg.withColumn("__rk", row_number().over(wB).cast("long"))
+    val before = ranked.filter(col("__b")).select(col("entity"),
+      col("__v").as("value_before"), col("__rk").as("rank_before"))
+    val after = ranked.filter(!col("__b")).select(col("entity"),
+      col("__v").as("value_after"), col("__rk").as("rank_after"))
+    before.join(after, "entity")
+      .withColumn("rank_delta", col("rank_before") - col("rank_after"))
+      .withColumn("mover_rank", row_number().over(Window.orderBy(
+        abs(col("rank_delta")).desc, col("entity"))).cast("long"))
+      .filter(col("mover_rank") <= topN)
+  }
+
   /** Hurst exponent per key by the aggregated-variance method
     * (Beran 1994 §4.4; Taqqu, Teverovsky & Willinger 1995's estimator
     * survey): block-average the hourly series at sizes m ∈ 2,4,8,16,

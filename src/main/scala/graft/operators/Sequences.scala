@@ -161,4 +161,67 @@ object Sequences {
     perEntity.groupBy(col("__depth").as("depth"))
       .agg(count(lit(1)).as("n_entities"))
   }
+
+  /** Longest consecutive-day activity streak per key — the classic
+    * gaps-and-islands readout (engagement "streaks", sensor uptime
+    * runs): distinct active days collapse to islands via the
+    * `day − row_number` trick (consecutive days share the constant),
+    * then per key the longest island wins with earliest-start
+    * tiebreak. Emits the streak bounds plus the island count and
+    * total active days — the "745 active days in 201 islands, best
+    * run 14" engagement summary. B32's interval ops merge given
+    * ranges; this DISCOVERS runs from point-in-time activity. Two
+    * keyed aggs + two keyed windows, all over O(#key × #days) distinct
+    * rows — calendar-bounded, never event-bounded.
+    */
+  def longestStreak(df: DataFrame, keys: Seq[String],
+                    dateCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val days = df.select(keyCols :+ dateCol.as("__d"): _*).distinct()
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("__d"))
+    val islands = days
+      .withColumn("__grp", datediff(col("__d"), lit("1970-01-01")) -
+        row_number().over(wOrd))
+      .groupBy(keyCols :+ col("__grp"): _*)
+      .agg(count(lit(1)).as("__len"), min(col("__d")).as("__start"),
+        max(col("__d")).as("__end"))
+    val wBest = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__len").desc, col("__start").asc)
+    islands
+      .withColumn("__rk", row_number().over(wBest))
+      .withColumn("__ni", count(lit(1)).over(
+        Window.partitionBy(keyCols: _*)))
+      .withColumn("__tot", sum(col("__len")).over(
+        Window.partitionBy(keyCols: _*)))
+      .filter(col("__rk") === 1)
+      .select(keyCols ++ Seq(col("__len").as("max_streak_days"),
+        col("__start").as("streak_start"), col("__end").as("streak_end"),
+        col("__ni").as("n_islands"),
+        col("__tot").as("n_active_days")): _*)
+  }
+
+  /** 2-D skyline (Pareto frontier, Börzsönyi ICDE'01): the rows not
+    * DOMINATED under (minimize x, maximize y) — e.g. "no other part is
+    * both cheaper and larger". One sorted window over the DISTINCT
+    * (x, y) grid: ordered by (x asc, y desc), a point survives iff its
+    * y strictly exceeds every preceding point's (the running max) —
+    * the textbook sort-filter skyline, then ids join back so co-located
+    * duplicates all surface. The window rides distinct VALUE pairs
+    * (grid-bounded — price×size, not row count); at a cardinality
+    * where even that funnels, pre-filter with per-partition local
+    * skylines first (the standard two-phase plan) — the global pass
+    * here is the final merge either way.
+    */
+  def skyline2D(df: DataFrame, idCol: String, minCol: Column,
+                maxCol: Column): DataFrame = {
+    val pts = df.select(minCol.as("__x"), maxCol.as("__y")).distinct()
+    val w = Window.orderBy(col("__x").asc, col("__y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = pts.withColumn("__my", max(col("__y")).over(w))
+      .filter(col("__my").isNull || col("__y") > col("__my"))
+      .drop("__my")
+    df.select(col(idCol), minCol.as("__x"), maxCol.as("__y"))
+      .join(sky, Seq("__x", "__y"))
+      .select(col(idCol), col("__x").as("x"), col("__y").as("y"))
+  }
 }

@@ -5054,4 +5054,46 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(out.head.getDouble(3) -
       0.9998 / ((0.4999 + 0.99785) / 2)) < 1e-3)
   }
+
+  test("longestStreak: islands split on gaps, duplicate days collapse, tie → earliest start") {
+    val df = Seq(("u", "2024-01-01"), ("u", "2024-01-02"),
+      ("u", "2024-01-02"), ("u", "2024-01-03"), ("u", "2024-01-05"),
+      ("u", "2024-01-06"), ("u", "2024-01-10"),
+      ("t", "2024-01-01"), ("t", "2024-01-02"), ("t", "2024-01-04"),
+      ("t", "2024-01-05")).toDF("k", "ds")
+      .withColumn("d", to_date(col("ds")))
+    val out = operators.Sequences.longestStreak(df, Seq("k"), col("d"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = out("u")
+    assert(u.getLong(1) == 3L && u.getDate(2).toString == "2024-01-01" &&
+      u.getDate(3).toString == "2024-01-03")
+    assert(u.getLong(4) == 3L && u.getLong(5) == 6L)
+    val t = out("t") // two length-2 islands: earliest start wins
+    assert(t.getLong(1) == 2L && t.getDate(2).toString == "2024-01-01")
+  }
+
+  test("rankMovers: displacement ranks, absent-in-one-period entity drops") {
+    val rows = Seq(("A", true, 30.0), ("B", true, 20.0), ("C", true, 10.0),
+      ("D", true, 5.0), ("A", false, 10.0), ("B", false, 20.0),
+      ("C", false, 30.0)).toDF("e", "b", "v")
+    val out = etl.Aggregates.rankMovers(rows, "e", col("v"), col("b"),
+      topN = 2).orderBy("mover_rank").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "C"))
+    assert(out(0).getLong(6) == 1L && out(0).getLong(5) == -2L,
+      "A fell rank 1 → 3")
+    assert(out(1).getLong(5) == 2L, "C rose 3 → 1 (D ranks 4th before but can't move)")
+    assert(!out.exists(_.getString(0) == "D"), "debut is not a move")
+  }
+
+  test("skyline2D: dominated points drop, co-located ids all surface") {
+    val df = Seq((1L, 1.0, 5L), (2L, 2.0, 10L), (3L, 3.0, 7L),
+      (4L, 2.0, 3L), (5L, 4.0, 10L), (6L, 2.0, 10L))
+      .toDF("id", "price", "size")
+    val out = operators.Sequences.skyline2D(df, "id", col("price"),
+      col("size")).orderBy("x", "id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 6L),
+      "frontier = (1,5),(2,10) with both co-located ids")
+    assert(!out.exists(r => r.getLong(0) == 5L),
+      "equal y at higher x is dominated (needs STRICT improvement)")
+  }
 }
