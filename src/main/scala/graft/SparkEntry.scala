@@ -2717,6 +2717,33 @@ object SparkEntry {
           maxCol = col("p_size").cast("long"))
         .orderBy(col("x"), col("y"), col("p_partkey"))),
 
+    "q318_burn_rate" -> ((s, dir) =>
+      // SRE multi-window burn-rate alerting: short window proves it's
+      // still happening, long window proves it's real
+      etl.Slo.burnRate(
+          Tables.events(s, dir).withColumn("cohort", col("user_id") % 5),
+          Seq("cohort"), col("ts"),
+          isError = col("event_type") === "error", budget = 0.1,
+          shortHours = 6, longHours = 24, threshold = 2.0)
+        .orderBy(col("cohort"), col("hour"))),
+
+    "q319_incidents" -> ((s, dir) =>
+      // failure episodes from sparse severe errors: MTTR/MTBF per
+      // cohort with 2h-gap incident merging
+      etl.Slo.incidents(
+          Tables.events(s, dir).withColumn("cohort", col("user_id") % 5),
+          Seq("cohort"), col("ts"),
+          isError = col("event_type") === "error" && col("value") > 200,
+          gapHours = 2)
+        .orderBy(col("cohort"))),
+
+    "q320_apdex" -> ((s, dir) =>
+      // the one-number UX summary a tail can't hide behind: Apdex at
+      // T = 100 per type, value as the latency proxy
+      etl.Slo.apdex(Tables.events(s, dir), Seq("event_type"),
+          col("value"), t = 100)
+        .orderBy(col("event_type"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8817,6 +8844,73 @@ object SparkEntry {
         |JOIN sky ON CAST(p.p_retailprice AS DOUBLE) = sky.x
         |  AND CAST(p.p_size AS BIGINT) = sky.y
         |ORDER BY x, y, p_partkey""".stripMargin,
+
+    "q318_burn_rate" ->
+      // same hour-index RANGE windows (silent hours widen, not
+      // shrink), alert compared on the ROUNDED burns
+      """WITH h AS (SELECT user_id % 5 AS cohort,
+        |    date_trunc('hour', ts) AS hh, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+        |      AS e
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT *, epoch_us(hh) // 3600000000 AS hi FROM h),
+        |w AS (SELECT cohort, hh, n, e,
+        |    sum(n) OVER (PARTITION BY cohort ORDER BY hi
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6,
+        |    sum(e) OVER (PARTITION BY cohort ORDER BY hi
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6,
+        |    sum(n) OVER (PARTITION BY cohort ORDER BY hi
+        |      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS n24,
+        |    sum(e) OVER (PARTITION BY cohort ORDER BY hi
+        |      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS e24
+        |  FROM x),
+        |r AS (SELECT cohort, hh, n, e,
+        |    roundStable(CASE WHEN n6 > 0 THEN e6 / n6 / 0.1 END, 6)
+        |      AS bs,
+        |    roundStable(CASE WHEN n24 > 0 THEN e24 / n24 / 0.1 END, 6)
+        |      AS bl FROM w)
+        |SELECT cohort, hh AS hour, CAST(n AS BIGINT) AS n,
+        |  CAST(e AS BIGINT) AS n_errors, bs AS burn_short,
+        |  bl AS burn_long,
+        |  (coalesce(bs > 2.0, false) AND coalesce(bl > 2.0, false))
+        |    AS alert
+        |FROM r ORDER BY cohort, hour""".stripMargin,
+
+    "q319_incidents" ->
+      // same variable-gap islands (flag-on-big-gap prefix sum),
+      // MTBF from consecutive incident starts
+      """WITH eh AS (SELECT DISTINCT user_id % 5 AS cohort,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi
+        |  FROM events WHERE event_type = 'error' AND value > 200),
+        |m AS (SELECT *, CASE WHEN
+        |      lag(hi) OVER (PARTITION BY cohort ORDER BY hi) IS NULL
+        |      OR hi - lag(hi) OVER (PARTITION BY cohort ORDER BY hi) > 2
+        |    THEN 1 ELSE 0 END AS nw FROM eh),
+        |c AS (SELECT *, sum(nw) OVER (PARTITION BY cohort ORDER BY hi
+        |    ROWS UNBOUNDED PRECEDING) AS inc FROM m),
+        |sp AS (SELECT cohort, inc, min(hi) AS st,
+        |    max(hi) - min(hi) + 1 AS dur FROM c GROUP BY 1, 2),
+        |b AS (SELECT *, st - lag(st) OVER (PARTITION BY cohort
+        |    ORDER BY st) AS btw FROM sp)
+        |SELECT cohort, count(*) AS n_incidents,
+        |  roundStable(avg(dur), 6) AS mttr_hours,
+        |  roundStable(avg(btw), 6) AS mtbf_hours,
+        |  CAST(sum(dur) AS BIGINT) AS total_incident_hours
+        |FROM b GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "q320_apdex" ->
+      // same conditional tallies, same (sat + tol/2)/n
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_satisfied,
+        |  CAST(sum(CASE WHEN value > 100 AND value <= 400 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_tolerating,
+        |  roundStable((sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END)
+        |    + CAST(sum(CASE WHEN value > 100 AND value <= 400
+        |        THEN 1 ELSE 0 END) AS DOUBLE) / 2) / count(*), 6)
+        |    AS apdex
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

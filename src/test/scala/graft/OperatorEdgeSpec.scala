@@ -5096,4 +5096,52 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(!out.exists(r => r.getLong(0) == 5L),
       "equal y at higher x is dominated (needs STRICT improvement)")
   }
+
+  test("burnRate: hand multi-window burns, boundary not-alert at exactly threshold, silent-hour gap widens") {
+    def hour(k: Int, err: Boolean, n: Int) = Seq.fill(n)(
+      ("s", f"2024-01-01 $k%02d:00:00", if (err) "error" else "ok"))
+    val rows = hour(0, false, 10) ++
+      (hour(1, false, 6) ++ hour(1, true, 4)) ++
+      (hour(2, false, 6) ++ hour(2, true, 4)) ++
+      hour(3, false, 10) ++ (hour(5, true, 10))
+    val df = rows.toDF("k", "tss", "et")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = etl.Slo.burnRate(df, Seq("k"), col("ts"),
+      col("et") === "error", budget = 0.1, shortHours = 2,
+      longHours = 3, threshold = 2.0).orderBy("hour").collect()
+    val bs = out.map(_.getDouble(4))
+    assert(bs(1) == 2.0 && bs(2) == 4.0 && bs(3) == 2.0)
+    assert(math.abs(out(2).getDouble(5) - 2.666667) < 1e-6)
+    assert(!out(1).getBoolean(6), "burn exactly at threshold must NOT alert")
+    assert(out(2).getBoolean(6))
+    // hour 5 after a silent hour 4: short window = {4,5} → only h5 rows
+    assert(bs(4) == 10.0 && out(4).getBoolean(6))
+  }
+
+  test("incidents: variable-gap merging, MTBF from starts, single incident NULLs MTBF") {
+    def e(k: String, h: Int) =
+      (k, f"2024-01-01 $h%02d:15:00", "error", 500.0)
+    val rows = Seq(e("k", 0), e("k", 1), e("k", 4), e("k", 9), e("k", 10),
+      e("k", 11), e("j", 5), ("k", "2024-01-01 02:00:00", "ok", 500.0))
+    val df = rows.toDF("k", "tss", "et", "v")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = etl.Slo.incidents(df, Seq("k"), col("ts"),
+      col("et") === "error" && col("v") > 400, gapHours = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k") // [0-1],[4],[9-11]: durs 2,1,3; starts 0,4,9
+    assert(k.getLong(1) == 3L && k.getDouble(2) == 2.0)
+    assert(k.getDouble(3) == 4.5 && k.getLong(4) == 6L)
+    val j = out("j")
+    assert(j.getLong(1) == 1L && j.isNullAt(3), "one incident: no between-time")
+  }
+
+  test("apdex: satisfied/tolerating boundaries inclusive, NULL latency excluded") {
+    val df = Seq(("a", Some(50.0)), ("a", Some(100.0)), ("a", Some(150.0)),
+      ("a", Some(400.0)), ("a", Some(401.0)), ("a", None: Option[Double]))
+      .toDF("k", "v")
+    val out = etl.Slo.apdex(df, Seq("k"), col("v"), t = 100).collect().head
+    assert(out.getLong(1) == 5L && out.getLong(2) == 2L &&
+      out.getLong(3) == 2L)
+    assert(out.getDouble(4) == 0.6)
+  }
 }
