@@ -2744,6 +2744,29 @@ object SparkEntry {
           col("value"), t = 100)
         .orderBy(col("event_type"))),
 
+    "q321_jarque_bera" -> ((s, dir) =>
+      // the cheap normality gate before any Gaussian-assuming CI:
+      // JB = n/6(S² + K²/4) from one moments pass
+      etl.Aggregates.jarqueBera(Tables.events(s, dir),
+          Seq("event_type"), col("value"))
+        .orderBy(col("event_type"))),
+
+    "q322_friedman" -> ((s, dir) =>
+      // is one type's daily mean RELIABLY highest day after day:
+      // within-day ranks cancel day-level shifts (the nonparametric
+      // repeated-measures test)
+      etl.Drift.friedman(Tables.events(s, dir),
+          blockCol = to_date(col("ts")), treatmentCol = col("event_type"),
+          valueCol = col("value"))
+        .orderBy(col("treatment"))),
+
+    "q323_grubbs" -> ((s, dir) =>
+      // is the worst point actually wild: the single most extreme
+      // observation's studentized distance per type, with side
+      etl.Aggregates.grubbs(Tables.events(s, dir), Seq("event_type"),
+          col("value"))
+        .orderBy(col("event_type"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8911,6 +8934,69 @@ object SparkEntry {
         |    AS apdex
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q321_jarque_bera" ->
+      // same four power sums folded to central moments
+      """WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(value) AS m, avg(value * value) AS e2,
+        |    avg(value * value * value) AS e3,
+        |    avg(value * value * value * value) AS e4
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT event_type, n, e2 - m * m AS m2,
+        |    e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
+        |    e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m
+        |      AS m4 FROM s),
+        |t AS (SELECT event_type, n,
+        |    CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END AS sk,
+        |    CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS ku FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  roundStable(sk, 6) AS skewness,
+        |  roundStable(ku, 6) AS ex_kurtosis,
+        |  roundStable(n / 6 * (sk * sk + ku * ku / 4), 6) AS jb
+        |FROM t ORDER BY event_type""".stripMargin,
+
+    "q322_friedman" ->
+      // same rounded cells, complete blocks only, mean ranks on ties,
+      // same uncorrected Q
+      """WITH cells AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+        |    roundStable(avg(value), 6) AS v FROM events GROUP BY 1, 2),
+        |k AS (SELECT count(DISTINCT t) AS k FROM cells),
+        |comp AS (SELECT c.* FROM cells c
+        |  JOIN (SELECT b, count(*) AS bc FROM cells GROUP BY 1) x
+        |    USING (b), k WHERE x.bc = k.k),
+        |r AS (SELECT *, rank() OVER (PARTITION BY b ORDER BY v)
+        |    + (count(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS rr
+        |  FROM comp),
+        |bt AS (SELECT t AS treatment, count(*) AS nb, sum(rr) AS rs
+        |  FROM r GROUP BY 1),
+        |q AS (SELECT bt.*, 12.0 / (nb * k.k * (k.k + 1))
+        |    * sum(rs * rs) OVER () - 3.0 * nb * (k.k + 1) AS qs
+        |  FROM bt, k)
+        |SELECT treatment, CAST(nb AS BIGINT) AS n_blocks,
+        |  roundStable(rs, 6) AS rank_sum,
+        |  roundStable(rs / nb, 6) AS mean_rank,
+        |  roundStable(qs, 6) AS q_stat
+        |FROM q ORDER BY treatment""".stripMargin,
+
+    "q323_grubbs" ->
+      // same distinct-value reduction, argmax on rounded G with the
+      // low value winning exact ties
+      """WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |v AS (SELECT event_type, value AS x FROM events
+        |  WHERE value IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT v.event_type, v.x, s.n, s.mu,
+        |    roundStable(CASE WHEN s.sd > 0 AND s.n >= 3 THEN
+        |      abs(v.x - s.mu) / s.sd END, 6) AS gg
+        |  FROM v JOIN s USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gg DESC NULLS LAST, x) AS rk FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, gg AS g,
+        |  roundStable(x, 6) AS extreme_value,
+        |  CASE WHEN gg IS NULL THEN NULL WHEN x >= mu THEN 'high'
+        |    ELSE 'low' END AS side
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

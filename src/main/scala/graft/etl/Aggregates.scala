@@ -3128,6 +3128,74 @@ object Aggregates {
         col("__d").as("cooks_d")): _*)
   }
 
+  /** Jarque-Bera normality screen per key (Jarque & Bera 1980) —
+    * `JB = n/6·(S² + K²/4)` from the sample skewness S and excess
+    * kurtosis K (~χ²₂ under normality): the cheap gate before any
+    * method that assumes Gaussian errors (A30's CIs, A31's t-test,
+    * control limits). Everything from FOUR raw power sums folded to
+    * central moments — one aggregation pass, the moments discipline,
+    * identical arithmetic on both engines; constant keys (m₂ = 0)
+    * emit NULL with n visible.
+    */
+  def jarqueBera(df: DataFrame, keys: Seq[String], valueCol: Column,
+                 digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val x = valueCol.cast("double")
+    val st = df.filter(x.isNotNull).groupBy(keyCols: _*)
+      .agg(count(lit(1)).cast("double").as("__n"), avg(x).as("__m"),
+        avg(x * x).as("__e2"), avg(x * x * x).as("__e3"),
+        avg(x * x * x * x).as("__e4"))
+    val mu = col("__m")
+    val m2 = col("__e2") - mu * mu
+    val m3 = col("__e3") - lit(3.0) * mu * col("__e2") +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("__e4") - lit(4.0) * mu * col("__e3") +
+      lit(6.0) * mu * mu * col("__e2") - lit(3.0) * mu * mu * mu * mu
+    val s = when(m2 > 0, m3 / pow(m2, 1.5))
+    val k = when(m2 > 0, m4 / (m2 * m2) - 3.0)
+    st.select(keyCols ++ Seq(col("__n").cast("long").as("n"),
+      roundStable(s, digits).as("skewness"),
+      roundStable(k, digits).as("ex_kurtosis"),
+      roundStable(col("__n") / 6 * (s * s + k * k / 4), digits)
+        .as("jb")): _*)
+  }
+
+  /** Grubbs outlier screen per key (Grubbs 1950) — the single most
+    * extreme observation's studentized distance `G = max|x−x̄|/s`
+    * with the value and side attached: the "is the worst point
+    * actually wild" readout (A4/A37 flag ALL points past a fence;
+    * this names THE extreme one and how extreme, for comparison
+    * against the caller's critical value — no p-table baked in).
+    * Distinct values reduce first, so the argmax window rides
+    * O(#distinct) rows; argmax on the 6dp-rounded G with the value
+    * as tiebreak (low side wins an exact tie — deterministic both
+    * engines). Keys with s = 0 or n < 3 emit NULL.
+    */
+  def grubbs(df: DataFrame, keys: Seq[String], valueCol: Column,
+             digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val x = valueCol.cast("double")
+    val st = df.filter(x.isNotNull).groupBy(keyCols: _*)
+      .agg(count(lit(1)).cast("double").as("__n"), avg(x).as("__mu"),
+        stddev_samp(x).as("__s"))
+    val vals = df.filter(x.isNotNull)
+      .groupBy(keyCols :+ x.as("__x"): _*).agg(count(lit(1)).as("__c"))
+    val g = when(col("__s") > 0 && col("__n") >= 3,
+      abs(col("__x") - col("__mu")) / col("__s"))
+    val wTop = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__g").desc_nulls_last, col("__x").asc)
+    vals.join(st, keys)
+      .withColumn("__g", roundStable(g, digits))
+      .withColumn("__rk", row_number().over(wTop))
+      .filter(col("__rk") === 1)
+      .select(keyCols ++ Seq(col("__n").cast("long").as("n"),
+        col("__g").as("g"),
+        roundStable(col("__x"), digits).as("extreme_value"),
+        when(col("__g").isNull, lit(null).cast("string"))
+          .when(col("__x") >= col("__mu"), "high").otherwise("low")
+          .as("side")): _*)
+  }
+
   /** Rank movers between two periods — the "movers and shakers"
     * leaderboard diff: entities ranked by a metric in each period
     * (dense ordering on the ROUNDED value with id tiebreak — the q94

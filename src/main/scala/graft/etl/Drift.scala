@@ -1000,6 +1000,53 @@ object Drift {
         sqrt(lit(2.0) * (n - 1) - 1)), digits).as("z")): _*)
   }
 
+  /** Friedman rank test (Friedman 1937) — the repeated-measures
+    * Kruskal-Wallis: does any TREATMENT consistently rank above the
+    * others ACROSS blocks (e.g. "is one event type's daily mean
+    * reliably highest, day after day"), with each block ranked
+    * internally so block-level shifts cancel — the nonparametric
+    * answer when A98's ANOVA assumptions don't hold and the blocks
+    * differ wildly in level. Cells are per-(block, treatment) means
+    * of the 6dp-rounded staging; ties take MEAN ranks
+    * (`rank + (ties−1)/2`); only COMPLETE blocks vote (a block
+    * missing a treatment would bias every rank sum — dropped,
+    * counted in `n_blocks` implicitly). Emits per treatment: rank
+    * sum + mean rank, with the global `Q = 12/(nk(k+1))·ΣR² −
+    * 3n(k+1)` (~χ²_{k−1}, uncorrected for ties — documented) on
+    * every row. One cell agg, ranks over O(#blocks × k) rows.
+    */
+  def friedman(df: DataFrame, blockCol: Column, treatmentCol: Column,
+               valueCol: Column, digits: Int = 6): DataFrame = {
+    val cells = df
+      .groupBy(blockCol.as("__b"), treatmentCol.as("__t"))
+      .agg(roundStable(avg(valueCol), digits).as("__v"))
+    val k = cells.agg(count_distinct(col("__t")).as("__k"))
+    val complete = cells
+      .withColumn("__bc", count(lit(1)).over(
+        Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(k))
+      .filter(col("__bc") === col("__k"))
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val wTie = Window.partitionBy(col("__b"), col("__v"))
+    val ranked = complete
+      .withColumn("__r", rank().over(wRank) +
+        (count(lit(1)).over(wTie) - 1) / 2.0)
+    val byT = ranked.groupBy(col("__t").as("treatment"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__r")).as("__rs"),
+        first(col("__k")).as("__kk"))
+    val n = col("n_blocks").cast("double")
+    val kk = col("__kk").cast("double")
+    val wAll = Window.partitionBy(lit(1))
+    byT
+      .withColumn("__q", lit(12.0) / (n * kk * (kk + 1)) *
+        sum(col("__rs") * col("__rs")).over(wAll) -
+        lit(3.0) * n * (kk + 1))
+      .select(col("treatment"), col("n_blocks"),
+        roundStable(col("__rs"), digits).as("rank_sum"),
+        roundStable(col("__rs") / n, digits).as("mean_rank"),
+        roundStable(col("__q"), digits).as("q_stat"))
+  }
+
   /** Negative-binomial method-of-moments fit per key — the MODEL
     * upgrade of [[dispersionIndex]]: once D > 1 says counts are
     * clumped, NB(r, p) with `p = x̄/s²`, `r = x̄²/(s² − x̄)` (mean

@@ -5144,4 +5144,52 @@ class OperatorEdgeSpec extends AnyFunSuite {
       out.getLong(3) == 2L)
     assert(out.getDouble(4) == 0.6)
   }
+
+  test("jarqueBera: hand moments on a skewed and a symmetric set, constant key NULLs") {
+    val df = Seq(("s", 0.0), ("s", 0.0), ("s", 0.0), ("s", 1.0),
+      ("y", -1.0), ("y", 1.0), ("c", 5.0), ("c", 5.0)).toDF("k", "v")
+    val out = etl.Aggregates.jarqueBera(df, Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s") // S = 2/√3, K = −2/3, JB = 4/6(4/3 + 1/9)
+    assert(math.abs(s.getDouble(2) - 2 / math.sqrt(3)) < 1e-6)
+    assert(math.abs(s.getDouble(3) - -2.0 / 3) < 1e-6)
+    assert(math.abs(s.getDouble(4) -
+      4.0 / 6 * (4.0 / 3 + (4.0 / 9) / 4)) < 1e-5)
+    val y = out("y") // symmetric two-point: S 0, K −2, JB = 2/6·1
+    assert(y.getDouble(2) == 0.0 && y.getDouble(3) == -2.0)
+    assert(math.abs(y.getDouble(4) - 1.0 / 3) < 1e-6)
+    assert(out("c").isNullAt(2) && out("c").isNullAt(4))
+  }
+
+  test("friedman: textbook Q = 6 on perfectly consistent ranks, incomplete block dropped, tie mean-ranks") {
+    val rows = (for (b <- 1 to 3; (t, v) <- Seq(("a", 1.0), ("b", 2.0),
+      ("c", 3.0))) yield (f"2024-01-0$b", t, v)) :+
+      (("2024-01-04", "a", 9.0))
+    val df = rows.toDF("ds", "t", "v").withColumn("d", to_date(col("ds")))
+    val out = etl.Drift.friedman(df, col("d"), col("t"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 3L, "incomplete block 4 must not vote")
+    assert(out("a").getDouble(2) == 3.0 && out("c").getDouble(2) == 9.0)
+    assert(out("b").getDouble(3) == 2.0)
+    assert(out("a").getDouble(4) == 6.0, "Q = 12/36·126 − 36")
+    // tie: equal cells share the mean rank
+    val tied = Seq(("2024-01-01", "a", 1.0), ("2024-01-01", "b", 1.0),
+      ("2024-01-01", "c", 3.0)).toDF("ds", "t", "v")
+      .withColumn("d", to_date(col("ds")))
+    val t2 = etl.Drift.friedman(tied, col("d"), col("t"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(t2("a") == 1.5 && t2("b") == 1.5 && t2("c") == 3.0)
+  }
+
+  test("grubbs: hand G on a planted spike, short key NULLs") {
+    val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 10.0),
+      ("j", 1.0), ("j", 2.0)).toDF("key", "v")
+    val out = etl.Aggregates.grubbs(df, Seq("key"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k") // μ=4, s=√(50/3): G = 6/4.082483
+    assert(math.abs(k.getDouble(2) - 6 / math.sqrt(50.0 / 3)) < 1e-5)
+    assert(k.getDouble(3) == 10.0 && k.getString(4) == "high")
+    val j = out("j") // n < 3: statistic undefined, counts visible
+    assert(j.getLong(1) == 2L && j.isNullAt(2) && j.isNullAt(4))
+  }
 }
