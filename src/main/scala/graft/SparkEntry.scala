@@ -2767,6 +2767,27 @@ object SparkEntry {
           col("value"))
         .orderBy(col("event_type"))),
 
+    "q324_dau_stickiness" -> ((s, dir) =>
+      // DAU/WAU/MAU over the observed-day spine with trailing
+      // calendar ranges (silent days still age users out)
+      etl.Growth.dauStickiness(Tables.events(s, dir), col("user_id"),
+          col("ts"))
+        .orderBy(col("day"))),
+
+    "q325_growth_accounting" -> ((s, dir) =>
+      // weekly new/retained/resurrected/churned identity + quick
+      // ratio: is the bucket filling faster than it leaks
+      etl.Growth.growthAccounting(Tables.events(s, dir),
+          col("user_id"), col("ts"))
+        .orderBy(col("week"))),
+
+    "q326_power_users" -> ((s, dir) =>
+      // the engagement histogram a mean DAU hides: users by active-day
+      // count with cumulative user/activity shares from the top
+      etl.Growth.powerUserCurve(Tables.events(s, dir), col("user_id"),
+          col("ts"))
+        .orderBy(col("n_days"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8997,6 +9018,71 @@ object SparkEntry {
         |  CASE WHEN gg IS NULL THEN NULL WHEN x >= mu THEN 'high'
         |    ELSE 'low' END AS side
         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q324_dau_stickiness" ->
+      // same day-spine range join, same conditional distincts
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |udi AS (SELECT u, d,
+        |    datediff('day', DATE '1970-01-01', d) AS di FROM ud),
+        |sp AS (SELECT DISTINCT d AS day, di AS si FROM udi),
+        |j AS (SELECT sp.day, sp.si, udi.u, udi.di FROM udi
+        |  JOIN sp ON udi.di <= sp.si AND udi.di >= sp.si - 29)
+        |SELECT day,
+        |  count(DISTINCT CASE WHEN di = si THEN u END) AS dau,
+        |  count(DISTINCT CASE WHEN di >= si - 6 THEN u END) AS wau,
+        |  count(DISTINCT u) AS mau,
+        |  roundStable(CAST(count(DISTINCT CASE WHEN di = si THEN u END)
+        |    AS DOUBLE) / count(DISTINCT u), 6) AS stickiness
+        |FROM j GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q325_growth_accounting" ->
+      // same lag/lead lifecycle states, churn landed in the silent
+      // week, active-week output spine
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |m AS (SELECT *, lag(w) OVER (PARTITION BY u ORDER BY w) AS pv,
+        |    lead(w) OVER (PARTITION BY u ORDER BY w) AS nx FROM uw),
+        |st AS (SELECT *, CASE WHEN pv IS NULL THEN 'new'
+        |    WHEN datediff('day', pv, w) = 7 THEN 'retained'
+        |    ELSE 'resurrected' END AS s FROM m),
+        |act AS (SELECT w AS week, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN s = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN s = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM st GROUP BY 1),
+        |ch AS (SELECT w + 7 AS week, count(*) AS c FROM st
+        |  WHERE nx IS NULL OR datediff('day', w, nx) > 7 GROUP BY 1)
+        |SELECT a.week, a.n_active, a.n_new, a.n_retained,
+        |  a.n_resurrected, coalesce(ch.c, 0) AS n_churned,
+        |  roundStable(CASE WHEN coalesce(ch.c, 0) > 0 THEN
+        |    CAST(a.n_new + a.n_resurrected AS DOUBLE) / ch.c END, 6)
+        |    AS quick_ratio
+        |FROM act a LEFT JOIN ch USING (week) ORDER BY week""".stripMargin,
+
+    "q326_power_users" ->
+      // same histogram + top-down cumulative shares
+      """WITH pu AS (SELECT user_id AS u,
+        |    count(DISTINCT CAST(ts AS DATE)) AS nd
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT nd AS n_days, count(*) AS n_users,
+        |    nd * count(*) AS act FROM pu GROUP BY 1),
+        |t AS (SELECT sum(n_users) AS tu, sum(act) AS ta FROM h),
+        |c AS (SELECT h.*,
+        |    sum(n_users) OVER (ORDER BY n_days DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cu,
+        |    sum(act) OVER (ORDER BY n_days DESC
+        |      ROWS UNBOUNDED PRECEDING) AS ca FROM h)
+        |SELECT n_days, n_users,
+        |  roundStable(CAST(n_users AS DOUBLE) / t.tu, 6) AS user_share,
+        |  roundStable(CAST(act AS DOUBLE) / t.ta, 6) AS activity_share,
+        |  roundStable(CAST(cu AS DOUBLE) / t.tu, 6) AS cum_user_share,
+        |  roundStable(CAST(ca AS DOUBLE) / t.ta, 6)
+        |    AS cum_activity_share
+        |FROM c, t ORDER BY n_days""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

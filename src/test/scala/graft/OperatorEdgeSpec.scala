@@ -5192,4 +5192,55 @@ class OperatorEdgeSpec extends AnyFunSuite {
     val j = out("j") // n < 3: statistic undefined, counts visible
     assert(j.getLong(1) == 2L && j.isNullAt(2) && j.isNullAt(4))
   }
+
+  test("dauStickiness: trailing ranges age users out across a silent stretch") {
+    val df = Seq((1L, "2024-01-01"), (1L, "2024-01-02"),
+      (2L, "2024-01-01"), (1L, "2024-02-10")).toDF("u", "ds")
+      .withColumn("ts", to_timestamp(col("ds")))
+    val out = etl.Growth.dauStickiness(df, col("u"), col("ts"))
+      .collect().map(r => r.getDate(0).toString -> r).toMap
+    val d1 = out("2024-01-01")
+    assert(d1.getLong(1) == 2L && d1.getLong(2) == 2L &&
+      d1.getLong(3) == 2L && d1.getDouble(4) == 1.0)
+    val d2 = out("2024-01-02")
+    assert(d2.getLong(1) == 1L && d2.getLong(2) == 2L &&
+      d2.getLong(3) == 2L && d2.getDouble(4) == 0.5)
+    val d3 = out("2024-02-10") // 39 days on: everyone aged out
+    assert(d3.getLong(1) == 1L && d3.getLong(2) == 1L &&
+      d3.getLong(3) == 1L)
+  }
+
+  test("growthAccounting: lifecycle identity, churn lands in the silent week, quick ratio") {
+    // u1: w1, w2, w4 (skips w3); u2: w3 only — Mondays
+    val df = Seq((1L, "2024-01-01"), (1L, "2024-01-08"),
+      (1L, "2024-01-22"), (2L, "2024-01-15")).toDF("u", "ds")
+      .withColumn("ts", to_timestamp(col("ds")))
+    val out = etl.Growth.growthAccounting(df, col("u"), col("ts"))
+      .collect().map(r => r.getDate(0).toString -> r).toMap
+    assert(out("2024-01-01").getLong(2) == 1L, "w1: u1 new")
+    assert(out("2024-01-08").getLong(3) == 1L, "w2: u1 retained")
+    val w3 = out("2024-01-15") // u2 new; u1 churned INTO this week
+    assert(w3.getLong(2) == 1L && w3.getLong(5) == 1L)
+    assert(w3.getDouble(6) == 1.0, "quick ratio (1 new + 0 res)/1 churn")
+    val w4 = out("2024-01-22") // u1 resurrected; u2 churned into w4
+    assert(w4.getLong(4) == 1L && w4.getLong(5) == 1L)
+    // identity: active = new + retained + resurrected on every row
+    out.values.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4)))
+  }
+
+  test("powerUserCurve: histogram shares and top-down cumulatives") {
+    val df = Seq((1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (2L, "2024-01-01"), (3L, "2024-01-05"), (3L, "2024-01-05"))
+      .toDF("u", "ds").withColumn("ts", to_timestamp(col("ds")))
+    val out = etl.Growth.powerUserCurve(df, col("u"), col("ts"))
+      .orderBy(col("n_days").desc).collect()
+    val top = out(0) // one 3-day user: 60% of activity, cum from top
+    assert(top.getLong(0) == 3L && top.getLong(1) == 1L)
+    assert(top.getDouble(3) == 0.6 && top.getDouble(5) == 0.6)
+    assert(math.abs(top.getDouble(4) - 1.0 / 3) < 1e-6)
+    val one = out(1) // two 1-day users (dup same-day rows collapse)
+    assert(one.getLong(1) == 2L && one.getDouble(4) == 1.0 &&
+      one.getDouble(5) == 1.0)
+  }
 }
