@@ -43,7 +43,22 @@ object Slo {
       .groupBy(keyCols :+ date_trunc("hour", tsCol).as("__h"): _*)
       .agg(count(lit(1)).cast("double").as("__n"),
         sum(when(isError, 1.0).otherwise(0.0)).as("__e"))
-      .withColumn("__hi", (unix_micros(col("__h")) / 3600000000L).cast("long"))
+    burnFromHourly(hourly, keys, budget, shortHours, longHours,
+      threshold, digits)
+  }
+
+  /** The burn computation over an already-hourly (keys, __h, __n, __e)
+    * table — shared by [[burnRate]] and the streaming monitor
+    * ([[graft.streaming.SloStream]]), whose state is exactly this
+    * table accumulated across micro-batches.
+    */
+  private[graft] def burnFromHourly(hourly: DataFrame, keys: Seq[String],
+                                    budget: Double, shortHours: Int,
+                                    longHours: Int, threshold: Double,
+                                    digits: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val indexed = hourly.withColumn("__hi",
+      (unix_micros(col("__h")) / 3600000000L).cast("long"))
     def win(hours: Int) = Window.partitionBy(keyCols: _*)
       .orderBy(col("__hi"))
       .rangeBetween(-(hours - 1).toLong, 0L)
@@ -52,7 +67,7 @@ object Slo {
       val e = sum(col("__e")).over(win(hours))
       when(n > 0, e / n / budget)
     }
-    hourly
+    indexed
       .withColumn("burn_short", roundStable(burn(shortHours), digits))
       .withColumn("burn_long", roundStable(burn(longHours), digits))
       .select(keyCols ++ Seq(col("__h").as("hour"),

@@ -987,6 +987,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq == before)
   }
 
+  test("SloStream: split stream equals one batch; burst alerts; replay overwrites state, no double count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slostream").toString
+    def hour(h: Int, errs: Int) =
+      (1 to 10).map(i => ("s", f"2024-01-01 $h%02d:00:00",
+        if (i <= errs) "error" else "ok"))
+    val calm = hour(0, 1) ++ hour(1, 1)
+    val burst = hour(2, 8)
+    val mem = MemoryStream[(String, String, String)]
+    val in = mem.toDF().toDF("k", "tss", "et")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val q = streaming.SloStream.toBurnSink(in, Seq("k"), "ts",
+      isError = col("et") === "error", budget = 0.1, shortHours = 2,
+      longHours = 3, threshold = 2.0, s"$tmp/state", s"$tmp/mon",
+      s"$tmp/ck").start()
+    mem.addData(calm: _*)
+    q.processAllAvailable()
+    mem.addData(burst: _*)
+    q.processAllAvailable(); q.stop()
+    // batch 0: calm burn = 1 everywhere → no alert rows
+    assert(spark.read.parquet(s"$tmp/mon/batch=0").count() == 0)
+    // batch 1's readout over the MERGED state ≡ the one-batch ETL
+    val streamed = spark.read.parquet(s"$tmp/mon/batch=1")
+      .drop("batch_id").collect().toSeq
+    val oneShot = etl.Slo.burnRate((calm ++ burst)
+        .toDF("k", "tss", "et")
+        .withColumn("ts", to_timestamp(col("tss"))),
+      Seq("k"), col("ts"), col("et") === "error", budget = 0.1,
+      shortHours = 2, longHours = 3, threshold = 2.0)
+      .filter(col("alert")).collect().toSeq
+    assert(streamed.nonEmpty && streamed.toSet == oneShot.toSet,
+      s"split ≡ one batch: $streamed vs $oneShot")
+    // at-least-once replay: re-running batch 1 overwrites both its
+    // state partition and its monitor rows byte-identically
+    val stateBefore = spark.read.parquet(s"$tmp/state").collect().toSeq
+    val monBefore = spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq
+    streaming.SloStream.burnBatch(
+      burst.toDF("k", "tss", "et")
+        .withColumn("ts", to_timestamp(col("tss"))),
+      1L, Seq("k"), "ts", col("et") === "error", 0.1, 2, 3, 2.0,
+      s"$tmp/state", s"$tmp/mon")
+    assert(spark.read.parquet(s"$tmp/state").collect().toSeq.sortBy(_.toString)
+      == stateBefore.sortBy(_.toString), "replayed state must not double-count")
+    assert(spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq == monBefore)
+  }
+
   test("DriftStream: frozen reference bins score each batch; shifted batch alarms; replay overwrites") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
