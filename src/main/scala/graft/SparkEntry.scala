@@ -2788,6 +2788,27 @@ object SparkEntry {
           col("ts"))
         .orderBy(col("n_days"))),
 
+    "q327_vocab_curve" -> ((s, dir) =>
+      // tokenizer-budget planning: token-mass coverage and OOV rate
+      // at candidate vocabulary sizes
+      text.Corpus.vocabCoverageCurve(Tables.documents(s, dir), "text",
+          cuts = Seq(100, 500, 1000, 5000))
+        .orderBy(col("vocab_size"))),
+
+    "q328_dup_profile" -> ((s, dir) =>
+      // WHERE duplication lives per source (intra vs cross) — decides
+      // whether dedup must be global; 40-char prefix fingerprint
+      text.Corpus.dupProfile(Tables.documents(s, dir), "source",
+          fingerprint = md5(substring(col("text"), 1, 40)))
+        .orderBy(col("source"))),
+
+    "q329_char_classes" -> ((s, dir) =>
+      // the tokenizer-free OCR/markup screen: per-source character-
+      // class shares from exact length arithmetic
+      text.Corpus.charClassProfile(Tables.documents(s, dir), "source",
+          "text")
+        .orderBy(col("source"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -9083,6 +9104,65 @@ object SparkEntry {
         |  roundStable(CAST(ca AS DOUBLE) / t.ta, 6)
         |    AS cum_activity_share
         |FROM c, t ORDER BY n_days""".stripMargin,
+
+    "q327_vocab_curve" ->
+      // same (tf DESC, token) ranking, cumulative mass at literal cuts
+      """WITH f AS (SELECT t AS tok, CAST(count(*) AS DOUBLE) AS f
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY 1),
+        |r AS (SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok)
+        |    AS rk, sum(f) OVER () AS tot FROM f),
+        |g AS (SELECT r.*, c.vocab_size FROM r CROSS JOIN
+        |  (SELECT unnest([100, 500, 1000, 5000]) AS vocab_size) c
+        |  WHERE rk <= vocab_size)
+        |SELECT vocab_size, count(*) AS n_types,
+        |  roundStable(sum(f) / any_value(tot), 6) AS coverage,
+        |  roundStable(1.0 - sum(f) / any_value(tot), 6) AS oov_rate
+        |FROM g GROUP BY 1 ORDER BY vocab_size""".stripMargin,
+
+    "q328_dup_profile" ->
+      // same md5(prefix-40) fingerprint cells, same locality classes
+      """WITH c AS (SELECT source AS s, md5(substr(text, 1, 40)) AS h,
+        |    count(*) AS c FROM documents GROUP BY 1, 2),
+        |g AS (SELECT h, sum(c) AS tot, count(*) AS nsrc FROM c
+        |  GROUP BY 1)
+        |SELECT s AS source, CAST(sum(c.c) AS BIGINT) AS n_docs,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN g.tot > 1 AND g.nsrc = 1 THEN c.c ELSE 0
+        |    END) AS BIGINT) AS n_intra_dup,
+        |  CAST(sum(CASE WHEN g.nsrc > 1 THEN c.c ELSE 0 END) AS BIGINT)
+        |    AS n_cross_dup,
+        |  roundStable(CAST(sum(CASE WHEN g.tot > 1 AND g.nsrc = 1
+        |      THEN c.c ELSE 0 END) AS DOUBLE) / sum(c.c), 6)
+        |    AS intra_rate,
+        |  roundStable(CAST(sum(CASE WHEN g.nsrc > 1 THEN c.c ELSE 0
+        |      END) AS DOUBLE) / sum(c.c), 6) AS cross_rate
+        |FROM c JOIN g USING (h) GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q329_char_classes" ->
+      // same exact length-difference arithmetic ('g' = replace all,
+      // Spark's default)
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  roundStable(CASE WHEN sum(len(text)) > 0 THEN
+        |    CAST(sum(len(text) - len(regexp_replace(text, '[A-Za-z]',
+        |      '', 'g'))) AS DOUBLE) / sum(len(text)) END, 6)
+        |    AS alpha_share,
+        |  roundStable(CASE WHEN sum(len(text)) > 0 THEN
+        |    CAST(sum(len(text) - len(regexp_replace(text, '[0-9]',
+        |      '', 'g'))) AS DOUBLE) / sum(len(text)) END, 6)
+        |    AS digit_share,
+        |  roundStable(CASE WHEN sum(len(text)) > 0 THEN
+        |    CAST(sum(len(text) - len(regexp_replace(text, '[ \t\n]',
+        |      '', 'g'))) AS DOUBLE) / sum(len(text)) END, 6)
+        |    AS space_share,
+        |  roundStable(CASE WHEN sum(len(text)) > 0 THEN
+        |    CAST(sum(len(regexp_replace(regexp_replace(regexp_replace(
+        |      text, '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'),
+        |      '[ \t\n]', '', 'g'))) AS DOUBLE) / sum(len(text)) END, 6)
+        |    AS other_share
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

@@ -1354,6 +1354,110 @@ object Corpus {
         roundStable(col("__lam"), digits).as("fill_level"))
   }
 
+  /** Vocabulary coverage curve — token-mass coverage at candidate
+    * vocabulary sizes (the tokenizer-budget planning table): rank
+    * tokens by corpus frequency (deterministic (tf DESC, token) cut),
+    * then for each candidate size k the share of TOKEN MASS the top-k
+    * types cover and the OOV rate a k-sized vocab would pay. C16's
+    * vocabCoverage scores each DOC against one fixed vocab; this
+    * scores the VOCAB SIZES against the corpus — the "is 32k enough
+    * or does this corpus need 64k" readout. One freq agg + one rank
+    * window over O(vocab) rows; the cut grid is a literal explode.
+    */
+  def vocabCoverageCurve(docs: DataFrame, textCol: String,
+                         cuts: Seq[Int] = Seq(100, 500, 1000, 5000),
+                         digits: Int = 6): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ >= 1), s"bad cuts: $cuts")
+    val freq = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("__f"))
+    val wRank = Window.orderBy(col("__f").desc, col("tok"))
+    val wAll = Window.partitionBy(lit(1))
+    val ranked = freq
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .withColumn("__tot", sum(col("__f")).over(wAll))
+    ranked
+      .select(col("__rk"), col("__f"), col("__tot"),
+        explode(array(cuts.map(lit): _*)).as("vocab_size"))
+      .filter(col("__rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("n_types"),
+        roundStable(sum(col("__f")) / first(col("__tot")), digits)
+          .as("coverage"),
+        roundStable(lit(1.0) - sum(col("__f")) / first(col("__tot")),
+          digits).as("oov_rate"))
+  }
+
+  /** Duplication-locality profile per source — WHERE the duplication
+    * lives: each document is UNIQUE (its exact text appears once in
+    * the corpus), an INTRA-source duplicate (copies exist, all inside
+    * this source — template reuse, re-uploads), or a CROSS-source
+    * duplicate (copies span sources — syndication, mirrors; the kind
+    * per-source dedup can never catch). A2/C15 produce the survivors;
+    * this is the diagnosis that decides whether dedup must be GLOBAL
+    * for a given source. The duplicate KEY is the caller's — raw md5
+    * for exact dedup, a prefix fingerprint for crawl near-dups, C4's
+    * rolling hash for content dedup — so one diagnosis serves every
+    * rung of the dedup ladder. Two cell aggregations + one join back,
+    * all over O(#distinct fingerprints) rows.
+    */
+  def dupProfile(docs: DataFrame, sourceCol: String,
+                 fingerprint: Column, digits: Int = 6): DataFrame = {
+    val cells = docs
+      .select(col(sourceCol).as("__s"), fingerprint.as("__h"))
+      .groupBy(col("__s"), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val global = cells.groupBy(col("__h"))
+      .agg(sum(col("__c")).as("__tot"),
+        count(lit(1)).as("__nsrc"))
+    cells.join(global, "__h")
+      .groupBy(col("__s").as(sourceCol))
+      .agg(sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__tot") > 1 && col("__nsrc") === 1, col("__c"))
+          .otherwise(0L)).as("__intra"),
+        sum(when(col("__nsrc") > 1, col("__c")).otherwise(0L))
+          .as("__cross"))
+      .select(col(sourceCol), col("n_docs"), col("n_distinct"),
+        col("__intra").as("n_intra_dup"), col("__cross").as("n_cross_dup"),
+        roundStable(col("__intra").cast("double") / col("n_docs"),
+          digits).as("intra_rate"),
+        roundStable(col("__cross").cast("double") / col("n_docs"),
+          digits).as("cross_rate"))
+  }
+
+  /** Character-class profile per slice — the OCR-garbage / binary-
+    * spill screen that needs no tokenizer: shares of alphabetic,
+    * digit, whitespace, and other characters, from exact LENGTH
+    * arithmetic (`len − len(strip(class))` — integer-exact on both
+    * engines, no sampling). Natural prose sits ~80% alpha / ~18%
+    * space; OCR noise and markup dumps bend the "other" share up
+    * long before C21's token-level quality score reacts. One
+    * aggregation pass.
+    */
+  def charClassProfile(docs: DataFrame, sliceCol: String,
+                       textCol: String, digits: Int = 6): DataFrame = {
+    val t = col(textCol)
+    val total = sum(length(t)).cast("double")
+    def classChars(re: String) =
+      sum(length(t) - length(regexp_replace(t, re, "")))
+        .cast("double")
+    val alpha = classChars("[A-Za-z]")
+    val digit = classChars("[0-9]")
+    val space = classChars("[ \\t\\n]")
+    val ok = total > 0 // an all-empty slice reports NULL shares
+    docs.filter(t.isNotNull).groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        total.cast("long").as("n_chars"),
+        roundStable(when(ok, alpha / total), digits).as("alpha_share"),
+        roundStable(when(ok, digit / total), digits).as("digit_share"),
+        roundStable(when(ok, space / total), digits).as("space_share"),
+        roundStable(when(ok, (total - alpha - digit - space) / total),
+          digits).as("other_share"))
+  }
+
   def hillNumbers(docs: DataFrame, sliceCol: String, textCol: String,
                   digits: Int = 6): DataFrame = {
     val counts = docs

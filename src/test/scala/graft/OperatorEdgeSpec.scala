@@ -5243,4 +5243,41 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(one.getLong(1) == 2L && one.getDouble(4) == 1.0 &&
       one.getDouble(5) == 1.0)
   }
+
+  test("vocabCoverageCurve: cumulative mass at cuts, n_types capped at vocab") {
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = text.Corpus.vocabCoverageCurve(df, "text", cuts = Seq(1, 2, 10))
+      .orderBy("vocab_size").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getDouble(2) == 0.5)
+    assert(math.abs(out(1).getDouble(2) - 5.0 / 6) < 1e-6)
+    assert(out(2).getLong(1) == 3L && out(2).getDouble(2) == 1.0,
+      "cut past the vocab covers everything with V types")
+  }
+
+  test("dupProfile: intra vs cross locality, unique docs in neither") {
+    val df = Seq(("A", "t1"), ("A", "t1"), ("A", "t2"),
+      ("B", "t2"), ("B", "t3")).toDF("source", "text")
+    val out = text.Corpus.dupProfile(df, "source", md5(col("text")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L)
+    assert(a.getLong(3) == 2L && a.getLong(4) == 1L)
+    assert(math.abs(a.getDouble(5) - 2.0 / 3) < 1e-6)
+    val b = out("B") // t2 is cross, t3 unique
+    assert(b.getLong(3) == 0L && b.getLong(4) == 1L &&
+      b.getDouble(6) == 0.5)
+  }
+
+  test("charClassProfile: exact length arithmetic, empty slice NULLs") {
+    val df = Seq(("s", "ab 12!"), ("e", "")).toDF("src", "text")
+    val out = text.Corpus.charClassProfile(df, "src", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s") // 2 alpha, 2 digit, 1 space, 1 other of 6
+    assert(s.getLong(2) == 6L)
+    assert(math.abs(s.getDouble(3) - 1.0 / 3) < 1e-6)
+    assert(math.abs(s.getDouble(4) - 1.0 / 3) < 1e-6)
+    assert(s.getDouble(5) == 0.166667 && s.getDouble(6) == 0.166667)
+    val e = out("e")
+    assert(e.getLong(2) == 0L && e.isNullAt(3) && e.isNullAt(6))
+  }
 }
