@@ -2809,6 +2809,30 @@ object SparkEntry {
           "text")
         .orderBy(col("source"))),
 
+    "q330_msprt" -> ((s, dir) =>
+      // always-valid sequential A/B p-value per day: peeking daily at
+      // this never inflates false positives (mSPRT, τ = 10)
+      etl.Experiment.msprt(Tables.events(s, dir), Seq("event_type"),
+          col("ts"), isTreat = col("user_id") % 2 === 0,
+          valueCol = col("value"), tau = 10.0)
+        .orderBy(col("event_type"), col("day"))),
+
+    "q331_ucb" -> ((s, dir) =>
+      // UCB1 arm scores: which arm the policy would pull next — the
+      // exploration bonus is why a rarely-tried arm can outrank
+      etl.Experiment.ucb1(Tables.events(s, dir), Seq("event_type"),
+          armCol = concat(lit("arm"), col("user_id") % 3),
+          isSuccess = col("value") > 250)
+        .orderBy(col("event_type"), col("arm"))),
+
+    "q332_srm" -> ((s, dir) =>
+      // the #1 A/B integrity gate: observed arm counts vs the
+      // designed thirds, with per-arm Pearson residuals
+      etl.Experiment.srm(Tables.events(s, dir), Seq("event_type"),
+          armCol = col("user_id") % 3,
+          expected = Seq(("0", 1.0 / 3), ("1", 1.0 / 3), ("2", 1.0 / 3)))
+        .orderBy(col("event_type"), col("arm"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -9163,6 +9187,84 @@ object SparkEntry {
         |    AS other_share
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q330_msprt" ->
+      // same cumulative arm moments, same Λ and running-max p
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0.0
+        |      END) AS qa,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 0.0 ELSE 1.0 END) AS nb,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 0.0 ELSE value END) AS sb,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 0.0 ELSE value * value
+        |      END) AS qb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |    sum(na) OVER w AS cna, sum(sa) OVER w AS csa,
+        |    sum(qa) OVER w AS cqa, sum(nb) OVER w AS cnb,
+        |    sum(sb) OVER w AS csb, sum(qb) OVER w AS cqb
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)),
+        |m AS (SELECT *,
+        |    CASE WHEN cna > 0 THEN csa / cna END AS ma,
+        |    CASE WHEN cnb > 0 THEN csb / cnb END AS mb FROM c),
+        |m2 AS (SELECT *, (cqa - cna * ma * ma + cqb - cnb * mb * mb)
+        |    / (cna + cnb - 2) AS s2 FROM m),
+        |l AS (SELECT *, ma - mb AS delta,
+        |    CASE WHEN cna >= 2 AND cnb >= 2 AND s2 > 0 THEN
+        |      s2 * (1.0 / cna + 1.0 / cnb) END AS vn FROM m2),
+        |x AS (SELECT *, sqrt(vn / (vn + 100.0)) * exp(delta * delta
+        |    * 100.0 / (2.0 * vn * (vn + 100.0))) AS lam FROM l),
+        |y AS (SELECT *, max(lam) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS ml FROM x)
+        |SELECT event_type, day, CAST(cna AS BIGINT) AS n_treat,
+        |  CAST(cnb AS BIGINT) AS n_control,
+        |  roundStable(delta, 6) AS delta, roundStable(lam, 6) AS lambda,
+        |  roundStable(least(1.0, 1.0 / ml), 6) AS always_valid_p,
+        |  coalesce(1.0 / ml < 0.05, false) AS significant
+        |FROM y ORDER BY event_type, day""".stripMargin,
+
+    "q331_ucb" ->
+      // same cells, same exploration bonus, argmax with arm tiebreak
+      """WITH c AS (SELECT event_type,
+        |    'arm' || CAST(user_id % 3 AS VARCHAR) AS arm,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CASE WHEN value > 250 THEN 1.0 ELSE 0.0 END) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT *, sum(n) OVER (PARTITION BY event_type) AS nn
+        |  FROM c),
+        |u AS (SELECT *, roundStable(x / n + sqrt(2.0 * ln(nn) / n), 6)
+        |    AS ucb FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY ucb DESC, arm) AS rk FROM u)
+        |SELECT event_type, arm, CAST(n AS BIGINT) AS n,
+        |  roundStable(x / n, 6) AS mean, ucb, (rk = 1) AS would_pull
+        |FROM r ORDER BY event_type, arm""".stripMargin,
+
+    "q332_srm" ->
+      // same design grid (absent arms materialize at observed 0),
+      // same Pearson residuals and GOF fold
+      """WITH obs AS (SELECT event_type,
+        |    CAST(user_id % 3 AS VARCHAR) AS arm,
+        |    CAST(count(*) AS DOUBLE) AS o FROM events GROUP BY 1, 2),
+        |design AS (SELECT unnest(['0', '1', '2']) AS arm,
+        |    unnest([1.0 / 3, 1.0 / 3, 1.0 / 3]) AS f),
+        |grid AS (SELECT DISTINCT obs.event_type, d.arm, d.f
+        |  FROM obs, design d),
+        |fl AS (SELECT g.event_type, g.arm, g.f, coalesce(o.o, 0.0) AS o
+        |  FROM grid g LEFT JOIN obs o ON o.event_type = g.event_type
+        |    AND o.arm = g.arm),
+        |w AS (SELECT *, sum(o) OVER (PARTITION BY event_type) AS n
+        |  FROM fl),
+        |r AS (SELECT *, f * n AS e, (o - f * n) / sqrt(f * n) AS res
+        |  FROM w)
+        |SELECT event_type, arm, CAST(o AS BIGINT) AS observed,
+        |  roundStable(e, 6) AS expected,
+        |  roundStable(res, 6) AS pearson_residual,
+        |  roundStable(sum(res * res) OVER (PARTITION BY event_type), 6)
+        |    AS chi2
+        |FROM r ORDER BY event_type, arm""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

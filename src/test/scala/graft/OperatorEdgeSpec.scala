@@ -5280,4 +5280,63 @@ class OperatorEdgeSpec extends AnyFunSuite {
     val e = out("e")
     assert(e.getLong(2) == 0L && e.isNullAt(3) && e.isNullAt(6))
   }
+
+  test("msprt: hand Λ fold, p capped at 1 then drops, silent-arm day NULLs") {
+    val rows = Seq(
+      ("k", "2024-01-01", 2L, 1.0), ("k", "2024-01-01", 4L, 3.0),
+      ("k", "2024-01-01", 1L, 0.0), ("k", "2024-01-01", 3L, 2.0),
+      ("k", "2024-01-02", 2L, 5.0), ("k", "2024-01-02", 4L, 5.0),
+      ("k", "2024-01-02", 1L, 1.0), ("k", "2024-01-02", 3L, 1.0),
+      ("e", "2024-01-01", 2L, 7.0))
+    val df = rows.toDF("key", "ds", "u", "v")
+      .withColumn("ts", to_timestamp(col("ds")))
+    val out = etl.Experiment.msprt(df, Seq("key"), col("ts"),
+      isTreat = col("u") % 2 === 0, valueCol = col("v"), tau = 1.0)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r)
+      .toMap
+    val d1 = out(("k", "2024-01-01")) // Λ < 1 → p capped at 1
+    assert(d1.getDouble(4) == 1.0)
+    assert(math.abs(d1.getDouble(5) -
+      math.sqrt(2.0 / 3) * math.exp(1.0 / 12)) < 1e-5)
+    assert(d1.getDouble(6) == 1.0 && !d1.getBoolean(7))
+    val d2 = out(("k", "2024-01-02")) // Λ = √0.52·e^(6.25/4.51389)
+    val lam2 = math.sqrt(1.083333333 / 2.083333333) *
+      math.exp(6.25 / (2 * 1.0833333333 * 2.0833333333))
+    assert(math.abs(d2.getDouble(5) - lam2) < 1e-4)
+    assert(math.abs(d2.getDouble(6) - 1 / lam2) < 1e-4)
+    val e1 = out(("e", "2024-01-01")) // control arm silent: no Λ, and
+    // the always-valid p is trivially 1 before any evidence exists
+    assert(e1.isNullAt(4) && e1.isNullAt(5))
+    assert(e1.getDouble(6) == 1.0 && !e1.getBoolean(7))
+  }
+
+  test("ucb1: exploration bonus lets a 0-mean single-pull arm outrank a proven one") {
+    val rows = Seq.fill(90)(("k", "d", true)) ++
+      Seq.fill(10)(("k", "d", false)) :+ (("k", "e", false))
+    val df = rows.toDF("key", "arm", "succ")
+    val out = etl.Experiment.ucb1(df, Seq("key"), col("arm"),
+      col("succ")).collect().map(r => r.getString(1) -> r).toMap
+    val d = out("d") // 0.9 + √(2·ln101/100)
+    assert(math.abs(d.getDouble(4) -
+      (0.9 + math.sqrt(2 * math.log(101.0) / 100))) < 1e-5)
+    val e = out("e") // mean 0, bonus √(2·ln101)
+    assert(e.getDouble(3) == 0.0)
+    assert(e.getBoolean(5) && !d.getBoolean(5),
+      "optimism must pull the unexplored arm")
+  }
+
+  test("srm: absent design arm materializes at observed 0 and dominates the chi-square") {
+    val rows = Seq.fill(50)(("k", 0L)) ++ Seq.fill(30)(("k", 1L))
+    val df = rows.toDF("key", "u")
+    val out = etl.Experiment.srm(df, Seq("key"), col("u"),
+      expected = Seq(("0", 1.0 / 3), ("1", 1.0 / 3), ("2", 1.0 / 3)))
+      .collect().map(r => r.getString(1) -> r).toMap
+    val e = 80.0 / 3
+    val chi2 = math.pow(50 - e, 2) / e + math.pow(30 - e, 2) / e +
+      math.pow(0 - e, 2) / e
+    val a2 = out("2")
+    assert(a2.getLong(2) == 0L)
+    assert(math.abs(a2.getDouble(4) - -math.sqrt(e)) < 1e-5)
+    assert(math.abs(a2.getDouble(5) - chi2) < 1e-4)
+  }
 }
