@@ -2833,6 +2833,42 @@ object SparkEntry {
           expected = Seq(("0", 1.0 / 3), ("1", 1.0 / 3), ("2", 1.0 / 3)))
         .orderBy(col("event_type"), col("arm"))),
 
+    "q333_brown_les" -> ((s, dir) =>
+      // the smallest model that can forecast "up and to the right":
+      // Brown's double smoothing, latest level/trend/forecast per type
+      etl.Aggregates.brownForecast(Tables.events(s, dir), "event_type",
+          "ts", "event_id", "value", alpha = 0.3, span = 24,
+          horizon = 6)
+        .orderBy(col("event_type"))),
+
+    "q334_fellegi_sunter" -> ((s, dir) => {
+      // probabilistic record linkage over brand-blocked part pairs:
+      // per-field log-likelihood ratios, summed
+      val p = Tables.part(s, dir).filter(col("p_partkey") <= 300)
+      val w1 = element_at(split(col("p_name"), " "), 1)
+      val a = p.select(col("p_partkey").as("id_a"),
+        col("p_brand").as("brand"), col("p_type").as("__ta"),
+        w1.as("__ca"), col("p_size").as("__za"))
+      val b = p.select(col("p_partkey").as("id_b"),
+        col("p_brand").as("brand"), col("p_type").as("__tb"),
+        w1.as("__cb"), col("p_size").as("__zb"))
+      operators.FuzzyJoin.fellegiSunter(
+          a.join(b, "brand").filter(col("id_a") < col("id_b")),
+          Seq(("type", col("__ta") === col("__tb"), 0.9, 0.05),
+                ("name1", col("__ca") === col("__cb"), 0.8, 0.1),
+            ("size", col("__za") === col("__zb"), 0.85, 0.15)))
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          col("match_weight"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q335_last_digit" -> ((s, dir) =>
+      // fabrication screen Benford can't see: last-digit uniformity
+      // chi-square with the spiked digit named
+      etl.Drift.lastDigitUniformity(Tables.events(s, dir),
+          Seq("event_type"), col("value"))
+        .orderBy(col("event_type"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -9265,6 +9301,89 @@ object SparkEntry {
         |  roundStable(sum(res * res) OVER (PARTITION BY event_type), 6)
         |    AS chi2
         |FROM r ORDER BY event_type, arm""".stripMargin,
+
+    "q333_brown_les" ->
+      // q91's smoothing replayed twice (second pass consumes the
+      // ROUNDED first), Brown level/trend closed form on the last row
+      """WITH o AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rn,
+        |    list(value) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS ll
+        |  FROM events),
+        |s1 AS (SELECT event_type, rn,
+        |    roundStable(list_sum([ll[i+1] * pow(0.7, len(ll)-1-i)
+        |        FOR i IN range(0, len(ll))])
+        |      / list_sum([pow(0.7, len(ll)-1-i)
+        |        FOR i IN range(0, len(ll))]), 6) AS s1
+        |  FROM o),
+        |s2p AS (SELECT event_type, rn, s1,
+        |    list(s1) OVER (PARTITION BY event_type ORDER BY rn
+        |      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS l2
+        |  FROM s1),
+        |s2 AS (SELECT event_type, rn, s1,
+        |    roundStable(list_sum([l2[i+1] * pow(0.7, len(l2)-1-i)
+        |        FOR i IN range(0, len(l2))])
+        |      / list_sum([pow(0.7, len(l2)-1-i)
+        |        FOR i IN range(0, len(l2))]), 6) AS s2
+        |  FROM s2p),
+        |lst AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY rn DESC) AS rk FROM s2)
+        |SELECT event_type, CAST(rn AS BIGINT) AS n, s1, s2,
+        |  roundStable(2.0 * s1 - s2, 6) AS level,
+        |  roundStable(0.3 / 0.7 * (s1 - s2), 6) AS trend,
+        |  roundStable((2.0 * s1 - s2) + 0.3 / 0.7 * (s1 - s2), 6)
+        |    AS forecast_1,
+        |  roundStable((2.0 * s1 - s2) + 6.0 * (0.3 / 0.7 * (s1 - s2)),
+        |    6) AS forecast_6
+        |FROM lst WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q334_fellegi_sunter" ->
+      // same brand-blocked pairs, same per-field log-likelihood sums
+      """WITH p AS (SELECT p_partkey, p_brand, p_type,
+        |    str_split(p_name, ' ')[1] AS w1, p_size FROM part
+        |  WHERE p_partkey <= 300),
+        |j AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS at,
+        |    CASE WHEN a.w1 = b.w1 THEN 1 ELSE 0 END
+        |      AS ac,
+        |    CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS az
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand
+        |    AND a.p_partkey < b.p_partkey)
+        |SELECT id_a, id_b, CAST(at + ac + az AS BIGINT) AS n_agree,
+        |  roundStable(
+        |    CASE WHEN at = 1 THEN ln(0.9 / 0.05)
+        |      ELSE ln(0.1 / 0.95) END
+        |    + CASE WHEN ac = 1 THEN ln(0.8 / 0.1)
+        |      ELSE ln(0.2 / 0.9) END
+        |    + CASE WHEN az = 1 THEN ln(0.85 / 0.15)
+        |      ELSE ln(0.15 / 0.85) END, 6) AS match_weight
+        |FROM j ORDER BY id_a, id_b""".stripMargin,
+
+    "q335_last_digit" ->
+      // same materialized 10-digit grid, same GOF fold and argmax
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(abs(value)) % 10 AS INTEGER) AS d,
+        |    CAST(count(*) AS DOUBLE) AS c FROM events
+        |  WHERE value IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT event_type FROM c),
+        |grid AS (SELECT g.event_type, r.d FROM g CROSS JOIN
+        |  (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS d) r),
+        |f AS (SELECT grid.event_type, grid.d, coalesce(c.c, 0.0) AS c
+        |  FROM grid LEFT JOIN c ON c.event_type = grid.event_type
+        |    AND c.d = grid.d),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM f),
+        |r AS (SELECT *, n / 10 AS e FROM w),
+        |x AS (SELECT *, sum((c - e) * (c - e) / e) OVER
+        |    (PARTITION BY event_type) AS chi2,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, d) AS rk FROM r)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  roundStable(chi2, 6) AS chi2, d AS top_digit,
+        |  roundStable(c / n, 6) AS top_share
+        |FROM x WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

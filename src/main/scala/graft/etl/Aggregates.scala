@@ -117,6 +117,45 @@ object Aggregates {
         when(den > 0, roundStable(num / den, 6)).as("ewma"))
   }
 
+  /** Brown's double exponential smoothing (Brown 1959 — linear
+    * exponential smoothing): the trend-aware upgrade of [[ewma]] in
+    * closed form over TWO chained smoothing passes — `S¹` smooths the
+    * series, `S²` smooths `S¹`, then level `a = 2S¹ − S²`, trend
+    * `b = α/(1−α)·(S¹ − S²)`, and the h-step forecast `a + h·b`. A
+    * plain EWMA lags a trending series by design; Brown's correction
+    * cancels exactly that lag — the smallest model that can forecast
+    * "up and to the right". Emits each key's LATEST state (the
+    * forecast you'd act on now) with 1-step and `horizon`-step
+    * forecasts. Both passes ride [[ewma]]'s span-truncated frame
+    * machinery verbatim (same adjust=true weights, same 6dp rounding
+    * between passes — mirrored in the oracle), so the second pass
+    * consumes exactly what the first emitted. Keys with a single row
+    * have S¹ = S² = x → trend 0, forecast flat — the honest cold
+    * start.
+    */
+  def brownForecast(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valueCol: String, alpha: Double = 0.3,
+                    span: Int = 24, horizon: Int = 6,
+                    digits: Int = 6): DataFrame = {
+    require(horizon >= 1, s"need horizon >= 1, got $horizon")
+    val s1 = ewma(df, keyCol, tsCol, tieCol, valueCol, alpha, span)
+      .withColumnRenamed("ewma", "__s1")
+    val s2 = ewma(s1, keyCol, "rn", "rn", "__s1", alpha, span)
+      .withColumnRenamed("ewma", "__s2")
+    val wLast = Window.partitionBy(col(keyCol)).orderBy(col("rn").desc)
+    val level = lit(2.0) * col("__s1") - col("__s2")
+    val trend = lit(alpha / (1 - alpha)) * (col("__s1") - col("__s2"))
+    s2.withColumn("__rk", row_number().over(wLast))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col("rn").as("n"),
+        col("__s1").as("s1"), col("__s2").as("s2"),
+        roundStable(level, digits).as("level"),
+        roundStable(trend, digits).as("trend"),
+        roundStable(level + trend, digits).as("forecast_1"),
+        roundStable(level + lit(horizon.toDouble) * trend, digits)
+          .as(s"forecast_$horizon"))
+  }
+
   /** Rolling median over a trailing `window`-row frame per key — the
     * robust twin of [[rollingMeanCentered6]]: one spiked reading barely
     * moves it, where the mean chases every outlier. Early rows take the

@@ -1000,6 +1000,46 @@ object Drift {
         sqrt(lit(2.0) * (n - 1) - 1)), digits).as("z")): _*)
   }
 
+  /** Last-digit uniformity screen — the fabrication complement of
+    * A36's Benford first-digit test: FIRST digits of natural
+    * magnitudes follow Benford, but LAST digits of genuine
+    * fine-grained measurements are near-uniform — humans inventing
+    * numbers round and favor digits, so a spiked last-digit
+    * distribution flags manual entry/fabrication where Benford stays
+    * quiet (and vice versa). Per key: chi-square GOF of integer-part
+    * last digits against uniform 1/10 (all ten digits MATERIALIZED —
+    * an absent digit is (0−n/10)²/(n/10) of evidence, not a missing
+    * row), plus the most-over-represented digit and its share. One
+    * cell agg + a 10-literal grid; keys with n = 0 never emit.
+    */
+  def lastDigitUniformity(df: DataFrame, keys: Seq[String],
+                          valueCol: Column, digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = valueCol.cast("double")
+    val cells = df.filter(v.isNotNull)
+      .groupBy(keyCols :+ (floor(abs(v)) % 10).cast("int").as("__d"): _*)
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val grid = cells.select(keyCols: _*).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(0, 10).select(col("id").cast("int").as("__d"))))
+    val wKey = Window.partitionBy(keyCols: _*)
+    val full = grid.join(cells, keys :+ "__d", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0.0)))
+      .withColumn("__n", sum(col("__c")).over(wKey))
+      .withColumn("__e", col("__n") / 10)
+    val wTop = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__c").desc, col("__d").asc)
+    full
+      .withColumn("__chi2", sum((col("__c") - col("__e")) *
+        (col("__c") - col("__e")) / col("__e")).over(wKey))
+      .withColumn("__rk", row_number().over(wTop))
+      .filter(col("__rk") === 1)
+      .select(keyCols ++ Seq(col("__n").cast("long").as("n"),
+        roundStable(col("__chi2"), digits).as("chi2"),
+        col("__d").as("top_digit"),
+        roundStable(col("__c") / col("__n"), digits).as("top_share")): _*)
+  }
+
   /** Friedman rank test (Friedman 1937) — the repeated-measures
     * Kruskal-Wallis: does any TREATMENT consistently rank above the
     * others ACROSS blocks (e.g. "is one event type's daily mean

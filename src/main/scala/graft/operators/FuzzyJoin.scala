@@ -123,4 +123,38 @@ object FuzzyJoin {
   private def distinctStrings(strings: DataFrame, strCol: String): DataFrame =
     strings.select(col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull).distinct()
+
+  /** Fellegi-Sunter match weight (Fellegi & Sunter JASA 1969 — the
+    * probabilistic-record-linkage standard model): over an already-
+    * blocked candidate-pair table, each field comparison contributes
+    * its log-likelihood ratio — `ln(m/u)` on agreement (m = P(agree |
+    * match), u = P(agree | non-match)), `ln((1−m)/(1−u))` on
+    * disagreement — and the pair's weight is the sum: the principled
+    * composite that one similarity score can't give (a rare-value
+    * field agreement SHOULD count more than a common one — encode it
+    * in that field's u). NULL comparisons (field missing either side)
+    * contribute 0 — ignorance is not evidence either way. m/u are the
+    * caller's (estimated offline or via EM — out of scope, stated);
+    * this is pure per-pair arithmetic over the blocked candidates, no
+    * extra shuffle.
+    */
+  def fellegiSunter(pairs: DataFrame,
+                    fields: Seq[(String, Column, Double, Double)],
+                    digits: Int = 6): DataFrame = {
+    require(fields.nonEmpty, "need at least one field comparison")
+    fields.foreach { case (n, _, m, u) =>
+      require(m > u && m < 1 && u > 0,
+        s"field $n needs 0 < u < m < 1, got m=$m u=$u") }
+    val weight = fields.map { case (_, agree, m, u) =>
+      when(agree, math.log(m / u))
+        .when(!agree, math.log((1 - m) / (1 - u)))
+        .otherwise(0.0)
+    }.reduce(_ + _)
+    val nAgree = fields.map { case (_, agree, _, _) =>
+      when(agree, 1).otherwise(0) }.reduce(_ + _)
+    pairs
+      .withColumn("n_agree", nAgree.cast("long"))
+      .withColumn("match_weight",
+        graft.functions.roundStable(weight, digits))
+  }
 }

@@ -5339,4 +5339,52 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(a2.getDouble(4) - -math.sqrt(e)) < 1e-5)
     assert(math.abs(a2.getDouble(5) - chi2) < 1e-4)
   }
+
+  test("brownForecast: constant series reads flat, hand ramp level/trend at α=0.5") {
+    val rows = (0 to 4).map(i => ("r", f"2024-01-01 0$i%01d:00:00", i.toLong,
+      i.toDouble)) ++ (0 to 4).map(i =>
+      ("c", f"2024-01-01 0$i%01d:00:00", i.toLong, 5.0))
+    val df = rows.toDF("k", "tss", "eid", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = etl.Aggregates.brownForecast(df, "k", "ts", "eid", "value",
+      alpha = 0.5, span = 24, horizon = 6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = out("c")
+    assert(c.getDouble(4) == 5.0 && c.getDouble(5) == 0.0 &&
+      c.getDouble(6) == 5.0 && c.getDouble(7) == 5.0)
+    val r = out("r") // hand: s1=3.161290, s2=2.443922 (6dp inter-pass)
+    assert(math.abs(r.getDouble(2) - 3.161290) < 1e-5)
+    assert(math.abs(r.getDouble(4) - 3.878658) < 1e-3)
+    assert(math.abs(r.getDouble(5) - 0.717368) < 1e-3)
+    assert(r.getDouble(5) > 0, "a ramp must read an upward trend")
+  }
+
+  test("fellegiSunter: agreement/disagreement log-ratios sum, NULL field is no evidence") {
+    val pairs = Seq((1L, 2L, Some("x"), Some("x"), "a", "b", 1, 2),
+      (3L, 4L, None: Option[String], Some("x"), "a", "a", 5, 5))
+      .toDF("id_a", "id_b", "ta", "tb", "ca", "cb", "za", "zb")
+    val out = operators.FuzzyJoin.fellegiSunter(pairs, Seq(
+      ("type", col("ta") === col("tb"), 0.9, 0.05),
+      ("container", col("ca") === col("cb"), 0.8, 0.1),
+      ("size", col("za") === col("zb"), 0.85, 0.15)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val w1 = math.log(0.9 / 0.05) + math.log(0.2 / 0.9) +
+      math.log(0.15 / 0.85)
+    assert(math.abs(out(1L).getAs[Double]("match_weight") - w1) < 1e-5)
+    assert(out(1L).getAs[Long]("n_agree") == 1L)
+    // pair 3: type NULL (0 evidence), container+size agree
+    val w2 = math.log(0.8 / 0.1) + math.log(0.85 / 0.15)
+    assert(math.abs(out(3L).getAs[Double]("match_weight") - w2) < 1e-5)
+    assert(out(3L).getAs[Long]("n_agree") == 2L)
+  }
+
+  test("lastDigitUniformity: spiked digit named, absent digits still evidence") {
+    val df = ((1 to 9).map(i => ("k", i * 10.0)) :+ (("k", 11.0)))
+      .toDF("key", "v")
+    val out = etl.Drift.lastDigitUniformity(df, Seq("key"), col("v"))
+      .collect().head
+    // digits: 0×9, 1×1; e=1 → chi2 = 64 + 0 + 8·1 = 72
+    assert(out.getLong(1) == 10L && out.getDouble(2) == 72.0)
+    assert(out.getInt(3) == 0 && out.getDouble(4) == 0.9)
+  }
 }
