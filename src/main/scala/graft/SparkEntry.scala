@@ -2869,6 +2869,64 @@ object SparkEntry {
           Seq("event_type"), col("value"))
         .orderBy(col("event_type"))),
 
+    "q336_raking" -> ((s, dir) => {
+      // IPF: rake the second half's (type × dow) mix to the first
+      // half's marginals — the survey-adjustment workhorse
+      val e = Tables.events(s, dir)
+      val ref = e.filter(dayofmonth(col("ts")) <= 15)
+      val cur = e.filter(dayofmonth(col("ts")) > 15)
+      etl.Weighting.rake(
+          cur.groupBy(col("event_type"), weekday(col("ts")).as("dow"))
+            .agg(count(lit(1)).as("n")),
+          "event_type", "dow", col("n"),
+          rowTargets = ref.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("target")),
+          colTargets = ref.groupBy(weekday(col("ts")).as("dow"))
+            .agg(count(lit(1)).as("target")),
+          sweeps = 3)
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    "q337_ess" -> ((s, dir) => {
+      // what the q336 weights COST in precision: Kish ESS and design
+      // effect per type over the raked cells
+      val e = Tables.events(s, dir)
+      val ref = e.filter(dayofmonth(col("ts")) <= 15)
+      val cur = e.filter(dayofmonth(col("ts")) > 15)
+      val raked = etl.Weighting.rake(
+        cur.groupBy(col("event_type"), weekday(col("ts")).as("dow"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "dow", col("n"),
+        rowTargets = ref.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("target")),
+        colTargets = ref.groupBy(weekday(col("ts")).as("dow"))
+          .agg(count(lit(1)).as("target")),
+        sweeps = 3)
+      etl.Weighting.essDeff(raked, Seq("event_type"), col("weight"),
+          countCol = col("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q338_weight_trim" -> ((s, dir) => {
+      // the trimming trade-off on the same weights: cap at p80,
+      // mass moved vs ESS recovered
+      val e = Tables.events(s, dir)
+      val ref = e.filter(dayofmonth(col("ts")) <= 15)
+      val cur = e.filter(dayofmonth(col("ts")) > 15)
+      val raked = etl.Weighting.rake(
+        cur.groupBy(col("event_type"), weekday(col("ts")).as("dow"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "dow", col("n"),
+        rowTargets = ref.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("target")),
+        colTargets = ref.groupBy(weekday(col("ts")).as("dow"))
+          .agg(count(lit(1)).as("target")),
+        sweeps = 3)
+      etl.Weighting.trimWeights(raked, Seq("event_type"), col("weight"),
+          countCol = col("n"), p = 0.8)
+        .orderBy(col("event_type"))
+    }),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -9384,6 +9442,138 @@ object SparkEntry {
         |  roundStable(chi2, 6) AS chi2, d AS top_digit,
         |  roundStable(c / n, 6) AS top_share
         |FROM x WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q336_raking" ->
+      // same 3-sweep unroll (row then col), same zero guards
+      """WITH cells AS (SELECT event_type, isodow(ts) - 1 AS dow,
+        |    CAST(count(*) AS DOUBLE) AS n FROM events
+        |  WHERE day(ts) > 15 GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS rt
+        |  FROM events WHERE day(ts) <= 15 GROUP BY 1),
+        |ct AS (SELECT isodow(ts) - 1 AS dow,
+        |    CAST(count(*) AS DOUBLE) AS ct FROM events
+        |  WHERE day(ts) <= 15 GROUP BY 1),
+        |m0 AS (SELECT c.event_type, c.dow, c.n, rt.rt, ct.ct, c.n AS m
+        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow)),
+        |a1 AS (SELECT *, CASE WHEN sum(m) OVER (PARTITION BY event_type)
+        |    > 0 THEN m * rt / sum(m) OVER (PARTITION BY event_type)
+        |    ELSE m END AS m1 FROM m0),
+        |b1 AS (SELECT *, CASE WHEN sum(m1) OVER (PARTITION BY dow) > 0
+        |    THEN m1 * ct / sum(m1) OVER (PARTITION BY dow)
+        |    ELSE m1 END AS m2 FROM a1),
+        |a2 AS (SELECT *, CASE WHEN sum(m2) OVER (PARTITION BY event_type)
+        |    > 0 THEN m2 * rt / sum(m2) OVER (PARTITION BY event_type)
+        |    ELSE m2 END AS m3 FROM b1),
+        |b2 AS (SELECT *, CASE WHEN sum(m3) OVER (PARTITION BY dow) > 0
+        |    THEN m3 * ct / sum(m3) OVER (PARTITION BY dow)
+        |    ELSE m3 END AS m4 FROM a2),
+        |a3 AS (SELECT *, CASE WHEN sum(m4) OVER (PARTITION BY event_type)
+        |    > 0 THEN m4 * rt / sum(m4) OVER (PARTITION BY event_type)
+        |    ELSE m4 END AS m5 FROM b2),
+        |b3 AS (SELECT *, CASE WHEN sum(m5) OVER (PARTITION BY dow) > 0
+        |    THEN m5 * ct / sum(m5) OVER (PARTITION BY dow)
+        |    ELSE m5 END AS m6 FROM a3),
+        |fin AS (SELECT event_type, dow, n, rt, m6,
+        |    sum(m6) OVER (PARTITION BY event_type) AS rowsum FROM b3)
+        |SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+        |  roundStable(m6, 6) AS raked,
+        |  roundStable(CASE WHEN n > 0 THEN m6 / n END, 6) AS weight,
+        |  roundStable(CASE WHEN rt > 0 THEN abs(rowsum - rt) / rt END,
+        |    6) AS row_err
+        |FROM fin ORDER BY event_type, dow""".stripMargin,
+
+    "q337_ess" ->
+      // same rake chain, Kish ESS/deff over the ROUNDED weights
+      """WITH cells AS (SELECT event_type, isodow(ts) - 1 AS dow,
+        |    CAST(count(*) AS DOUBLE) AS n FROM events
+        |  WHERE day(ts) > 15 GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS rt
+        |  FROM events WHERE day(ts) <= 15 GROUP BY 1),
+        |ct AS (SELECT isodow(ts) - 1 AS dow,
+        |    CAST(count(*) AS DOUBLE) AS ct FROM events
+        |  WHERE day(ts) <= 15 GROUP BY 1),
+        |m0 AS (SELECT c.event_type, c.dow, c.n, rt.rt, ct.ct, c.n AS m
+        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow)),
+        |a1 AS (SELECT *, CASE WHEN sum(m) OVER (PARTITION BY event_type)
+        |    > 0 THEN m * rt / sum(m) OVER (PARTITION BY event_type)
+        |    ELSE m END AS m1 FROM m0),
+        |b1 AS (SELECT *, CASE WHEN sum(m1) OVER (PARTITION BY dow) > 0
+        |    THEN m1 * ct / sum(m1) OVER (PARTITION BY dow)
+        |    ELSE m1 END AS m2 FROM a1),
+        |a2 AS (SELECT *, CASE WHEN sum(m2) OVER (PARTITION BY event_type)
+        |    > 0 THEN m2 * rt / sum(m2) OVER (PARTITION BY event_type)
+        |    ELSE m2 END AS m3 FROM b1),
+        |b2 AS (SELECT *, CASE WHEN sum(m3) OVER (PARTITION BY dow) > 0
+        |    THEN m3 * ct / sum(m3) OVER (PARTITION BY dow)
+        |    ELSE m3 END AS m4 FROM a2),
+        |a3 AS (SELECT *, CASE WHEN sum(m4) OVER (PARTITION BY event_type)
+        |    > 0 THEN m4 * rt / sum(m4) OVER (PARTITION BY event_type)
+        |    ELSE m4 END AS m5 FROM b2),
+        |b3 AS (SELECT *, CASE WHEN sum(m5) OVER (PARTITION BY dow) > 0
+        |    THEN m5 * ct / sum(m5) OVER (PARTITION BY dow)
+        |    ELSE m5 END AS m6 FROM a3),
+        |w AS (SELECT event_type, n,
+        |    roundStable(CASE WHEN n > 0 THEN m6 / n END, 6) AS wt
+        |  FROM b3),
+        |s AS (SELECT event_type, sum(n) AS cn, sum(n * wt) AS sw,
+        |    sum(n * wt * wt) AS sw2 FROM w GROUP BY 1)
+        |SELECT event_type, CAST(cn AS BIGINT) AS n,
+        |  roundStable(CASE WHEN sw2 > 0 THEN sw * sw / sw2 END, 6)
+        |    AS ess,
+        |  roundStable(CASE WHEN sw > 0 THEN cn * sw2 / (sw * sw) END,
+        |    6) AS deff
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q338_weight_trim" ->
+      // same rake chain, p80 cap over cell weights, mass/ESS readout
+      """WITH cells AS (SELECT event_type, isodow(ts) - 1 AS dow,
+        |    CAST(count(*) AS DOUBLE) AS n FROM events
+        |  WHERE day(ts) > 15 GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS rt
+        |  FROM events WHERE day(ts) <= 15 GROUP BY 1),
+        |ct AS (SELECT isodow(ts) - 1 AS dow,
+        |    CAST(count(*) AS DOUBLE) AS ct FROM events
+        |  WHERE day(ts) <= 15 GROUP BY 1),
+        |m0 AS (SELECT c.event_type, c.dow, c.n, rt.rt, ct.ct, c.n AS m
+        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow)),
+        |a1 AS (SELECT *, CASE WHEN sum(m) OVER (PARTITION BY event_type)
+        |    > 0 THEN m * rt / sum(m) OVER (PARTITION BY event_type)
+        |    ELSE m END AS m1 FROM m0),
+        |b1 AS (SELECT *, CASE WHEN sum(m1) OVER (PARTITION BY dow) > 0
+        |    THEN m1 * ct / sum(m1) OVER (PARTITION BY dow)
+        |    ELSE m1 END AS m2 FROM a1),
+        |a2 AS (SELECT *, CASE WHEN sum(m2) OVER (PARTITION BY event_type)
+        |    > 0 THEN m2 * rt / sum(m2) OVER (PARTITION BY event_type)
+        |    ELSE m2 END AS m3 FROM b1),
+        |b2 AS (SELECT *, CASE WHEN sum(m3) OVER (PARTITION BY dow) > 0
+        |    THEN m3 * ct / sum(m3) OVER (PARTITION BY dow)
+        |    ELSE m3 END AS m4 FROM a2),
+        |a3 AS (SELECT *, CASE WHEN sum(m4) OVER (PARTITION BY event_type)
+        |    > 0 THEN m4 * rt / sum(m4) OVER (PARTITION BY event_type)
+        |    ELSE m4 END AS m5 FROM b2),
+        |b3 AS (SELECT *, CASE WHEN sum(m5) OVER (PARTITION BY dow) > 0
+        |    THEN m5 * ct / sum(m5) OVER (PARTITION BY dow)
+        |    ELSE m5 END AS m6 FROM a3),
+        |w AS (SELECT event_type, n,
+        |    roundStable(CASE WHEN n > 0 THEN m6 / n END, 6) AS wt
+        |  FROM b3),
+        |cap AS (SELECT event_type, quantile_cont(wt, 0.8) AS cap
+        |  FROM w GROUP BY 1),
+        |tr AS (SELECT w.event_type, w.n, w.wt, cap.cap,
+        |    least(w.wt, cap.cap) AS wc FROM w JOIN cap USING (event_type)),
+        |s AS (SELECT event_type, sum(n) AS cn, any_value(cap) AS capv,
+        |    sum(n * wt) AS sw, sum(n * wt * wt) AS sw2,
+        |    sum(n * wc) AS swt, sum(n * wc * wc) AS swt2,
+        |    sum(n * (wt - wc)) AS moved FROM tr GROUP BY 1)
+        |SELECT event_type, CAST(cn AS BIGINT) AS n,
+        |  roundStable(capv, 6) AS cap,
+        |  roundStable(CASE WHEN sw > 0 THEN moved / sw END, 6)
+        |    AS mass_trimmed,
+        |  roundStable(CASE WHEN sw2 > 0 THEN sw * sw / sw2 END, 6)
+        |    AS ess_before,
+        |  roundStable(CASE WHEN swt2 > 0 THEN swt * swt / swt2 END, 6)
+        |    AS ess_after
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

@@ -5387,4 +5387,52 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.getLong(1) == 10L && out.getDouble(2) == 72.0)
     assert(out.getInt(3) == 0 && out.getDouble(4) == 0.9)
   }
+
+  test("rake: product-form table converges in one sweep, final col marginals exact") {
+    val cells = Seq(("r1", "c1", 1L), ("r1", "c2", 1L),
+      ("r2", "c1", 1L), ("r2", "c2", 1L)).toDF("r", "c", "n")
+    val rt = Seq(("r1", 6.0), ("r2", 6.0)).toDF("r", "target")
+    val ct = Seq(("c1", 4.0), ("c2", 8.0)).toDF("c", "target")
+    val out = etl.Weighting.rake(cells, "r", "c", col("n"), rt, ct,
+      sweeps = 3).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(out(("r1", "c1")).getDouble(3) == 2.0)
+    assert(out(("r1", "c2")).getDouble(3) == 4.0)
+    assert(out(("r1", "c1")).getDouble(4) == 2.0, "weight = raked/n")
+    assert(out(("r1", "c1")).getDouble(5) == 0.0, "row marginal exact")
+    // structural zero: absent cell stays absent; final COLUMN
+    // marginals are exact by construction (col sweep runs last)
+    val cells2 = Seq(("r1", "c1", 1L), ("r2", "c1", 1L),
+      ("r2", "c2", 1L)).toDF("r", "c", "n")
+    val rt2 = Seq(("r1", 2.0), ("r2", 4.0)).toDF("r", "target")
+    val ct2 = Seq(("c1", 3.0), ("c2", 3.0)).toDF("c", "target")
+    val o2 = etl.Weighting.rake(cells2, "r", "c", col("n"), rt2, ct2,
+      sweeps = 3).collect()
+    val colSums = o2.groupBy(_.getString(1))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(3)).sum }
+    assert(math.abs(colSums("c1") - 3.0) < 1e-5)
+    assert(math.abs(colSums("c2") - 3.0) < 1e-5)
+  }
+
+  test("essDeff: hand Kish numbers, counts ≡ exploded units") {
+    val df = Seq(("k", 1.0, 1L), ("k", 3.0, 1L), ("u", 1.0, 2L))
+      .toDF("key", "w", "c")
+    val out = etl.Weighting.essDeff(df, Seq("key"), col("w"), col("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k") // sw 4, sw2 10: ess 1.6, deff 1.25
+    assert(k.getDouble(2) == 1.6 && k.getDouble(3) == 1.25)
+    val u = out("u") // two uniform units via one counted cell
+    assert(u.getLong(1) == 2L && u.getDouble(2) == 2.0 &&
+      u.getDouble(3) == 1.0)
+  }
+
+  test("trimWeights: median cap flattens the spike, ESS recovers, mass accounted") {
+    val df = (1 to 4).map(i => ("k", 1.0)) :+ (("k", 10.0))
+    val out = etl.Weighting.trimWeights(df.toDF("key", "w"), Seq("key"),
+      col("w"), p = 0.5).collect().head
+    assert(out.getDouble(2) == 1.0, "cap = median")
+    assert(math.abs(out.getDouble(3) - 9.0 / 14) < 1e-6)
+    assert(math.abs(out.getDouble(4) - 196.0 / 104) < 1e-5)
+    assert(out.getDouble(5) == 5.0, "uniform after trim: ESS = n")
+  }
 }
