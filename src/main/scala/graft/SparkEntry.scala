@@ -2927,6 +2927,30 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q339_wald_iv" -> ((s, dir) =>
+      // encouragement design: ITT rescaled by the first stage — the
+      // estimator for "we could only randomize the nudge"
+      etl.Causal.waldIv(Tables.events(s, dir), Seq("event_type"),
+          instrument = col("user_id") % 2 === 0,
+          treated = col("user_id") % 4 === 0, outcome = col("value"))
+        .orderBy(col("event_type"))),
+
+    "q340_rdd" -> ((s, dir) =>
+      // sharp regression discontinuity at minute 30, local linear
+      // both sides of the half-hour (a scale-free running variable)
+      etl.Causal.rdd(Tables.events(s, dir), Seq("event_type"),
+          runningCol = minute(col("ts")), outcomeCol = col("value"),
+          cutoff = 30.0, bandwidth = 30.0)
+        .orderBy(col("event_type"))),
+
+    "q341_evalue" -> ((s, dir) =>
+      // the sensitivity bound an observational RR should ship with:
+      // how strong an unmeasured confounder must be to explain it away
+      etl.Causal.eValue(Tables.events(s, dir), Seq("event_type"),
+          exposed = col("user_id") % 2 === 0,
+          outcome = col("value") > 250)
+        .orderBy(col("event_type"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -9574,6 +9598,89 @@ object SparkEntry {
         |  roundStable(CASE WHEN swt2 > 0 THEN swt * swt / swt2 END, 6)
         |    AS ess_after
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q339_wald_iv" ->
+      // same conditional cell means, same ITT / first-stage ratio
+      """WITH s AS (SELECT event_type,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END) AS n1,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END)
+        |      AS y1,
+        |    sum(CASE WHEN user_id % 2 = 0 AND user_id % 4 = 0 THEN 1.0
+        |      ELSE 0.0 END) AS d1,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN 1.0 ELSE 0.0 END) AS n0,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END)
+        |      AS y0,
+        |    sum(CASE WHEN user_id % 2 <> 0 AND user_id % 4 = 0 THEN 1.0
+        |      ELSE 0.0 END) AS d0
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT event_type, n1, n0,
+        |    CASE WHEN n1 > 0 AND n0 > 0 THEN y1 / n1 - y0 / n0 END
+        |      AS itt,
+        |    CASE WHEN n1 > 0 AND n0 > 0 THEN d1 / n1 - d0 / n0 END
+        |      AS fs FROM s)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n_encouraged,
+        |  CAST(n0 AS BIGINT) AS n_control,
+        |  roundStable(itt, 6) AS itt, roundStable(fs, 6) AS first_stage,
+        |  roundStable(CASE WHEN abs(fs) >= 0.01 THEN itt / fs END, 6)
+        |    AS late
+        |FROM t ORDER BY event_type""".stripMargin,
+
+    "q340_rdd" ->
+      // same per-side moments in one pass, same centered-intercept fit
+      """WITH b AS (SELECT event_type,
+        |      CAST(minute(ts) AS DOUBLE) - 30.0 AS x, value AS y
+        |  FROM events WHERE value IS NOT NULL
+        |    AND abs(CAST(minute(ts) AS DOUBLE) - 30.0) <= 30.0),
+        |s AS (SELECT event_type,
+        |    sum(CASE WHEN x < 0 THEN 1.0 ELSE 0.0 END) AS nl,
+        |    sum(CASE WHEN x < 0 THEN x ELSE 0.0 END) AS sxl,
+        |    sum(CASE WHEN x < 0 THEN y ELSE 0.0 END) AS syl,
+        |    sum(CASE WHEN x < 0 THEN x * x ELSE 0.0 END) AS sxxl,
+        |    sum(CASE WHEN x < 0 THEN x * y ELSE 0.0 END) AS sxyl,
+        |    sum(CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END) AS nr,
+        |    sum(CASE WHEN x >= 0 THEN x ELSE 0.0 END) AS sxr,
+        |    sum(CASE WHEN x >= 0 THEN y ELSE 0.0 END) AS syr,
+        |    sum(CASE WHEN x >= 0 THEN x * x ELSE 0.0 END) AS sxxr,
+        |    sum(CASE WHEN x >= 0 THEN x * y ELSE 0.0 END) AS sxyr
+        |  FROM b GROUP BY 1),
+        |f AS (SELECT *,
+        |    CASE WHEN nl >= 2 AND nl * sxxl - sxl * sxl > 0 THEN
+        |      (nl * sxyl - sxl * syl) / (nl * sxxl - sxl * sxl) END AS bl,
+        |    CASE WHEN nr >= 2 AND nr * sxxr - sxr * sxr > 0 THEN
+        |      (nr * sxyr - sxr * syr) / (nr * sxxr - sxr * sxr) END AS br
+        |  FROM s),
+        |g AS (SELECT *, (syl - bl * sxl) / nl AS al,
+        |    (syr - br * sxr) / nr AS ar FROM f)
+        |SELECT event_type, CAST(nl AS BIGINT) AS n_left,
+        |  CAST(nr AS BIGINT) AS n_right,
+        |  roundStable(al, 6) AS left_at_cutoff,
+        |  roundStable(ar, 6) AS right_at_cutoff,
+        |  roundStable(bl, 6) AS slope_left,
+        |  roundStable(br, 6) AS slope_right,
+        |  roundStable(ar - al, 6) AS jump
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q341_evalue" ->
+      // same 2×2 cells, protective RRs inverted first
+      """WITH s AS (SELECT event_type,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END) AS n1,
+        |    sum(CASE WHEN user_id % 2 = 0 AND value > 250 THEN 1.0
+        |      ELSE 0.0 END) AS x1,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN 1.0 ELSE 0.0 END) AS n0,
+        |    sum(CASE WHEN user_id % 2 <> 0 AND value > 250 THEN 1.0
+        |      ELSE 0.0 END) AS x0
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT event_type,
+        |    CASE WHEN n1 > 0 THEN x1 / n1 END AS p1,
+        |    CASE WHEN n0 > 0 THEN x0 / n0 END AS p0 FROM s),
+        |r AS (SELECT *, CASE WHEN p0 > 0 AND p1 > 0 THEN p1 / p0 END
+        |    AS rr FROM p),
+        |e AS (SELECT *, CASE WHEN rr >= 1 THEN rr ELSE 1.0 / rr END
+        |    AS rs FROM r)
+        |SELECT event_type, roundStable(p1, 6) AS p_exposed,
+        |  roundStable(p0, 6) AS p_unexposed, roundStable(rr, 6) AS rr,
+        |  roundStable(rs + sqrt(rs * (rs - 1)), 6) AS evalue
+        |FROM e ORDER BY event_type""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

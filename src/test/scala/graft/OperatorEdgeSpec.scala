@@ -5435,4 +5435,48 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(4) - 196.0 / 104) < 1e-5)
     assert(out.getDouble(5) == 5.0, "uniform after trim: ESS = n")
   }
+
+  test("waldIv: hand LATE = ITT/first-stage, weak instrument refuses the ratio") {
+    val rows = Seq(("k", true, true, 10.0), ("k", true, true, 20.0),
+      ("k", true, false, 0.0), ("k", true, false, 2.0),
+      ("k", false, false, 1.0), ("k", false, false, 3.0),
+      ("w", true, true, 5.0), ("w", false, true, 7.0))
+    val df = rows.toDF("key", "z", "d", "y")
+    val out = etl.Causal.waldIv(df, Seq("key"), col("z"), col("d"),
+      col("y")).collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k") // itt = 8−2 = 6, fs = 0.5 → LATE 12
+    assert(k.getDouble(3) == 6.0 && k.getDouble(4) == 0.5)
+    assert(k.getDouble(5) == 12.0)
+    val w = out("w") // everyone treated: fs = 0 → NULL, stages visible
+    assert(w.getDouble(4) == 0.0 && w.isNullAt(5))
+  }
+
+  test("rdd: separate side fits, hand jump at the cutoff") {
+    // centered x: left (−2,1),(−1,2) → line y = x+3; right (0,10),(1,11)
+    val df = Seq(("k", 248L, 1.0), ("k", 249L, 2.0), ("k", 250L, 10.0),
+      ("k", 251L, 11.0)).toDF("key", "u", "y")
+    val out = etl.Causal.rdd(df, Seq("key"), col("u"), col("y"),
+      cutoff = 250.0, bandwidth = 100.0).collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 2L)
+    assert(out.getDouble(3) == 3.0 && out.getDouble(4) == 10.0)
+    assert(out.getDouble(5) == 1.0 && out.getDouble(6) == 1.0)
+    assert(out.getDouble(7) == 7.0, "jump = right − left intercept")
+  }
+
+  test("eValue: hand bound, protective RR inverts to the same E") {
+    val harm = Seq(("h", true, true), ("h", true, true),
+      ("h", true, false), ("h", true, false),
+      ("h", false, true), ("h", false, false), ("h", false, false),
+      ("h", false, false)).toDF("key", "exp", "out")
+    val o1 = etl.Causal.eValue(harm, Seq("key"), col("exp"), col("out"))
+      .collect().head
+    assert(o1.getDouble(3) == 2.0)
+    assert(math.abs(o1.getDouble(4) - (2 + math.sqrt(2))) < 1e-6)
+    val prot = harm.withColumn("exp", !col("exp"))
+    val o2 = etl.Causal.eValue(prot, Seq("key"), col("exp"), col("out"))
+      .collect().head
+    assert(o2.getDouble(3) == 0.5)
+    assert(math.abs(o2.getDouble(4) - (2 + math.sqrt(2))) < 1e-6,
+      "protective RR must invert to the same E")
+  }
 }
