@@ -2951,6 +2951,53 @@ object SparkEntry {
           outcome = col("value") > 250)
         .orderBy(col("event_type"))),
 
+    "q342_cindex" -> ((s, dir) => {
+      // does the user's mean value ORDER time-to-first-error: the
+      // survival-world AUC over the q172 subjects
+      val subj = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__f"), max(col("ts")).as("__l"),
+          min(when(col("event_type") === "error", col("ts"))).as("__e"),
+          avg(col("value")).as("__score"))
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(to_date(coalesce(col("__e"), col("__l"))),
+            to_date(col("__f"))).cast("long").as("dur"),
+          col("__e").isNotNull.as("obs"), col("__score"))
+      etl.Survival.cIndex(subj, Seq("cohort"), col("dur"), col("obs"),
+          col("__score"))
+        .orderBy(col("cohort"))
+    }),
+
+    "q343_survival_summary" -> ((s, dir) => {
+      // the scalars a KM curve is read for: RMST(20d) and median
+      // survival per cohort ("not reached" stays NULL)
+      val subj = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__f"), max(col("ts")).as("__l"),
+          min(when(col("event_type") === "error", col("ts"))).as("__e"))
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(to_date(coalesce(col("__e"), col("__l"))),
+            to_date(col("__f"))).cast("long").as("dur"),
+          col("__e").isNotNull.as("obs"))
+      etl.Survival.survivalSummary(subj, Seq("cohort"), "dur",
+          col("obs"), tau = 20.0)
+        .orderBy(col("cohort"))
+    }),
+
+    "q344_rate_ratio" -> ((s, dir) => {
+      // incidence-rate ratio with person-time denominators — what
+      // plain proportions get wrong when follow-up differs
+      val subj = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__f"), max(col("ts")).as("__l"),
+          min(when(col("event_type") === "error", col("ts"))).as("__e"))
+        .select((col("user_id") % 3).as("cohort"),
+          (col("user_id") % 2 === 0).as("exp"),
+          datediff(to_date(coalesce(col("__e"), col("__l"))),
+            to_date(col("__f"))).cast("long").as("dur"),
+          col("__e").isNotNull.as("obs"))
+      etl.Survival.rateRatio(subj, Seq("cohort"), col("exp"),
+          col("dur"), col("obs"))
+        .orderBy(col("cohort"))
+    }),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -9681,6 +9728,91 @@ object SparkEntry {
         |  roundStable(p0, 6) AS p_unexposed, roundStable(rr, 6) AS rr,
         |  roundStable(rs + sqrt(rs * (rs - 1)), 6) AS evalue
         |FROM e ORDER BY event_type""".stripMargin,
+
+    "q342_cindex" ->
+      // same reduced subjects, usable pairs, half-credit score ties
+      """WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+        |    min(CASE WHEN event_type = 'error' THEN ts END) AS err,
+        |    avg(value) AS score FROM events GROUP BY 1),
+        |s AS (SELECT user_id % 3 AS cohort,
+        |    date_diff('day', CAST(f AS DATE),
+        |      CAST(coalesce(err, l) AS DATE)) AS t,
+        |    (err IS NOT NULL) AS obs, roundStable(score, 6) AS sc
+        |  FROM u),
+        |p AS (SELECT a.cohort, a.sc AS sa, b.sc AS sb FROM s a
+        |  JOIN s b ON a.cohort = b.cohort AND a.obs AND a.t < b.t)
+        |SELECT cohort, count(*) AS n_pairs,
+        |  roundStable(sum(CASE WHEN sa > sb THEN 1.0
+        |    WHEN sa = sb THEN 0.5 ELSE 0.0 END) / count(*), 6)
+        |    AS c_index
+        |FROM p GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "q343_survival_summary" ->
+      // q172's KM chain, then the step integral capped at τ = 20
+      """WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+        |    min(CASE WHEN event_type = 'error' THEN ts END) AS err
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT user_id % 3 AS cohort,
+        |    date_diff('day', CAST(f AS DATE),
+        |      CAST(coalesce(err, l) AS DATE)) AS t,
+        |    (err IS NOT NULL) AS obs FROM u),
+        |g AS (SELECT cohort, t,
+        |    sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN obs THEN 0 ELSE 1 END) AS c
+        |  FROM s GROUP BY 1, 2),
+        |w AS (SELECT cohort, t, d, c,
+        |    sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+        |  FROM g),
+        |f AS (SELECT cohort, t, 1.0 - CAST(d AS DOUBLE) / n AS fac
+        |  FROM w),
+        |k AS (SELECT cohort, t,
+        |    roundStable(CASE WHEN min(fac) OVER win <= 0 THEN 0.0
+        |      ELSE exp(sum(CASE WHEN fac > 0 THEN ln(fac) ELSE 0.0 END)
+        |        OVER win) END, 6) AS survival
+        |  FROM f WINDOW win AS (PARTITION BY cohort ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cohort
+        |      ORDER BY t) AS rn,
+        |    coalesce(CAST(lead(t) OVER (PARTITION BY cohort ORDER BY t)
+        |      AS DOUBLE), 20.0) AS nt FROM k),
+        |q AS (SELECT cohort, t, survival,
+        |    survival * (least(nt, 20.0) - least(CAST(t AS DOUBLE), 20.0))
+        |      + CASE WHEN rn = 1 THEN least(CAST(t AS DOUBLE), 20.0)
+        |        ELSE 0.0 END AS seg FROM r)
+        |SELECT cohort, roundStable(sum(seg), 6) AS rmst,
+        |  min(CASE WHEN survival <= 0.5 THEN t END) AS median_t,
+        |  max(t) AS last_t, min(survival) AS s_last, 20.0 AS tau
+        |FROM q GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "q344_rate_ratio" ->
+      // same person-time cells, Poisson log-scale CI
+      """WITH u AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+        |    min(CASE WHEN event_type = 'error' THEN ts END) AS err
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT user_id % 3 AS cohort, user_id % 2 = 0 AS ex,
+        |    CAST(date_diff('day', CAST(f AS DATE),
+        |      CAST(coalesce(err, l) AS DATE)) AS DOUBLE) AS t,
+        |    (err IS NOT NULL) AS obs FROM u),
+        |g AS (SELECT cohort,
+        |    sum(CASE WHEN ex AND obs THEN 1.0 ELSE 0.0 END) AS d1,
+        |    sum(CASE WHEN ex THEN t ELSE 0.0 END) AS t1,
+        |    sum(CASE WHEN NOT ex AND obs THEN 1.0 ELSE 0.0 END) AS d0,
+        |    sum(CASE WHEN NOT ex THEN t ELSE 0.0 END) AS t0
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT *, CASE WHEN t1 > 0 THEN d1 / t1 END AS r1,
+        |    CASE WHEN t0 > 0 THEN d0 / t0 END AS r0 FROM g),
+        |i AS (SELECT *, CASE WHEN r0 > 0 AND r1 > 0 THEN r1 / r0 END
+        |    AS irr, CASE WHEN d1 > 0 AND d0 > 0 THEN
+        |    sqrt(1.0 / d1 + 1.0 / d0) END AS se FROM r)
+        |SELECT cohort, CAST(d1 AS BIGINT) AS events_exposed,
+        |  roundStable(t1, 6) AS time_exposed,
+        |  CAST(d0 AS BIGINT) AS events_unexposed,
+        |  roundStable(t0, 6) AS time_unexposed,
+        |  roundStable(irr, 6) AS irr,
+        |  roundStable(exp(ln(irr) - 1.96 * se), 6) AS ci_lo,
+        |  roundStable(exp(ln(irr) + 1.96 * se), 6) AS ci_hi
+        |FROM i ORDER BY cohort""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

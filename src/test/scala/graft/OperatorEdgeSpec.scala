@@ -5479,4 +5479,42 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(o2.getDouble(4) - (2 + math.sqrt(2))) < 1e-6,
       "protective RR must invert to the same E")
   }
+
+  test("cIndex: perfect ordering reads 1, score tie takes half credit, censored-first pair unusable") {
+    val df = Seq(("k", 1L, true, 9.0), ("k", 2L, true, 5.0),
+      ("k", 3L, false, 1.0),
+      ("t", 1L, true, 5.0), ("t", 2L, false, 5.0)).toDF("c", "d", "o", "s")
+    val out = etl.Survival.cIndex(df, Seq("c"), col("d"), col("o"),
+      col("s")).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getLong(1) == 3L && out("k").getDouble(2) == 1.0)
+    assert(out("t").getLong(1) == 1L && out("t").getDouble(2) == 0.5)
+  }
+
+  test("survivalSummary: hand step integral to τ, median at the 0.5 crossing, not-reached NULL") {
+    val df = Seq(("k", 2L, true), ("k", 4L, true), ("k", 6L, false),
+      ("n", 3L, false)).toDF("c", "dur", "o")
+    val out = etl.Survival.survivalSummary(df, Seq("c"), "dur",
+      col("o"), tau = 5.0).collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k") // 2·1 + 2·⅔ + 1·⅓ = 3.666667
+    assert(math.abs(k.getDouble(1) - 3.666667) < 1e-5)
+    assert(k.getLong(2) == 4L, "S first ≤ 0.5 at t=4")
+    assert(k.getLong(3) == 6L && math.abs(k.getDouble(4) - 1.0 / 3) < 1e-5)
+    val n = out("n") // pure censoring: S ≡ 1, median not reached
+    assert(n.isNullAt(2) && n.getDouble(1) == 3.0 + 2.0,
+      "head 3 at S=1 plus 2 more at S=1 to τ")
+  }
+
+  test("rateRatio: hand person-time rates and log-scale CI") {
+    val df = Seq(("k", true, 5L, true), ("k", true, 5L, false),
+      ("k", false, 10L, true), ("k", false, 10L, true))
+      .toDF("c", "ex", "dur", "o")
+    val out = etl.Survival.rateRatio(df, Seq("c"), col("ex"),
+      col("dur"), col("o")).collect().head
+    assert(out.getLong(1) == 1L && out.getDouble(2) == 10.0)
+    assert(out.getLong(3) == 2L && out.getDouble(4) == 20.0)
+    assert(out.getDouble(5) == 1.0, "0.1 vs 0.1 per day")
+    val se = math.sqrt(1.0 + 0.5)
+    assert(math.abs(out.getDouble(6) - math.exp(-1.96 * se)) < 1e-5)
+    assert(math.abs(out.getDouble(7) - math.exp(1.96 * se)) < 1e-4)
+  }
 }
