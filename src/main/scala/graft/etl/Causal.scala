@@ -11,6 +11,9 @@ import graft.functions.roundStable
   * aggregation per key — the estimators are closed-form ratios of
   * cell means, so the 100 TB table reduces to a handful of numbers
   * before any arithmetic happens.
+  *
+  * Reference anchor: dag:365-407 (the validation/comparison stage
+  * these estimators upgrade from descriptive to causal readouts).
   */
 object Causal {
 

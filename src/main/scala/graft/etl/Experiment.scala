@@ -11,6 +11,10 @@ import graft.functions.roundStable
   * readout should be gated on. All three reduce the event stream to
   * per-(key, period/arm) cells first — windows ride calendar × arm
   * state, never raw volume.
+  *
+  * Reference anchor: the reference pipeline gates each batch on
+  * validation thresholds (dag:365-407); these are the experiment-
+  * integrity gates for the same decision loop.
   */
 object Experiment {
 

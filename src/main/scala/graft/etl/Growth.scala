@@ -8,7 +8,9 @@ import graft.functions.roundStable
 
 /** Product-growth accounting over an event stream — the
   * DAU/WAU/MAU, lifecycle-state, and engagement-distribution readouts
-  * a growth team lives in. Everything reduces the raw stream to
+  * a growth team lives in. Reference anchor:
+  * dashboard_calidad_aire.py:82-93 (KPI tiles — these are the
+  * engagement KPIs for an event stream). Everything reduces the raw stream to
   * distinct (user, period) activity FIRST: all downstream joins and
   * windows ride calendar × active-user state, never event volume.
   *

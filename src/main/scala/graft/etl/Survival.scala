@@ -13,6 +13,9 @@ import graft.functions.roundStable
   * Subjects are expected already reduced to one row each (the q172
   * staging) — every operator here runs on O(#subjects) or
   * O(#distinct durations) state.
+  *
+  * Reference anchor: dag:365-407 (time-to-failure readouts over the
+  * same event telemetry the reference validates batch-wise).
   */
 object Survival {
 

@@ -13,6 +13,10 @@ import graft.functions.roundStable
   * table (the 100 TB unit table reduces to O(rows × cols) cells
   * first); the IPF sweeps are a fixed, documented unroll — plan depth
   * is 2·sweeps windows over cells, never data.
+  *
+  * Reference anchor: dag:365-407 (the reference's quality gates
+  * assume a representative batch; raking is how a skewed one is made
+  * representative).
   */
 object Weighting {
 
