@@ -2998,6 +2998,13 @@ object SparkEntry {
         .orderBy(col("cohort"))
     }),
 
+    "q345_inequality" -> ((s, dir) =>
+      // the concentration indices Gini blurs: decomposable Theil,
+      // welfare-reading Atkinson, tail-sensitive Palma
+      etl.Aggregates.inequality(Tables.events(s, dir),
+          Seq("event_type"), col("value"))
+        .orderBy(col("event_type"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -9813,6 +9820,27 @@ object SparkEntry {
         |  roundStable(exp(ln(irr) - 1.96 * se), 6) AS ci_lo,
         |  roundStable(exp(ln(irr) + 1.96 * se), 6) AS ci_hi
         |FROM i ORDER BY cohort""".stripMargin,
+
+    "q345_inequality" ->
+      // same positive-only base, Theil via the log identity, same
+      // floor cuts (equal-value boundary ties sum identically)
+      """WITH b AS (SELECT event_type, value AS x FROM events
+        |  WHERE value IS NOT NULL AND value > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY x) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM b),
+        |k AS (SELECT *, floor(n * 0.4) AS k40, floor(n * 0.1) AS k10
+        |  FROM r),
+        |s AS (SELECT event_type, count(*) AS n, avg(x) AS mu,
+        |    avg(ln(x)) AS mlx, sum(x * ln(x)) AS sxl,
+        |    sum(CASE WHEN rn <= k40 THEN x ELSE 0.0 END) AS b40,
+        |    sum(CASE WHEN rn > n - k10 THEN x ELSE 0.0 END) AS t10
+        |  FROM k GROUP BY 1)
+        |SELECT event_type, n, roundStable(mu, 6) AS mean,
+        |  roundStable(sxl / (n * mu) - ln(mu), 6) AS theil,
+        |  roundStable(1.0 - exp(mlx) / mu, 6) AS atkinson,
+        |  roundStable(CASE WHEN b40 > 0 THEN t10 / b40 END, 6) AS palma
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

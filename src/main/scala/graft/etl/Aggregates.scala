@@ -3167,6 +3167,57 @@ object Aggregates {
         col("__d").as("cooks_d")): _*)
   }
 
+  /** Inequality suite per key — the three standard concentration
+    * indices beyond B-family Gini (q155), each answering a question
+    * Gini blurs: **Theil** `T = (1/n)Σ(x/μ)ln(x/μ)` (Theil 1967 — the
+    * only index that DECOMPOSES additively across subgroups, so
+    * "how much inequality is between types vs within" is answerable),
+    * **Atkinson(ε=1)** `A = 1 − geomean/μ` (Atkinson 1970 — an
+    * explicit welfare reading: "what equal income gives the same
+    * welfare"), and the **Palma ratio** top-10%-share over
+    * bottom-40%-share (Palma 2011 — the readout that moves when the
+    * TAILS move; Gini is most sensitive to the middle). Strictly
+    * positive values only (ln; zero/negative rows are excluded and
+    * counted — documented, the standard income-data convention). One
+    * moments agg for Theil/Atkinson; Palma adds one keyed sort window
+    * — boundary ties carry equal values, so the cut SUMS are
+    * order-independent and engine-identical.
+    */
+  def inequality(df: DataFrame, keys: Seq[String], valueCol: Column,
+                 digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val x = valueCol.cast("double")
+    val base = df.filter(x.isNotNull && x > 0)
+      .select(keyCols :+ x.as("__x"): _*)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__x"))
+    val wk = Window.partitionBy(keyCols: _*)
+    val ranked = base
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__k40", floor(col("__n") * 0.4))
+      .withColumn("__k10", floor(col("__n") * 0.1))
+    val st = ranked.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"), avg(col("__x")).as("__mu"),
+        avg(log(col("__x"))).as("__mlx"),
+        sum(col("__x") * log(col("__x"))).as("__sxl"),
+        sum(col("__x")).as("__sx"),
+        sum(when(col("__rn") <= col("__k40"), col("__x"))
+          .otherwise(0.0)).as("__b40"),
+        sum(when(col("__rn") > col("__n") - col("__k10"), col("__x"))
+          .otherwise(0.0)).as("__t10"))
+    // Theil via the log identity: (1/n)Σ(x/μ)ln(x/μ)
+    //   = Σ x·ln x/(n·μ) − ln μ
+    val theil = col("__sxl") / (col("n") * col("__mu")) -
+      log(col("__mu"))
+    st.select(keyCols ++ Seq(col("n"),
+      roundStable(col("__mu"), digits).as("mean"),
+      roundStable(theil, digits).as("theil"),
+      roundStable(lit(1.0) - exp(col("__mlx")) / col("__mu"), digits)
+        .as("atkinson"),
+      roundStable(when(col("__b40") > 0, col("__t10") / col("__b40")),
+        digits).as("palma")): _*)
+  }
+
   /** Jarque-Bera normality screen per key (Jarque & Bera 1980) —
     * `JB = n/6·(S² + K²/4)` from the sample skewness S and excess
     * kurtosis K (~χ²₂ under normality): the cheap gate before any

@@ -5517,4 +5517,24 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(6) - math.exp(-1.96 * se)) < 1e-5)
     assert(math.abs(out.getDouble(7) - math.exp(1.96 * se)) < 1e-4)
   }
+
+  test("inequality: hand Theil/Atkinson/Palma, uniform key reads all zeros and palma fixed") {
+    val vals = Seq.fill(4)(1.0) ++ Seq.fill(5)(2.0) :+ 10.0
+    val df = (vals.map(("k", _)) ++ Seq.fill(10)(("u", 3.0)))
+      .toDF("key", "v")
+    val out = etl.Aggregates.inequality(df, Seq("key"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k") // μ = 2.4; hand sums
+    val mu = 2.4
+    val theil = (5 * 2 * math.log(2) + 10 * math.log(10)) / (10 * mu) -
+      math.log(mu)
+    val atk = 1 - math.exp((5 * math.log(2) + math.log(10)) / 10) / mu
+    assert(math.abs(k.getDouble(3) - theil) < 1e-6)
+    assert(math.abs(k.getDouble(4) - atk) < 1e-6)
+    assert(k.getDouble(5) == 2.5, "top-10% sum 10 over bottom-40% sum 4")
+    val u = out("u") // perfectly equal: every index reads 0, palma 1/4
+    assert(u.getDouble(3) == 0.0 && u.getDouble(4) == 0.0)
+    assert(math.abs(u.getDouble(5) - 3.0 / 12.0) < 1e-6,
+      "uniform palma = k10/k40 by construction")
+  }
 }
