@@ -3005,6 +3005,42 @@ object SparkEntry {
           Seq("event_type"), col("value"))
         .orderBy(col("event_type"))),
 
+    "q346_price_index" -> ((s, dir) => {
+      // Fisher's ideal index 1996 → 2000 over the matched part basket
+      val li = Tables.lineitem(s, dir).join(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("__y")),
+        col("l_orderkey") === col("o_orderkey"))
+      etl.Econ.fisherIndex(li, itemCol = col("l_partkey"),
+        isBase = col("__y") === 1996, isCurrent = col("__y") === 2000,
+        spendCol = col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        qtyCol = col("l_quantity"))
+    }),
+
+    "q347_abc_xyz" -> ((s, dir) => {
+      // the inventory decision table: Pareto revenue class × demand
+      // predictability class over monthly part demand
+      val li = Tables.lineitem(s, dir).join(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("__m")),
+        col("l_orderkey") === col("o_orderkey"))
+      etl.Econ.abcXyz(li, itemCol = col("l_partkey"),
+          periodCol = col("__m"),
+          revenueCol = col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")),
+          qtyCol = col("l_quantity"))
+        .orderBy(col("abc"), col("xyz"))
+    }),
+
+    "q348_elasticity" -> ((s, dir) =>
+      // within-part demand elasticity: item fixed effects absorb the
+      // cross-sectional confound; effective price varies via discount
+      etl.Econ.elasticityFe(Tables.lineitem(s, dir),
+          itemCol = col("l_partkey"),
+          priceCol = col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) / col("l_quantity"),
+          qtyCol = col("l_quantity"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -9841,6 +9877,93 @@ object SparkEntry {
         |  roundStable(1.0 - exp(mlx) / mu, 6) AS atkinson,
         |  roundStable(CASE WHEN b40 > 0 THEN t10 / b40 END, 6) AS palma
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q346_price_index" ->
+      // same matched-basket unit values, same L/P/F folds
+      """WITH li AS (SELECT l.l_partkey AS item,
+        |    year(o.o_orderdate) AS y,
+        |    l.l_extendedprice * (1.0 - l.l_discount) AS spend,
+        |    CAST(l.l_quantity AS DOUBLE) AS qty
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE year(o.o_orderdate) IN (1996, 2000)),
+        |c AS (SELECT item,
+        |    sum(CASE WHEN y = 1996 THEN spend ELSE 0.0 END) AS s0,
+        |    sum(CASE WHEN y = 1996 THEN qty ELSE 0.0 END) AS q0,
+        |    sum(CASE WHEN y = 2000 THEN spend ELSE 0.0 END) AS s1,
+        |    sum(CASE WHEN y = 2000 THEN qty ELSE 0.0 END) AS q1
+        |  FROM li GROUP BY 1),
+        |a AS (SELECT count(*) AS n_items,
+        |    CAST(sum(CASE WHEN q0 > 0 AND q1 > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_matched,
+        |    sum(CASE WHEN q0 > 0 AND q1 > 0 THEN s1 / q1 * q0
+        |      ELSE 0.0 END) AS l1,
+        |    sum(CASE WHEN q0 > 0 AND q1 > 0 THEN s0 / q0 * q0
+        |      ELSE 0.0 END) AS l0,
+        |    sum(CASE WHEN q0 > 0 AND q1 > 0 THEN s1 / q1 * q1
+        |      ELSE 0.0 END) AS p1,
+        |    sum(CASE WHEN q0 > 0 AND q1 > 0 THEN s0 / q0 * q1
+        |      ELSE 0.0 END) AS p0
+        |  FROM c)
+        |SELECT n_items, n_matched,
+        |  roundStable(CASE WHEN l0 > 0 THEN l1 / l0 END, 6)
+        |    AS laspeyres,
+        |  roundStable(CASE WHEN p0 > 0 THEN p1 / p0 END, 6) AS paasche,
+        |  roundStable(sqrt((CASE WHEN l0 > 0 THEN l1 / l0 END)
+        |    * (CASE WHEN p0 > 0 THEN p1 / p0 END)), 6) AS fisher
+        |FROM a""".stripMargin,
+
+    "q347_abc_xyz" ->
+      // same rounded-revenue Pareto cut × occupied-period CV classes
+      """WITH li AS (SELECT l.l_partkey AS item,
+        |    date_trunc('month', o.o_orderdate) AS m,
+        |    l.l_extendedprice * (1.0 - l.l_discount) AS r,
+        |    CAST(l.l_quantity AS DOUBLE) AS q
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |pp AS (SELECT item, m, sum(r) AS r, sum(q) AS q FROM li
+        |  GROUP BY 1, 2),
+        |pi AS (SELECT item, roundStable(sum(r), 6) AS rev,
+        |    count(*) AS np, avg(q) AS mq, stddev_pop(q) AS sq
+        |  FROM pp GROUP BY 1),
+        |cl AS (SELECT *,
+        |    sum(rev) OVER (ORDER BY rev DESC, item
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(rev) OVER () AS tot,
+        |    CASE WHEN np >= 2 AND mq > 0 THEN sq / mq END AS cv
+        |  FROM pi),
+        |cls AS (SELECT *,
+        |    CASE WHEN cum <= tot * 0.8 THEN 'A'
+        |      WHEN cum <= tot * 0.95 THEN 'B' ELSE 'C' END AS abc,
+        |    CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+        |      ELSE 'Z' END AS xyz FROM cl),
+        |cells AS (SELECT abc, xyz, count(*) AS n_items,
+        |    roundStable(sum(rev), 6) AS revenue FROM cls GROUP BY 1, 2)
+        |SELECT abc, xyz, n_items, revenue,
+        |  roundStable(revenue / sum(revenue) OVER (), 6)
+        |    AS revenue_share
+        |FROM cells ORDER BY abc, xyz""".stripMargin,
+
+    "q348_elasticity" ->
+      // same within-item demeaning, same pooled moments fold
+      """WITH b AS (SELECT l_partkey AS item,
+        |    ln(l_extendedprice * (1.0 - l_discount)
+        |      / CAST(l_quantity AS DOUBLE)) AS lp,
+        |    ln(CAST(l_quantity AS DOUBLE)) AS lq
+        |  FROM lineitem
+        |  WHERE l_quantity > 0
+        |    AND l_extendedprice * (1.0 - l_discount)
+        |      / CAST(l_quantity AS DOUBLE) > 0),
+        |d AS (SELECT item,
+        |    lp - avg(lp) OVER (PARTITION BY item) AS dp,
+        |    lq - avg(lq) OVER (PARTITION BY item) AS dq FROM b),
+        |s AS (SELECT count(*) AS n, count(DISTINCT item) AS n_items,
+        |    sum(dp * dq) AS sxy, sum(dp * dp) AS sxx,
+        |    sum(dq * dq) AS syy FROM d)
+        |SELECT n, n_items,
+        |  roundStable(CASE WHEN sxx > 0 THEN sxy / sxx END, 6)
+        |    AS elasticity,
+        |  roundStable(CASE WHEN sxx > 0 AND syy > 0 THEN
+        |    sxy * sxy / (sxx * syy) END, 6) AS r2_within
+        |FROM s""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

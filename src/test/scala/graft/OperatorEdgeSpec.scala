@@ -5537,4 +5537,40 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(u.getDouble(5) - 3.0 / 12.0) < 1e-6,
       "uniform palma = k10/k40 by construction")
   }
+
+  test("fisherIndex: hand L/P/F on a matched basket, unmatched item counted not priced") {
+    val df = Seq(("A", 0, 10.0, 10.0), ("A", 1, 10.0, 5.0),
+      ("B", 0, 4.0, 1.0), ("B", 1, 8.0, 2.0), ("C", 0, 3.0, 1.0))
+      .toDF("item", "per", "spend", "qty")
+    val out = etl.Econ.fisherIndex(df, col("item"), col("per") === 0,
+      col("per") === 1, col("spend"), col("qty")).collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 2L)
+    val l = 24.0 / 14; val p = 18.0 / 13
+    assert(math.abs(out.getDouble(2) - l) < 1e-6)
+    assert(math.abs(out.getDouble(3) - p) < 1e-6)
+    assert(math.abs(out.getDouble(4) - math.sqrt(l * p)) < 1e-6)
+  }
+
+  test("abcXyz: boundary-inclusive Pareto cut × CV classes, single-period item is Z") {
+    val rows = Seq(("i1", "p1", 40.0, 10.0), ("i1", "p2", 40.0, 10.0),
+      ("i2", "p1", 6.0, 1.0), ("i2", "p2", 9.0, 9.0),
+      ("i3", "p1", 5.0, 3.0)).toDF("item", "per", "rev", "q")
+    val out = etl.Econ.abcXyz(rows, col("item"), col("per"),
+      col("rev"), col("q")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("A", "X")).getLong(2) == 1L, "80 hits the A boundary inclusively, CV 0")
+    assert(out(("B", "Y")).getLong(2) == 1L, "CV 0.8 is Y")
+    assert(out(("C", "Z")).getLong(2) == 1L, "single period has no CV")
+    assert(out(("A", "X")).getDouble(4) == 0.8)
+  }
+
+  test("elasticityFe: planted within-item elasticity −2, single-row item contributes nothing") {
+    val df = Seq(("i1", 1.0, 8.0), ("i1", 2.0, 2.0), ("i2", 99.0, 1.0))
+      .toDF("item", "p", "q")
+    val out = etl.Econ.elasticityFe(df, col("item"), col("p"), col("q"))
+      .collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 2L)
+    assert(math.abs(out.getDouble(2) - -2.0) < 1e-6)
+    assert(math.abs(out.getDouble(3) - 1.0) < 1e-6)
+  }
 }
