@@ -3041,6 +3041,15 @@ object SparkEntry {
             (lit(1.0) - col("l_discount")) / col("l_quantity"),
           qtyCol = col("l_quantity"))),
 
+    "q349_supplier_risk" -> ((s, dir) =>
+      // procurement risk screen: per part, how concentrated its spend
+      // is across suppliers — HHI, effective suppliers, single-source
+      etl.Econ.concentration(
+          Tables.lineitem(s, dir).filter(col("l_partkey") <= 400),
+          groupCol = col("l_partkey"), memberCol = col("l_suppkey"),
+          valueCol = col("l_extendedprice"))
+        .orderBy(col("group"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -9964,6 +9973,23 @@ object SparkEntry {
         |  roundStable(CASE WHEN sxx > 0 AND syy > 0 THEN
         |    sxy * sxy / (sxx * syy) END, 6) AS r2_within
         |FROM s""".stripMargin,
+
+    "q349_supplier_risk" ->
+      // same share cells, same inverse-Simpson fold and top argmax
+      """WITH c AS (SELECT l_partkey AS grp, l_suppkey AS m,
+        |    sum(CAST(l_extendedprice AS DOUBLE)) AS v FROM lineitem
+        |  WHERE l_partkey <= 400 AND l_extendedprice > 0
+        |  GROUP BY 1, 2),
+        |s AS (SELECT grp, m, v, v / sum(v) OVER (PARTITION BY grp) AS sh,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v DESC, m)
+        |      AS rk FROM c)
+        |SELECT grp AS "group", count(*) AS n_members,
+        |  roundStable(sum(sh * sh), 6) AS hhi,
+        |  roundStable(1.0 / sum(sh * sh), 6) AS effective_n,
+        |  roundStable(max(CASE WHEN rk = 1 THEN sh END), 6)
+        |    AS top_share,
+        |  (count(*) = 1) AS single_source
+        |FROM s GROUP BY 1 ORDER BY "group"""".stripMargin,
 
     "q285_eb_shrinkage" ->
       // same per-item counts, same moments prior and shrinkage fold

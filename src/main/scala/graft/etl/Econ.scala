@@ -107,6 +107,40 @@ object Econ {
         sum(col("revenue")).over(wAll), digits))
   }
 
+  /** Concentration / dependency-risk profile (Herfindahl-Hirschman —
+    * the antitrust and supply-chain standard): per group, the HHI of
+    * its members' value shares `Σs²`, the effective member count
+    * `1/Σs²` ("3 000 suppliers that behave like 1.8"), the top
+    * member's share, and the single-source flag — the procurement
+    * risk screen (DOJ reads HHI > 0.25 as highly concentrated; a
+    * single-sourced part is the outage waiting to happen). One
+    * (group, member) cell agg + one per-group fold over O(#members)
+    * cells; q299's Hill D₂ is this same inverse-Simpson read on token
+    * distributions — here it lands on the supply graph.
+    */
+  def concentration(df: DataFrame, groupCol: Column, memberCol: Column,
+                    valueCol: Column, digits: Int = 6): DataFrame = {
+    val v = valueCol.cast("double")
+    val cells = df.filter(v.isNotNull && v > 0)
+      .groupBy(groupCol.as("group"), memberCol.as("__m"))
+      .agg(sum(v).as("__v"))
+    val wG = Window.partitionBy(col("group"))
+    val wTop = Window.partitionBy(col("group"))
+      .orderBy(col("__v").desc, col("__m"))
+    cells
+      .withColumn("__tot", sum(col("__v")).over(wG))
+      .withColumn("__s", col("__v") / col("__tot"))
+      .withColumn("__rk", row_number().over(wTop))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_members"),
+        roundStable(sum(col("__s") * col("__s")), digits).as("hhi"),
+        roundStable(lit(1.0) / sum(col("__s") * col("__s")), digits)
+          .as("effective_n"),
+        roundStable(max(when(col("__rk") === 1, col("__s"))), digits)
+          .as("top_share"),
+        (count(lit(1)) === 1).as("single_source"))
+  }
+
   /** Within-item (fixed-effects) demand elasticity — the pooled OLS
     * of log quantity on log price AFTER demeaning both within each
     * item: `β = Σᵢ Σₜ (lp−l̄pᵢ)(lq−l̄qᵢ) / Σᵢ Σₜ (lp−l̄pᵢ)²` — item

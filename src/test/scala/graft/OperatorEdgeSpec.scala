@@ -5573,4 +5573,17 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(2) - -2.0) < 1e-6)
     assert(math.abs(out.getDouble(3) - 1.0) < 1e-6)
   }
+
+  test("concentration: hand HHI/effective-N, single source flagged") {
+    val df = Seq(("p1", "s1", 50.0), ("p1", "s2", 30.0),
+      ("p1", "s3", 20.0), ("p2", "s9", 7.0)).toDF("g", "m", "v")
+    val out = etl.Econ.concentration(df, col("g"), col("m"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p1 = out("p1") // shares .5/.3/.2 → HHI 0.38
+    assert(p1.getLong(1) == 3L && p1.getDouble(2) == 0.38)
+    assert(math.abs(p1.getDouble(3) - 1.0 / 0.38) < 1e-5)
+    assert(p1.getDouble(4) == 0.5 && !p1.getBoolean(5))
+    val p2 = out("p2")
+    assert(p2.getDouble(2) == 1.0 && p2.getBoolean(5))
+  }
 }
