@@ -141,6 +141,58 @@ object Econ {
         (count(lit(1)) === 1).as("single_source"))
   }
 
+  /** Categorical assortativity / homophily coefficient (Newman PRE
+    * 2003, eq. 2) over an edge list with endpoint attributes:
+    * `r = (Σᵢeᵢᵢ − Σᵢaᵢbᵢ)/(1 − Σᵢaᵢbᵢ)` from the edge mixing matrix
+    * (e = edge share in cell, a/b = its margins) — how much more
+    * often edges connect LIKE with like than random wiring would
+    * (r = 1 perfectly assortative, 0 random, < 0 disassortative);
+    * the one-number answer to "do customers buy from their own
+    * nation's suppliers". Value-weighted edges supported (an edge
+    * counts its weight). One (attr_a, attr_b) cell agg + margin
+    * windows over O(#categories²) cells; degenerate graphs
+    * (Σab = 1 — a single cell) emit NULL. B-graph ops measure
+    * STRUCTURE; this measures MIXING against attributes.
+    */
+  def homophily(edges: DataFrame, attrA: Column, attrB: Column,
+                weightCol: Column = lit(1.0),
+                digits: Int = 6): DataFrame = {
+    val w = weightCol.cast("double")
+    val cells = edges.filter(w.isNotNull && w > 0)
+      .groupBy(attrA.cast("string").as("__a"),
+        attrB.cast("string").as("__b"))
+      .agg(sum(w).as("__w"))
+    val wAll = Window.partitionBy(lit(1))
+    val wA = Window.partitionBy(col("__a"))
+    val wB = Window.partitionBy(col("__b"))
+    val e = cells
+      .withColumn("__e", col("__w") / sum(col("__w")).over(wAll))
+      .withColumn("__ai", sum(col("__w")).over(wA) /
+        sum(col("__w")).over(wAll))
+      .withColumn("__bi", sum(col("__w")).over(wB) /
+        sum(col("__w")).over(wAll))
+    val st = e.agg(
+      count(lit(1)).as("n_cells"),
+      sum(when(col("__a") === col("__b"), col("__e")).otherwise(0.0))
+        .as("__diag"),
+      // Σaᵢbᵢ needs ONE term per matched category — cells carry their
+      // margins, so take each diagonal category's product once and
+      // add the a-only / b-only categories' cross terms via the
+      // margin tables reduced below
+      sum(when(col("__a") === col("__b"), col("__ai") * col("__bi"))
+        .otherwise(0.0)).as("__abDiag"))
+    val aM = e.groupBy(col("__a")).agg(first(col("__ai")).as("__am"))
+    val bM = e.groupBy(col("__b")).agg(first(col("__bi")).as("__bm"))
+    val ab = aM.join(bM, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__am") * col("__bm")), lit(0.0)).as("__ab"))
+    val r = when(lit(1.0) - col("__ab") > 0,
+      (col("__diag") - col("__ab")) / (lit(1.0) - col("__ab")))
+    st.crossJoin(ab).select(col("n_cells"),
+      roundStable(col("__diag"), digits).as("diag_share"),
+      roundStable(col("__ab"), digits).as("expected_share"),
+      roundStable(r, digits).as("assortativity"))
+  }
+
   /** Within-item (fixed-effects) demand elasticity — the pooled OLS
     * of log quantity on log price AFTER demeaning both within each
     * item: `β = Σᵢ Σₜ (lp−l̄pᵢ)(lq−l̄qᵢ) / Σᵢ Σₜ (lp−l̄pᵢ)²` — item
