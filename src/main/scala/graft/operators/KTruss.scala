@@ -48,8 +48,13 @@ object KTruss {
     var prev: DataFrame = e
     var round = 0
     var fixed = false
+    // Invariant: `sup` is always support(e) for the CURRENT e, persisted.
+    // At loop exit — fixpoint (nothing peeled, so sup still describes e)
+    // or maxPeels (sup recomputed after the last peel) — it is reused for
+    // the output join, saving a full extra wedge enumeration (~1/3 of
+    // q261's cold time before this change).
+    var sup = support(e).persist(StorageLevel.MEMORY_AND_DISK)
     while (round < maxPeels && !fixed) {
-      val sup = support(e)
       val next = e
         .join(sup, Seq("a", "b"), "left")
         .filter(coalesce(col("__sup"), lit(0L)) >= k - 2)
@@ -64,13 +69,16 @@ object KTruss {
         prev = cut
         e = cut
         round += 1
+        sup.unpersist(blocking = false)
+        sup = support(e).persist(StorageLevel.MEMORY_AND_DISK)
       }
     }
     val out = e
-      .join(support(e), Seq("a", "b"), "left")
+      .join(sup, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("__sup"), lit(0L)).as("support"))
       .localCheckpoint()
+    sup.unpersist(blocking = false)
     prev.unpersist(blocking = false)
     out
   }

@@ -78,7 +78,18 @@ object CusumStream {
 
     val hasState = fs.exists(live)
     val state =
-      if (hasState) spark.read.parquet(stateDir)
+      if (hasState) {
+        // schema migration: stateDirs written by the one-sided CUSUM
+        // (pre-__qe/__qm) resume cleanly — the lower side starts from
+        // its key-never-seen defaults (P_end=0, P_min=+inf supplies the
+        // zero floor downstream) instead of throwing AnalysisException
+        // on the missing columns and wedging the in-flight monitor.
+        val raw = spark.read.parquet(stateDir)
+        val withQe = if (raw.columns.contains("__qe")) raw
+          else raw.withColumn("__qe", lit(0.0))
+        if (withQe.columns.contains("__qm")) withQe
+        else withQe.withColumn("__qm", lit(Double.MaxValue))
+      }
       else mon.stats.select(keyCols: _*)
         .limit(0)
         .withColumn("__pe", lit(0.0)).withColumn("__pm", lit(0.0))

@@ -61,6 +61,10 @@ def main(sf_dir, out_dir):
         g, e = canon(got), canon(exp)
         ok_cols = list(g.columns) == list(e.columns)
         ok_rows = len(g) == len(e)
+        # dtype-strict AFTER canon (canon collapses widths: int*→int64,
+        # float*→float64, datetime→us). Surviving differences are the
+        # int-vs-float class the driver's hash is sensitive to.
+        ok_dtype = ok_cols and list(map(str, g.dtypes)) == list(map(str, e.dtypes))
         ok_vals = False
         if ok_cols and ok_rows:
             try:
@@ -69,6 +73,13 @@ def main(sf_dir, out_dir):
             except AssertionError as ex:
                 ok_vals = False
                 detail = str(ex).split("\n")[0:6]
+        if ok_cols and ok_rows and ok_vals and not ok_dtype:
+            print(f"  {name}: FAIL dtype-mismatch (values equal, driver hash would differ)")
+            for c in g.columns:
+                if str(g[c].dtype) != str(e[c].dtype):
+                    print(f"     {c}: spark={g[c].dtype} oracle={e[c].dtype}")
+            n_fail += 1
+            continue
         if ok_cols and ok_rows and ok_vals:
             print(f"  {name}: PASS ({len(g)} rows)")
             n_pass += 1
