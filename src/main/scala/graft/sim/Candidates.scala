@@ -1,0 +1,92 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Candidate-pair generation for the embedding diagnostics — the piece
+  * that turns the O(n²) brute-force pair stage of [[Geometry.knnOutliers]]
+  * / [[Geometry.hubness]] / [[Geometry.lidMle]] /
+  * [[Similarity.mutualNearest]] into the 100 TB plan: an IVF coarse
+  * quantizer restricts each point's neighbor search to the points
+  * sharing one of its `nprobe` nearest cells, so the pair join shuffles
+  * on the CELL key (O(n·nprobe) rows in, per-cell blocks out) instead of
+  * broadcasting the corpus against itself.
+  *
+  * The contract the diagnostics consume (their `candidates` parameter):
+  * a DataFrame with two columns `id_a` (the query side — the point whose
+  * neighborhood is being estimated) and `id_b` (a candidate neighbor),
+  * DIRECTED, `id_a ≠ id_b`, duplicates tolerated (the pair stage dedups).
+  * Recall semantics: with `nprobe = kCoarse` every pair shares every
+  * probed cell, so candidates = all pairs and the diagnostics equal
+  * their brute-force twins EXACTLY (CandidatesSpec gates this); lower
+  * `nprobe` trades recall for cost — the standard IVF knob.
+  *
+  * Reference context: the reference validates its corpus with global
+  * stats only (dag:365-407); the diagnostics these candidates feed are
+  * the embedding-era upgrades of that validation stage.
+  */
+object Candidates {
+
+  /** (id, cell) assignments: each vector mapped to its `nprobe` nearest
+    * coarse cells by squared Euclidean distance — the multi-probe trick
+    * from the IVF literature applied symmetrically (both "index" and
+    * "query" side probe, so two points whose true cells differ still
+    * meet when either probes the other's cell). Distance uses the same
+    * −2·v·c + |c|² argmin identity as [[KMeans.assignExpr]]; ties
+    * resolve to the lowest cell index. kCoarse is a handful, so the
+    * per-cell score array is a tiny in-row array_sort, no shuffle.
+    */
+  def probeCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"need 1 <= nprobe <= kCoarse=${centroids.length}, got $nprobe")
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(-2.0) * Similarity.dot(col(vecCol), cLit) + lit(cc)).as("__d"),
+        lit(j).as("__cell"))
+    }
+    df.select(col(idCol).as("__id"),
+        slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nprobe).as("__cells"))
+      .select(col("__id"), explode(col("__cells")).as("__c"))
+      .select(col("__id"), col("__c.__cell").as("__cell"))
+  }
+
+  /** Directed IVF candidate pairs over ONE corpus: fit `kCoarse`
+    * k-means centroids, probe each point's `nprobe` nearest cells, emit
+    * every ordered (id_a, id_b) sharing a probed cell. The join is a
+    * keyed equi-join on the cell id — the shuffle-partitioned shape
+    * that replaces the brute-force broadcast at scale.
+    */
+  def ivfSelfPairs(df: DataFrame, idCol: String, vecCol: String,
+      kCoarse: Int = 8, nprobe: Int = 2, iters: Int = 5): DataFrame = {
+    val cents = KMeans.fit(df, idCol, vecCol, kCoarse, iters)
+    val cells = probeCells(df, idCol, vecCol, cents, nprobe)
+    cells.select(col("__id").as("id_a"), col("__cell"))
+      .join(cells.select(col("__id").as("id_b"), col("__cell")), Seq("__cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Directed IVF candidate pairs ACROSS two corpora (the
+    * [[Similarity.mutualNearest]] shape): one coarse model fit on the
+    * union so both sides share the cell space; `id_a` ranges over `a`,
+    * `id_b` over `b`.
+    */
+  def ivfCrossPairs(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, kCoarse: Int = 8, nprobe: Int = 2,
+      iters: Int = 5): DataFrame = {
+    val union = a.select(col(idCol), col(vecCol))
+      .unionByName(b.select(col(idCol), col(vecCol)))
+    val cents = KMeans.fit(union, idCol, vecCol, kCoarse, iters)
+    probeCells(a, idCol, vecCol, cents, nprobe)
+      .select(col("__id").as("id_a"), col("__cell"))
+      .join(probeCells(b, idCol, vecCol, cents, nprobe)
+        .select(col("__id").as("id_b"), col("__cell")), Seq("__cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+}

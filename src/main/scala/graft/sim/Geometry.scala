@@ -155,32 +155,67 @@ object Geometry {
       .orderBy(col("pos"))
   }
 
+  /** Rounded-cosine-distance pair stage shared by the kNN diagnostics:
+    * (__ida, __idb, __dist) with `__dist = round(1 − cos, digits)`.
+    * `candidates = None` is the brute-force broadcast self-join (the
+    * audit-scale oracle twin); `Some(pairs)` restricts to a directed
+    * candidate list (columns `id_a`, `id_b` — see [[Candidates]]), in
+    * which case the vectors attach by two keyed equi-joins on the id
+    * (bare id pairs travel through the dedup; vectors shuffle once per
+    * unique pair — the [[LshAnn.nearDupPairs]] lesson). Identical
+    * arithmetic on both paths, so a recall-1.0 candidate list
+    * reproduces brute force bit-for-bit.
+    */
+  private[graft] def pairDists(df: DataFrame, idCol: String, vecCol: String,
+      digits: Int, candidates: Option[DataFrame]): DataFrame =
+    candidates match {
+      case None =>
+        val a = df.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
+          .withColumn("__na", Similarity.norm(col("__va")))
+        val b = df.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
+          .withColumn("__nb", Similarity.norm(col("__vb")))
+        a.join(broadcast(b), col("__ida") =!= col("__idb"))
+          .select(col("__ida"), col("__idb"),
+            roundStable(lit(1.0) - dot(col("__va"), col("__vb")) /
+              (col("__na") * col("__nb")), digits).as("__dist"))
+      case Some(cand) =>
+        val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+          Similarity.norm(col(vecCol)).as("__n"))
+        cand.select(col("id_a").as("__ida"), col("id_b").as("__idb"))
+          .filter(col("__ida") =!= col("__idb"))
+          .dropDuplicates("__ida", "__idb")
+          .join(vecs, col("__ida") === col("__vid"))
+          .withColumnRenamed("__v", "__va").withColumnRenamed("__n", "__na")
+          .drop("__vid")
+          .join(vecs, col("__idb") === col("__vid"))
+          .withColumnRenamed("__v", "__vb").withColumnRenamed("__n", "__nb")
+          .drop("__vid")
+          .select(col("__ida"), col("__idb"),
+            roundStable(lit(1.0) - dot(col("__va"), col("__vb")) /
+              (col("__na") * col("__nb")), digits).as("__dist"))
+    }
+
   /** Distance-based outlier score (Ramaswamy '00 kNN-dist variant):
     * each vector's mean cosine DISTANCE (1 − cos) to its k nearest
     * neighbors; the top-N scores are the corpus's geometric outliers —
     * mojibake, wrong-modality rows, or dead-zone padding that survives
     * every text filter because the text LOOKS fine.
     *
-    * Brute-force all-pairs (the q37 contract: codegen'd dot, one
-    * window per query side) — correct at audit scale; at 100 TB the
-    * same score rides [[LshAnn]] / [[IvfFlat]] candidates instead, and
-    * this stays the oracle. Pair distances are rounded BEFORE ranking
+    * Brute-force all-pairs by default (the q37 contract: codegen'd
+    * dot, one window per query side) — correct at audit scale; pass
+    * `candidates` (see [[Candidates.ivfSelfPairs]]) to ride an
+    * IVF/LSH candidate list at 100 TB — identical arithmetic, so at
+    * recall 1.0 the output is bit-identical and the brute-force run
+    * stays the oracle. Pair distances are rounded BEFORE ranking
     * (the [[Similarity.bruteForceTopK]] discipline — rank on rounded
     * score + id tie-break so both engines rank identical doubles);
     * the final ranking is (score desc, id) — fully deterministic.
     */
   def knnOutliers(df: DataFrame, idCol: String, vecCol: String,
-                  k: Int = 10, topN: Int = 20, digits: Int = 6): DataFrame = {
+                  k: Int = 10, topN: Int = 20, digits: Int = 6,
+                  candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && topN >= 1, s"need k, topN >= 1, got $k, $topN")
-    val a = df.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
-      .withColumn("__na", Similarity.norm(col("__va")))
-    val b = df.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
-      .withColumn("__nb", Similarity.norm(col("__vb")))
-    val pairs = a.join(broadcast(b), col("__ida") =!= col("__idb"))
-      .select(col("__ida"), col("__idb"),
-        roundStable(lit(1.0) -
-          dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), digits)
-          .as("__dist"))
+    val pairs = pairDists(df, idCol, vecCol, digits, candidates)
     val ranked = pairs.withColumn("__rk",
       row_number().over(Window.partitionBy(col("__ida"))
         .orderBy(col("__dist").asc, col("__idb").asc)))
@@ -206,21 +241,15 @@ object Geometry {
     * kNN-anything) and the antihub share (N_k = 0), both riding every
     * row. Zero-occurrence points are materialized via the left join —
     * skewness over only-observed counts would understate. Same
-    * brute-force pair stage as [[knnOutliers]] (rounded cosine
-    * distance + id tiebreak, oracle-stable); swap in the ANN ladder's
-    * candidate lists at scale.
+    * rounded-distance pair stage as [[knnOutliers]] (id tiebreak,
+    * oracle-stable); pass `candidates` to ride the ANN ladder's
+    * candidate lists at scale — bit-identical at recall 1.0.
     */
   def hubness(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
-              topN: Int = 20, digits: Int = 6): DataFrame = {
+              topN: Int = 20, digits: Int = 6,
+              candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && topN >= 1, s"need k, topN >= 1, got $k, $topN")
-    val a = df.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
-      .withColumn("__na", Similarity.norm(col("__va")))
-    val b = df.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
-      .withColumn("__nb", Similarity.norm(col("__vb")))
-    val pairs = a.join(broadcast(b), col("__ida") =!= col("__idb"))
-      .select(col("__ida"), col("__idb"),
-        roundStable(lit(1.0) - dot(col("__va"), col("__vb")) /
-          (col("__na") * col("__nb")), digits).as("__dist"))
+    val pairs = pairDists(df, idCol, vecCol, digits, candidates)
     val inLists = pairs.withColumn("__rk",
       row_number().over(Window.partitionBy(col("__ida"))
         .orderBy(col("__dist").asc, col("__idb").asc)))
@@ -259,19 +288,14 @@ object Geometry {
     * before ranking — a dup is not a neighbor at radius 0, and ln
     * needs d > 0 (documented); all-equal-distance points yield a 0
     * denominator → NULL, dropped from the label mean by avg.
-    * Same rounded-distance pair stage as [[knnOutliers]].
+    * Same rounded-distance pair stage as [[knnOutliers]]; pass
+    * `candidates` for the ANN-candidate path at scale.
     */
   def lidMle(df: DataFrame, idCol: String, vecCol: String,
-             labelCol: String, k: Int = 10, digits: Int = 6): DataFrame = {
+             labelCol: String, k: Int = 10, digits: Int = 6,
+             candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
-    val a = df.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
-      .withColumn("__na", Similarity.norm(col("__va")))
-    val b = df.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
-      .withColumn("__nb", Similarity.norm(col("__vb")))
-    val pairs = a.join(broadcast(b), col("__ida") =!= col("__idb"))
-      .select(col("__ida"), col("__idb"),
-        roundStable(lit(1.0) - dot(col("__va"), col("__vb")) /
-          (col("__na") * col("__nb")), digits).as("__dist"))
+    val pairs = pairDists(df, idCol, vecCol, digits, candidates)
       .filter(col("__dist") > 0)
     val ranked = pairs.withColumn("__rk",
       row_number().over(Window.partitionBy(col("__ida"))

@@ -103,18 +103,44 @@ object Similarity {
     * top-1 pairs a hub vector with half the other side; mutuality
     * kills hubs by construction). Rides [[bruteForceTopK]] verbatim in
     * both directions (rounded-cosine + id tie-break — deterministic,
-    * oracle-stable), so the exact run IS the gated one; swap in the
-    * ANN ladder for candidate generation at scale, same join.
+    * oracle-stable), so the exact run IS the gated one; pass
+    * `candidates` (directed (id_a, id_b) pairs, e.g.
+    * [[Candidates.ivfCrossPairs]]) to restrict both directions to a
+    * candidate list at scale — one scored pair table feeds both top-1
+    * windows, identical arithmetic, bit-identical at recall 1.0.
     */
   def mutualNearest(a: DataFrame, b: DataFrame, idCol: String,
-                    vecCol: String, simDigits: Int = 4): DataFrame = {
-    val ab = bruteForceTopK(b, a, idCol, vecCol, k = 1, simDigits)
-      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
-        col("cosine"))
-    val ba = bruteForceTopK(a, b, idCol, vecCol, k = 1, simDigits)
-      .select(col("query_id").as("id_b"), col("neighbor_id").as("id_a"))
-    ab.join(ba, Seq("id_a", "id_b"))
-  }
+                    vecCol: String, simDigits: Int = 4,
+                    candidates: Option[DataFrame] = None): DataFrame =
+    candidates match {
+      case None =>
+        val ab = bruteForceTopK(b, a, idCol, vecCol, k = 1, simDigits)
+          .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+            col("cosine"))
+        val ba = bruteForceTopK(a, b, idCol, vecCol, k = 1, simDigits)
+          .select(col("query_id").as("id_b"), col("neighbor_id").as("id_a"))
+        ab.join(ba, Seq("id_a", "id_b"))
+      case Some(cand) =>
+        val qa = a.select(col(idCol).as("id_a"), col(vecCol).as("__qv"),
+          norm(col(vecCol)).as("__qn"))
+        val cb = b.select(col(idCol).as("id_b"), col(vecCol).as("__cv"),
+          norm(col(vecCol)).as("__cn"))
+        val scored = cand.select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
+          .join(qa, Seq("id_a")).join(cb, Seq("id_b"))
+          .withColumn("cosine", graft.functions.roundStable(
+            dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")),
+            simDigits))
+        val ab = scored.withColumn("__rk", row_number().over(
+            Window.partitionBy(col("id_a"))
+              .orderBy(col("cosine").desc, col("id_b"))))
+          .filter(col("__rk") === 1).select("id_a", "id_b", "cosine")
+        val ba = scored.withColumn("__rk", row_number().over(
+            Window.partitionBy(col("id_b"))
+              .orderBy(col("cosine").desc, col("id_a"))))
+          .filter(col("__rk") === 1).select("id_a", "id_b")
+        ab.join(ba, Seq("id_a", "id_b"))
+    }
 
   /** Margin-scored mutual nearest neighbors — [[mutualNearest]]
     * upgraded with Artetxe & Schwenk ACL'19's RATIO margin:

@@ -1132,6 +1132,37 @@ class PipelineSpec extends AnyFunSuite {
       s"split ${b1.getAs[Double]("max_s_lo")} != one-shot ${oneShot.getAs[Double]("max_s_lo")}")
   }
 
+  test("CusumStream: resumes from a pre-two-sided stateDir (missing __qe/__qm columns)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusummig").toString
+    val ref = (1 to 200).map(i => ("k", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("k", "t", "v")
+    val mon = streaming.CusumStream.buildReference(ref, Seq("k"), "v")
+    // fold one calm batch, then strip the lower-side columns to emulate
+    // a stateDir written by the old one-sided code
+    val calm = (1 to 20).map(i => ("k", 1000L + i, if (i % 2 == 0) 1.0 else -1.0))
+    streaming.CusumStream.cusumBatch(mon, calm.toDF("k", "t", "v"),
+      0L, "v", "t", "t", s"$tmp/state", s"$tmp/mon")
+    val old = spark.read.parquet(s"$tmp/state")
+      .drop("__qe", "__qm").collect().toSeq
+    val oldDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(old, 1),
+      spark.read.parquet(s"$tmp/state").drop("__qe", "__qm").schema)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/state"))
+    oldDf.coalesce(1).write.parquet(s"$tmp/state")
+    // the upgraded code must fold the next (downward-shift) batch
+    // without throwing, with the lower side starting key-never-seen
+    val down = (1 to 30).map(i => ("k", 2000L + i, -3.0))
+    streaming.CusumStream.cusumBatch(mon, down.toDF("k", "t", "v"),
+      1L, "v", "t", "t", s"$tmp/state", s"$tmp/mon")
+    val b1 = spark.read.parquet(s"$tmp/mon/batch=1").collect().head
+    assert(b1.getAs[Long]("n_alarms_lo") > 20L,
+      s"lower side must alarm after migration: $b1")
+    val st = spark.read.parquet(s"$tmp/state")
+    assert(st.columns.contains("__qe") && st.columns.contains("__qm"),
+      "migrated state is written in the new schema")
+  }
+
   test("RateStream: collapse and surge alarm; silent keys emitted; replay byte-stable") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_ratestream").toString
@@ -1393,5 +1424,53 @@ class PipelineSpec extends AnyFunSuite {
     streaming.SpcStream.spcBatch(chart,
       Seq.fill(4)(("k", 14.0)).toDF("k", "v"), 1L, "v", s"$tmp/mon")
     assert(spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq == before)
+  }
+
+  test("CensusStream: split corpus ≡ one-shot vocab curve and dup profile; replay byte-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_censusstream").toString
+    // "the cat sat" is web-only in batch 0, goes CROSS-source in batch 1
+    // — the retroactive reclassification only sum-then-classify gets right
+    val part1 = Seq(("web", "the cat sat"), ("web", "the cat sat"),
+      ("forum", "dogs run fast and far"))
+    val part2 = Seq(("forum", "the cat sat"),
+      ("web", "entirely unique snowflake text"))
+    val fp = md5(substring(col("text"), 1, 40))
+    val mem = MemoryStream[(String, String)]
+    val q = streaming.CensusStream.toCensusSink(
+      mem.toDF().toDF("source", "text"), "source", "text", fp,
+      s"$tmp/state", s"$tmp/ck").start()
+    mem.addData(part1: _*)
+    q.processAllAvailable()
+    mem.addData(part2: _*)
+    q.processAllAvailable(); q.stop()
+    val all = (part1 ++ part2).toDF("source", "text")
+    val cuts = Seq(2, 5, 100)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(rows(streaming.CensusStream.vocabCurve(spark, s"$tmp/state", cuts))
+      == rows(text.Corpus.vocabCoverageCurve(all, "text", cuts)),
+      "merged vocab curve ≡ one-shot")
+    val streamedDup = streaming.CensusStream.dupProfile(spark, s"$tmp/state")
+    assert(rows(streamedDup)
+      == rows(text.Corpus.dupProfile(all, "source", fp)),
+      "merged dup profile ≡ one-shot")
+    // the planted cross-source dup is actually classified cross on BOTH
+    // sides even though each side saw it in a different batch
+    val web = streamedDup.filter(col("source") === "web").collect().head
+    assert(web.getLong(web.fieldIndex("n_cross_dup")) == 2L,
+      s"web's 2 copies reclassified cross-source: $web")
+    // at-least-once replay: re-landing batch 1 overwrites byte-identically
+    val tokBefore = spark.read.parquet(s"$tmp/state/tokens/batch=1")
+      .collect().map(_.toString).sorted.toSeq
+    val cellBefore = spark.read.parquet(s"$tmp/state/cells/batch=1")
+      .collect().map(_.toString).sorted.toSeq
+    streaming.CensusStream.censusBatch(part2.toDF("source", "text"), 1L,
+      "source", "text", fp, s"$tmp/state")
+    assert(spark.read.parquet(s"$tmp/state/tokens/batch=1")
+      .collect().map(_.toString).sorted.toSeq == tokBefore)
+    assert(spark.read.parquet(s"$tmp/state/cells/batch=1")
+      .collect().map(_.toString).sorted.toSeq == cellBefore)
   }
 }
