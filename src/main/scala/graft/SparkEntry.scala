@@ -85,6 +85,39 @@ object SparkEntry {
     memoDone.getOrElseUpdate(key, body).asInstanceOf[T]
   }
 
+  /** Multi-rater ratings table for q355/q356: unit = user_id pooled mod
+    * 200 (so several raters rate one unit), rater = event_type, label =
+    * coarse value bucket, ONE rating per (unit, rater) picked
+    * deterministically (first by ts, event_id); cohort = unit % 3 keys
+    * the agreement readouts.
+    */
+  private def ratingsFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .select((col("user_id") % 200).as("unit"),
+        col("event_type").as("rater"),
+        when(col("value") < 150, "lo").when(col("value") < 300, "mid")
+          .otherwise("hi").as("label"),
+        col("ts"), col("event_id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("unit"), col("rater"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("__rn") === 1)
+      .select((col("unit") % 3).as("cohort"), col("unit"), col("rater"),
+        col("label"))
+  }
+
+  /** Labeling-function vote table for q357: same unit pooling, each
+    * event_type is an LF, NULL value = abstain (kept — the unit still
+    * counts in the coverage denominator).
+    */
+  private def lfVotesFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select((col("user_id") % 200).as("unit"), col("event_type").as("lf"),
+        when(col("value").isNull, lit(null.asInstanceOf[String]))
+          .when(col("value") < 150, "lo").when(col("value") < 300, "mid")
+          .otherwise("hi").as("label"))
+
   /** Shared IVF self-candidate pairs for the q350-q352 diagnostics: one
     * coarse fit + one cell join per dir per process (persisted — three
     * queries ride it).
@@ -3126,6 +3159,74 @@ object SparkEntry {
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
         .orderBy(col("rung"))
     }),
+
+    "q355_fleiss_kappa" -> ((s, dir) =>
+      // multi-rater chance-corrected agreement per cohort (variable
+      // rater counts; single-rating units excluded but counted)
+      etl.MlEval.fleissKappa(ratingsFrame(s, dir), Seq("cohort"),
+          col("unit"), col("label"))
+        .orderBy(col("cohort"))),
+
+    "q356_krippendorff" -> ((s, dir) =>
+      // agreement with missing ratings handled natively — the normal
+      // state of a crowd/ensemble label table (nominal metric)
+      etl.MlEval.krippendorffAlpha(ratingsFrame(s, dir), Seq("cohort"),
+          col("unit"), col("label"))
+        .orderBy(col("cohort"))),
+
+    "q357_lf_diagnostics" -> ((s, dir) =>
+      // the weak-supervision pre-flight: coverage / overlap / conflict
+      // / majority-agreement per labeling function (event_type as LF,
+      // NULL value = abstain)
+      etl.MlEval.lfDiagnostics(lfVotesFrame(s, dir), col("unit"),
+          col("lf"), col("label"))
+        .orderBy(col("lf"))),
+
+    "q358_logistic" -> ((s, dir) =>
+      // in-engine logistic fit (propensity/filter model): P(returned |
+      // qty, discount) by 4 Newton rounds, 9 moment sums collected per
+      // round, Cramer 3×3 solve — the oracle unrolls the identical
+      // recurrence (the q106/q292 iterative-trainer feat, now for MLE)
+      etl.MlEval.logisticNewton(Tables.lineitem(s, dir),
+        yCol = (col("l_returnflag") === "R").cast("double"),
+        x1Col = col("l_quantity"), x2Col = col("l_discount"))),
+
+    "q359_hill_tail" -> ((s, dir) =>
+      // how heavy is each stream's upper tail (Hill/Pareto index from
+      // the top-51 order stats) — the POT companion to q263's
+      // block-maxima Gumbel; α∈2-4 = p99s are sample-size artifacts
+      etl.Aggregates.hillTail(Tables.events(s, dir), Seq("event_type"),
+          col("value"), k = 50)
+        .orderBy(col("event_type"))),
+
+    "q360_repeated_spans" -> ((s, dir) =>
+      // the Lee et al. ACL'22 span-dedup pressure metric: per doc, the
+      // share of tokens covered by a 5-gram that occurs >1× anywhere
+      // in the corpus — finds boilerplate PASSAGES whole-doc dedup
+      // can't (group-by problem, no pair join)
+      text.Spans.repeatedSpanCoverage(Tables.documents(s, dir), "doc_id",
+          "text", k = 5)
+        .orderBy(col("doc_id"))),
+
+    "q361_top_spans" -> ((s, dir) =>
+      // WHAT the boilerplate is: top repeated 5-grams with occurrence
+      // and doc counts — the allow/deny list before a span scrub
+      text.Spans.topRepeatedSpans(Tables.documents(s, dir), "doc_id",
+        "text", k = 5, topN = 20)),
+
+    "q362_k_anonymity" -> ((s, dir) =>
+      // the pre-release privacy gate: how small do the (nation,
+      // mktsegment) equivalence classes get, and how many rows sit in
+      // classes below k=10 — the single-out risk share
+      etl.Privacy.kAnonymityReport(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)),
+
+    "q363_l_diversity" -> ((s, dir) =>
+      // the homogeneity-attack screen k-anonymity misses: distinct
+      // sensitive values (acctbal band) per QI class, rows below l=3
+      etl.Privacy.lDiversityReport(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"),
+        sensitiveCol = floor(col("c_acctbal") / 2000).cast("long"), l = 3)),
 
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
@@ -10776,6 +10877,247 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END END AS BIGINT)
         |  FROM g) u
         |ORDER BY covariate""".stripMargin,
+
+    "q355_fleiss_kappa" ->
+      // the identical ratings derivation (first rating per (unit,
+      // rater) by ts), then Fleiss 1971 with variable rater counts;
+      // pairable units only in BOTH terms, singles counted visibly
+      """WITH r0 AS (SELECT user_id % 200 AS unit, event_type AS rater,
+        |    CASE WHEN value < 150 THEN 'lo' WHEN value < 300 THEN 'mid'
+        |      ELSE 'hi' END AS label,
+        |    row_number() OVER (PARTITION BY user_id % 200, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT unit % 3 AS cohort, unit, label FROM r0 WHERE rn = 1),
+        |cells AS (SELECT cohort, unit, label,
+        |    CAST(count(*) AS DOUBLE) AS m FROM r GROUP BY 1, 2, 3),
+        |units AS (SELECT cohort, unit, sum(m) AS mi,
+        |    sum(m * (m - 1)) AS agree FROM cells GROUP BY 1, 2),
+        |pu AS (SELECT cohort, unit, mi, agree / (mi * (mi - 1)) AS pi
+        |  FROM units WHERE mi >= 2),
+        |po AS (SELECT cohort, avg(pi) AS po, count(*) AS nu,
+        |    sum(mi) AS nr FROM pu GROUP BY 1),
+        |pe AS (SELECT cohort, sum(nc * nc) / (sum(nc) * sum(nc)) AS pe
+        |  FROM (SELECT c.cohort, c.label, sum(c.m) AS nc FROM cells c
+        |    JOIN pu ON pu.cohort = c.cohort AND pu.unit = c.unit
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |sg AS (SELECT cohort, sum(CASE WHEN mi < 2 THEN 1 ELSE 0 END)
+        |    AS n_single FROM units GROUP BY 1)
+        |SELECT po.cohort, po.nu AS n_units,
+        |  CAST(po.nr AS BIGINT) AS n_ratings,
+        |  CAST(sg.n_single AS BIGINT) AS n_single,
+        |  roundStable(po.po, 6) AS observed_agreement,
+        |  roundStable(pe.pe, 6) AS expected_agreement,
+        |  roundStable(CASE WHEN pe.pe < 1
+        |    THEN (po.po - pe.pe) / (1.0 - pe.pe) END, 6) AS kappa
+        |FROM po JOIN pe ON po.cohort = pe.cohort
+        |  JOIN sg ON po.cohort = sg.cohort
+        |ORDER BY po.cohort""".stripMargin,
+
+    "q356_krippendorff" ->
+      // coincidence-matrix identities — D_o and D_e as exact cell
+      // folds, no pair enumeration; all-one-label cohorts NULL
+      """WITH r0 AS (SELECT user_id % 200 AS unit, event_type AS rater,
+        |    CASE WHEN value < 150 THEN 'lo' WHEN value < 300 THEN 'mid'
+        |      ELSE 'hi' END AS label,
+        |    row_number() OVER (PARTITION BY user_id % 200, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT unit % 3 AS cohort, unit, label FROM r0 WHERE rn = 1),
+        |cells AS (SELECT cohort, unit, label,
+        |    CAST(count(*) AS DOUBLE) AS m FROM r GROUP BY 1, 2, 3),
+        |units AS (SELECT cohort, unit, sum(m) AS mu, sum(m * m) AS sq
+        |  FROM cells GROUP BY 1, 2 HAVING sum(m) >= 2),
+        |dot AS (SELECT cohort,
+        |    sum((mu * mu - sq) / (mu - 1)) AS d_o, count(*) AS n_units
+        |  FROM units GROUP BY 1),
+        |nc AS (SELECT c.cohort, c.label, sum(c.m) AS nc FROM cells c
+        |  JOIN units u ON u.cohort = c.cohort AND u.unit = c.unit
+        |  GROUP BY 1, 2),
+        |det AS (SELECT cohort, sum(nc) AS n,
+        |    (sum(nc) * sum(nc) - sum(nc * nc)) / (sum(nc) - 1) AS d_e
+        |  FROM nc GROUP BY 1)
+        |SELECT dot.cohort, dot.n_units, CAST(det.n AS BIGINT) AS n_ratings,
+        |  roundStable(dot.d_o, 6) AS d_observed,
+        |  roundStable(det.d_e, 6) AS d_expected,
+        |  roundStable(CASE WHEN det.d_e > 0
+        |    THEN 1.0 - dot.d_o / det.d_e END, 6) AS alpha
+        |FROM dot JOIN det ON dot.cohort = det.cohort
+        |ORDER BY dot.cohort""".stripMargin,
+
+    "q357_lf_diagnostics" ->
+      // min-label vote dedup, per-unit voter/label stats joined back,
+      // majority by (count desc, label) — all replayed exactly
+      """WITH base AS (SELECT user_id % 200 AS unit, event_type AS lf,
+        |    CASE WHEN value IS NULL THEN NULL
+        |      WHEN value < 150 THEN 'lo' WHEN value < 300 THEN 'mid'
+        |      ELSE 'hi' END AS label
+        |  FROM events),
+        |nu AS (SELECT CAST(count(DISTINCT unit) AS DOUBLE) AS nu FROM base),
+        |votes AS (SELECT unit, lf, min(label) AS label FROM base
+        |  WHERE label IS NOT NULL GROUP BY 1, 2),
+        |us AS (SELECT unit, count(*) AS nvoters,
+        |    count(DISTINCT label) AS nlabels FROM votes GROUP BY 1),
+        |maj AS (SELECT unit, label AS mj FROM (
+        |    SELECT unit, label, row_number() OVER (PARTITION BY unit
+        |      ORDER BY count(*) DESC, label ASC) AS rk
+        |    FROM votes GROUP BY unit, label) WHERE rk = 1),
+        |agg AS (SELECT v.lf, CAST(count(*) AS DOUBLE) AS nv,
+        |    sum(CASE WHEN s.nvoters > 1 THEN 1.0 ELSE 0.0 END) AS ov,
+        |    sum(CASE WHEN s.nvoters > 1 AND s.nlabels > 1 THEN 1.0
+        |      ELSE 0.0 END) AS cf,
+        |    sum(CASE WHEN v.label = m.mj THEN 1.0 ELSE 0.0 END) AS mjc
+        |  FROM votes v JOIN us s ON v.unit = s.unit
+        |    JOIN maj m ON v.unit = m.unit
+        |  GROUP BY 1)
+        |SELECT lf, CAST(nv AS BIGINT) AS n_votes,
+        |  roundStable(nv / nu.nu, 6) AS coverage,
+        |  roundStable(ov / nu.nu, 6) AS overlap,
+        |  roundStable(cf / nu.nu, 6) AS conflict,
+        |  roundStable(mjc / nv, 6) AS majority_agreement
+        |FROM agg, nu ORDER BY lf""".stripMargin,
+
+    "q358_logistic" -> {
+      // the identical standardization + 4 Newton rounds, each round one
+      // MATERIALIZED moment agg + the same Cramer cofactor expansions
+      // (same operand order — IEEE-identical); intermediates UNROUNDED
+      // (Newton contracts engine-order fp noise, the q292 lesson)
+      val iters = 4
+      val steps = (1 to iters).map { k =>
+        s"""a$k AS MATERIALIZED (SELECT
+           |    sum(p * (1.0 - p)) AS h11,
+           |    sum(p * (1.0 - p) * x1) AS h12,
+           |    sum(p * (1.0 - p) * x2) AS h13,
+           |    sum(p * (1.0 - p) * x1 * x1) AS h22,
+           |    sum(p * (1.0 - p) * x1 * x2) AS h23,
+           |    sum(p * (1.0 - p) * x2 * x2) AS h33,
+           |    sum(y - p) AS g0, sum((y - p) * x1) AS g1,
+           |    sum((y - p) * x2) AS g2
+           |  FROM (SELECT y, x1, x2,
+           |      1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))) AS p
+           |    FROM d, i${k - 1}) t),
+           |s$k AS (SELECT *,
+           |    h11 * (h22 * h33 - h23 * h23) - h12 * (h12 * h33 - h23 * h13)
+           |      + h13 * (h12 * h23 - h22 * h13) AS det FROM a$k),
+           |i$k AS (SELECT
+           |    b0 + (g0 * (h22 * h33 - h23 * h23) - h12 * (g1 * h33 - h23 * g2)
+           |      + h13 * (g1 * h23 - h22 * g2)) / det AS b0,
+           |    b1 + (h11 * (g1 * h33 - h23 * g2) - g0 * (h12 * h33 - h23 * h13)
+           |      + h13 * (h12 * g2 - g1 * h13)) / det AS b1,
+           |    b2 + (h11 * (h22 * g2 - g1 * h23) - h12 * (h12 * g2 - g1 * h13)
+           |      + g0 * (h12 * h23 - h22 * h13)) / det AS b2
+           |  FROM i${k - 1}, s$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pu AS MATERIALIZED (SELECT
+         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         |    CAST(l_quantity AS DOUBLE) AS x1r,
+         |    CAST(l_discount AS DOUBLE) AS x2r
+         |  FROM lineitem WHERE l_returnflag IS NOT NULL
+         |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+         |mo AS MATERIALIZED (SELECT avg(x1r) AS m1,
+         |    sqrt(avg(x1r * x1r) - avg(x1r) * avg(x1r)) AS s1,
+         |    avg(x2r) AS m2,
+         |    sqrt(avg(x2r * x2r) - avg(x2r) * avg(x2r)) AS s2,
+         |    count(*) AS n FROM pu),
+         |d AS MATERIALIZED (SELECT y, (x1r - m1) / s1 AS x1,
+         |    (x2r - m2) / s2 AS x2 FROM pu, mo),
+         |i0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+         |$steps
+         |SELECT term, beta, n_obs FROM (
+         |  SELECT 'intercept' AS term, roundStable(b0, 6) AS beta,
+         |    mo.n AS n_obs FROM i$iters, mo
+         |  UNION ALL SELECT 'x1', roundStable(b1, 6), mo.n FROM i$iters, mo
+         |  UNION ALL SELECT 'x2', roundStable(b2, 6), mo.n FROM i$iters, mo)
+         |ORDER BY term""".stripMargin
+    },
+
+    "q359_hill_tail" ->
+      // identical rank cut at k+1 = 51; ties rank arbitrarily but
+      // contribute identical logs, so both engines agree
+      """WITH pos AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |rk AS (SELECT event_type, v, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY v DESC) AS rk FROM pos),
+        |f AS (SELECT event_type, count(*) AS m,
+        |    sum(CASE WHEN rk <= 50 THEN ln(v) END) AS sl,
+        |    min(CASE WHEN rk = 51 THEN v END) AS thr
+        |  FROM rk WHERE rk <= 51 GROUP BY 1)
+        |SELECT event_type, CAST(50 AS BIGINT) AS k,
+        |  roundStable(CASE WHEN m = 51 THEN thr END, 6) AS threshold,
+        |  roundStable(CASE WHEN m = 51 THEN sl / 50.0 - ln(thr) END, 6)
+        |    AS gamma,
+        |  roundStable(CASE WHEN m = 51 AND sl / 50.0 - ln(thr) > 0
+        |    THEN 1.0 / (sl / 50.0 - ln(thr)) END, 6) AS alpha
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q360_repeated_spans" ->
+      // same 1-based gram starts, global count, start flags widened to
+      // token coverage by the identical k−1-preceding window
+      """WITH b AS (SELECT doc_id, str_split(text, ' ') AS w,
+        |    len(str_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS gr
+        |  FROM b, unnest(range(1, n - 3)) AS t(i)
+        |  WHERE n >= 5),
+        |c AS (SELECT gr, count(*) AS c FROM g GROUP BY 1),
+        |s AS (SELECT doc_id, pos FROM g JOIN c USING (gr) WHERE c.c >= 2),
+        |tok AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS t FROM b),
+        |f AS (SELECT tok.doc_id, tok.n, tok.t,
+        |    CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END AS flag
+        |  FROM tok LEFT JOIN s ON s.doc_id = tok.doc_id AND s.pos = tok.t),
+        |cv AS (SELECT doc_id, n, flag,
+        |    max(flag) OVER (PARTITION BY doc_id ORDER BY t
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM f)
+        |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(flag) AS BIGINT) AS n_repeated_starts,
+        |  CAST(sum(cov) AS BIGINT) AS covered_tokens,
+        |  roundStable(CAST(sum(cov) AS DOUBLE) / min(n), 6)
+        |    AS repeated_share
+        |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q361_top_spans" ->
+      """WITH b AS (SELECT doc_id, str_split(text, ' ') AS w,
+        |    len(str_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gr
+        |  FROM b, unnest(range(1, n - 3)) AS t(i)
+        |  WHERE n >= 5)
+        |SELECT CAST(rank AS BIGINT) AS rank, gram, n_occurrences, n_docs
+        |FROM (SELECT gr AS gram, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs,
+        |    row_number() OVER (ORDER BY count(*) DESC, gr ASC) AS rank
+        |  FROM g GROUP BY gr HAVING count(*) >= 2)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q362_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        |  CAST(min(n) AS BIGINT) AS k_satisfied,
+        |  CAST(10 AS BIGINT) AS k_target,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_at_risk,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  roundStable(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END)
+        |    AS DOUBLE) / sum(n), 6) AS risk_share
+        |FROM c""".stripMargin,
+
+    "q363_l_diversity" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS s, count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cl AS (SELECT c_nationkey, c_mktsegment, sum(n) AS rows_,
+        |    count(*) AS ldist FROM cells GROUP BY 1, 2)
+        |SELECT CAST(sum(rows_) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        |  CAST(min(ldist) AS BIGINT) AS l_satisfied,
+        |  CAST(3 AS BIGINT) AS l_target,
+        |  CAST(sum(CASE WHEN ldist < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_at_risk,
+        |  CAST(sum(CASE WHEN ldist < 3 THEN rows_ ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  roundStable(CAST(sum(CASE WHEN ldist < 3 THEN rows_ ELSE 0 END)
+        |    AS DOUBLE) / sum(rows_), 6) AS risk_share
+        |FROM cl""".stripMargin,
 
     "q269_blocking_eval" ->
       // block sizes give |candidates| without enumerating any pair;

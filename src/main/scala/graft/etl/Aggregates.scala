@@ -2892,6 +2892,44 @@ object Aggregates {
         .as("return_100")): _*)                    // −ln(−ln 0.99)
   }
 
+  /** Hill tail-index estimator per key (Hill 1975) — the
+    * peaks-over-threshold companion to [[gumbelReturn]]'s block-maxima
+    * EVT: how HEAVY the upper tail is, from the top k+1 order
+    * statistics alone: `γ̂ = (1/k) Σ_{i≤k} ln(X_(i) / X_(k+1))` (mean
+    * log-excess over the threshold order statistic) and the Pareto
+    * index `α̂ = 1/γ̂`. α ≈ 2-4 = the heavy-tail regime where p99s and
+    * maxima are sample-size artifacts (and where q241's hub/salting
+    * logic starts to matter); γ → 0 = thin tail, extrapolate with A102
+    * instead. One keyed rank window cut at k+1 rows, then one fold —
+    * per-key state O(k), never data-scale. Ties rank arbitrarily but
+    * contribute identical logs (value-deterministic). Keys with fewer
+    * than k+1 POSITIVE values emit NULL (logs need X > 0, and the
+    * threshold statistic must exist); an all-equal top block has γ̂ = 0
+    * → NULL α (1/0 is not a tail index).
+    */
+  def hillTail(df: DataFrame, keys: Seq[String], valueCol: Column,
+               k: Int, digits: Int = 6): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val keyCols = keys.map(col)
+    val pos = df.select(keyCols :+ valueCol.cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull && col("__v") > 0)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__v").desc)
+    val top = pos.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k + 1)
+    val folded = top.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__m"),
+        sum(when(col("__rk") <= k, log(col("__v")))).as("__sl"),
+        min(when(col("__rk") === k + 1, col("__v"))).as("__thr"))
+    val ok = col("__m") === k + 1
+    val gamma = col("__sl") / lit(k.toDouble) - log(col("__thr"))
+    folded.select(keyCols ++ Seq(
+      lit(k).cast("long").as("k"),
+      roundStable(when(ok, col("__thr")), digits).as("threshold"),
+      roundStable(when(ok, gamma), digits).as("gamma"),
+      roundStable(when(ok && gamma > 0, lit(1.0) / gamma), digits)
+        .as("alpha")): _*)
+  }
+
   /** Two-cohort log-rank test per key (Mantel 1966) — ARE the two
     * survival curves different, the inferential step after
     * [[kaplanMeier]] draws them: at each pooled event time the

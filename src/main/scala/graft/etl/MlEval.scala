@@ -320,4 +320,251 @@ object MlEval {
         roundStable(col("__pos") / col("__n"), decimals).as("accuracy"),
         roundStable(col("__fit"), decimals).as("iso_rate"))
   }
+
+  /** Fleiss' kappa per key (Fleiss 1971, in the variable-rater-count
+    * generalization): chance-corrected agreement for MANY raters where
+    * [[cohenKappa]] handles exactly two — the labeled-data QA readout
+    * for annotation pools and model ensembles. Per unit i with m_i ≥ 2
+    * ratings and per-label counts m_ic:
+    * `P_i = Σ_c m_ic(m_ic−1) / (m_i(m_i−1))`; observed agreement
+    * `P̄_o = mean_i P_i`; chance `P̄_e = Σ_c p_c²` with p_c the label's
+    * share of all pairable ratings; `κ = (P̄_o − P̄_e)/(1 − P̄_e)`.
+    *
+    * Single-rating units are EXCLUDED from both terms (one rating
+    * cannot agree or disagree) but counted in `n_single` — silent
+    * shrinkage of the basis is how agreement numbers lie. A key where
+    * every pairable rating is one label has P̄_e = 1 → NULL kappa
+    * ("agreement is unfalsifiable", the [[cohenKappa]] convention).
+    * Shape: one (key, unit, label) cell agg, one unit fold, one label
+    * fold — per-key state O(#units + #labels), nothing row-scale.
+    */
+  def fleissKappa(df: DataFrame, keys: Seq[String], unitCol: Column,
+                  labelCol: Column, decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val cells = df
+      .groupBy(keyCols :+ unitCol.as("__u") :+ labelCol.as("__l"): _*)
+      .agg(count(lit(1)).cast("double").as("__m"))
+    val units = cells
+      .groupBy(keyCols :+ col("__u"): _*)
+      .agg(sum(col("__m")).as("__mi"),
+        sum(col("__m") * (col("__m") - 1)).as("__agree"))
+    val perUnit = units.filter(col("__mi") >= 2)
+      .select(keyCols :+ col("__u") :+ col("__mi") :+
+        (col("__agree") / (col("__mi") * (col("__mi") - 1))).as("__pi"): _*)
+    val po = perUnit.groupBy(keyCols: _*)
+      .agg(avg(col("__pi")).as("__po"),
+        count(lit(1)).as("__nu"), sum(col("__mi")).as("__nr"))
+    // label shares over PAIRABLE units only — a label seen solely on
+    // single-rating units must not shift chance agreement
+    val pe = cells
+      .join(perUnit.select(keyCols :+ col("__u"): _*), keys :+ "__u")
+      .groupBy(keyCols :+ col("__l"): _*)
+      .agg(sum(col("__m")).as("__nc"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__nc") * col("__nc")).as("__sq"),
+        sum(col("__nc")).as("__n"))
+      .select(keyCols :+
+        (col("__sq") / (col("__n") * col("__n"))).as("__pe"): _*)
+    val singles = units.groupBy(keyCols: _*)
+      .agg(sum(when(col("__mi") < 2, 1L).otherwise(0L)).as("n_single"))
+    po.join(pe, keys).join(singles, keys)
+      .select(keyCols ++ Seq(
+        col("__nu").as("n_units"), col("__nr").cast("long").as("n_ratings"),
+        col("n_single"),
+        roundStable(col("__po"), decimals).as("observed_agreement"),
+        roundStable(col("__pe"), decimals).as("expected_agreement"),
+        roundStable(when(col("__pe") < 1,
+          (col("__po") - col("__pe")) / (lit(1.0) - col("__pe"))),
+          decimals).as("kappa")): _*)
+  }
+
+  /** Krippendorff's alpha per key (nominal metric; Krippendorff 2004 via
+    * the coincidence-matrix identities) — the agreement coefficient that
+    * handles MISSING ratings natively (any unit, any subset of raters),
+    * which is the normal state of a crowd/ensemble labeling table.
+    * Using per-unit label counts m_uc, unit totals m_u (pairable units
+    * m_u ≥ 2 only): observed disagreement
+    * `D_o = Σ_u (m_u² − Σ_c m_uc²)/(m_u − 1)`, expected
+    * `D_e = (n² − Σ_c n_c²)/(n − 1)` with n_c = Σ_u m_uc and n = Σ n_c
+    * — both exact cell-algebra folds, no pair enumeration (the
+    * coincidence matrix never materializes; only its row sums and the
+    * diagonal-complement totals do). `α = 1 − D_o/D_e`; all-one-label
+    * keys have D_e = 0 → NULL (undefined, not perfect).
+    */
+  def krippendorffAlpha(df: DataFrame, keys: Seq[String], unitCol: Column,
+                        labelCol: Column, decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val cells = df
+      .groupBy(keyCols :+ unitCol.as("__u") :+ labelCol.as("__l"): _*)
+      .agg(count(lit(1)).cast("double").as("__m"))
+    val units = cells
+      .groupBy(keyCols :+ col("__u"): _*)
+      .agg(sum(col("__m")).as("__mu"), sum(col("__m") * col("__m")).as("__sq"))
+      .filter(col("__mu") >= 2)
+    val doTerm = units.groupBy(keyCols: _*)
+      .agg(sum((col("__mu") * col("__mu") - col("__sq")) /
+        (col("__mu") - 1)).as("__do"),
+        count(lit(1)).as("n_units"))
+    val nc = cells
+      .join(units.select(keyCols :+ col("__u"): _*), keys :+ "__u")
+      .groupBy(keyCols :+ col("__l"): _*)
+      .agg(sum(col("__m")).as("__nc"))
+    val deTerm = nc.groupBy(keyCols: _*)
+      .agg(sum(col("__nc")).as("__n"), sum(col("__nc") * col("__nc")).as("__nsq"))
+      .select(keyCols :+ col("__n") :+
+        ((col("__n") * col("__n") - col("__nsq")) / (col("__n") - 1))
+          .as("__de"): _*)
+    doTerm.join(deTerm, keys)
+      .select(keyCols ++ Seq(
+        col("n_units"), col("__n").cast("long").as("n_ratings"),
+        roundStable(col("__do"), decimals).as("d_observed"),
+        roundStable(col("__de"), decimals).as("d_expected"),
+        roundStable(when(col("__de") > 0,
+          lit(1.0) - col("__do") / col("__de")), decimals).as("alpha")): _*)
+  }
+
+  /** Logistic regression by Newton–Raphson with a FIXED, oracle-matchable
+    * iteration count — the propensity/screening model (treatment
+    * propensity for [[Aggregates.smdBalance]]-style adjustment, a
+    * quality-filter calibrated on two features) trained IN-ENGINE the
+    * way [[graft.sim.Geometry.pc1Power]] trains PC1: the corpus reduces
+    * per round to NINE moment sums (the 3×3 Hessian `Σ w·xxᵀ` and
+    * gradient `Σ x(y−p)` for design (1, x1, x2)), only those doubles
+    * are collected (bounded model constant — the k-means/PC1 trainer
+    * discipline), and the 3×3 Newton step solves by explicit Cramer
+    * cofactors driver-side. Exactly two covariates by design: the
+    * closed-form solve is what lets an engine replay the identical
+    * arithmetic (an unrolled-CTE oracle included) — wider designs
+    * belong to a training system, not a data engine.
+    *
+    * Covariates are standardized internally (population moments, one
+    * agg) — Newton from β=0 on standardized inputs converges in 3-4
+    * rounds on any non-separated data; intermediates stay UNROUNDED
+    * (Newton is contractive near the root, so engine-order fp noise
+    * ~1e-12 survives to the output far below the 6dp rounding), the
+    * PC1 lesson. Output: one row per term (intercept, x1, x2) with the
+    * final β.
+    */
+  def logisticNewton(df: DataFrame, yCol: Column, x1Col: Column,
+                     x2Col: Column, iters: Int = 4,
+                     decimals: Int = 6): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(yCol.cast("double").as("__y"),
+        x1Col.cast("double").as("__x1r"), x2Col.cast("double").as("__x2r"))
+      .filter(col("__y").isNotNull && col("__x1r").isNotNull &&
+        col("__x2r").isNotNull)
+    val mrow = base.agg(
+      avg(col("__x1r")).as("m1"),
+      sqrt(avg(col("__x1r") * col("__x1r")) -
+        avg(col("__x1r")) * avg(col("__x1r"))).as("s1"),
+      avg(col("__x2r")).as("m2"),
+      sqrt(avg(col("__x2r") * col("__x2r")) -
+        avg(col("__x2r")) * avg(col("__x2r"))).as("s2"),
+      count(lit(1)).as("n")).collect()(0)
+    val (m1, s1, m2, s2) = (mrow.getDouble(0), mrow.getDouble(1),
+      mrow.getDouble(2), mrow.getDouble(3))
+    val n = mrow.getLong(4)
+    require(s1 > 0 && s2 > 0,
+      "constant covariate — standardization (and the fit) undefined")
+    val d = base.select(col("__y"),
+        ((col("__x1r") - lit(m1)) / lit(s1)).as("__x1"),
+        ((col("__x2r") - lit(m2)) / lit(s2)).as("__x2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var b0 = 0.0; var b1 = 0.0; var b2 = 0.0
+    var it = 0
+    while (it < iters) {
+      val eta = lit(b0) + lit(b1) * col("__x1") + lit(b2) * col("__x2")
+      val r = d
+        .select(col("__y"), col("__x1"), col("__x2"),
+          (lit(1.0) / (lit(1.0) + exp(-eta))).as("__p"))
+        .agg(
+          sum(col("__p") * (lit(1.0) - col("__p"))).as("h11"),
+          sum(col("__p") * (lit(1.0) - col("__p")) * col("__x1")).as("h12"),
+          sum(col("__p") * (lit(1.0) - col("__p")) * col("__x2")).as("h13"),
+          sum(col("__p") * (lit(1.0) - col("__p")) * col("__x1") * col("__x1")).as("h22"),
+          sum(col("__p") * (lit(1.0) - col("__p")) * col("__x1") * col("__x2")).as("h23"),
+          sum(col("__p") * (lit(1.0) - col("__p")) * col("__x2") * col("__x2")).as("h33"),
+          sum(col("__y") - col("__p")).as("g0"),
+          sum((col("__y") - col("__p")) * col("__x1")).as("g1"),
+          sum((col("__y") - col("__p")) * col("__x2")).as("g2"))
+        .collect()(0)
+      val (a, b, c) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      val (dd, e, f) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (g0, g1, g2) = (r.getDouble(6), r.getDouble(7), r.getDouble(8))
+      // Cramer on the symmetric H = [[a,b,c],[b,dd,e],[c,e,f]] — the
+      // SAME first-row cofactor expansions (and parenthesization) the
+      // oracle SQL replays
+      val det = a * (dd * f - e * e) - b * (b * f - e * c) +
+        c * (b * e - dd * c)
+      val d0 = g0 * (dd * f - e * e) - b * (g1 * f - e * g2) +
+        c * (g1 * e - dd * g2)
+      val d1 = a * (g1 * f - e * g2) - g0 * (b * f - e * c) +
+        c * (b * g2 - g1 * c)
+      val d2 = a * (dd * g2 - g1 * e) - b * (b * g2 - g1 * c) +
+        g0 * (b * e - dd * c)
+      b0 = b0 + d0 / det
+      b1 = b1 + d1 / det
+      b2 = b2 + d2 / det
+      it += 1
+    }
+    d.unpersist(blocking = false)
+    Seq(("intercept", b0), ("x1", b1), ("x2", b2)).toDF("term", "__b")
+      .select(col("term"), roundStable(col("__b"), decimals).as("beta"),
+        lit(n).as("n_obs"))
+      .orderBy(col("term"))
+  }
+
+  /** Labeling-function diagnostics (the Snorkel-style panel, Ratner et
+    * al. VLDB'18's analysis table computed exactly at corpus scale):
+    * per LF over a long-form (unit, lf, label) vote table —
+    * `coverage` (share of ALL units it labels), `overlap` (share of
+    * units where it votes and at least one OTHER LF votes), `conflict`
+    * (… and at least one other voting LF DISAGREES), and
+    * `majority_agreement` (share of its votes matching the per-unit
+    * majority label, min-label tie-break — deterministic, the LPA
+    * convention). The weak-supervision pre-flight: an LF with high
+    * coverage + high conflict is the one poisoning the label model.
+    * Totals ride a 1-row broadcast agg; everything else is two keyed
+    * aggs + one keyed window over O(#units × #LFs) vote rows.
+    */
+  def lfDiagnostics(df: DataFrame, unitCol: Column, lfCol: Column,
+                    labelCol: Column, decimals: Int = 6): DataFrame = {
+    val votes = df.select(unitCol.as("__u"), lfCol.as("__lf"),
+        labelCol.as("__l"))
+      .filter(col("__l").isNotNull)
+      // one vote per (unit, LF), DETERMINISTIC under duplicates: min
+      // label (dropDuplicates keeps an arbitrary row — replay-unstable)
+      .groupBy(col("__u"), col("__lf")).agg(min(col("__l")).as("__l"))
+    val nUnits = df.select(unitCol.as("__u")).distinct()
+      .agg(count(lit(1)).cast("double").as("__nu"))
+    // per-unit majority label, min-label tie-break
+    val maj = votes.groupBy(col("__u"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("__u"))
+        .orderBy(col("__c").desc, col("__l").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("__u"), col("__l").as("__maj"))
+    val wUnit = Window.partitionBy(col("__u"))
+    val scored = votes
+      .withColumn("__nvoters", count(lit(1)).over(wUnit))
+      .withColumn("__nlabels", size(collect_set(col("__l")).over(wUnit)))
+      .join(maj, "__u")
+    scored.groupBy(col("__lf").as("lf"))
+      .agg(count(lit(1)).cast("double").as("__nv"),
+        sum(when(col("__nvoters") > 1, 1.0).otherwise(0.0)).as("__ov"),
+        // conflict: someone else voted AND the unit is not unanimous —
+        // with >1 labels present, every voter is in conflict with someone
+        sum(when(col("__nvoters") > 1 && col("__nlabels") > 1, 1.0)
+          .otherwise(0.0)).as("__cf"),
+        sum(when(col("__l") === col("__maj"), 1.0).otherwise(0.0)).as("__mj"))
+      .crossJoin(broadcast(nUnits))
+      .select(col("lf"), col("__nv").cast("long").as("n_votes"),
+        roundStable(col("__nv") / col("__nu"), decimals).as("coverage"),
+        roundStable(col("__ov") / col("__nu"), decimals).as("overlap"),
+        roundStable(col("__cf") / col("__nu"), decimals).as("conflict"),
+        roundStable(col("__mj") / col("__nv"), decimals)
+          .as("majority_agreement"))
+  }
 }

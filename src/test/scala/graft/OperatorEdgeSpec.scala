@@ -2494,6 +2494,157 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(cent((0, 0)) == 2.0 && cent((1, 1)) == 3.0, s"$cent")
   }
 
+  test("MlEval.fleissKappa: hand variable-rater case, single-rating units excluded but counted, unanimous NULL") {
+    // unit u1 rated (a,a,b): P_1 = 2/(3·2) = 1/3; u2 (a,a,a): P_2 = 1;
+    // u3 has ONE rating — excluded, counted. P̄o = 2/3; pairable label
+    // shares a=5/6, b=1/6 → P̄e = 26/36; κ = (2/3 − 13/18)/(5/18) = −0.2
+    val df = Seq(("k", 1L, "a"), ("k", 1L, "a"), ("k", 1L, "b"),
+      ("k", 2L, "a"), ("k", 2L, "a"), ("k", 2L, "a"),
+      ("k", 3L, "b"),
+      // unanimous cohort: every pairable rating is one label → NULL
+      ("u", 1L, "x"), ("u", 1L, "x"))
+      .toDF("k", "unit", "label")
+    val out = etl.MlEval.fleissKappa(df, Seq("k"), col("unit"), col("label"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) == 2L && k.getLong(2) == 6L && k.getLong(3) == 1L,
+      s"2 pairable units, 6 pairable ratings, 1 single: $k")
+    assert(math.abs(k.getDouble(4) - 2.0 / 3) < 1e-6) // 6dp-rounded
+    assert(math.abs(k.getDouble(5) - 26.0 / 36) < 1e-6)
+    assert(math.abs(k.getDouble(6) - (-0.2)) < 1e-6, s"hand kappa: $k")
+    assert(out("u").isNullAt(6), "unanimous: agreement unfalsifiable")
+  }
+
+  test("MlEval.krippendorffAlpha: hand D_o/D_e, perfect 1, chance 0, unanimous NULL") {
+    // u1 (a,a), u2 (a,b): D_o = 0 + 2 = 2; n_a=3, n_b=1 →
+    // D_e = (16−10)/3 = 2 → α = 0 (agreement no better than chance)
+    val chance = Seq(("c", 1L, "a"), ("c", 1L, "a"),
+      ("c", 2L, "a"), ("c", 2L, "b"))
+    // u1 (a,a), u2 (b,b): D_o = 0, D_e = (16−8)/3 → α = 1
+    val perfect = Seq(("p", 1L, "a"), ("p", 1L, "a"),
+      ("p", 2L, "b"), ("p", 2L, "b"))
+    val unanimous = Seq(("z", 1L, "x"), ("z", 1L, "x"))
+    val out = etl.MlEval.krippendorffAlpha(
+      (chance ++ perfect ++ unanimous).toDF("k", "unit", "label"),
+      Seq("k"), col("unit"), col("label"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("c").getDouble(5) == 0.0, s"chance: ${out("c")}")
+    assert(out("p").getDouble(5) == 1.0, s"perfect: ${out("p")}")
+    assert(out("z").isNullAt(5), "one label total: D_e = 0, undefined")
+    assert(out("c").getDouble(3) == 2.0 && out("c").getDouble(4) == 2.0,
+      s"hand D_o/D_e: ${out("c")}")
+  }
+
+  test("MlEval.lfDiagnostics: coverage/overlap/conflict vs abstains, majority min-tie-break, all-abstain LF absent") {
+    // 3 units; lf1 votes a on all; lf2 votes u1=a, u2=b; lf3 abstains
+    // everywhere (NULL label) — counts toward the unit universe only
+    val df = Seq(
+      (1L, "lf1", Some("a")), (2L, "lf1", Some("a")), (3L, "lf1", Some("a")),
+      (1L, "lf2", Some("a")), (2L, "lf2", Some("b")),
+      (1L, "lf3", None), (2L, "lf3", None), (3L, "lf3", None))
+      .toDF("unit", "lf", "label")
+    val out = etl.MlEval.lfDiagnostics(df, col("unit"), col("lf"),
+      col("label")).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("lf1", "lf2"), "all-abstain LF emits no row")
+    val l1 = out("lf1")
+    assert(l1.getDouble(2) == 1.0 && math.abs(l1.getDouble(3) - 2.0 / 3) < 1e-6
+      && math.abs(l1.getDouble(4) - 1.0 / 3) < 1e-6,
+      s"lf1 coverage/overlap/conflict: $l1")
+    // u2 ties a-vs-b → majority 'a' by min-label; lf1 matches all 3
+    assert(l1.getDouble(5) == 1.0, s"lf1 majority agreement: $l1")
+    val l2 = out("lf2")
+    assert(math.abs(l2.getDouble(2) - 2.0 / 3) < 1e-6 &&
+      l2.getDouble(5) == 0.5, s"lf2: $l2")
+  }
+
+  test("MlEval.logisticNewton: recovers a planted signal, ignores noise covariate, deterministic, constant covariate rejected") {
+    // x1 drives y (4 label flips keep it non-separated); x2 alternates
+    // independently of y
+    val rows = (0 until 40).map { i =>
+      val x1 = Seq(-2.0, -1.0, 1.0, 2.0)(i % 4)
+      val flip = i % 10 == 0
+      val y = if ((x1 > 0) != flip) 1.0 else 0.0
+      (y, x1, if (i % 2 == 0) 1.0 else -1.0)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val fit = etl.MlEval.logisticNewton(df, col("y"), col("x1"), col("x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fit("x1") > 0.5, s"planted positive signal recovered: $fit")
+    // the flips land unevenly on x2's alternation, so x2 picks up a
+    // little real correlation — the planted driver must still dominate
+    assert(fit("x1") > 2 * math.abs(fit("x2")),
+      s"planted driver dominates the incidental covariate: $fit")
+    val again = etl.MlEval.logisticNewton(df, col("y"), col("x1"), col("x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fit == again, "fixed-iteration fit is deterministic")
+    intercept[IllegalArgumentException] {
+      etl.MlEval.logisticNewton(df, col("y"), lit(3.0), col("x2"))
+    }
+  }
+
+  test("Aggregates.hillTail: hand log-excess on powers of two, short key NULL, flat top NULL alpha") {
+    // top-3 of {16,8,4,2}: γ = (ln16+ln8+ln4)/3 − ln2 = 2·ln2
+    val hand = Seq(16.0, 8.0, 4.0, 2.0).map(("h", _))
+    val short = Seq(("s", 5.0), ("s", 3.0)) // < k+1 positives
+    val flat = Seq.fill(4)(("f", 7.0))      // all-equal: γ=0, α NULL
+    val out = etl.Aggregates.hillTail(
+      (hand ++ short ++ flat).toDF("k", "v"), Seq("k"), col("v"), k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val h = out("h")
+    assert(math.abs(h.getDouble(3) - 2 * math.log(2.0)) < 1e-6, s"γ: $h")
+    assert(math.abs(h.getDouble(4) - 1.0 / (2 * math.log(2.0))) < 1e-6)
+    assert(h.getDouble(2) == 2.0, s"threshold is X_(k+1): $h")
+    assert(out("s").isNullAt(3), "fewer than k+1 positives: NULL")
+    assert(out("f").getDouble(3) == 0.0 && out("f").isNullAt(4),
+      "flat top: γ=0, α undefined")
+  }
+
+  test("Spans: hand coverage cross-doc and intra-doc, short doc zero, top table tie-broken") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // "a b c" repeats in doc 2 → tokens 1-3
+      (2L, "x y a b c"),       // start at pos 3 → tokens 3-5
+      (3L, "q r s"),           // unique gram → zero coverage
+      (4L, "p q"),             // shorter than k → zero, counts visible
+      (5L, "m n o m n o m n")) // self-repeating: full coverage
+      .toDF("doc_id", "text")
+    val cov = text.Spans.repeatedSpanCoverage(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(cov(1L).getLong(3) == 3L && cov(1L).getDouble(4) == 0.6, s"${cov(1L)}")
+    assert(cov(2L).getLong(3) == 3L && cov(2L).getDouble(4) == 0.6)
+    assert(cov(3L).getLong(3) == 0L && cov(3L).getDouble(4) == 0.0)
+    assert(cov(4L).getLong(1) == 2L && cov(4L).getDouble(4) == 0.0,
+      s"short doc visible with zero coverage: ${cov(4L)}")
+    assert(cov(5L).getDouble(4) == 1.0,
+      s"intra-doc repetition is memorization fuel too: ${cov(5L)}")
+    val top = text.Spans.topRepeatedSpans(docs, "doc_id", "text", k = 3,
+      topN = 10).collect()
+    assert(top.head.getString(1) == "a b c" && top.head.getLong(2) == 2L
+      && top.head.getLong(3) == 2L, s"tie-break alphabetical: ${top.head}")
+    assert(top.forall(_.getLong(2) >= 2L))
+  }
+
+  test("Privacy: hand k-anonymity classes incl. NULL QI; l-diversity flags the homogeneous class") {
+    // QI classes: (a,1)×5, (a,2)×2, (b,1)×1, (NULL,1)×2 → k_satisfied=1,
+    // below k=3: the 2-row, 1-row and NULL classes = 5 rows at risk
+    val rows = Seq.fill(5)(("a", 1, "s1")) ++
+      Seq(("a", 2, "s1"), ("a", 2, "s2"), ("b", 1, "s1")) ++
+      Seq((null, 1, "s1"), (null, 1, "s2"))
+    val df = rows.toDF("qi1", "qi2", "sens")
+    val kRep = etl.Privacy.kAnonymityReport(df, Seq("qi1", "qi2"), k = 3)
+      .collect().head
+    assert(kRep.getLong(0) == 10L && kRep.getLong(1) == 4L,
+      s"NULL QI forms its own class: $kRep")
+    assert(kRep.getLong(2) == 1L, s"k actually satisfied: $kRep")
+    assert(kRep.getLong(5) == 5L && kRep.getDouble(6) == 0.5, s"$kRep")
+    // l-diversity at l=2: (a,1) is 5 rows ALL s1 → homogeneous; the
+    // others have ≥2 distinct sensitive values except (b,1) (1 row)
+    val lRep = etl.Privacy.lDiversityReport(df, Seq("qi1", "qi2"),
+      col("sens"), l = 2).collect().head
+    assert(lRep.getLong(2) == 1L, s"l satisfied: $lRep")
+    assert(lRep.getLong(5) == 6L, // (a,1)'s 5 rows + (b,1)'s 1 row
+      s"rows exposed to the homogeneity attack: $lRep")
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
