@@ -3228,6 +3228,27 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"),
         sensitiveCol = floor(col("c_acctbal") / 2000).cast("long"), l = 3)),
 
+    "q364_join_skew" -> ((s, dir) =>
+      // the join pre-flight q199's single-table report can't answer:
+      // which keys AMPLIFY when the self-join runs (n_l × n_r on one
+      // reduce task) — decides broadcast vs salt vs pre-agg without
+      // materializing one output row
+      operators.Skew.joinSkewReport(Tables.events(s, dir),
+        Tables.events(s, dir), "user_id", topN = 20)),
+
+    "q365_cdc_dedup" -> ((s, dir) => {
+      // content-defined chunk dedup over the binary column (gear CDC,
+      // FastCDC family): per blob, how much content already exists
+      // elsewhere. Rows-only: chunk boundaries are engine-imperative
+      // by nature (mapPartitions-class, the C12 islands); the CDC
+      // insertion-resync property and determinism are spec'd.
+      import s.implicits._
+      val blobs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+        .as[multimodal.Binary.Blob]
+      multimodal.Binary.cdcDupReport(blobs).orderBy(col("id"))
+    }),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -11087,6 +11108,22 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY count(*) DESC, gr ASC) AS rank
         |  FROM g GROUP BY gr HAVING count(*) >= 2)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q364_join_skew" ->
+      """WITH l AS (SELECT user_id, count(*) AS n_left FROM events
+        |  GROUP BY 1),
+        |r AS (SELECT user_id, count(*) AS n_right FROM events GROUP BY 1),
+        |k AS (SELECT l.user_id, n_left, n_right,
+        |    n_left * n_right AS out_rows
+        |  FROM l JOIN r USING (user_id)),
+        |t AS (SELECT sum(out_rows) AS tt, count(*) AS kk FROM k)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (ORDER BY out_rows DESC, user_id)
+        |    AS BIGINT) AS rank,
+        |  n_left, n_right, CAST(out_rows AS BIGINT) AS out_rows,
+        |  roundStable(CAST(out_rows AS DOUBLE) / tt, 6) AS out_share,
+        |  CAST(tt AS BIGINT) AS total_out_rows, kk AS n_matching_keys
+        |FROM k, t ORDER BY out_rows DESC, user_id LIMIT 20""".stripMargin,
 
     "q362_k_anonymity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n

@@ -87,6 +87,44 @@ object Skew {
           digits).as("max_skew_factor")): _*)
   }
 
+  /** Two-sided JOIN-skew pre-flight — [[skewReport]] asks "is one key
+    * heavy in THIS table"; this asks the question that actually melts a
+    * cluster: "which keys AMPLIFY when these two tables meet" — a key
+    * with n_l × n_r output rows lands on ONE reduce task in a
+    * shuffle-hash/sort-merge join, and AQE's skew split only helps when
+    * the skew is in INPUT partition sizes, not in join fan-out. Emits
+    * the top-N keys by output rows with both side counts, each key's
+    * share of the total join output, and the total estimate — the
+    * numbers that decide between broadcast, salting
+    * ([[saltedJoin]]), or a pre-aggregation before the join. Two keyed
+    * counts + one keyed equi-join on O(#keys) rows + a top-N cut —
+    * the report NEVER materializes a single output row of the real
+    * join.
+    */
+  def joinSkewReport(left: DataFrame, right: DataFrame, key: String,
+                     topN: Int, digits: Int = 6): DataFrame = {
+    require(topN >= 1, s"need topN >= 1, got $topN")
+    val l = left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    val keys = l.join(r, Seq(key)) // inner: only matching keys produce output
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    val tot = keys.agg(sum(col("out_rows")).as("__t"),
+      count(lit(1)).as("__k"))
+    val ord = Seq(col("out_rows").desc, col(key))
+    val top = keys.orderBy(ord: _*).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(key), col("rank"), col("n_left"), col("n_right"),
+        col("out_rows"),
+        graft.functions.roundStable(
+          col("out_rows").cast("double") / col("__t"), digits)
+          .as("out_share"),
+        col("__t").cast("long").as("total_out_rows"),
+        col("__k").as("n_matching_keys"))
+      .orderBy(col("rank"))
+  }
+
   /** Salted join for a skewed left key: left rows get a salt in
     * [0, buckets), the (small) right side is exploded `buckets`× so every
     * salted left row still finds its match. Right side must be the small

@@ -2645,6 +2645,51 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"rows exposed to the homogeneity attack: $lRep")
   }
 
+  test("Skew.joinSkewReport: fan-out amplification ranked, unmatched keys absent, shares sum to 1") {
+    // key a: 3×4=12 out rows, b: 2×1=2, c: left-only (no output), d:
+    // right-only (no output) → total 14, a is 6/7 of the join
+    val left = (Seq.fill(3)("a") ++ Seq.fill(2)("b") :+ "c").toDF("k")
+    val right = (Seq.fill(4)("a") :+ "b" :+ "d").toDF("k")
+    val out = operators.Skew.joinSkewReport(left, right, "k", topN = 10)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"),
+      "only matching keys produce join output")
+    val a = out.head
+    assert(a.getLong(2) == 3L && a.getLong(3) == 4L && a.getLong(4) == 12L)
+    assert(math.abs(a.getDouble(5) - 12.0 / 14) < 1e-6, s"$a")
+    assert(a.getLong(6) == 14L && a.getLong(7) == 2L)
+  }
+
+  test("Binary.cdcChunks: lossless cover, bounds respected, deterministic; insertion re-syncs most chunk hashes") {
+    import spark.implicits._
+    // deterministic pseudo-random 2 KB blob
+    def noise(n: Int, seed: Int): Array[Byte] =
+      Array.tabulate(n)(i => (((i * 2654435761L + seed) >> 3) & 0xff).toByte)
+    val orig = noise(2048, 7)
+    val edited = (orig.take(100) ++ Array(0x55.toByte) ++ orig.drop(100))
+    val blobs = Seq(multimodal.Binary.Blob(1L, orig),
+      multimodal.Binary.Blob(2L, edited)).toDS()
+    val chunks = multimodal.Binary.cdcChunks(blobs).collect()
+    val byId = chunks.groupBy(_.id)
+    for ((id, cs) <- byId) {
+      val sorted = cs.sortBy(_.chunkIdx)
+      assert(sorted.map(_.length).sum == (if (id == 1L) 2048 else 2049),
+        "chunks cover the blob losslessly")
+      assert(sorted.zipWithIndex.forall { case (c, i) => c.chunkIdx == i })
+      assert(sorted.dropRight(1).forall(c =>
+        c.length >= 16 && c.length <= 256), s"bounds: $id")
+    }
+    // CDC property: the 1-byte insertion at offset 100 disturbs only
+    // the chunks near it — most chunk HASHES survive (fixed-offset
+    // chunking would lose everything after the edit)
+    val h1 = byId(1L).map(_.chunkHash).toSet
+    val h2 = byId(2L).map(_.chunkHash).toSet
+    val shared = (h1 intersect h2).size.toDouble / h1.size
+    assert(shared >= 0.6, f"insertion resync: only $shared%.2f shared")
+    val again = multimodal.Binary.cdcChunks(blobs).collect().toSet
+    assert(again == chunks.toSet, "chunking is deterministic")
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
