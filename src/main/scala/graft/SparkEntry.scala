@@ -3249,6 +3249,14 @@ object SparkEntry {
       multimodal.Binary.cdcDupReport(blobs).orderBy(col("id"))
     }),
 
+    "q366_quantile_norm" -> ((s, dir) =>
+      // put every event stream's values on ONE scale: each value maps
+      // to the pooled distribution's quantile at its within-source
+      // percent rank (rank-exact, unlike z-scoring's two moments)
+      etl.Clean.quantileNormalize(Tables.events(s, dir), "event_type",
+          col("value"))
+        .orderBy(col("event_type"), col("value"), col("pct"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -11108,6 +11116,31 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY count(*) DESC, gr ASC) AS rank
         |  FROM g GROUP BY gr HAVING count(*) >= 2)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q366_quantile_norm" ->
+      // identical min-rank percent, identical explicit interpolation at
+      // t = p·(N−1) — no percentile_cont on either side
+      """WITH vals AS (SELECT event_type AS s, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |ranked AS (SELECT s, v,
+        |    rank() OVER (PARTITION BY s ORDER BY v) AS r,
+        |    count(*) OVER (PARTITION BY s) AS n FROM vals),
+        |pooled AS (SELECT v AS pv,
+        |    row_number() OVER (ORDER BY v) - 1 AS idx FROM vals),
+        |tot AS (SELECT count(*) AS nn FROM vals),
+        |tr AS (SELECT s, v, CASE WHEN n > 1
+        |    THEN CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |    ELSE 0.0 END AS p FROM ranked),
+        |tt AS (SELECT s, v, p, p * CAST(nn - 1 AS DOUBLE) AS t,
+        |    CAST(floor(p * CAST(nn - 1 AS DOUBLE)) AS BIGINT) AS ft
+        |  FROM tr, tot)
+        |SELECT s AS event_type, roundStable(v, 6) AS value,
+        |  roundStable(p, 6) AS pct,
+        |  roundStable(p0.pv + (t - floor(t))
+        |    * (coalesce(p1.pv, p0.pv) - p0.pv), 6) AS normalized
+        |FROM tt JOIN pooled p0 ON p0.idx = tt.ft
+        |  LEFT JOIN pooled p1 ON p1.idx = tt.ft + 1
+        |ORDER BY event_type, value, pct""".stripMargin,
 
     "q364_join_skew" ->
       """WITH l AS (SELECT user_id, count(*) AS n_left FROM events

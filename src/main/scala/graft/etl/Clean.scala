@@ -270,4 +270,59 @@ object Clean {
       acc.withColumn(c, when(col(c) < lo, lo).when(col(c) > hi, hi).otherwise(col(c)))
     }.drop(valueCols.flatMap(c => Seq(s"__q1_$c", s"__q3_$c")): _*)
   }
+
+  /** Quantile normalization — map every source's value distribution onto
+    * the POOLED distribution (the cross-platform alignment standard from
+    * genomics, Bolstad 2003, applied to sensor fleets / scraped-source
+    * score columns): a value at percent rank p within its source becomes
+    * the pooled distribution's p-quantile, so all sources share one
+    * scale and downstream thresholds mean the same thing everywhere.
+    * Rank-based (monotone within source, distribution-exact across),
+    * unlike z-scoring, which only matches two moments.
+    *
+    * Determinism under ties: percent rank uses `rank()` (min rank — tied
+    * values share p), and the pooled index→value map is value-unique by
+    * construction (ties permute equal values). Interpolation is the
+    * explicit `v_⌊t⌋ + frac·(v_⌊t⌋₊₁ − v_⌊t⌋)` at t = p·(N−1), written
+    * out so the oracle replays the identical arithmetic — no reliance on
+    * either engine's percentile_cont.
+    *
+    * Scale note: the per-source rank is a keyed window (parallel across
+    * sources); the pooled index is a GLOBAL sort window — exact at audit
+    * scale, and at 100 TB the pooled side swaps for an approx-quantile
+    * grid (the A50 narrowing) while the per-source side is unchanged.
+    * Single-value sources map to the pooled minimum (p = 0, documented).
+    */
+  def quantileNormalize(df: DataFrame, sourceCol: String, valueCol: Column,
+                        digits: Int = 6): DataFrame = {
+    val vals = df.select(col(sourceCol).as("__s"),
+        valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val wSrc = Window.partitionBy(col("__s")).orderBy(col("__v"))
+    val wSrcAll = Window.partitionBy(col("__s"))
+    val ranked = vals
+      .withColumn("__r", rank().over(wSrc))
+      .withColumn("__n", count(lit(1)).over(wSrcAll))
+      .withColumn("__p", when(col("__n") > 1,
+        (col("__r") - 1).cast("double") / (col("__n") - 1).cast("double"))
+        .otherwise(lit(0.0)))
+    val pooled = vals.select(col("__v").as("__pv"))
+      .withColumn("__idx", row_number().over(Window.orderBy(col("__pv")))
+        .cast("long") - 1)
+    val tot = vals.agg(count(lit(1)).as("__ntot"))
+    val t = ranked.crossJoin(broadcast(tot))
+      .withColumn("__t", col("__p") * (col("__ntot") - 1).cast("double"))
+      .withColumn("__ft", floor(col("__t")).cast("long"))
+    val p0 = pooled.select(col("__idx").as("__i0"), col("__pv").as("__v0"))
+    val p1 = pooled.select(col("__idx").as("__i1"), col("__pv").as("__v1"))
+    t.join(p0, col("__ft") === col("__i0"))
+      .join(p1, col("__ft") + 1 === col("__i1"), "left")
+      .select(col("__s").as(sourceCol),
+        graft.functions.roundStable(col("__v"), digits).as("value"),
+        graft.functions.roundStable(col("__p"), digits).as("pct"),
+        graft.functions.roundStable(col("__v0") +
+          (col("__t") - floor(col("__t"))) *
+            (coalesce(col("__v1"), col("__v0")) - col("__v0")), digits)
+          .as("normalized"))
+  }
 }

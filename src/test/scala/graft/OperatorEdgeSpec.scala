@@ -2690,6 +2690,29 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(again == chunks.toSet, "chunking is deterministic")
   }
 
+  test("Clean.quantileNormalize: hand interpolation, sources share one distribution after, single-value source at pooled min") {
+    import spark.implicits._
+    val df = Seq(("s1", 1.0), ("s1", 2.0), ("s1", 3.0),
+      ("s2", 10.0), ("s2", 20.0), ("s2", 30.0)).toDF("src", "v")
+    val out = etl.Clean.quantileNormalize(df, "src", col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    // pooled = [1,2,3,10,20,30]; p=0.5 → t=2.5 → 3 + 0.5·(10−3) = 6.5
+    assert(out(("s1", 1.0)) == 1.0 && out(("s2", 10.0)) == 1.0,
+      "both minima land on the pooled minimum")
+    assert(out(("s1", 2.0)) == 6.5 && out(("s2", 20.0)) == 6.5, s"$out")
+    assert(out(("s1", 3.0)) == 30.0 && out(("s2", 30.0)) == 30.0)
+    // the defining property: normalized multisets identical across sources
+    val bySrc = out.toSeq.groupBy(_._1._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sorted }
+    assert(bySrc("s1") == bySrc("s2"))
+    val single = etl.Clean.quantileNormalize(
+      Seq(("a", 5.0), ("a", 7.0), ("b", 42.0)).toDF("src", "v"),
+      "src", col("v"))
+      .filter(col("src") === "b").collect().head
+    assert(single.getDouble(3) == 5.0,
+      s"single-value source: p=0 → pooled minimum, $single")
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
