@@ -3257,6 +3257,14 @@ object SparkEntry {
           col("value"))
         .orderBy(col("event_type"), col("value"), col("pct"))),
 
+    "q367_platt" -> ((s, dir) =>
+      // the parametric calibrator on q294's exact score/label pairing:
+      // isotonic bends to any monotone curve, Platt's 2 params can't
+      // overfit thin calibration data — run both, compare
+      etl.MlEval.plattScaling(Tables.events(s, dir).filter(col("value").isNotNull),
+        scoreCol = least(col("value") / 500, lit(1.0)),
+        isPositive = col("event_type") === "purchase")),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -11116,6 +11124,38 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY count(*) DESC, gr ASC) AS rank
         |  FROM g GROUP BY gr HAVING count(*) >= 2)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q367_platt" -> {
+      // the q358 unrolled-Newton oracle at its 2×2 case
+      val iters = 4
+      val steps = (1 to iters).map { k =>
+        s"""a$k AS MATERIALIZED (SELECT
+           |    sum(p * (1.0 - p) * s * s) AS h11,
+           |    sum(p * (1.0 - p) * s) AS h12,
+           |    sum(p * (1.0 - p)) AS h22,
+           |    sum((y - p) * s) AS g0, sum(y - p) AS g1
+           |  FROM (SELECT s, y,
+           |      1.0 / (1.0 + exp(-(a * s + b))) AS p
+           |    FROM d, i${k - 1}) t),
+           |i$k AS (SELECT
+           |    a + (g0 * h22 - h12 * g1) / (h11 * h22 - h12 * h12) AS a,
+           |    b + (h11 * g1 - g0 * h12) / (h11 * h22 - h12 * h12) AS b
+           |  FROM i${k - 1}, a$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS MATERIALIZED (SELECT
+         |    least(CAST(value AS DOUBLE) / 500, 1.0) AS s,
+         |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |i0 AS (SELECT 0.0 AS a, 0.0 AS b),
+         |$steps
+         |SELECT param, value, n_obs FROM (
+         |  SELECT 'intercept' AS param, roundStable(b, 6) AS value,
+         |    nn.n AS n_obs FROM i$iters, nn
+         |  UNION ALL SELECT 'slope', roundStable(a, 6), nn.n
+         |  FROM i$iters, nn)
+         |ORDER BY param""".stripMargin
+    },
 
     "q366_quantile_norm" ->
       // identical min-rank percent, identical explicit interpolation at

@@ -516,6 +516,55 @@ object MlEval {
       .orderBy(col("term"))
   }
 
+  /** Platt scaling (Platt 1999) — the PARAMETRIC classifier calibrator
+    * beside [[isotonicCalibration]]'s monotone one: fit
+    * `P(y|s) = σ(a·s + b)` by Newton–Raphson with a fixed iteration
+    * count, the [[logisticNewton]] discipline shrunk to its 2×2 case
+    * (five moment sums per round — Σw·s², Σw·s, Σw, Σ(y−p)s, Σ(y−p) —
+    * collected as bounded constants, closed-form 2×2 solve; oracle
+    * unrolls the identical recurrence). Use isotonic when the
+    * calibration curve may be non-sigmoid; Platt when calibration data
+    * is thin (2 parameters can't overfit 20 bins). Output: one row per
+    * parameter (slope, intercept).
+    */
+  def plattScaling(df: DataFrame, scoreCol: Column, isPositive: Column,
+                   iters: Int = 4, decimals: Int = 6): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(scoreCol.cast("double").as("__s"),
+        when(isPositive, 1.0).otherwise(0.0).as("__y"))
+      .filter(col("__s").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    var a = 0.0; var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val eta = lit(a) * col("__s") + lit(b)
+      val r = base
+        .select(col("__s"), col("__y"),
+          (lit(1.0) / (lit(1.0) + exp(-eta))).as("__p"))
+        .agg(
+          sum(col("__p") * (lit(1.0) - col("__p")) * col("__s") * col("__s")).as("h11"),
+          sum(col("__p") * (lit(1.0) - col("__p")) * col("__s")).as("h12"),
+          sum(col("__p") * (lit(1.0) - col("__p"))).as("h22"),
+          sum((col("__y") - col("__p")) * col("__s")).as("g0"),
+          sum(col("__y") - col("__p")).as("g1"))
+        .collect()(0)
+      val (h11, h12, h22) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      val (g0, g1) = (r.getDouble(3), r.getDouble(4))
+      val det = h11 * h22 - h12 * h12
+      a = a + (g0 * h22 - h12 * g1) / det
+      b = b + (h11 * g1 - g0 * h12) / det
+      it += 1
+    }
+    base.unpersist(blocking = false)
+    Seq(("intercept", b), ("slope", a)).toDF("param", "__v")
+      .select(col("param"), roundStable(col("__v"), decimals).as("value"),
+        lit(n).as("n_obs"))
+      .orderBy(col("param"))
+  }
+
   /** Labeling-function diagnostics (the Snorkel-style panel, Ratner et
     * al. VLDB'18's analysis table computed exactly at corpus scale):
     * per LF over a long-form (unit, lf, label) vote table —

@@ -2713,6 +2713,22 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"single-value source: p=0 → pooled minimum, $single")
   }
 
+  test("MlEval.plattScaling: positive slope on a planted sigmoid signal, deterministic") {
+    val rows = (0 until 40).map { i =>
+      val s = i / 40.0
+      val flip = i % 10 == 0
+      (s, (s > 0.5) != flip)
+    }
+    val df = rows.toDF("s", "y")
+    val fit = etl.MlEval.plattScaling(df, col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fit("slope") > 1.0, s"rising score → positive slope: $fit")
+    assert(fit("intercept") < 0, s"low scores are negative: $fit")
+    val again = etl.MlEval.plattScaling(df, col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fit == again)
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
