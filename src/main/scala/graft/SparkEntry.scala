@@ -85,6 +85,24 @@ object SparkEntry {
     memoDone.getOrElseUpdate(key, body).asInstanceOf[T]
   }
 
+  /** Deterministically planted messy URLs for q368/q369 (the q81
+    * plant-in-query discipline): scheme/host case noise, www. and :80
+    * variants, a tracking param, shuffled param order, fragments.
+    */
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, "HTTP").otherwise("http"),
+        lit("://"),
+        when(col("doc_id") % 4 === 0, concat(lit("WWW."), upper(col("source"))))
+          .otherwise(col("source")),
+        lit(".example.com"),
+        when(col("doc_id") % 5 === 0, ":80").otherwise(""),
+        lit("/p/"), (col("doc_id") % 7).cast("string"),
+        lit("?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
+        lit("&a=1"),
+        when(col("doc_id") % 2 === 0, "#frag").otherwise("")).as("url"))
+
   /** Multi-rater ratings table for q355/q356: unit = user_id pooled mod
     * 200 (so several raters rate one unit), rater = event_type, label =
     * coarse value bucket, ONE rating per (unit, rater) picked
@@ -3264,6 +3282,21 @@ object SparkEntry {
       etl.MlEval.plattScaling(Tables.events(s, dir).filter(col("value").isNotNull),
         scoreCol = least(col("value") / 500, lit(1.0)),
         isPositive = col("event_type") === "purchase")),
+
+    "q368_url_canon" -> ((s, dir) =>
+      // crawl-side URL canonicalization (planted deterministically
+      // in-query, the q81 discipline, so the oracle replays the mess):
+      // case/www/default-port/fragment/tracking-param/param-order noise
+      // all collapse to one canonical page key — map-only, scan speed
+      text.Urls.canonicalize(plantedUrls(s, dir), col("url"))
+        .select(col("doc_id"), col("url"), col("host"), col("canonical"))
+        .orderBy(col("doc_id"))),
+
+    "q369_host_census" -> ((s, dir) =>
+      // the per-site dedup payoff: raw URLs vs distinct canonical
+      // pages per host — where crawl-frequency stats were lying
+      text.Urls.hostCensus(plantedUrls(s, dir), col("url"))
+        .orderBy(col("host"))),
 
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
@@ -11124,6 +11157,95 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY count(*) DESC, gr ASC) AS rank
         |  FROM g GROUP BY gr HAVING count(*) >= 2)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q368_url_canon" ->
+      // identical plant, identical regex subset (the C33 discipline),
+      // identical filter→sort→join param handling
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END
+        |     || '://' ||
+        |     CASE WHEN doc_id % 4 = 0 THEN 'WWW.' || upper(source)
+        |       ELSE source END || '.example.com' ||
+        |     CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
+        |     '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+        |     '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR)
+        |     || '&a=1' ||
+        |     CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2))
+        |      AS rawhost,
+        |    regexp_extract(url,
+        |      '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3)
+        |      AS path,
+        |    regexp_extract(url,
+        |      '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4)
+        |      AS query
+        |  FROM u),
+        |h AS (SELECT doc_id, url, scheme,
+        |    regexp_replace(regexp_replace(rawhost, '^www\.', ''),
+        |      ':(80|443)$', '') AS host, path, query FROM c),
+        |p AS (SELECT doc_id, url, scheme, host, path,
+        |    array_to_string(list_sort(list_filter(
+        |      str_split(regexp_replace(query, '^\?', ''), '&'),
+        |      x -> NOT (regexp_matches(x,
+        |        '^(utm_[A-Za-z]+|fbclid|gclid)=') OR x = ''))), '&') AS q
+        |  FROM h)
+        |SELECT doc_id, url, host,
+        |  scheme || '://' || host ||
+        |    CASE WHEN path = '' THEN '/' ELSE path END ||
+        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q369_host_census" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END
+        |     || '://' ||
+        |     CASE WHEN doc_id % 4 = 0 THEN 'WWW.' || upper(source)
+        |       ELSE source END || '.example.com' ||
+        |     CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
+        |     '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+        |     '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR)
+        |     || '&a=1' ||
+        |     CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2))
+        |      AS rawhost,
+        |    regexp_extract(url,
+        |      '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3)
+        |      AS path,
+        |    regexp_extract(url,
+        |      '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4)
+        |      AS query
+        |  FROM u),
+        |h AS (SELECT doc_id, scheme,
+        |    regexp_replace(regexp_replace(rawhost, '^www\.', ''),
+        |      ':(80|443)$', '') AS host, path, query FROM c),
+        |p AS (SELECT doc_id, scheme, host, path,
+        |    array_to_string(list_sort(list_filter(
+        |      str_split(regexp_replace(query, '^\?', ''), '&'),
+        |      x -> NOT (regexp_matches(x,
+        |        '^(utm_[A-Za-z]+|fbclid|gclid)=') OR x = ''))), '&') AS q
+        |  FROM h),
+        |k AS (SELECT host,
+        |    scheme || '://' || host ||
+        |      CASE WHEN path = '' THEN '/' ELSE path END ||
+        |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
+        |  FROM p)
+        |SELECT host, count(*) AS n_urls,
+        |  count(DISTINCT canonical) AS n_pages,
+        |  roundStable(1.0 - CAST(count(DISTINCT canonical) AS DOUBLE)
+        |    / count(*), 6) AS dup_rate
+        |FROM k GROUP BY host ORDER BY host""".stripMargin,
 
     "q367_platt" -> {
       // the q358 unrolled-Newton oracle at its 2×2 case

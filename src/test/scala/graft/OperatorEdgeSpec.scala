@@ -2729,6 +2729,33 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(fit == again)
   }
 
+  test("Urls.canonicalize: case/www/port/fragment/tracking/param-order noise collapses; malformed NULL; real params survive sorted") {
+    import spark.implicits._
+    val urls = Seq(
+      ("HTTP://WWW.Ex.COM:80/a?utm_source=f&z=2&a=1#top"),
+      ("http://ex.com/a?a=1&z=2"),
+      ("https://ex.com:443/"),
+      ("https://ex.com"),            // empty path → canonical "/"
+      ("not a url"),
+      ("http://ex.com/b?fbclid=XYZ") // only tracking → no query
+    ).toDF("u")
+    val out = text.Urls.canonicalize(urls, col("u"))
+      .select("u", "host", "canonical").collect()
+      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(out("HTTP://WWW.Ex.COM:80/a?utm_source=f&z=2&a=1#top") ==
+      Some("http://ex.com/a?a=1&z=2"), s"$out")
+    assert(out("http://ex.com/a?a=1&z=2") == Some("http://ex.com/a?a=1&z=2"),
+      "the two variants collapse to one page key")
+    assert(out("https://ex.com:443/") == Some("https://ex.com/"))
+    assert(out("https://ex.com") == Some("https://ex.com/"))
+    assert(out("not a url").isEmpty, "malformed stays NULL, never guessed")
+    assert(out("http://ex.com/b?fbclid=XYZ") == Some("http://ex.com/b"))
+    val census = text.Urls.hostCensus(urls, col("u")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(census("ex.com") == ((5L, 3L)),
+      s"5 valid urls, 3 pages (the two bare-root variants collapse): $census")
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
