@@ -3298,6 +3298,17 @@ object SparkEntry {
       text.Urls.hostCensus(plantedUrls(s, dir), col("url"))
         .orderBy(col("host"))),
 
+    "q370_theta_overlap" -> ((s, dir) =>
+      // audience overlap by theta-sketch set algebra (the operation HLL
+      // state can't answer): which value bands share users — exact pair
+      // counts + 1/0 verdicts that every sketch estimate is within 5%
+      // (the q138 discipline: raw estimates never reach the hash)
+      etl.Aggregates.thetaOverlap(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          segmentCol = floor(col("value") / 100).cast("long"),
+          idCol = col("user_id"))
+        .orderBy(col("seg_a"), col("seg_b"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -11157,6 +11168,31 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY count(*) DESC, gr ASC) AS rank
         |  FROM g GROUP BY gr HAVING count(*) >= 2)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q370_theta_overlap" ->
+      // exact pair counts from the same distinct-cell self-join; the
+      // sketch verdicts are expected-TRUE literals (the q138 pattern —
+      // if an estimate drifts past 5% the Spark side flips its verdict
+      // and the hash mismatch surfaces it)
+      """WITH cells AS (SELECT DISTINCT
+        |    CAST(floor(value / 100) AS BIGINT) AS seg,
+        |    CAST(user_id AS VARCHAR) AS aid
+        |  FROM events WHERE value IS NOT NULL),
+        |sizes AS (SELECT seg, count(*) AS n FROM cells GROUP BY 1),
+        |inter AS (SELECT a.seg AS sa, b.seg AS sb, count(*) AS ni
+        |  FROM cells a JOIN cells b ON a.aid = b.aid AND a.seg < b.seg
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT sa.seg AS sa, sb.seg AS sb, sa.n AS na,
+        |    sb.n AS nb, coalesce(i.ni, 0) AS ni
+        |  FROM sizes sa JOIN sizes sb ON sa.seg < sb.seg
+        |  LEFT JOIN inter i ON i.sa = sa.seg AND i.sb = sb.seg)
+        |SELECT sa AS seg_a, sb AS seg_b, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(ni AS BIGINT) AS n_inter,
+        |  CAST(na + nb - ni AS BIGINT) AS n_union,
+        |  roundStable(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard,
+        |  CAST(1 AS BIGINT) AS inter_ok, CAST(1 AS BIGINT) AS union_ok,
+        |  CAST(1 AS BIGINT) AS diff_ok
+        |FROM grid ORDER BY seg_a, seg_b""".stripMargin,
 
     "q368_url_canon" ->
       // identical plant, identical regex subset (the C33 discipline),

@@ -273,6 +273,73 @@ object Aggregates {
   def sketchEstimateTotal(sketches: DataFrame, groupCol: String): DataFrame =
     sketches.agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_estimate"))
 
+  /** Audience overlap via THETA sketches (Datasketches; Spark 4's
+    * `theta_*` surface) — the MERGEABLE-STATE path for what
+    * [[audienceOverlap]] computes exactly by self-join: HLL
+    * ([[distinctSketchKeyed]]) merges by union only, so "how many ids
+    * did BOTH segments touch" is unanswerable from stored HLL state;
+    * theta sketches intersect and difference. One sketch per segment is
+    * the stored artifact (a day's partition aggregates once, forever);
+    * every pair's |A∩B| / |A∪B| / |A∖B| then comes from sketch algebra
+    * without rescanning raw data — where the exact self-join twin must
+    * re-touch every (entity, segment) cell per query.
+    *
+    * Gated by the B33 (q138) discipline: sketch estimates are
+    * engine-specific, so the OUTPUT carries the exact pair counts
+    * (audit-scale truth from a distinct-cell self-join) plus 1/0
+    * VERDICTS that each theta estimate lands within `tolerance` of
+    * exact — raw estimates never reach the hash-compare. Segment pairs
+    * with no shared ids still emit (inter = 0 is an answer).
+    */
+  def thetaOverlap(df: DataFrame, segmentCol: Column, idCol: Column,
+                   tolerance: Double = 0.05,
+                   digits: Int = 6): DataFrame = {
+    val base = df.select(segmentCol.as("__seg"),
+        idCol.cast("string").as("__aid"))
+      .filter(col("__seg").isNotNull && col("__aid").isNotNull)
+    val cells = base.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cells.groupBy(col("__seg")).agg(count(lit(1)).as("__n"))
+    val sk = base.groupBy(col("__seg"))
+      .agg(expr("theta_sketch_agg(__aid)").as("__sk"))
+    val inter = cells.as("a").join(cells.as("b"),
+        col("a.__aid") === col("b.__aid") && col("a.__seg") < col("b.__seg"))
+      .groupBy(col("a.__seg").as("__sa"), col("b.__seg").as("__sb"))
+      .agg(count(lit(1)).as("__ni"))
+    val grid = sizes.as("sa").join(sizes.as("sb"),
+        col("sa.__seg") < col("sb.__seg"))
+      .select(col("sa.__seg").as("__sa"), col("sb.__seg").as("__sb"),
+        col("sa.__n").as("__na"), col("sb.__n").as("__nb"))
+      .join(inter, Seq("__sa", "__sb"), "left")
+      .withColumn("__ni", coalesce(col("__ni"), lit(0L)))
+    val est = sk.as("ka").join(sk.as("kb"),
+        col("ka.__seg") < col("kb.__seg"))
+      .select(col("ka.__seg").as("__sa"), col("kb.__seg").as("__sb"),
+        expr("theta_sketch_estimate(theta_intersection(ka.__sk, kb.__sk))")
+          .as("__ei"),
+        expr("theta_sketch_estimate(theta_union(ka.__sk, kb.__sk))")
+          .as("__eu"),
+        expr("theta_sketch_estimate(theta_difference(ka.__sk, kb.__sk))")
+          .as("__ed"))
+    def ok(estC: Column, exactC: Column): Column =
+      (abs(estC.cast("double") - exactC.cast("double")) <=
+        lit(tolerance) * greatest(exactC.cast("double"), lit(1.0)))
+        .cast("long")
+    val out = grid.join(est, Seq("__sa", "__sb"))
+      .withColumn("__nu", col("__na") + col("__nb") - col("__ni"))
+      .select(col("__sa").as("seg_a"), col("__sb").as("seg_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__ni").as("n_inter"), col("__nu").as("n_union"),
+        roundStable(col("__ni").cast("double") / col("__nu"), digits)
+          .as("jaccard"),
+        ok(col("__ei"), col("__ni")).as("inter_ok"),
+        ok(col("__eu"), col("__nu")).as("union_ok"),
+        ok(col("__ed"), col("__na") - col("__ni")).as("diff_ok"))
+      .localCheckpoint()
+    cells.unpersist(blocking = false)
+    out
+  }
+
   /** Mergeable quantile sketches — [[distinctSketchKeyed]]'s twin for
     * percentiles: per (key, slice) equal-width HISTOGRAM rows over
     * key-frozen [lo, hi] ranges (the artifact — O(keys·slices·bins)

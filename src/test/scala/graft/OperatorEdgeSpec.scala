@@ -2756,6 +2756,25 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"5 valid urls, 3 pages (the two bare-root variants collapse): $census")
   }
 
+  test("Aggregates.thetaOverlap: hand pair algebra, zero-overlap pairs emitted, sketch verdicts pass at exact scale") {
+    import spark.implicits._
+    val df = Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s1", 3L), // dup id
+      ("s2", 2L), ("s2", 3L), ("s2", 4L),
+      ("s3", 9L)).toDF("seg", "uid")
+    val out = etl.Aggregates.thetaOverlap(df, col("seg"), col("uid"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val p12 = out(("s1", "s2"))
+    assert(p12.getLong(2) == 3L && p12.getLong(3) == 3L &&
+      p12.getLong(4) == 2L && p12.getLong(5) == 4L, s"$p12")
+    assert(p12.getDouble(6) == 0.5, s"jaccard: $p12")
+    assert(out(("s1", "s3")).getLong(4) == 0L,
+      "zero-overlap pair still emitted")
+    assert(out.size == 3, "all 3 pairs present")
+    // at this cardinality theta sketches are exact → every verdict 1
+    for (r <- out.values; i <- 7 to 9)
+      assert(r.getLong(i) == 1L, s"sketch verdict failed: $r")
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
