@@ -1426,6 +1426,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/mon/batch=1").collect().toSeq == before)
   }
 
+  test("ThetaStream: split stream ≡ one-shot overlap at exact-mode cardinality; duplicate-id replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_thetastream").toString
+    // batch 0: s1 sees ids 1-3, s2 sees 2-3; batch 1: s2 sees 4, s3
+    // sees 9, AND s1 re-sees id 2 (the cross-batch duplicate a counter
+    // would double-count; a sketch must not)
+    val b0 = Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s2", 2L), ("s2", 3L))
+    val b1 = Seq(("s2", 4L), ("s3", 9L), ("s1", 2L))
+    val mem = MemoryStream[(String, Long)]
+    val q = streaming.ThetaStream.toThetaSink(
+      mem.toDF().toDF("seg", "uid"), col("seg"), col("uid"),
+      s"$tmp/state", s"$tmp/ck").start()
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable(); q.stop()
+    // reach: at this cardinality theta is exact — s1 = 3 (id 2 seen in
+    // two batches counts once), s2 = 3, s3 = 1
+    val reach = streaming.ThetaStream.reach(spark, s"$tmp/state")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reach == Map("s1" -> 3L, "s2" -> 3L, "s3" -> 1L), s"$reach")
+    // overlap over merged state ≡ the one-shot batch computation
+    val ov = streaming.ThetaStream.overlap(spark, s"$tmp/state")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(ov(("s1", "s2")) == ((2L, 4L)), s"inter/union: $ov")
+    assert(ov(("s1", "s3")) == ((0L, 4L)))
+    // at-least-once replay: re-landing batch 1 overwrites byte-identically
+    // (sketch bytes compared by CONTENT hash — Row.toString of a binary
+    // column prints the array reference)
+    def snap() = spark.read.parquet(s"$tmp/state/batch=1")
+      .select(col("segment"), md5(col("sketch")).as("h"))
+      .collect().map(_.toString).sorted.toSeq
+    val before = snap()
+    streaming.ThetaStream.sketchBatch(b1.toDF("seg", "uid"), 1L,
+      col("seg"), col("uid"), s"$tmp/state")
+    assert(snap() == before, "replayed sketch state must be byte-identical")
+  }
+
   test("CensusStream: split corpus ≡ one-shot vocab curve and dup profile; replay byte-stable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
