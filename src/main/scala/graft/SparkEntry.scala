@@ -3309,6 +3309,14 @@ object SparkEntry {
           idCol = col("user_id"))
         .orderBy(col("seg_a"), col("seg_b"))),
 
+    "q371_debias" -> ((s, dir) =>
+      // the CURE for q292's anisotropy diagnosis (Mu & Viswanath '18
+      // all-but-the-top): mean-center + project out PC1; exploded
+      // scalar rows so the iterative-trainer output stays hash-gated
+      sim.Geometry.removeTopComponent(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("pos"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -8795,6 +8803,8 @@ object SparkEntry {
 
     "q292_pc1_power" -> Pc1OracleSql.sql,
 
+    "q371_debias" -> Pc1OracleSql.debiasSql,
+
     "q293_knn_outlier" ->
       // same all-pairs cosine distance, rounded BEFORE ranking, id
       // tie-breaks, k=10 mean, top-20 by (score desc, id)
@@ -12226,5 +12236,31 @@ private[graft] object Pc1OracleSql {
        |  roundStable(CASE WHEN tr.t > 0 THEN lam.l / tr.t ELSE 0.0 END, 6)
        |    AS pc1_var_share
        |FROM wf, lam, tr ORDER BY pos""".stripMargin
+  }
+
+  /** q371: the SAME 10-round fit (everything through `wf`), then the
+    * all-but-the-top projection per (vector, dim) — the common prefix
+    * is built once here so the two oracles cannot drift apart.
+    */
+  val debiasSql: String = {
+    // reuse everything up to and including wf/lam/tr by prefix-sharing
+    // the WITH-chain and swapping the final SELECT — the two oracles
+    // cannot drift apart
+    val base = sql.substring(0, sql.indexOf("SELECT CAST(wf.i - 1"))
+    base.reverse.dropWhile(_ == '\n').reverse + ",\n" +
+      """mn AS MATERIALIZED (SELECT i.i AS i,
+        |    avg(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)) AS m
+        |  FROM embeddings, range(1, 65) i(i) GROUP BY 1),
+        |pj AS MATERIALIZED (SELECT e.vec_id,
+        |    sum((CAST(e.embedding[CAST(wf.i AS INT)] AS DOUBLE) - mn.m)
+        |      * wf.w) AS p
+        |  FROM embeddings e, wf JOIN mn ON mn.i = wf.i GROUP BY 1)
+        |SELECT e.vec_id, CAST(wf.i - 1 AS BIGINT) AS pos,
+        |  roundStable((CAST(e.embedding[CAST(wf.i AS INT)] AS DOUBLE)
+        |      - mn.m) - pj.p * wf.w, 6) AS debiased
+        |FROM embeddings e, wf
+        |  JOIN mn ON mn.i = wf.i
+        |  JOIN pj ON pj.vec_id = e.vec_id
+        |ORDER BY e.vec_id, pos""".stripMargin
   }
 }

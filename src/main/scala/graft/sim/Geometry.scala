@@ -101,8 +101,24 @@ object Geometry {
     */
   def pc1Power(df: DataFrame, vecCol: String, iters: Int = 10,
                digits: Int = 6): DataFrame = {
-    require(iters >= 1, s"need iters >= 1, got $iters")
     val spark = df.sparkSession
+    val (w, share) = pc1Fit(df, vecCol, iters)
+    import spark.implicits._
+    w.zipWithIndex.map { case (x, i) => (i, x, share) }.toSeq
+      .toDF("pos", "__l", "__s")
+      .select(col("pos").cast("long").as("pos"),
+        roundStable(col("__l"), digits).as("pc1_loading"),
+        roundStable(col("__s"), digits).as("pc1_var_share"))
+      .orderBy(col("pos"))
+  }
+
+  /** The PC1 power-iteration fit shared by [[pc1Power]] (the diagnosis)
+    * and [[removeTopComponent]] (the cure): canonical-signed unit
+    * loading vector + λ₁/trace share.
+    */
+  private[graft] def pc1Fit(df: DataFrame, vecCol: String,
+                            iters: Int): (Array[Double], Double) = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
     // second moments need pairing within a row: re-explode against the
     // row's own vector (posexplode twice on the same row via a struct)
     val paired = df.select(col(vecCol).as("__v"))
@@ -146,13 +162,40 @@ object Geometry {
     }
     val trace = (0 until d).map(i => c(i)(i)).sum
     val share = if (trace > 0) lambda1 / trace else 0.0
-    import spark.implicits._
-    w.zipWithIndex.map { case (x, i) => (i, x, share) }.toSeq
-      .toDF("pos", "__l", "__s")
-      .select(col("pos").cast("long").as("pos"),
-        roundStable(col("__l"), digits).as("pc1_loading"),
-        roundStable(col("__s"), digits).as("pc1_var_share"))
-      .orderBy(col("pos"))
+    (w, share)
+  }
+
+  /** All-but-the-top debiasing (Mu & Viswanath ICLR'18) — the CURE for
+    * the anisotropy [[pc1Power]] diagnoses: subtract the corpus mean
+    * and project out the dominant direction,
+    * `x̂ = (x − μ) − ⟨x − μ, w⟩·w` — after which cosine similarity
+    * stops being dominated by the common component and ANN recall on
+    * the same index budget improves (the standard pre-index transform).
+    * μ and w are BOUNDED model constants (d and d doubles — collected
+    * once, broadcast as literals); the transform itself is a pure
+    * per-row projection, map-only at 100 TB. Output is the debiased
+    * vector EXPLODED to (id, pos, value) rows — scalar-typed and
+    * rounded, so the result is hash-gateable (array columns are not).
+    */
+  def removeTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                         iters: Int = 10, digits: Int = 6): DataFrame = {
+    val (w, _) = pc1Fit(df, vecCol, iters)
+    val mean = df
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("__pos"))
+      .agg(avg(col("__x").cast("double")).as("__m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val mLit = array(mean.map(lit).toIndexedSeq: _*)
+    val wLit = array(w.map(lit).toIndexedSeq: _*)
+    val centered = zip_with(col(vecCol), mLit, (x, m) => x.cast("double") - m)
+    val proj = dot(centered, wLit)
+    df.select(col(idCol), centered.as("__c"), proj.as("__p"))
+      .select(col(idCol), posexplode(col("__c")).as(Seq("__pos", "__x")),
+        col("__p"))
+      .select(col(idCol), col("__pos").cast("long").as("pos"),
+        roundStable(col("__x") -
+          col("__p") * element_at(wLit, col("__pos") + 1), digits)
+          .as("debiased"))
   }
 
   /** Rounded-cosine-distance pair stage shared by the kNN diagnostics:

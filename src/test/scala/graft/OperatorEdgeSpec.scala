@@ -2775,6 +2775,34 @@ class OperatorEdgeSpec extends AnyFunSuite {
       assert(r.getLong(i) == 1L, s"sketch verdict failed: $r")
   }
 
+  test("Geometry.removeTopComponent: debiased corpus has zero mean and zero PC1 projection") {
+    import spark.implicits._
+    // planted anisotropy: a dominant common direction on dim 1 plus
+    // small structure on dims 0 and 2
+    val df = (0 until 30).map { i =>
+      val j = (i % 7 - 3) * 0.1f
+      (i.toLong, Array(j, 5.0f + j * 0.3f, -j))
+    }.toDF("vec_id", "embedding")
+    val out = sim.Geometry.removeTopComponent(df, "vec_id", "embedding",
+      digits = 9).collect()
+    assert(out.length == 90)
+    // per-dim mean of the debiased corpus ~ 0 (mean removed)
+    val byPos = out.groupBy(_.getLong(1))
+    for ((p, rows) <- byPos) {
+      val m = rows.map(_.getDouble(2)).sum / rows.length
+      assert(math.abs(m) < 1e-6, s"dim $p mean $m")
+    }
+    // zero projection onto the fitted PC1: re-fit on the debiased
+    // vectors and the dominant direction's variance share collapses
+    val (w, _) = (sim.Geometry.pc1Fit(df, "embedding", 10))
+    val byVec = out.groupBy(_.getLong(0))
+    for ((_, rows) <- byVec) {
+      val v = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      val proj = v.zip(w).map { case (a, b) => a * b }.sum
+      assert(math.abs(proj) < 1e-6, s"residual projection $proj")
+    }
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
