@@ -3169,9 +3169,20 @@ object SparkEntry {
       // reuses the result without re-training and without holding
       // checkpoint blocks across the between-queries release.
       val (schema, rows) = memoOnce(s"annladder-$dir") {
-        val t = sim.AnnLadder.selectionTable(Tables.embeddings(s, dir),
+        val emb = Tables.embeddings(s, dir)
+        // reuse q71/q73's memoized codebooks (same keys, same params):
+        // the ladder evaluates the deployment's existing index models
+        val t = sim.AnnLadder.selectionTable(emb,
           "vec_id", "embedding", dim = 64, isQuery = col("vec_id") < 10,
-          k = 5)
+          k = 5,
+          ivfpqModel = Some(memoOnce(s"q71mdl|$dir") {
+            sim.IvfPq.fit(emb, "vec_id", "embedding", dim = 64,
+              kCoarse = 16, coarseIters = 3, pqIters = 3)
+          }),
+          ivfadcModel = Some(memoOnce(s"q73mdl|$dir") {
+            sim.IvfPq.fit(emb, "vec_id", "embedding", dim = 64,
+              kCoarse = 16, coarseIters = 3, pqIters = 3, residual = true)
+          }))
         (t.schema, t.collect().toSeq)
       }
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)

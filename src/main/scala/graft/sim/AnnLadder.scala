@@ -38,9 +38,16 @@ object AnnLadder {
   /** One row per ladder rung. `dim` is the embedding width; queries are
     * `isQuery` rows of `df` (small by the bruteForceTopK contract).
     */
+  /** Optional pre-trained quantizer models (e.g. a deployment's
+    * existing q71/q73 codebooks) — the realistic reuse path AND the
+    * Bench-cold economy: the ladder evaluates whatever index you
+    * already have rather than re-training its own.
+    */
   def selectionTable(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, isQuery: Column, k: Int = 5,
-      digits: Int = 4): DataFrame = {
+      digits: Int = 4,
+      ivfpqModel: Option[IvfPq.Model] = None,
+      ivfadcModel: Option[IvfPq.Model] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val corpus = df.select(col(idCol), col(vecCol))
@@ -107,15 +114,15 @@ object AnnLadder {
       model = Some(pqMdl))
     rungs += Rung("pq_m8", recallOf(pq), (n - 1).toDouble, 8.0, 100.0)
 
-    val ivfpqMdl = IvfPq.fit(corpus, idCol, vecCol, dim, kCoarse = 16,
-      coarseIters = 3, pqIters = 3)
+    val ivfpqMdl = ivfpqModel.getOrElse(IvfPq.fit(corpus, idCol, vecCol,
+      dim, kCoarse = 16, coarseIters = 3, pqIters = 3))
     val ivfpq = IvfPq.topK(corpus, idCol, vecCol, isQuery, dim, k,
       nprobe = 8, model = Some(ivfpqMdl))
     val ivfpqScan = ivfScanned(ivfpqMdl.coarse, 8)
     rungs += Rung("ivfpq_c16_np8_m8", recallOf(ivfpq), ivfpqScan, 8.0, 100.0)
 
-    val adcMdl = IvfPq.fit(corpus, idCol, vecCol, dim, kCoarse = 16,
-      coarseIters = 3, pqIters = 3, residual = true)
+    val adcMdl = ivfadcModel.getOrElse(IvfPq.fit(corpus, idCol, vecCol,
+      dim, kCoarse = 16, coarseIters = 3, pqIters = 3, residual = true))
     val adc = IvfPq.topK(corpus, idCol, vecCol, isQuery, dim, k,
       nprobe = 8, model = Some(adcMdl))
     rungs += Rung("ivfadc_c16_np8_m8", recallOf(adc),
