@@ -3328,6 +3328,15 @@ object SparkEntry {
           "vec_id", "embedding")
         .orderBy(col("vec_id"), col("pos"))),
 
+    "q372_group_sequential" -> ((s, dir) =>
+      // the scheduled-looks interim monitor beside q330's always-valid
+      // one: 5 pre-planned looks, cumulative Welch z vs pinned
+      // O'Brien-Fleming boundaries (spend alpha conservatively early)
+      etl.Experiment.groupSequential(Tables.events(s, dir),
+          Seq("event_type"), col("ts"),
+          isTreat = col("user_id") % 2 === 0, valueCol = col("value"))
+        .orderBy(col("event_type"), col("look"))),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -11189,6 +11198,58 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY count(*) DESC, gr ASC) AS rank
         |  FROM g GROUP BY gr HAVING count(*) >= 2)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q372_group_sequential" ->
+      // identical time-slice looks (epoch-micros arithmetic), identical
+      // cumulative Welch moments, identical pinned OBF literals
+      """WITH base AS (SELECT event_type, value,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS tr,
+        |    epoch_us(ts) AS tu,
+        |    min(epoch_us(ts)) OVER (PARTITION BY event_type) AS tmin,
+        |    max(epoch_us(ts)) OVER (PARTITION BY event_type) AS tmax
+        |  FROM events WHERE value IS NOT NULL),
+        |lk AS (SELECT event_type, value, tr,
+        |    least(CAST(floor(5.0 * CAST(tu - tmin AS DOUBLE)
+        |      / CAST(tmax - tmin + 1 AS DOUBLE)) AS BIGINT) + 1, 5)
+        |      AS look
+        |  FROM base),
+        |cells AS (SELECT event_type, look,
+        |    sum(CASE WHEN tr = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN tr = 1 THEN value ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN tr = 1 THEN value * value ELSE 0.0 END) AS qa,
+        |    sum(CASE WHEN tr = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN tr = 0 THEN value ELSE 0.0 END) AS sb,
+        |    sum(CASE WHEN tr = 0 THEN value * value ELSE 0.0 END) AS qb
+        |  FROM lk GROUP BY 1, 2),
+        |c AS (SELECT event_type, look,
+        |    sum(na) OVER w AS cna, sum(sa) OVER w AS csa,
+        |    sum(qa) OVER w AS cqa, sum(nb) OVER w AS cnb,
+        |    sum(sb) OVER w AS csb, sum(qb) OVER w AS cqb
+        |  FROM cells WINDOW w AS (PARTITION BY event_type ORDER BY look
+        |    ROWS UNBOUNDED PRECEDING)),
+        |sc AS (SELECT event_type, look, cna, cnb,
+        |    CASE WHEN cna > 0 THEN csa / cna END AS ma,
+        |    CASE WHEN cnb > 0 THEN csb / cnb END AS mb,
+        |    CASE WHEN cna >= 2 THEN (cqa - cna * (csa / cna)
+        |      * (csa / cna)) / (cna - 1) END AS s2a,
+        |    CASE WHEN cnb >= 2 THEN (cqb - cnb * (csb / cnb)
+        |      * (csb / cnb)) / (cnb - 1) END AS s2b
+        |  FROM c),
+        |zz AS (SELECT event_type, look, cna, cnb, ma, mb,
+        |    CASE WHEN cna >= 2 AND cnb >= 2
+        |      AND s2a / cna + s2b / cnb > 0
+        |      THEN (ma - mb) / sqrt(s2a / cna + s2b / cnb) END AS z,
+        |    CAST(CASE WHEN look = 1 THEN 4.8769
+        |      WHEN look = 2 THEN 3.3569 WHEN look = 3 THEN 2.6803
+        |      WHEN look = 4 THEN 2.2898 ELSE 2.0310 END AS DOUBLE)
+        |      AS boundary
+        |  FROM sc)
+        |SELECT event_type, look, CAST(cna AS BIGINT) AS n_treat,
+        |  CAST(cnb AS BIGINT) AS n_control,
+        |  roundStable(ma - mb, 6) AS delta, roundStable(z, 6) AS z,
+        |  boundary,
+        |  coalesce(abs(roundStable(z, 6)) > boundary, false) AS crossed
+        |FROM zz ORDER BY event_type, look""".stripMargin,
 
     "q370_theta_overlap" ->
       // exact pair counts from the same distinct-cell self-join; the

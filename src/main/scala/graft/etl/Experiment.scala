@@ -85,6 +85,77 @@ object Experiment {
         .as("significant")): _*)
   }
 
+  /** Group-sequential interim monitoring with O'Brien–Fleming
+    * boundaries (Jennison & Turnbull's tabulated two-sided α=0.05,
+    * K=5 equally-spaced looks) — the SCHEDULED-looks standard beside
+    * [[msprt]]'s peek-whenever monitor: a regulated analysis plan
+    * pre-commits to K interim analyses; each compares the CUMULATIVE
+    * Welch z against a boundary that spends alpha conservatively early
+    * (4.88 at look 1 → 2.03 at the final look), so an early stop needs
+    * overwhelming evidence but the final look costs almost nothing
+    * extra. Boundary constants are pinned shared double literals (the
+    * q253 z-constant discipline — neither engine computes an inverse
+    * normal). Looks are equal TIME slices of each key's observed range
+    * (int64-micros arithmetic, the q95 rule). Per (key, look):
+    * cumulative arm counts, effect, z, the boundary, and the crossing
+    * flag. Thin looks (an arm under 2 obs, or zero variance) emit NULL
+    * z — never a fake verdict. One cell agg over O(keys × K) rows plus
+    * cumulative windows on the same partitioning.
+    */
+  def groupSequential(df: DataFrame, keys: Seq[String], tsCol: Column,
+                      isTreat: Column, valueCol: Column,
+                      digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = valueCol.cast("double")
+    val wAll = Window.partitionBy(keyCols: _*)
+    val t = unix_micros(tsCol)
+    val based = df.filter(v.isNotNull)
+      .withColumn("__tmin", min(t).over(wAll))
+      .withColumn("__tmax", max(t).over(wAll))
+      .withColumn("look", least(
+        floor(lit(5.0) * (t - col("__tmin")).cast("double") /
+          (col("__tmax") - col("__tmin") + 1).cast("double")).cast("long")
+          + 1, lit(5L)))
+    val cells = based
+      .groupBy(keyCols :+ col("look"): _*)
+      .agg(
+        sum(when(isTreat, 1.0).otherwise(0.0)).as("__na"),
+        sum(when(isTreat, v).otherwise(0.0)).as("__sa"),
+        sum(when(isTreat, v * v).otherwise(0.0)).as("__qa"),
+        sum(when(isTreat, 0.0).otherwise(1.0)).as("__nb"),
+        sum(when(isTreat, 0.0).otherwise(v)).as("__sb"),
+        sum(when(isTreat, 0.0).otherwise(v * v)).as("__qb"))
+    val wCum = Window.partitionBy(keyCols: _*).orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = cells
+      .withColumn("__cna", sum(col("__na")).over(wCum))
+      .withColumn("__csa", sum(col("__sa")).over(wCum))
+      .withColumn("__cqa", sum(col("__qa")).over(wCum))
+      .withColumn("__cnb", sum(col("__nb")).over(wCum))
+      .withColumn("__csb", sum(col("__sb")).over(wCum))
+      .withColumn("__cqb", sum(col("__qb")).over(wCum))
+    val na = col("__cna"); val nb = col("__cnb")
+    val ma = when(na > 0, col("__csa") / na)
+    val mb = when(nb > 0, col("__csb") / nb)
+    val s2a = when(na >= 2, (col("__cqa") - na * ma * ma) / (na - 1))
+    val s2b = when(nb >= 2, (col("__cqb") - nb * mb * mb) / (nb - 1))
+    val vn = s2a / na + s2b / nb
+    val z = when(na >= 2 && nb >= 2 && vn > 0, (ma - mb) / sqrt(vn))
+    // O'Brien-Fleming two-sided 0.05, K=5 (Jennison & Turnbull)
+    val boundary = when(col("look") === 1, 4.8769)
+      .when(col("look") === 2, 3.3569)
+      .when(col("look") === 3, 2.6803)
+      .when(col("look") === 4, 2.2898)
+      .otherwise(2.0310)
+    c.select(keyCols ++ Seq(col("look"),
+      na.cast("long").as("n_treat"), nb.cast("long").as("n_control"),
+      roundStable(ma - mb, digits).as("delta"),
+      roundStable(z, digits).as("z"),
+      boundary.as("boundary"),
+      coalesce(abs(roundStable(z, digits)) > boundary, lit(false))
+        .as("crossed")): _*)
+  }
+
   /** UCB1 arm scores (Auer, Cesa-Bianchi & Fischer 2002) — per key,
     * each arm's empirical success rate plus the exploration bonus
     * `√(2 ln N / n)` and WHICH arm the policy would pull next (argmax

@@ -2803,6 +2803,44 @@ class OperatorEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("Experiment.groupSequential: planted effect crosses only late looks (OBF spends alpha early), calm key never crosses, thin look NULL") {
+    import spark.implicits._
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i / 24 % 28 + 1}%02d ${i % 24}%02d:00:00")
+    // calm: both arms N(≈0) — alternating ±1 by parity of i
+    val calm = (0 until 500).map(i =>
+      ("calm", ts(i), i.toLong, if (i % 4 < 2) 1.0 else -1.0))
+    // shifted: treatment (even user ids) runs +3 the whole time — a big
+    // effect, but look 1 has only 1/5 of the data: OBF's 4.88 boundary
+    // demands more evidence than 2.03 does at the end
+    val shift = (0 until 500).map { i =>
+      val treat = i % 2 == 0
+      ("shift", ts(i), i.toLong,
+        (if (i % 4 < 2) 0.5 else -0.5) + (if (treat) 3.0 else 0.0))
+    }
+    val out = etl.Experiment.groupSequential(
+      (calm ++ shift).toDF("k", "ts", "user_id", "v"), Seq("k"),
+      col("ts"), isTreat = col("user_id") % 2 === 0, valueCol = col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out.size == 10, "5 looks per key")
+    for (l <- 1L to 5L)
+      assert(!out(("calm", l)).getBoolean(7), s"calm never crosses: $l")
+    assert(out(("shift", 5L)).getBoolean(7),
+      s"full-data look crosses: ${out(("shift", 5L))}")
+    // boundaries decrease monotonically (alpha spent conservatively early)
+    val bs = (1L to 5L).map(l => out(("shift", l)).getDouble(6))
+    assert(bs == bs.sorted.reverse && bs.head > 4.8 && bs.last < 2.1)
+    // thin look: a key whose look-1 treatment arm has < 2 obs → NULL z
+    val thin = Seq(("t", ts(0), 0L, 1.0), ("t", ts(1), 1L, 2.0),
+      ("t", ts(100), 2L, 1.0), ("t", ts(101), 3L, 2.0),
+      ("t", ts(102), 4L, 1.5), ("t", ts(103), 5L, 2.5))
+      .toDF("k", "ts", "user_id", "v")
+    val tOut = etl.Experiment.groupSequential(thin, Seq("k"), col("ts"),
+      col("user_id") % 2 === 0, col("v"))
+      .collect().sortBy(_.getLong(1))
+    assert(tOut.head.isNullAt(5) && !tOut.head.getBoolean(7),
+      s"thin first look: NULL z, not crossed: ${tOut.head}")
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
