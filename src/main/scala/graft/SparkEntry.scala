@@ -3337,6 +3337,24 @@ object SparkEntry {
           isTreat = col("user_id") % 2 === 0, valueCol = col("value"))
         .orderBy(col("event_type"), col("look"))),
 
+    "q373_procrustes" -> ((s, dir) => {
+      // "did the new embedding model just rotate the space?": v2 is a
+      // planted 30° rotation of v1 on dims (0,1) + a 3-dim flip —
+      // raw cross-space cosines read as drift, the Procrustes-aligned
+      // cosines read ≈ 1. Rows-only (Jacobi SVD numerics); planted-
+      // rotation recovery is spec'd.
+      val v1 = Tables.embeddings(s, dir)
+      val c30 = math.cos(math.Pi / 6); val s30 = math.sin(math.Pi / 6)
+      val v2 = v1.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x * c30 - element_at(col("embedding"), 2) * s30)
+            .when(i === 1, element_at(col("embedding"), 1) * s30 + x * c30)
+            .when(i === 2, -x)
+            .otherwise(x).cast("float")).as("embedding"))
+      sim.Procrustes.alignReport(v1, v2, "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior

@@ -2841,6 +2841,37 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"thin first look: NULL z, not crossed: ${tOut.head}")
   }
 
+  test("Procrustes: planted rotation+reflection recovered (aligned cosine ≈ 1); identity aligns to itself") {
+    import spark.implicits._
+    val d = 8
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(d)(k => (((i * 31 + k * 17) % 13) - 6).toFloat / 3f)
+    val a = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val c45 = math.cos(math.Pi / 4).toFloat
+    val b = (0 until 40).map { i =>
+      val v = vec(i)
+      val r = v.clone()
+      r(0) = v(0) * c45 - v(1) * c45
+      r(1) = v(0) * c45 + v(1) * c45
+      r(2) = -v(2)
+      (i.toLong, r)
+    }.toDF("vec_id", "embedding")
+    val out = sim.Procrustes.alignReport(a, b, "vec_id", "embedding")
+      .collect()
+    assert(out.length == 40)
+    assert(out.forall(_.getDouble(2) > 0.9999),
+      s"aligned cosine ≈ 1 everywhere: ${out.map(_.getDouble(2)).min}")
+    val beforeAvg = out.map(_.getDouble(1)).sum / out.length
+    val afterAvg = out.map(_.getDouble(2)).sum / out.length
+    assert(beforeAvg < afterAvg - 0.01,
+      s"raw cross-space cosine reads drift: $beforeAvg vs $afterAvg")
+    val same = sim.Procrustes.alignReport(a, a, "vec_id", "embedding")
+      .collect()
+    assert(same.forall(r => r.getDouble(2) > 0.9999 &&
+      math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-4),
+      "identity snapshot: W ≈ I, before == after")
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
