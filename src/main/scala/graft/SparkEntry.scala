@@ -103,6 +103,24 @@ object SparkEntry {
         lit("&a=1"),
         when(col("doc_id") % 2 === 0, "#frag").otherwise("")).as("url"))
 
+  /** Continuous-ratings table for q374/q375 (same pooling as q355's
+    * nominal one, raw value kept): one rating per (unit, rater), first
+    * by (ts, event_id).
+    */
+  private def contRatingsFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .select((col("user_id") % 200).as("unit"),
+        col("event_type").as("rater"), col("value").as("rating"),
+        col("ts"), col("event_id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("unit"), col("rater"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("__rn") === 1)
+      .select((col("unit") % 3).as("cohort"), col("unit"), col("rater"),
+        col("rating"))
+  }
+
   /** Multi-rater ratings table for q355/q356: unit = user_id pooled mod
     * 200 (so several raters rate one unit), rater = event_type, label =
     * coarse value bucket, ONE rating per (unit, rater) picked
@@ -3354,6 +3372,20 @@ object SparkEntry {
       sim.Procrustes.alignReport(v1, v2, "vec_id", "embedding")
         .orderBy(col("vec_id"))
     }),
+
+    "q374_icc" -> ((s, dir) =>
+      // continuous-ratings agreement (the kappa family's ANOVA
+      // sibling): how much rating variance is the UNITS vs raters+noise
+      etl.MlEval.icc(contRatingsFrame(s, dir), Seq("cohort"),
+          col("unit"), col("rating"))
+        .orderBy(col("cohort"))),
+
+    "q375_cronbach" -> ((s, dir) =>
+      // internal consistency of the complete rater panel; incomplete
+      // units excluded and counted (ragged α isn't Cronbach's α)
+      etl.MlEval.cronbachAlpha(contRatingsFrame(s, dir), Seq("cohort"),
+          col("unit"), col("rater"), col("rating"))
+        .orderBy(col("cohort"))),
 
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
@@ -11006,6 +11038,74 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END END AS BIGINT)
         |  FROM g) u
         |ORDER BY covariate""".stripMargin,
+
+    "q374_icc" ->
+      // identical continuous derivation, one-way ANOVA from cell
+      // moments, identical unequal-groups k0 and ratio expressions
+      """WITH r0 AS (SELECT user_id % 200 AS unit,
+        |    CAST(value AS DOUBLE) AS rating,
+        |    row_number() OVER (PARTITION BY user_id % 200, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT unit % 3 AS cohort, unit, rating FROM r0
+        |  WHERE rn = 1),
+        |units AS (SELECT cohort, unit, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(rating) AS s, sum(rating * rating) AS q
+        |  FROM r GROUP BY 1, 2 HAVING count(*) >= 2),
+        |g AS (SELECT cohort, sum(n) AS nn, count(*) AS k, sum(s) AS ss,
+        |    sum(q - s * s / n) AS ssw, sum(s * s / n) AS sb,
+        |    sum(n * n) AS nsq
+        |  FROM units GROUP BY 1),
+        |m AS (SELECT cohort, k, nn,
+        |    (sb - ss * ss / nn) / (CAST(k AS DOUBLE) - 1) AS msb,
+        |    ssw / (nn - CAST(k AS DOUBLE)) AS msw,
+        |    (nn - nsq / nn) / (CAST(k AS DOUBLE) - 1) AS k0
+        |  FROM g)
+        |SELECT cohort, k AS n_units, CAST(nn AS BIGINT) AS n_ratings,
+        |  roundStable(msb, 6) AS ms_between,
+        |  roundStable(msw, 6) AS ms_within,
+        |  roundStable(CASE WHEN k >= 2
+        |      AND msb + (k0 - 1) * msw > 0
+        |    THEN (msb - msw) / (msb + (k0 - 1) * msw) END, 6) AS icc
+        |FROM m ORDER BY cohort""".stripMargin,
+
+    "q375_cronbach" ->
+      """WITH r0 AS (SELECT user_id % 200 AS unit, event_type AS rater,
+        |    CAST(value AS DOUBLE) AS rating,
+        |    row_number() OVER (PARTITION BY user_id % 200, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT unit % 3 AS cohort, unit, rater, rating FROM r0
+        |  WHERE rn = 1),
+        |kk AS (SELECT cohort, CAST(count(DISTINCT rater) AS DOUBLE)
+        |    AS kk FROM r GROUP BY 1),
+        |ur AS (SELECT cohort, unit, CAST(count(*) AS DOUBLE) AS nr,
+        |    sum(rating) AS tot FROM r GROUP BY 1, 2),
+        |cu AS (SELECT ur.cohort, ur.unit, ur.tot,
+        |    (ur.nr = kk.kk) AS fl FROM ur JOIN kk USING (cohort)),
+        |tv AS (SELECT cohort, CAST(count(*) AS DOUBLE) AS m,
+        |    avg(tot) AS mt, avg(tot * tot) AS qt
+        |  FROM cu WHERE fl GROUP BY 1),
+        |iv AS (SELECT cohort, sum(qi - mi * mi) AS vsum FROM (
+        |    SELECT r.cohort, r.rater, avg(r.rating) AS mi,
+        |      avg(r.rating * r.rating) AS qi
+        |    FROM r JOIN cu ON cu.cohort = r.cohort AND cu.unit = r.unit
+        |      AND cu.fl
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |inc AS (SELECT cohort,
+        |    CAST(sum(CASE WHEN fl THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_incomplete
+        |  FROM cu GROUP BY 1)
+        |SELECT tv.cohort, CAST(tv.m AS BIGINT) AS n_complete_units,
+        |  CAST(kk.kk AS BIGINT) AS k_raters, inc.n_incomplete,
+        |  roundStable(CASE WHEN kk.kk >= 2 AND tv.m >= 2
+        |      AND tv.qt - tv.mt * tv.mt > 0
+        |    THEN kk.kk / (kk.kk - 1)
+        |      * (1.0 - iv.vsum / (tv.qt - tv.mt * tv.mt)) END, 6)
+        |    AS alpha
+        |FROM tv JOIN iv USING (cohort) JOIN kk USING (cohort)
+        |  JOIN inc USING (cohort)
+        |ORDER BY tv.cohort""".stripMargin,
 
     "q355_fleiss_kappa" ->
       // the identical ratings derivation (first rating per (unit,

@@ -565,6 +565,107 @@ object MlEval {
       .orderBy(col("param"))
   }
 
+  /** Intraclass correlation ICC(1,1) per key (Shrout & Fleiss 1979,
+    * one-way random effects) — agreement for CONTINUOUS ratings, where
+    * [[fleissKappa]]/[[krippendorffAlpha]] handle categories: what
+    * share of rating variance is the UNITS (signal) rather than the
+    * raters + noise (everything else). The reward-model / quality-score
+    * QA readout: ICC near 0 means the scores mostly measure who scored,
+    * not what was scored. One-way ANOVA from cell moments — per unit
+    * (n_i, Σx, Σx²), then `MSB = Σn_i(x̄_i−x̄)²/(n−1)`,
+    * `MSW = ΣΣ(x−x̄_i)²/(N−n)`, unequal group sizes via
+    * `k₀ = (N − Σn_i²/N)/(n−1)`, `ICC = (MSB−MSW)/(MSB+(k₀−1)MSW)`.
+    * Single-rating units excluded from MSW's df but kept in MSB
+    * (standard one-way treatment is to keep all units; we EXCLUDE
+    * sub-2 units entirely and count them — mixing designs silently is
+    * how reliability numbers lie). Degenerate keys (denominator ≤ 0,
+    * <2 pairable units) NULL.
+    */
+  def icc(df: DataFrame, keys: Seq[String], unitCol: Column,
+          ratingCol: Column, decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = ratingCol.cast("double")
+    val units = df.filter(v.isNotNull)
+      .groupBy(keyCols :+ unitCol.as("__u"): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(v).as("__s"), sum(v * v).as("__q"))
+      .filter(col("__n") >= 2)
+    val g = units.groupBy(keyCols: _*)
+      .agg(sum(col("__n")).as("__N"), count(lit(1)).as("__k"),
+        sum(col("__s")).as("__S"),
+        // SSW = Σ(q_i − s_i²/n_i); SSB needs Σ s_i²/n_i too
+        sum(col("__q") - col("__s") * col("__s") / col("__n")).as("__ssw"),
+        sum(col("__s") * col("__s") / col("__n")).as("__sb"),
+        sum(col("__n") * col("__n")).as("__nsq"))
+    val nU = col("__k").cast("double")
+    val ssb = col("__sb") - col("__S") * col("__S") / col("__N")
+    val msb = ssb / (nU - 1)
+    val msw = col("__ssw") / (col("__N") - nU)
+    val k0 = (col("__N") - col("__nsq") / col("__N")) / (nU - 1)
+    val denom = msb + (k0 - 1) * msw
+    g.select(keyCols ++ Seq(
+      col("__k").as("n_units"), col("__N").cast("long").as("n_ratings"),
+      roundStable(msb, decimals).as("ms_between"),
+      roundStable(msw, decimals).as("ms_within"),
+      roundStable(when(col("__k") >= 2 && denom > 0,
+        (msb - msw) / denom), decimals).as("icc")): _*)
+  }
+
+  /** Cronbach's alpha per key (1951) — internal consistency of a
+    * COMPLETE rater/item panel: does the panel of k raters (or k score
+    * components) measure one underlying thing,
+    * `α = k/(k−1)·(1 − Σσ²_item / σ²_total)` with σ²_total the variance
+    * of per-unit SUM scores. Requires the complete design BY CONTRACT:
+    * units missing any rater are EXCLUDED and counted (`n_incomplete`)
+    * — α over a ragged panel is not Cronbach's α, and padding with
+    * imputation would manufacture consistency. Population variances
+    * (÷N, both engines identical); k from the key's own distinct
+    * raters. Degenerate keys (k < 2, zero total variance, < 2 complete
+    * units) NULL.
+    */
+  def cronbachAlpha(df: DataFrame, keys: Seq[String], unitCol: Column,
+                    raterCol: Column, ratingCol: Column,
+                    decimals: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = ratingCol.cast("double")
+    val cells = df.filter(v.isNotNull)
+      .groupBy(keyCols :+ unitCol.as("__u") :+ raterCol.as("__r"): _*)
+      .agg(first(v).as("__x")) // caller supplies one rating per cell;
+        // first() over a 1-row group is deterministic
+    val kPerKey = cells.groupBy(keyCols: _*)
+      .agg(countDistinct(col("__r")).cast("double").as("__kk"))
+    val unitRows = cells.groupBy(keyCols :+ col("__u"): _*)
+      .agg(count(lit(1)).cast("double").as("__nr"), sum(col("__x")).as("__tot"))
+    val complete = unitRows.join(kPerKey, keys)
+      .withColumn("__full", col("__nr") === col("__kk"))
+    val totVar = complete.filter(col("__full"))
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).cast("double").as("__m"),
+        avg(col("__tot")).as("__mt"),
+        avg(col("__tot") * col("__tot")).as("__qt"))
+      .select(keyCols :+ col("__m") :+
+        (col("__qt") - col("__mt") * col("__mt")).as("__vtot"): _*)
+    val fullUnits = complete.filter(col("__full"))
+      .select(keyCols :+ col("__u"): _*)
+    val itemVar = cells.join(fullUnits, keys :+ "__u")
+      .groupBy(keyCols :+ col("__r"): _*)
+      .agg(avg(col("__x")).as("__mi"), avg(col("__x") * col("__x")).as("__qi"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__qi") - col("__mi") * col("__mi")).as("__vsum"))
+    val incomplete = complete.groupBy(keyCols: _*)
+      .agg(sum(when(col("__full"), 0L).otherwise(1L)).as("n_incomplete"))
+    totVar.join(itemVar, keys).join(kPerKey, keys).join(incomplete, keys)
+      .select(keyCols ++ Seq(
+        col("__m").cast("long").as("n_complete_units"),
+        col("__kk").cast("long").as("k_raters"),
+        col("n_incomplete"),
+        roundStable(when(col("__kk") >= 2 && col("__m") >= 2 &&
+          col("__vtot") > 0,
+          col("__kk") / (col("__kk") - 1) *
+            (lit(1.0) - col("__vsum") / col("__vtot"))), decimals)
+          .as("alpha")): _*)
+  }
+
   /** Labeling-function diagnostics (the Snorkel-style panel, Ratner et
     * al. VLDB'18's analysis table computed exactly at corpus scale):
     * per LF over a long-form (unit, lf, label) vote table —

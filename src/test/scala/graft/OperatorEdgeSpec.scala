@@ -2872,6 +2872,46 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "identity snapshot: W ≈ I, before == after")
   }
 
+  test("MlEval.icc: Shrout-Fleiss Table-2 value exact; perfect agreement → 1; single-rating units excluded") {
+    import spark.implicits._
+    val table2 = Seq(
+      Seq(9, 2, 5, 8), Seq(6, 1, 3, 2), Seq(8, 4, 6, 8),
+      Seq(7, 1, 2, 6), Seq(10, 5, 6, 9), Seq(6, 2, 4, 7))
+    val rows = table2.zipWithIndex.flatMap { case (rs, u) =>
+      rs.map(x => ("sf", u.toLong, x.toDouble)) }
+    val perfect = (0 until 4).flatMap(u =>
+      Seq(("p", u.toLong, u * 10.0), ("p", u.toLong, u * 10.0)))
+    val single = Seq(("sf", 99L, 5.0)) // one rating → excluded
+    val out = etl.MlEval.icc((rows ++ perfect ++ single)
+        .toDF("k", "unit", "rating"), Seq("k"), col("unit"), col("rating"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sf = out("sf")
+    assert(sf.getLong(1) == 6L && sf.getLong(2) == 24L,
+      s"single-rating unit excluded: $sf")
+    assert(math.abs(sf.getDouble(5) - 0.165742) < 1e-6,
+      s"Shrout-Fleiss ICC(1,1): $sf")
+    assert(out("p").getDouble(5) == 1.0, s"zero within-variance: ${out("p")}")
+  }
+
+  test("MlEval.cronbachAlpha: hand two-item alpha 8/9; incomplete unit excluded and counted; one-item NULL") {
+    import spark.implicits._
+    // X1 = [1,2,3], X2 = [2,4,6] → alpha = 8/9
+    val full = Seq(("k", 1L, "a", 1.0), ("k", 1L, "b", 2.0),
+      ("k", 2L, "a", 2.0), ("k", 2L, "b", 4.0),
+      ("k", 3L, "a", 3.0), ("k", 3L, "b", 6.0))
+    val ragged = Seq(("k", 4L, "a", 9.0)) // missing rater b → excluded
+    val oneItem = Seq(("o", 1L, "a", 1.0), ("o", 2L, "a", 2.0))
+    val out = etl.MlEval.cronbachAlpha(
+      (full ++ ragged ++ oneItem).toDF("k", "unit", "rater", "rating"),
+      Seq("k"), col("unit"), col("rater"), col("rating"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) == 3L && k.getLong(2) == 2L && k.getLong(3) == 1L,
+      s"3 complete units, 2 raters, 1 incomplete: $k")
+    assert(math.abs(k.getDouble(4) - 8.0 / 9) < 1e-6, s"hand alpha: $k")
+    assert(out("o").isNullAt(4), "one rater: consistency undefined")
+  }
+
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
     val perfect = (1 to 10).map(i => ("p", i.toDouble, i > 5))
     val inverted = (1 to 10).map(i => ("i", i.toDouble, i <= 5))
