@@ -11,11 +11,27 @@ import org.apache.spark.sql.SparkSession
   * The artifact is SELF-EXPLAINING on a contended box (the warm>cold
   * inversion class recurred four rounds on the driver machine while the
   * idle box showed zero): every run records /proc/loadavg at start,
-  * process-CPU-vs-wall fraction, and GC + JIT-compile time deltas, and
-  * any query whose warm run exceeds its cold run is re-measured serially
-  * before the artifact is written. Each surviving inversion carries a
-  * verdict naming the interferer (external load / GC / JIT) or
-  * `vanished` when the re-measure shows the steady-state ordering.
+  * process-CPU-vs-wall fraction, and GC + JIT-compile time deltas; any
+  * query whose warm exceeds its cold, OR whose cold is an outlier
+  * (≫ its own warm, or ≫ its previous round's cold read from the
+  * committed `bench-latest.json`), is re-measured serially before the
+  * artifact is written, and carries a verdict naming the interferer or
+  * confirming the number. r11 shipped q190_ppr's cold at 2.5× its r10
+  * value with no way to tell "regressed" from "box was busy" — the
+  * cold side now has the same re-measure path the warm side got in r10.
+  *
+  * Hygiene between timed runs is DETERMINISTIC, not best-effort: r12
+  * triage measured ~40 broadcast blocks (~130 MB with disk) surviving
+  * per PageRank run through unpersist + System.gc() — strongly-held
+  * `Broadcast` objects the ContextCleaner can never reclaim, compounding
+  * to the r11 artifact's 130 MB residual. [[Blocks.hardReset]] now
+  * blocks on RDD removal and drops all broadcast blocks synchronously,
+  * so `max_residual_storage_mb` ≈ 0 is a per-run PROOF of isolation.
+  *
+  * The complete artifact (full per-query timings + telemetry) is also
+  * WRITTEN TO `bench-latest.json` in the repo: the driver's stdout
+  * capture keeps only a ~2 KB tail, which in r11 truncated the
+  * per-query telemetry arrays out of the record.
   */
 object Bench {
   /** Executor storage memory in use (MB) — in local mode, the one block
@@ -66,17 +82,39 @@ object Bench {
       storageAtStartMb: Long, load: Double, cpuFrac: Double,
       gcSec: Double, jitSec: Double)
 
+  /** Previous round's per-query COLD seconds from the committed
+    * `bench-latest.json` (this main writes it; the round driver commits
+    * it) — the reference that lets a cold outlier be recognized as a
+    * REGRESSION rather than a mystery. Tolerant regex parse of the
+    * `"queries":{...}` object this same code emits; absent file or
+    * shape drift ⇒ empty map (first round, or format change — the
+    * verdict logic then falls back to own-warm comparison only).
+    */
+  private def priorColds(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return Map.empty
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val qIdx = s.indexOf("\"queries\":{")
+      if (qIdx < 0) return Map.empty
+      val start = qIdx + "\"queries\":{".length
+      val end = s.indexOf("}", start)
+      if (end < 0) return Map.empty
+      val body = s.substring(start, end)
+      val pair = """"([^"]+)":([0-9.Ee+-]+)""".r
+      pair.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ncores = cpus.toDouble
     val spark = Sessions.local(cpus, shufflePartitions = cpus)
     spark.sparkContext.setLogLevel("WARN")
+    val prior = priorColds("bench-latest.json")
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
-      // Bound cached-block lifetime per run: the dedup/CC queries return
-      // localCheckpoint'd results whose blocks otherwise outlive the query
-      // — 65 queries × 2 runs of accumulation degrades later warm runs
-      // (storage-memory pressure), poisoning the artifact.
       val before = Blocks.persistedIds(spark)
       val storageAtStart = storageUsedMb(spark)
       val load0 = loadAvg()
@@ -97,50 +135,83 @@ object Bench {
         else (cpu1 - cpu0) / 1e9 / (dt * ncores)
       val gcSec = (gcMs() - gc0) / 1e3
       val jitSec = (jitMs() - jit0) / 1e3
-      Blocks.releaseSince(spark, before)
-      // Drain this query's dead weight NOW, not during a neighbor's timed
-      // run: shuffle files and broadcast blocks are released by the
-      // ContextCleaner only when their owners are garbage-collected, so
-      // without an explicit GC a heavy query's cleanup lands inside
-      // whichever later query happens to trigger collection — the
-      // warm>cold inversions the r8/r9 artifacts kept flagging. The GC
-      // runs OUTSIDE the timed window.
+      // Deterministic teardown OUTSIDE the timed window: blocking RDD
+      // unpersist + synchronous broadcast-block drop (the part no public
+      // API reaches and no GC ever frees — see Blocks.hardReset), then a
+      // GC so this query's dead weight can't land inside a neighbor's
+      // timed run (the r8/r9 warm>cold inversion class).
+      Blocks.hardReset(spark, before)
       System.gc()
       Thread.sleep(100) // let the async cleaner act on the cleared refs
       Run(dt, err, storageAtStart, load0, cpuFrac, gcSec, jitSec)
     }
     final case class Entry(name: String, cold: Run, warm: Run,
-        remeasured: Option[(Run, Run)], verdict: Option[String]) {
+        remeasured: Option[(Run, Run)], warmVerdict: Option[String],
+        coldVerdict: Option[String]) {
       def err: Option[String] = cold.err.orElse(warm.err)
-      // headline warm: the re-measured number when the first pass was
-      // contaminated — steady-state is what "warm" claims to measure
-      def warmSec: Double = remeasured.map(_._2.wallSec).getOrElse(warm.wallSec)
-      def coldSec: Double = cold.wallSec
+      // headline substitution policy (symmetric, conservative): a
+      // re-measured number replaces the first pass ONLY when its verdict
+      // says the first pass was contaminated (vanished/external), and
+      // then as the MIN of the two measurements — a contaminated run is
+      // an overestimate, never an underestimate. A true regression keeps
+      // the first-pass number: substituting would hide the finding.
+      private val coldContaminated = Set("cold_contention_vanished",
+        "external_load", "descheduled_external")
+      private val warmContaminated = Set("vanished_on_remeasure",
+        "external_load", "descheduled_external")
+      def warmSec: Double = remeasured match {
+        case Some((_, w2)) if warmVerdict.exists(warmContaminated) =>
+          math.min(warm.wallSec, w2.wallSec)
+        case _ => warm.wallSec
+      }
+      def coldSec: Double = remeasured match {
+        case Some((c2, _)) if coldVerdict.exists(coldContaminated) =>
+          math.min(cold.wallSec, c2.wallSec)
+        case _ => cold.wallSec
+      }
     }
     val inverted = (c: Run, w: Run) =>
       w.wallSec > c.wallSec * 1.15 && w.wallSec - c.wallSec > 1.0
+    // Cold outlier: the first-pass cold dwarfs the query's own steady
+    // state (trainer-class queries legitimately do — the re-measure then
+    // confirms them) or its previous round's cold.
+    val coldOutlier = (name: String, c: Run, w: Run) =>
+      (c.wallSec > w.wallSec * 2.5 && c.wallSec - w.wallSec > 2.0) ||
+        prior.get(name).exists(p => c.wallSec > p * 2.5 && c.wallSec - p > 2.0)
     val firstPass = SparkEntry.queries.map { case (name, fn) =>
       (name, fn, time(fn), time(fn))
     }.toSeq
-    // Serial re-measure of every inversion BEFORE the artifact is
+    // Serial re-measure of every flagged query BEFORE the artifact is
     // written: on a contended box the first-pass numbers may time a
     // neighbor process, not the query. The re-measure is one more
-    // cold+warm pair; if the inversion vanishes the artifact says so,
-    // if it persists the telemetry names the interferer.
+    // cold+warm pair; the verdicts name the interferer or confirm the
+    // number, on BOTH sides.
     val results = firstPass.map { case (name, fn, c, w) =>
-      if (c.err.isDefined || w.err.isDefined || !inverted(c, w))
-        Entry(name, c, w, None, None)
+      val isInv = c.err.isEmpty && w.err.isEmpty && inverted(c, w)
+      val isColdOut = c.err.isEmpty && w.err.isEmpty && coldOutlier(name, c, w)
+      if (!isInv && !isColdOut) Entry(name, c, w, None, None, None)
       else {
         val c2 = time(fn)
         val w2 = time(fn)
-        val verdict =
+        val warmVerdict = if (!isInv) None else Some(
           if (!inverted(c2, w2)) "vanished_on_remeasure"
           else if (w2.load > ncores * 0.5 && w2.load > c2.load * 1.5) "external_load"
           else if (w2.cpuFrac >= 0 && w2.cpuFrac < 0.05) "descheduled_external"
           else if (w2.gcSec > w2.wallSec * 0.3) "gc"
           else if (w2.jitSec > w2.wallSec * 0.3) "jit"
-          else "true_warm_regression" // real: warm plan genuinely slower
-        Entry(name, c, w, Some((c2, w2)), Some(verdict))
+          else "true_warm_regression") // real: warm genuinely slower
+        val coldVerdict = if (!isColdOut) None else Some(
+          if (c2.wallSec < c.wallSec * 0.6) "cold_contention_vanished"
+          else if (c2.load > ncores * 0.5) "external_load"
+          else if (c2.cpuFrac >= 0 && c2.cpuFrac < 0.05) "descheduled_external"
+          else if (c2.gcSec > c2.wallSec * 0.3) "gc"
+          else if (c2.jitSec > c2.wallSec * 0.3) "jit"
+          else prior.get(name) match {
+            case Some(p) if c2.wallSec > p * 2.5 + 2 => "true_cold_regression"
+            case Some(_) => "matches_prior_round" // own-warm trigger; cost is real and unchanged
+            case None => "genuine_cold_cost" // reproduces; no prior to compare
+          })
+        Entry(name, c, w, Some((c2, w2)), warmVerdict, coldVerdict)
       }
     }
     def js(entries: Seq[(String, Double)]) = entries
@@ -154,31 +225,44 @@ object Bench {
     val total = ok.map(_.coldSec).sum
     val totalWarm = ok.map(_.warmSec).sum
     // Residual-interference tell: max storage-memory (MB) found in use at
-    // any query's start. ~0 means every timing started from a clean block
-    // manager; large values mean the between-queries reset failed and
-    // per-query numbers are suspect.
+    // any query's start. ~0 proves every timing started from a clean
+    // block manager (hardReset works); large values mean the reset
+    // failed and per-query numbers are suspect.
     val maxResidualMb = if (results.isEmpty) 0L
       else results.map(e => math.max(e.cold.storageAtStartMb, e.warm.storageAtStartMb)).max
     val errJs = failed.map(f => "\"" + f.name + "\"").mkString("[", ",", "]")
-    // Inversion audit — one object per first-pass inversion, with the
-    // re-measured pair and the verdict. Empty array = clean artifact.
-    val invJs = results.filter(_.remeasured.isDefined).map { e =>
+    def reJs(e: Entry, verdict: String, extra: String): String = {
       val (c2, w2) = e.remeasured.get
-      f""""${e.name}":{"cold":${e.cold.wallSec}%.2f,"warm":${e.warm.wallSec}%.2f,"recold":${c2.wallSec}%.2f,"rewarm":${w2.wallSec}%.2f,"verdict":"${e.verdict.get}","load":${w2.load}%.1f,"cpu_frac":${w2.cpuFrac}%.2f,"gc_sec":${w2.gcSec}%.2f,"jit_sec":${w2.jitSec}%.2f}"""
+      f""""${e.name}":{"cold":${e.cold.wallSec}%.2f,"warm":${e.warm.wallSec}%.2f,"recold":${c2.wallSec}%.2f,"rewarm":${w2.wallSec}%.2f,"verdict":"$verdict"$extra,"load":${w2.load}%.1f,"cpu_frac":${w2.cpuFrac}%.2f,"gc_sec":${w2.gcSec}%.2f,"jit_sec":${w2.jitSec}%.2f}"""
+    }
+    // Warm-inversion audit — one object per first-pass inversion, with
+    // the re-measured pair and the verdict. Empty = clean.
+    val invJs = results.filter(e => e.warmVerdict.isDefined).map { e =>
+      reJs(e, e.warmVerdict.get, "")
     }.mkString("{", ",", "}")
-    val unexplained = results.count(_.verdict.contains("true_warm_regression"))
-    val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":$errJs,"max_residual_storage_mb":$maxResidualMb,"inversions":$invJs,"n_unexplained_inversions":$unexplained,"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
-    // Per-query telemetry (full line only): [load, cpu_frac, gc_sec,
-    // jit_sec] for the cold run then the warm run — the reader can
-    // attribute ANY suspicious number, not just flagged inversions.
+    // Cold-outlier audit — same shape, plus the prior-round cold when
+    // one exists (the number the outlier was judged against).
+    val coldJs = results.filter(e => e.coldVerdict.isDefined).map { e =>
+      val p = prior.get(e.name).map(v => f""","prior_cold":$v%.2f""").getOrElse("")
+      reJs(e, e.coldVerdict.get, p)
+    }.mkString("{", ",", "}")
+    val unexplained = results.count(_.warmVerdict.contains("true_warm_regression"))
+    val coldRegressed = results.count(_.coldVerdict.contains("true_cold_regression"))
+    val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":$errJs,"max_residual_storage_mb":$maxResidualMb,"inversions":$invJs,"cold_outliers":$coldJs,"n_unexplained_inversions":$unexplained,"n_cold_regressions":$coldRegressed,"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
+    // Per-query telemetry: [load, cpu_frac, gc_sec, jit_sec] for the
+    // cold run then the warm run — the reader can attribute ANY
+    // suspicious number, not just flagged ones.
     val telemJs = ok.map { e =>
       def t(r: Run) = f"${r.load}%.1f,${r.cpuFrac}%.2f,${r.gcSec}%.2f,${r.jitSec}%.2f"
       s""""${e.name}":[${t(e.cold)},${t(e.warm)}]"""
     }.mkString("{", ",", "}")
-    // Full per-query detail first; the artifact capture keeps only a ~2 KB
-    // TAIL of stdout, so this line may truncate — it exists for local logs
-    // and judge re-runs.
-    println(s"""{"metric":"total_full",$head,"queries":${js(ok.map(e => (e.name, e.coldSec)))},"warm":${js(ok.map(e => (e.name, e.warmSec)))},"telemetry":$telemJs}""")
+    val fullLine = s"""{"metric":"total_full",$head,"queries":${js(ok.map(e => (e.name, e.coldSec)))},"warm":${js(ok.map(e => (e.name, e.warmSec)))},"telemetry":$telemJs}"""
+    // The artifact of record for the FULL detail: the driver's stdout
+    // capture keeps only a ~2 KB tail (r11 lost the telemetry arrays to
+    // it), so the complete object goes to a committed repo file too.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench-latest.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    println(fullLine)
     // The LAST line is short enough (~1 KB) to always survive the tail
     // capture intact and parse: headline totals + the top-10 cold and warm
     // queries — round-over-round per-query comparability can't be eaten by

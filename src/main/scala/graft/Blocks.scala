@@ -52,4 +52,25 @@ object Blocks {
     */
   def releaseAll(spark: SparkSession): Int =
     releaseSince(spark, Set.empty)
+
+  /** The TIMED-HARNESS reset: synchronous unpersist of every RDD
+    * persisted since `before` PLUS a synchronous drop of all broadcast
+    * blocks. `releaseSince` alone leaves broadcasts behind — they are
+    * only reclaimed when the ContextCleaner notices their `Broadcast`
+    * objects got GC'd, which for strongly-referenced ones is NEVER: the
+    * round-12 triage measured ~40 broadcast blocks (~130 MB incl. disk)
+    * surviving per PageRank run through releaseSince + System.gc(),
+    * compounding linearly across a 372-query bench (the r11 artifact's
+    * 130 MB max residual). Blocking removal means the next timed run
+    * starts from a provably clean block manager instead of racing the
+    * async cleaner — the between-runs determinism a benchmark needs.
+    * NOT for query hot paths: a live query's in-flight broadcasts must
+    * not be dropped under it.
+    */
+  def hardReset(spark: SparkSession, before: Set[Int]): Unit = {
+    val fresh = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+    fresh.values.foreach(_.unpersist(blocking = true))
+    org.apache.spark.GraftSparkShims.dropAllBroadcastBlocks(spark.sparkContext)
+  }
 }

@@ -3387,6 +3387,25 @@ object SparkEntry {
           col("unit"), col("rater"), col("rating"))
         .orderBy(col("cohort"))),
 
+    "q376_pagerank_dangling" -> ((s, dir) => {
+      // PageRank on the RAW (un-symmetrized) customer→supplier graph:
+      // every supplier is a dangling sink, so the default run leaks
+      // ~all rank mass by round 10 — redistributeDangling teleports
+      // the sink mass uniformly each round (Page et al.), conserving
+      // Σrank = 1. The oracle unrolls the identical recurrence with a
+      // per-round dangling-mass CTE.
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      operators.PageRank.run(edges, "src", "dst", iters = 10,
+          redistributeDangling = true)
+        .select(col("node"), roundStable(col("rank"), 6).as("rank_r"))
+        .orderBy(col("node"))
+    }),
+
     "q285_eb_shrinkage" -> ((s, dir) =>
       // rank users by high-value rate without letting 1/1 beat
       // 498/500: beta-binomial shrinkage with a moments prior
@@ -5545,6 +5564,36 @@ object SparkEntry {
          |st AS (SELECT count(*) AS n FROM nodes),
          |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
          |r0 AS (SELECT node, CAST(1 AS DOUBLE) / st.n AS rank FROM nodes CROSS JOIN st),
+         |$iterCtes
+         |SELECT node, roundStable(rank, 6) AS rank_r FROM r10 ORDER BY node""".stripMargin
+    },
+
+    "q376_pagerank_dangling" -> {
+      // the dangling-mass recurrence unrolled: per round, m = rank mass
+      // sitting on sinks (÷ n) as a scalar CTE, then the identical
+      // fp tree base + d·(contrib + m) the operator builds
+      val iterCtes = (1 to 10).map { i =>
+        s"""m$i AS MATERIALIZED (SELECT (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE))
+           |          FROM r${i - 1} JOIN dang USING (node))
+           |         / (SELECT n FROM st) AS mn),
+           |r$i AS MATERIALIZED (SELECT nodes.node,
+           |        (CAST(1 AS DOUBLE) - 0.85) / st.n
+           |          + 0.85 * (coalesce(c.s, CAST(0 AS DOUBLE)) + m$i.mn) AS rank
+           |       FROM nodes CROSS JOIN st CROSS JOIN m$i
+           |       LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+           |                  FROM e JOIN r${i - 1} r ON e.src = r.node
+           |                  JOIN deg ON deg.node = e.src
+           |                  GROUP BY 1) c ON c.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         |             's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+         |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |st AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |dang AS MATERIALIZED (SELECT nodes.node FROM nodes LEFT JOIN deg USING (node)
+         |         WHERE deg.deg IS NULL),
+         |r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / st.n AS rank FROM nodes CROSS JOIN st),
          |$iterCtes
          |SELECT node, roundStable(rank, 6) AS rank_r FROM r10 ORDER BY node""".stripMargin
     },
@@ -11049,9 +11098,12 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL),
         |r AS (SELECT unit % 3 AS cohort, unit, rating FROM r0
         |  WHERE rn = 1),
-        |units AS (SELECT cohort, unit, CAST(count(*) AS DOUBLE) AS n,
+        |ua AS (SELECT cohort, unit, CAST(count(*) AS DOUBLE) AS n,
         |    sum(rating) AS s, sum(rating * rating) AS q
-        |  FROM r GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  FROM r GROUP BY 1, 2),
+        |units AS (SELECT * FROM ua WHERE n >= 2),
+        |sg AS (SELECT cohort, CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_single FROM ua GROUP BY 1),
         |g AS (SELECT cohort, sum(n) AS nn, count(*) AS k, sum(s) AS ss,
         |    sum(q - s * s / n) AS ssw, sum(s * s / n) AS sb,
         |    sum(n * n) AS nsq
@@ -11061,13 +11113,17 @@ object SparkEntry {
         |    ssw / (nn - CAST(k AS DOUBLE)) AS msw,
         |    (nn - nsq / nn) / (CAST(k AS DOUBLE) - 1) AS k0
         |  FROM g)
-        |SELECT cohort, k AS n_units, CAST(nn AS BIGINT) AS n_ratings,
-        |  roundStable(msb, 6) AS ms_between,
-        |  roundStable(msw, 6) AS ms_within,
-        |  roundStable(CASE WHEN k >= 2
-        |      AND msb + (k0 - 1) * msw > 0
-        |    THEN (msb - msw) / (msb + (k0 - 1) * msw) END, 6) AS icc
-        |FROM m ORDER BY cohort""".stripMargin,
+        |SELECT sg.cohort, COALESCE(m.k, CAST(0 AS BIGINT)) AS n_units,
+        |  COALESCE(CAST(m.nn AS BIGINT), CAST(0 AS BIGINT)) AS n_ratings,
+        |  sg.n_single,
+        |  roundStable(m.msb, 6) AS ms_between,
+        |  roundStable(m.msw, 6) AS ms_within,
+        |  roundStable(CASE WHEN m.k >= 2
+        |      AND m.msb + (m.k0 - 1) * m.msw > 0
+        |    THEN (m.msb - m.msw) / (m.msb + (m.k0 - 1) * m.msw) END, 6)
+        |    AS icc
+        |FROM sg LEFT JOIN m USING (cohort)
+        |ORDER BY sg.cohort""".stripMargin,
 
     "q375_cronbach" ->
       """WITH r0 AS (SELECT user_id % 200 AS unit, event_type AS rater,
@@ -11096,16 +11152,18 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN fl THEN 0 ELSE 1 END) AS BIGINT)
         |      AS n_incomplete
         |  FROM cu GROUP BY 1)
-        |SELECT tv.cohort, CAST(tv.m AS BIGINT) AS n_complete_units,
+        |SELECT kk.cohort,
+        |  COALESCE(CAST(tv.m AS BIGINT), CAST(0 AS BIGINT))
+        |    AS n_complete_units,
         |  CAST(kk.kk AS BIGINT) AS k_raters, inc.n_incomplete,
         |  roundStable(CASE WHEN kk.kk >= 2 AND tv.m >= 2
         |      AND tv.qt - tv.mt * tv.mt > 0
         |    THEN kk.kk / (kk.kk - 1)
         |      * (1.0 - iv.vsum / (tv.qt - tv.mt * tv.mt)) END, 6)
         |    AS alpha
-        |FROM tv JOIN iv USING (cohort) JOIN kk USING (cohort)
-        |  JOIN inc USING (cohort)
-        |ORDER BY tv.cohort""".stripMargin,
+        |FROM kk JOIN inc USING (cohort)
+        |  LEFT JOIN tv USING (cohort) LEFT JOIN iv USING (cohort)
+        |ORDER BY kk.cohort""".stripMargin,
 
     "q355_fleiss_kappa" ->
       // the identical ratings derivation (first rating per (unit,
@@ -11132,16 +11190,16 @@ object SparkEntry {
         |    GROUP BY 1, 2) GROUP BY 1),
         |sg AS (SELECT cohort, sum(CASE WHEN mi < 2 THEN 1 ELSE 0 END)
         |    AS n_single FROM units GROUP BY 1)
-        |SELECT po.cohort, po.nu AS n_units,
-        |  CAST(po.nr AS BIGINT) AS n_ratings,
+        |SELECT sg.cohort, COALESCE(po.nu, CAST(0 AS BIGINT)) AS n_units,
+        |  COALESCE(CAST(po.nr AS BIGINT), CAST(0 AS BIGINT)) AS n_ratings,
         |  CAST(sg.n_single AS BIGINT) AS n_single,
         |  roundStable(po.po, 6) AS observed_agreement,
         |  roundStable(pe.pe, 6) AS expected_agreement,
         |  roundStable(CASE WHEN pe.pe < 1
         |    THEN (po.po - pe.pe) / (1.0 - pe.pe) END, 6) AS kappa
-        |FROM po JOIN pe ON po.cohort = pe.cohort
-        |  JOIN sg ON po.cohort = sg.cohort
-        |ORDER BY po.cohort""".stripMargin,
+        |FROM sg LEFT JOIN po ON sg.cohort = po.cohort
+        |  LEFT JOIN pe ON sg.cohort = pe.cohort
+        |ORDER BY sg.cohort""".stripMargin,
 
     "q356_krippendorff" ->
       // coincidence-matrix identities — D_o and D_e as exact cell
@@ -11423,13 +11481,17 @@ object SparkEntry {
         |      AS query
         |  FROM u),
         |h AS (SELECT doc_id, url, scheme,
-        |    regexp_replace(regexp_replace(rawhost, '^www\.', ''),
-        |      ':(80|443)$', '') AS host, path, query FROM c),
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(
+        |        regexp_replace(rawhost, '^www\.', ''), ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(
+        |        regexp_replace(rawhost, '^www\.', ''), ':443$', '')
+        |      ELSE regexp_replace(rawhost, '^www\.', '')
+        |      END AS host, path, query FROM c),
         |p AS (SELECT doc_id, url, scheme, host, path,
         |    array_to_string(list_sort(list_filter(
         |      str_split(regexp_replace(query, '^\?', ''), '&'),
         |      x -> NOT (regexp_matches(x,
-        |        '^(utm_[A-Za-z]+|fbclid|gclid)=') OR x = ''))), '&') AS q
+        |        '^(utm_[A-Za-z0-9_]+|fbclid|gclid)=') OR x = ''))), '&') AS q
         |  FROM h)
         |SELECT doc_id, url, host,
         |  scheme || '://' || host ||
@@ -11464,13 +11526,17 @@ object SparkEntry {
         |      AS query
         |  FROM u),
         |h AS (SELECT doc_id, scheme,
-        |    regexp_replace(regexp_replace(rawhost, '^www\.', ''),
-        |      ':(80|443)$', '') AS host, path, query FROM c),
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(
+        |        regexp_replace(rawhost, '^www\.', ''), ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(
+        |        regexp_replace(rawhost, '^www\.', ''), ':443$', '')
+        |      ELSE regexp_replace(rawhost, '^www\.', '')
+        |      END AS host, path, query FROM c),
         |p AS (SELECT doc_id, scheme, host, path,
         |    array_to_string(list_sort(list_filter(
         |      str_split(regexp_replace(query, '^\?', ''), '&'),
         |      x -> NOT (regexp_matches(x,
-        |        '^(utm_[A-Za-z]+|fbclid|gclid)=') OR x = ''))), '&') AS q
+        |        '^(utm_[A-Za-z0-9_]+|fbclid|gclid)=') OR x = ''))), '&') AS q
         |  FROM h),
         |k AS (SELECT host,
         |    scheme || '://' || host ||

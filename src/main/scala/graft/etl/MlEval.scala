@@ -365,11 +365,17 @@ object MlEval {
         sum(col("__nc")).as("__n"))
       .select(keyCols :+
         (col("__sq") / (col("__n") * col("__n"))).as("__pe"): _*)
+    // key universe = every key with ANY unit (pairable or not): a cohort
+    // of all single-rating units must surface as a NULL-kappa row with
+    // its n_single count, not vanish — silent shrinkage of the basis is
+    // how agreement numbers lie (the module discipline), and an inner
+    // join on the pairable side was exactly that shrinkage.
     val singles = units.groupBy(keyCols: _*)
       .agg(sum(when(col("__mi") < 2, 1L).otherwise(0L)).as("n_single"))
-    po.join(pe, keys).join(singles, keys)
+    singles.join(po, keys, "left").join(pe, keys, "left")
       .select(keyCols ++ Seq(
-        col("__nu").as("n_units"), col("__nr").cast("long").as("n_ratings"),
+        coalesce(col("__nu"), lit(0L)).as("n_units"),
+        coalesce(col("__nr").cast("long"), lit(0L)).as("n_ratings"),
         col("n_single"),
         roundStable(col("__po"), decimals).as("observed_agreement"),
         roundStable(col("__pe"), decimals).as("expected_agreement"),
@@ -575,21 +581,24 @@ object MlEval {
     * (n_i, Σx, Σx²), then `MSB = Σn_i(x̄_i−x̄)²/(n−1)`,
     * `MSW = ΣΣ(x−x̄_i)²/(N−n)`, unequal group sizes via
     * `k₀ = (N − Σn_i²/N)/(n−1)`, `ICC = (MSB−MSW)/(MSB+(k₀−1)MSW)`.
-    * Single-rating units excluded from MSW's df but kept in MSB
-    * (standard one-way treatment is to keep all units; we EXCLUDE
-    * sub-2 units entirely and count them — mixing designs silently is
-    * how reliability numbers lie). Degenerate keys (denominator ≤ 0,
+    * Single-rating units EXCLUDED from both MS terms (one rating has no
+    * within-unit variance; mixing designs silently is how reliability
+    * numbers lie) and COUNTED in `n_single` — the exclusion is visible,
+    * and a key whose every unit is single still emits its (NULL-icc)
+    * row rather than vanishing. Degenerate keys (denominator ≤ 0,
     * <2 pairable units) NULL.
     */
   def icc(df: DataFrame, keys: Seq[String], unitCol: Column,
           ratingCol: Column, decimals: Int = 6): DataFrame = {
     val keyCols = keys.map(col)
     val v = ratingCol.cast("double")
-    val units = df.filter(v.isNotNull)
+    val unitsAll = df.filter(v.isNotNull)
       .groupBy(keyCols :+ unitCol.as("__u"): _*)
       .agg(count(lit(1)).cast("double").as("__n"),
         sum(v).as("__s"), sum(v * v).as("__q"))
-      .filter(col("__n") >= 2)
+    val units = unitsAll.filter(col("__n") >= 2)
+    val singles = unitsAll.groupBy(keyCols: _*)
+      .agg(sum(when(col("__n") < 2, 1L).otherwise(0L)).as("n_single"))
     val g = units.groupBy(keyCols: _*)
       .agg(sum(col("__n")).as("__N"), count(lit(1)).as("__k"),
         sum(col("__s")).as("__S"),
@@ -603,12 +612,15 @@ object MlEval {
     val msw = col("__ssw") / (col("__N") - nU)
     val k0 = (col("__N") - col("__nsq") / col("__N")) / (nU - 1)
     val denom = msb + (k0 - 1) * msw
-    g.select(keyCols ++ Seq(
-      col("__k").as("n_units"), col("__N").cast("long").as("n_ratings"),
-      roundStable(msb, decimals).as("ms_between"),
-      roundStable(msw, decimals).as("ms_within"),
-      roundStable(when(col("__k") >= 2 && denom > 0,
-        (msb - msw) / denom), decimals).as("icc")): _*)
+    singles.join(g, keys, "left")
+      .select(keyCols ++ Seq(
+        coalesce(col("__k"), lit(0L)).as("n_units"),
+        coalesce(col("__N").cast("long"), lit(0L)).as("n_ratings"),
+        col("n_single"),
+        roundStable(msb, decimals).as("ms_between"),
+        roundStable(msw, decimals).as("ms_within"),
+        roundStable(when(col("__k") >= 2 && denom > 0,
+          (msb - msw) / denom), decimals).as("icc")): _*)
   }
 
   /** Cronbach's alpha per key (1951) — internal consistency of a
@@ -654,9 +666,14 @@ object MlEval {
       .agg(sum(col("__qi") - col("__mi") * col("__mi")).as("__vsum"))
     val incomplete = complete.groupBy(keyCols: _*)
       .agg(sum(when(col("__full"), 0L).otherwise(1L)).as("n_incomplete"))
-    totVar.join(itemVar, keys).join(kPerKey, keys).join(incomplete, keys)
+    // key universe = every key with ANY rating cell: a key where NO unit
+    // is complete must emit its NULL-alpha row with n_incomplete intact,
+    // not vanish through the inner joins (the fleissKappa discipline —
+    // silent basis shrinkage is how agreement numbers lie).
+    kPerKey.join(incomplete, keys)
+      .join(totVar, keys, "left").join(itemVar, keys, "left")
       .select(keyCols ++ Seq(
-        col("__m").cast("long").as("n_complete_units"),
+        coalesce(col("__m").cast("long"), lit(0L)).as("n_complete_units"),
         col("__kk").cast("long").as("k_raters"),
         col("n_incomplete"),
         roundStable(when(col("__kk") >= 2 && col("__m") >= 2 &&

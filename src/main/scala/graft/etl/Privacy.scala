@@ -32,6 +32,18 @@ object Privacy {
     require(quasiCols.nonEmpty && k >= 2, s"need QI cols and k >= 2")
     val classes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
+    kAnonymityFromClasses(classes, k, digits)
+  }
+
+  /** The fold half of [[kAnonymityReport]], over a pre-built class table
+    * (`__n` rows per QI class) — shared with the streaming gate
+    * ([[graft.streaming.PrivacyStream]]), whose merged additive cells
+    * reduce to exactly this table, so the live report is the batch
+    * report BY CONSTRUCTION (integer sums are associative across
+    * micro-batches; split ≡ one-shot).
+    */
+  private[graft] def kAnonymityFromClasses(classes: DataFrame, k: Int,
+                                           digits: Int = 6): DataFrame = {
     classes.agg(
         sum(col("__n")).as("__rows"),
         count(lit(1)).as("n_classes"),
@@ -63,6 +75,18 @@ object Privacy {
     val cells = df
       .groupBy(qi :+ sensitiveCol.as("__s"): _*)
       .agg(count(lit(1)).as("__n"))
+    lDiversityFromCells(cells, quasiCols, l, digits)
+  }
+
+  /** The fold half of [[lDiversityReport]], over pre-built (QI…,
+    * sensitive) cells (`__n` rows per cell) — shared with the streaming
+    * gate for the same split ≡ one-shot reason as
+    * [[kAnonymityFromClasses]]: distinct-sensitive counts come from
+    * cell EXISTENCE, which micro-batch cell sums preserve exactly.
+    */
+  private[graft] def lDiversityFromCells(cells: DataFrame,
+      quasiCols: Seq[String], l: Int, digits: Int = 6): DataFrame = {
+    val qi = quasiCols.map(col)
     val classes = cells.groupBy(qi: _*)
       .agg(sum(col("__n")).as("__rows"), count(lit(1)).as("__ldist"))
     classes.agg(

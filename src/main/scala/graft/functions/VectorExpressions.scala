@@ -68,8 +68,87 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Vector–matrix product `out_k = Σ_j v_j · M[j][k]` as a native
+  * codegen'd Expression — the per-row projection step of Procrustes
+  * alignment ([[graft.sim.Procrustes.alignReport]]: `aW` with W a d×d
+  * literal) and any broadcast-literal linear map.
+  *
+  * Why not nested `aggregate(sequence(...))` higher-order functions: the
+  * nested-lambda form interprets d² `element_at` calls per ROW through
+  * the HOF evaluator — at d = 1024 that is ~10⁶ boxed evaluations per
+  * row, the difference between scan-speed and hours at 100 TB. This
+  * expression is two tight primitive loops inside whole-stage codegen.
+  *
+  * The matrix is `array<array<double>>` (row index j first); the vector
+  * may be float or double. Rows of M beyond the vector's width are
+  * ignored; accumulation is j-ascending then k-ascending, widened to
+  * double — deterministic and engine-matchable.
+  */
+case class VecMat(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_mat"
+
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = b.asInstanceOf[ArrayData]
+    val dj = math.min(v.numElements(), m.numElements())
+    val dk = if (m.numElements() == 0) 0 else m.getArray(0).numElements()
+    val out = new Array[Double](dk)
+    var j = 0
+    while (j < dj) {
+      val vj = if (vecIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      if (vj != 0.0) {
+        val row = m.getArray(j)
+        var k = 0
+        while (k < dk) { out(k) += vj * row.getDouble(k); k += 1 }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dj = ctx.freshName("dj")
+      val dk = ctx.freshName("dk")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val vj = ctx.freshName("vj")
+      val row = ctx.freshName("row")
+      val vjGet = if (vecIsFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      s"""
+         |int $dj = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $dk = $b.numElements() == 0 ? 0 : $b.getArray(0).numElements();
+         |double[] $out = new double[$dk];
+         |for (int $j = 0; $j < $dj; $j++) {
+         |  double $vj = $vjGet;
+         |  if ($vj != 0.0) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($j);
+         |    for (int $k = 0; $k < $dk; $k++) {
+         |      $out[$k] += $vj * $row.getDouble($k);
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column API for [[VecMat]]: `vecMat(v, m)_k = Σ_j v_j · m[j][k]`. */
+  def vecMat(v: Column, m: Column): Column =
+    GraftShims.column(VecMat(GraftShims.expression(v), GraftShims.expression(m)))
 }

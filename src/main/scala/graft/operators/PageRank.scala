@@ -10,10 +10,15 @@ import org.apache.spark.storage.StorageLevel
   *
   * `r'(v) = (1−d)/N + d · Σ_{u→v} r(u)/outdeg(u)`, `iters` rounds from
   * the uniform start. Dangling nodes (no out-edges) leak their rank
-  * mass by design here — feed a graph where every node has at least one
-  * out-edge (e.g. symmetrized edges) or add explicit sink edges; the
-  * alternative (global dangling-mass redistribution) costs an extra
-  * full aggregation per round and most link graphs symmetrize anyway.
+  * mass BY DEFAULT — fine for symmetrized graphs (every node has an
+  * out-edge). For raw crawl/citation graphs — the main real-world edge
+  * list that is NOT symmetrized — pass `redistributeDangling = true`:
+  * each round the dangling mass `m = Σ_{outdeg(v)=0} r(v)` teleports
+  * uniformly, `r'(v) = (1−d)/N + d·(Σ contrib + m/N)` (the standard
+  * Page et al. treatment), conserving Σr = 1. Cost: ONE extra keyed
+  * semi-join + global sum per round over O(nodes) — the documented
+  * price, paid only when asked; `m` is a bounded 1-double collect per
+  * round (the trainer-moment discipline).
   *
   * Distributed shape per round: ONE keyed shuffle (contribution sum by
   * dst) + a broadcast-friendly left join back to the node set; the
@@ -49,7 +54,8 @@ object PageRank {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iters: Int, damping: Double = 0.85,
-          saltBuckets: Int = 1): DataFrame = {
+          saltBuckets: Int = 1,
+          redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     require(saltBuckets >= 1, s"need saltBuckets >= 1, got $saltBuckets")
@@ -63,10 +69,28 @@ object PageRank {
       .join(deg, Seq("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgeDeg.count() // materialize once; rounds reuse the cached blocks
+    // dangling = no out-edges: computed ONCE (anti-join on the degree
+    // table), persisted, reused by the per-round mass sum
+    val dangling =
+      if (!redistributeDangling) null
+      else {
+        val d = nodes.join(deg, Seq("node"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        d
+      }
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
+      // bounded collect: ONE double per round (the trainer-moment class)
+      val mOverN =
+        if (dangling == null) 0.0
+        else {
+          val r = ranks.join(dangling, Seq("node"))
+            .agg(sum(col("rank"))).head()
+          (if (r.isNullAt(0)) 0.0 else r.getDouble(0)) / n
+        }
       val joined =
         if (saltBuckets <= 1) edgeDeg.join(ranks, Seq("node"))
         else Skew.saltedJoin(edgeDeg, ranks, "node", saltBuckets,
@@ -81,9 +105,14 @@ object PageRank {
           .agg(sum(col("rank") / col("__deg")).as("__cp"))
           .groupBy(col("node"))
           .agg(sum(col("__cp")).as("__c"))
+      // the non-dangling path keeps its exact pre-option expression tree
+      // (q106/q190 oracle parity is byte-level on the rounded output)
+      val contrib =
+        if (dangling == null) coalesce(col("__c"), lit(0.0))
+        else coalesce(col("__c"), lit(0.0)) + lit(mOverN)
       val next = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+          (lit(base) + lit(damping) * contrib).as("rank"))
       val spark = next.sparkSession
       val cut = spark.createDataFrame(next.rdd, next.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -94,6 +123,7 @@ object PageRank {
     }
     nodes.unpersist(blocking = false)
     edgeDeg.unpersist(blocking = false)
+    if (dangling != null) dangling.unpersist(blocking = false)
     ranks
   }
 
@@ -113,7 +143,8 @@ object PageRank {
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String,
                    iters: Int, damping: Double = 0.85,
-                   saltBuckets: Int = 1): DataFrame = {
+                   saltBuckets: Int = 1,
+                   redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     require(saltBuckets >= 1, s"need saltBuckets >= 1, got $saltBuckets")
@@ -133,9 +164,27 @@ object PageRank {
       .join(deg, Seq("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgeDeg.count()
+    // dangling mass teleports to the SEED distribution (the walk
+    // restarts from s when it hits a sink — the standard PPR treatment)
+    val dangling =
+      if (!redistributeDangling) null
+      else {
+        val d = nodes.select(col("node"), col("__s"))
+          .join(deg, Seq("node"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        d
+      }
     var ranks = nodes.select(col("node"), col("__s").as("rank"))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
+      val m =
+        if (dangling == null) 0.0
+        else {
+          val r = ranks.join(dangling.select(col("node")), Seq("node"))
+            .agg(sum(col("rank"))).head()
+          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        }
       val joined =
         if (saltBuckets <= 1) edgeDeg.join(ranks, Seq("node"))
         else Skew.saltedJoin(edgeDeg, ranks, "node", saltBuckets,
@@ -150,10 +199,13 @@ object PageRank {
           .agg(sum(col("rank") / col("__deg")).as("__cp"))
           .groupBy(col("node"))
           .agg(sum(col("__cp")).as("__c"))
+      val contrib =
+        if (dangling == null) coalesce(col("__c"), lit(0.0))
+        else coalesce(col("__c"), lit(0.0)) + lit(m) * col("__s")
       val next = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           ((lit(1.0) - damping) * col("__s") +
-            lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+            lit(damping) * contrib).as("rank"))
       val spark = next.sparkSession
       val cut = spark.createDataFrame(next.rdd, next.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -164,6 +216,7 @@ object PageRank {
     }
     nodes.unpersist(blocking = false)
     edgeDeg.unpersist(blocking = false)
+    if (dangling != null) dangling.unpersist(blocking = false)
     ranks
   }
 }

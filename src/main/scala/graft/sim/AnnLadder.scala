@@ -14,7 +14,9 @@ import graft.functions.roundStable
   *   - the cost decomposition — `scanned_per_query` (how many corpus
   *     rows the approximate stage touches), `scan_bytes_per_vec` (at
   *     what per-row width it touches them), `rescore_per_query` (how
-  *     many full-precision dots follow), folded into
+  *     many full-precision dots follow — the configured rerank budget
+  *     CAPPED at the measured candidate count, so a small corpus or a
+  *     tight probe never bills rescores that can't happen), folded into
   *     `cost_bytes_per_query` ≈ memory traffic per query — the number
   *     that actually scales with corpus size at 100 TB, where every
   *     method here is memory-bandwidth-bound.
@@ -112,34 +114,38 @@ object AnnLadder {
       ksub = 16, iters = 3)
     val pq = ProductQuantizer.topK(corpus, idCol, vecCol, isQuery, dim, k,
       model = Some(pqMdl))
-    rungs += Rung("pq_m8", recallOf(pq), (n - 1).toDouble, 8.0, 100.0)
+    rungs += Rung("pq_m8", recallOf(pq), (n - 1).toDouble, 8.0,
+      math.min(100.0, (n - 1).toDouble))
 
     val ivfpqMdl = ivfpqModel.getOrElse(IvfPq.fit(corpus, idCol, vecCol,
       dim, kCoarse = 16, coarseIters = 3, pqIters = 3))
     val ivfpq = IvfPq.topK(corpus, idCol, vecCol, isQuery, dim, k,
       nprobe = 8, model = Some(ivfpqMdl))
     val ivfpqScan = ivfScanned(ivfpqMdl.coarse, 8)
-    rungs += Rung("ivfpq_c16_np8_m8", recallOf(ivfpq), ivfpqScan, 8.0, 100.0)
+    rungs += Rung("ivfpq_c16_np8_m8", recallOf(ivfpq), ivfpqScan, 8.0,
+      math.min(100.0, ivfpqScan))
 
     val adcMdl = ivfadcModel.getOrElse(IvfPq.fit(corpus, idCol, vecCol,
       dim, kCoarse = 16, coarseIters = 3, pqIters = 3, residual = true))
     val adc = IvfPq.topK(corpus, idCol, vecCol, isQuery, dim, k,
       nprobe = 8, model = Some(adcMdl))
-    rungs += Rung("ivfadc_c16_np8_m8", recallOf(adc),
-      ivfScanned(adcMdl.coarse, 8), 8.0, 100.0)
+    val adcScan = ivfScanned(adcMdl.coarse, 8)
+    rungs += Rung("ivfadc_c16_np8_m8", recallOf(adc), adcScan, 8.0,
+      math.min(100.0, adcScan))
 
     val int8 = ScalarQuant.topK(corpus, queries, idCol, vecCol, k)
     rungs += Rung("int8_of4", recallOf(int8), (n - 1).toDouble,
-      dim + 8.0, (k * 4).toDouble)
+      dim + 8.0, math.min((k * 4).toDouble, (n - 1).toDouble))
 
     val bin = BinaryQuant.topK(corpus, queries, idCol, vecCol, dim, k)
     rungs += Rung("binary_of4", recallOf(bin), (n - 1).toDouble,
-      dim / 8.0, (k * 4).toDouble)
+      dim / 8.0, math.min((k * 4).toDouble, (n - 1).toDouble))
 
     val mat = Matryoshka.topK(corpus, queries, idCol, vecCol,
       dPrefix = dim / 4, k = k)
     rungs += Rung(s"matryoshka_d${dim / 4}_of4", recallOf(mat),
-      (n - 1).toDouble, dim.toDouble, (k * 4).toDouble)
+      (n - 1).toDouble, dim.toDouble,
+      math.min((k * 4).toDouble, (n - 1).toDouble))
 
     truth.unpersist(); corpus.unpersist()
     rungs.toSeq.zipWithIndex.map { case (r, i) =>

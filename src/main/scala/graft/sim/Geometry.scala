@@ -84,10 +84,10 @@ object Geometry {
     * cosine similarity is dominated by one common direction and should
     * be debiased before any ANN index is sized.
     *
-    * The n-row corpus reduces DISTRIBUTED to d(d+1)/2-ish moments: one
-    * pass builds the per-dim mean (O(d) rows) and the centered scatter
-    * matrix (O(d²) rows via a pos×pos self-join of exploded dims —
-    * E[xy] − E[x]E[y], never materializing centered vectors). Only the
+    * The n-row corpus reduces DISTRIBUTED to one pass of typed buffers:
+    * Σx (d doubles) and the raw scatter Σxxᵀ (d² doubles) via
+    * [[graft.functions.OuterProductAgg]] — E[xy] − E[x]E[y], never
+    * materializing centered vectors OR exploded rows. Only the
     * d×d matrix is collected (d=64 ⇒ 4096 doubles — a bounded constant,
     * the trainer-seed discipline); `iters` rounds of w ← C·w with L2
     * normalization run driver-side in deterministic index order.
@@ -119,27 +119,34 @@ object Geometry {
   private[graft] def pc1Fit(df: DataFrame, vecCol: String,
                             iters: Int): (Array[Double], Double) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    // second moments need pairing within a row: re-explode against the
-    // row's own vector (posexplode twice on the same row via a struct)
-    val paired = df.select(col(vecCol).as("__v"))
-      .select(posexplode(col("__v")).as(Seq("__i", "__xi")), col("__v"))
-      .select(col("__i"), col("__xi").cast("double").as("__xi"),
-        posexplode(col("__v")).as(Seq("__j", "__xj")))
-      .select(col("__i"), col("__j"), col("__xi"),
-        col("__xj").cast("double").as("__xj"))
-    val scatter = paired.groupBy(col("__i"), col("__j"))
-      .agg(count(lit(1)).cast("double").as("__n"),
-        sum(col("__xi") * col("__xj")).as("__sxy"),
-        sum(col("__xi")).as("__sx"), sum(col("__xj")).as("__sy"))
-      .select(col("__i"), col("__j"),
-        (col("__sxy") / col("__n") - (col("__sx") / col("__n")) *
-          (col("__sy") / col("__n"))).as("__c"))
-    // bounded collect: O(d²) covariance entries — a model constant, same
-    // class as k-means centroids / PQ codebooks (documented discipline)
-    val entries = scatter.collect()
-    val d = entries.iterator.map(_.getInt(0)).max + 1
+    // ONE pass, THREE typed buffers: n (long), Σx (d doubles), Σxxᵀ (d²
+    // doubles) — C_ij = Σxy/n − (Σx_i/n)(Σx_j/n). The former double-
+    // posexplode scatter materialized n·d² rows before partial agg; at
+    // production dims (d = 768–4096) that is 10⁵–10⁷ rows PER INPUT ROW.
+    // The imperative buffers do the same arithmetic with O(parts·d²)
+    // shuffle bytes and zero intermediate rows ([[functions.OuterProductAgg]]).
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val row = df.agg(count(lit(1)).as("__n"),
+      graft.functions.VecSumAgg.vecSum(vd).as("__sx"),
+      graft.functions.OuterProductAgg.outerProductSum(vd, vd).as("__sxy"))
+      .head()
+    require(row.getLong(0) > 0, "pc1Fit: empty corpus — nothing to fit")
+    // bounded collect: n + d + d² doubles — a model constant, same class
+    // as k-means centroids / PQ codebooks (documented discipline)
+    val n = row.getLong(0).toDouble
+    val sx = row.getSeq[Double](1).toArray
+    val sxy = row.getSeq[Double](2).toArray
+    val d = sx.length
     val c = Array.ofDim[Double](d, d)
-    entries.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var ii = 0
+    while (ii < d) {
+      var jj = 0
+      while (jj < d) {
+        c(ii)(jj) = sxy(ii * d + jj) / n - (sx(ii) / n) * (sx(jj) / n)
+        jj += 1
+      }
+      ii += 1
+    }
     var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var it = 0
     while (it < iters) {
@@ -180,11 +187,11 @@ object Geometry {
   def removeTopComponent(df: DataFrame, idCol: String, vecCol: String,
                          iters: Int = 10, digits: Int = 6): DataFrame = {
     val (w, _) = pc1Fit(df, vecCol, iters)
-    val mean = df
-      .select(posexplode(col(vecCol)).as(Seq("__pos", "__x")))
-      .groupBy(col("__pos"))
-      .agg(avg(col("__x").cast("double")).as("__m"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val mRow = df.agg(count(lit(1)).as("__n"),
+      graft.functions.VecSumAgg.vecSum(
+        transform(col(vecCol), x => x.cast("double"))).as("__sx")).head()
+    val mN = mRow.getLong(0).toDouble
+    val mean = mRow.getSeq[Double](1).toArray.map(_ / mN)
     val mLit = array(mean.map(lit).toIndexedSeq: _*)
     val wLit = array(w.map(lit).toIndexedSeq: _*)
     val centered = zip_with(col(vecCol), mLit, (x, m) => x.cast("double") - m)

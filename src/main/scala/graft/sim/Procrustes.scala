@@ -89,25 +89,32 @@ object Procrustes {
   /** The optimal orthogonal map W (d×d) from snapshot `a`'s space to
     * `b`'s, from the row-matched cross-covariance C = AᵀB: SVD via
     * Jacobi on CᵀC (V, Σ²), U = CVΣ⁻¹, W = UVᵀ. Near-zero singular
-    * values (rank-deficient overlap) keep their V column but
-    * contribute nothing to U — their directions map by the remaining
-    * orthogonal completion, which is the standard pseudo-inverse
-    * treatment.
+    * values (rank-deficient overlap) get their U column REBUILT by a
+    * deterministic Gram–Schmidt completion (basis vectors in index
+    * order, orthogonalized against the filled columns), so W is fully
+    * orthogonal — ‖aW‖ = ‖a‖ holds for every direction, including the
+    * null space the data never witnessed.
+    *
+    * C reduces distributed to ONE d²-double typed buffer
+    * ([[graft.functions.OuterProductAgg]] — the former double-posexplode
+    * built n·d² intermediate rows, 10⁵–10⁷ per input row at production
+    * dims); only d² doubles are collected (the PC1/k-means discipline).
     */
   private[graft] def fitW(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String): Array[Array[Double]] = {
     val pairs = a.select(col(idCol).as("__id"), col(vecCol).as("__va"))
       .join(b.select(col(idCol).as("__id"), col(vecCol).as("__vb")), "__id")
-    val entries = pairs
-      .select(posexplode(col("__va")).as(Seq("__i", "__x")), col("__vb"))
-      .select(col("__i"), col("__x").cast("double").as("__x"),
-        posexplode(col("__vb")).as(Seq("__j", "__y")))
-      .groupBy(col("__i"), col("__j"))
-      .agg(sum(col("__x") * col("__y").cast("double")).as("__c"))
-      .collect()
-    val d = entries.iterator.map(_.getInt(0)).max + 1
-    val cMat = Array.ofDim[Double](d, d)
-    entries.foreach(r => cMat(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val va = transform(col("__va"), x => x.cast("double"))
+    val vb = transform(col("__vb"), x => x.cast("double"))
+    val row = pairs.agg(count(lit(1)).as("__n"),
+      graft.functions.OuterProductAgg.outerProductSum(va, vb).as("__c"))
+      .head()
+    require(row.getLong(0) > 0,
+      s"Procrustes.fitW: the two snapshots share no '$idCol' values — " +
+        "alignment needs row-matched ids present in both")
+    val flat = row.getSeq[Double](1).toArray
+    val d = math.sqrt(flat.length.toDouble).round.toInt
+    val cMat = Array.tabulate(d, d)((i, j) => flat(i * d + j))
     // E = CᵀC
     val e = Array.tabulate(d, d) { (i, j) =>
       var s = 0.0; var k = 0
@@ -116,6 +123,7 @@ object Procrustes {
     }
     val (lam, vMat) = jacobiEigen(e)
     val u = Array.ofDim[Double](d, d)
+    val filled = Array.fill(d)(false)
     for (j <- 0 until d) {
       val sig = math.sqrt(math.max(lam(j), 0.0))
       if (sig > 1e-12) {
@@ -124,6 +132,33 @@ object Procrustes {
           while (k < d) { s += cMat(i)(k) * vMat(k)(j); k += 1 }
           u(i)(j) = s / sig
         }
+        filled(j) = true
+      }
+    }
+    // Orthogonal completion of the rank-deficient columns: try basis
+    // vectors e_0, e_1, … in index order (deterministic), Gram–Schmidt
+    // against every already-filled column, keep the first candidate with
+    // non-negligible residual. Always succeeds: the filled columns span
+    // < d dimensions, so some e_m has residual ≥ 1/√d in the null space.
+    for (j <- 0 until d if !filled(j)) {
+      var m = 0
+      var done = false
+      while (m < d && !done) {
+        val cand = Array.tabulate(d)(i => if (i == m) 1.0 else 0.0)
+        for (c <- 0 until d if filled(c)) {
+          var dotUc = 0.0
+          var i = 0
+          while (i < d) { dotUc += cand(i) * u(i)(c); i += 1 }
+          var i2 = 0
+          while (i2 < d) { cand(i2) -= dotUc * u(i2)(c); i2 += 1 }
+        }
+        val nrm = math.sqrt(cand.map(x => x * x).sum)
+        if (nrm > 1e-6) {
+          for (i <- 0 until d) u(i)(j) = cand(i) / nrm
+          filled(j) = true
+          done = true
+        }
+        m += 1
       }
     }
     Array.tabulate(d, d) { (i, j) =>
@@ -135,31 +170,30 @@ object Procrustes {
 
   /** Per-id alignment report: cosine BEFORE (raw cross-space) and
     * AFTER applying W — the re-embed worklist is the low-after tail.
-    * The numerator is Σ_k (aW)_k·b_k with (aW)_k = Σ_j a_j·W_jk, and
-    * ‖aW‖ = ‖a‖ because W is orthogonal — one nested higher-order
-    * aggregate per row, map-only (at deployment scale swap for a
-    * codegen'd matvec Expression; this is the audit form).
+    * The projection `aW` is one codegen'd vector–matrix Expression per
+    * row ([[graft.functions.VecMat]] — the former nested higher-order
+    * aggregate interpreted d² element_at calls per row); cos_after is
+    * normalized by the ACTUAL ‖aW‖ (with the Gram–Schmidt completion
+    * in [[fitW]] it equals ‖a‖, but measuring it means the report can
+    * never silently deflate if W were ever non-orthogonal).
     */
   def alignReport(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, digits: Int = 6): DataFrame = {
     val w = fitW(a, b, idCol, vecCol)
-    val d = w.length
     val wLit = typedLit(w.map(_.toSeq).toSeq)
     val pairs = a.select(col(idCol).as(idCol), col(vecCol).as("__va"))
       .join(b.select(col(idCol).as(idCol), col(vecCol).as("__vb")), idCol)
     val va = transform(col("__va"), x => x.cast("double"))
     val vb = transform(col("__vb"), x => x.cast("double"))
-    // (aW)_k = Σ_j a_j W_jk ; numerator Σ_k (aW)_k b_k
-    val num = aggregate(sequence(lit(1), lit(d)), lit(0.0), (acc, k) =>
-      acc + aggregate(sequence(lit(1), lit(d)), lit(0.0), (acc2, j) =>
-        acc2 + element_at(va, j) * element_at(element_at(wLit, j), k)) *
-        element_at(vb, k))
-    val na = sqrt(aggregate(va, lit(0.0), (s, x) => s + x * x))
-    val nb = sqrt(aggregate(vb, lit(0.0), (s, x) => s + x * x))
-    val rawNum = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0),
-      (s, x) => s + x)
+    import graft.functions.VectorExpressions.{vecDot, vecMat}
+    val aw = vecMat(va, wLit)
+    val num = vecDot(aw, vb)
+    val na = sqrt(vecDot(va, va))
+    val naw = sqrt(vecDot(aw, aw))
+    val nb = sqrt(vecDot(vb, vb))
+    val rawNum = vecDot(va, vb)
     pairs.select(col(idCol),
       roundStable(rawNum / (na * nb), digits).as("cos_before"),
-      roundStable(num / (na * nb), digits).as("cos_after"))
+      roundStable(num / (naw * nb), digits).as("cos_after"))
   }
 }

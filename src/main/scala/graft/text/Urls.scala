@@ -27,13 +27,20 @@ object Urls {
   def canonicalize(df: DataFrame, urlCol: Column): DataFrame = {
     val scheme = lower(regexp_extract(urlCol, urlRe, 1))
     val rawHost = lower(regexp_extract(urlCol, urlRe, 2))
-    val host = regexp_replace(
-      regexp_replace(rawHost, "^www\\.", ""), ":(80|443)$", "")
+    // default-port stripping is SCHEME-AWARE: :80 is only the default for
+    // http and :443 for https — http://x.com:443 is a distinct origin
+    // from http://x.com and must NOT collapse (RFC 3986 §6.2.3 only
+    // licenses dropping the scheme's own default port)
+    val noWww = regexp_replace(rawHost, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
     val path = regexp_extract(urlCol, urlRe, 3)
     val query = regexp_extract(urlCol, urlRe, 4) // "?a=1&b=2" or ""
+    // utm params may be digit/underscore-suffixed (utm_source_2, utm_id)
     val params = filter(
       split(regexp_replace(query, "^\\?", ""), "&"),
-      p => !(p.rlike("^(utm_[A-Za-z]+|fbclid|gclid)=") || p === ""))
+      p => !(p.rlike("^(utm_[A-Za-z0-9_]+|fbclid|gclid)=") || p === ""))
     val sortedQ = array_join(array_sort(params), "&")
     val canon = concat(scheme, lit("://"), host,
       when(path === "", "/").otherwise(path),

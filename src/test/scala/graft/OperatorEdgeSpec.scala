@@ -2502,7 +2502,10 @@ class OperatorEdgeSpec extends AnyFunSuite {
       ("k", 2L, "a"), ("k", 2L, "a"), ("k", 2L, "a"),
       ("k", 3L, "b"),
       // unanimous cohort: every pairable rating is one label → NULL
-      ("u", 1L, "x"), ("u", 1L, "x"))
+      ("u", 1L, "x"), ("u", 1L, "x"),
+      // all-singles cohort: zero pairable units — must surface as a
+      // NULL-kappa row with its n_single count, not vanish
+      ("s", 1L, "a"), ("s", 2L, "b"), ("s", 3L, "a"))
       .toDF("k", "unit", "label")
     val out = etl.MlEval.fleissKappa(df, Seq("k"), col("unit"), col("label"))
       .collect().map(r => r.getString(0) -> r).toMap
@@ -2513,6 +2516,10 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(math.abs(k.getDouble(5) - 26.0 / 36) < 1e-6)
     assert(math.abs(k.getDouble(6) - (-0.2)) < 1e-6, s"hand kappa: $k")
     assert(out("u").isNullAt(6), "unanimous: agreement unfalsifiable")
+    val s = out("s")
+    assert(s.getLong(1) == 0L && s.getLong(2) == 0L && s.getLong(3) == 3L &&
+      s.isNullAt(4) && s.isNullAt(6),
+      s"all-single cohort surfaces with NULL kappa + n_single: $s")
   }
 
   test("MlEval.krippendorffAlpha: hand D_o/D_e, perfect 1, chance 0, unanimous NULL") {
@@ -2881,16 +2888,22 @@ class OperatorEdgeSpec extends AnyFunSuite {
       rs.map(x => ("sf", u.toLong, x.toDouble)) }
     val perfect = (0 until 4).flatMap(u =>
       Seq(("p", u.toLong, u * 10.0), ("p", u.toLong, u * 10.0)))
-    val single = Seq(("sf", 99L, 5.0)) // one rating → excluded
-    val out = etl.MlEval.icc((rows ++ perfect ++ single)
+    val single = Seq(("sf", 99L, 5.0)) // one rating → excluded, counted
+    val allSingle = Seq(("s1", 1L, 3.0), ("s1", 2L, 4.0)) // every unit single
+    val out = etl.MlEval.icc((rows ++ perfect ++ single ++ allSingle)
         .toDF("k", "unit", "rating"), Seq("k"), col("unit"), col("rating"))
       .collect().map(r => r.getString(0) -> r).toMap
     val sf = out("sf")
-    assert(sf.getLong(1) == 6L && sf.getLong(2) == 24L,
-      s"single-rating unit excluded: $sf")
-    assert(math.abs(sf.getDouble(5) - 0.165742) < 1e-6,
+    assert(sf.getLong(1) == 6L && sf.getLong(2) == 24L && sf.getLong(3) == 1L,
+      s"single-rating unit excluded AND counted: $sf")
+    assert(math.abs(sf.getDouble(6) - 0.165742) < 1e-6,
       s"Shrout-Fleiss ICC(1,1): $sf")
-    assert(out("p").getDouble(5) == 1.0, s"zero within-variance: ${out("p")}")
+    assert(out("p").getDouble(6) == 1.0, s"zero within-variance: ${out("p")}")
+    assert(out("p").getLong(3) == 0L, s"no singles in p: ${out("p")}")
+    // a key whose EVERY unit is single must not vanish: NULL icc, counts
+    val s1 = out("s1")
+    assert(s1.getLong(1) == 0L && s1.getLong(3) == 2L && s1.isNullAt(6),
+      s"all-single key surfaces with NULL icc + n_single: $s1")
   }
 
   test("MlEval.cronbachAlpha: hand two-item alpha 8/9; incomplete unit excluded and counted; one-item NULL") {
@@ -2901,8 +2914,12 @@ class OperatorEdgeSpec extends AnyFunSuite {
       ("k", 3L, "a", 3.0), ("k", 3L, "b", 6.0))
     val ragged = Seq(("k", 4L, "a", 9.0)) // missing rater b → excluded
     val oneItem = Seq(("o", 1L, "a", 1.0), ("o", 2L, "a", 2.0))
+    // every unit incomplete → the key must still emit its NULL-alpha row
+    val allRagged = Seq(("r", 1L, "a", 1.0), ("r", 1L, "b", 2.0),
+      ("r", 2L, "a", 3.0), ("r", 3L, "b", 4.0), ("r", 2L, "c", 5.0))
     val out = etl.MlEval.cronbachAlpha(
-      (full ++ ragged ++ oneItem).toDF("k", "unit", "rater", "rating"),
+      (full ++ ragged ++ oneItem ++ allRagged)
+        .toDF("k", "unit", "rater", "rating"),
       Seq("k"), col("unit"), col("rater"), col("rating"))
       .collect().map(r => r.getString(0) -> r).toMap
     val k = out("k")
@@ -2910,6 +2927,10 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"3 complete units, 2 raters, 1 incomplete: $k")
     assert(math.abs(k.getDouble(4) - 8.0 / 9) < 1e-6, s"hand alpha: $k")
     assert(out("o").isNullAt(4), "one rater: consistency undefined")
+    val r = out("r")
+    assert(r.getLong(1) == 0L && r.getLong(2) == 3L && r.getLong(3) == 3L &&
+      r.isNullAt(4),
+      s"zero-complete key surfaces with NULL alpha + n_incomplete: $r")
   }
 
   test("MlEval.auc: perfect 1, inverted 0, random-ties 0.5, hand midrank value, one-class NULL") {
@@ -6003,5 +6024,151 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(p1.getDouble(4) == 0.5 && !p1.getBoolean(5))
     val p2 = out("p2")
     assert(p2.getDouble(2) == 1.0 && p2.getBoolean(5))
+  }
+
+  test("OuterProductAgg/VecSumAgg: hand scatter across partitions, NULL rows skipped, empty → NULL") {
+    // rows x=[1,2], y=[3,4,5] and x=[10,20], y=[1,0,2]:
+    // S = [[1*3+10*1, 1*4, 1*5+10*2], [2*3+20, 2*4, 2*5+40]]
+    val df = Seq(
+      (Seq(1.0, 2.0), Some(Seq(3.0, 4.0, 5.0))),
+      (Seq(10.0, 20.0), Some(Seq(1.0, 0.0, 2.0))),
+      (Seq(9.0, 9.0), None)) // NULL y → skipped
+      .toDF("x", "y").repartition(3) // force multi-partition merge
+    val row = df.agg(
+      functions.OuterProductAgg.outerProductSum(col("x"), col("y")).as("s"),
+      functions.VecSumAgg.vecSum(col("x")).as("v")).head()
+    assert(row.getSeq[Double](0) ==
+      Seq(13.0, 4.0, 25.0, 26.0, 8.0, 50.0), s"scatter: $row")
+    assert(row.getSeq[Double](1) == Seq(20.0, 31.0), s"vec sum: $row")
+    val empty = Seq(Seq(1.0)).toDF("x").filter(lit(false))
+      .agg(functions.OuterProductAgg.outerProductSum(col("x"), col("x")))
+      .head()
+    assert(empty.isNullAt(0), "empty input evals to NULL")
+  }
+
+  test("VecMat: hand vector-matrix product, float vector, codegen plan") {
+    // v=[1,2], M=[[1,2,3],[4,5,6]] → vM = [9, 12, 15]
+    val m = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    val out = df.select(col("id"),
+        functions.VectorExpressions.vecMat(col("v"), typedLit(m)).as("mv"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Double](1) == Seq(9.0, 12.0, 15.0), s"${out(0)}")
+    assert(out(1).getSeq[Double](1) == Seq(4.0, 5.0, 6.0), s"${out(1)}")
+    val fl = Seq((1L, Seq(2.0f, 0.0f))).toDF("id", "vf")
+      .select(functions.VectorExpressions.vecMat(col("vf"), typedLit(m)))
+      .head()
+    assert(fl.getSeq[Double](0) == Seq(2.0, 4.0, 6.0), s"float input: $fl")
+    // stays inside whole-stage codegen (no interpreted fallback) — a
+    // range source, because a LocalRelation is folded before codegen
+    val cg = spark.range(2).select(functions.VectorExpressions
+      .vecMat(array(lit(1.0), col("id").cast("double")), typedLit(m)).as("mv"))
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_mat"),
+      s"codegen span (the *(n) marker) expected on the projection:\n$plan")
+    val cgRows = cg.orderBy("mv").collect() // executes the generated code
+    assert(cgRows(0).getSeq[Double](0) == Seq(1.0, 2.0, 3.0), s"${cgRows(0)}")
+    assert(cgRows(1).getSeq[Double](0) == Seq(5.0, 7.0, 9.0), s"${cgRows(1)}")
+  }
+
+  test("pc1Fit at d=256: plan uses the typed scatter aggregate, no posexplode; loadings match the planted axis") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val d = 256
+    // planted: dim 17 has 10x the variance of the isotropic noise
+    val rows = (0 until 300).map { _ =>
+      val v = Array.fill(d)(rnd.nextGaussian() * 0.1)
+      v(17) += rnd.nextGaussian() * 3.0
+      v.toSeq
+    }
+    val df = rows.toDF("v")
+    // the plan the aggregate replaces the n·d² explode with: ONE
+    // partial_outer_product_sum per partition, zero Generate nodes
+    val vd = transform(col("v"), x => x.cast("double"))
+    val aggPlan = df.agg(functions.OuterProductAgg
+        .outerProductSum(vd, vd)).queryExecution.executedPlan.toString
+    assert(aggPlan.contains("outer_product_sum"), s"agg in plan:\n$aggPlan")
+    assert(!aggPlan.contains("Generate"), s"no explode in plan:\n$aggPlan")
+    val (w, share) = sim.Geometry.pc1Fit(df, "v", iters = 10)
+    assert(w.length == d)
+    val argmax = w.indices.maxBy(i => math.abs(w(i)))
+    assert(argmax == 17, s"planted axis recovered: $argmax")
+    assert(share > 0.5, s"var share dominated by the planted axis: $share")
+  }
+
+  test("Procrustes: rank-deficient overlap still yields an ORTHOGONAL W (Gram-Schmidt completion); empty overlap errors clearly") {
+    // all vectors in a 1-d subspace of d=4 → C has rank 1
+    val a = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(2.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val b = Seq((1L, Seq(0.0, 1.0, 0.0, 0.0)), (2L, Seq(0.0, 2.0, 0.0, 0.0)),
+      (3L, Seq(0.0, -1.0, 0.0, 0.0))).toDF("id", "v")
+    val w = sim.Procrustes.fitW(a, b, "id", "v")
+    val d = w.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => w(i)(k) * w(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9,
+        s"WW^T[$i][$j] = $dot — W must be fully orthogonal")
+    }
+    // the witnessed direction still maps correctly: e1 -> e2
+    assert(math.abs(w(0)(1) - 1.0) < 1e-9, s"e1 maps to e2: ${w(0).toSeq}")
+    // alignReport's cos_after = 1 for the witnessed ids (norm preserved)
+    val rep = sim.Procrustes.alignReport(a, b, "id", "v")
+      .orderBy("id").collect()
+    assert(rep.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-5),
+      s"aligned cosines: ${rep.toSeq}")
+    val err = intercept[IllegalArgumentException] {
+      sim.Procrustes.fitW(a, b.withColumn("id", col("id") + 100L), "id", "v")
+    }
+    assert(err.getMessage.contains("share no"), err.getMessage)
+  }
+
+  test("Urls: non-default ports are distinct origins; scheme-aware default stripping; digit-suffixed utm params dropped") {
+    val df = Seq(
+      (1L, "http://x.com:443/a"),   // NOT http's default → kept
+      (2L, "https://x.com:80/a"),   // NOT https's default → kept
+      (3L, "http://x.com:80/a"),    // default → stripped
+      (4L, "https://WWW.x.com:443/a"), // default + www → stripped
+      (5L, "http://x.com/a?utm_source_2=z&utm_id=7&b=1&fbclid=q"))
+      .toDF("id", "url")
+    val out = text.Urls.canonicalize(df, col("url"))
+      .orderBy("id").select("canonical").as[String].collect()
+    assert(out(0) == "http://x.com:443/a", out(0))
+    assert(out(1) == "https://x.com:80/a", out(1))
+    assert(out(2) == "http://x.com/a", out(2))
+    assert(out(3) == "https://x.com/a", out(3))
+    assert(out(4) == "http://x.com/a?b=1", out(4))
+  }
+
+  test("PageRank redistributeDangling: mass conserved to 1e-9; default leaks it; hand recurrence on a 3-node sink graph") {
+    import spark.implicits._
+    // a -> b, a -> c, b -> c; c is a sink
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("s", "d")
+    val leaked = operators.PageRank.run(edges, "s", "d", iters = 10)
+      .agg(sum(col("rank"))).head().getDouble(0)
+    assert(leaked < 0.6, s"default leaks sink mass: total=$leaked")
+    val kept = operators.PageRank.run(edges, "s", "d", iters = 10,
+      redistributeDangling = true)
+    val total = kept.agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"mass conserved: $total")
+    // hand recurrence, 2 rounds, d=0.85, n=3, start 1/3 each:
+    //   m1 = r(c)/3; a' = .05 + .85*m1; b' = .05 + .85*(a/2 + m1);
+    //   c' = .05 + .85*(a/2 + b + m1)
+    var (ra, rb, rc) = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 10) {
+      val m = rc / 3
+      val (na, nb, nc) = (0.05 + 0.85 * m, 0.05 + 0.85 * (ra / 2 + m),
+        0.05 + 0.85 * (ra / 2 + rb + m))
+      ra = na; rb = nb; rc = nc
+    }
+    val got = kept.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - ra) < 1e-9 && math.abs(got("b") - rb) < 1e-9 &&
+      math.abs(got("c") - rc) < 1e-9, s"hand recurrence: $got vs ($ra,$rb,$rc)")
+    // personalized: dangling mass teleports to the SEEDS — conserved too
+    val seeds = Seq("a").toDF("n")
+    val ppr = operators.PageRank.personalized(edges, "s", "d", seeds, "n",
+      iters = 10, redistributeDangling = true)
+    val pprTotal = ppr.agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(pprTotal - 1.0) < 1e-9, s"PPR mass conserved: $pprTotal")
   }
 }

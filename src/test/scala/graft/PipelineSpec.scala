@@ -1513,4 +1513,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/state/cells/batch=1")
       .collect().map(_.toString).sorted.toSeq == cellBefore)
   }
+
+  test("PrivacyStream: split ≡ one-shot k-anonymity/l-diversity; a small batch ALARMS the cumulative gate; replay byte-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_privacystream").toString
+    // batch 0: two QI classes of size 3 each, 2 distinct diagnoses each
+    // → k=3, l=2, nothing at risk
+    val part1 = Seq(
+      ("z1", "f", "flu"), ("z1", "f", "flu"), ("z1", "f", "cold"),
+      ("z2", "m", "flu"), ("z2", "m", "cold"), ("z2", "m", "cold"))
+    // batch 1: ONE row in a brand-new QI class → creates a k=1 class
+    // and an l=1 class; also pads z1 (still safe)
+    val part2 = Seq(("z9", "f", "rare"), ("z1", "f", "flu"))
+    val qi = Seq("zip", "sex")
+    val mem = MemoryStream[(String, String, String)]
+    val q = streaming.PrivacyStream.toPrivacySink(
+      mem.toDF().toDF("zip", "sex", "diag"), qi, col("diag"),
+      s"$tmp/state", s"$tmp/ck").start()
+    mem.addData(part1: _*)
+    q.processAllAvailable()
+    // the clean interim state: gate green after batch 0
+    val mid = streaming.PrivacyStream.kAnonymity(spark, s"$tmp/state", qi, 2)
+      .collect().head
+    assert(mid.getLong(mid.fieldIndex("n_rows_at_risk")) == 0L,
+      s"batch-0 corpus is 2-anonymous: $mid")
+    mem.addData(part2: _*)
+    q.processAllAvailable(); q.stop()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val all = (part1 ++ part2).toDF("zip", "sex", "diag")
+    // split ≡ one-shot: both reports equal the batch q362/q363 math
+    assert(rows(streaming.PrivacyStream.kAnonymity(spark, s"$tmp/state", qi, 2))
+      == rows(etl.Privacy.kAnonymityReport(all, qi, 2)),
+      "streamed k-anonymity ≡ one-shot")
+    assert(rows(streaming.PrivacyStream.lDiversity(spark, s"$tmp/state", qi, 2))
+      == rows(etl.Privacy.lDiversityReport(all, qi, col("diag"), 2)),
+      "streamed l-diversity ≡ one-shot")
+    // the planted below-k class alarms on the batch that created it
+    val rep = streaming.PrivacyStream.kAnonymity(spark, s"$tmp/state", qi, 2)
+      .collect().head
+    assert(rep.getLong(rep.fieldIndex("k_satisfied")) == 1L &&
+      rep.getLong(rep.fieldIndex("n_classes_at_risk")) == 1L &&
+      rep.getLong(rep.fieldIndex("n_rows_at_risk")) == 1L,
+      s"z9 class alarms: $rep")
+    val ldiv = streaming.PrivacyStream.lDiversity(spark, s"$tmp/state", qi, 2)
+      .collect().head
+    assert(ldiv.getLong(ldiv.fieldIndex("l_satisfied")) == 1L,
+      s"z9's single diagnosis alarms l-diversity: $ldiv")
+    // at-least-once replay: re-landing batch 1 overwrites byte-identically
+    val before = spark.read.parquet(s"$tmp/state/cells/batch=1")
+      .collect().map(_.toString).sorted.toSeq
+    streaming.PrivacyStream.privacyBatch(part2.toDF("zip", "sex", "diag"),
+      1L, qi, col("diag"), s"$tmp/state")
+    assert(spark.read.parquet(s"$tmp/state/cells/batch=1")
+      .collect().map(_.toString).sorted.toSeq == before, "replay idempotent")
+  }
 }
