@@ -90,7 +90,7 @@ object Bench {
     * shape drift ⇒ empty map (first round, or format change — the
     * verdict logic then falls back to own-warm comparison only).
     */
-  private def priorColds(path: String): Map[String, Double] = {
+  private[graft] def priorColds(path: String): Map[String, Double] = {
     val f = new java.io.File(path)
     if (!f.isFile) return Map.empty
     try {
@@ -149,14 +149,18 @@ object Bench {
         remeasured: Option[(Run, Run)], warmVerdict: Option[String],
         coldVerdict: Option[String]) {
       def err: Option[String] = cold.err.orElse(warm.err)
-      // headline substitution policy (symmetric, conservative): a
-      // re-measured number replaces the first pass ONLY when its verdict
-      // says the first pass was contaminated (vanished/external), and
-      // then as the MIN of the two measurements — a contaminated run is
-      // an overestimate, never an underestimate. A true regression keeps
-      // the first-pass number: substituting would hide the finding.
-      private val coldContaminated = Set("cold_contention_vanished",
-        "external_load", "descheduled_external")
+      // headline substitution policy (asymmetric BY NATURE, conservative):
+      // - warm: the re-measured warm is a legitimate steady-state sample,
+      //   so when the verdict says the first pass was contaminated
+      //   (vanished/external) the headline takes the MIN of the two warms
+      //   — a contaminated run only ever overestimates.
+      // - cold: NEVER substituted. An in-process "recold" is structurally
+      //   NOT a cold — JIT, memoized trainer models (q354-class), OS page
+      //   cache, and codegen caches all survive — so min(cold, recold)
+      //   would deflate every query with one-time-per-process work (the
+      //   first r12 run deflated 12 colds this way). The artifact states
+      //   it: cold is always the first-pass number; the re-measure exists
+      //   to inform the VERDICT, not the headline.
       private val warmContaminated = Set("vanished_on_remeasure",
         "external_load", "descheduled_external")
       def warmSec: Double = remeasured match {
@@ -164,11 +168,7 @@ object Bench {
           math.min(warm.wallSec, w2.wallSec)
         case _ => warm.wallSec
       }
-      def coldSec: Double = remeasured match {
-        case Some((c2, _)) if coldVerdict.exists(coldContaminated) =>
-          math.min(cold.wallSec, c2.wallSec)
-        case _ => cold.wallSec
-      }
+      def coldSec: Double = cold.wallSec
     }
     val inverted = (c: Run, w: Run) =>
       w.wallSec > c.wallSec * 1.15 && w.wallSec - c.wallSec > 1.0
@@ -200,15 +200,18 @@ object Bench {
           else if (w2.gcSec > w2.wallSec * 0.3) "gc"
           else if (w2.jitSec > w2.wallSec * 0.3) "jit"
           else "true_warm_regression") // real: warm genuinely slower
+        // in-process recold is warmer BY CONSTRUCTION (JIT, memoized
+        // trainers, page cache), so a small recold cannot distinguish
+        // "first cold timed a neighbor" from "cold includes one-time
+        // work" — the verdict says so honestly; the PRIOR-round cold
+        // (a first-pass cold from a fresh JVM) is the one fair referee.
         val coldVerdict = if (!isColdOut) None else Some(
-          if (c2.wallSec < c.wallSec * 0.6) "cold_contention_vanished"
-          else if (c2.load > ncores * 0.5) "external_load"
-          else if (c2.cpuFrac >= 0 && c2.cpuFrac < 0.05) "descheduled_external"
-          else if (c2.gcSec > c2.wallSec * 0.3) "gc"
-          else if (c2.jitSec > c2.wallSec * 0.3) "jit"
-          else prior.get(name) match {
-            case Some(p) if c2.wallSec > p * 2.5 + 2 => "true_cold_regression"
-            case Some(_) => "matches_prior_round" // own-warm trigger; cost is real and unchanged
+          prior.get(name) match {
+            case Some(p) if c.wallSec <= p * 2.5 + 2 => "matches_prior_round"
+            case Some(p) if c2.wallSec > p * 2.5 + 2 &&
+              c2.wallSec > c.wallSec * 0.6 => "true_cold_regression"
+            case Some(_) => "not_reproducible_in_process" // vs prior it regressed, vs recold it vanished: contention or once-per-process cost
+            case None if c2.wallSec < c.wallSec * 0.6 => "once_per_process_or_contention"
             case None => "genuine_cold_cost" // reproduces; no prior to compare
           })
         Entry(name, c, w, Some((c2, w2)), warmVerdict, coldVerdict)

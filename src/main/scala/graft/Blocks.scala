@@ -53,21 +53,30 @@ object Blocks {
   def releaseAll(spark: SparkSession): Int =
     releaseSince(spark, Set.empty)
 
-  /** The TIMED-HARNESS reset: synchronous unpersist of every RDD
-    * persisted since `before` PLUS a synchronous drop of all broadcast
-    * blocks. `releaseSince` alone leaves broadcasts behind — they are
-    * only reclaimed when the ContextCleaner notices their `Broadcast`
-    * objects got GC'd, which for strongly-referenced ones is NEVER: the
-    * round-12 triage measured ~40 broadcast blocks (~130 MB incl. disk)
-    * surviving per PageRank run through releaseSince + System.gc(),
-    * compounding linearly across a 372-query bench (the r11 artifact's
-    * 130 MB max residual). Blocking removal means the next timed run
-    * starts from a provably clean block manager instead of racing the
-    * async cleaner — the between-runs determinism a benchmark needs.
-    * NOT for query hot paths: a live query's in-flight broadcasts must
-    * not be dropped under it.
+  /** The TIMED-HARNESS reset, in the one order that is safe:
+    *
+    *  1. CLEAR THE RELATION CACHE (CacheManager). `releaseSince`'s raw
+    *     RDD unpersist leaves the InMemoryRelation ENTRIES behind, and
+    *     each entry strongly references its plan's BroadcastExchange
+    *     futures + broadcast Hadoop confs — the reason broadcasts never
+    *     GC (r12 measured ~40 blocks / ~130 MB leaked PER PageRank run,
+    *     compounding to r11's 130 MB residual), and a landmine once
+    *     blocks are force-dropped: the next structurally-identical
+    *     `persist()` would REUSE the stale physical plan and die
+    *     fetching the destroyed broadcast (the r12 q165/q191/q98 bench
+    *     errors — stack through CachedRDDBuilder, triage-reproduced).
+    *  2. Blocking unpersist of every RDD persisted since `before`
+    *     (covers raw-RDD persists the CacheManager never saw).
+    *  3. Synchronous drop of all broadcast blocks — safe now that no
+    *     live cache entry can replay a plan referencing them.
+    *
+    * The next timed run starts from a provably clean block manager
+    * (`max_residual_storage_mb` 0 in the bench artifact) instead of
+    * racing the async cleaner. NOT for query hot paths: a live query's
+    * in-flight broadcasts and caches must not be dropped under it.
     */
   def hardReset(spark: SparkSession, before: Set[Int]): Unit = {
+    org.apache.spark.sql.GraftShims.clearRelationCache(spark)
     val fresh = spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !before.contains(id) }
     fresh.values.foreach(_.unpersist(blocking = true))

@@ -30,15 +30,18 @@ object CandScale {
       shufflePartitions = "32")
     spark.sparkContext.setLogLevel("ERROR")
     for (dir <- dirs) {
+      // vectors stay FLOAT (the embeddings' native width — KMeans.init
+      // and the quantizer stack read float rows)
       val raw = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), transform(col("embedding"),
-          x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding"))
       // planted geometry: 8 hash-derived centers, noise shrunk 0.3× —
       // intra-cluster cosine ≫ inter, the structure IVF cells exploit
       val clustered = raw.select(col("vec_id"),
         transform(col("embedding"), (x, i) =>
-          x * 0.3 + (pmod(xxhash64(pmod(col("vec_id"), lit(8)) * 64 + i),
-            lit(1000)).cast("double") / 500.0 - 1.0) * 2.5).as("embedding"))
+          (x.cast("double") * 0.3 +
+            (pmod(xxhash64(pmod(col("vec_id"), lit(8)) * 64 + i),
+              lit(1000)).cast("double") / 500.0 - 1.0) * 2.5)
+            .cast("float")).as("embedding"))
       for ((label, df0) <- Seq(("raw", raw), ("clustered", clustered))) {
         val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = df.count()

@@ -3387,6 +3387,30 @@ object SparkEntry {
           col("unit"), col("rater"), col("rating"))
         .orderBy(col("cohort"))),
 
+    "q379_label_pr" -> ((s, dir) =>
+      // per-cohort effective dimensionality — "which slice of the
+      // corpus embeds into a collapsed subspace": the keyed form of
+      // q377 (one d2 typed buffer PER KEY, #keys model constants back)
+      sim.Geometry.participationRatioBy(Tables.embeddings(s, dir),
+          "label", "embedding")
+        .orderBy(col("label"))),
+
+    "q378_kneser_ney" -> ((s, dir) =>
+      // the real CCNet arithmetic: interpolated Kneser-Ney bigram LM
+      // score per doc (q122's add-k is the classroom stand-in) —
+      // continuation-probability backoff, D = 0.75
+      text.Corpus.knBigramLogProb(Tables.documents(s, dir), "doc_id",
+          "text")
+        .orderBy(col("doc_id"))),
+
+    "q377_participation_ratio" -> ((s, dir) =>
+      // effective dimensionality of the embedding covariance,
+      // PR = tr(C)^2 / tr(C^2): pure moment algebra off the one-pass
+      // scatter (no eigensolve), so unlike q292's power fit the WHOLE
+      // statistic is oracle-replayable cell-for-cell
+      sim.Geometry.participationRatio(Tables.embeddings(s, dir),
+        "embedding")),
+
     "q376_pagerank_dangling" -> ((s, dir) => {
       // PageRank on the RAW (un-symmetrized) customer→supplier graph:
       // every supplier is a dangling sink, so the default run leaks
@@ -8921,6 +8945,78 @@ object SparkEntry {
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     "q292_pc1_power" -> Pc1OracleSql.sql,
+
+    "q379_label_pr" ->
+      // the q377 trace folds, grouped by label
+      """WITH px AS (SELECT label, i.i AS i, j.j AS j,
+        |    CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS xi,
+        |    CAST(embedding[CAST(j.j AS INT)] AS DOUBLE) AS xj
+        |  FROM embeddings, range(1, 65) i(i), range(1, 65) j(j)),
+        |cv AS MATERIALIZED (SELECT label, i, j,
+        |    sum(xi * xj) / count(*)
+        |      - (sum(xi) / count(*)) * (sum(xj) / count(*)) AS c
+        |  FROM px GROUP BY 1, 2, 3),
+        |nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |       FROM embeddings GROUP BY 1),
+        |tr AS (SELECT label, sum(CASE WHEN i = j THEN c ELSE 0 END) AS t,
+        |    sum(c * c) AS t2 FROM cv GROUP BY 1)
+        |SELECT CAST(nn.label AS BIGINT) AS label,
+        |  CAST(64 AS BIGINT) AS dim, nn.n AS n_vectors,
+        |  roundStable(tr.t, 6) AS trace_cov,
+        |  roundStable(CASE WHEN tr.t2 > 0
+        |    THEN tr.t * tr.t / tr.t2 END, 6) AS participation_ratio,
+        |  roundStable(CASE WHEN tr.t2 > 0
+        |    THEN tr.t * tr.t / tr.t2 / 64.0 END, 6) AS pr_share
+        |FROM nn JOIN tr USING (label) ORDER BY label""".stripMargin,
+
+    "q378_kneser_ney" ->
+      // identical cell algebra: c12/c1/N1+ forward by w1, continuation
+      // counts by w2, B = bigram-type count, then the interpolated-KN
+      // expression tree verbatim
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+        |bgz AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |        FROM d WHERE len(l) >= 2),
+        |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+        |        FROM bg GROUP BY w1, w2),
+        |bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM c12),
+        |c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1,
+        |         CAST(count(DISTINCT w2) AS DOUBLE) AS n1f
+        |       FROM bg GROUP BY w1),
+        |pc AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1r
+        |       FROM c12 GROUP BY w2),
+        |lm AS (SELECT c12.w1, c12.w2,
+        |         ln((greatest(c12 - 0.75, CAST(0 AS DOUBLE))
+        |           + 0.75 * n1f * (n1r / b)) / c1) AS lp
+        |       FROM c12 JOIN c1 USING (w1) JOIN pc USING (w2)
+        |       CROSS JOIN bt)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  roundStable(avg(lp), 6) AS mean_kn_logprob
+        |FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q377_participation_ratio" ->
+      // the identical covariance cells (q292's px/cv CTEs), then both
+      // traces as straight folds: tr(C) on the diagonal, tr(C^2) =
+      // sum of squared cells (C symmetric)
+      """WITH px AS (SELECT i.i AS i, j.j AS j,
+        |    CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS xi,
+        |    CAST(embedding[CAST(j.j AS INT)] AS DOUBLE) AS xj
+        |  FROM embeddings, range(1, 65) i(i), range(1, 65) j(j)),
+        |cv AS MATERIALIZED (SELECT i, j,
+        |    sum(xi * xj) / count(*)
+        |      - (sum(xi) / count(*)) * (sum(xj) / count(*)) AS c
+        |  FROM px GROUP BY 1, 2),
+        |tr AS (SELECT sum(c) AS t FROM cv WHERE i = j),
+        |t2 AS (SELECT sum(c * c) AS t2 FROM cv),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+        |SELECT CAST(64 AS BIGINT) AS dim, nn.n AS n_vectors,
+        |  roundStable(tr.t, 6) AS trace_cov,
+        |  roundStable(CASE WHEN t2.t2 > 0
+        |    THEN tr.t * tr.t / t2.t2 END, 6) AS participation_ratio,
+        |  roundStable(CASE WHEN t2.t2 > 0
+        |    THEN tr.t * tr.t / t2.t2 / 64.0 END, 6) AS pr_share
+        |FROM tr, t2, nn""".stripMargin,
 
     "q371_debias" -> Pc1OracleSql.debiasSql,
 

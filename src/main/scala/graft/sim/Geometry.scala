@@ -112,28 +112,27 @@ object Geometry {
       .orderBy(col("pos"))
   }
 
-  /** The PC1 power-iteration fit shared by [[pc1Power]] (the diagnosis)
-    * and [[removeTopComponent]] (the cure): canonical-signed unit
-    * loading vector + λ₁/trace share.
+  /** One-pass population covariance of the vector column: (row count,
+    * d×d matrix). THREE typed buffers — n (long), Σx (d doubles), Σxxᵀ
+    * (d² doubles) — C_ij = Σxy/n − (Σx_i/n)(Σx_j/n). The former double-
+    * posexplode scatter materialized n·d² rows before partial agg; at
+    * production dims (d = 768–4096) that is 10⁵–10⁷ rows PER INPUT ROW.
+    * The imperative buffers do the same arithmetic with O(parts·d²)
+    * shuffle bytes and zero intermediate rows
+    * ([[graft.functions.OuterProductAgg]]). Bounded collect: n + d + d²
+    * doubles — a model constant, same class as k-means centroids / PQ
+    * codebooks (documented discipline). Shared by [[pc1Fit]] and
+    * [[participationRatio]].
     */
-  private[graft] def pc1Fit(df: DataFrame, vecCol: String,
-                            iters: Int): (Array[Double], Double) = {
-    require(iters >= 1, s"need iters >= 1, got $iters")
-    // ONE pass, THREE typed buffers: n (long), Σx (d doubles), Σxxᵀ (d²
-    // doubles) — C_ij = Σxy/n − (Σx_i/n)(Σx_j/n). The former double-
-    // posexplode scatter materialized n·d² rows before partial agg; at
-    // production dims (d = 768–4096) that is 10⁵–10⁷ rows PER INPUT ROW.
-    // The imperative buffers do the same arithmetic with O(parts·d²)
-    // shuffle bytes and zero intermediate rows ([[functions.OuterProductAgg]]).
+  private[graft] def covFit(df: DataFrame, vecCol: String): (Long, Array[Array[Double]]) = {
     val vd = transform(col(vecCol), x => x.cast("double"))
     val row = df.agg(count(lit(1)).as("__n"),
       graft.functions.VecSumAgg.vecSum(vd).as("__sx"),
       graft.functions.OuterProductAgg.outerProductSum(vd, vd).as("__sxy"))
       .head()
-    require(row.getLong(0) > 0, "pc1Fit: empty corpus — nothing to fit")
-    // bounded collect: n + d + d² doubles — a model constant, same class
-    // as k-means centroids / PQ codebooks (documented discipline)
-    val n = row.getLong(0).toDouble
+    require(row.getLong(0) > 0, "covFit: empty corpus — nothing to fit")
+    val nRows = row.getLong(0)
+    val n = nRows.toDouble
     val sx = row.getSeq[Double](1).toArray
     val sxy = row.getSeq[Double](2).toArray
     val d = sx.length
@@ -147,6 +146,18 @@ object Geometry {
       }
       ii += 1
     }
+    (nRows, c)
+  }
+
+  /** The PC1 power-iteration fit shared by [[pc1Power]] (the diagnosis)
+    * and [[removeTopComponent]] (the cure): canonical-signed unit
+    * loading vector + λ₁/trace share, from the [[covFit]] covariance.
+    */
+  private[graft] def pc1Fit(df: DataFrame, vecCol: String,
+                            iters: Int): (Array[Double], Double) = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val (_, c) = covFit(df, vecCol)
+    val d = c.length
     var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var it = 0
     while (it < iters) {
@@ -366,5 +377,102 @@ object Geometry {
       .agg(count(lit(1)).as("n_points"),
         count(col("__lid")).as("n_fit"),
         roundStable(avg(col("__lid")), digits).as("mean_lid"))
+  }
+
+  /** Participation ratio — the moment-based EFFECTIVE DIMENSIONALITY of
+    * the embedding covariance, `PR = tr(C)² / tr(C²) = (Σλ)²/Σλ²`
+    * (Gao et al. 2017's dimensionality measure; the same spectral-
+    * flatness family as RankMe's erank, Garrido et al. ICML'23): d for
+    * an isotropic cloud, k when variance lives in k equal directions,
+    * →1 under the anisotropy [[pc1Power]] diagnoses. The ANN-budget /
+    * embedding-collapse one-number readout: a 768-dim embedding with
+    * PR 12 is a 12-dim model wearing a 768-dim coat — Matryoshka/PCA
+    * truncation is free, and cosine geometry is dominated by few axes.
+    *
+    * Unlike erank it needs NO eigendecomposition — both traces read
+    * directly off the covariance (tr C² = Σ_ij C_ij², C symmetric), so
+    * the WHOLE statistic is exact moment algebra: one
+    * [[graft.functions.OuterProductAgg]] pass (the covFit constant
+    * collect), zero driver-side iteration, and a DuckDB oracle can
+    * replay it cell-for-cell (unlike the Jacobi/power paths, which are
+    * rows-only). Degenerate corpus (zero variance) → NULL ratio.
+    *
+    * Output: one row — dim, n_vectors, trace (total variance), PR, and
+    * PR/d (the 0-to-1 "how much of the coat is worn" share).
+    */
+  def participationRatio(df: DataFrame, vecCol: String,
+                         digits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, c) = covFit(df, vecCol)
+    val d = c.length
+    var tr = 0.0
+    var tr2 = 0.0
+    var i = 0
+    while (i < d) {
+      tr += c(i)(i)
+      var j = 0
+      while (j < d) { tr2 += c(i)(j) * c(i)(j); j += 1 }
+      i += 1
+    }
+    Seq((d.toLong, n, tr, if (tr2 > 0) Some(tr * tr / tr2) else None))
+      .toDF("dim", "n_vectors", "__tr", "__pr")
+      .select(col("dim"), col("n_vectors"),
+        roundStable(col("__tr"), digits).as("trace_cov"),
+        roundStable(col("__pr"), digits).as("participation_ratio"),
+        roundStable(col("__pr") / col("dim"), digits).as("pr_share"))
+  }
+
+  /** [[participationRatio]] PER KEY — "which ingestion feed is
+    * geometrically collapsed": one keyed aggregation carries a d²
+    * typed buffer per key (the OuterProductAgg keyed form — map-side
+    * partials merge buffers, the shuffle moves O(#keys·d²) doubles,
+    * never rows), the driver folds each key's traces (bounded: #keys
+    * model constants), and the verdict lands as one row per key. A
+    * feed whose PR sits far below its siblings' embeds into a thinner
+    * subspace — re-embed or re-weight before mixing (the geometric
+    * sibling of the q303 cross-entropy mix audit).
+    *
+    * Key contract: the key is read as LONG (numeric cohort ids — the
+    * embeddings table's `label` convention); for string keys map to a
+    * dense id upstream (one distinct + join, the usual dimension trick).
+    */
+  def participationRatioBy(df: DataFrame, keyCol: String, vecCol: String,
+                           digits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val rows = df.groupBy(col(keyCol).cast("long").as("__k"))
+      .agg(count(lit(1)).as("__n"),
+        graft.functions.VecSumAgg.vecSum(vd).as("__sx"),
+        graft.functions.OuterProductAgg.outerProductSum(vd, vd).as("__sxy"))
+      .collect() // bounded: #keys × (1 + d + d²) doubles — model constants
+    val out = rows.map { r =>
+      val n = r.getLong(1).toDouble
+      val sx = r.getSeq[Double](2).toArray
+      val sxy = r.getSeq[Double](3).toArray
+      val d = sx.length
+      var tr = 0.0
+      var tr2 = 0.0
+      var i = 0
+      while (i < d) {
+        val cii = sxy(i * d + i) / n - (sx(i) / n) * (sx(i) / n)
+        tr += cii
+        var j = 0
+        while (j < d) {
+          val cij = sxy(i * d + j) / n - (sx(i) / n) * (sx(j) / n)
+          tr2 += cij * cij
+          j += 1
+        }
+        i += 1
+      }
+      (r.getLong(0), d.toLong, r.getLong(1), tr,
+        if (tr2 > 0) Some(tr * tr / tr2) else None)
+    }.toSeq
+    out.toDF("key", "dim", "n_vectors", "__tr", "__pr")
+      .select(col("key").as(keyCol), col("dim"), col("n_vectors"),
+        roundStable(col("__tr"), digits).as("trace_cov"),
+        roundStable(col("__pr"), digits).as("participation_ratio"),
+        roundStable(col("__pr") / col("dim"), digits).as("pr_share"))
   }
 }

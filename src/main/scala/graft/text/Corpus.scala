@@ -1075,6 +1075,52 @@ object Corpus {
     out
   }
 
+  /** Interpolated Kneser–Ney bigram LM score per document (Kneser & Ney
+    * 1995; Chen & Goodman 1999's interpolated form with fixed discount
+    * D) — the smoothing KenLM uses, i.e. the ACTUAL arithmetic behind
+    * CCNet-style perplexity filtering, where [[bigramLogProb]]'s add-k
+    * is the classroom stand-in: add-k over-penalizes unseen pairs of
+    * frequent words, KN backs off to CONTINUATION probability (how many
+    * distinct contexts a word follows — "francisco" is frequent but
+    * follows almost nothing, so it backs off near zero; that asymmetry
+    * is the whole trick).
+    *
+    * `p(w|v) = (max(c(vw)−D, 0) + D·N₁₊(v·)·p_cont(w)) / c(v·)`,
+    * `p_cont(w) = N₁₊(·w) / |bigram types|`, D = 0.75.
+    *
+    * Same scale contract as [[bigramLogProb]]: every model table joins
+    * by token/pair key (nothing broadcasts); only the scalar bigram-type
+    * count reaches the driver. Docs with < 2 tokens drop out.
+    */
+  def knBigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"need 0 < D < 1, got $discount")
+    val bg = bigramRows(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("__c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // B = distinct bigram types — the one scalar (bounded collect)
+    val b = c12.count().toDouble
+    val c1 = bg.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("__c1"),
+        countDistinct(col("w2")).cast("double").as("__n1f"))
+    val pc = c12.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("double").as("__n1r"))
+    val lm = c12.join(c1, Seq("w1")).join(pc, Seq("w2"))
+      .select(col("w1"), col("w2"),
+        log((greatest(col("__c12") - discount, lit(0.0)) +
+          lit(discount) * col("__n1f") * (col("__n1r") / b)) / col("__c1"))
+          .as("__lp"))
+    val out = bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        roundStable(avg(col("__lp")), 6).as("mean_kn_logprob"))
+      .localCheckpoint()
+    c12.unpersist(); bg.unpersist()
+    out
+  }
+
   /** "Fightin' words" log-odds with an informative Dirichlet prior
     * (Monroe, Colaresi & Quinn 2008) — WHICH words distinguish corpus
     * side A from side B, done right: raw frequency ratios explode on

@@ -39,4 +39,20 @@ object GraftShims {
     val ss = spark.asInstanceOf[classic.SparkSession].sessionState
     ss.catalog.getTableMetadata(ss.sqlParser.parseTableIdentifier(table)).location
   }
+
+  /** Drop every CacheManager entry (the `private[sql]` relation cache
+    * behind `DataFrame.persist`). Unpersisting a cached plan's RDDs
+    * DIRECTLY (the [[graft.Blocks]] id-delta path) leaves the
+    * InMemoryRelation entry behind, and that entry strongly references
+    * the plan's BroadcastExchange futures and broadcast Hadoop confs —
+    * (a) the reason those broadcasts can never be GC-reclaimed (the r12
+    * ~40-blocks-per-run leak), and (b) a live landmine once the blocks
+    * ARE force-dropped: the next structurally-identical `persist()`
+    * REUSES the stale physical plan and fails fetching the destroyed
+    * broadcast (the r12 q165/q191/q98 bench errors, reproduced with a
+    * full stack through CachedRDDBuilder). A timed harness must clear
+    * the entries, not just the blocks.
+    */
+  def clearRelationCache(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.clearCache()
 }

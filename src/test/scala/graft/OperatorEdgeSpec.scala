@@ -6171,4 +6171,118 @@ class OperatorEdgeSpec extends AnyFunSuite {
     val pprTotal = ppr.agg(sum(col("rank"))).head().getDouble(0)
     assert(math.abs(pprTotal - 1.0) < 1e-9, s"PPR mass conserved: $pprTotal")
   }
+
+  test("participationRatio: +-1 cube on 3 of 6 dims reads exactly 3; one direction reads 1; degenerate NULL") {
+    import spark.implicits._
+    // all 8 sign combos over dims 0-2, dims 3-5 constant zero:
+    // C = I_3 (+) 0 -> tr = 3, tr(C^2) = 3, PR = 3, share = 0.5
+    val cube = (0 until 8).map { m =>
+      Seq(if ((m & 1) == 0) -1.0 else 1.0, if ((m & 2) == 0) -1.0 else 1.0,
+        if ((m & 4) == 0) -1.0 else 1.0, 0.0, 0.0, 0.0)
+    }
+    val pr3 = sim.Geometry.participationRatio(cube.toDF("v"), "v")
+      .collect().head
+    assert(pr3.getLong(0) == 6L && pr3.getLong(1) == 8L, s"$pr3")
+    assert(pr3.getDouble(3) == 3.0 && pr3.getDouble(4) == 0.5,
+      s"PR of a 3-dim cube in 6-dim space: $pr3")
+    // every row a multiple of e_1 -> rank-1 covariance -> PR = 1
+    val line = Seq(1.0, 2.0, 3.0, 4.0).map(t => Seq(t, 0.0, 0.0))
+    val pr1 = sim.Geometry.participationRatio(line.toDF("v"), "v")
+      .collect().head
+    assert(pr1.getDouble(3) == 1.0, s"one-direction corpus: $pr1")
+    // constant corpus: zero variance -> NULL ratio, trace 0 visible
+    val const = Seq.fill(3)(Seq(7.0, 7.0)).toDF("v")
+    val pr0 = sim.Geometry.participationRatio(const, "v").collect().head
+    assert(pr0.isNullAt(3) && pr0.getDouble(2) == 0.0,
+      s"degenerate corpus NULL: $pr0")
+  }
+
+  test("knBigramLogProb: hand interpolated-KN on a 3-doc corpus; observed continuations sum to 1; short docs drop") {
+    import spark.implicits._
+    // bigrams: (a,b) x2, (a,c) x1 -> c1(a)=3, N1f(a)=2, B=2 types,
+    // pcont(b)=pcont(c)=1/2. P(b|a) = (2-.75 + .75*2*.5)/3 = 2/3;
+    // P(c|a) = (.25 + .75)/3 = 1/3 — and they sum to 1 (KN normalizes).
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = text.Corpus.knBigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L), "sub-2-token doc has no bigram")
+    assert(math.abs(out(1L).getDouble(2) - math.log(2.0 / 3)) < 1e-6,
+      s"P(b|a)=2/3: ${out(1L)}")
+    assert(math.abs(out(3L).getDouble(2) - math.log(1.0 / 3)) < 1e-6,
+      s"P(c|a)=1/3: ${out(3L)}")
+    assert(out(1L).getLong(1) == 1L && out(2L).getDouble(2) ==
+      out(1L).getDouble(2), "identical docs score identically")
+  }
+
+  test("Bench.priorColds: parses the queries object out of bench-latest.json; absent/garbled files yield empty") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val f = s"$tmp/bench-latest.json"
+    // the exact line shape Bench writes: n_queries BEFORE the queries
+    // object (the indexOf must not bite on it), telemetry after
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      ("{\"metric\":\"total_full\",\"n_queries\":2,\"inversions\":{}," +
+        "\"queries\":{\"q01_agg\":1.234,\"q02_x\":10.5}," +
+        "\"warm\":{\"q01_agg\":0.9},\"telemetry\":{}}").getBytes("UTF-8"))
+    val m = Bench.priorColds(f)
+    assert(m == Map("q01_agg" -> 1.234, "q02_x" -> 10.5), m.toString)
+    assert(Bench.priorColds(s"$tmp/nope.json").isEmpty, "missing file")
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      "not json at all".getBytes("UTF-8"))
+    assert(Bench.priorColds(f).isEmpty, "garbled file")
+  }
+
+  test("Blocks.hardReset: drops the broadcast blocks releaseSince leaves behind; a replayed persist survives (the CacheManager landmine)") {
+    import spark.implicits._
+    val before = Blocks.persistedIds(spark)
+    // force a real broadcast-hash join (blocks land in the block manager)
+    val big = spark.range(10000).toDF("id")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    big.join(broadcast(small), "id").count()
+    Blocks.hardReset(spark, before)
+    val resid = org.apache.spark.GraftSparkShims
+      .storageBlocks(spark.sparkContext)
+      .filter(_._1.startsWith("broadcast"))
+    assert(resid.isEmpty, s"broadcast blocks survived hardReset: $resid")
+    // the r12 bench landmine: a PARQUET-backed persist, reset, then the
+    // structurally-identical persist again — without clearing the
+    // relation cache the second persist reuses the stale physical plan
+    // and dies fetching the dropped hadoop-conf broadcast
+    val dir = java.nio.file.Files.createTempDirectory("graft_hardreset").toString
+    spark.range(1000).toDF("id").write.mode("overwrite").parquet(s"$dir/t")
+    def run(): Long = {
+      val b = Blocks.persistedIds(spark)
+      val df = spark.read.parquet(s"$dir/t").filter(col("id") % 2 === 0)
+        .persist()
+      val n = df.count()
+      Blocks.hardReset(spark, b)
+      n
+    }
+    assert(run() == 500L)
+    assert(run() == 500L, "replayed persist after hardReset must not " +
+      "resurrect a stale cached plan (destroyed broadcast)")
+  }
+
+  test("participationRatioBy: per-key PR isolates the collapsed cohort; matches the global fn on a single-key corpus") {
+    import spark.implicits._
+    // key 1: the 3-dim cube (PR 3); key 2: a one-direction corpus (PR 1)
+    val cube = (0 until 8).map { m =>
+      (1L, Seq(if ((m & 1) == 0) -1.0 else 1.0,
+        if ((m & 2) == 0) -1.0 else 1.0,
+        if ((m & 4) == 0) -1.0 else 1.0, 0.0, 0.0, 0.0))
+    }
+    val line = Seq(1.0, 2.0, 3.0, 4.0).map(t =>
+      (2L, Seq(t, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    val out = sim.Geometry.participationRatioBy(
+      (cube ++ line).toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(4) == 3.0 && out(1L).getLong(2) == 8L,
+      s"cube cohort: ${out(1L)}")
+    assert(out(2L).getDouble(4) == 1.0, s"collapsed cohort: ${out(2L)}")
+    // keyed fn on a single-key corpus == the global fn
+    val g = sim.Geometry.participationRatio(cube.map(_._2).toDF("v"), "v")
+      .collect().head
+    assert(g.getDouble(3) == out(1L).getDouble(4),
+      "single-key grouped PR equals the global PR")
+  }
 }
