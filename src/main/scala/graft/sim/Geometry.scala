@@ -400,6 +400,31 @@ object Geometry {
     * Output: one row — dim, n_vectors, trace (total variance), PR, and
     * PR/d (the 0-to-1 "how much of the coat is worn" share).
     */
+  /** (trace C, trace C²) from RAW moments (n, Σx, Σxxᵀ row-major) —
+    * the shared fold behind [[participationRatio]] /
+    * [[participationRatioBy]] / [[graft.streaming.CovStream]]: cells
+    * derive as C_ij = Σxy_ij/n − (Σx_i/n)(Σx_j/n), traces accumulate in
+    * index order (deterministic cross-path).
+    */
+  private[graft] def tracesFromMoments(n: Double, sx: Array[Double],
+      sxy: Array[Double]): (Double, Double) = {
+    val d = sx.length
+    var tr = 0.0
+    var tr2 = 0.0
+    var i = 0
+    while (i < d) {
+      tr += sxy(i * d + i) / n - (sx(i) / n) * (sx(i) / n)
+      var j = 0
+      while (j < d) {
+        val cij = sxy(i * d + j) / n - (sx(i) / n) * (sx(j) / n)
+        tr2 += cij * cij
+        j += 1
+      }
+      i += 1
+    }
+    (tr, tr2)
+  }
+
   def participationRatio(df: DataFrame, vecCol: String,
                          digits: Int = 6): DataFrame = {
     val spark = df.sparkSession
@@ -448,25 +473,10 @@ object Geometry {
         graft.functions.OuterProductAgg.outerProductSum(vd, vd).as("__sxy"))
       .collect() // bounded: #keys × (1 + d + d²) doubles — model constants
     val out = rows.map { r =>
-      val n = r.getLong(1).toDouble
       val sx = r.getSeq[Double](2).toArray
       val sxy = r.getSeq[Double](3).toArray
-      val d = sx.length
-      var tr = 0.0
-      var tr2 = 0.0
-      var i = 0
-      while (i < d) {
-        val cii = sxy(i * d + i) / n - (sx(i) / n) * (sx(i) / n)
-        tr += cii
-        var j = 0
-        while (j < d) {
-          val cij = sxy(i * d + j) / n - (sx(i) / n) * (sx(j) / n)
-          tr2 += cij * cij
-          j += 1
-        }
-        i += 1
-      }
-      (r.getLong(0), d.toLong, r.getLong(1), tr,
+      val (tr, tr2) = tracesFromMoments(r.getLong(1).toDouble, sx, sxy)
+      (r.getLong(0), sx.length.toLong, r.getLong(1), tr,
         if (tr2 > 0) Some(tr * tr / tr2) else None)
     }.toSeq
     out.toDF("key", "dim", "n_vectors", "__tr", "__pr")

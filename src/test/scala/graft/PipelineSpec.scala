@@ -1569,4 +1569,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/state/cells/batch=1")
       .collect().map(_.toString).sorted.toSeq == before, "replay idempotent")
   }
+
+  test("CovStream: split corpus ≡ one-shot participation ratio (exact on integer vectors); replay byte-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_covstream").toString
+    // the exact-PR corpus: the 3-of-6-dims ±1 cube (PR = 3, share 0.5),
+    // integer-valued so moment sums are fp-EXACT under any batch split
+    val cube = (0 until 8).map { m =>
+      (m.toLong, Seq(if ((m & 1) == 0) -1.0 else 1.0,
+        if ((m & 2) == 0) -1.0 else 1.0,
+        if ((m & 4) == 0) -1.0 else 1.0, 0.0, 0.0, 0.0))
+    }
+    val (part1, part2) = cube.splitAt(3)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = streaming.CovStream.toCovSink(
+      mem.toDF().toDF("id", "v"), "v", s"$tmp/state", s"$tmp/ck").start()
+    mem.addData(part1: _*)
+    q.processAllAvailable()
+    mem.addData(part2: _*)
+    q.processAllAvailable(); q.stop()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq
+    val streamed = streaming.CovStream.participationRatio(spark, s"$tmp/state")
+    val oneShot = sim.Geometry.participationRatio(
+      cube.map(_._2).toDF("v"), "v")
+    assert(rows(streamed) == rows(oneShot),
+      s"split ≡ one-shot: ${rows(streamed)} vs ${rows(oneShot)}")
+    assert(streamed.collect().head.getDouble(4) == 0.5, "cube PR share")
+    // at-least-once replay: re-landing batch 1 overwrites byte-identically
+    val before = spark.read.parquet(s"$tmp/state/moments/batch=1")
+      .collect().map(_.toString).toSeq
+    streaming.CovStream.covBatch(part2.toDF("id", "v"), 1L, "v",
+      s"$tmp/state")
+    assert(spark.read.parquet(s"$tmp/state/moments/batch=1")
+      .collect().map(_.toString).toSeq == before, "replay idempotent")
+  }
 }
