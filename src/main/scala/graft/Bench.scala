@@ -178,6 +178,28 @@ object Bench {
     val coldOutlier = (name: String, c: Run, w: Run) =>
       (c.wallSec > w.wallSec * 2.5 && c.wallSec - w.wallSec > 2.0) ||
         prior.get(name).exists(p => c.wallSec > p * 2.5 && c.wallSec - p > 2.0)
+    // UNTIMED process warm-up before the timed loop: the first map-order
+    // query otherwise carries the JVM/Spark STARTUP JIT (r12: query #1
+    // cold 5.26 s vs 0.33 s recold with 6.49 s of in-run JIT — a process
+    // cost, not a plan cost). One throwaway generic pipeline — parquet
+    // scan, shuffle agg, broadcast join — compiles the Spark
+    // infrastructure paths (scan exec, exchange, codegen driver, block
+    // manager) WITHOUT running any registered query's plan, so every
+    // timed cold still pays its own plan compilation. Policy unchanged:
+    // cold remains the first TIMED pass.
+    locally {
+      val warm0 = Blocks.persistedIds(spark)
+      val t = spark.range(1L << 20)
+        .selectExpr("id", "cast(id % 5 as bigint) as k")
+      t.groupBy("k").count().count()
+      val r = Tables.region(spark, sfDir).selectExpr(
+        "cast(r_regionkey as bigint) as k")
+      t.join(org.apache.spark.sql.functions.broadcast(r), Seq("k"), "left")
+        .count()
+      Blocks.hardReset(spark, warm0)
+      System.gc()
+      Thread.sleep(100)
+    }
     val firstPass = SparkEntry.queries.map { case (name, fn) =>
       (name, fn, time(fn), time(fn))
     }.toSeq

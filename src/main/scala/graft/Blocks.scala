@@ -74,11 +74,21 @@ object Blocks {
     * (`max_residual_storage_mb` 0 in the bench artifact) instead of
     * racing the async cleaner. NOT for query hot paths: a live query's
     * in-flight broadcasts and caches must not be dropped under it.
+    *
+    * SCOPE ASYMMETRY, on purpose: `rawRddsBefore` scopes ONLY step 2
+    * (the raw-RDD unpersist — callers may legitimately hold raw RDD
+    * persists across the reset). Steps 1 and 3 are GLOBAL: ALL
+    * CacheManager relation entries and ALL broadcast blocks are dropped
+    * regardless of when they were created, because a surviving cache
+    * entry strongly references broadcast futures (step 1's whole point)
+    * and a scoped broadcast drop cannot tell a leaked block from a live
+    * one. Do not call this while any DataFrame `.cache()`/`.persist()`
+    * result from before the reset is still needed.
     */
-  def hardReset(spark: SparkSession, before: Set[Int]): Unit = {
+  def hardReset(spark: SparkSession, rawRddsBefore: Set[Int]): Unit = {
     org.apache.spark.sql.GraftShims.clearRelationCache(spark)
     val fresh = spark.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => !before.contains(id) }
+      .filter { case (id, _) => !rawRddsBefore.contains(id) }
     fresh.values.foreach(_.unpersist(blocking = true))
     org.apache.spark.GraftSparkShims.dropAllBroadcastBlocks(spark.sparkContext)
   }

@@ -126,11 +126,16 @@ object Geometry {
     */
   private[graft] def covFit(df: DataFrame, vecCol: String): (Long, Array[Array[Double]]) = {
     val vd = transform(col(vecCol), x => x.cast("double"))
-    val row = df.agg(count(lit(1)).as("__n"),
+    // n must count exactly the rows the moment aggregates consume:
+    // VecSumAgg/OuterProductAgg skip NULL vectors, so count(vd) (non-NULL
+    // only), NOT count(*) — an all-rows n would divide null-skipping
+    // moment sums by an inflated denominator and silently bias C.
+    val row = df.agg(count(vd).as("__n"),
       graft.functions.VecSumAgg.vecSum(vd).as("__sx"),
       graft.functions.OuterProductAgg.outerProductSum(vd, vd).as("__sxy"))
       .head()
-    require(row.getLong(0) > 0, "covFit: empty corpus — nothing to fit")
+    require(row.getLong(0) > 0,
+      "covFit: no non-NULL vectors — nothing to fit")
     val nRows = row.getLong(0)
     val n = nRows.toDouble
     val sx = row.getSeq[Double](1).toArray
@@ -198,9 +203,10 @@ object Geometry {
   def removeTopComponent(df: DataFrame, idCol: String, vecCol: String,
                          iters: Int = 10, digits: Int = 6): DataFrame = {
     val (w, _) = pc1Fit(df, vecCol, iters)
-    val mRow = df.agg(count(lit(1)).as("__n"),
-      graft.functions.VecSumAgg.vecSum(
-        transform(col(vecCol), x => x.cast("double"))).as("__sx")).head()
+    val mVd = transform(col(vecCol), x => x.cast("double"))
+    // count(mVd): non-NULL vectors only — the rows VecSumAgg consumed
+    val mRow = df.agg(count(mVd).as("__n"),
+      graft.functions.VecSumAgg.vecSum(mVd).as("__sx")).head()
     val mN = mRow.getLong(0).toDouble
     val mean = mRow.getSeq[Double](1).toArray.map(_ / mN)
     val mLit = array(mean.map(lit).toIndexedSeq: _*)
@@ -467,11 +473,13 @@ object Geometry {
     val spark = df.sparkSession
     import spark.implicits._
     val vd = transform(col(vecCol), x => x.cast("double"))
+    // count(vd): non-NULL vectors only (the covFit denominator contract)
     val rows = df.groupBy(col(keyCol).cast("long").as("__k"))
-      .agg(count(lit(1)).as("__n"),
+      .agg(count(vd).as("__n"),
         graft.functions.VecSumAgg.vecSum(vd).as("__sx"),
         graft.functions.OuterProductAgg.outerProductSum(vd, vd).as("__sxy"))
       .collect() // bounded: #keys × (1 + d + d²) doubles — model constants
+      .filter(_.getLong(1) > 0) // all-NULL keys have no moments to fold
     val out = rows.map { r =>
       val sx = r.getSeq[Double](2).toArray
       val sxy = r.getSeq[Double](3).toArray

@@ -107,13 +107,25 @@ object Procrustes {
     val va = transform(col("__va"), x => x.cast("double"))
     val vb = transform(col("__vb"), x => x.cast("double"))
     val row = pairs.agg(count(lit(1)).as("__n"),
-      graft.functions.OuterProductAgg.outerProductSum(va, vb).as("__c"))
+      graft.functions.OuterProductAgg.outerProductSum(va, vb).as("__c"),
+      max(size(va)).as("__da"), max(size(vb)).as("__db"))
       .head()
     require(row.getLong(0) > 0,
       s"Procrustes.fitW: the two snapshots share no '$idCol' values — " +
         "alignment needs row-matched ids present in both")
     val flat = row.getSeq[Double](1).toArray
-    val d = math.sqrt(flat.length.toDouble).round.toInt
+    // An orthogonal map only exists between equal-width spaces. Derive d
+    // from the MEASURED side widths, never from sqrt(flat.length): a
+    // dx≠dy pair whose product is a perfect square (e.g. 4×9) would
+    // silently mis-index the flattened row-major buffer.
+    val da = row.getInt(2)
+    val db = row.getInt(3)
+    require(da == db,
+      s"Procrustes.fitW: snapshot vector widths differ ($da vs $db) — " +
+        "orthogonal alignment needs equal dimensions")
+    val d = da
+    require(flat.length == d * d,
+      s"Procrustes.fitW: scatter buffer length ${flat.length} != $d²")
     val cMat = Array.tabulate(d, d)((i, j) => flat(i * d + j))
     // E = CᵀC
     val e = Array.tabulate(d, d) { (i, j) =>

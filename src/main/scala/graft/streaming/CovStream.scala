@@ -28,14 +28,18 @@ import graft.functions.{OuterProductAgg, VecSumAgg, roundStable}
   */
 object CovStream {
 
-  /** Land one micro-batch's raw covariance moments (one row). Empty
-    * batches land n = 0 with NULL moment arrays — visible, merge-inert.
+  /** Land one micro-batch's raw covariance moments (one row). `n` counts
+    * only non-NULL vector rows — exactly the rows the moment aggregates
+    * consume (VecSumAgg/OuterProductAgg skip NULL vectors); an all-rows
+    * count would persist an internally inconsistent (n, Σx, Σxxᵀ) triple
+    * that skews every future merged readout. Empty (or all-NULL) batches
+    * land n = 0 with NULL moment arrays — visible, merge-inert.
     */
   def covBatch(batch: DataFrame, batchId: Long, vecCol: String,
                stateDir: String): Unit = {
     val vd = transform(col(vecCol), x => x.cast("double"))
     batch
-      .agg(count(lit(1)).as("n"), VecSumAgg.vecSum(vd).as("sx"),
+      .agg(count(vd).as("n"), VecSumAgg.vecSum(vd).as("sx"),
         OuterProductAgg.outerProductSum(vd, vd).as("sxy"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)

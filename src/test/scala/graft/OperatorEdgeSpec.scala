@@ -6285,4 +6285,83 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(g.getDouble(3) == out(1L).getDouble(4),
       "single-key grouped PR equals the global PR")
   }
+
+  test("covFit family: NULL-vector rows excluded from n — NULL-laced corpus equals the NULL-free corpus exactly") {
+    import spark.implicits._
+    // the moment aggregates skip NULL vectors; n must count the SAME rows
+    // or every covariance cell divides by an inflated denominator
+    val cube = (0 until 8).map { m =>
+      Some(Seq(if ((m & 1) == 0) -1.0 else 1.0,
+        if ((m & 2) == 0) -1.0 else 1.0,
+        if ((m & 4) == 0) -1.0 else 1.0, 0.0, 0.0, 0.0))
+    }
+    val laced = (cube ++ Seq(None, None, None)).toDF("v")
+    val clean = cube.toDF("v")
+    val prL = sim.Geometry.participationRatio(laced, "v").collect().head
+    val prC = sim.Geometry.participationRatio(clean, "v").collect().head
+    assert(prL.getLong(1) == 8L, s"n_vectors counts non-NULL only: $prL")
+    assert(prL.getDouble(3) == prC.getDouble(3) &&
+      prL.getDouble(2) == prC.getDouble(2),
+      s"NULL rows must not bias the covariance: $prL vs $prC")
+    // removeTopComponent: same mean/PC1 with or without the NULL rows
+    // (NULL-vec rows pass through the map with NULL debiased values)
+    val lacedIds = (cube.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((100L, None), (101L, None))).toDF("id", "v")
+    val cleanIds = cube.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val dL = sim.Geometry.removeTopComponent(lacedIds, "id", "v")
+      .filter(col("id") < 100).orderBy("id", "pos")
+      .select("debiased").as[Option[Double]].collect()
+    val dC = sim.Geometry.removeTopComponent(cleanIds, "id", "v")
+      .orderBy("id", "pos").select("debiased").as[Option[Double]].collect()
+    assert(dL.toSeq == dC.toSeq,
+      "debiasing must use the NULL-free mean and PC1")
+    // keyed form: a NULL row inside a key doesn't skew it; an all-NULL
+    // key folds away instead of dividing NULL moments by a nonzero n
+    val keyed = (cube.map(v => (1L, v)) ++
+      Seq((1L, None), (2L, None), (2L, None))).toDF("k", "v")
+    val by = sim.Geometry.participationRatioBy(keyed, "k", "v").collect()
+    assert(by.length == 1 && by.head.getLong(0) == 1L,
+      s"all-NULL key dropped: ${by.toSeq}")
+    assert(by.head.getLong(2) == 8L && by.head.getDouble(4) == 3.0,
+      s"keyed PR unbiased by the NULL row: ${by.head}")
+  }
+
+  test("CovStream.covBatch: n counts only non-NULL vectors, so the persisted moment triple stays internally consistent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_covnull").toString
+    val cube = (0 until 8).map { m =>
+      Some(Seq(if ((m & 1) == 0) -1.0 else 1.0,
+        if ((m & 2) == 0) -1.0 else 1.0,
+        if ((m & 4) == 0) -1.0 else 1.0, 0.0, 0.0, 0.0))
+    }
+    // batch 0 carries NULL vectors; batch 1 is clean
+    streaming.CovStream.covBatch(
+      (cube.take(4) ++ Seq(None, None)).toDF("v"), 0L, "v", s"$tmp/state")
+    streaming.CovStream.covBatch(
+      cube.drop(4).toDF("v"), 1L, "v", s"$tmp/state")
+    val landed = spark.read.parquet(s"$tmp/state/moments")
+      .select("n").as[Long].collect().sorted
+    assert(landed.toSeq == Seq(4L, 4L),
+      s"per-batch n must match the rows the moments consumed: ${landed.toSeq}")
+    val merged = streaming.CovStream.participationRatio(spark, s"$tmp/state")
+      .collect().head
+    val oneShot = sim.Geometry.participationRatio(cube.toDF("v"), "v")
+      .collect().head
+    assert(merged.getLong(1) == 8L &&
+      merged.getDouble(3) == oneShot.getDouble(3),
+      s"merged readout unbiased by NULL batch rows: $merged vs $oneShot")
+  }
+
+  test("Procrustes.fitW: unequal snapshot widths error clearly even when dx*dy is a perfect square (4x9)") {
+    import spark.implicits._
+    val a = Seq((1L, Seq.fill(4)(1.0)), (2L, Seq.fill(4)(2.0))).toDF("id", "v")
+    val b = Seq((1L, Seq.fill(9)(1.0)), (2L, Seq.fill(9)(2.0))).toDF("id", "v")
+    // 4*9 = 36 = 6² — the sqrt-derived d would silently mis-index the
+    // row-major buffer instead of erroring
+    val err = intercept[IllegalArgumentException] {
+      sim.Procrustes.fitW(a, b, "id", "v")
+    }
+    assert(err.getMessage.contains("widths differ"), err.getMessage)
+  }
 }
