@@ -525,10 +525,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    "q39_ann_lsh" -> ((s, dir) =>
-      sim.LshAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+    "q39_ann_lsh" -> ((s, dir) => {
+      // VERDICT-GATED (r13): the LSH neighbor list is hash-bucket
+      // content — engine-specific, but DETERMINISTIC (seeded planes,
+      // rounded-score id-tiebroken ranks) — so the query cross-checks
+      // it in-query against the brute-force truth and emits the q62
+      // verdict row: counts by value, coverage/sortedness/recall as
+      // 1/0s the oracle asserts. Floor 0.6 vs 0.98 measured at both
+      // gate SFs (AnnFloorProbe) — a real recall collapse breaks the
+      // hash gate; box noise cannot.
+      val emb = Tables.embeddings(s, dir)
+      val ann = sim.LshAnn.topK(emb, "vec_id", "embedding",
         isQuery = col("vec_id") < 10, dim = 64, k = 5)
-        .orderBy(col("query_id"), col("rank"))),
+      val truth = sim.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      sim.AnnVerdict.topKVerdict(ann, truth, k = 5, recallFloor = 0.6)
+    }),
 
     "q44_tfidf" -> ((s, dir) =>
       text.Tfidf.scores(Tables.documents(s, dir), "doc_id", "text")
@@ -576,8 +588,9 @@ object SparkEntry {
       // IVF with PRE-ASSIGNED coarse centroids (the `label` column) — the
       // production shape where assignment happens offline. Fully
       // deterministic → real SQL oracle. The in-engine trainer variant is
-      // q51 (rows-only: Lloyd's iterations aren't expressible in one SQL
-      // query; the trainer itself is spec-verified on planted clusters).
+      // q51 (verdict-gated: Lloyd's iterations aren't expressible in one
+      // SQL query, so q51 cross-checks its search contract in-query and
+      // the oracle asserts the flattened verdicts).
       sim.IvfAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
         isQuery = col("vec_id") < 10, k = 5)
         .orderBy(col("query_id"), col("rank"))),
@@ -587,17 +600,19 @@ object SparkEntry {
       // centroids in-engine, then the same cluster-bucketed search.
       // NOTE: the testdata's `label` is NOT geometric (intra-label cosine
       // ≈ inter-label ≈ 0), so a trained clustering legitimately differs
-      // from q41's pre-assigned one; correctness of the trainer is
-      // spec-verified (planted-cluster recovery + partition-independence).
+      // from q41's pre-assigned one; the trainer is spec-verified
+      // (planted-cluster recovery + partition-independence).
       // farthest-point seeding: at k=10 its k sequential scans beat
       // k-means||'s fewer-but-heavier passes (measured 5.9 s vs 10.7 s
-      // at sf0.1 — the || path's least-over-candidates expression grows
-      // with the candidate pool). "parallel" is the large-k choice.
+      // at sf0.1). VERDICT-GATED (r13): on a geometry-free corpus the
+      // trained search's CONTRACT is "exactly the brute-force top-k of
+      // the query's cell" — checked in-query against an independent
+      // truth path (global brute-force ranking filtered to the cell)
+      // and flattened to 1/0s + exact counts the oracle asserts.
       val assigned = sim.KMeans.fitAssign(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 10, iters = 3)
-      sim.IvfAnn.topK(assigned, "vec_id", "embedding", "cluster",
-        isQuery = col("vec_id") < 10, k = 5)
-        .orderBy(col("query_id"), col("rank"))
+      sim.AnnVerdict.cellTopKVerdict(assigned, "vec_id", "embedding",
+        "cluster", isQuery = col("vec_id") < 10, k = 5)
     }),
 
     "q34_ngram_jaccard" -> ((s, dir) =>
@@ -741,12 +756,11 @@ object SparkEntry {
 
     "q71_ivfpq_topk" -> ((s, dir) => {
       // IVF-PQ composed: nprobe coarse cells -> ADC scan of only those
-      // cells' codes -> bounded exact re-rank. Rows-only (two iterative
-      // trainers); recall, probe-bounded candidate count, and the
-      // probe-join-below-explode plan shape are spec-asserted. Training
-      // hoisted to the once-per-process memo (the q87 discipline:
-      // quantizer training is the offline step a deployment amortizes),
-      // so Bench times the probe path; budget matches q51/q52.
+      // cells' codes -> bounded exact re-rank. Probe-bounded candidate
+      // count and the probe-join-below-explode plan shape stay
+      // spec-asserted. Training hoisted to the once-per-process memo
+      // (the q87 discipline: quantizer training is the offline step a
+      // deployment amortizes), so Bench times the probe path.
       val emb = Tables.embeddings(s, dir)
       val mdl = memoOnce(s"q71mdl|$dir") {
         sim.IvfPq.fit(emb, "vec_id", "embedding", dim = 64,
@@ -755,10 +769,15 @@ object SparkEntry {
       // nprobe=8 of 16 cells: the synthetic embeddings have no cluster
       // geometry (intra-label ≈ inter-label cosine), so neighbors spread
       // across cells — half the cells probed keeps recall@5 >= 0.8
-      // (spec-measured; real clustered embeddings take nprobe << kCoarse)
-      sim.IvfPq.topK(emb, "vec_id", "embedding", isQuery = col("vec_id") < 10,
-        dim = 64, k = 5, nprobe = 8, model = Some(mdl))
-        .orderBy(col("query_id"), col("rank"))
+      // (spec-measured; real clustered embeddings take nprobe << kCoarse).
+      // VERDICT-GATED (r13): q62 verdict row, floor 0.6 vs 0.82-0.84
+      // measured (AnnFloorProbe at both gate SFs).
+      val ann = sim.IvfPq.topK(emb, "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, dim = 64, k = 5, nprobe = 8,
+        model = Some(mdl))
+      val truth = sim.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      sim.AnnVerdict.topKVerdict(ann, truth, k = 5, recallFloor = 0.6)
     }),
 
     "q73_ivfrq_topk" -> ((s, dir) => {
@@ -767,16 +786,20 @@ object SparkEntry {
       // per-probe ⟨q, c_cell⟩ offset. Identical distributed plan to q71
       // — the refinement is all in the driver-side constants — so this
       // gates that the residual constants don't corrupt the probe-bounded
-      // scan. Rows-only (two iterative trainers); recall spec-asserted.
-      // Residual training hoisted to the memo like q71's.
+      // scan. Residual training hoisted to the memo like q71's.
       val emb = Tables.embeddings(s, dir)
       val mdl = memoOnce(s"q73mdl|$dir") {
         sim.IvfPq.fit(emb, "vec_id", "embedding", dim = 64,
           kCoarse = 16, coarseIters = 3, pqIters = 3, residual = true)
       }
-      sim.IvfPq.topK(emb, "vec_id", "embedding", isQuery = col("vec_id") < 10,
-        dim = 64, k = 5, nprobe = 8, model = Some(mdl))
-        .orderBy(col("query_id"), col("rank"))
+      // VERDICT-GATED (r13): q62 verdict row, floor 0.6 vs 0.80-0.86
+      // measured (AnnFloorProbe at both gate SFs).
+      val ann = sim.IvfPq.topK(emb, "vec_id", "embedding",
+        isQuery = col("vec_id") < 10, dim = 64, k = 5, nprobe = 8,
+        model = Some(mdl))
+      val truth = sim.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      sim.AnnVerdict.topKVerdict(ann, truth, k = 5, recallFloor = 0.6)
     }),
 
     "q72_stream_dedup_fold" -> ((s, dir) => {
@@ -948,13 +971,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    "q52_pq_topk" -> ((s, dir) =>
+    "q52_pq_topk" -> ((s, dir) => {
       // Product-quantization ANN: 32× compressed codes + ADC scan +
-      // bounded exact re-rank. Rows-only (iterative codebook training);
-      // recall@5 vs exact is spec-asserted (0.90-0.94 measured).
-      sim.ProductQuantizer.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      // bounded exact re-rank. VERDICT-GATED (r13): codebooks are
+      // trained (engine content) but deterministic — the q62 verdict
+      // row rides the oracle with floor 0.75 vs 0.90-0.94 measured
+      // (AnnFloorProbe at both gate SFs).
+      val emb = Tables.embeddings(s, dir)
+      val ann = sim.ProductQuantizer.topK(emb, "vec_id", "embedding",
         isQuery = col("vec_id") < 10, dim = 64, k = 5)
-        .orderBy(col("query_id"), col("rank"))),
+      val truth = sim.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      sim.AnnVerdict.topKVerdict(ann, truth, k = 5, recallFloor = 0.75)
+    }),
 
     "q50_interpolate_multi" -> ((s, dir) => {
       // Multi-column interpolation, the reference's actual shape
@@ -1085,13 +1114,16 @@ object SparkEntry {
 
     "q105_int8_topk" -> ((s, dir) => {
       // top-5 cosine through the int8 scan (4× over-fetch on the
-      // quantized ranking, exact rescore on the sliver) — rows-only like
-      // the other trained/approximate ANN paths; recall vs brute force
-      // is spec'd (ScalarQuant recall >= 0.9 at these settings).
+      // quantized ranking, exact rescore on the sliver). VERDICT-GATED
+      // (r13): q62 verdict row, floor 0.85 vs 1.00 measured at both
+      // gate SFs (the 4× over-fetch recovers every quantization miss
+      // on this corpus; spec floor 0.9 at sf0.001).
       val emb = Tables.embeddings(s, dir)
-      sim.ScalarQuant.topK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
-        .orderBy(col("query_id"), col("rank"))
+      val ann = sim.ScalarQuant.topK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      val truth = sim.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      sim.AnnVerdict.topKVerdict(ann, truth, k = 5, recallFloor = 0.85)
     }),
 
     "q109_group_sample" -> ((s, dir) =>
@@ -1229,18 +1261,23 @@ object SparkEntry {
       // retrieval diversity pass: brute-force top-20 recall per query,
       // vectors joined back, then the greedy MMR selection of 5 — the
       // RAG re-rank that keeps near-duplicate hits from crowding out
-      // coverage. Rows-only: the greedy argmax is a per-group fold (the
-      // documented imperative island), spec-verified on planted
-      // near-dups; determinism via (rel desc, id) candidate order.
+      // coverage. The greedy argmax is a per-group fold (the documented
+      // imperative island), spec-verified on planted near-dups;
+      // determinism via (rel desc, id) candidate order.
+      // VERDICT-GATED (r13): MMR's FIRST pick is the relevance argmax
+      // (empty selected set ⇒ score = λ·rel), i.e. the brute-force
+      // top-1 — id and relevance oracle-recomputable BY VALUE; the
+      // remaining greedy picks flatten to structural 1/0 verdicts
+      // (subset-of-candidates, distinct, k selected).
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
       val cands = sim.Similarity.bruteForceTopK(emb, queries, "vec_id",
         "embedding", k = 20)
       val withVecs = cands.join(emb.select(col("vec_id").as("neighbor_id"),
         col("embedding")), Seq("neighbor_id"))
-      sim.Similarity.mmrRerank(withVecs, "query_id", "neighbor_id",
-          "cosine", "embedding", k = 5, lambda = 0.7)
-        .orderBy(col("query_id"), col("mmr_rank"))
+      val mmr = sim.Similarity.mmrRerank(withVecs, "query_id", "neighbor_id",
+        "cosine", "embedding", k = 5, lambda = 0.7)
+      sim.AnnVerdict.mmrVerdict(mmr, cands, k = 5).orderBy(col("query_id"))
     }),
 
     "q116_cdc_apply" -> ((s, dir) => {
@@ -5065,6 +5102,80 @@ object SparkEntry {
         |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // ANN verdict rows (q62 discipline): exact counts recomputed by
+    // value; the in-query coverage/sortedness/recall cross-checks vs
+    // brute force assert as literal 1s — engine-specific neighbor lists
+    // stay out of the compared output, but a recall collapse, missing
+    // rank, or unsorted score breaks the hash gate.
+    "q39_ann_lsh" ->
+      """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+        | CAST(1 AS BIGINT) AS coverage_ok,
+        | CAST(1 AS BIGINT) AS sorted_ok,
+        | CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q52_pq_topk" ->
+      """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+        | CAST(1 AS BIGINT) AS coverage_ok,
+        | CAST(1 AS BIGINT) AS sorted_ok,
+        | CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q71_ivfpq_topk" ->
+      """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+        | CAST(1 AS BIGINT) AS coverage_ok,
+        | CAST(1 AS BIGINT) AS sorted_ok,
+        | CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q73_ivfrq_topk" ->
+      """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+        | CAST(1 AS BIGINT) AS coverage_ok,
+        | CAST(1 AS BIGINT) AS sorted_ok,
+        | CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q105_int8_topk" ->
+      """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+        | CAST(1 AS BIGINT) AS coverage_ok,
+        | CAST(1 AS BIGINT) AS sorted_ok,
+        | CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q51_ivf_kmeans" ->
+      // trained-cell search: exact corpus/query counts by value; the
+      // assignment-total and within-cell-equality cross-checks assert
+      // as literal 1s (the independent truth path is the global
+      // brute-force ranking filtered to the query's trained cell)
+      """SELECT (SELECT count(*) FROM embeddings) AS n_corpus,
+        | count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+        | CAST(1 AS BIGINT) AS assign_ok,
+        | CAST(1 AS BIGINT) AS cell_match_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q115_mmr_rerank" ->
+      // MMR's first pick IS the brute-force top-1 (relevance argmax) —
+      // id and relevance recomputed by value; the rest of the greedy
+      // selection flattens to structural verdicts
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id AS first_pick, cosine AS first_rel,
+        |  CAST(5 AS BIGINT) AS n_selected,
+        |  CAST(1 AS BIGINT) AS subset_ok,
+        |  CAST(1 AS BIGINT) AS distinct_ok
+        |FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM p) t
+        |WHERE rank = 1 ORDER BY query_id""".stripMargin,
 
     "q65_session_window" ->
       """WITH t AS (

@@ -1,0 +1,167 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-query verdict stage for the approximate/trained ANN surfaces — the
+  * q62/q68 sketch discipline applied to similarity search: the engine
+  * cross-checks its own approximate output against the EXACT brute-force
+  * truth (computed in the same query off [[Similarity.bruteForceTopK]]'s
+  * machinery) and emits scalar verdict columns the DuckDB oracle asserts
+  * as literal 1s, next to exact-computable columns (query/corpus counts)
+  * the oracle recomputes by value. Raw neighbor lists stay out of the
+  * compared output — trained codebooks and hash buckets are
+  * engine-specific — but a recall drop below the declared floor, a
+  * missing rank, or an unsorted score now breaks the HASH GATE instead
+  * of riding on specs alone.
+  *
+  * All inputs are deterministic by contract (§6: hash-seeded trainers,
+  * no RNG, rounded-score ranking with id tie-breaks), so the verdicts
+  * are stable across runs and partitionings; the floors carry the
+  * spec-measured margins.
+  *
+  * Cost: one |queries|×|corpus| brute-force pass per verdict (queries
+  * are a bounded handful by the q37 contract) — at 100 TB the truth
+  * side restricts to the same bounded query set, so the verdict stage
+  * scales exactly like q37 itself.
+  */
+object AnnVerdict {
+
+  /** One-row verdict over a (query_id, neighbor_id, cosine, rank) ANN
+    * result vs the brute-force truth at the same k:
+    *
+    *  - `n_queries`  — exact: truth-side query count (oracle recomputes).
+    *  - `k`          — the declared depth (oracle literal).
+    *  - `coverage_ok`— every truth query returned exactly k dense ranks.
+    *  - `sorted_ok`  — scores non-increasing with rank within a query.
+    *  - `recall_ok`  — mean |ann ∩ truth| / k ≥ `recallFloor`.
+    */
+  def topKVerdict(ann: DataFrame, truth: DataFrame, k: Int,
+                  recallFloor: Double): DataFrame = {
+    require(k >= 1 && recallFloor >= 0.0 && recallFloor <= 1.0,
+      s"need k >= 1 and recallFloor in [0, 1], got $k/$recallFloor")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val perQ = ann
+      .withColumn("__prev", lag(col("cosine"), 1).over(w))
+      .withColumn("__srt",
+        (col("__prev").isNull || col("cosine") <= col("__prev")).cast("int"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__n"), max(col("rank")).as("__maxr"),
+        min(col("__srt")).as("__sorted"))
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+    // the query universe comes from TRUTH (brute force covers every
+    // query by construction): a query the ANN missed entirely scores
+    // recall 0 and fails coverage, instead of silently shrinking the mean
+    truth.select("query_id").distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        min(when(coalesce(col("__n"), lit(0L)) === k &&
+          col("__maxr") === k, 1).otherwise(0)).cast("bigint")
+          .as("coverage_ok"),
+        min(coalesce(col("__sorted"), lit(0))).cast("bigint")
+          .as("sorted_ok"),
+        (avg(coalesce(col("__h"), lit(0L)).cast("double") / k) >=
+          recallFloor).cast("bigint").as("recall_ok"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        col("coverage_ok"), col("sorted_ok"), col("recall_ok"))
+  }
+
+  /** Verdict for the TRAINED-IVF search (q51): on a geometry-free corpus
+    * global recall is not the trained clustering's contract — "search
+    * returns EXACTLY the brute-force top-k restricted to the query's
+    * trained cell" is. The truth path is independent of [[IvfAnn.topK]]'s
+    * join: the GLOBAL brute-force ranking (q37's machinery, unbounded k)
+    * filtered to same-cell rows and re-ranked, compared for full
+    * (id, score, rank) equality both ways.
+    *
+    *  - `n_corpus` / `n_queries` — exact counts the oracle recomputes.
+    *  - `k` — declared depth (oracle literal).
+    *  - `assign_ok` — every corpus row carries a non-NULL trained cell.
+    *  - `cell_match_ok` — ann ≡ within-cell brute force, exactly.
+    */
+  def cellTopKVerdict(assigned: DataFrame, idCol: String, vecCol: String,
+                      clusterCol: String, isQuery: Column, k: Int): DataFrame = {
+    val ann = IvfAnn.topK(assigned, idCol, vecCol, clusterCol, isQuery, k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+    val truthAll = Similarity.bruteForceTopK(assigned,
+      assigned.filter(isQuery), idCol, vecCol, k = Int.MaxValue)
+    val qCell = assigned.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(clusterCol).as("__qc"))
+    val nCell = assigned
+      .select(col(idCol).as("neighbor_id"), col(clusterCol).as("__nc"))
+    val cellTruth = truthAll
+      .join(qCell, "query_id").join(nCell, "neighbor_id")
+      .filter(col("__qc") === col("__nc"))
+      .withColumn("__r2", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+      .filter(col("__r2") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__r2").cast("long").as("rank"))
+    val missing = ann.exceptAll(cellTruth).count() +
+      cellTruth.exceptAll(ann).count()
+    val stats = assigned.agg(
+      count(lit(1)).as("n_corpus"),
+      sum(when(col(clusterCol).isNull, 1L).otherwise(0L)).as("__nullc"))
+    val nQ = assigned.filter(isQuery)
+      .agg(count(lit(1)).as("n_queries"))
+    stats.crossJoin(nQ).select(
+      col("n_corpus"), col("n_queries"), lit(k.toLong).as("k"),
+      (col("__nullc") === 0L).cast("bigint").as("assign_ok"),
+      lit(if (missing == 0L) 1L else 0L).as("cell_match_ok"))
+  }
+
+  /** Per-query verdict for the MMR re-rank (q115): the FIRST pick is
+    * exactly the relevance argmax (λ·rel with an empty selected set) —
+    * i.e. the brute-force top-1 — so its id and relevance are oracle-
+    * recomputable BY VALUE; the remaining greedy picks flatten to
+    * structural verdicts.
+    *
+    *  - `first_pick` / `first_rel` — exact (DuckDB recomputes top-1).
+    *  - `n_selected` — must equal k (oracle literal).
+    *  - `subset_ok` — every pick came from the candidate list.
+    *  - `distinct_ok` — no document selected twice.
+    */
+  def mmrVerdict(mmr: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val firsts = mmr.filter(col("mmr_rank") === 1)
+      .select(col("query_id"), col("doc_id").as("first_pick"))
+    val rel = candidates.select(col("query_id"),
+      col("neighbor_id").as("first_pick"), col("cosine").as("first_rel"))
+    val inCand = mmr.select(col("query_id"), col("doc_id"))
+      .join(candidates.select(col("query_id"),
+        col("neighbor_id").as("doc_id")), Seq("query_id", "doc_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__inc"))
+    val perQ = mmr.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_selected"),
+        countDistinct(col("doc_id")).as("__nd"))
+    firsts.join(rel, Seq("query_id", "first_pick"))
+      .join(perQ, Seq("query_id"))
+      .join(inCand, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_pick"), col("first_rel"),
+        col("n_selected"),
+        (coalesce(col("__inc"), lit(0L)) === col("n_selected"))
+          .cast("bigint").as("subset_ok"),
+        (col("__nd") === col("n_selected")).cast("bigint").as("distinct_ok"))
+  }
+
+  /** Measured mean recall@k — the spec/tuning companion of
+    * [[topKVerdict]] (the verdict flattens this to a 1/0 at the floor).
+    */
+  private[graft] def meanRecall(ann: DataFrame, truth: DataFrame,
+                                k: Int): Double = {
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .agg(avg(coalesce(col("__h"), lit(0L)).cast("double") / k))
+      .head().getDouble(0)
+  }
+}

@@ -6353,6 +6353,57 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"merged readout unbiased by NULL batch rows: $merged vs $oneShot")
   }
 
+  test("AnnVerdict.topKVerdict: perfect ANN reads all-1s; dropped query fails coverage; low recall fails the floor; unsorted fails sorted_ok") {
+    import spark.implicits._
+    val truth = Seq(
+      (1L, 10L, 0.9, 1L), (1L, 11L, 0.8, 2L),
+      (2L, 20L, 0.7, 1L), (2L, 21L, 0.6, 2L))
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
+    val perfect = sim.AnnVerdict.topKVerdict(truth, truth, k = 2,
+      recallFloor = 1.0).head()
+    assert(perfect.getLong(0) == 2L && perfect.getLong(1) == 2L &&
+      perfect.getLong(2) == 1L && perfect.getLong(3) == 1L &&
+      perfect.getLong(4) == 1L, s"$perfect")
+    // query 2 missing entirely: coverage 0 AND its recall counts as 0
+    val dropped = truth.filter(col("query_id") === 1L)
+    val v2 = sim.AnnVerdict.topKVerdict(dropped, truth, k = 2,
+      recallFloor = 0.6).head()
+    assert(v2.getLong(0) == 2L, "query universe comes from truth")
+    assert(v2.getLong(2) == 0L, s"coverage must fail: $v2")
+    assert(v2.getLong(4) == 0L, s"mean recall 0.5 < 0.6 must fail: $v2")
+    // wrong neighbors: recall 0
+    val wrong = truth.withColumn("neighbor_id", col("neighbor_id") + 100L)
+    val v3 = sim.AnnVerdict.topKVerdict(wrong, truth, k = 2,
+      recallFloor = 0.1).head()
+    assert(v3.getLong(4) == 0L && v3.getLong(2) == 1L, s"$v3")
+    // scores increasing with rank: sorted_ok 0
+    val unsorted = Seq((1L, 10L, 0.5, 1L), (1L, 11L, 0.8, 2L),
+      (2L, 20L, 0.7, 1L), (2L, 21L, 0.6, 2L))
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
+    val v4 = sim.AnnVerdict.topKVerdict(unsorted, truth, k = 2,
+      recallFloor = 0.0).head()
+    assert(v4.getLong(3) == 0L, s"unsorted must fail: $v4")
+  }
+
+  test("AnnVerdict.mmrVerdict: first pick carries the candidate relevance; picks outside the candidate list fail subset_ok; repeats fail distinct_ok") {
+    import spark.implicits._
+    val cands = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val mmr = Seq((1L, 10L, 1L, 0.63), (1L, 12L, 2L, 0.2))
+      .toDF("query_id", "doc_id", "mmr_rank", "mmr_score")
+    val v = sim.AnnVerdict.mmrVerdict(mmr, cands, k = 2).head()
+    assert(v.getLong(1) == 10L && v.getDouble(2) == 0.9 &&
+      v.getLong(3) == 2L && v.getLong(4) == 1L && v.getLong(5) == 1L, s"$v")
+    val rogue = Seq((1L, 10L, 1L, 0.63), (1L, 99L, 2L, 0.2))
+      .toDF("query_id", "doc_id", "mmr_rank", "mmr_score")
+    val vr = sim.AnnVerdict.mmrVerdict(rogue, cands, k = 2).head()
+    assert(vr.getLong(4) == 0L, s"pick 99 not in candidates: $vr")
+    val repeat = Seq((1L, 10L, 1L, 0.63), (1L, 10L, 2L, 0.2))
+      .toDF("query_id", "doc_id", "mmr_rank", "mmr_score")
+    val vd = sim.AnnVerdict.mmrVerdict(repeat, cands, k = 2).head()
+    assert(vd.getLong(5) == 0L, s"repeated pick: $vd")
+  }
+
   test("Procrustes.fitW: unequal snapshot widths error clearly even when dx*dy is a perfect square (4x9)") {
     import spark.implicits._
     val a = Seq((1L, Seq.fill(4)(1.0)), (2L, Seq.fill(4)(2.0))).toDF("id", "v")
