@@ -4454,6 +4454,99 @@ object SparkEntry {
       text.Corpus.packGreedy(Tables.documents(s, dir), "lang", "doc_id", "text",
         capacity = 256L)
         .orderBy(col("lang"), col("doc_id"))),
+
+    "q381_stream_agg" -> ((s, dir) => {
+      // D8's STREAMING fold driver-gated (the q72 pattern): the exact
+      // foreachBatch body (AggStream.aggBatch) runs in-query over three
+      // micro-batches with compactEvery=2 firing mid-stream AND a
+      // replayed batch 1 (at-least-once) — the folded read must equal
+      // the one-shot aggregate over all facts, and the replay gate
+      // flattens to a 1/0 the oracle asserts. q79 gates the state
+      // machinery directly; this row gates the STREAM surface's batch
+      // closure, cadence included.
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("event_type"), col("value"))
+      etl.IncrementalAgg.writeState(ev.limit(0).select("event_type", "value"),
+        Seq("event_type"), "value", "q381ag", buckets = 2)
+      def batch(b: Long) =
+        ev.filter(col("event_id") % 3 === b).select("event_type", "value")
+      for (b <- 0L to 2L)
+        streaming.AggStream.aggBatch(batch(b), b, Seq("event_type"),
+          "value", "q381ag", compactEvery = 2)
+      // the replay fires aggBatch's COMPACTION too ((1+1) % 2 == 0),
+      // which legitimately rewrites the partial log — so the gate is
+      // judged on the FOLDED count staying put (an ungated replay would
+      // double batch 1's cnt), not on raw state-table row counts
+      val cntBefore = etl.IncrementalAgg.read(s, "q381ag")
+        .agg(sum(col("cnt"))).head().getLong(0)
+      streaming.AggStream.aggBatch(batch(1L), 1L, Seq("event_type"),
+        "value", "q381ag", compactEvery = 2)
+      val gated = etl.IncrementalAgg.read(s, "q381ag")
+        .agg(sum(col("cnt"))).head().getLong(0) == cntBefore
+      etl.IncrementalAgg.read(s, "q381ag")
+        .select(col("event_type"), col("cnt"),
+          roundStable(col("s"), 4).as("sum_value"),
+          // avg from the ROUNDED sum (the q79 lesson): raw partial-sum
+          // fold vs one-pass sum differ in the last ulp
+          roundStable(roundStable(col("s"), 4) / col("cnt"), 4).as("avg_value"),
+          roundStable(col("mn"), 6).as("min_value"),
+          roundStable(col("mx"), 6).as("max_value"),
+          lit(if (gated) 1L else 0L).as("replay_gated"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q382_stream_drift" -> ((s, dir) => {
+      // D13 driver-gated: the reference window freezes ONCE (bins from
+      // the ref range), then two current-side micro-batches score
+      // through the exact foreachBatch body (DriftStream.driftBatch)
+      // into their own batch=<id> dirs, with batch 0 REPLAYED — the
+      // overwrite must be byte-identical, and every landed PSI row must
+      // equal the oracle's one-shot recompute of that batch's PSI
+      // against the same frozen reference (q125's arithmetic, per
+      // batch). No verdict columns needed: the values themselves are
+      // oracle-computable.
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          (dayofmonth(col("ts")) <= 15).as("__ref"))
+      val ref = streaming.DriftStream.buildReference(
+        ev.filter(col("__ref")), Seq("event_type"), "value", bins = 10)
+      val monitorDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q382_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val cur = ev.filter(!col("__ref"))
+      for (b <- 0L to 1L)
+        streaming.DriftStream.driftBatch(ref,
+          cur.filter(col("event_id") % 2 === b), b, "value", monitorDir)
+      // at-least-once replay of batch 0: deterministic bytes overwrite
+      streaming.DriftStream.driftBatch(ref,
+        cur.filter(col("event_id") % 2 === 0), 0L, "value", monitorDir)
+      s.read.parquet(monitorDir)
+        .select(col("event_type"), col("batch_id"), col("psi"),
+          col("n_ref"), col("n_cur"))
+        .orderBy(col("event_type"), col("batch_id"))
+    }),
+
+    "q383_stream_census" -> ((s, dir) => {
+      // D24 driver-gated: three document micro-batches land their own
+      // additive census cells through the exact foreachBatch body
+      // (CensusStream.censusBatch), batch 1 REPLAYED (partition
+      // ownership → byte-identical overwrite), then the merged
+      // duplication-locality readout must equal q328's ONE-SHOT
+      // dupProfile over the same corpus — split ≡ one-shot by value,
+      // with the oracle recomputing every cell.
+      val docs = Tables.documents(s, dir)
+      val stateDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q383_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      def batch(b: Long) = docs.filter(col("doc_id") % 3 === b)
+      for (b <- 0L to 2L)
+        streaming.CensusStream.censusBatch(batch(b), b, "source", "text",
+          md5(substring(col("text"), 1, 40)), stateDir)
+      streaming.CensusStream.censusBatch(batch(1L), 1L, "source", "text",
+        md5(substring(col("text"), 1, 40)), stateDir)
+      streaming.CensusStream.dupProfile(s, stateDir)
+        .orderBy(col("source"))
+    }),
   )
 
   /** Oracle SQL may use `roundStable(expr, d)` as shorthand; it expands to
@@ -12636,6 +12729,75 @@ object SparkEntry {
         | roundStable(max(value), 6) AS max_value
         |FROM events GROUP BY event_type, d
         |ORDER BY d, event_type""".stripMargin,
+
+    "q381_stream_agg" ->
+      // one-shot aggregate over all facts ≡ the streamed 3-batch fold
+      // (incl. mid-stream compaction); the replay gate asserts as 1
+      """SELECT event_type, count(value) AS cnt,
+        | roundStable(sum(value), 4) AS sum_value,
+        | roundStable(roundStable(sum(value), 4) / count(value), 4) AS avg_value,
+        | roundStable(min(value), 6) AS min_value,
+        | roundStable(max(value), 6) AS max_value,
+        | CAST(1 AS BIGINT) AS replay_gated
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q382_stream_drift" ->
+      // per-batch PSI against the frozen first-half reference — q125's
+      // arithmetic with the current side split by event_id % 2; the
+      // replayed batch 0 must land these exact bytes
+      """WITH t AS (SELECT event_type, value, event_id % 2 AS b,
+        |             (day(ts) <= 15) AS ref FROM events),
+        |r AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |      FROM t WHERE ref GROUP BY event_type),
+        |bb AS (SELECT t.event_type,
+        |        CAST(least(greatest(CASE WHEN hi - lo <= 0 THEN 0
+        |          ELSE floor((value - lo) / (hi - lo) * 10) END, 0), 9)
+        |          AS BIGINT) AS bin,
+        |        ref, b
+        |      FROM t JOIN r ON t.event_type = r.event_type),
+        |refc AS (SELECT event_type, bin, count(*) AS rc FROM bb
+        |         WHERE ref GROUP BY 1, 2),
+        |refx AS (SELECT event_type, bin, rc, bid FROM refc
+        |         CROSS JOIN (SELECT unnest([0, 1]) AS bid)),
+        |curc AS (SELECT event_type, b AS bid, bin, count(*) AS cc
+        |         FROM bb WHERE NOT ref GROUP BY 1, 2, 3),
+        |j AS (SELECT coalesce(refx.event_type, curc.event_type) AS event_type,
+        |        coalesce(refx.bid, curc.bid) AS bid,
+        |        coalesce(rc, 0) AS rc, coalesce(cc, 0) AS cc
+        |      FROM refx FULL OUTER JOIN curc
+        |        ON refx.event_type = curc.event_type
+        |       AND refx.bin = curc.bin AND refx.bid = curc.bid),
+        |w AS (SELECT event_type, bid, rc, cc,
+        |        sum(rc) OVER (PARTITION BY event_type, bid) AS nr,
+        |        sum(cc) OVER (PARTITION BY event_type, bid) AS nc
+        |      FROM j)
+        |SELECT event_type, CAST(bid AS BIGINT) AS batch_id,
+        |  roundStable(sum(((rc + 0.5) / (nr + 5.0) - (cc + 0.5) / (nc + 5.0))
+        |    * ln(((rc + 0.5) / (nr + 5.0)) / ((cc + 0.5) / (nc + 5.0)))), 6)
+        |    AS psi,
+        |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur
+        |FROM w GROUP BY event_type, bid
+        |ORDER BY event_type, batch_id""".stripMargin,
+
+    "q383_stream_census" ->
+      // q328's one-shot dup-locality profile — the streamed 3-batch
+      // census (batch 1 replayed) must merge to these exact cells
+      """WITH c AS (SELECT source AS s, md5(substr(text, 1, 40)) AS h,
+        |    count(*) AS c FROM documents GROUP BY 1, 2),
+        |g AS (SELECT h, sum(c) AS tot, count(*) AS nsrc FROM c
+        |  GROUP BY 1)
+        |SELECT s AS source, CAST(sum(c.c) AS BIGINT) AS n_docs,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN g.tot > 1 AND g.nsrc = 1 THEN c.c ELSE 0
+        |    END) AS BIGINT) AS n_intra_dup,
+        |  CAST(sum(CASE WHEN g.nsrc > 1 THEN c.c ELSE 0 END) AS BIGINT)
+        |    AS n_cross_dup,
+        |  roundStable(CAST(sum(CASE WHEN g.tot > 1 AND g.nsrc = 1
+        |      THEN c.c ELSE 0 END) AS DOUBLE) / sum(c.c), 6)
+        |    AS intra_rate,
+        |  roundStable(CAST(sum(CASE WHEN g.nsrc > 1 THEN c.c ELSE 0
+        |      END) AS DOUBLE) / sum(c.c), 6) AS cross_rate
+        |FROM c JOIN g USING (h) GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q78_pack_greedy" ->
       """WITH RECURSIVE t AS (SELECT lang, doc_id,

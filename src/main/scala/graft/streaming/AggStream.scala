@@ -23,6 +23,20 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object AggStream {
 
+  /** One micro-batch's fold, exposed for direct (re)use and testing
+    * (the [[DedupStream.dedupBatch]] / [[DriftStream.driftBatch]]
+    * convention): gated append + optional compaction on the cadence.
+    * Idempotent under replay — `appendDelta`'s batch-id gate appends
+    * zero rows for a batch id already applied (before OR after a
+    * compaction: the marker table survives the fold).
+    */
+  def aggBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
+      valueCol: String, name: String, compactEvery: Int = 0): Unit = {
+    graft.etl.IncrementalAgg.appendDelta(batch, keys, valueCol, name, batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      graft.etl.IncrementalAgg.compact(batch.sparkSession, name)
+  }
+
   /** Streaming sink: fold a fact stream into the named aggregate state.
     * The state must exist — [[graft.etl.IncrementalAgg.writeState]] the
     * historical facts first (an empty base is fine).
@@ -38,8 +52,6 @@ object AggStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.etl.IncrementalAgg.appendDelta(batch, keys, valueCol, name, batchId)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          graft.etl.IncrementalAgg.compact(batch.sparkSession, name)
+        aggBatch(batch, batchId, keys, valueCol, name, compactEvery)
       }
 }
