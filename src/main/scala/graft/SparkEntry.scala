@@ -3440,6 +3440,16 @@ object SparkEntry {
           "text")
         .orderBy(col("doc_id"))),
 
+    "q380_kn_trigram" -> ((s, dir) =>
+      // the CCNet-class filter proper: interpolated KN TRIGRAM score
+      // with per-order Chen-Goodman discounts D = n1/(n1+2n2) estimated
+      // from the corpus (q378's fixed-0.75 bigram is the rung below);
+      // continuation counts cascade one level down, estimated discounts
+      // ride every row so the oracle recomputes them by value
+      text.Corpus.knTrigramLogProb(Tables.documents(s, dir), "doc_id",
+          "text")
+        .orderBy(col("doc_id"))),
+
     "q377_participation_ratio" -> ((s, dir) =>
       // effective dimensionality of the embedding covariance,
       // PR = tr(C)^2 / tr(C^2): pure moment algebra off the one-pass
@@ -9198,6 +9208,54 @@ object SparkEntry {
         |  roundStable(avg(lp), 6) AS mean_kn_logprob
         |FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q380_kn_trigram" ->
+      // the same cell algebra one order up: raw trigram counts on top,
+      // continuation counts (distinct-left-context) for the middle
+      // order, type-count continuation at the bottom; per-order
+      // Chen-Goodman discounts n1/(n1+2n2) recomputed as scalar
+      // subqueries and ALSO compared by value via the discount columns
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+        |tgz AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-2],
+        |          l[2:len(l)-1], l[3:len(l)])) AS z
+        |        FROM d WHERE len(l) >= 3),
+        |tg AS MATERIALIZED (SELECT doc_id, z[1] AS w1, z[2] AS w2, z[3] AS w3 FROM tgz),
+        |c3 AS MATERIALIZED (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c3
+        |       FROM tg GROUP BY 1, 2, 3),
+        |dhi AS (SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |          / (sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+        |             + 2.0 * sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)) AS dh
+        |        FROM c3),
+        |cp AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cp,
+        |         CAST(count(DISTINCT w3) AS DOUBLE) AS n1f3
+        |       FROM tg GROUP BY 1, 2),
+        |cont2 AS MATERIALIZED (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS n2c
+        |          FROM c3 GROUP BY 1, 2),
+        |dmid AS (SELECT CAST(sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / (sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END)
+        |              + 2.0 * sum(CASE WHEN n2c = 2 THEN 1 ELSE 0 END)) AS dm
+        |         FROM cont2),
+        |mid AS (SELECT w2, sum(n2c) AS den2,
+        |          CAST(count(*) AS DOUBLE) AS n1f2
+        |        FROM cont2 GROUP BY 1),
+        |uc AS (SELECT w3, CAST(count(*) AS DOUBLE) AS n1r
+        |       FROM cont2 GROUP BY 1),
+        |bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM cont2),
+        |lp AS (SELECT tg.doc_id,
+        |         ln((greatest(c3.c3 - dh, CAST(0 AS DOUBLE))
+        |           + dh * cp.n1f3
+        |             * ((greatest(cont2.n2c - dm, CAST(0 AS DOUBLE))
+        |                + dm * mid.n1f2 * (uc.n1r / bt.b)) / mid.den2))
+        |           / cp.cp) AS lp
+        |       FROM tg JOIN c3 USING (w1, w2, w3) JOIN cp USING (w1, w2)
+        |         JOIN cont2 USING (w2, w3) JOIN mid USING (w2)
+        |         JOIN uc USING (w3)
+        |         CROSS JOIN dhi CROSS JOIN dmid CROSS JOIN bt)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  roundStable(avg(lp), 6) AS mean_kn_logprob,
+        |  roundStable((SELECT dh FROM dhi), 6) AS discount_hi,
+        |  roundStable((SELECT dm FROM dmid), 6) AS discount_mid
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q377_participation_ratio" ->
       // the identical covariance cells (q292's px/cv CTEs), then both

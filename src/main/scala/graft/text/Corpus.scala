@@ -1121,6 +1121,106 @@ object Corpus {
     out
   }
 
+  /** Adjacent-trigram rows (doc, w1, w2, w3) — the in-array zip of
+    * [[bigramRows]] extended one slot: no per-doc window/sort. Docs with
+    * < 3 tokens emit nothing.
+    */
+  private def trigramRows(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 2),
+        zip_with(
+          slice(col("__t"), lit(2), size(col("__t")) - 2),
+          slice(col("__t"), lit(3), size(col("__t")) - 2),
+          (b, c) => struct(b.as("w2"), c.as("w3"))),
+        (a, bc) => struct(a.as("w1"), bc.getField("w2").as("w2"),
+          bc.getField("w3").as("w3")))).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+
+  /** The Chen–Goodman discount estimate `D = n₁ / (n₁ + 2 n₂)` from a
+    * count-of-counts pair — the per-order discount interpolated KN uses
+    * when it stops hardcoding 0.75 (Chen & Goodman 1999 eq. 26, from
+    * the leave-one-out bound of Ney, Essen & Kneser 1994).
+    */
+  private[graft] def knDiscount(n1: Long, n2: Long): Double = {
+    require(n1 > 0,
+      "knDiscount: no singleton n-grams — the Chen-Goodman estimate " +
+        "needs n1 > 0 (corpus too small or fully duplicated)")
+    n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM LM score per document with
+    * ESTIMATED per-order discounts — the CCNet-class filter proper
+    * ([[knBigramLogProb]] is the bigram rung with fixed D = 0.75):
+    *
+    *  - top order (raw counts):
+    *    `p(w₃|w₁w₂) = (max(c(w₁w₂w₃)−D₃,0) + D₃·N₁₊(w₁w₂·)·p(w₃|w₂)) / c(w₁w₂·)`
+    *  - middle order (CONTINUATION counts — Kneser-Ney's trick applied
+    *    one level down: the bigram model is estimated from how many
+    *    distinct contexts each bigram completes, not raw frequency):
+    *    `p(w₃|w₂) = (max(N₁₊(·w₂w₃)−D₂,0) + D₂·N₁₊(w₂·)·p_cont(w₃)) / N₁₊(·w₂·)`
+    *  - lowest: `p_cont(w₃) = N₁₊(·w₃) / |distinct (w₂,w₃) types|`
+    *
+    * with `D₃`/`D₂` estimated per order as `n₁/(n₁+2n₂)` over that
+    * order's count-of-counts ([[knDiscount]]) — no tuning constants.
+    * The estimated discounts ride every output row (corpus constants,
+    * rounded) so the oracle recomputes them by value.
+    *
+    * Scale contract unchanged from [[knBigramLogProb]]: every model
+    * table joins by token/prefix key (nothing broadcasts); the driver
+    * collects exactly three scalars (D₃, D₂, the type total) — bounded
+    * by construction. Docs with < 3 tokens drop out (mirrors the
+    * oracle).
+    */
+  def knTrigramLogProb(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val tri = trigramRows(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).cast("double").as("__c3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d3r = c3.agg(
+      sum(when(col("__c3") === 1.0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__c3") === 2.0, 1L).otherwise(0L)).as("n2")).head()
+    val d3 = knDiscount(d3r.getLong(0), d3r.getLong(1))
+    val cp = tri.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("__cp"),
+        countDistinct(col("w3")).cast("double").as("__n1f3"))
+    val cont2 = c3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).cast("double").as("__n2c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d2r = cont2.agg(
+      sum(when(col("__n2c") === 1.0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__n2c") === 2.0, 1L).otherwise(0L)).as("n2")).head()
+    val d2 = knDiscount(d2r.getLong(0), d2r.getLong(1))
+    val mid = cont2.groupBy(col("w2"))
+      .agg(sum(col("__n2c")).as("__den2"),
+        count(lit(1)).cast("double").as("__n1f2"))
+    val uniCont = cont2.groupBy(col("w3"))
+      .agg(count(lit(1)).cast("double").as("__n1r"))
+    val btot = cont2.count().toDouble
+    val pMid = (greatest(col("__n2c") - d2, lit(0.0)) +
+      lit(d2) * col("__n1f2") * (col("__n1r") / btot)) / col("__den2")
+    val lm = c3.join(cp, Seq("w1", "w2")).join(cont2, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(uniCont, Seq("w3"))
+      .select(col("w1"), col("w2"), col("w3"),
+        log((greatest(col("__c3") - d3, lit(0.0)) +
+          lit(d3) * col("__n1f3") * pMid) / col("__cp")).as("__lp"))
+    val out = tri.join(lm, Seq("w1", "w2", "w3"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        roundStable(avg(col("__lp")), 6).as("mean_kn_logprob"))
+      .withColumn("discount_hi", lit(math.floor(d3 * 1e6 + 0.5) / 1e6))
+      .withColumn("discount_mid", lit(math.floor(d2 * 1e6 + 0.5) / 1e6))
+      .localCheckpoint()
+    cont2.unpersist(); c3.unpersist(); tri.unpersist()
+    out
+  }
+
   /** "Fightin' words" log-odds with an informative Dirichlet prior
     * (Monroe, Colaresi & Quinn 2008) — WHICH words distinguish corpus
     * side A from side B, done right: raw frequency ratios explode on

@@ -6215,6 +6215,38 @@ class OperatorEdgeSpec extends AnyFunSuite {
       out(1L).getDouble(2), "identical docs score identically")
   }
 
+  test("knTrigramLogProb: hand interpolated-KN with estimated discounts on a 3-doc corpus; observed continuations sum to 1; short docs drop") {
+    import spark.implicits._
+    // trigrams: (a,b,c) x2, (a,b,d) x1 -> count-of-counts n1=1, n2=1
+    //   => D_hi = 1/3. Continuation counts N1+(.bc)=N1+(.bd)=1 -> n1=2,
+    //   n2=0 => D_mid = 1. Middle: den2(b)=2, n1f2(b)=2, pcont=1/2 each
+    //   => p_mid(c|b)=p_mid(d|b)=1/2. Top: c(ab.)=3, N1+(ab.)=2:
+    //   p(c|ab) = (2-1/3 + (1/3)*2*(1/2))/3 = 2/3
+    //   p(d|ab) = (1-1/3 + 1/3)/3 = 1/3  — and they sum to 1.
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val out = text.Corpus.knTrigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L), "sub-3-token doc has no trigram")
+    assert(math.abs(out(1L).getDouble(2) - math.log(2.0 / 3)) < 1e-6,
+      s"P(c|ab)=2/3: ${out(1L)}")
+    assert(math.abs(out(3L).getDouble(2) - math.log(1.0 / 3)) < 1e-6,
+      s"P(d|ab)=1/3: ${out(3L)}")
+    assert(out(1L).getDouble(3) == 0.333333 && out(1L).getDouble(4) == 1.0,
+      s"estimated discounts ride the rows: ${out(1L)}")
+    assert(out(2L).getDouble(2) == out(1L).getDouble(2),
+      "identical docs score identically")
+  }
+
+  test("knDiscount: Chen-Goodman estimate in (0,1]; errors without singletons") {
+    assert(text.Corpus.knDiscount(3, 2) == 3.0 / 7.0)
+    assert(text.Corpus.knDiscount(2, 0) == 1.0)
+    val err = intercept[IllegalArgumentException] {
+      text.Corpus.knDiscount(0, 5)
+    }
+    assert(err.getMessage.contains("n1 > 0"), err.getMessage)
+  }
+
   test("Bench.priorColds: parses the queries object out of bench-latest.json; absent/garbled files yield empty") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val f = s"$tmp/bench-latest.json"
