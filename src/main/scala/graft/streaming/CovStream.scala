@@ -56,6 +56,41 @@ object CovStream {
         covBatch(batch, batchId, vecCol, stateDir)
       }
 
+  /** Land one micro-batch's raw covariance moments PER KEY (one row per
+    * key present in the batch) — the keyed form ([[covBatch]] × q379's
+    * keyed buffers): the curation question is per-SOURCE ("which feed
+    * collapsed since the model swap"), and a global moment row cannot
+    * answer it after the fact. Same n-consistency contract (n = the
+    * key's non-NULL vector rows) and the same partition-ownership
+    * idempotence; state is O(batches · #keys · d²) doubles — KB-scale
+    * for model-constant key counts, corpus-size-independent.
+    *
+    * Key contract matches [[graft.sim.Geometry.participationRatioBy]]:
+    * the key reads as LONG (numeric cohort ids); map string keys to a
+    * dense id upstream.
+    */
+  def covBatchBy(batch: DataFrame, batchId: Long, keyCol: String,
+                 vecCol: String, stateDir: String): Unit = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    batch
+      .groupBy(col(keyCol).cast("long").as("k"))
+      .agg(count(vd).as("n"), VecSumAgg.vecSum(vd).as("sx"),
+        OuterProductAgg.outerProductSum(vd, vd).as("sxy"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/moments_by/batch=$batchId")
+  }
+
+  /** Streaming sink: additive per-key moment rows per micro-batch. */
+  def toCovSinkBy(stream: DataFrame, keyCol: String, vecCol: String,
+                  stateDir: String, checkpoint: String) =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        covBatchBy(batch, batchId, keyCol, vecCol, stateDir)
+      }
+
   /** Any-time participation-ratio report over everything ingested so
     * far — identical schema and math to
     * [[graft.sim.Geometry.participationRatio]] over the same rows in
@@ -81,6 +116,42 @@ object CovStream {
       if (tr2 > 0) Some(tr * tr / tr2) else None))
       .toDF("dim", "n_vectors", "__tr", "__pr")
       .select(col("dim"), col("n_vectors"),
+        roundStable(col("__tr"), digits).as("trace_cov"),
+        roundStable(col("__pr"), digits).as("participation_ratio"),
+        roundStable(col("__pr") / col("dim"), digits).as("pr_share"))
+  }
+
+  /** Any-time PER-KEY participation-ratio report — identical schema and
+    * math to [[graft.sim.Geometry.participationRatioBy]] over the same
+    * rows in one batch: merge per-key moments across batches (one keyed
+    * agg over O(batches · #keys) rows), fold each key's traces
+    * driver-side (bounded: #keys model constants). The per-source
+    * collapse alarm is a filter on `pr_share` against the feed's
+    * siblings — a key whose PR sits far below the rest embeds into a
+    * thinner subspace and needs re-embedding before mixing.
+    */
+  def participationRatioBy(spark: SparkSession, stateDir: String,
+                           keyCol: String = "key",
+                           digits: Int = 6): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$stateDir/moments_by")
+      .filter(col("n") > 0)
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("n"), VecSumAgg.vecSum(col("sx")).as("sx"),
+        VecSumAgg.vecSum(col("sxy")).as("sxy"))
+      .collect() // bounded: #keys × (1 + d + d²) doubles
+    require(rows.nonEmpty,
+      "CovStream.participationRatioBy: no rows landed yet")
+    val out = rows.toSeq.map { r =>
+      val sx = r.getSeq[Double](2).toArray
+      val sxy = r.getSeq[Double](3).toArray
+      val (tr, tr2) =
+        graft.sim.Geometry.tracesFromMoments(r.getLong(1).toDouble, sx, sxy)
+      (r.getLong(0), sx.length.toLong, r.getLong(1), tr,
+        if (tr2 > 0) Some(tr * tr / tr2) else None)
+    }
+    out.toDF("key", "dim", "n_vectors", "__tr", "__pr")
+      .select(col("key").as(keyCol), col("dim"), col("n_vectors"),
         roundStable(col("__tr"), digits).as("trace_cov"),
         roundStable(col("__pr"), digits).as("participation_ratio"),
         roundStable(col("__pr") / col("dim"), digits).as("pr_share"))

@@ -1605,4 +1605,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/state/moments/batch=1")
       .collect().map(_.toString).toSeq == before, "replay idempotent")
   }
+
+  test("CovStream keyed: split ≡ one-shot per key; planted per-source collapse alarms on pr_share; replay byte-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_covstream_by").toString
+    // feed 1 = the healthy ±1 cube (PR = 3 of 6); feed 2 = COLLAPSED —
+    // every vector a multiple of e1 (PR = 1): the per-source alarm case
+    // a global moment row averages away. Integer-valued ⇒ fp-exact
+    // under any split.
+    val cube = (0 until 8).map { m =>
+      (1L, Seq(if ((m & 1) == 0) -1.0 else 1.0,
+        if ((m & 2) == 0) -1.0 else 1.0,
+        if ((m & 4) == 0) -1.0 else 1.0, 0.0, 0.0, 0.0))
+    }
+    val line = Seq(1.0, 2.0, 3.0, 4.0).map(t =>
+      (2L, Seq(t, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    val all = cube ++ line
+    // interleaved split: each batch carries rows of BOTH keys
+    val (part1, part2) = (all.zipWithIndex.filter(_._2 % 2 == 0).map(_._1),
+      all.zipWithIndex.filter(_._2 % 2 == 1).map(_._1))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = streaming.CovStream.toCovSinkBy(
+      mem.toDF().toDF("k", "v"), "k", "v", s"$tmp/state", s"$tmp/ck").start()
+    mem.addData(part1: _*)
+    q.processAllAvailable()
+    mem.addData(part2: _*)
+    q.processAllAvailable(); q.stop()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(_.toString).toSeq
+    val streamed = streaming.CovStream.participationRatioBy(
+      spark, s"$tmp/state", keyCol = "k")
+    val oneShot = sim.Geometry.participationRatioBy(
+      all.toDF("k", "v"), "k", "v")
+    assert(rows(streamed) == rows(oneShot),
+      s"split ≡ one-shot per key: ${rows(streamed)} vs ${rows(oneShot)}")
+    // the collapse alarm: feed 2's share sits far under feed 1's
+    val byKey = streamed.collect().map(r => r.getLong(0) ->
+      (r.getDouble(4), r.getDouble(5))).toMap
+    assert(byKey(1L)._1 == 3.0 && byKey(2L)._1 == 1.0,
+      s"per-key PR: $byKey")
+    val alarms = streamed.filter(col("pr_share") < 0.3)
+      .select("k").as[Long].collect().toSeq
+    assert(alarms == Seq(2L), s"collapsed feed alarms alone: $alarms")
+    // at-least-once replay of batch 1: byte-identical overwrite
+    val before = spark.read.parquet(s"$tmp/state/moments_by/batch=1")
+      .collect().map(_.toString).sorted.toSeq
+    streaming.CovStream.covBatchBy(part2.toDF("k", "v"), 1L, "k", "v",
+      s"$tmp/state")
+    assert(spark.read.parquet(s"$tmp/state/moments_by/batch=1")
+      .collect().map(_.toString).sorted.toSeq == before, "replay idempotent")
+  }
 }
