@@ -554,6 +554,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getString(2) == "Moderate")
   }
 
+  test("GraftFunctions.registerAll: every Column-API expression/aggregate reaches SQL through the same node (parity per function)") {
+    import spark.implicits._
+    // scalar: vec_mat and round_stable vs their Column twins
+    val vm = spark.sql(
+      "SELECT vec_mat(array(1.0D, 2.0D), array(array(1.0D, 0.0D), array(0.0D, 3.0D))) AS m," +
+        " round_stable(2.5555555, 3) AS r").first()
+    assert(vm.getSeq[Double](0) == Seq(1.0, 6.0), s"$vm")
+    assert(vm.getDouble(1) == 2.556, s"$vm")
+    val dfv = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(10.0, 20.0)),
+      (3L, Seq(100.0, 200.0))).toDF("id", "v")
+    dfv.createOrReplaceTempView("vec_parity")
+    // aggregates resolve to the same TypedImperativeAggregates
+    val viaSql = spark.sql(
+      "SELECT vec_sum(v) AS s, outer_product_sum(v, v) AS o FROM vec_parity")
+      .first()
+    val viaCol = dfv.agg(
+      functions.VecSumAgg.vecSum(col("v")).as("s"),
+      functions.OuterProductAgg.outerProductSum(col("v"), col("v")).as("o"))
+      .first()
+    assert(viaSql.getSeq[Double](0) == viaCol.getSeq[Double](0), "vec_sum parity")
+    assert(viaSql.getSeq[Double](1) == viaCol.getSeq[Double](1), "outer_product_sum parity")
+    assert(viaSql.getSeq[Double](0) == Seq(111.0, 222.0))
+    // minhash_sig consumes one LONG token hash per row (the MinHashLsh
+    // shape: explode tokens, xxhash64, aggregate per doc)
+    val toks = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"))
+      .toDF("id", "tok").withColumn("h", xxhash64(col("tok")))
+    toks.createOrReplaceTempView("tok_parity")
+    val sigSql = spark.sql(
+      "SELECT id, minhash_sig(h) AS sig FROM tok_parity GROUP BY id ORDER BY id")
+      .collect().map(_.getSeq[Long](1))
+    val sigCol = toks.groupBy(col("id"))
+      .agg(functions.MinHashSigAgg.minhashSig(col("h"), 128).as("sig"))
+      .orderBy(col("id"))
+      .collect().map(_.getSeq[Long](1))
+    assert(sigSql.toSeq == sigCol.toSeq && sigSql.head.length == 128,
+      "minhash_sig parity")
+    // round_stable SQL ≡ the Column helper on real data
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev_rs_parity")
+    val rsSql = spark.sql(
+      "SELECT event_id, round_stable(value, 4) AS r FROM ev_rs_parity")
+    val rsCol = Tables.events(spark, sfDir)
+      .select(col("event_id"), functions.roundStable(col("value"), 4).as("r"))
+    assert(rsSql.exceptAll(rsCol).isEmpty && rsCol.exceptAll(rsSql).isEmpty,
+      "round_stable parity")
+  }
+
   test("SQL aqi_pm25 matches the Column-API implementation row-for-row") {
     Tables.events(spark, sfDir).createOrReplaceTempView("ev_parity")
     val viaSql = spark.sql("SELECT event_id, aqi_pm25(value) AS aqi FROM ev_parity")
