@@ -22,7 +22,9 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "").split(",")
+    // query names from argv OR the env var — an argv-only invocation
+    // previously fell through to "run all 380", a silent 15-minute trap
+    val only = (args ++ sys.env.getOrElse("SPARK_GRAFT_ONLY", "").split(","))
       .map(_.trim).filter(_.nonEmpty).toSet
     val spark = Sessions.local(cpus, shufflePartitions = cpus)
     spark.sparkContext.setLogLevel("WARN")

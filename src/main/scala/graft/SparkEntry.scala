@@ -9222,18 +9222,22 @@ object SparkEntry {
         |tg AS MATERIALIZED (SELECT doc_id, z[1] AS w1, z[2] AS w2, z[3] AS w3 FROM tgz),
         |c3 AS MATERIALIZED (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c3
         |       FROM tg GROUP BY 1, 2, 3),
-        |dhi AS (SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |          / (sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
-        |             + 2.0 * sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)) AS dh
+        |dhi AS (SELECT CASE WHEN sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) = 0
+        |          THEN 0.75
+        |          ELSE CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |            / (sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+        |               + 2.0 * sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)) END AS dh
         |        FROM c3),
         |cp AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cp,
         |         CAST(count(DISTINCT w3) AS DOUBLE) AS n1f3
         |       FROM tg GROUP BY 1, 2),
         |cont2 AS MATERIALIZED (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS n2c
         |          FROM c3 GROUP BY 1, 2),
-        |dmid AS (SELECT CAST(sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |           / (sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END)
-        |              + 2.0 * sum(CASE WHEN n2c = 2 THEN 1 ELSE 0 END)) AS dm
+        |dmid AS (SELECT CASE WHEN sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END) = 0
+        |           THEN 0.75
+        |           ELSE CAST(sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / (sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END)
+        |                + 2.0 * sum(CASE WHEN n2c = 2 THEN 1 ELSE 0 END)) END AS dm
         |         FROM cont2),
         |mid AS (SELECT w2, sum(n2c) AS den2,
         |          CAST(count(*) AS DOUBLE) AS n1f2

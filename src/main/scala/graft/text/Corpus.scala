@@ -1145,13 +1145,19 @@ object Corpus {
     * count-of-counts pair — the per-order discount interpolated KN uses
     * when it stops hardcoding 0.75 (Chen & Goodman 1999 eq. 26, from
     * the leave-one-out bound of Ney, Essen & Kneser 1994).
+    *
+    * A corpus with NO singletons at this order (every n-gram repeats —
+    * small vocabularies, heavily duplicated corpora; the sf0.1
+    * synthetic documents hit this at the trigram order) leaves the
+    * estimate undefined (0/2n₂) — fall back to the fixed D = 0.75 the
+    * bigram rung uses (KenLM refuses such corpora outright; SRILM falls
+    * back similarly). Deterministic either way, and the oracle
+    * replicates the exact CASE.
     */
-  private[graft] def knDiscount(n1: Long, n2: Long): Double = {
-    require(n1 > 0,
-      "knDiscount: no singleton n-grams — the Chen-Goodman estimate " +
-        "needs n1 > 0 (corpus too small or fully duplicated)")
-    n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
-  }
+  private[graft] def knDiscount(n1: Long, n2: Long,
+                                fallback: Double = 0.75): Double =
+    if (n1 == 0) fallback
+    else n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
 
   /** Interpolated Kneser–Ney TRIGRAM LM score per document with
     * ESTIMATED per-order discounts — the CCNet-class filter proper

@@ -6238,13 +6238,31 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "identical docs score identically")
   }
 
-  test("knDiscount: Chen-Goodman estimate in (0,1]; errors without singletons") {
+  test("knDiscount: Chen-Goodman estimate in (0,1]; no-singleton corpora fall back to the fixed bigram discount") {
     assert(text.Corpus.knDiscount(3, 2) == 3.0 / 7.0)
     assert(text.Corpus.knDiscount(2, 0) == 1.0)
-    val err = intercept[IllegalArgumentException] {
-      text.Corpus.knDiscount(0, 5)
-    }
-    assert(err.getMessage.contains("n1 > 0"), err.getMessage)
+    // every n-gram repeats (tiny vocab / duplicated corpus): the
+    // estimate is 0/2n2-undefined — documented fallback to 0.75
+    assert(text.Corpus.knDiscount(0, 5) == 0.75)
+    assert(text.Corpus.knDiscount(0, 0) == 0.75)
+  }
+
+  test("knTrigramLogProb: no-singleton corpus scores with the fallback discounts instead of erroring") {
+    import spark.implicits._
+    // every trigram appears exactly twice -> n1 = 0 at the TOP order
+    // (D_hi falls back to 0.75); the middle order's CONTINUATION counts
+    // N1+(.bc) = N1+(.bd) = 1 are singletons -> D_mid = 2/(2+0) = 1.0
+    // (estimated, no fallback needed)
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"),
+      (4L, "a b d")).toDF("doc_id", "text")
+    val out = text.Corpus.knTrigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 0.75 && out(1L).getDouble(4) == 1.0,
+      s"top-order fallback, middle estimated: ${out(1L)}")
+    // D_mid=1: p_mid(c|b) = (0 + 1*2*(1/2))/2 = .5;
+    // D_hi=.75: p(c|ab) = ((2-.75) + .75*2*.5)/4 = .5 — sums to 1
+    assert(math.abs(out(1L).getDouble(2) - math.log(0.5)) < 1e-6,
+      s"${out(1L)}")
   }
 
   test("Bench.priorColds: parses the queries object out of bench-latest.json; absent/garbled files yield empty") {
