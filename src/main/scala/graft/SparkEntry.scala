@@ -366,10 +366,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), roundStable(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("bucket"), col("event_type"))),
 
-    "q16_extract_synth" -> ((s, _) =>
-      // Distributed synthetic extract (reference extract phase). Rows-only
-      // check: hash noise is engine-specific by design.
-      etl.Synth.airQuality(s, stations = 5, hours = 72)),
+    "q16_extract_synth" -> ((s, _) => {
+      // Distributed synthetic extract (reference extract phase).
+      // VERDICT-GATED (r13): the hash noise stays engine content, but
+      // the generator CONTRACT is oracle-assertable — exact row/station/
+      // hour counts and the exact timestamp span as literal VALUES,
+      // plus 1/0s for the documented invariants (per-station row
+      // quota, ~2% missingness within [0, 10%], non-negative
+      // pollutants, temperature/humidity inside their generator
+      // ranges). A generator drifting on any of these breaks the gate.
+      val df = etl.Synth.airQuality(s, stations = 5, hours = 72)
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("station")).as("n_stations"),
+        countDistinct(col("ts")).as("n_hours"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        (sum(when(col("pm25").isNull, 1L).otherwise(0L)) * 100L <=
+          count(lit(1)) * 10L).cast("bigint").as("missing_bounded_ok"),
+        (min(col("pm25")) >= 0.0 && min(col("pm10")) >= 0.0 &&
+          min(col("no2")) >= 0.0 && min(col("o3")) >= 0.0 &&
+          min(col("co")) >= 0.0).cast("bigint").as("nonneg_ok"),
+        (min(col("temperature")) >= 10.0 && max(col("temperature")) <= 30.0 &&
+          min(col("humidity")) >= 30.0 && max(col("humidity")) <= 80.0)
+          .cast("bigint").as("ranges_ok"))
+        .crossJoin(df.groupBy(col("station")).agg(count(lit(1)).as("__n"))
+          .agg((min(col("__n")) === 72L && max(col("__n")) === 72L)
+            .cast("bigint").as("station_quota_ok")))
+    }),
 
     "q40_multimodal_meta" -> ((s, dir) =>
       multimodal.Binary.withBlobMeta(
@@ -491,10 +515,30 @@ object SparkEntry {
           roundStable(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    "q36_simhash" -> ((s, dir) =>
-      dedup.SimHash.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 6)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))),
+    "q36_simhash" -> ((s, dir) => {
+      // VERDICT-GATED (r13, the q38 twin-corpus trick): SimHash pair
+      // content is xxhash64-based engine content, but on a corpus
+      // augmented with exact-duplicate twins (every 5th doc under a
+      // shifted id) recall is 1 BY CONSTRUCTION — identical text ⇒
+      // identical 64-bit fingerprint ⇒ identical bands ⇒ hamming 0 —
+      // so `twins_found_at_zero` is an exact VALUE the oracle
+      // recomputes, and the structural contracts (hamming ∈ [0, max],
+      // id_a < id_b, pairs distinct) flatten to asserted 1/0s.
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val pairs = dedup.SimHash.nearDupPairs(docs.unionByName(twins),
+        "doc_id", "text", maxHamming = 6)
+      pairs.agg(
+        sum(when(col("id_a") % 5 === 0 &&
+          col("id_b") === col("id_a") + 1000000L &&
+          col("hamming") === 0, 1L).otherwise(0L)).as("twins_found_at_zero"),
+        min(col("hamming") >= 0 && col("hamming") <= 6)
+          .cast("bigint").as("hamming_bounded_ok"),
+        min(col("id_a") < col("id_b")).cast("bigint").as("ordered_ok"),
+        (count(lit(1)) === countDistinct(col("id_a"), col("id_b")))
+          .cast("bigint").as("distinct_ok"))
+    }),
 
     "q37_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -3218,11 +3262,15 @@ object SparkEntry {
       // / PQ / IVF-PQ / IVFADC / int8 / binary / matryoshka) vs brute
       // force on ONE query set — measured recall@5 + the cost
       // decomposition (scanned rows × scan width + rescore dots).
-      // Rows-only (trained codebooks are engine-specific by design);
-      // determinism + recall floors spec'd. The 9-row table is
-      // memoized COLLECTED (not as a cached plan) so Bench's warm run
-      // reuses the result without re-training and without holding
-      // checkpoint blocks across the between-queries release.
+      // VERDICT-GATED (r13): the driver row is AnnLadder.verdicts —
+      // config literals + exact counts by value + the full-scan rungs'
+      // EXACT scan/rescore numbers + recall-floor / scan-pruned 1/0s
+      // the oracle asserts (brute force must read recall EXACTLY 1.0);
+      // the informative measured table stays the library surface,
+      // spec'd by AnnLadderSpec. The 9-row table is memoized COLLECTED
+      // (not as a cached plan) so Bench's warm run reuses the result
+      // without re-training and without holding checkpoint blocks
+      // across the between-queries release.
       val (schema, rows) = memoOnce(s"annladder-$dir") {
         val emb = Tables.embeddings(s, dir)
         // reuse q71/q73's memoized codebooks (same keys, same params):
@@ -3240,7 +3288,8 @@ object SparkEntry {
           }))
         (t.schema, t.collect().toSeq)
       }
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      sim.AnnLadder.verdicts(
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema))
         .orderBy(col("rung"))
     }),
 
@@ -5245,6 +5294,59 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS sorted_ok,
         | CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q16_extract_synth" ->
+      // the generator contract as literals: exact row/station/hour
+      // counts and the exact timestamp span; invariant checks assert 1
+      """SELECT CAST(360 AS BIGINT) AS n_rows,
+        | CAST(5 AS BIGINT) AS n_stations,
+        | CAST(72 AS BIGINT) AS n_hours,
+        | TIMESTAMP '2024-01-01 00:00:00' AS min_ts,
+        | TIMESTAMP '2024-01-03 23:00:00' AS max_ts,
+        | CAST(1 AS BIGINT) AS missing_bounded_ok,
+        | CAST(1 AS BIGINT) AS nonneg_ok,
+        | CAST(1 AS BIGINT) AS ranges_ok,
+        | CAST(1 AS BIGINT) AS station_quota_ok""".stripMargin,
+
+    "q36_simhash" ->
+      // exact-duplicate twins MUST surface at hamming 0 (identical
+      // fingerprints share every band): the twin count is recomputed
+      // by value; structural contracts assert as 1s
+      """SELECT count(*) AS twins_found_at_zero,
+        | CAST(1 AS BIGINT) AS hamming_bounded_ok,
+        | CAST(1 AS BIGINT) AS ordered_ok,
+        | CAST(1 AS BIGINT) AS distinct_ok
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
+    "q354_ann_ladder" ->
+      // ladder verdict view: config literals + exact counts; the
+      // full-scan rungs' scan/rescore numbers are exact by construction
+      // (n-1 and min(overfetch*k, n-1)); probed rungs' measured scans
+      // stay engine content (NULL here, reported by the library table)
+      // and their verdicts assert as 1s
+      """WITH c AS (SELECT (SELECT count(*) FROM embeddings) AS n,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS nq),
+        |r AS (SELECT * FROM (VALUES
+        |  (0, 'brute_force',        256.0, TRUE,  0.0),
+        |  (1, 'lsh_8x4_multiprobe', 256.0, FALSE, NULL),
+        |  (2, 'ivf_flat_k10_np1',   256.0, FALSE, NULL),
+        |  (3, 'pq_m8',                8.0, TRUE,  100.0),
+        |  (4, 'ivfpq_c16_np8_m8',     8.0, FALSE, NULL),
+        |  (5, 'ivfadc_c16_np8_m8',    8.0, FALSE, NULL),
+        |  (6, 'int8_of4',            72.0, TRUE,  20.0),
+        |  (7, 'binary_of4',           8.0, TRUE,  20.0),
+        |  (8, 'matryoshka_d16_of4',  64.0, TRUE,  20.0)
+        |) v(rung, method, sb, fullscan, resc))
+        |SELECT CAST(rung AS BIGINT) AS rung, method,
+        |  sb AS scan_bytes_per_vec,
+        |  CAST(n AS BIGINT) AS corpus_n, CAST(nq AS BIGINT) AS n_queries,
+        |  CASE WHEN fullscan THEN CAST(n - 1 AS DOUBLE) END
+        |    AS scanned_per_query,
+        |  CASE WHEN fullscan THEN CAST(resc AS DOUBLE) END
+        |    AS rescore_per_query,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS scan_pruned_ok
+        |FROM r CROSS JOIN c ORDER BY rung""".stripMargin,
 
     "q51_ivf_kmeans" ->
       // trained-cell search: exact corpus/query counts by value; the

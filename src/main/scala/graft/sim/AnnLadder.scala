@@ -163,4 +163,54 @@ object AnnLadder {
         col("corpus_n"), col("n_queries"))
       .orderBy(col("rung"))
   }
+
+  /** The ORACLE VIEW of the selection table (the q62 verdict discipline
+    * for the ladder capstone): trained/hashed rungs' measured scan and
+    * recall numbers are engine content, but every rung carries columns
+    * a SQL oracle can assert —
+    *
+    *  - `rung` / `method` / `scan_bytes_per_vec` — configuration
+    *    literals;
+    *  - `corpus_n` / `n_queries` — exact counts recomputed by value;
+    *  - `scanned_per_query` / `rescore_per_query` — EXACT BY
+    *    CONSTRUCTION for the full-scan rungs (brute / PQ / int8 /
+    *    binary / matryoshka scan n−1 and rescore min(overfetch·k, n−1));
+    *    NULL for the probed/bucketed rungs (their scans are the
+    *    engine-measured content the informative table reports);
+    *  - `recall_ok` — brute force must read EXACTLY 1.0; every other
+    *    rung clears a floor set WELL below its spec-measured value
+    *    (AnnLadderSpec carries the tight floors);
+    *  - `scan_pruned_ok` — full-scan rungs scanned exactly n−1; probed
+    *    rungs scanned STRICTLY LESS (the prune actually fired).
+    */
+  def verdicts(table: DataFrame, k: Int = 5): DataFrame = {
+    val full = col("method").isin("brute_force", "pq_m8", "int8_of4",
+      "binary_of4") || col("method").startsWith("matryoshka")
+    // floors ~half the spec-measured values (AnnLadderSpec holds the
+    // tight ones); ivf_flat_k10_np1 has NO floor by design — on a
+    // geometry-free corpus a 1-of-10-cell probe legitimately recalls
+    // ~1/10, and its verdict weight is the scan prune instead
+    val floor = when(col("method") === "lsh_8x4_multiprobe", 0.2)
+      .when(col("method") === "pq_m8", 0.7)
+      .when(col("method") === "ivfpq_c16_np8_m8", 0.5)
+      .when(col("method") === "ivfadc_c16_np8_m8", 0.5)
+      .when(col("method") === "int8_of4", 0.8)
+      .when(col("method") === "binary_of4", 0.1)
+      .when(col("method").startsWith("matryoshka"), 0.05)
+      .otherwise(0.0)
+    table.select(col("rung"), col("method"), col("scan_bytes_per_vec"),
+      col("corpus_n"), col("n_queries"),
+      when(full, col("scanned_per_query")).as("scanned_per_query"),
+      when(full, col("rescore_per_query").cast("double"))
+        .as("rescore_per_query"),
+      when(col("method") === "brute_force", col("recall_at_k") === 1.0)
+        .otherwise(col("recall_at_k") >= floor).cast("bigint")
+        .as("recall_ok"),
+      when(full, col("scanned_per_query") === (col("corpus_n") - 1)
+        .cast("double"))
+        .otherwise(col("scanned_per_query") <
+          (col("corpus_n") - 1).cast("double")).cast("bigint")
+        .as("scan_pruned_ok"))
+  }
+
 }
