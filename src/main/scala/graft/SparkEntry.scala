@@ -912,14 +912,20 @@ object SparkEntry {
       // multimodal featurize path under the driver (not just specs):
       // binary blobs → batched mapPartitions decode/featurize (decode
       // stubbed as deterministic byte statistics — no codecs in env).
-      // Rows-only: per-partition batched UDF output, engine-specific.
+      // VERDICT-GATED (r13): the stub's byte COUNT flows from the
+      // batched UDF output and compares BY VALUE per row (it must
+      // equal the blob's UTF-8 octet length — DuckDB recomputes it);
+      // the decode-specific mean-byte statistic stays engine content,
+      // flattened to a range verdict. The batched plumbing (batch
+      // shape, schema, partition independence) remains spec'd.
       import s.implicits._
       val blobs = Tables.documents(s, dir)
         .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
         .as[multimodal.Binary.Blob]
       multimodal.Binary.featurize(blobs, batchSize = 64).toDF()
         .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
-          roundStable(col("meanByte"), 6).as("mean_byte"))
+          (col("meanByte") >= 0.0 && col("meanByte") <= 255.0)
+            .cast("bigint").as("mean_byte_bounded_ok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1195,14 +1201,40 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
-    "q107_bpe_merges" -> ((s, dir) =>
+    "q107_bpe_merges" -> ((s, dir) => {
       // the BPE tokenizer-training loop over the documents corpus: 10
-      // merge rounds on the aggregated word vocabulary. Deterministic
-      // (count-desc + lexicographic tie-break) but inherently iterative
-      // with a driver argmax per round — rows-only like the other
-      // trained surfaces; exact merge sequence spec'd on a hand corpus.
-      text.Bpe.trainMerges(Tables.documents(s, dir), "text", numMerges = 10)
-        .orderBy(col("rank"))),
+      // merge rounds on the aggregated word vocabulary. VERDICT-GATED
+      // (r13): merges 2-10 depend on re-segmentation (inherently
+      // iterative — engine content, exact sequence spec'd on a hand
+      // corpus), but merge 1 IS the argmax adjacent-character pair of
+      // the initial vocabulary — SQL-computable, so the first merge
+      // and its count compare BY VALUE; merge-count and
+      // pair-distinctness flatten to asserted 1/0s.
+      val docs = Tables.documents(s, dir)
+      val m = text.Bpe.trainMerges(docs, "text", numMerges = 10)
+      val firstTrue = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), split(col("w"), "").as("syms"))
+        .select(col("cnt"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("__i"),
+          col("syms"))
+        .select(element_at(col("syms"), col("__i")).as("l"),
+          element_at(col("syms"), col("__i") + 1).as("r"), col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("first_count"))
+        .orderBy(col("first_count").desc, col("l"), col("r")).limit(1)
+      val stats = m.agg(count(lit(1)).as("n_merges"),
+        (countDistinct(col("left"), col("right")) === count(lit(1)))
+          .cast("bigint").as("pairs_distinct_ok"))
+      m.filter(col("rank") === 0)
+        .select(col("left").as("first_left"), col("right").as("first_right"))
+        .crossJoin(firstTrue)
+        .withColumn("first_match_ok",
+          (col("first_left") === col("l") && col("first_right") === col("r"))
+            .cast("bigint"))
+        .drop("l", "r")
+        .crossJoin(stats)
+    }),
 
     "q108_hard_negatives" -> ((s, dir) => {
       // contrastive hard-negative mining: per anchor, top-3 most-similar
@@ -3371,15 +3403,35 @@ object SparkEntry {
 
     "q365_cdc_dedup" -> ((s, dir) => {
       // content-defined chunk dedup over the binary column (gear CDC,
-      // FastCDC family): per blob, how much content already exists
-      // elsewhere. Rows-only: chunk boundaries are engine-imperative
-      // by nature (mapPartitions-class, the C12 islands); the CDC
-      // insertion-resync property and determinism are spec'd.
+      // FastCDC family). VERDICT-GATED (r13, the twin trick on BYTES):
+      // chunk boundaries stay engine-imperative (mapPartitions-class,
+      // the C12 islands), but identical blobs chunk IDENTICALLY — a
+      // planted twin of every 5th doc makes both members fully
+      // duplicated BY CONSTRUCTION, so the full-dup member count
+      // compares BY VALUE (exactly 2× the twin count) next to the
+      // exact corpus byte total (chunks cover every byte); share and
+      // chunk-count bounds assert as 1/0s. Insertion-resync and
+      // determinism remain spec'd.
       import s.implicits._
-      val blobs = Tables.documents(s, dir)
-        .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 1)
+        .select(col("doc_id").as("id"), col("text"))
+      val twins = docs.filter(col("id") % 5 === 0)
+        .select((col("id") + 1000000L).as("id"), col("text"))
+      val blobs = docs.unionByName(twins)
+        .select(col("id"), col("text").cast("binary").as("bytes"))
         .as[multimodal.Binary.Blob]
-      multimodal.Binary.cdcDupReport(blobs).orderBy(col("id"))
+      val isTwinMember = (col("id") % 5 === 0 && col("id") < 1000000L) ||
+        col("id") >= 1000000L
+      multimodal.Binary.cdcDupReport(blobs).agg(
+        count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).cast("bigint").as("bytes_total"),
+        sum(when(isTwinMember && col("dup_byte_share") === 1.0 &&
+          col("n_dup_chunks") === col("n_chunks"), 1L).otherwise(0L))
+          .as("n_twin_members_full_dup"),
+        min(col("dup_byte_share") >= 0.0 && col("dup_byte_share") <= 1.0 &&
+          col("n_dup_chunks") <= col("n_chunks") &&
+          col("dup_bytes") <= col("n_bytes")).cast("bigint").as("bounds_ok"))
     }),
 
     "q366_quantile_norm" -> ((s, dir) =>
@@ -3442,20 +3494,23 @@ object SparkEntry {
         .orderBy(col("event_type"), col("look"))),
 
     "q373_procrustes" -> ((s, dir) => {
-      // "did the new embedding model just rotate the space?": v2 is a
-      // planted 30° rotation of v1 on dims (0,1) + a 3-dim flip —
-      // raw cross-space cosines read as drift, the Procrustes-aligned
-      // cosines read ≈ 1. Rows-only (Jacobi SVD numerics); planted-
-      // rotation recovery is spec'd.
+      // "did the new embedding model just rotate the space?" —
+      // VALUE-GATED (r13): v2 is a SIGNED PERMUTATION of v1 (dims
+      // reversed, even output dims negated) — still a fully general
+      // orthogonal map for the recovery problem, but one the oracle
+      // can REPLAY: cos_before (raw cross-space cosine vs the permuted
+      // twin) recomputes by value, and the Procrustes-ALIGNED cosine
+      // must read EXACTLY 1.0 at 4 digits (Jacobi residuals ~1e-9;
+      // the float permutation is bit-exact on both engines — negation
+      // and reordering lose no precision). The planted 30°-rotation
+      // recovery stays spec'd (OperatorEdgeSpec).
       val v1 = Tables.embeddings(s, dir)
-      val c30 = math.cos(math.Pi / 6); val s30 = math.sin(math.Pi / 6)
       val v2 = v1.select(col("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, x * c30 - element_at(col("embedding"), 2) * s30)
-            .when(i === 1, element_at(col("embedding"), 1) * s30 + x * c30)
-            .when(i === 2, -x)
-            .otherwise(x).cast("float")).as("embedding"))
-      sim.Procrustes.alignReport(v1, v2, "vec_id", "embedding")
+        transform(col("embedding"), (_, i) =>
+          (when(i % 2 === 0, lit(-1.0)).otherwise(lit(1.0)) *
+            element_at(col("embedding"), lit(64) - i)).cast("float"))
+          .as("embedding"))
+      sim.Procrustes.alignReport(v1, v2, "vec_id", "embedding", digits = 4)
         .orderBy(col("vec_id"))
     }),
 
@@ -5294,6 +5349,70 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS sorted_ok,
         | CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q59_blob_features" ->
+      // the stub decode's byte count recomputed by value (UTF-8 octet
+      // length); the engine-specific mean-byte flattens to a 1
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(1 AS BIGINT) AS mean_byte_bounded_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q107_bpe_merges" ->
+      // merge 1 = the argmax adjacent-character pair of the initial
+      // word vocabulary (count desc, then lexicographic on l, r) —
+      // recomputed by value with its count; structure asserts as 1s
+      """WITH w AS (SELECT t AS w, count(*) AS cnt
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) >= 2 GROUP BY 1),
+        |p AS (SELECT unnest([{'l': w[i:i], 'r': w[i+1:i+1]}
+        |        FOR i IN range(1, len(w))]) AS pr, cnt
+        |      FROM w),
+        |g AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS n
+        |      FROM p GROUP BY 1, 2)
+        |SELECT l AS first_left, r AS first_right, n AS first_count,
+        |  CAST(1 AS BIGINT) AS first_match_ok,
+        |  CAST(10 AS BIGINT) AS n_merges,
+        |  CAST(1 AS BIGINT) AS pairs_distinct_ok
+        |FROM g ORDER BY n DESC, l, r LIMIT 1""".stripMargin,
+
+    "q373_procrustes" ->
+      // v2 is the signed permutation v2[i] = (-1)^[i even] · v1[64-i]
+      // (0-based) — replayed in SQL, so cos_before compares BY VALUE;
+      // the aligned cosine must read exactly 1.0 at 4 digits
+      """WITH p AS (
+        |  SELECT vec_id, embedding,
+        |    [CAST((CASE WHEN (i - 1) % 2 = 0 THEN -1.0 ELSE 1.0 END)
+        |       * embedding[65 - i] AS DOUBLE)
+        |     FOR i IN range(1, 65)] AS v2
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  roundStable(
+        |    list_sum([CAST(embedding[i] AS DOUBLE) * v2[i]
+        |              FOR i IN range(1, 65)])
+        |    / (sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+        |         * CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)]))
+        |       * sqrt(list_sum([v2[i] * v2[i] FOR i IN range(1, 65)]))),
+        |    4) AS cos_before,
+        |  1.0 AS cos_after
+        |FROM p ORDER BY vec_id""".stripMargin,
+
+    "q365_cdc_dedup" ->
+      // exact blob count and byte total (chunks cover every byte);
+      // the planted twins' full-dup member count is exactly 2x the
+      // twin count; bounds assert as 1
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE text IS NOT NULL AND len(text) >= 1)
+        |SELECT
+        |  CAST((SELECT count(*) FROM d)
+        |    + (SELECT count(*) FROM d WHERE doc_id % 5 = 0) AS BIGINT)
+        |    AS n_blobs,
+        |  CAST((SELECT sum(octet_length(encode(text))) FROM d)
+        |    + (SELECT sum(octet_length(encode(text))) FROM d
+        |       WHERE doc_id % 5 = 0) AS BIGINT) AS bytes_total,
+        |  CAST(2 * (SELECT count(*) FROM d WHERE doc_id % 5 = 0)
+        |    AS BIGINT) AS n_twin_members_full_dup,
+        |  CAST(1 AS BIGINT) AS bounds_ok""".stripMargin,
 
     "q16_extract_synth" ->
       // the generator contract as literals: exact row/station/hour
