@@ -78,6 +78,15 @@ object GraphScale {
     run("hits")(e => operators.Hits.run(e, "src", "dst", iters = iters))
     run("labelprop")(e => operators.LabelProp.run(e, "src", "dst", rounds = iters))
     run("conn_comp")(e => operators.ConnectedComponents.minLabel(e, "src", "dst"))
+    // §5.1's decision-rule evidence one decade up: salting is pure tax
+    // on a single box (no straggler to win back) — re-measured here at
+    // 10× the r9 hubscale graph so the "flip saltBuckets only when one
+    // hub key exceeds a task's budget ON A CLUSTER" rule rests on
+    // current numbers, not a 200k-node memory
+    run("pagerank_salt8")(e => operators.PageRank.run(e, "src", "dst",
+      iters = iters, saltBuckets = 8))
+    run("hits_salt8")(e => operators.Hits.run(e, "src", "dst",
+      iters = iters, saltBuckets = 8))
     spark.stop()
   }
 }
