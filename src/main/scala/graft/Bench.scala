@@ -273,7 +273,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val unexplained = results.count(_.warmVerdict.contains("true_warm_regression"))
     val coldRegressed = results.count(_.coldVerdict.contains("true_cold_regression"))
-    val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":$errJs,"max_residual_storage_mb":$maxResidualMb,"inversions":$invJs,"cold_outliers":$coldJs,"n_unexplained_inversions":$unexplained,"n_cold_regressions":$coldRegressed,"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
+    // CONTAMINATION GATE (r13 lesson): the r13 artifact of record was
+    // taken at loadavg 9-12 (median of the bench: 3.2) and its graph-
+    // family colds read 2-8x their idle-box values — recognizable only
+    // by cross-referencing per-query telemetry by hand. The artifact now
+    // stamps ITSELF: any query whose 1-min loadavg AT COLD-RUN START
+    // exceeds `loadGate` (default cpus/4 — 2x the judge's cpus/8 floor;
+    // overridable via SPARK_GRAFT_LOAD_GATE) is listed in
+    // `contaminated_queries` and flips the top-level `"contaminated"`
+    // flag, so a loaded box can never again produce a silent-looking
+    // final artifact. Gating on the COLD start load only: the cold
+    // number is the headline and the comparable; loadavg sampled there
+    // is pre-query (after the 100 ms post-reset sleep), so a neighbor
+    // process — not this query's own threads — is what raises it.
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
+      .getOrElse(ncores / 4.0)
+    val contaminatedQ = results.filter(e => e.cold.load > loadGate)
+    val contamJs = contaminatedQ
+      .map(e => f""""${e.name}":${e.cold.load}%.1f""").mkString("{", ",", "}")
+    val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":$errJs,"max_residual_storage_mb":$maxResidualMb,"inversions":$invJs,"cold_outliers":$coldJs,"n_unexplained_inversions":$unexplained,"n_cold_regressions":$coldRegressed,"load_gate":${f"$loadGate%.1f"},"contaminated":${contaminatedQ.nonEmpty},"contaminated_queries":$contamJs,"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
     // Per-query telemetry: [load, cpu_frac, gc_sec, jit_sec] for the
     // cold run then the warm run — the reader can attribute ANY
     // suspicious number, not just flagged ones.

@@ -85,6 +85,33 @@ object SparkEntry {
     memoDone.getOrElseUpdate(key, body).asInstanceOf[T]
   }
 
+  /** Unique memory-sink names for the in-query streaming gates (q386):
+    * Bench runs every query twice in one JVM, so a fixed queryName would
+    * collide with the previous run's registered sink table.
+    */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Self-contained per-query local state dir (q382/q383): DELETED
+    * RECURSIVELY at query entry before being handed to the foreachBatch
+    * bodies. The r13 shape keyed the tmpdir by `dir.hashCode` and relied
+    * on every batch dir ever written being deterministically overwritten
+    * each run — true for the current {0,1}/{0,1,2} grids, but a future
+    * batch-grid change would silently READ stale dirs from a previous
+    * build. Wiping at entry makes the query's output a function of this
+    * run alone (OperatorEdgeSpec plants a stale alien batch dir to prove
+    * it).
+    */
+  private[graft] def freshLocalStateDir(name: String): String = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    if (root.exists()) rm(root)
+    root.getAbsolutePath
+  }
+
   /** Deterministically planted messy URLs for q368/q369 (the q81
     * plant-in-query discipline): scheme/host case noise, www. and :80
     * variants, a tracking param, shuffled param order, fragments.
@@ -162,6 +189,30 @@ object SparkEntry {
     memoOnce(s"ivf-self-cand-$dir") {
       sim.Candidates.ivfSelfPairs(Tables.embeddings(s, dir), "vec_id",
           "embedding", kCoarse = 8, nprobe = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Prune floor (percent) asserted by the q350-q353 verdicts for the
+    * registered kCoarse=8 / nprobe=2 configuration: CandScale measures
+    * the raw-corpus prune rate at ~0.53-0.55 (both sf0.01 and sf0.1 —
+    * balanced-cell expectation 1 − (1 − C(6,2)/C(8,2)) ≈ 0.536);
+    * 30 % is the conservative floor with ~20 pts of margin, enough to
+    * catch the failure mode that matters (a candidate generator that
+    * silently degenerates to all-pairs prunes 0 %).
+    */
+  private val candPruneFloorPct: Int = 30
+
+  /** FULL-PROBE twin of [[ivfSelfCand]] (nprobe = kCoarse): by
+    * construction every ordered pair — the candidate set the q350-q352
+    * verdicts compare against brute force and count against n·(n−1).
+    * Same coarse fit (memoOnce key differs only by probe width; the
+    * KMeans fit memoizes inside Candidates per call, so two fits run —
+    * once per process, shared by three queries each).
+    */
+  private def ivfFullCand(s: SparkSession, dir: String) =
+    memoOnce(s"ivf-full-cand-$dir") {
+      sim.Candidates.ivfSelfPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", kCoarse = 8, nprobe = 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -3246,47 +3297,64 @@ object SparkEntry {
     // --- candidate-path embedding diagnostics (q350-q353): the same
     // four diagnostics as q293/q312/q313/q305, riding IVF candidate
     // pairs instead of the brute-force self-join — the 100 TB plan
-    // (pair join keyed on the coarse cell). ROWS-ONLY by declared
-    // design: the synthetic embeddings have no cluster geometry
-    // (intra-label ≈ inter-label cosine — the q51/q71 finding), so on
-    // THIS corpus any probe short of all-cells loses recall (measured:
-    // nprobe=5 of 8 is the first exact setting, and it covers every
-    // pair). The machinery itself is gated hard in CandidatesSpec:
-    // identical arithmetic ⇒ bit-equal to brute force at full probe,
-    // and on a CLUSTERED corpus (where the IVF assumption holds)
-    // bit-equal at nprobe=1 with ~2/3 of pairs pruned. Registered at
-    // nprobe=2 — a real pruned plan, the configuration a clustered
-    // 100 TB corpus would run. Index fit + candidate plan memoized
-    // per dir (the q87 once-per-process discipline).
-    "q350_knn_outlier_cand" -> ((s, dir) =>
-      sim.Geometry.knnOutliers(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = 10, topN = 20,
-        candidates = Some(ivfSelfCand(s, dir)))),
+    // (pair join keyed on the coarse cell). VERDICT-GATED (r14, was
+    // rows-only since r12): the registered rows are CandVerdict
+    // one-liners — full-probe candidates counted against n·(n-1) BY
+    // VALUE, the diagnostic on those candidates proven row-set-equal
+    // to its brute-force twin in-query, the REGISTERED nprobe=2 pruned
+    // path executed (its diagnostic row count oracle-recomputed) with
+    // subset + prune-floor verdicts. The pruned DIAGNOSTIC VALUES stay
+    // engine content by declared design (the synthetic embeddings have
+    // no cluster geometry — the q51/q71 finding — so nprobe=2 loses
+    // recall here; q384 makes the with-geometry exactness claim
+    // oracle-visible on a planted-geometry corpus). Index fit +
+    // candidate plans memoized per dir (the q87 once-per-process
+    // discipline).
+    "q350_knn_outlier_cand" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sim.CandVerdict.selfVerdict(emb, "vec_id", kCoarse = 8, nprobe = 2,
+        pruneFloorPct = candPruneFloorPct,
+        fullCand = ivfFullCand(s, dir), prunedCand = ivfSelfCand(s, dir),
+        diag = c => sim.Geometry.knnOutliers(emb, "vec_id", "embedding",
+          k = 10, topN = 20, candidates = c))
+    }),
 
-    "q351_hubness_cand" -> ((s, dir) =>
-      sim.Geometry.hubness(Tables.embeddings(s, dir), "vec_id",
-          "embedding", k = 10, topN = 20,
-          candidates = Some(ivfSelfCand(s, dir)))
-        .orderBy(col("rank"))),
+    "q351_hubness_cand" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sim.CandVerdict.selfVerdict(emb, "vec_id", kCoarse = 8, nprobe = 2,
+        pruneFloorPct = candPruneFloorPct,
+        fullCand = ivfFullCand(s, dir), prunedCand = ivfSelfCand(s, dir),
+        diag = c => sim.Geometry.hubness(emb, "vec_id", "embedding",
+          k = 10, topN = 20, candidates = c))
+    }),
 
-    "q352_lid_cand" -> ((s, dir) =>
-      sim.Geometry.lidMle(Tables.embeddings(s, dir), "vec_id",
-          "embedding", "label", k = 10,
-          candidates = Some(ivfSelfCand(s, dir)))
-        .orderBy(col("label"))),
+    "q352_lid_cand" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sim.CandVerdict.selfVerdict(emb, "vec_id", kCoarse = 8, nprobe = 2,
+        pruneFloorPct = candPruneFloorPct,
+        fullCand = ivfFullCand(s, dir), prunedCand = ivfSelfCand(s, dir),
+        diag = c => sim.Geometry.lidMle(emb, "vec_id", "embedding",
+          "label", k = 10, candidates = c))
+    }),
 
     "q353_mnn_cand" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      sim.Similarity.mutualNearest(
-          e.filter(col("label") === 0), e.filter(col("label") === 1),
-          "vec_id", "embedding",
-          candidates = Some(memoOnce(s"ivf-cross-cand-$dir") {
-            sim.Candidates.ivfCrossPairs(
-                e.filter(col("label") === 0), e.filter(col("label") === 1),
-                "vec_id", "embedding", kCoarse = 8, nprobe = 2)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          }))
-        .orderBy(col("id_a"))
+      val a = e.filter(col("label") === 0)
+      val b = e.filter(col("label") === 1)
+      sim.CandVerdict.crossVerdict(a, b, "vec_id", kCoarse = 8, nprobe = 2,
+        pruneFloorPct = candPruneFloorPct,
+        fullCand = memoOnce(s"ivf-cross-full-$dir") {
+          sim.Candidates.ivfCrossPairs(a, b, "vec_id", "embedding",
+              kCoarse = 8, nprobe = 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        },
+        prunedCand = memoOnce(s"ivf-cross-cand-$dir") {
+          sim.Candidates.ivfCrossPairs(a, b, "vec_id", "embedding",
+              kCoarse = 8, nprobe = 2)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        },
+        diag = c => sim.Similarity.mutualNearest(a, b, "vec_id",
+          "embedding", candidates = c))
     }),
 
     "q354_ann_ladder" -> ((s, dir) => {
@@ -4624,9 +4692,8 @@ object SparkEntry {
           (dayofmonth(col("ts")) <= 15).as("__ref"))
       val ref = streaming.DriftStream.buildReference(
         ev.filter(col("__ref")), Seq("event_type"), "value", bins = 10)
-      val monitorDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_q382_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val monitorDir = freshLocalStateDir(
+        s"graft_q382_${Integer.toHexString(dir.hashCode)}")
       val cur = ev.filter(!col("__ref"))
       for (b <- 0L to 1L)
         streaming.DriftStream.driftBatch(ref,
@@ -4649,9 +4716,8 @@ object SparkEntry {
       // dupProfile over the same corpus — split ≡ one-shot by value,
       // with the oracle recomputing every cell.
       val docs = Tables.documents(s, dir)
-      val stateDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_q383_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val stateDir = freshLocalStateDir(
+        s"graft_q383_${Integer.toHexString(dir.hashCode)}")
       def batch(b: Long) = docs.filter(col("doc_id") % 3 === b)
       for (b <- 0L to 2L)
         streaming.CensusStream.censusBatch(batch(b), b, "source", "text",
@@ -4660,6 +4726,200 @@ object SparkEntry {
         md5(substring(col("text"), 1, 40)), stateDir)
       streaming.CensusStream.dupProfile(s, stateDir)
         .orderBy(col("source"))
+    }),
+
+    "q384_cand_clustered" -> ((s, dir) => {
+      // §5.2's central claim — "cell-keyed candidate pruning is FREE
+      // when geometry exists" — made oracle-visible (it lived only in
+      // SURVEY tables and CandidatesSpec until r14). Corpus: the sf
+      // embeddings pulled toward 8 deterministic hash-derived centers
+      // (CandScale's planted-geometry generator: signal ×0.3, center
+      // span ±2.5 — intra-cluster cosine ≫ inter, the structure real
+      // embedding corpora have and the raw synthetic corpus lacks).
+      // Verdicts, all asserted as 1 by the oracle: recall of the TRUE
+      // 10-NN pair set (in-query cosine brute force, every point a
+      // query) is EXACTLY 1.0 at nprobe=1, AND ≥87 % of the n·(n−1)
+      // ordered pairs are pruned (measured 0.8754-0.8767 across SFs —
+      // the balanced-8-cell bound is 0.875), AND the full knnOutliers
+      // diagnostic on the pruned candidates is row-set-identical to
+      // its brute-force twin. Counts and config ride by value.
+      val row = memoOnce(s"q384-$dir") {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * 0.3 +
+              (pmod(xxhash64(pmod(col("vec_id"), lit(8)) * 64 + i),
+                lit(1000)).cast("double") / 500.0 - 1.0) * 2.5)
+              .cast("float")).as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = emb.count()
+        val truth = sim.Similarity.bruteForceTopK(emb, emb, "vec_id",
+            "embedding", k = 10)
+          .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nTruth = truth.count()
+        val cand = sim.Candidates.ivfSelfPairs(emb, "vec_id", "embedding",
+            kCoarse = 8, nprobe = 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nCand = cand.count()
+        val hit = truth.join(cand, Seq("id_a", "id_b")).count()
+        val pruneOk = nCand.toDouble <= 0.13 * n.toDouble * (n - 1)
+        val brute = sim.Geometry.knnOutliers(emb, "vec_id", "embedding",
+          k = 10, topN = 20)
+        val viaCand = sim.Geometry.knnOutliers(emb, "vec_id", "embedding",
+          k = 10, topN = 20, candidates = Some(cand))
+        val diagOk = viaCand.exceptAll(brute).isEmpty &&
+          brute.exceptAll(viaCand).isEmpty
+        truth.unpersist(); cand.unpersist(); emb.unpersist()
+        (n, nTruth, hit == nTruth, pruneOk, diagOk)
+      }
+      val (n, nTruth, recallOk, pruneOk, diagOk) = row
+      s.range(1).select(
+        lit(n).as("n_corpus"), lit(nTruth).as("n_truth_pairs"),
+        lit(8L).as("k_coarse"), lit(1L).as("nprobe"),
+        lit(10L).as("recall_k"), lit(87L).as("prune_floor_pct"),
+        lit(if (recallOk) 1L else 0L).as("recall_exact_ok"),
+        lit(if (pruneOk) 1L else 0L).as("prune_floor_ok"),
+        lit(if (diagOk) 1L else 0L).as("diag_eq_brute_ok"))
+    }),
+
+    "q385_media_headers" -> ((s, dir) => {
+      // the q40 multimodal surface with a REAL decode stage (r14): one
+      // deterministic synthetic blob per document — genuine PNG / JFIF
+      // JPEG / GIF89a / BMP header bytes with id-derived dimensions,
+      // plus a truncated-magic junk case — probed by the batched
+      // mapPartitions header parser (magic detect + per-format
+      // dimension layout). The oracle re-derives format, width,
+      // height, bit depth, byte size and validity from doc_id
+      // arithmetic alone: wrong endianness, an off-by-one offset, or a
+      // dropped segment walk all hash-mismatch on VALUES.
+      import s.implicits._
+      val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map(id => multimodal.Binary.Blob(id,
+          multimodal.Binary.synthMediaBlob(id)))
+      multimodal.Binary.mediaInfo(blobs).toDF()
+        .select(col("id").as("doc_id"), col("format"),
+          col("width"), col("height"), col("bitDepth").as("bit_depth"),
+          col("nBytes").as("n_bytes"), col("valid").cast("int").as("valid"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q386_stream_dedup" -> ((s, dir) => {
+      // D3 driver-gated: dropDuplicatesWithinWatermark driven as a REAL
+      // StreamingQuery (memory source -> the registered operator ->
+      // memory sink, three micro-batches processed synchronously) — the
+      // watermark state machine itself is the unit under test, so no
+      // foreachBatch body can stand in for it. Batch A lands two
+      // byte-identical events per key (in-batch dedup -> 1 survivor);
+      // batch B advances the watermark 3 h on a reserved key, expiring
+      // A's state (1 h horizon); batch C re-arrives every key — state
+      // gone, so each key survives AGAIN. Per key the oracle expects
+      // EXACTLY 2 survivors (one per epoch) and the advancer 1: a
+      // dedup that leaks duplicates inside the horizon or never
+      // expires state both hash-mismatch. Duplicates are identical in
+      // every column, so survivor identity is deterministic.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val types = Tables.events(s, dir).select(col("event_type"))
+        .distinct().as[String].collect().sorted // bounded: enum column
+      val base = 86400000L
+      def ev(u: Long, t: String, off: Long) = streaming.EventStream.Event(
+        u, new java.sql.Timestamp(base + off), u, t, 1.0)
+      val keys = for (u <- 0L until 20L; t <- types) yield (u, t)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[streaming.EventStream.Event]
+      val sink = s"q386_sink_${sinkCounter.incrementAndGet()}"
+      val q = streaming.EventStream.dedupWithinWatermark(mem.toDF(),
+          Seq("user_id", "event_type"), watermark = "1 hour")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      val (schema, rows) = try {
+        mem.addData(keys.flatMap { case (u, t) =>
+          Seq(ev(u, t, 0L), ev(u, t, 0L)) })
+        q.processAllAvailable()
+        mem.addData(Seq(ev(999L, types.head, 3L * 3600 * 1000)))
+        q.processAllAvailable()
+        mem.addData(keys.flatMap { case (u, t) =>
+          Seq(ev(u, t, 3L * 3600 * 1000), ev(u, t, 3L * 3600 * 1000)) })
+        q.processAllAvailable()
+        val out = s.table(sink)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_survivors"),
+            sum(col("value")).as("sum_value"))
+        (out.schema, out.collect().toSeq)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink): Unit
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "q387_stream_ann" -> ((s, dir) => {
+      // D10 driver-gated: the EXACT AnnStream.annBatch body (append
+      // through the id gate + drift row + compaction cadence) folds two
+      // vector micro-batches into the frozen-centroid index, batch 1
+      // fires the compactEvery=2 rebuild, then batch 0 REPLAYS
+      // (at-least-once): the id gate makes the append a no-op and the
+      // replayed drift row is byte-identical, so the drift log folds
+      // 3 raw -> 2 distinct rows. Search at full probe must then equal
+      // q37's brute-force oracle over ALL vectors (cells partition the
+      // corpus) — q87's gate, now riding the streaming closure itself.
+      val emb = Tables.embeddings(s, dir)
+      val baseV = emb.filter(col("vec_id") % 3 =!= 2)
+      val d0 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+      val d1 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 1)
+      setupOnce(s"q387ann|$dir") {
+        sim.IncrementalAnn.writeIndex(baseV, "vec_id", "embedding",
+          "q387ann", kCoarse = 8, iters = 3, buckets = 4)
+      }
+      val driftDir = freshLocalStateDir(
+        s"graft_q387_${Integer.toHexString(dir.hashCode)}")
+      def fold(b: DataFrame, id: Long): Unit =
+        streaming.AnnStream.annBatch(b, id, "vec_id", "embedding",
+          "q387ann", compactEvery = 2, driftLog = Some(driftDir))
+      fold(d0, 0L); fold(d1, 1L); fold(d0, 0L) // <- the replay
+      val drift = s.read.parquet(driftDir)
+      val foldsOk = drift.count() == 3L && drift.distinct().count() == 2L
+      sim.IncrementalAnn.topK(s, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "q387ann", k = 5, nprobe = 8)
+        .withColumn("replay_folds_ok", lit(if (foldsOk) 1L else 0L))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q388_stream_scd2" -> ((s, dir) => {
+      // D12 driver-gated: the EXACT DimStream.scd2Batch body maintains
+      // the versioned dimension across two date-split update batches,
+      // then batch 0 REPLAYS — the monotone gate (ts strictly past the
+      // open valid_from) folds every replayed instant to nothing, and
+      // the row-count + row-hash checksum proves the rewritten table is
+      // content-identical. The folded dimension must equal the ONE-SHOT
+      // SCD2 chain over all updates (q111's fold, baseline-free): split
+      // ≡ one-shot by value, every version row oracle-recomputed.
+      val dimPath = freshLocalStateDir(
+        s"graft_q388_${Integer.toHexString(dir.hashCode)}")
+      val ups = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("cust"), col("o_orderdate").as("ts"))
+        .agg(min(col("o_orderpriority")).as("seg"))
+      val cut = lit("1995-01-01").cast("date")
+      def fold(b: DataFrame): Unit =
+        streaming.DimStream.scd2Batch(b, dimPath, Seq("cust"), Seq("seg"), "ts")
+      fold(ups.filter(col("ts") <= cut))
+      fold(ups.filter(col("ts") > cut))
+      def checksum(): (Long, Long) = {
+        // XOR fold: order-independent and overflow-free under ANSI
+        val r = s.read.parquet(dimPath)
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(cust, seg, " +
+            "valid_from, valid_to, is_current))")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val before = checksum()
+      fold(ups.filter(col("ts") <= cut)) // <- at-least-once replay
+      val gated = checksum() == before
+      s.read.parquet(dimPath)
+        .select(col("cust"), col("seg"), col("valid_from"), col("valid_to"),
+          col("is_current").cast("long").as("cur"),
+          lit(if (gated) 1L else 0L).as("replay_gated"))
+        .orderBy(col("cust"), col("valid_from"))
     }),
   )
 
@@ -5294,6 +5554,61 @@ object SparkEntry {
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "q386_stream_dedup" ->
+      // watermark-dedup gate: every (user 0-19 x event_type) key
+      // survives once per epoch (2 epochs), the watermark-advancer key
+      // (999, lexicographically first type) once
+      """WITH t AS (SELECT DISTINCT event_type FROM events),
+        |k AS (SELECT r.range AS user_id, t.event_type
+        |      FROM range(20) r CROSS JOIN t)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |  CAST(2 AS BIGINT) AS n_survivors,
+        |  CAST(2.0 AS DOUBLE) AS sum_value
+        |FROM k
+        |UNION ALL
+        |SELECT CAST(999 AS BIGINT), (SELECT min(event_type) FROM t),
+        |  CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q387_stream_ann" ->
+      // the q87 brute-force truth (cells partition the corpus, full
+      // probe is exact) + the drift-log replay fold asserting as 1
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                   FOR i IN range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    roundStable(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(q.embedding) + 1)]) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank,
+        |  CAST(1 AS BIGINT) AS replay_folds_ok FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q388_stream_scd2" ->
+      // baseline-free SCD2 chain over the whole update feed — the
+      // one-shot twin of the two-batch + replay fold, with the replay
+      // no-change checksum asserting as 1
+      """WITH u0 AS (SELECT o_custkey AS cust, o_orderdate AS ts,
+        |             min(o_orderpriority) AS seg
+        |           FROM orders GROUP BY 1, 2),
+        |c1 AS (SELECT cust, ts, seg,
+        |         lag(seg) OVER (PARTITION BY cust ORDER BY ts) AS prev
+        |       FROM u0),
+        |ch AS (SELECT cust, ts, seg FROM c1
+        |       WHERE prev IS NULL OR prev <> seg)
+        |SELECT cust, seg, CAST(ts AS DATE) AS valid_from,
+        |  CAST(lead(ts) OVER (PARTITION BY cust ORDER BY ts) AS DATE)
+        |    AS valid_to,
+        |  CAST(lead(ts) OVER (PARTITION BY cust ORDER BY ts) IS NULL
+        |    AS BIGINT) AS cur,
+        |  CAST(1 AS BIGINT) AS replay_gated
+        |FROM ch ORDER BY cust, valid_from""".stripMargin,
+
     "q37_cosine_topk" ->
       """WITH v AS (
         |  SELECT vec_id, embedding,
@@ -5436,6 +5751,113 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS ordered_ok,
         | CAST(1 AS BIGINT) AS distinct_ok
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
+    "q350_knn_outlier_cand" ->
+      // candidate-path verdict (r14, was rows-only): full-probe pair
+      // count by value (n·(n−1) — any dropped/duplicated pair breaks a
+      // VALUE), the pruned knnOutliers' topN row count by value, and
+      // the equality/subset/prune-floor verdicts as literal 1s
+      """WITH c AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT CAST(n AS BIGINT) AS n_corpus,
+        | CAST(8 AS BIGINT) AS k_coarse, CAST(2 AS BIGINT) AS nprobe,
+        | CAST(n * (n - 1) AS BIGINT) AS n_pairs_full,
+        | CAST(20 AS BIGINT) AS pruned_diag_rows,
+        | CAST(1 AS BIGINT) AS fullprobe_eq_brute_ok,
+        | CAST(1 AS BIGINT) AS pruned_subset_ok,
+        | CAST(30 AS BIGINT) AS prune_floor_pct,
+        | CAST(1 AS BIGINT) AS prune_floor_ok
+        |FROM c""".stripMargin,
+
+    "q351_hubness_cand" ->
+      // hubness materializes every point via its left join, so the
+      // pruned diagnostic always has exactly topN=20 rows
+      """WITH c AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT CAST(n AS BIGINT) AS n_corpus,
+        | CAST(8 AS BIGINT) AS k_coarse, CAST(2 AS BIGINT) AS nprobe,
+        | CAST(n * (n - 1) AS BIGINT) AS n_pairs_full,
+        | CAST(20 AS BIGINT) AS pruned_diag_rows,
+        | CAST(1 AS BIGINT) AS fullprobe_eq_brute_ok,
+        | CAST(1 AS BIGINT) AS pruned_subset_ok,
+        | CAST(30 AS BIGINT) AS prune_floor_pct,
+        | CAST(1 AS BIGINT) AS prune_floor_ok
+        |FROM c""".stripMargin,
+
+    "q352_lid_cand" ->
+      // lidMle emits one row per label with >= 1 point holding exactly
+      // k pruned neighbors at nonzero distance — at nprobe=2 every
+      // label keeps fit points (54 % of pairs survive), so the pruned
+      // row count is the label count, oracle-recomputed
+      """WITH c AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT CAST(n AS BIGINT) AS n_corpus,
+        | CAST(8 AS BIGINT) AS k_coarse, CAST(2 AS BIGINT) AS nprobe,
+        | CAST(n * (n - 1) AS BIGINT) AS n_pairs_full,
+        | (SELECT count(DISTINCT label) FROM embeddings)
+        |   AS pruned_diag_rows,
+        | CAST(1 AS BIGINT) AS fullprobe_eq_brute_ok,
+        | CAST(1 AS BIGINT) AS pruned_subset_ok,
+        | CAST(30 AS BIGINT) AS prune_floor_pct,
+        | CAST(1 AS BIGINT) AS prune_floor_ok
+        |FROM c""".stripMargin,
+
+    "q353_mnn_cand" ->
+      // cross shape: disjoint id universes, so full probe = n_a·n_b by
+      // value; the pruned mutual-NN survivor count is engine content
+      // (trained cells pick the candidates) — bounds-gated instead
+      """WITH a AS (SELECT count(*) AS na FROM embeddings WHERE label = 0),
+        |b AS (SELECT count(*) AS nb FROM embeddings WHERE label = 1)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | CAST(8 AS BIGINT) AS k_coarse, CAST(2 AS BIGINT) AS nprobe,
+        | CAST(na * nb AS BIGINT) AS n_pairs_full,
+        | CAST(1 AS BIGINT) AS fullprobe_eq_brute_ok,
+        | CAST(1 AS BIGINT) AS pruned_subset_ok,
+        | CAST(1 AS BIGINT) AS pruned_diag_bounded_ok,
+        | CAST(30 AS BIGINT) AS prune_floor_pct,
+        | CAST(1 AS BIGINT) AS prune_floor_ok
+        |FROM a CROSS JOIN b""".stripMargin,
+
+    "q384_cand_clustered" ->
+      // planted-geometry corpus: counts by value (truth pairs = 10 per
+      // point — n > k+1 at every SF), config literals, and the three
+      // §5.2 claims (exact recall at nprobe=1, >= 87 % pruned, full
+      // diagnostic equality) as literal 1s
+      """WITH c AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT CAST(n AS BIGINT) AS n_corpus,
+        | CAST(10 * n AS BIGINT) AS n_truth_pairs,
+        | CAST(8 AS BIGINT) AS k_coarse, CAST(1 AS BIGINT) AS nprobe,
+        | CAST(10 AS BIGINT) AS recall_k,
+        | CAST(87 AS BIGINT) AS prune_floor_pct,
+        | CAST(1 AS BIGINT) AS recall_exact_ok,
+        | CAST(1 AS BIGINT) AS prune_floor_ok,
+        | CAST(1 AS BIGINT) AS diag_eq_brute_ok
+        |FROM c""".stripMargin,
+
+    "q385_media_headers" ->
+      // header-parse oracle: every field re-derived from doc_id
+      // arithmetic + the generator's fixed per-format byte sizes
+      // (PNG 33 = magic 8 + len 4 + "IHDR" 4 + data 13 + CRC 4;
+      // JPEG 41 = SOI + 18-byte APP0 + 19-byte SOF0 + EOI;
+      // GIF 14 = header 6 + LSD 7 + trailer; BMP 54-byte header;
+      // junk 6 magic bytes)
+      """SELECT doc_id,
+        | CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'unknown' END
+        |   AS format,
+        | CAST(CASE doc_id % 5
+        |   WHEN 0 THEN 16 + doc_id % 256 WHEN 1 THEN 32 + doc_id % 200
+        |   WHEN 2 THEN 1 + doc_id % 300 WHEN 3 THEN 64 + doc_id % 50
+        |   END AS INTEGER) AS width,
+        | CAST(CASE doc_id % 5
+        |   WHEN 0 THEN 8 + doc_id % 128 WHEN 1 THEN 24 + doc_id % 100
+        |   WHEN 2 THEN 1 + doc_id % 150 WHEN 3 THEN 48 + doc_id % 25
+        |   END AS INTEGER) AS height,
+        | CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 8
+        |   WHEN 3 THEN 24 END AS INTEGER) AS bit_depth,
+        | CAST(CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 41
+        |   WHEN 2 THEN 14 WHEN 3 THEN 54 ELSE 6 END AS BIGINT)
+        |   AS n_bytes,
+        | CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INTEGER)
+        |   AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q354_ann_ladder" ->
       // ladder verdict view: config literals + exact counts; the

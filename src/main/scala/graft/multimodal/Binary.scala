@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * Media travels as an opaque `binary` column plus typed metadata; the
   * expensive decode/feature step runs batched per partition so a real
   * implementation can amortize model/codec setup (the standard Spark
-  * pattern for inference). The decode itself is STUBBED with a
-  * deterministic byte-statistics transform — the image/audio codecs are
-  * not available in this environment — but the schema, batching shape,
-  * and partitioning are the real production plumbing.
+  * pattern for inference). Two tiers (r14): the HEADER stage
+  * ([[mediaInfo]] / [[parseMediaHeader]]) is REAL — magic-byte format
+  * detection plus PNG-IHDR / JPEG-SOF / GIF-LSD / BMP-DIB dimension
+  * parsing from the public byte formats, oracle-gated on synthetic
+  * blobs (q385) and spec'd on truncated/corrupt headers. Only the
+  * PIXEL stage ([[featurize]]) remains a deterministic byte-statistics
+  * stand-in — actual codecs are not available in this environment —
+  * with the schema, batching shape, and partitioning being the real
+  * production plumbing.
   */
 object Binary {
 
@@ -56,6 +61,163 @@ object Binary {
       BlobFeatures(b.id, b.bytes.length.toLong, sum.toDouble / n,
         hist.map(_ / n))
     }
+
+  // ---- real header decode (magic-byte detect + dimensions) ------------
+
+  /** Parsed media header: `format` from magic bytes; dimensions /
+    * bit depth from the format's own header layout; `valid` = false when
+    * the magic is recognized but the header is truncated or corrupt
+    * (dims stay NULL). All pure public byte-format knowledge — PNG
+    * (RFC 2083 §3.1/§4.1.1), JPEG/JFIF (ITU T.81 SOF segments), GIF
+    * (GIF89a spec, logical screen descriptor), BMP
+    * (BITMAPINFOHEADER) — no codec libraries; PIXEL decode (the part
+    * that genuinely needs libpng-class codecs absent here) remains out
+    * of scope, but the header stage is real and oracle-checkable.
+    */
+  case class MediaInfo(id: Long, format: String, width: Option[Int],
+                       height: Option[Int], bitDepth: Option[Int],
+                       nBytes: Long, valid: Boolean)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def le32(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+
+  private val pngMagic =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** (format, width, height, bitDepth, valid) for one blob. Total: never
+    * throws on truncated/corrupt/empty input — that is the point of a
+    * header prober running over a 100 TB crawl column.
+    */
+  def parseMediaHeader(b: Array[Byte]): (String, Option[Int], Option[Int],
+      Option[Int], Boolean) = {
+    def invalid(fmt: String) = (fmt, None, None, None, false)
+    if (b.length >= 8 && b.take(8).sameElements(pngMagic)) {
+      // IHDR must be the first chunk: 4-byte length (= 13), "IHDR",
+      // then width/height (big-endian u32), bit depth, color type
+      if (b.length >= 26 && be32(b, 8) == 13 &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+        val w = be32(b, 16); val h = be32(b, 20)
+        if (w > 0 && h > 0)
+          ("png", Some(w), Some(h), Some(b(24) & 0xff), true)
+        else invalid("png")
+      } else invalid("png")
+    } else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+        (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) {
+      // marker walk to the first SOF0/1/2 frame header: [precision u8,
+      // height u16be, width u16be]. Standalone markers (SOI/EOI/RSTn/
+      // TEM) carry no length field; every other segment's length
+      // includes its own two bytes.
+      var i = 2
+      var res: (String, Option[Int], Option[Int], Option[Int], Boolean) = null
+      while (res == null && i + 1 < b.length) {
+        if ((b(i) & 0xff) != 0xff) { res = invalid("jpeg") }
+        else {
+          val m = b(i + 1) & 0xff
+          if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+            if (i + 8 < b.length) {
+              val h = be16(b, i + 5); val w = be16(b, i + 7)
+              res = if (w > 0 && h > 0)
+                ("jpeg", Some(w), Some(h), Some(b(i + 4) & 0xff), true)
+              else invalid("jpeg")
+            } else res = invalid("jpeg")
+          } else if (m == 0xd8 || m == 0xd9 || m == 0x01 ||
+              (m >= 0xd0 && m <= 0xd7)) {
+            i += 2
+          } else if (i + 3 < b.length) {
+            val segLen = be16(b, i + 2)
+            if (segLen < 2) res = invalid("jpeg") else i += 2 + segLen
+          } else res = invalid("jpeg")
+        }
+      }
+      if (res != null) res else invalid("jpeg")
+    } else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      // logical screen descriptor: width/height u16 LITTLE-endian at 6/8
+      if (b.length >= 10) {
+        val w = le16(b, 6); val h = le16(b, 8)
+        if (w > 0 && h > 0) ("gif", Some(w), Some(h), None, true)
+        else invalid("gif")
+      } else invalid("gif")
+    } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+      // BITMAPINFOHEADER: i32 width/height (LE) at 18/22, u16 bpp at 28
+      if (b.length >= 30 && le32(b, 14) >= 40) {
+        val w = le32(b, 18); val h = le32(b, 22)
+        if (w > 0 && h != 0) // negative height = top-down rows, legal
+          ("bmp", Some(w), Some(math.abs(h)), Some(le16(b, 28)), true)
+        else invalid("bmp")
+      } else invalid("bmp")
+    } else ("unknown", None, None, None, false)
+  }
+
+  /** Batched header probe over binary blobs — the REAL replacement for
+    * the r13 stub at the q40 surface: same `mapPartitions` + grouped
+    * batch shape as [[featurize]] (the amortization point a codec/model
+    * needs), emitting magic-detected format + parsed dimensions.
+    */
+  def mediaInfo(blobs: Dataset[Blob], batchSize: Int = 64): Dataset[MediaInfo] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { b =>
+        val (fmt, w, h, d, ok) = parseMediaHeader(b.bytes)
+        MediaInfo(b.id, fmt, w, h, d, b.bytes.length.toLong, ok)
+      })
+    }
+  }
+
+  /** Deterministic synthetic media blobs for the oracle gate (the q16
+    * plant-in-query discipline): id % 5 cycles PNG / JFIF+SOF0 JPEG /
+    * GIF89a / BMP / truncated-magic junk, dimensions derived from the
+    * id by fixed arithmetic the oracle repeats in SQL. Headers are
+    * REAL bytes per the public specs (the parser gets no hints); pixel
+    * payloads are omitted — the header is the unit under test.
+    */
+  def synthMediaBlob(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u8(v: Int): Unit = bb += (v & 0xff).toByte
+    def u16be(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32be(v: Int): Unit = { u16be(v >>> 16); u16be(v) }
+    def u16le(v: Int): Unit = { u8(v); u8(v >>> 8) }
+    def u32le(v: Int): Unit = { u16le(v); u16le(v >>> 16) }
+    def ascii(s: String): Unit = s.foreach(c => bb += c.toByte)
+    (id % 5) match {
+      case 0 =>
+        val w = 16 + (id % 256).toInt; val h = 8 + (id % 128).toInt
+        bb ++= pngMagic
+        u32be(13); ascii("IHDR"); u32be(w); u32be(h)
+        u8(8); u8(2); u8(0); u8(0); u8(0) // depth 8, truecolor
+        u32be(0) // CRC not validated by the header probe
+      case 1 =>
+        val w = 32 + (id % 200).toInt; val h = 24 + (id % 100).toInt
+        u8(0xff); u8(0xd8) // SOI
+        u8(0xff); u8(0xe0); u16be(16); ascii("JFIF"); u8(0) // APP0
+        u8(1); u8(1); u8(0); u16be(1); u16be(1); u8(0); u8(0)
+        u8(0xff); u8(0xc0); u16be(17) // SOF0: baseline frame header
+        u8(8); u16be(h); u16be(w); u8(3)
+        for (c <- 1 to 3) { u8(c); u8(0x11); u8(0) }
+        u8(0xff); u8(0xd9) // EOI
+      case 2 =>
+        val w = 1 + (id % 300).toInt; val h = 1 + (id % 150).toInt
+        ascii("GIF89a"); u16le(w); u16le(h); u8(0); u8(0); u8(0)
+        u8(0x3b) // trailer
+      case 3 =>
+        val w = 64 + (id % 50).toInt; val h = 48 + (id % 25).toInt
+        ascii("BM"); u32le(54); u32le(0); u32le(54) // header + offsets
+        u32le(40); u32le(w); u32le(h) // BITMAPINFOHEADER
+        u16le(1); u16le(24) // planes, bpp
+        u32le(0); u32le(0); u32le(0); u32le(0); u32le(0); u32le(0)
+      case _ =>
+        bb ++= pngMagic.take(6) // truncated magic: unrecognizable
+    }
+    bb.toArray
+  }
 
   // ---- content-defined chunking (blob-level dedup) --------------------
 

@@ -46,13 +46,24 @@ object AnnStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sim.IncrementalAnn.appendVectors(batch, idCol, vecCol, name)
-        driftLog.foreach { path =>
-          graft.sim.IncrementalAnn.driftStats(batch, vecCol, name)
-            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-            .coalesce(1).write.mode("append").parquet(path)
-        }
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          graft.sim.IncrementalAnn.compactCells(batch.sparkSession, name)
+        annBatch(batch, batchId, idCol, vecCol, name, compactEvery, driftLog)
       }
+
+  /** The sink's whole per-batch body, batch-mode entry (the
+    * AggStream.aggBatch discipline): append through the id gate, land
+    * the drift row, compact on cadence. Exposed so the oracle gate
+    * (q387) and the backfill path drive the EXACT code the stream runs.
+    */
+  def annBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, name: String, compactEvery: Int = 0,
+      driftLog: Option[String] = None): Unit = {
+    graft.sim.IncrementalAnn.appendVectors(batch, idCol, vecCol, name)
+    driftLog.foreach { path =>
+      graft.sim.IncrementalAnn.driftStats(batch, vecCol, name)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      graft.sim.IncrementalAnn.compactCells(batch.sparkSession, name)
+  }
 }

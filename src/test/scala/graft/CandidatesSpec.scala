@@ -85,15 +85,16 @@ class CandidatesSpec extends AnyFunSuite {
     cand.unpersist()
   }
 
-  test("registered q350-q353 run on sf0.001, return rows, and actually prune the pair stage") {
-    // rows-only by declared design: the synthetic embeddings have NO
-    // cluster geometry (q51/q71 finding), so a recall-lossless probe
-    // on this corpus would have to cover every pair (measured in
-    // CandTune: nprobe=5 of 8 is the first exact setting and covers
-    // 100% of pairs) — the oracle stays with the brute-force twins
+  test("registered q350-q353 verdict rows pass every gate on sf0.001") {
+    // VERDICT-GATED since r14 (CandVerdict): each registered row must
+    // come back with every 1/0 verdict at 1 at this SF too — the
+    // oracle only runs at sf0.01, so this pins the other local SF
     for (q <- Seq("q350_knn_outlier_cand", "q351_hubness_cand",
         "q352_lid_cand", "q353_mnn_cand")) {
-      assert(SparkEntry.queries(q)(spark, sfDir).count() > 0, s"$q empty")
+      val row = SparkEntry.queries(q)(spark, sfDir).head()
+      for (c <- Seq("fullprobe_eq_brute_ok", "pruned_subset_ok",
+          "prune_floor_ok"))
+        assert(row.getAs[Long](c) == 1L, s"$q.$c != 1: $row")
     }
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()

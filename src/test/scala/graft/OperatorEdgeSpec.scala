@@ -6465,4 +6465,22 @@ class OperatorEdgeSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("widths differ"), err.getMessage)
   }
+
+  test("q383 state dir is self-contained: a stale alien batch dir from a 'previous build' is wiped at query entry") {
+    import spark.implicits._
+    // plant batch=99 — a batch id today's {0,1,2} grid never writes, so
+    // without the entry wipe it would survive every overwrite and leak
+    // into dupProfile's merged read (r13's latent hazard)
+    val staleDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q383_${Integer.toHexString(sfDir.hashCode)}/cells/batch=99")
+    staleDir.mkdirs()
+    Seq(("ALIEN_SOURCE", "deadbeef", 1000L)).toDF("source", "fp", "c")
+      .coalesce(1).write.mode("overwrite").parquet(staleDir.getAbsolutePath)
+    val out = SparkEntry.queries("q383_stream_census")(spark, sfDir)
+    val sources = out.select("source").collect().map(_.getString(0)).toSet
+    assert(!sources.contains("ALIEN_SOURCE"),
+      s"stale batch dir leaked into the census: $sources")
+    assert(out.count() > 0)
+  }
 }
