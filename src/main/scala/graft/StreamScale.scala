@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * every 20) — the exact code the streaming sinks (D8/D3-class, D12's
   * sibling, q86, D10) run per batch.
   *
-  * Usage: runMain graft.StreamScale [batches]
+  * Usage: runMain graft.StreamScale [batches] [surface,...]
   * Results recorded in SURVEY §5.4; rerun on an idle box to reproduce.
   */
 object StreamScale {
@@ -37,6 +37,8 @@ object StreamScale {
 
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(100)
+    val only = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     println(s"[streamscale] batches=$batches cpus=${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}")
@@ -50,14 +52,17 @@ object StreamScale {
       */
     def run(name: String, deltaRows: Long)(setup: => Unit)(
         fold: Long => Unit)(reader: () => DataFrame): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val before = Blocks.persistedIds(spark)
       setup
       val times = new scala.collection.mutable.ArrayBuffer[Double](batches)
       var planHalf = 0
+      val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
       for (b <- 0L until batches.toLong) {
         val t0 = System.nanoTime()
         fold(b)
         times += (System.nanoTime() - t0) / 1e9
+        if (trace) println(f"[streamscale]   $name batch=$b%3d ${times.last}%6.3fs")
         if (b == batches / 2 - 1) planHalf = planLen(reader())
       }
       val planEnd = planLen(reader())
@@ -103,23 +108,64 @@ object StreamScale {
       dedup.IncrementalDedup.writeIndex(docs(0L, 1000L), "doc_id", "text",
         "ss_dedup")
     } { b =>
-      if (b > 0)
+      if (b > 0) {
         dedup.IncrementalDedup.appendToIndex(docs(b, 1000L), "doc_id",
           "text", "ss_dedup")
+        // deployed shape (r14, compactIndex): the first run WITHOUT a
+        // cadence measured the gate scan growing 1.95 s -> 6.6 s per
+        // batch over 100 appends — pure file accumulation (one file
+        // per bucket per batch), not row volume; see §5.4
+        if ((b + 1) % 10 == 0)
+          dedup.IncrementalDedup.compactIndex(spark, "ss_dedup")
+      }
     } { () => spark.table("ss_dedup_sets") }
 
-    // ---- incremental CC: 50k nodes, 5k edges per delta ---------------
-    val nodes = 50000L
-    def ccEdges(b: Long, n: Long): DataFrame =
+    // ---- incremental CC: 20k bounded families, 5k edges per delta ----
+    // cluster-shaped edges (the operator's actual workload: dedup
+    // families, not a near-percolation random graph): each edge joins
+    // two members of one hash-picked <=32-member family, so components
+    // stay small-diameter while batches keep merging within them. The
+    // first generator drew uniform random endpoints over 50k nodes —
+    // at mean degree ~1 (the percolation threshold) that builds ONE
+    // giant long-chain component whose diameter blows past minLabel's
+    // halving cap by design, which is a property of the graph, not of
+    // the incremental fold under test.
+    //
+    // Each batch touches a 500-family WINDOW (rotating over all 20k,
+    // so windows repeat every 40 batches and merges keep accumulating
+    // within families): mergeEdges' contract is O(delta + AFFECTED) —
+    // the affected set (touched components' members) must be bounded
+    // by the micro-batch contract for the flat claim to be the
+    // operator's to keep. The wide-touch contrast run (every batch
+    // touching ~10k families; see §5.4) measures cost growing exactly
+    // as the affected member pull grows (4.7 s -> 11.7 s while
+    // families fill toward 32 members) and NOT with total log size —
+    // the distinction between O(affected) and O(state).
+    val families = 500L
+    def ccEdges(b: Long, n: Long): DataFrame = {
+      val fam = pmod(xxhash64(col("id") + lit(b * n)), lit(families)) +
+        lit((b % 40) * families)
       spark.range(n).select(
-        pmod(xxhash64(col("id") + lit(b * n)), lit(nodes)).as("a"),
-        pmod(xxhash64(col("id") + lit(b * n + nodes)), lit(nodes)).as("b"))
+        (fam * 32 + pmod(xxhash64(col("id") + lit(b * n + 1)), lit(32)))
+          .as("a"),
+        (fam * 32 + pmod(xxhash64(col("id") + lit(b * n + 7)), lit(32)))
+          .as("b"))
         .filter(col("a") =!= col("b"))
+    }
     run("incremental_cc", 5000L) {
       operators.IncrementalCC.writeLabels(ccEdges(0L, 5000L), "a", "b", "ss_cc")
     } { b =>
-      if (b > 0) operators.IncrementalCC.mergeEdges(spark, ccEdges(b, 5000L),
-        "a", "b", "ss_cc").count(): Unit
+      if (b > 0) {
+        operators.IncrementalCC.mergeEdges(spark, ccEdges(b, 5000L),
+          "a", "b", "ss_cc").count(): Unit
+        // the log is min-fold append-only: without the cadence the
+        // endpoint/member lookups scan every appended file forever —
+        // compaction is PART of the deployment recipe, and the
+        // harness measures the deployed shape (first run without it:
+        // per-batch 5.8 s -> 18.8 s at 100 batches; see §5.4)
+        if ((b + 1) % 10 == 0)
+          operators.IncrementalCC.compactLabels(spark, "ss_cc")
+      }
     } { () => operators.IncrementalCC.readLabels(spark, "ss_cc") }
 
     // ---- incremental ANN: 16-dim vectors, 5k per delta ---------------

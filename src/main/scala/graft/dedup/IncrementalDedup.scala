@@ -105,6 +105,7 @@ object IncrementalDedup {
   def appendToIndex(delta: DataFrame, idCol: String, textCol: String, name: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32): Unit = {
     val spark = delta.sparkSession
+    recover(spark, name)
     val before = graft.Blocks.persistedIds(spark)
     val indexed = spark.table(setsTable(name)).select(col("id").as(idCol))
     val fresh = delta.join(indexed, Seq(idCol), "left_anti")
@@ -138,6 +139,7 @@ object IncrementalDedup {
   def deltaPairs(spark: SparkSession, delta: DataFrame, idCol: String, textCol: String,
       name: String, minJaccard: Double,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    recover(spark, name)
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dSets = NGramJaccard.shingleSets(delta, idCol, textCol, n).persist(level)
     val dBands = MinHashLsh.bandRows(dSets, idCol, numHashes, bands).persist(level)
@@ -186,5 +188,39 @@ object IncrementalDedup {
         .join(iSets.select("id"), Seq("id"), "left_anti"))
     NGramJaccard.verifyExact(
       cand, allSets.withColumnRenamed("id", idCol), idCol, minJaccard)
+  }
+
+  /** Compact the index tables in place: rewrite sets and bands from
+    * their current content through the crash-safe rebuild swap
+    * ([[graft.sources.Io.rebuildBucketed]] — the
+    * [[graft.operators.IncrementalCC.compactLabels]] recipe). Content
+    * is preserved exactly (sets rows are unique by the id gate; band
+    * rows dedupe downstream by contract — a crash replay's harmless
+    * duplicates are distinct()-ed away here as a bonus); what changes
+    * is the FILE count, which otherwise grows by `buckets` files per
+    * appended batch: StreamScale measured the un-compacted index's
+    * per-batch gate scan growing 1.95 s → 6.6 s over 100 appends from
+    * listing + opening ~100 files per bucket, while the compacted
+    * agg/ANN/CC surfaces stay flat. Run on the same cadence as their
+    * `compactEvery`. Crash-safe: both rebuilds heal via
+    * [[recover]]/[[graft.sources.Io.recoverRebuild]] on entry to every
+    * surface, and the tables stay consistent in either crash window
+    * because a rebuild is content-identical.
+    */
+  def compactIndex(spark: SparkSession, name: String): Unit = {
+    recover(spark, name)
+    for (t <- Seq(setsTable(name), bandsTable(name))) {
+      val (buckets, bucketCols, _) =
+        org.apache.spark.sql.GraftShims.bucketSpec(spark, t).getOrElse(
+          throw new IllegalStateException(s"$t is not bucketed — not ours"))
+      graft.sources.Io.rebuildBucketed(spark, t,
+        spark.table(t).distinct(), bucketCols.head, buckets)
+    }
+  }
+
+  /** Heal a crash inside [[compactIndex]]'s swap windows. Idempotent. */
+  def recover(spark: SparkSession, name: String): Unit = {
+    graft.sources.Io.recoverRebuild(spark, setsTable(name))
+    graft.sources.Io.recoverRebuild(spark, bandsTable(name))
   }
 }

@@ -68,6 +68,10 @@ object DedupStream {
           n, numHashes, bands, clusterName)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           compactPairs(batch.sparkSession, pairsPath)
+          // the index tables too (r14): without this the gate scan's
+          // file count grows one-per-bucket per batch — StreamScale
+          // measured 1.95 s → 6.6 s/batch over 100 un-compacted appends
+          graft.dedup.IncrementalDedup.compactIndex(batch.sparkSession, name)
           clusterName.foreach(graft.operators.IncrementalCC.compactLabels(batch.sparkSession, _))
         }
       }

@@ -315,6 +315,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs() == full2, "second compaction changed the pair set")
   }
 
+  test("IncrementalDedup.compactIndex bounds index files, preserves content, survives both crash windows") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 60)
+    dedup.IncrementalDedup.writeIndex(corpus, "doc_id", "text", "cixidx",
+      buckets = 2)
+    for (off <- Seq(1000L, 2000L, 3000L, 4000L))
+      dedup.IncrementalDedup.appendToIndex(
+        corpus.filter(col("doc_id") % 3 === 0).limit(4)
+          .select((col("doc_id") + off).as("doc_id"), col("text")),
+        "doc_id", "text", "cixidx")
+    def files(t: String) = {
+      val loc = new java.io.File(
+        org.apache.spark.sql.GraftShims.tableLocation(spark, t))
+      loc.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    def rows(t: String) = spark.table(t).distinct().collect()
+      .map(_.toString).sorted.toSeq
+    val setsBefore = rows("cixidx_sets")
+    val bandsBefore = rows("cixidx_bands")
+    val filesBefore = files("cixidx_sets")
+    assert(filesBefore > 2, s"appends should fragment, got $filesBefore")
+    dedup.IncrementalDedup.compactIndex(spark, "cixidx")
+    assert(files("cixidx_sets") <= 2 && files("cixidx_bands") <= 2,
+      "compaction must fold files back to <= buckets")
+    assert(rows("cixidx_sets") == setsBefore, "sets content changed")
+    assert(rows("cixidx_bands") == bandsBefore, "bands content changed")
+    // bucket layout survives: a post-compaction append still works and
+    // the delta pair path still sees everything
+    dedup.IncrementalDedup.appendToIndex(
+      corpus.filter(col("doc_id") % 3 === 0).limit(4)
+        .select((col("doc_id") + 5000L).as("doc_id"), col("text")),
+      "doc_id", "text", "cixidx")
+    assert(spark.table("cixidx_sets").count() == setsBefore.size + 4L)
+    // crash window A (before the old table drops): orphan _new discarded
+    spark.table("cixidx_sets").limit(1).write
+      .saveAsTable("cixidx_sets_new")
+    dedup.IncrementalDedup.recover(spark, "cixidx")
+    assert(!spark.catalog.tableExists("cixidx_sets_new"))
+    assert(spark.table("cixidx_sets").count() == setsBefore.size + 4L)
+    // crash window B (after the drop): completed rebuild promoted —
+    // the _new table is the real bucketed rebuild, as compactIndex
+    // would have written it
+    val all = spark.table("cixidx_bands").localCheckpoint()
+    dedup.IncrementalDedup.dropForRebuild(spark, "cixidx_bands_new")
+    sources.Io.writeBucketed(all, "cixidx_bands_new", "bh", 2)
+    dedup.IncrementalDedup.dropForRebuild(spark, "cixidx_bands")
+    dedup.IncrementalDedup.recover(spark, "cixidx")
+    assert(spark.catalog.tableExists("cixidx_bands") &&
+      !spark.catalog.tableExists("cixidx_bands_new"))
+    assert(rows("cixidx_bands").size == all.distinct().count().toInt)
+  }
+
   test("partitioned parquet writes are bounded to one file per partition") {
     val tmp = Files.createTempDirectory("graft_fpp").toString
     val ev = Tables.events(spark, sfDir).repartition(8)
