@@ -14,9 +14,10 @@ package graft
   */
 object BaselineTwin {
   def main(args: Array[String]): Unit = {
+    val t00 = System.nanoTime()
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
-    val t00 = System.nanoTime()
+    val startup = (System.nanoTime() - t00) / 1e9 // session build only
     def run(stations: Int, tag: String): Double = {
       val out = java.nio.file.Files
         .createTempDirectory(s"graft_btwin_$tag").toString
@@ -26,10 +27,9 @@ object BaselineTwin {
       validated.count()
       (System.nanoTime() - t0) / 1e9
     }
-    // one throwaway pass compiles the Spark infrastructure paths; both
-    // timed passes then measure the pipeline, not JVM startup JIT —
-    // reported separately so the cold story stays visible
-    val startup = (System.nanoTime() - t00) / 1e9
+    // the FIRST pass is the honest cold number (it carries plan
+    // compilation + process JIT on top of the pipeline); the repeats
+    // are the steady state a scheduled daily run would see
     val coldNative = run(5, "native_cold")
     val native = run(5, "native")
     val x16 = run(80, "x16")
