@@ -76,11 +76,94 @@ object Bench {
   /** One timed run + its telemetry. cpuFrac is process-CPU / (wall ×
     * ncores): ~0 while descheduled by an external hog; gcSec/jitSec are
     * the in-run deltas (seconds) — large values name the JVM-internal
-    * interferer.
+    * interferer. extLoad is the EXTERNAL share of the start loadavg —
+    * see [[ExternalLoad]].
     */
   final case class Run(wallSec: Double, err: Option[String],
-      storageAtStartMb: Long, load: Double, cpuFrac: Double,
-      gcSec: Double, jitSec: Double)
+      storageAtStartMb: Long, load: Double, extLoad: Double,
+      cpuFrac: Double, gcSec: Double, jitSec: Double)
+
+  /** External-load estimator: 1-min loadavg MINUS this process's OWN
+    * like-for-like load contribution. Two failed cuts taught the
+    * construction (both shipped a self-flagging artifact on an idle
+    * box before being caught):
+    *
+    *  1. raw loadavg — a 30 s query at 32 threads leaves loadavg ~8-10
+    *     for the next minute; indistinguishable from a neighbor.
+    *  2. loadavg minus own 1-min CPU core-rate — misses own
+    *     UNINTERRUPTIBLE (D-state) threads: Linux loadavg counts them,
+    *     but shuffle/parquet IO phases burn no CPU, so the bench's own
+    *     write-heavy queries (q66-class) still read as "external".
+    *
+    * The correct subtraction mirrors the kernel: a daemon thread
+    * samples this process's RUNNABLE + UNINTERRUPTIBLE task count from
+    * /proc/self/task each second and folds it with the same 1-minute
+    * exponential decay loadavg uses. `external = max(0, loadavg −
+    * ownEMA)` is then a difference of like-for-like averages; an idle
+    * box reads ~0 regardless of what the bench itself is doing, and
+    * r13's genuine 9-12 neighbor load still flags. Non-Linux fallback:
+    * the CPU core-rate window (cut 2 — best available there).
+    */
+  private final class ExternalLoad {
+    @volatile private var ownEma = 0.0
+    private val taskDir = new java.io.File("/proc/self/task")
+    private val procAvailable = taskDir.isDirectory
+
+    private def ownRunnable(): Int = {
+      val kids = taskDir.listFiles()
+      if (kids == null) return -1
+      var n = 0
+      var i = 0
+      while (i < kids.length) {
+        try {
+          val s = new String(java.nio.file.Files.readAllBytes(
+            new java.io.File(kids(i), "stat").toPath), "US-ASCII")
+          // state is the first char after the comm field's closing ')'
+          val st = s.charAt(s.lastIndexOf(')') + 2)
+          if (st == 'R' || st == 'D') n += 1
+        } catch { case _: Throwable => } // task exited mid-sweep
+        i += 1
+      }
+      // the sampler itself is RUNNABLE while sweeping — don't count it
+      math.max(0, n - 1)
+    }
+
+    if (procAvailable) {
+      val decay = math.exp(-1.0 / 60.0)
+      val t = new Thread(() => {
+        while (true) {
+          val c = ownRunnable()
+          if (c >= 0) ownEma = ownEma * decay + c * (1.0 - decay)
+          Thread.sleep(1000)
+        }
+      }, "graft-bench-ownload")
+      t.setDaemon(true)
+      t.start()
+    }
+
+    // non-Linux fallback: own 1-min CPU core-rate window
+    private val samples =
+      scala.collection.mutable.ArrayDeque.empty[(Long, Long)] // (ns, cpuNs)
+    private def cpuWindowRate(): Double = {
+      val now = System.nanoTime()
+      val cpu = processCpuNs()
+      if (cpu >= 0) {
+        samples.append((now, cpu))
+        while (samples.length > 2 && now - samples(1)._1 > 60e9.toLong)
+          samples.removeHead(): Unit
+      }
+      samples.headOption match {
+        case Some((t0, c0)) if cpu >= 0 && now - t0 > 1e9.toLong =>
+          (cpu - c0).toDouble / (now - t0)
+        case _ => 0.0
+      }
+    }
+
+    def sample(): Double = {
+      val own = if (procAvailable) ownEma else cpuWindowRate()
+      math.max(0.0, loadAvg() - own)
+    }
+  }
 
   /** Previous round's per-query COLD seconds from the committed
     * `bench-latest.json` (this main writes it; the round driver commits
@@ -114,10 +197,12 @@ object Bench {
     val spark = Sessions.local(cpus, shufflePartitions = cpus)
     spark.sparkContext.setLogLevel("WARN")
     val prior = priorColds("bench-latest.json")
+    val extLoadEst = new ExternalLoad
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       val before = Blocks.persistedIds(spark)
       val storageAtStart = storageUsedMb(spark)
       val load0 = loadAvg()
+      val ext0 = extLoadEst.sample()
       val cpu0 = processCpuNs()
       val gc0 = gcMs()
       val jit0 = jitMs()
@@ -143,7 +228,7 @@ object Bench {
       Blocks.hardReset(spark, before)
       System.gc()
       Thread.sleep(100) // let the async cleaner act on the cleared refs
-      Run(dt, err, storageAtStart, load0, cpuFrac, gcSec, jitSec)
+      Run(dt, err, storageAtStart, load0, ext0, cpuFrac, gcSec, jitSec)
     }
     final case class Entry(name: String, cold: Run, warm: Run,
         remeasured: Option[(Run, Run)], warmVerdict: Option[String],
@@ -188,6 +273,7 @@ object Bench {
     // timed cold still pays its own plan compilation. Policy unchanged:
     // cold remains the first TIMED pass.
     locally {
+      extLoadEst.sample() // seed the own-CPU window before the warm-up
       val warm0 = Blocks.persistedIds(spark)
       val t = spark.range(1L << 20)
         .selectExpr("id", "cast(id % 5 as bigint) as k")
@@ -277,26 +363,27 @@ object Bench {
     // taken at loadavg 9-12 (median of the bench: 3.2) and its graph-
     // family colds read 2-8x their idle-box values — recognizable only
     // by cross-referencing per-query telemetry by hand. The artifact now
-    // stamps ITSELF: any query whose 1-min loadavg AT COLD-RUN START
-    // exceeds `loadGate` (default cpus/4 — 2x the judge's cpus/8 floor;
-    // overridable via SPARK_GRAFT_LOAD_GATE) is listed in
-    // `contaminated_queries` and flips the top-level `"contaminated"`
-    // flag, so a loaded box can never again produce a silent-looking
-    // final artifact. Gating on the COLD start load only: the cold
-    // number is the headline and the comparable; loadavg sampled there
-    // is pre-query (after the 100 ms post-reset sleep), so a neighbor
-    // process — not this query's own threads — is what raises it.
+    // stamps ITSELF: any query whose EXTERNAL load AT COLD-RUN START
+    // (1-min loadavg minus this process's own kernel-mirroring R+D
+    // task-count EMA — see ExternalLoad for why the two simpler
+    // subtractions self-flagged an idle box) exceeds `loadGate`
+    // (default cpus/8; overridable via SPARK_GRAFT_LOAD_GATE)
+    // is listed in `contaminated_queries` with both numbers and flips
+    // the top-level `"contaminated"` flag, so a loaded box can never
+    // again produce a silent-looking final artifact. Gating on the COLD
+    // start only: the cold number is the headline and the comparable.
     val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
-      .getOrElse(ncores / 4.0)
-    val contaminatedQ = results.filter(e => e.cold.load > loadGate)
+      .getOrElse(ncores / 8.0)
+    val contaminatedQ = results.filter(e => e.cold.extLoad > loadGate)
     val contamJs = contaminatedQ
-      .map(e => f""""${e.name}":${e.cold.load}%.1f""").mkString("{", ",", "}")
+      .map(e => f""""${e.name}":{"ext":${e.cold.extLoad}%.1f,"load":${e.cold.load}%.1f}""")
+      .mkString("{", ",", "}")
     val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":$errJs,"max_residual_storage_mb":$maxResidualMb,"inversions":$invJs,"cold_outliers":$coldJs,"n_unexplained_inversions":$unexplained,"n_cold_regressions":$coldRegressed,"load_gate":${f"$loadGate%.1f"},"contaminated":${contaminatedQ.nonEmpty},"contaminated_queries":$contamJs,"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
-    // Per-query telemetry: [load, cpu_frac, gc_sec, jit_sec] for the
-    // cold run then the warm run — the reader can attribute ANY
+    // Per-query telemetry: [load, ext_load, cpu_frac, gc_sec, jit_sec]
+    // for the cold run then the warm run — the reader can attribute ANY
     // suspicious number, not just flagged ones.
     val telemJs = ok.map { e =>
-      def t(r: Run) = f"${r.load}%.1f,${r.cpuFrac}%.2f,${r.gcSec}%.2f,${r.jitSec}%.2f"
+      def t(r: Run) = f"${r.load}%.1f,${r.extLoad}%.1f,${r.cpuFrac}%.2f,${r.gcSec}%.2f,${r.jitSec}%.2f"
       s""""${e.name}":[${t(e.cold)},${t(e.warm)}]"""
     }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total_full",$head,"queries":${js(ok.map(e => (e.name, e.coldSec)))},"warm":${js(ok.map(e => (e.name, e.warmSec)))},"telemetry":$telemJs}"""
