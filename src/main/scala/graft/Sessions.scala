@@ -23,6 +23,14 @@ object Sessions {
       // win for selective fact-dim joins at scale
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // PINNED (default true upstream, but load-bearing here): q386's
+      // watermark-expiry oracle needs the no-data micro-batch that runs
+      // after a watermark advance to EVICT expired dedup state before
+      // the next data batch — dropDuplicatesWithinWatermark only
+      // guarantees dedup WITHIN the horizon, so with this off, state
+      // could legally linger and the "2 survivors per key" gate would
+      // depend on best-effort eviction timing.
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -100,9 +100,18 @@ object SparkEntry {
     * build. Wiping at entry makes the query's output a function of this
     * run alone (OperatorEdgeSpec plants a stale alien batch dir to prove
     * it).
+    *
+    * The dir is PER-PROCESS (r15, advisor ask): keyed only by the name,
+    * two graft processes on one box (Verify and Bench concurrently, or
+    * Bench's own fresh-JVM re-measure child) would recursively wipe each
+    * other's LIVE q382/q383/q387/q388 state mid-query — the entry wipe
+    * that makes one process self-contained is destructive across two.
+    * The PID suffix gives each process its own root; cross-run reuse was
+    * never needed (the dir is wiped at entry anyway).
     */
   private[graft] def freshLocalStateDir(name: String): String = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"$name-p${ProcessHandle.current().pid()}")
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(rm)
@@ -4755,29 +4764,41 @@ object SparkEntry {
               .cast("float")).as("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = emb.count()
-        val truth = sim.Similarity.bruteForceTopK(emb, emb, "vec_id",
-            "embedding", k = 10)
-          .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nTruth = truth.count()
+        // GateCost-wrapped stages are the brute-force ORACLE machinery
+        // (all-pairs truth + brute-twin equality) the 100 TB plan
+        // drops; the candidate path between them is the operator
+        val (truth, nTruth) = GateCost.timed {
+          val t = sim.Similarity.bruteForceTopK(emb, emb, "vec_id",
+              "embedding", k = 10)
+            .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (t, t.count())
+        }
         val cand = sim.Candidates.ivfSelfPairs(emb, "vec_id", "embedding",
             kCoarse = 8, nprobe = 1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nCand = cand.count()
-        val hit = truth.join(cand, Seq("id_a", "id_b")).count()
+        val (hit, diagOk) = GateCost.timed {
+          val h = truth.join(cand, Seq("id_a", "id_b")).count()
+          val brute = sim.Geometry.knnOutliers(emb, "vec_id", "embedding",
+            k = 10, topN = 20)
+          val viaCand = sim.Geometry.knnOutliers(emb, "vec_id", "embedding",
+            k = 10, topN = 20, candidates = Some(cand))
+          (h, viaCand.exceptAll(brute).isEmpty &&
+            brute.exceptAll(viaCand).isEmpty)
+        }
         val pruneOk = nCand.toDouble <= 0.13 * n.toDouble * (n - 1)
-        val brute = sim.Geometry.knnOutliers(emb, "vec_id", "embedding",
-          k = 10, topN = 20)
-        val viaCand = sim.Geometry.knnOutliers(emb, "vec_id", "embedding",
-          k = 10, topN = 20, candidates = Some(cand))
-        val diagOk = viaCand.exceptAll(brute).isEmpty &&
-          brute.exceptAll(viaCand).isEmpty
         truth.unpersist(); cand.unpersist(); emb.unpersist()
-        (n, nTruth, hit == nTruth, pruneOk, diagOk)
+        (n, nTruth, hit, hit == nTruth, pruneOk, diagOk)
       }
-      val (n, nTruth, recallOk, pruneOk, diagOk) = row
+      val (n, nTruth, hit, recallOk, pruneOk, diagOk) = row
+      // n_hit_pairs rides BY VALUE next to the recall_exact_ok flag
+      // (r15, advisor ask): if a degenerate coarse init ever drops
+      // recall below 1.0, the dump shows HOW MANY truth pairs were
+      // missed instead of failing as an unattributable flake.
       s.range(1).select(
         lit(n).as("n_corpus"), lit(nTruth).as("n_truth_pairs"),
+        lit(hit).as("n_hit_pairs"),
         lit(8L).as("k_coarse"), lit(1L).as("nprobe"),
         lit(10L).as("recall_k"), lit(87L).as("prune_floor_pct"),
         lit(if (recallOk) 1L else 0L).as("recall_exact_ok"),
@@ -4820,6 +4841,12 @@ object SparkEntry {
       // dedup that leaks duplicates inside the horizon or never
       // expires state both hash-mismatch. Duplicates are identical in
       // every column, so survivor identity is deterministic.
+      // EVICTION DEPENDENCY (declared): the operator's contract only
+      // guarantees dedup WITHIN the watermark horizon — batch C's
+      // re-survival relies on the no-data micro-batch after B's
+      // watermark advance evicting A's state, so Sessions PINS
+      // spark.sql.streaming.noDataMicroBatches.enabled=true (and B's
+      // advance is 3 h against a 1 h horizon — 2 h of margin).
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val types = Tables.events(s, dir).select(col("event_type"))
@@ -4923,6 +4950,52 @@ object SparkEntry {
           col("is_current").cast("long").as("cur"),
           lit(if (gated) 1L else 0L).as("replay_gated"))
         .orderBy(col("cust"), col("valid_from"))
+    }),
+
+    "q389_bmp_pixels" -> ((s, dir) => {
+      // C-family pixel stage made REAL for the zero-codec format (r15):
+      // one deterministic 24-bpp BI_RGB BMP per document (pixel grid a
+      // fixed linear function of doc_id — Binary.synthPixelBmp), decoded
+      // by the batched mapPartitions prober reading the ACTUAL pixel
+      // array (stride padding, bottom-up vs top-down row order). The
+      // oracle recomputes width/height/per-channel sums AND the
+      // row-order-sensitive y-weighted red sum from doc_id arithmetic
+      // over two generate_series grids, so a miscounted stride, a
+      // bottom-up file read in logical order, or an off-by-one pixel
+      // offset all hash-mismatch on VALUES; doc_id%10==9 truncates the
+      // pixel array and must come back invalid with NULL stats.
+      import s.implicits._
+      val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map(id => multimodal.Binary.Blob(id,
+          multimodal.Binary.synthPixelBmp(id)))
+      multimodal.Binary.bmpPixelStats(blobs).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("nPx").as("n_px"), col("sumB").as("sum_b"),
+          col("sumG").as("sum_g"), col("sumR").as("sum_r"),
+          col("yWeightedRSum").as("ywr_sum"),
+          col("cornerTlB").as("corner_tl_b"),
+          col("valid").cast("int").as("valid"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q390_mg_guarantee" -> ((s, dir) => {
+      // the q62 discipline on the last spec-only sketch family
+      // (FreqSketchAgg): per-segment Misra-Gries guarantee verdicts
+      // over exact in-query counts. Skew planted (the q81 discipline):
+      // 70 % of each segment's rows land on 3 hot items (true counts
+      // far above N/(k+1) — the coverage clause is non-vacuous), the
+      // rest spread over per-user cold items so the per-segment
+      // vocabulary >> capacity 16 and the eviction/merge paths
+      // genuinely fire. Survivor identities stay engine content
+      // (partition-dependent); the guarantees flatten to 1/0s.
+      val ev = Tables.events(s, dir).select(
+        col("event_type").as("segment"),
+        when(col("user_id") % 10 < 7,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), col("user_id").cast("string")))
+          .as("item"))
+      etl.Aggregates.mgVerdict(ev, "segment", "item", capacity = 16)
+        .orderBy(col("segment"))
     }),
   )
 
@@ -5612,6 +5685,57 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS replay_gated
         |FROM ch ORDER BY cust, valid_from""".stripMargin,
 
+    "q389_bmp_pixels" ->
+      // the BMP pixel grid is a fixed linear function of doc_id —
+      // recompute every channel sum plus the row-order-sensitive
+      // y-weighted red sum over two generate_series grids; doc_id%10==9
+      // is the truncated-pixel-array case (invalid, NULL stats)
+      """WITH d AS (SELECT doc_id,
+        |             CAST(4 + doc_id % 9 AS INT) AS w,
+        |             CAST(3 + doc_id % 7 AS INT) AS h
+        |           FROM documents),
+        |g AS (SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+        |        (d.doc_id + 7*xs.x + 13*ys.y) % 256 AS bch,
+        |        (3*d.doc_id + 5*xs.x + 11*ys.y) % 256 AS gch,
+        |        (2*d.doc_id + xs.x + 17*ys.y) % 256 AS rch
+        |      FROM d
+        |      JOIN (SELECT * FROM generate_series(0, 11)) xs(x) ON xs.x < d.w
+        |      JOIN (SELECT * FROM generate_series(0, 9)) ys(y) ON ys.y < d.h),
+        |agg AS (SELECT doc_id, w, h,
+        |          CAST(w AS BIGINT) * h AS n_px,
+        |          CAST(sum(bch) AS BIGINT) AS sum_b,
+        |          CAST(sum(gch) AS BIGINT) AS sum_g,
+        |          CAST(sum(rch) AS BIGINT) AS sum_r,
+        |          CAST(sum(y * rch) AS BIGINT) AS ywr_sum
+        |        FROM g GROUP BY doc_id, w, h)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 10 = 9 THEN NULL ELSE a.w END AS width,
+        |  CASE WHEN d.doc_id % 10 = 9 THEN NULL ELSE a.h END AS height,
+        |  CASE WHEN d.doc_id % 10 = 9 THEN NULL ELSE a.n_px END AS n_px,
+        |  CASE WHEN d.doc_id % 10 = 9 THEN NULL ELSE a.sum_b END AS sum_b,
+        |  CASE WHEN d.doc_id % 10 = 9 THEN NULL ELSE a.sum_g END AS sum_g,
+        |  CASE WHEN d.doc_id % 10 = 9 THEN NULL ELSE a.sum_r END AS sum_r,
+        |  CASE WHEN d.doc_id % 10 = 9 THEN NULL ELSE a.ywr_sum END AS ywr_sum,
+        |  CASE WHEN d.doc_id % 10 = 9 THEN NULL
+        |       ELSE CAST(d.doc_id % 256 AS INT) END AS corner_tl_b,
+        |  CAST(d.doc_id % 10 <> 9 AS INT) AS valid
+        |FROM d JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q390_mg_guarantee" ->
+      // per-segment row counts by value; the three Misra-Gries
+      // guarantee clauses (tracked set bounded by capacity, every
+      // counter an underestimate by at most N/(k+1), every heavy item
+      // present) as literal 1s — survivor identities are engine
+      // content and stay out of the compared output
+      """SELECT event_type AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(16 AS BIGINT) AS capacity,
+        |  CAST(1 AS BIGINT) AS tracked_bound_ok,
+        |  CAST(1 AS BIGINT) AS underestimate_ok,
+        |  CAST(1 AS BIGINT) AS coverage_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q37_cosine_topk" ->
       """WITH v AS (
         |  SELECT vec_id, embedding,
@@ -5826,6 +5950,7 @@ object SparkEntry {
       """WITH c AS (SELECT count(*) AS n FROM embeddings)
         |SELECT CAST(n AS BIGINT) AS n_corpus,
         | CAST(10 * n AS BIGINT) AS n_truth_pairs,
+        | CAST(10 * n AS BIGINT) AS n_hit_pairs,
         | CAST(8 AS BIGINT) AS k_coarse, CAST(1 AS BIGINT) AS nprobe,
         | CAST(10 AS BIGINT) AS recall_k,
         | CAST(87 AS BIGINT) AS prune_floor_pct,

@@ -3546,4 +3546,86 @@ object Aggregates {
           sqrt(col("n_hours") * col("__r") * col("__r")), digits)
           .as("z")): _*)
   }
+
+  /** Per-segment Misra-Gries GUARANTEE verdict (r15) — the q62/q68
+    * sketch discipline applied to [[graft.functions.FreqSketchAgg]],
+    * the one sketch family that was still spec-only: the tracked
+    * SURVIVOR SET is partition/merge-order dependent (engine content no
+    * SQL oracle can recompute), but the mergeable-summaries guarantee
+    * (Misra & Gries 1982; Agarwal et al. PODS'12) is not. Per segment,
+    * with N rows and capacity k, after ANY combination of updates and
+    * merges:
+    *
+    *  - every tracked counter UNDERESTIMATES its true count by at most
+    *    N/(k+1) (and never overestimates), and
+    *  - every item with true count > N/(k+1) IS tracked.
+    *
+    * Both flatten to 1/0 verdicts over the EXACT per-(segment, item)
+    * counts computed in the same query; `n_rows` rides by value. The
+    * caller plants skew so the heavy-hitter clause is non-vacuous and
+    * picks capacity << per-segment vocabulary so eviction genuinely
+    * fires (a capacity that swallows the vocabulary verifies nothing —
+    * the sketch degenerates to an exact map).
+    *
+    * At 100 TB the verdict stage (the exact per-item groupBy) is the
+    * part you drop — or rather restrict to the sketch's own candidate
+    * set, which is exactly what [[graft.text.Corpus.topKTokens]]'s
+    * second pass does; this verdict exists so the small-SF gate asserts
+    * the sketch's CONTRACT, not just its plumbing.
+    */
+  def mgVerdict(df: DataFrame, segCol: String, itemCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val sk = df.groupBy(col(segCol)).agg(
+      graft.functions.FreqSketchAgg.freqSketch(col(itemCol), capacity)
+        .as("__sk"))
+    val tracked = sk.select(col(segCol), explode(col("__sk")))
+      .withColumnRenamed("key", "item")
+      .withColumnRenamed("value", "reported")
+    val exact = df.groupBy(col(segCol), col(itemCol).as("item"))
+      .agg(count(lit(1)).as("true_cnt"))
+    mgVerdictFrom(exact, tracked, segCol, capacity)
+  }
+
+  /** Verdict assembly from an exact count table and a tracked-item
+    * table — split out so the negative specs can DOCTOR the tracked
+    * side (inflate a counter, drop a heavy item, smuggle an alien item)
+    * and prove each gate flips.
+    */
+  private[graft] def mgVerdictFrom(exact: DataFrame, tracked: DataFrame,
+      segCol: String, capacity: Int): DataFrame = {
+    val bound = exact.groupBy(col(segCol))
+      .agg(sum(col("true_cnt")).as("n_rows"))
+      .withColumn("__bound", col("n_rows").cast("double") / (capacity + 1))
+    // tracked-side clause: each survivor exists in the corpus, never
+    // overcounts, and undercounts by at most N/(k+1); an alien item
+    // (NULL true_cnt) fails, not vacuously passes
+    val tchk = tracked.join(exact, Seq(segCol, "item"), "left")
+      .join(bound.select(col(segCol), col("__bound")), Seq(segCol))
+      .groupBy(col(segCol))
+      .agg(count(lit(1)).as("__n_tracked"),
+        min(when(col("true_cnt").isNotNull &&
+            col("reported") <= col("true_cnt") &&
+            (col("true_cnt") - col("reported")).cast("double") <=
+              col("__bound"), 1L).otherwise(0L)).as("__under_ok"))
+    // coverage clause: no item above the guarantee threshold missing
+    val miss = exact.join(bound, Seq(segCol))
+      .filter(col("true_cnt").cast("double") > col("__bound"))
+      .join(tracked.select(col(segCol), col("item")),
+        Seq(segCol, "item"), "left_anti")
+      .groupBy(col(segCol)).agg(count(lit(1)).as("__miss"))
+    // an EMPTY tracked set is legal MG output for a segment with no
+    // heavy items (uniform counts: the merge pivot ties with every
+    // counter and cancels all of them — observed, not hypothetical),
+    // so the tracked-side clauses are VACUOUSLY true there; coverage
+    // is what fails if emptiness ever swallows a genuine heavy hitter
+    bound.join(tchk, Seq(segCol), "left").join(miss, Seq(segCol), "left")
+      .select(col(segCol), col("n_rows"),
+        lit(capacity.toLong).as("capacity"),
+        (coalesce(col("__n_tracked"), lit(0L)) <= capacity.toLong)
+          .cast("bigint").as("tracked_bound_ok"),
+        coalesce(col("__under_ok"), lit(1L)).as("underestimate_ok"),
+        (coalesce(col("__miss"), lit(0L)) === 0L).cast("bigint")
+          .as("coverage_ok"))
+  }
 }

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * ([[mediaInfo]] / [[parseMediaHeader]]) is REAL — magic-byte format
   * detection plus PNG-IHDR / JPEG-SOF / GIF-LSD / BMP-DIB dimension
   * parsing from the public byte formats, oracle-gated on synthetic
-  * blobs (q385) and spec'd on truncated/corrupt headers. Only the
-  * PIXEL stage ([[featurize]]) remains a deterministic byte-statistics
-  * stand-in — actual codecs are not available in this environment —
-  * with the schema, batching shape, and partitioning being the real
-  * production plumbing.
+  * blobs (q385) and spec'd on truncated/corrupt headers. The PIXEL
+  * stage is real for the one format that needs no codec library:
+  * uncompressed 24-bpp BMP ([[bmpPixelStats]] — BI_RGB rows are plain
+  * arithmetic over the public layout, oracle-gated at q389). PNG/JPEG
+  * pixel decode (zlib/DCT) stays a deterministic byte-statistics
+  * stand-in ([[featurize]]) — actual codecs are not available in this
+  * environment — with the schema, batching shape, and partitioning
+  * being the real production plumbing.
   */
 object Binary {
 
@@ -120,8 +123,14 @@ object Binary {
       while (res == null && i + 1 < b.length) {
         if ((b(i) & 0xff) != 0xff) { res = invalid("jpeg") }
         else {
+          // ITU T.81 B.1.1.2: a marker may be preceded by any number of
+          // 0xFF FILL bytes — skip them before reading the code, else a
+          // padded-but-valid file misparses (0xFF is never a marker
+          // code; the r14 walk read it as a length-carrying segment)
+          while (i + 2 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
           val m = b(i + 1) & 0xff
-          if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+          if (m == 0xff) { res = invalid("jpeg") } // fills ran off the end
+          else if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
             if (i + 8 < b.length) {
               val h = be16(b, i + 5); val w = be16(b, i + 7)
               res = if (w > 0 && h > 0)
@@ -217,6 +226,136 @@ object Binary {
         bb ++= pngMagic.take(6) // truncated magic: unrecognizable
     }
     bb.toArray
+  }
+
+  // ---- real pixel decode: uncompressed BMP ----------------------------
+
+  /** Per-blob pixel statistics from a REAL decode of the uncompressed
+    * 24-bpp BMP pixel array (r15 — closes the pixel-stage stand-in for
+    * the one format whose pixels are decodable with ZERO codec
+    * libraries: BI_RGB is plain arithmetic over the public layout).
+    * PNG/JPEG pixels stay declared out of scope (zlib/DCT — codec
+    * territory).
+    *
+    * The stats are chosen to make decode BUGS oracle-visible, not just
+    * decode success: channel SUMS alone are invariant to row order, so
+    * `yWeightedRSum` (Σ yTopDown·R over the LOGICAL top-down grid)
+    * breaks if bottom-up rows are read in file order or the stride
+    * padding is miscounted, and `cornerTlB` pins the (0,0) pixel.
+    * Invalid cases (non-BMP, compressed, non-24-bpp, truncated pixel
+    * array) come back `valid = false` with NULL stats — total, like
+    * [[parseMediaHeader]].
+    */
+  case class BmpPixels(id: Long, width: Option[Int], height: Option[Int],
+                       nPx: Option[Long], sumB: Option[Long],
+                       sumG: Option[Long], sumR: Option[Long],
+                       yWeightedRSum: Option[Long], cornerTlB: Option[Int],
+                       valid: Boolean)
+
+  /** Decode one uncompressed 24-bpp BMP's pixel array to
+    * (w, h, nPx, sumB, sumG, sumR, yWeightedRSum, cornerTlB).
+    * None when the blob is not a BI_RGB 24-bpp BMP with a complete
+    * pixel array. Rows are 4-byte aligned (stride = ceil(3w/4)·4);
+    * positive height = BOTTOM-UP row order (the default), negative =
+    * top-down; either way the stats are over the logical top-down grid.
+    */
+  def decodeBmpPixels(b: Array[Byte]): Option[(Int, Int, Long, Long, Long,
+      Long, Long, Int)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    if (le32(b, 14) < 40) return None // need BITMAPINFOHEADER+
+    val pixelOff = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (pixelOff < 54 || pixelOff.toLong + stride.toLong * h > b.length)
+      return None // truncated pixel array
+    var sumB = 0L; var sumG = 0L; var sumR = 0L; var ywr = 0L
+    var yTop = 0
+    while (yTop < h) {
+      // file row for this logical (top-down) row
+      val fileRow = if (topDown) yTop else h - 1 - yTop
+      val rowStart = pixelOff + fileRow * stride
+      var x = 0
+      while (x < w) {
+        val i = rowStart + 3 * x
+        sumB += b(i) & 0xff
+        sumG += b(i + 1) & 0xff
+        val r = b(i + 2) & 0xff
+        sumR += r
+        ywr += yTop.toLong * r
+        x += 1
+      }
+      yTop += 1
+    }
+    val corner = b(pixelOff + (if (topDown) 0 else (h - 1) * stride)) & 0xff
+    Some((w, h, w.toLong * h, sumB, sumG, sumR, ywr, corner))
+  }
+
+  /** Batched BMP pixel-stats probe — same `mapPartitions` + grouped
+    * batch shape as [[featurize]]/[[mediaInfo]].
+    */
+  def bmpPixelStats(blobs: Dataset[Blob], batchSize: Int = 64): Dataset[BmpPixels] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { blob =>
+        decodeBmpPixels(blob.bytes) match {
+          case Some((w, h, n, sb, sg, sr, ywr, c)) =>
+            BmpPixels(blob.id, Some(w), Some(h), Some(n), Some(sb),
+              Some(sg), Some(sr), Some(ywr), Some(c), valid = true)
+          case None =>
+            BmpPixels(blob.id, None, None, None, None, None, None, None,
+              None, valid = false)
+        }
+      })
+    }
+  }
+
+  /** Deterministic synthetic 24-bpp BMP with a pixel grid derived from
+    * the id by fixed LINEAR arithmetic the oracle repeats in SQL
+    * (products avoided so DuckDB recomputes channel sums from two
+    * generate_series): at logical top-down (x, y),
+    * B = (id + 7x + 13y) % 256, G = (3id + 5x + 11y) % 256,
+    * R = (2id + x + 17y) % 256. Odd ids are written TOP-DOWN (negative
+    * height), even ids BOTTOM-UP — same logical grid either way, so an
+    * order-blind decoder fails the yWeightedRSum value. Widths 4-12 at
+    * 3 bytes/px exercise every stride-padding remainder (0-3 bytes);
+    * id%10==9 truncates the pixel array (the prober must call it
+    * invalid, not throw or misread).
+    */
+  def synthPixelBmp(id: Long): Array[Byte] = {
+    val w = (4 + id % 9).toInt
+    val h = (3 + id % 7).toInt
+    val topDown = id % 2 == 1
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val out = new Array[Byte](size) // padding bytes stay 0
+    var p = 0
+    def u8(v: Int): Unit = { out(p) = (v & 0xff).toByte; p += 1 }
+    def u16le(v: Int): Unit = { u8(v); u8(v >>> 8) }
+    def u32le(v: Int): Unit = { u16le(v); u16le(v >>> 16) }
+    u8('B'); u8('M'); u32le(size); u32le(0); u32le(54)
+    u32le(40); u32le(w); u32le(if (topDown) -h else h)
+    u16le(1); u16le(24); u32le(0); u32le(stride * h)
+    u32le(0); u32le(0); u32le(0); u32le(0)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = if (topDown) fileRow else h - 1 - fileRow // logical row
+      var x = 0
+      while (x < w) {
+        val i = 54 + fileRow * stride + 3 * x
+        out(i) = ((id + 7 * x + 13 * y) % 256).toByte
+        out(i + 1) = ((3 * id + 5 * x + 11 * y) % 256).toByte
+        out(i + 2) = ((2 * id + x + 17 * y) % 256).toByte
+        x += 1
+      }
+      fileRow += 1
+    }
+    if (id % 10 == 9) out.dropRight(5) else out
   }
 
   // ---- content-defined chunking (blob-level dedup) --------------------

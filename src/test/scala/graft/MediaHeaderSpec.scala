@@ -91,6 +91,25 @@ class MediaHeaderSpec extends AnyFunSuite {
       (("jpeg", Some(800), Some(600), Some(12), true)))
   }
 
+  test("JPEG marker walk: 0xFF fill bytes before a marker are legal padding (ITU T.81 B.1.1.2), not a marker code") {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u8(v: Int): Unit = bb += (v & 0xff).toByte
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    u8(0xff); u8(0xd8) // SOI
+    // three fill bytes, then COM — the r14 walk read the first fill as
+    // marker code 0xFF with a bogus length and called the file invalid
+    u8(0xff); u8(0xff); u8(0xff)
+    u8(0xff); u8(0xfe); u16(4); u8('o'); u8('k') // COM
+    u8(0xff); u8(0xff) // fills directly before the frame header too
+    u8(0xff); u8(0xc0); u16(11) // SOF0
+    u8(8); u16(240); u16(320); u8(1); u8(1); u8(0x11); u8(0)
+    assert(parse(bb.toArray) ==
+      (("jpeg", Some(320), Some(240), Some(8), true)))
+    // fills running off the end stay total: invalid, no throw
+    val junk = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    assert(parse(junk) == (("jpeg", None, None, None, false)))
+  }
+
   test("BMP top-down rows (negative height) parse with |height|") {
     val b = Binary.synthMediaBlob(3L).clone() // id 3 -> w = 64+3 = 67
     // height int32 LE at offset 22 := -48
@@ -98,6 +117,48 @@ class MediaHeaderSpec extends AnyFunSuite {
     b(22) = (neg & 0xff).toByte; b(23) = ((neg >> 8) & 0xff).toByte
     b(24) = ((neg >> 16) & 0xff).toByte; b(25) = ((neg >> 24) & 0xff).toByte
     assert(parse(b) == (("bmp", Some(67), Some(48), Some(24), true)))
+  }
+
+  test("BMP pixel decode round-trips synthPixelBmp for both row orders; truncated arrays are invalid") {
+    for (id <- 0L until 40L) {
+      val dec = Binary.decodeBmpPixels(Binary.synthPixelBmp(id))
+      if (id % 10 == 9) assert(dec.isEmpty, s"truncated id=$id must be invalid")
+      else {
+        val w = (4 + id % 9).toInt; val h = (3 + id % 7).toInt
+        var sb = 0L; var sg = 0L; var sr = 0L; var ywr = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          sb += (id + 7 * x + 13 * y) % 256
+          sg += (3 * id + 5 * x + 11 * y) % 256
+          val r = (2 * id + x + 17 * y) % 256
+          sr += r; ywr += y * r
+        }
+        assert(dec.contains((w, h, w.toLong * h, sb, sg, sr, ywr,
+          (id % 256).toInt)), s"id=$id: $dec")
+      }
+    }
+  }
+
+  test("BMP pixel decode: yWeightedRSum is row-order sensitive (flipping the height sign changes it)") {
+    val b = Binary.synthPixelBmp(4L).clone() // even id: bottom-up, h = 7
+    val Some((_, h, _, _, _, sr, ywr, _)) = Binary.decodeBmpPixels(b)
+    // rewrite height i32 LE at 22 as negative: decoder now reads the
+    // SAME file rows top-down — an order-blind decoder would agree
+    val neg = -h
+    b(22) = (neg & 0xff).toByte; b(23) = ((neg >> 8) & 0xff).toByte
+    b(24) = ((neg >> 16) & 0xff).toByte; b(25) = ((neg >> 24) & 0xff).toByte
+    val Some((_, _, _, _, _, sr2, ywr2, _)) = Binary.decodeBmpPixels(b)
+    assert(sr2 == sr, "channel sums are order-invariant by design")
+    assert(ywr2 != ywr, "y-weighted sum must catch a row-order confusion")
+  }
+
+  test("BMP pixel decode rejects non-BI_RGB and non-24-bpp blobs, no throw") {
+    val base = Binary.synthPixelBmp(2L)
+    val bpp8 = base.clone(); bpp8(28) = 8.toByte
+    assert(Binary.decodeBmpPixels(bpp8).isEmpty)
+    val rle = base.clone(); rle(30) = 1.toByte // BI_RLE8
+    assert(Binary.decodeBmpPixels(rle).isEmpty)
+    assert(Binary.decodeBmpPixels(Array[Byte]()).isEmpty)
+    assert(Binary.decodeBmpPixels(Binary.synthMediaBlob(0L)).isEmpty) // png
   }
 
   test("mediaInfo: batched Dataset probe emits the real schema over mixed blobs") {

@@ -6473,7 +6473,8 @@ class OperatorEdgeSpec extends AnyFunSuite {
     // into dupProfile's merged read (r13's latent hazard)
     val staleDir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_q383_${Integer.toHexString(sfDir.hashCode)}/cells/batch=99")
+      s"graft_q383_${Integer.toHexString(sfDir.hashCode)}" +
+        s"-p${ProcessHandle.current().pid()}/cells/batch=99")
     staleDir.mkdirs()
     Seq(("ALIEN_SOURCE", "deadbeef", 1000L)).toDF("source", "fp", "c")
       .coalesce(1).write.mode("overwrite").parquet(staleDir.getAbsolutePath)
