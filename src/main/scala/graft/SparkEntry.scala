@@ -3634,6 +3634,17 @@ object SparkEntry {
           "text")
         .orderBy(col("doc_id"))),
 
+    "q391_kn_fourgram" -> ((s, dir) =>
+      // the q380 cascade one order up, built MEASURED-FIRST (r15): the
+      // predicted no-singleton cliff at n=4 does not exist on these
+      // corpora (n1 = 22.7k/172k at sf0.01/0.1, estimated D4 ~ .89/.72),
+      // so all three discounts are genuinely estimated; continuation
+      // tables derive level-from-level (Chen-Goodman), discounts ride
+      // every row by value
+      text.Corpus.knFourgramLogProb(Tables.documents(s, dir), "doc_id",
+          "text")
+        .orderBy(col("doc_id"))),
+
     "q377_participation_ratio" -> ((s, dir) =>
       // effective dimensionality of the embedding covariance,
       // PR = tr(C)^2 / tr(C^2): pure moment algebra off the one-pass
@@ -10030,6 +10041,80 @@ object SparkEntry {
         |  roundStable(avg(lp), 6) AS mean_kn_logprob,
         |  roundStable((SELECT dh FROM dhi), 6) AS discount_hi,
         |  roundStable((SELECT dm FROM dmid), 6) AS discount_mid
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q391_kn_fourgram" ->
+      // the q380 replica one order up: raw fourgram counts on top, then
+      // level-from-level continuation tables (cont3 from c4 types,
+      // cont2 from cont3 types), per-order Chen-Goodman discounts as
+      // scalar subqueries, compared by value via the discount columns
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+        |qgz AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-3],
+        |          l[2:len(l)-2], l[3:len(l)-1], l[4:len(l)])) AS z
+        |        FROM d WHERE len(l) >= 4),
+        |qg AS MATERIALIZED (SELECT doc_id, z[1] AS w1, z[2] AS w2,
+        |        z[3] AS w3, z[4] AS w4 FROM qgz),
+        |c4 AS MATERIALIZED (SELECT w1, w2, w3, w4,
+        |        CAST(count(*) AS DOUBLE) AS c4
+        |      FROM qg GROUP BY 1, 2, 3, 4),
+        |dhi AS (SELECT CASE WHEN sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) = 0
+        |          THEN 0.75
+        |          ELSE CAST(sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |            / (sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END)
+        |               + 2.0 * sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END)) END AS dh
+        |        FROM c4),
+        |cp3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS cp3,
+        |          CAST(count(DISTINCT w4) AS DOUBLE) AS n1f4
+        |        FROM qg GROUP BY 1, 2, 3),
+        |cont3 AS MATERIALIZED (SELECT w2, w3, w4,
+        |          CAST(count(*) AS DOUBLE) AS n3c
+        |        FROM c4 GROUP BY 1, 2, 3),
+        |dm3x AS (SELECT CASE WHEN sum(CASE WHEN n3c = 1 THEN 1 ELSE 0 END) = 0
+        |           THEN 0.75
+        |           ELSE CAST(sum(CASE WHEN n3c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / (sum(CASE WHEN n3c = 1 THEN 1 ELSE 0 END)
+        |                + 2.0 * sum(CASE WHEN n3c = 2 THEN 1 ELSE 0 END)) END AS dm3
+        |         FROM cont3),
+        |mid3 AS (SELECT w2, w3, sum(n3c) AS den3,
+        |           CAST(count(*) AS DOUBLE) AS n1f3c
+        |         FROM cont3 GROUP BY 1, 2),
+        |cont2 AS MATERIALIZED (SELECT w3, w4,
+        |          CAST(count(*) AS DOUBLE) AS n2c
+        |        FROM cont3 GROUP BY 1, 2),
+        |dm2x AS (SELECT CASE WHEN sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END) = 0
+        |           THEN 0.75
+        |           ELSE CAST(sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / (sum(CASE WHEN n2c = 1 THEN 1 ELSE 0 END)
+        |                + 2.0 * sum(CASE WHEN n2c = 2 THEN 1 ELSE 0 END)) END AS dm2
+        |         FROM cont2),
+        |mid2 AS (SELECT w3, sum(n2c) AS den2,
+        |           CAST(count(*) AS DOUBLE) AS n1f2
+        |         FROM cont2 GROUP BY 1),
+        |uc AS (SELECT w4, CAST(count(*) AS DOUBLE) AS n1r
+        |       FROM cont2 GROUP BY 1),
+        |bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM cont2),
+        |lp AS (SELECT qg.doc_id,
+        |         ln((greatest(c4.c4 - dh, CAST(0 AS DOUBLE))
+        |           + dh * cp3.n1f4
+        |             * ((greatest(cont3.n3c - dm3, CAST(0 AS DOUBLE))
+        |                + dm3 * mid3.n1f3c
+        |                  * ((greatest(cont2.n2c - dm2, CAST(0 AS DOUBLE))
+        |                     + dm2 * mid2.n1f2 * (uc.n1r / bt.b))
+        |                    / mid2.den2))
+        |               / mid3.den3))
+        |           / cp3.cp3) AS lp
+        |       FROM qg JOIN c4 USING (w1, w2, w3, w4)
+        |         JOIN cp3 USING (w1, w2, w3)
+        |         JOIN cont3 USING (w2, w3, w4) JOIN mid3 USING (w2, w3)
+        |         JOIN cont2 USING (w3, w4) JOIN mid2 USING (w3)
+        |         JOIN uc USING (w4)
+        |         CROSS JOIN dhi CROSS JOIN dm3x CROSS JOIN dm2x
+        |         CROSS JOIN bt)
+        |SELECT doc_id, count(*) AS n_fourgrams,
+        |  roundStable(avg(lp), 6) AS mean_kn_logprob,
+        |  roundStable((SELECT dh FROM dhi), 6) AS discount_hi,
+        |  roundStable((SELECT dm3 FROM dm3x), 6) AS discount_mid3,
+        |  roundStable((SELECT dm2 FROM dm2x), 6) AS discount_mid2
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q377_participation_ratio" ->

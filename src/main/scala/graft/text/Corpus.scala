@@ -1227,6 +1227,113 @@ object Corpus {
     out
   }
 
+  /** Adjacent-fourgram rows (doc, w1..w4) — [[trigramRows]] extended one
+    * slot by the same in-array zip. Docs with < 4 tokens emit nothing.
+    */
+  private def fourgramRows(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 4)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 3),
+        zip_with(
+          slice(col("__t"), lit(2), size(col("__t")) - 3),
+          zip_with(
+            slice(col("__t"), lit(3), size(col("__t")) - 3),
+            slice(col("__t"), lit(4), size(col("__t")) - 3),
+            (c, d) => struct(c.as("w3"), d.as("w4"))),
+          (b, cd) => struct(b.as("w2"), cd.getField("w3").as("w3"),
+            cd.getField("w4").as("w4"))),
+        (a, bcd) => struct(a.as("w1"), bcd.getField("w2").as("w2"),
+          bcd.getField("w3").as("w3"), bcd.getField("w4").as("w4"))))
+        .as("__qg"))
+      .select(col(idCol), col("__qg.w1").as("w1"), col("__qg.w2").as("w2"),
+        col("__qg.w3").as("w3"), col("__qg.w4").as("w4"))
+
+  /** Interpolated Kneser–Ney FOURGRAM LM score per document — the
+    * [[knTrigramLogProb]] cascade extended one order (r15, built
+    * MEASURED-FIRST: the feared no-singleton cliff at n=4 does not
+    * exist on these corpora — count-of-counts measured n₁=23187/22679/
+    * 172136 at sf0.001/0.01/0.1, estimated D₄ ≈ 0.89/0.89/0.72 — so
+    * the estimated-discount rung is real, not a fallback shell):
+    *
+    *  - top order (raw counts):
+    *    `p(w₄|w₁w₂w₃) = (max(c(w₁w₂w₃w₄)−D₄,0) + D₄·N₁₊(w₁w₂w₃·)·p(w₄|w₂w₃)) / c(w₁w₂w₃·)`
+    *  - third order (continuation counts `N₁₊(·w₂w₃w₄)` from the raw
+    *    fourgram type table):
+    *    `p(w₄|w₂w₃) = (max(N₁₊(·w₂w₃w₄)−D₃,0) + D₃·N₁₊(w₂w₃·)·p(w₄|w₃)) / N₁₊(·w₂w₃·)`
+    *  - second order (continuation-of-continuation — each level's type
+    *    table derives from the level above, Chen & Goodman's cascade):
+    *    `p(w₄|w₃) = (max(N₁₊(·w₃w₄)−D₂,0) + D₂·N₁₊(w₃·)·p_cont(w₄)) / N₁₊(·w₃·)`
+    *  - lowest: `p_cont(w₄) = N₁₊(·w₄) / |distinct (w₃,w₄) types|`
+    *
+    * `D₄`/`D₃`/`D₂` estimated per order as `n₁/(n₁+2n₂)` over that
+    * order's count-of-counts ([[knDiscount]]), riding every row rounded
+    * so the oracle recomputes them by value. Scale contract unchanged:
+    * all model tables join by prefix/pair/token key, the driver
+    * collects exactly four bounded scalars.
+    */
+  def knFourgramLogProb(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val qg = fourgramRows(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c4 = qg.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
+      .agg(count(lit(1)).cast("double").as("__c4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d4r = c4.agg(
+      sum(when(col("__c4") === 1.0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__c4") === 2.0, 1L).otherwise(0L)).as("n2")).head()
+    val d4 = knDiscount(d4r.getLong(0), d4r.getLong(1))
+    val cp3 = qg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).cast("double").as("__cp3"),
+        countDistinct(col("w4")).cast("double").as("__n1f4"))
+    val cont3 = c4.groupBy(col("w2"), col("w3"), col("w4"))
+      .agg(count(lit(1)).cast("double").as("__n3c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d3r = cont3.agg(
+      sum(when(col("__n3c") === 1.0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__n3c") === 2.0, 1L).otherwise(0L)).as("n2")).head()
+    val d3 = knDiscount(d3r.getLong(0), d3r.getLong(1))
+    val mid3 = cont3.groupBy(col("w2"), col("w3"))
+      .agg(sum(col("__n3c")).as("__den3"),
+        count(lit(1)).cast("double").as("__n1f3c"))
+    val cont2 = cont3.groupBy(col("w3"), col("w4"))
+      .agg(count(lit(1)).cast("double").as("__n2c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d2r = cont2.agg(
+      sum(when(col("__n2c") === 1.0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__n2c") === 2.0, 1L).otherwise(0L)).as("n2")).head()
+    val d2 = knDiscount(d2r.getLong(0), d2r.getLong(1))
+    val mid2 = cont2.groupBy(col("w3"))
+      .agg(sum(col("__n2c")).as("__den2"),
+        count(lit(1)).cast("double").as("__n1f2"))
+    val uniCont = cont2.groupBy(col("w4"))
+      .agg(count(lit(1)).cast("double").as("__n1r"))
+    val btot = cont2.count().toDouble
+    val pMid2 = (greatest(col("__n2c") - d2, lit(0.0)) +
+      lit(d2) * col("__n1f2") * (col("__n1r") / btot)) / col("__den2")
+    val pMid3 = (greatest(col("__n3c") - d3, lit(0.0)) +
+      lit(d3) * col("__n1f3c") * pMid2) / col("__den3")
+    val lm = c4.join(cp3, Seq("w1", "w2", "w3"))
+      .join(cont3, Seq("w2", "w3", "w4")).join(mid3, Seq("w2", "w3"))
+      .join(cont2, Seq("w3", "w4")).join(mid2, Seq("w3"))
+      .join(uniCont, Seq("w4"))
+      .select(col("w1"), col("w2"), col("w3"), col("w4"),
+        log((greatest(col("__c4") - d4, lit(0.0)) +
+          lit(d4) * col("__n1f4") * pMid3) / col("__cp3")).as("__lp"))
+    val out = qg.join(lm, Seq("w1", "w2", "w3", "w4"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fourgrams"),
+        roundStable(avg(col("__lp")), 6).as("mean_kn_logprob"))
+      .withColumn("discount_hi", lit(math.floor(d4 * 1e6 + 0.5) / 1e6))
+      .withColumn("discount_mid3", lit(math.floor(d3 * 1e6 + 0.5) / 1e6))
+      .withColumn("discount_mid2", lit(math.floor(d2 * 1e6 + 0.5) / 1e6))
+      .localCheckpoint()
+    cont2.unpersist(); cont3.unpersist(); c4.unpersist(); qg.unpersist()
+    out
+  }
+
   /** "Fightin' words" log-odds with an informative Dirichlet prior
     * (Monroe, Colaresi & Quinn 2008) — WHICH words distinguish corpus
     * side A from side B, done right: raw frequency ratios explode on

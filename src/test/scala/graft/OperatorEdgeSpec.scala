@@ -6238,6 +6238,30 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "identical docs score identically")
   }
 
+  test("knFourgramLogProb: hand interpolated-KN one order up; observed continuations sum to 1; short docs drop") {
+    import spark.implicits._
+    // fourgrams: (a,b,c,d) x2, (a,b,c,e) x1 -> n1=1, n2=1 => D4 = 1/3.
+    //   cont3 types (b,c,d)/(b,c,e) both 1 -> D3 = 1; cont2 types
+    //   (c,d)/(c,e) both 1 -> D2 = 1. p_low(d)=p_low(e)=1/2;
+    //   p_mid2 = p_mid3 = 1/2 each. Top: c(abc.)=3, N1+(abc.)=2:
+    //   p(d|abc) = (2-1/3 + (1/3)*2*(1/2))/3 = 2/3
+    //   p(e|abc) = (1-1/3 + 1/3)/3 = 1/3  — they sum to 1.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val out = text.Corpus.knFourgramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L), "sub-4-token doc has no fourgram")
+    assert(math.abs(out(1L).getDouble(2) - math.log(2.0 / 3)) < 1e-6,
+      s"P(d|abc)=2/3: ${out(1L)}")
+    assert(math.abs(out(3L).getDouble(2) - math.log(1.0 / 3)) < 1e-6,
+      s"P(e|abc)=1/3: ${out(3L)}")
+    assert(out(1L).getDouble(3) == 0.333333 &&
+      out(1L).getDouble(4) == 1.0 && out(1L).getDouble(5) == 1.0,
+      s"estimated discounts ride the rows: ${out(1L)}")
+    assert(out(2L).getDouble(2) == out(1L).getDouble(2),
+      "identical docs score identically")
+  }
+
   test("knDiscount: Chen-Goodman estimate in (0,1]; no-singleton corpora fall back to the fixed bigram discount") {
     assert(text.Corpus.knDiscount(3, 2) == 3.0 / 7.0)
     assert(text.Corpus.knDiscount(2, 0) == 1.0)
