@@ -282,12 +282,18 @@ object Bench {
         if (substituted) fresh.get.gateSec else cold.gateSec
       // best-evidence cold for NEXT round's prior (the laundering fix):
       // fresh-JVM cold when taken; else the recold when this cold did
-      // not reproduce in-process; else the first-pass cold.
+      // not reproduce in-process AND the recold is a genuine
+      // re-execution (≥ 1 s — a memoized verdict query's recold reads
+      // ~0.1 s, which carries no cold information and would flag every
+      // future honest cold as an outlier); else the first-pass cold.
+      // An inflated first-pass prior is now harmless for laundering —
+      // vanish-on-remeasure is checked before any prior comparison.
       def bestEvidenceCold: Double =
         if (substituted) fresh.get.cold
         else if (coldVerdict.exists(v => v == "not_reproducible_in_process"
-          || v == "once_per_process_or_contention"))
-          remeasured.map(_._1.wallSec).getOrElse(cold.wallSec)
+          || v == "once_per_process_or_contention") &&
+          remeasured.exists(_._1.wallSec >= 1.0))
+          remeasured.get._1.wallSec
         else cold.wallSec
     }
     val inverted = (c: Run, w: Run) =>
@@ -381,12 +387,17 @@ object Bench {
     val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
       .getOrElse(ncores / 8.0)
     val freshMax = sys.env.get("SPARK_GRAFT_FRESH_MAX").map(_.toInt)
-      .getOrElse(10)
+      .getOrElse(12)
+    // contaminated colds take the lane slots FIRST (the round's
+    // contaminated:false bar rides on them), then the debt-hit colds
+    // worst-first (the smoke run showed small contaminated queries
+    // losing every slot to big once-per-process colds)
     val needsFresh = inProcess.filter(e => e.err.isEmpty &&
         (e.cold.extLoad > loadGate ||
           e.coldVerdict.exists(v => v == "not_reproducible_in_process"
             || v == "once_per_process_or_contention")))
-      .sortBy(-_.cold.wallSec).take(freshMax).map(_.name).toSet
+      .sortBy(e => (if (e.cold.extLoad > loadGate) 0 else 1, -e.cold.wallSec))
+      .take(freshMax).map(_.name).toSet
     def waitQuiet(): Unit = {
       var waited = 0
       while (extLoadEst.sample() > loadGate && waited < 150) {

@@ -3573,6 +3573,18 @@ object SparkEntry {
           isTreat = col("user_id") % 2 === 0, valueCol = col("value"))
         .orderBy(col("event_type"), col("look"))),
 
+    "q392_alpha_spending" -> ((s, dir) =>
+      // Lan-DeMets spending functions beside q372's pinned OBF table
+      // (r15 — the last sketched depth item): OBF-type and Pocock-type
+      // spends per look with the Bonferroni-increment crossing rule
+      // (conservative by construction; the exact boundary needs MVN
+      // recursion neither engine can express — documented); Phi rides
+      // a pinned Abramowitz-Stegun approximation both engines replay
+      etl.Experiment.alphaSpending(Tables.events(s, dir),
+          Seq("event_type"), col("ts"),
+          isTreat = col("user_id") % 2 === 0, valueCol = col("value"))
+        .orderBy(col("event_type"), col("look"))),
+
     "q373_procrustes" -> ((s, dir) => {
       // "did the new embedding model just rotate the space?" —
       // VALUE-GATED (r13): v2 is a SIGNED PERMUTATION of v1 (dims
@@ -12644,6 +12656,94 @@ object SparkEntry {
         |  boundary,
         |  coalesce(abs(roundStable(z, 6)) > boundary, false) AS crossed
         |FROM zz ORDER BY event_type, look""".stripMargin,
+
+    "q392_alpha_spending" ->
+      // identical Welch-look machinery as q372, then the pinned
+      // Abramowitz-Stegun 26.2.17 upper-tail replayed through an
+      // unpivot/pivot (three arguments per row: OBF spend at t_k, at
+      // t_{k-1}, and |z|), spends and the Bonferroni-increment
+      // crossings recomputed from the same literals
+      """WITH base AS (SELECT event_type, value,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS tr,
+        |    epoch_us(ts) AS tu,
+        |    min(epoch_us(ts)) OVER (PARTITION BY event_type) AS tmin,
+        |    max(epoch_us(ts)) OVER (PARTITION BY event_type) AS tmax
+        |  FROM events WHERE value IS NOT NULL),
+        |lk AS (SELECT event_type, value, tr,
+        |    least(CAST(floor(5.0 * CAST(tu - tmin AS DOUBLE)
+        |      / CAST(tmax - tmin + 1 AS DOUBLE)) AS BIGINT) + 1, 5)
+        |      AS look
+        |  FROM base),
+        |cells AS (SELECT event_type, look,
+        |    sum(CASE WHEN tr = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN tr = 1 THEN value ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN tr = 1 THEN value * value ELSE 0.0 END) AS qa,
+        |    sum(CASE WHEN tr = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN tr = 0 THEN value ELSE 0.0 END) AS sb,
+        |    sum(CASE WHEN tr = 0 THEN value * value ELSE 0.0 END) AS qb
+        |  FROM lk GROUP BY 1, 2),
+        |c AS (SELECT event_type, look,
+        |    sum(na) OVER w AS cna, sum(sa) OVER w AS csa,
+        |    sum(qa) OVER w AS cqa, sum(nb) OVER w AS cnb,
+        |    sum(sb) OVER w AS csb, sum(qb) OVER w AS cqb
+        |  FROM cells WINDOW w AS (PARTITION BY event_type ORDER BY look
+        |    ROWS UNBOUNDED PRECEDING)),
+        |sc AS (SELECT event_type, look, cna, cnb,
+        |    CASE WHEN cna > 0 THEN csa / cna END AS ma,
+        |    CASE WHEN cnb > 0 THEN csb / cnb END AS mb,
+        |    CASE WHEN cna >= 2 THEN (cqa - cna * (csa / cna)
+        |      * (csa / cna)) / (cna - 1) END AS s2a,
+        |    CASE WHEN cnb >= 2 THEN (cqb - cnb * (csb / cnb)
+        |      * (csb / cnb)) / (cnb - 1) END AS s2b
+        |  FROM c),
+        |zz AS (SELECT event_type, look, cna, cnb, ma, mb,
+        |    CASE WHEN cna >= 2 AND cnb >= 2
+        |      AND s2a / cna + s2b / cnb > 0
+        |      THEN (ma - mb) / sqrt(s2a / cna + s2b / cnb) END AS z
+        |  FROM sc),
+        |un AS (SELECT event_type, look, 'k' AS which,
+        |         1.959964 / sqrt(look / 5.0) AS x FROM zz
+        |       UNION ALL
+        |       SELECT event_type, look, 'p',
+        |         CASE WHEN look > 1
+        |           THEN 1.959964 / sqrt((look - 1) / 5.0) END FROM zz
+        |       UNION ALL
+        |       SELECT event_type, look, 'z', abs(z) FROM zz),
+        |ph AS (SELECT event_type, look, which,
+        |    0.3989422804014327 * exp(-0.5 * x * x) *
+        |    (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+        |      + t * (-1.821255978 + t * 1.330274429))))) AS pu
+        |  FROM (SELECT event_type, look, which, x,
+        |          1.0 / (1.0 + 0.2316419 * x) AS t FROM un)),
+        |pv AS (SELECT event_type, look,
+        |    max(CASE WHEN which = 'k' THEN pu END) AS pu_k,
+        |    max(CASE WHEN which = 'p' THEN pu END) AS pu_p,
+        |    max(CASE WHEN which = 'z' THEN pu END) AS pu_z
+        |  FROM ph GROUP BY 1, 2)
+        |SELECT zz.event_type, zz.look, CAST(cna AS BIGINT) AS n_treat,
+        |  CAST(cnb AS BIGINT) AS n_control,
+        |  roundStable(ma - mb, 6) AS delta, roundStable(z, 6) AS z,
+        |  roundStable(2.0 * pu_z, 6) AS p_two,
+        |  roundStable(2.0 * pu_k, 6) AS obf_spent,
+        |  roundStable(2.0 * pu_k - CASE WHEN zz.look = 1 THEN 0.0
+        |    ELSE 2.0 * pu_p END, 6) AS obf_inc,
+        |  roundStable(0.05 * ln(1.0 + 1.718281828459045
+        |    * (zz.look / 5.0)), 6) AS pocock_spent,
+        |  roundStable(0.05 * ln(1.0 + 1.718281828459045 * (zz.look / 5.0))
+        |    - CASE WHEN zz.look = 1 THEN 0.0
+        |      ELSE 0.05 * ln(1.0 + 1.718281828459045
+        |        * ((zz.look - 1) / 5.0)) END, 6) AS pocock_inc,
+        |  coalesce(roundStable(2.0 * pu_z, 6) <
+        |    roundStable(2.0 * pu_k - CASE WHEN zz.look = 1 THEN 0.0
+        |      ELSE 2.0 * pu_p END, 6), false) AS crossed_obf,
+        |  coalesce(roundStable(2.0 * pu_z, 6) <
+        |    roundStable(0.05 * ln(1.0 + 1.718281828459045 * (zz.look / 5.0))
+        |      - CASE WHEN zz.look = 1 THEN 0.0
+        |        ELSE 0.05 * ln(1.0 + 1.718281828459045
+        |          * ((zz.look - 1) / 5.0)) END, 6), false) AS crossed_pocock
+        |FROM zz JOIN pv ON zz.event_type = pv.event_type
+        |  AND zz.look = pv.look
+        |ORDER BY zz.event_type, zz.look""".stripMargin,
 
     "q370_theta_overlap" ->
       // exact pair counts from the same distinct-cell self-join; the

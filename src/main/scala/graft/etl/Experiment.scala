@@ -106,6 +106,33 @@ object Experiment {
                       isTreat: Column, valueCol: Column,
                       digits: Int = 6): DataFrame = {
     val keyCols = keys.map(col)
+    val c = welchLooks(df, keys, tsCol, isTreat, valueCol)
+    val na = col("__cna"); val nb = col("__cnb")
+    // O'Brien-Fleming two-sided 0.05, K=5 (Jennison & Turnbull)
+    val boundary = when(col("look") === 1, 4.8769)
+      .when(col("look") === 2, 3.3569)
+      .when(col("look") === 3, 2.6803)
+      .when(col("look") === 4, 2.2898)
+      .otherwise(2.0310)
+    c.select(keyCols ++ Seq(col("look"),
+      na.cast("long").as("n_treat"), nb.cast("long").as("n_control"),
+      roundStable(col("__ma") - col("__mb"), digits).as("delta"),
+      roundStable(col("__z"), digits).as("z"),
+      boundary.as("boundary"),
+      coalesce(abs(roundStable(col("__z"), digits)) > boundary, lit(false))
+        .as("crossed")): _*)
+  }
+
+  /** Shared interim-look machinery for [[groupSequential]] /
+    * [[alphaSpending]]: 5 equal TIME slices of each key's observed
+    * range (int64-micros arithmetic, the q95 rule), per-look arm cells,
+    * cumulative Welch moments over the look ordering, and the
+    * cumulative z (`__z`, NULL on thin/degenerate looks). Emits the
+    * cumulative columns plus `__ma`/`__mb`.
+    */
+  private def welchLooks(df: DataFrame, keys: Seq[String], tsCol: Column,
+                         isTreat: Column, valueCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
     val v = valueCol.cast("double")
     val wAll = Window.partitionBy(keyCols: _*)
     val t = unix_micros(tsCol)
@@ -140,20 +167,79 @@ object Experiment {
     val s2a = when(na >= 2, (col("__cqa") - na * ma * ma) / (na - 1))
     val s2b = when(nb >= 2, (col("__cqb") - nb * mb * mb) / (nb - 1))
     val vn = s2a / na + s2b / nb
-    val z = when(na >= 2 && nb >= 2 && vn > 0, (ma - mb) / sqrt(vn))
-    // O'Brien-Fleming two-sided 0.05, K=5 (Jennison & Turnbull)
-    val boundary = when(col("look") === 1, 4.8769)
-      .when(col("look") === 2, 3.3569)
-      .when(col("look") === 3, 2.6803)
-      .when(col("look") === 4, 2.2898)
-      .otherwise(2.0310)
+    c.withColumn("__ma", ma).withColumn("__mb", mb)
+      .withColumn("__z",
+        when(na >= 2 && nb >= 2 && vn > 0, (ma - mb) / sqrt(vn)))
+  }
+
+  /** Upper normal tail `1 − Φ(x)` for x ≥ 0 via Abramowitz & Stegun
+    * 26.2.17 (|error| < 7.5e-8) — plain literal arithmetic both engines
+    * replicate exactly (neither computes a true inverse/CDF; the q253
+    * pinned-constant discipline extended to a pinned APPROXIMATION).
+    */
+  private def phiUpper(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    lit(0.3989422804014327) * exp(lit(-0.5) * x * x) * poly
+  }
+
+  /** Lan–DeMets ALPHA-SPENDING interim monitoring (Lan & DeMets 1983)
+    * — the flexible-schedule companion of [[groupSequential]]'s pinned
+    * O'Brien–Fleming table: a spending FUNCTION α*(t) fixes how much
+    * two-sided α=0.05 may be spent by information fraction t, and each
+    * look consumes the increment. Both classic shapes per look:
+    *
+    *  - OBF-type:    α*(t) = 2·(1 − Φ(z₀.₀₂₅ / √t))  (conservative early)
+    *  - Pocock-type: α*(t) = α·ln(1 + (e−1)·t)        (near-uniform)
+    *
+    * The crossing rule is the BONFERRONI spending variant: a look
+    * fires when its cumulative-z two-sided p-value falls below that
+    * look's INCREMENT α*(tₖ) − α*(tₖ₋₁) — conservative (it ignores the
+    * positive correlation between looks that the exact Lan–DeMets
+    * boundary exploits; the exact boundary needs multivariate-normal
+    * recursion numerical integration, which neither engine can express
+    * as relational arithmetic — recorded limitation, not an accident).
+    * Total type-I spend is therefore ≤ α by construction. Φ rides
+    * [[phiUpper]]; every spend/boundary value is emitted rounded so
+    * the oracle recomputes the identical arithmetic. Looks are the
+    * same 5 equal time slices as [[groupSequential]]; thin looks emit
+    * NULL z/p and never a fake crossing.
+    */
+  def alphaSpending(df: DataFrame, keys: Seq[String], tsCol: Column,
+                    isTreat: Column, valueCol: Column, alpha: Double = 0.05,
+                    digits: Int = 6): DataFrame = {
+    val keyCols = keys.map(col)
+    val c = welchLooks(df, keys, tsCol, isTreat, valueCol)
+    val na = col("__cna"); val nb = col("__cnb")
+    // z_{alpha/2} for two-sided 0.05 — pinned literal (q253 discipline)
+    require(alpha == 0.05, "spending table pinned at two-sided 0.05")
+    val z025 = 1.959964
+    def obfSpent(t: Column): Column =
+      lit(2.0) * phiUpper(lit(z025) / sqrt(t))
+    def pocockSpent(t: Column): Column =
+      lit(alpha) * log(lit(1.0) + lit(1.718281828459045) * t)
+    val tk = col("look").cast("double") / 5.0
+    val tprev = (col("look") - 1).cast("double") / 5.0
+    val obfS = obfSpent(tk)
+    val obfInc = obfS - when(col("look") === 1, 0.0).otherwise(obfSpent(tprev))
+    val pocS = pocockSpent(tk)
+    val pocInc = pocS - when(col("look") === 1, 0.0).otherwise(pocockSpent(tprev))
+    val pTwo = lit(2.0) * phiUpper(abs(col("__z")))
     c.select(keyCols ++ Seq(col("look"),
       na.cast("long").as("n_treat"), nb.cast("long").as("n_control"),
-      roundStable(ma - mb, digits).as("delta"),
-      roundStable(z, digits).as("z"),
-      boundary.as("boundary"),
-      coalesce(abs(roundStable(z, digits)) > boundary, lit(false))
-        .as("crossed")): _*)
+      roundStable(col("__ma") - col("__mb"), digits).as("delta"),
+      roundStable(col("__z"), digits).as("z"),
+      roundStable(pTwo, digits).as("p_two"),
+      roundStable(obfS, digits).as("obf_spent"),
+      roundStable(obfInc, digits).as("obf_inc"),
+      roundStable(pocS, digits).as("pocock_spent"),
+      roundStable(pocInc, digits).as("pocock_inc"),
+      coalesce(roundStable(pTwo, digits) < roundStable(obfInc, digits),
+        lit(false)).as("crossed_obf"),
+      coalesce(roundStable(pTwo, digits) < roundStable(pocInc, digits),
+        lit(false)).as("crossed_pocock")): _*)
   }
 
   /** UCB1 arm scores (Auer, Cesa-Bianchi & Fischer 2002) — per key,

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Candidate-pair generation for the embedding diagnostics — the piece
@@ -37,18 +37,45 @@ object Candidates {
     * per-cell score array is a tiny in-row array_sort, no shuffle.
     */
   def probeCells(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+      centroids: Array[Array[Double]], nprobe: Int,
+      loopFrom: Int = 33): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"need 1 <= nprobe <= kCoarse=${centroids.length}, got $nprobe")
-    val scored = centroids.zipWithIndex.map { case (c, j) =>
-      val cLit = array(c.map(lit).toIndexedSeq: _*)
-      val cc = c.map(x => x * x).sum
-      struct(
-        (lit(-2.0) * Similarity.dot(col(vecCol), cLit) + lit(cc)).as("__d"),
-        lit(j).as("__cell"))
-    }
+    // Two expression forms, same semantics (CandidatesSpec proves
+    // bit-equality):
+    //  - literal structs (one per centroid): unrolled codegen, fastest
+    //    at the registered handful-of-cells configs — but code size is
+    //    O(k·d) literals, which blows the 64 KB Janino method limit and
+    //    de-optimizes to interpreted rows around k·d ≈ 16k (the KMeans
+    //    assignExpr lesson at k ≈ 256). Kept for k < loopFrom so the
+    //    registered q350-q353 plans are byte-identical to r14.
+    //  - a LOOP over one packed non-primitive literal (cell, centroid,
+    //    |c|²) via transform(): constant code size in k — the form that
+    //    survives the k ∝ n/cellSize scaling a 100 TB corpus needs
+    //    (CandScale's decade rung runs k in the hundreds through it).
+    val scoredArr: Column =
+      if (centroids.length < loopFrom) {
+        val scored = centroids.zipWithIndex.map { case (c, j) =>
+          val cLit = array(c.map(lit).toIndexedSeq: _*)
+          val cc = c.map(x => x * x).sum
+          struct(
+            (lit(-2.0) * Similarity.dot(col(vecCol), cLit) + lit(cc)).as("__d"),
+            lit(j).as("__cell"))
+        }
+        array(scored.toIndexedSeq: _*)
+      } else {
+        val packed = typedLit(centroids.zipWithIndex.map { case (c, j) =>
+          (j, c.toSeq, c.map(x => x * x).sum)
+        }.toSeq)
+        transform(packed, p => struct(
+          (lit(-2.0) * aggregate(
+            zip_with(col(vecCol), p.getField("_2"),
+              (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v) + p.getField("_3")).as("__d"),
+          p.getField("_1").as("__cell")))
+      }
     df.select(col(idCol).as("__id"),
-        slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nprobe).as("__cells"))
+        slice(array_sort(scoredArr), 1, nprobe).as("__cells"))
       .select(col("__id"), explode(col("__cells")).as("__c"))
       .select(col("__id"), col("__c.__cell").as("__cell"))
   }
@@ -60,9 +87,10 @@ object Candidates {
     * that replaces the brute-force broadcast at scale.
     */
   def ivfSelfPairs(df: DataFrame, idCol: String, vecCol: String,
-      kCoarse: Int = 8, nprobe: Int = 2, iters: Int = 5): DataFrame = {
-    val cents = KMeans.fit(df, idCol, vecCol, kCoarse, iters)
-    val cells = probeCells(df, idCol, vecCol, cents, nprobe)
+      kCoarse: Int = 8, nprobe: Int = 2, iters: Int = 5,
+      seeding: String = "farthest", probeLoopFrom: Int = 33): DataFrame = {
+    val cents = KMeans.fit(df, idCol, vecCol, kCoarse, iters, seeding)
+    val cells = probeCells(df, idCol, vecCol, cents, nprobe, probeLoopFrom)
     cells.select(col("__id").as("id_a"), col("__cell"))
       .join(cells.select(col("__id").as("id_b"), col("__cell")), Seq("__cell"))
       .filter(col("id_a") =!= col("id_b"))

@@ -85,6 +85,28 @@ class CandidatesSpec extends AnyFunSuite {
     cand.unpersist()
   }
 
+  test("probeCells loop form (large-k path) is bit-equal to the literal form, pairs included") {
+    // the decade rung runs kCoarse in the hundreds through the packed
+    // transform() loop; its contract is EXACT agreement with the
+    // unrolled literal path the registered k=8 queries keep — same
+    // distances, same lowest-cell tie rule, same pair set
+    val df = clustered(40)
+    val cents = sim.KMeans.fit(df, "vec_id", "embedding", k = 4, iters = 3)
+    for (np <- Seq(1, 2, 4)) {
+      val lit0 = sim.Candidates.probeCells(df, "vec_id", "embedding",
+        cents, np) // k=4 < 33: literal path
+      val loop = sim.Candidates.probeCells(df, "vec_id", "embedding",
+        cents, np, loopFrom = 1) // forced loop path
+      assert(lit0.exceptAll(loop).isEmpty && loop.exceptAll(lit0).isEmpty,
+        s"probe paths diverge at nprobe=$np")
+    }
+    val pLit = sim.Candidates.ivfSelfPairs(df, "vec_id", "embedding",
+      kCoarse = 4, nprobe = 2)
+    val pLoop = sim.Candidates.ivfSelfPairs(df, "vec_id", "embedding",
+      kCoarse = 4, nprobe = 2, probeLoopFrom = 1)
+    assert(pLit.exceptAll(pLoop).isEmpty && pLoop.exceptAll(pLit).isEmpty)
+  }
+
   test("registered q350-q353 verdict rows pass every gate on sf0.001") {
     // VERDICT-GATED since r14 (CandVerdict): each registered row must
     // come back with every 1/0 verdict at 1 at this SF too — the

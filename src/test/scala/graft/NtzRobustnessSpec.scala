@@ -14,6 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * regresses to an NTZ-unsafe expression fails here first, whatever
   * physical shape the next testdata generation ships.
   */
+// @Slow: a per-query analysis SWEEP guarding against driver testdata
+// shape drift between rounds -- tier-2 (quick tier skips it)
+@org.scalatest.tags.Slow
 class NtzRobustnessSpec extends AnyFunSuite {
   import TestSpark._
 

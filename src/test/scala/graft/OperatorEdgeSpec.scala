@@ -6238,6 +6238,42 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "identical docs score identically")
   }
 
+  test("alphaSpending: both functions spend exactly alpha at t=1; a planted z~3 effect crosses Pocock at look 1 but not OBF-type, and crosses both by look 5") {
+    import spark.implicits._
+    // 20 rows/arm/look over 5 equal time slices; value = 1.0 + (i%2)*0.2
+    // (+0.0961 for treat) -> per-arm s2 = 20*0.01/19, cumulative look-1
+    // Welch z = 0.0961/sqrt(2*s2/20) = 2.962, p_two = 0.00306 — between
+    // the OBF-type look-1 increment (2(1-Phi(4.383)) = 1.2e-5) and the
+    // Pocock-type one (0.05*ln(1+0.3437) = 0.01477)
+    val rows = for {
+      look <- 0 until 5
+      i <- 0 until 40
+    } yield {
+      val treat = i % 2 == 0
+      val v = 1.0 + (i / 2 % 2) * 0.2 + (if (treat) 0.0961 else 0.0)
+      ("k", new java.sql.Timestamp(look.toLong), // 1 ms apart -> 5 looks
+        if (treat) 0L else 1L, v)
+    }
+    val df = rows.toDF("event_type", "ts", "user_id", "value")
+    val out = etl.Experiment.alphaSpending(df, Seq("event_type"),
+        col("ts"), isTreat = col("user_id") % 2 === 0,
+        valueCol = col("value"))
+      .orderBy(col("look")).collect()
+    assert(out.length == 5)
+    val l1 = out(0); val l5 = out(4)
+    // both spending functions hit exactly alpha at full information
+    assert(l5.getAs[Double]("obf_spent") == 0.05, l5)
+    assert(l5.getAs[Double]("pocock_spent") == 0.05, l5)
+    // increments are positive and sum to the cumulative spend
+    assert(math.abs(out.map(_.getAs[Double]("obf_inc")).sum - 0.05) < 1e-5)
+    assert(math.abs(out.map(_.getAs[Double]("pocock_inc")).sum - 0.05) < 1e-5)
+    // the planted effect: Pocock fires at look 1, OBF-type does not
+    assert(math.abs(l1.getAs[Double]("z") - 2.962) < 0.01, l1)
+    assert(l1.getAs[Boolean]("crossed_pocock") && !l1.getAs[Boolean]("crossed_obf"), l1)
+    // by the final look the cumulative z (~6.6) crosses both
+    assert(l5.getAs[Boolean]("crossed_obf") && l5.getAs[Boolean]("crossed_pocock"), l5)
+  }
+
   test("knFourgramLogProb: hand interpolated-KN one order up; observed continuations sum to 1; short docs drop") {
     import spark.implicits._
     // fourgrams: (a,b,c,d) x2, (a,b,c,e) x1 -> n1=1, n2=1 => D4 = 1/3.

@@ -9,6 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Specs for the non-oracle surfaces: sources, synth generator,
   * multimodal plumbing, streaming.
   */
+// @Slow: end-to-end pipeline CHAINS (the 3.5 min tier-2 suite) -- the
+// quick tier is `testOnly * -- -l org.scalatest.tags.Slow` (README)
+@org.scalatest.tags.Slow
 class PipelineSpec extends AnyFunSuite {
   import TestSpark._
 

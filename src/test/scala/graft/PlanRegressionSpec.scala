@@ -21,6 +21,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *   REGEN_PLAN_HASHES=1 sbt "testOnly graft.PlanRegressionSpec"
   * and commit the updated plan-shapes.txt with a note on what changed.
   */
+// @Slow: the full plan-shape sweep -- run per round close and after
+// intentional plan changes; the quick tier skips it
+@org.scalatest.tags.Slow
 class PlanRegressionSpec extends AnyFunSuite {
   import TestSpark._
 
