@@ -257,15 +257,19 @@ object Bench {
       //   legitimate steady-state sample, so when the verdict says the
       //   first pass was contaminated the headline takes the MIN —
       //   a contaminated run only ever overestimates.
-      // - cold: substituted ONLY by a fresh-JVM cold. An in-process
-      //   "recold" is structurally NOT a cold — JIT, memoized trainer
-      //   models (q354-class), OS page cache, and codegen caches all
-      //   survive — so min(cold, recold) would deflate every query with
-      //   one-time-per-process work (the first r12 run deflated 12 colds
-      //   this way). A fresh-JVM first pass IS a cold by construction
-      //   (new process: nothing survives), so when the lane ran clean it
-      //   replaces a debt/contention-hit number; otherwise cold stays
-      //   the first-pass number and the verdict carries the evidence.
+      // - cold: adjusted ONLY by a fresh-JVM cold, and then as the MIN
+      //   of the two. An in-process "recold" is structurally NOT a cold
+      //   — JIT, memoized trainer models (q354-class), OS page cache,
+      //   and codegen caches all survive — so min(cold, recold) would
+      //   deflate every query with one-time-per-process work (the first
+      //   r12 run deflated 12 colds this way). A fresh-JVM first pass
+      //   IS a cold by construction (new process: nothing survives),
+      //   so the in-bench and fresh colds are two genuine samples of
+      //   the same quantity, and contention/debt only ever OVERESTIMATE
+      //   — the min is the best evidence. (r15 chain 2 caught the
+      //   blind-substitution version making a query READ WORSE: the
+      //   child itself hit debt and 125.6 s replaced an in-bench
+      //   44.2 s.) Both numbers stay visible in the audit objects.
       private val warmContaminated = Set("vanished_on_remeasure",
         "external_load", "descheduled_external")
       def warmSec: Double = {
@@ -277,9 +281,11 @@ object Bench {
         if (substituted) math.min(base, fresh.get.warm) else base
       }
       def coldSec: Double =
-        if (substituted) fresh.get.cold else cold.wallSec
+        if (substituted) math.min(fresh.get.cold, cold.wallSec)
+        else cold.wallSec
       def gateSecUsed: Double =
-        if (substituted) fresh.get.gateSec else cold.gateSec
+        if (substituted && fresh.get.cold < cold.wallSec) fresh.get.gateSec
+        else cold.gateSec
       // best-evidence cold for NEXT round's prior (the laundering fix):
       // fresh-JVM cold when taken; else the recold when this cold did
       // not reproduce in-process AND the recold is a genuine
@@ -289,7 +295,7 @@ object Bench {
       // An inflated first-pass prior is now harmless for laundering —
       // vanish-on-remeasure is checked before any prior comparison.
       def bestEvidenceCold: Double =
-        if (substituted) fresh.get.cold
+        if (substituted) math.min(fresh.get.cold, cold.wallSec)
         else if (coldVerdict.exists(v => v == "not_reproducible_in_process"
           || v == "once_per_process_or_contention") &&
           remeasured.exists(_._1.wallSec >= 1.0))
@@ -349,19 +355,37 @@ object Bench {
           else if (w2.gcSec > w2.wallSec * 0.3) "gc"
           else if (w2.jitSec > w2.wallSec * 0.3) "jit"
           else "true_warm_regression") // real: warm genuinely slower
-        // VANISHED-ON-REMEASURE IS CHECKED FIRST (r15): the r14 order
-        // consulted the prior before the recold, so a debt-inflated
-        // cold was vouched for by an equally debt-inflated prior
-        // (q190_ppr: 39.7 s "matched" a 39.2 s prior that was itself
-        // flagged non-reproducible — true cold ~10 s both rounds). A
-        // cold the process itself cannot reproduce is never "matching"
-        // anything; the prior only adjudicates colds that REPRODUCE.
-        // (An in-process recold is warmer by construction — JIT,
-        // memoized trainers, page cache — so "vanished" here means
-        // contention or once-per-process cost, not proof the cold was
-        // wrong; the fresh-JVM lane below settles which.)
+        // MEMOIZED-VERDICT RECOGNITION FIRST (r15 chain-1 lesson): a
+        // query that memoizes its collected result per process (the
+        // q350/q354 class) ALWAYS trips the cold-vs-warm outlier test —
+        // its warm and recold are ~0.1 s memo READS carrying no cold
+        // information, while its first-pass cold is a genuine cold
+        // execution. Calling that "not reproducible" misnames a healthy
+        // query and floods the fresh-JVM lane (17 of them in chain 1);
+        // the honest verdict is its own name, and the lane is spent on
+        // it only when the cold ALSO exceeds the prior (a real
+        // regression suspicion).
+        // VANISHED-ON-REMEASURE IS CHECKED BEFORE THE PRIOR (r15): the
+        // r14 order consulted the prior before the recold, so a
+        // debt-inflated cold was vouched for by an equally
+        // debt-inflated prior (q190_ppr: 39.7 s "matched" a 39.2 s
+        // prior that was itself flagged non-reproducible — true cold
+        // ~10 s both rounds). A cold the process itself cannot
+        // reproduce is never "matching" anything; the prior only
+        // adjudicates colds that REPRODUCE. (An in-process recold is
+        // warmer by construction — JIT, trainers, page cache — so
+        // "vanished" means contention or once-per-process cost, not
+        // proof the cold was wrong; the fresh-JVM lane settles which.)
+        val memoized = w.wallSec < 1.0 && c2.wallSec < 1.0 &&
+          c.wallSec >= 2.0
         val coldVerdict = if (!isColdOut) None else Some(
-          if (c2.wallSec < c.wallSec * 0.6)
+          if (memoized)
+            prior.get(name) match {
+              case Some(p) if c.wallSec > p * 2.5 + 2 =>
+                "memoized_cold_above_prior" // fresh lane adjudicates
+              case _ => "memoized_verdict_cold" // benign by construction
+            }
+          else if (c2.wallSec < c.wallSec * 0.6)
             if (prior.contains(name)) "not_reproducible_in_process"
             else "once_per_process_or_contention"
           else prior.get(name) match {
@@ -387,15 +411,17 @@ object Bench {
     val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
       .getOrElse(ncores / 8.0)
     val freshMax = sys.env.get("SPARK_GRAFT_FRESH_MAX").map(_.toInt)
-      .getOrElse(12)
+      .getOrElse(16)
     // contaminated colds take the lane slots FIRST (the round's
     // contaminated:false bar rides on them), then the debt-hit colds
     // worst-first (the smoke run showed small contaminated queries
-    // losing every slot to big once-per-process colds)
+    // losing every slot to big once-per-process colds). The benign
+    // memoized_verdict_cold class stays OUT of the lane.
+    val laneVerdicts = Set("not_reproducible_in_process",
+      "once_per_process_or_contention", "memoized_cold_above_prior")
     val needsFresh = inProcess.filter(e => e.err.isEmpty &&
         (e.cold.extLoad > loadGate ||
-          e.coldVerdict.exists(v => v == "not_reproducible_in_process"
-            || v == "once_per_process_or_contention")))
+          e.coldVerdict.exists(laneVerdicts)))
       .sortBy(e => (if (e.cold.extLoad > loadGate) 0 else 1, -e.cold.wallSec))
       .take(freshMax).map(_.name).toSet
     def waitQuiet(): Unit = {
@@ -466,7 +492,11 @@ object Bench {
       val p = prior.get(e.name).map(v => f""","prior_cold":$v%.2f""").getOrElse("")
       val fr = e.fresh.map(f =>
         f""","fresh_cold":${f.cold}%.2f,"fresh_warm":${f.warm}%.2f,"fresh_ext":${f.ext}%.1f""").getOrElse("")
-      reJs(e, e.coldVerdict.get, p + fr)
+      val res = if (!e.substituted) ""
+        else if (e.fresh.get.cold < e.cold.wallSec)
+          ""","resolved":"fresh_jvm_cold""""
+        else ""","resolved":"confirmed_in_bench_cold"""" // fresh read higher: in-bench cold stands
+      reJs(e, e.coldVerdict.get, p + fr + res)
     }.mkString("{", ",", "}")
     // Fresh-JVM lane audit: every query the lane touched, the original
     // vs fresh numbers, and the outcome (substituted / contaminated
@@ -479,6 +509,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val unexplained = results.count(_.warmVerdict.contains("true_warm_regression"))
     val coldRegressed = results.count(_.coldVerdict.contains("true_cold_regression"))
+    // colds whose in-process evidence was inconclusive AND the fresh
+    // lane did not settle them — the number the round gate wants at 0
+    val unresolved = results.count(e =>
+      e.coldVerdict.exists(laneVerdicts) && !e.substituted)
     // A query is contaminated only if its cold started under external
     // load AND the fresh-JVM lane could not produce a clean replacement
     // — the artifact stamps itself, but only after trying to converge
@@ -488,7 +522,7 @@ object Bench {
     val contamJs = contaminatedQ
       .map(e => f""""${e.name}":{"ext":${e.cold.extLoad}%.1f,"load":${e.cold.load}%.1f}""")
       .mkString("{", ",", "}")
-    val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":$errJs,"max_residual_storage_mb":$maxResidualMb,"inversions":$invJs,"cold_outliers":$coldJs,"fresh_jvm":$freshJs,"n_unexplained_inversions":$unexplained,"n_cold_regressions":$coldRegressed,"load_gate":${f"$loadGate%.1f"},"contaminated":${contaminatedQ.nonEmpty},"contaminated_queries":$contamJs,"verdict_sec_total":${f"$gateTotal%.3f"},"operator_cold_total":${f"$operatorColdTotal%.3f"},"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
+    val head = s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":$errJs,"max_residual_storage_mb":$maxResidualMb,"inversions":$invJs,"cold_outliers":$coldJs,"fresh_jvm":$freshJs,"n_unexplained_inversions":$unexplained,"n_cold_regressions":$coldRegressed,"n_unresolved_nonreproducible":$unresolved,"load_gate":${f"$loadGate%.1f"},"contaminated":${contaminatedQ.nonEmpty},"contaminated_queries":$contamJs,"verdict_sec_total":${f"$gateTotal%.3f"},"operator_cold_total":${f"$operatorColdTotal%.3f"},"total_warm":${f"$totalWarm%.3f"},"value":${f"$total%.3f"}"""
     // Per-query telemetry: [load, ext_load, cpu_frac, gc_sec, jit_sec]
     // for the cold run then the warm run — the reader can attribute ANY
     // suspicious number, not just flagged ones.
