@@ -32,7 +32,7 @@ import org.apache.spark.sql.SparkSession
   * SUBSTITUTES the headline cold — legitimate, unlike a recold, because
   * a fresh-JVM first pass is exactly what "cold" means — and clears the
   * query's contamination; retries exhausting leaves the original number
-  * and the stamp. Bounded: `SPARK_GRAFT_FRESH_MAX` queries (default 10,
+  * and the stamp. Bounded: `SPARK_GRAFT_FRESH_MAX` queries (default 16,
   * worst colds first), 2 attempts each.
   *
   * COLD-VERDICT ORDER (r15 — the prior-laundering fix): the r14 logic
@@ -175,6 +175,10 @@ object Bench {
     try {
       import scala.jdk.CollectionConverters._
       val pb = new ProcessBuilder(cmd.asJava)
+      // a lingering SPARK_GRAFT_ONLY in this process's environment would
+      // make the child run EXTRA queries inside the timeout and contend
+      // with the measurement — argv is the only selector the lane wants
+      pb.environment().remove("SPARK_GRAFT_ONLY")
       pb.redirectErrorStream(false)
       val p = pb.start()
       // drain stderr on a daemon thread so a chatty child can't deadlock
@@ -424,11 +428,17 @@ object Bench {
           e.coldVerdict.exists(laneVerdicts)))
       .sortBy(e => (if (e.cold.extLoad > loadGate) 0 else 1, -e.cold.wallSec))
       .take(freshMax).map(_.name).toSet
-    def waitQuiet(): Unit = {
+    // true when the box went quiet within the wait budget; false means
+    // DON'T launch — a child started under known external load would
+    // seed its own-load EMA with the neighbor's load, self-report
+    // ext≈0, and launder a contaminated cold as clean (the r15 advice
+    // finding). Keeping the stamp is honest; a laundered number is not.
+    def waitQuiet(): Boolean = {
       var waited = 0
       while (extLoadEst.sample() > loadGate && waited < 150) {
         Thread.sleep(5000); waited += 5
       }
+      extLoadEst.sample() <= loadGate
     }
     val results = inProcess.map { e =>
       if (!needsFresh.contains(e.name)) e
@@ -438,8 +448,8 @@ object Bench {
         var outcome = "fresh_jvm_failed"
         while (attempt < 2 && !outcome.startsWith("fresh_jvm_cold")) {
           attempt += 1
-          waitQuiet()
-          freshJvmMeasure(e.name, timeoutSec = 900) match {
+          if (!waitQuiet()) outcome = "fresh_jvm_skipped_box_loud"
+          else freshJvmMeasure(e.name, timeoutSec = 900) match {
             case Some(f) if f.ext <= loadGate =>
               fresh = Some(f); outcome = "fresh_jvm_cold"
             case Some(f) =>

@@ -92,7 +92,11 @@ object NGramJaccard {
       n: Int, minJaccard: Double,
       maxDocFreq: Option[Long] = None): DataFrame = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sets = shingleSets(df, idCol, textCol, n).persist(level)
+    // the raw string-shingle array is never read past this point (index
+    // and verify both ride the hashed+sorted `shh`) — dropping it before
+    // the persist halves the cached bytes and the per-scan decode cost
+    val sets = shingleSets(df, idCol, textCol, n)
+      .drop("shingles").persist(level)
 
     // PPJoin-style prefix filtering: under ANY global element order, a
     // pair with jaccard >= t must share an element among the first
@@ -149,7 +153,10 @@ object NGramJaccard {
       n: Int, minContainment: Double,
       maxDocFreq: Long = 1000L): DataFrame = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sets = shingleSets(df, idCol, textCol, n).persist(level)
+    // drop the unused string-shingle array before the persist (see
+    // similarPairs)
+    val sets = shingleSets(df, idCol, textCol, n)
+      .drop("shingles").persist(level)
     val all = sets.select(col(idCol).as("id"), explode(col("shh")).as("sh"))
     val keep = all.groupBy("sh").count()
       .filter(col("count") <= maxDocFreq).select("sh")

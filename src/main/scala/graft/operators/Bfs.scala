@@ -33,7 +33,6 @@ object Bfs {
   def hops(edges: DataFrame, srcCol: String, dstCol: String,
            seeds: DataFrame, nodeCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
-    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("node"), col(dstCol).as("__dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
@@ -45,9 +44,7 @@ object Bfs {
         .select(col("__dst").as("node"), (col("dist") + 1L).as("dist"))
       val next = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      val cut = spark.createDataFrame(next.rdd, next.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cut.count()
+      val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
       if (prev != null) prev.unpersist(blocking = false)
       prev = cut
       dist = cut

@@ -35,9 +35,9 @@ object ConnectedComponents {
     * persisted blocks keep recompute local.
     */
   private def reRootWith(df: DataFrame)(action: DataFrame => Long): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    val cut = spark.createDataFrame(df.rdd, df.schema)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // lazy InternalRow cut: the caller's action is the materializing
+    // pass (one job per round), with no external-Row round trip
+    val cut = org.apache.spark.sql.GraftShims.cachedCut(df, eager = false)
     (cut, action(cut))
   }
 
@@ -120,7 +120,6 @@ object ConnectedComponents {
 
   def starComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
     // canonical high→low orientation; the node set is preserved across
@@ -164,8 +163,7 @@ object ConnectedComponents {
       // shuffle of both edge sets.
       val marked = small.join(
         cur.select(col("u"), col("v"), lit(1L).as("__seen")), Seq("u", "v"), "left")
-      val next = spark.createDataFrame(marked.rdd, marked.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = org.apache.spark.sql.GraftShims.cachedCut(marked, eager = false)
       val counts = next.agg(count(lit(1)), count(col("__seen"))).head()
       val (nextCnt, interCnt) = (counts.getLong(0), counts.getLong(1))
       stable = nextCnt == curCnt && interCnt == nextCnt

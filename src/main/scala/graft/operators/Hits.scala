@@ -41,7 +41,6 @@ object Hits {
           iters: Int, saltBuckets: Int = 1): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(saltBuckets >= 1, s"need saltBuckets >= 1, got $saltBuckets")
-    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -93,9 +92,7 @@ object Hits {
         .join(aNorm, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"),
           coalesce(col("a"), lit(0.0)).as("a"))
-      val cut = spark.createDataFrame(joined.rdd, joined.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cut.count()
+      val cut = org.apache.spark.sql.GraftShims.cachedCut(joined)
       aRaw.unpersist(blocking = false)
       hRaw.unpersist(blocking = false)
       if (prev != null) prev.unpersist(blocking = false)

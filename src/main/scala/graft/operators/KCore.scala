@@ -38,7 +38,6 @@ object KCore {
            k: Int, maxPeels: Int = 8): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxPeels >= 1, s"need maxPeels >= 1, got $maxPeels")
-    val spark = edges.sparkSession
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -60,11 +59,10 @@ object KCore {
           .join(drop.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
           .join(drop.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
           .select("a", "b")
-        // re-root: a Dataset round-trip through the RDD cuts the
-        // Catalyst lineage so the loop's tree stays O(1) per round
-        val cut = spark.createDataFrame(next.rdd, next.schema)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        cut.count()
+        // re-root via the InternalRow cut (GraftShims.cachedCut): the
+        // Catalyst lineage stays O(1) per round without the external-Row
+        // round trip, and the cut preserves output partitioning
+        val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
         drop.unpersist(blocking = false)
         prev.unpersist(blocking = false)
         prev = cut

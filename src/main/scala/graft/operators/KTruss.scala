@@ -37,7 +37,6 @@ object KTruss {
             k: Int, maxPeels: Int = 4): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(maxPeels >= 1, s"need maxPeels >= 1, got $maxPeels")
-    val spark = edges.sparkSession
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -59,8 +58,7 @@ object KTruss {
         .join(sup, Seq("a", "b"), "left")
         .filter(coalesce(col("__sup"), lit(0L)) >= k - 2)
         .select("a", "b")
-      val cut = spark.createDataFrame(next.rdd, next.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
       if (cut.count() == e.count()) { // no edge peeled: fixpoint
         cut.unpersist(blocking = false)
         fixed = true

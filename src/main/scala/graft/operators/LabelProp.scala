@@ -43,7 +43,6 @@ object LabelProp {
           rounds: Int, saltBuckets: Int = 1): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     require(saltBuckets >= 1, s"need saltBuckets >= 1, got $saltBuckets")
-    val spark = edges.sparkSession
     val nodes = edges.select(col(srcCol).as("node"))
       .union(edges.select(col(dstCol).as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -78,9 +77,7 @@ object LabelProp {
       val next = labels.join(best, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__newLab"), col("label")).as("label"))
-      val cut = spark.createDataFrame(next.rdd, next.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cut.count()
+      val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
       if (prev != null) prev.unpersist(blocking = false)
       prev = cut
       labels = cut

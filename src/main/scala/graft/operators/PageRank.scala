@@ -17,8 +17,8 @@ import org.apache.spark.storage.StorageLevel
   * uniformly, `r'(v) = (1−d)/N + d·(Σ contrib + m/N)` (the standard
   * Page et al. treatment), conserving Σr = 1. Cost: ONE extra keyed
   * semi-join + global sum per round over O(nodes) — the documented
-  * price, paid only when asked; `m` is a bounded 1-double collect per
-  * round (the trainer-moment discipline).
+  * price, paid only when asked; `m` rides the round's one materializing
+  * job as a one-row broadcast subtree (no per-round driver collect).
   *
   * Distributed shape per round: ONE keyed shuffle (contribution sum by
   * dst) + a broadcast-friendly left join back to the node set; the
@@ -83,14 +83,15 @@ object PageRank {
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      // bounded collect: ONE double per round (the trainer-moment class)
-      val mOverN =
-        if (dangling == null) 0.0
-        else {
-          val r = ranks.join(dangling, Seq("node"))
-            .agg(sum(col("rank"))).head()
-          (if (r.isNullAt(0)) 0.0 else r.getDouble(0)) / n
-        }
+      // dangling mass as a ONE-ROW broadcast subtree instead of a
+      // per-round collect: same sum over the same cached tables, but it
+      // rides the round's single materializing job (one action per
+      // round, not two — the r16 job-count trim; arithmetic unchanged:
+      // Σ rank over dangling, then /n, then added per row)
+      val mass =
+        if (dangling == null) null
+        else ranks.join(dangling.select(col("node")), Seq("node"))
+          .agg((sum(col("rank")) / n).as("__mn"))
       val joined =
         if (saltBuckets <= 1) edgeDeg.join(ranks, Seq("node"))
         else Skew.saltedJoin(edgeDeg, ranks, "node", saltBuckets,
@@ -109,14 +110,13 @@ object PageRank {
       // (q106/q190 oracle parity is byte-level on the rounded output)
       val contrib =
         if (dangling == null) coalesce(col("__c"), lit(0.0))
-        else coalesce(col("__c"), lit(0.0)) + lit(mOverN)
-      val next = nodes.join(sums, Seq("node"), "left")
+        else coalesce(col("__c"), lit(0.0)) + coalesce(col("__mn"), lit(0.0))
+      val joinedNodes = nodes.join(sums, Seq("node"), "left")
+      val next = (if (dangling == null) joinedNodes
+        else joinedNodes.crossJoin(broadcast(mass)))
         .select(col("node"),
           (lit(base) + lit(damping) * contrib).as("rank"))
-      val spark = next.sparkSession
-      val cut = spark.createDataFrame(next.rdd, next.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cut.count()
+      val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
       if (prev != null) prev.unpersist(blocking = false)
       prev = cut
       ranks = cut
@@ -178,13 +178,11 @@ object PageRank {
     var ranks = nodes.select(col("node"), col("__s").as("rank"))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      val m =
-        if (dangling == null) 0.0
-        else {
-          val r = ranks.join(dangling.select(col("node")), Seq("node"))
-            .agg(sum(col("rank"))).head()
-          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-        }
+      // dangling mass folded into the round's single job (see [[run]])
+      val mass =
+        if (dangling == null) null
+        else ranks.join(dangling.select(col("node")), Seq("node"))
+          .agg(sum(col("rank")).as("__mm"))
       val joined =
         if (saltBuckets <= 1) edgeDeg.join(ranks, Seq("node"))
         else Skew.saltedJoin(edgeDeg, ranks, "node", saltBuckets,
@@ -201,15 +199,15 @@ object PageRank {
           .agg(sum(col("__cp")).as("__c"))
       val contrib =
         if (dangling == null) coalesce(col("__c"), lit(0.0))
-        else coalesce(col("__c"), lit(0.0)) + lit(m) * col("__s")
-      val next = nodes.join(sums, Seq("node"), "left")
+        else coalesce(col("__c"), lit(0.0)) +
+          coalesce(col("__mm"), lit(0.0)) * col("__s")
+      val joinedNodes = nodes.join(sums, Seq("node"), "left")
+      val next = (if (dangling == null) joinedNodes
+        else joinedNodes.crossJoin(broadcast(mass)))
         .select(col("node"),
           ((lit(1.0) - damping) * col("__s") +
             lit(damping) * contrib).as("rank"))
-      val spark = next.sparkSession
-      val cut = spark.createDataFrame(next.rdd, next.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cut.count()
+      val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
       if (prev != null) prev.unpersist(blocking = false)
       prev = cut
       ranks = cut

@@ -69,8 +69,17 @@ object Candidates {
         }.toSeq)
         transform(packed, p => struct(
           (lit(-2.0) * aggregate(
-            zip_with(col(vecCol), p.getField("_2"),
-              (x, y) => x.cast("double") * y),
+            {
+              // slice BOTH sides to the shorter length first: DotProduct
+              // (the literal form) truncates to min length, while a raw
+              // zip_with null-pads the shorter side and poisons __d to
+              // NULL — the two forms must stay bit-equal on ANY input,
+              // length-mismatched vectors included (r15 advice finding)
+              val n = least(size(col(vecCol)), size(p.getField("_2")))
+              zip_with(slice(col(vecCol), lit(1), n),
+                slice(p.getField("_2"), lit(1), n),
+                (x, y) => x.cast("double") * y)
+            },
             lit(0.0), (acc, v) => acc + v) + p.getField("_3")).as("__d"),
           p.getField("_1").as("__cell")))
       }

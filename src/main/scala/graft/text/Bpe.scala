@@ -68,9 +68,7 @@ object Bpe {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x))))
         val next = vocab.select(fused.as("syms"), col("cnt"))
-        val cut = spark.createDataFrame(next.rdd, next.schema)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        cut.count()
+        val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
         vocab.unpersist(blocking = false)
         vocab = cut
       }

@@ -1102,9 +1102,11 @@ object Corpus {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // B = distinct bigram types — the one scalar (bounded collect)
     val b = c12.count().toDouble
-    val c1 = bg.groupBy(col("w1"))
-      .agg(count(lit(1)).cast("double").as("__c1"),
-        countDistinct(col("w2")).cast("double").as("__n1f"))
+    // unigram-prefix totals from the distinct-bigram table, not the
+    // instance table (same exact values — see knTrigramLogProb)
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("__c12")).as("__c1"),
+        count(lit(1)).cast("double").as("__n1f"))
     val pc = c12.groupBy(col("w2"))
       .agg(count(lit(1)).cast("double").as("__n1r"))
     val lm = c12.join(c1, Seq("w1")).join(pc, Seq("w2"))
@@ -1193,9 +1195,15 @@ object Corpus {
       sum(when(col("__c3") === 1.0, 1L).otherwise(0L)).as("n1"),
       sum(when(col("__c3") === 2.0, 1L).otherwise(0L)).as("n2")).head()
     val d3 = knDiscount(d3r.getLong(0), d3r.getLong(1))
-    val cp = tri.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).cast("double").as("__cp"),
-        countDistinct(col("w3")).cast("double").as("__n1f3"))
+    // prefix totals from the DISTINCT-trigram table, not the instance
+    // table: Σ c(w1w2·) = sum of c3 counts and N₁₊(w1w2·) = c3 row count
+    // per (w1,w2) — exactly the old count/countDistinct over `tri`, but
+    // aggregating |types| rows instead of re-shuffling |tokens| rows
+    // (guide §2.3: aggregate before you shuffle; counts are integers in
+    // doubles, so the sums are exact)
+    val cp = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__c3")).as("__cp"),
+        count(lit(1)).cast("double").as("__n1f3"))
     val cont2 = c3.groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).cast("double").as("__n2c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1285,9 +1293,11 @@ object Corpus {
       sum(when(col("__c4") === 1.0, 1L).otherwise(0L)).as("n1"),
       sum(when(col("__c4") === 2.0, 1L).otherwise(0L)).as("n2")).head()
     val d4 = knDiscount(d4r.getLong(0), d4r.getLong(1))
-    val cp3 = qg.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).cast("double").as("__cp3"),
-        countDistinct(col("w4")).cast("double").as("__n1f4"))
+    // prefix totals from the distinct-fourgram table (see the trigram
+    // twin above): same values, |types|-sized aggregation input
+    val cp3 = c4.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("__c4")).as("__cp3"),
+        count(lit(1)).cast("double").as("__n1f4"))
     val cont3 = c4.groupBy(col("w2"), col("w3"), col("w4"))
       .agg(count(lit(1)).cast("double").as("__n3c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

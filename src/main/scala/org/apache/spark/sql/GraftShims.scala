@@ -40,6 +40,44 @@ object GraftShims {
     ss.catalog.getTableMetadata(ss.sqlParser.parseTableIdentifier(table)).location
   }
 
+  /** Lineage cut for iterative loops that stays in InternalRow: run the
+    * plan once, cache the raw row blocks, and return a Dataset rooted at
+    * a LogicalRDD over them plus the RDD handle for deterministic
+    * release. Replaces `createDataFrame(df.rdd, df.schema)`, which pays
+    * a per-row InternalRow→external-Row→InternalRow round trip (the
+    * optimization guide's §1.4 `.rdd` tax) and erases the child's output
+    * partitioning and ordering — forcing the NEXT round's keyed join to
+    * re-Exchange (and re-Sort) a side that was already hash-partitioned
+    * by the join key. `fromDataset` carries the executed plan's
+    * partitioning/ordering into the LogicalRDD (the same mechanism
+    * `Dataset.localCheckpoint` uses), so a loop whose rounds are keyed
+    * the same way stops paying one Exchange per round.
+    *
+    * `eager=true` materializes before returning (the common loop shape);
+    * `eager=false` lets the caller's own action (e.g. a convergence
+    * count) be the materializing pass. The cut is persisted
+    * MEMORY_AND_DISK as a normal cached Dataset — the caller owns its
+    * `unpersist`, exactly like the pattern it replaces — unlike
+    * `localCheckpoint`, whose block handle is unreachable and whose
+    * blocks a loop would leak until the session-level reset.
+    */
+  def cachedCut(df: Dataset[Row], eager: Boolean = true): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    // toRdd finalizes the (AQE) physical plan, so fromDataset can read
+    // its real output partitioning/ordering; the RDD itself is NOT
+    // persisted — the returned Dataset is, which (a) caches columnar
+    // with ACTUAL size statistics (losing them demotes downstream
+    // broadcast joins to sort-merge — measured on q66/q69's final
+    // comps⋈docs join) and (b) keeps the usual persist/unpersist
+    // lifecycle the loop callers already have.
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    val plan = execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    val cut = classic.Dataset.ofRows(ds.sparkSession, plan)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (eager) cut.count(): Unit
+    cut
+  }
+
   /** Drop every CacheManager entry (the `private[sql]` relation cache
     * behind `DataFrame.persist`). Unpersisting a cached plan's RDDs
     * DIRECTLY (the [[graft.Blocks]] id-delta path) leaves the
