@@ -4803,12 +4803,22 @@ object SparkEntry {
         val nCand = cand.count()
         val (hit, diagOk) = GateCost.timed {
           val h = truth.join(cand, Seq("id_a", "id_b")).count()
+          // persist the 20-row diag outputs so the two-directional
+          // exceptAll executes each all-pairs plan ONCE (the
+          // CandVerdict.measure discipline)
           val brute = sim.Geometry.knnOutliers(emb, "vec_id", "embedding",
-            k = 10, topN = 20)
+              k = 10, topN = 20)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val viaCand = sim.Geometry.knnOutliers(emb, "vec_id", "embedding",
-            k = 10, topN = 20, candidates = Some(cand))
-          (h, viaCand.exceptAll(brute).isEmpty &&
-            brute.exceptAll(viaCand).isEmpty)
+              k = 10, topN = 20, candidates = Some(cand))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          brute.count(): Unit
+          viaCand.count(): Unit
+          val ok = viaCand.exceptAll(brute).isEmpty &&
+            brute.exceptAll(viaCand).isEmpty
+          brute.unpersist(blocking = false)
+          viaCand.unpersist(blocking = false)
+          (h, ok)
         }
         val pruneOk = nCand.toDouble <= 0.13 * n.toDouble * (n - 1)
         truth.unpersist(); cand.unpersist(); emb.unpersist()

@@ -103,8 +103,18 @@ object AnnVerdict {
       .filter(col("__r2") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("__r2").cast("long").as("rank"))
-    val missing = ann.exceptAll(cellTruth).count() +
-      cellTruth.exceptAll(ann).count()
+    // both sides are ≤ k rows per query but their plans are all-pairs
+    // rankings — persist + eager count so each plan executes ONCE, not
+    // once per exceptAll direction (the CandVerdict.measure discipline)
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val annP = ann.persist(level)
+    val truthP = cellTruth.persist(level)
+    annP.count(): Unit
+    truthP.count(): Unit
+    val missing = annP.exceptAll(truthP).count() +
+      truthP.exceptAll(annP).count()
+    annP.unpersist(blocking = false)
+    truthP.unpersist(blocking = false)
     val stats = assigned.agg(
       count(lit(1)).as("n_corpus"),
       sum(when(col(clusterCol).isNull, 1L).otherwise(0L)).as("__nullc"))

@@ -60,17 +60,30 @@ object CandVerdict {
 
   private def measure(fullCand: DataFrame, prunedCand: DataFrame,
       diag: Option[DataFrame] => DataFrame): Measured = {
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val full = fullCand.select(col("id_a"), col("id_b"))
     val pruned = prunedCand.select(col("id_a"), col("id_b"))
-    val brute = diag(None)
-    val viaFull = diag(Some(full))
-    Measured(
-      nFull = full.count(),
-      nPruned = pruned.count(),
-      eqOk = viaFull.exceptAll(brute).isEmpty &&
-        brute.exceptAll(viaFull).isEmpty,
-      subsetOk = pruned.join(full, Seq("id_a", "id_b"), "left_anti").isEmpty,
-      prunedDiagRows = diag(Some(pruned)).count())
+    // each diag output is tiny (topN / per-label rows) but its plan is
+    // an all-pairs O(n²) pass; the two-directional exceptAll would
+    // otherwise EXECUTE each plan twice — persist + eager count pins
+    // the 20-row result so the quadratic pass runs exactly once per
+    // side (guide §1.2: reuse, don't recompute)
+    val brute = diag(None).persist(level)
+    val viaFull = diag(Some(full)).persist(level)
+    try {
+      brute.count(): Unit
+      viaFull.count(): Unit
+      Measured(
+        nFull = full.count(),
+        nPruned = pruned.count(),
+        eqOk = viaFull.exceptAll(brute).isEmpty &&
+          brute.exceptAll(viaFull).isEmpty,
+        subsetOk = pruned.join(full, Seq("id_a", "id_b"), "left_anti").isEmpty,
+        prunedDiagRows = diag(Some(pruned)).count())
+    } finally {
+      brute.unpersist(blocking = false)
+      viaFull.unpersist(blocking = false)
+    }
   }
 
   private def flag(b: Boolean): Column = lit(if (b) 1L else 0L)

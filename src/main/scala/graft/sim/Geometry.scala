@@ -262,6 +262,35 @@ object Geometry {
               (col("__na") * col("__nb")), digits).as("__dist"))
     }
 
+  /** Top-k rows per `__ida` from the pair stage — `(__ida, __idb,
+    * __dist, __rk)` with `__rk` densely 1..k in (dist asc NULLS FIRST,
+    * idb asc) order, exactly the
+    * `row_number().over(partitionBy(__ida).orderBy(dist, idb)) <= k`
+    * window. When the id column is LongType (every production corpus
+    * here) it rides [[graft.functions.TopKAgg]]: the map-side partial
+    * collapses each point's n−1 candidates to k BEFORE the exchange,
+    * so the shuffle carries n·k entries instead of the whole O(n²)
+    * pair frame and nothing sorts the full frame (guide §2.3). The
+    * window form remains as the non-long-id fallback — same rows
+    * either way (TopKAggSpec proves equality on adversarial inputs).
+    */
+  private def rankedTopK(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (pairs.schema("__idb").dataType == LongType) {
+      pairs.groupBy(col("__ida"))
+        .agg(graft.functions.TopKAgg.topKMin(
+          col("__dist"), col("__idb"), k).as("__tk"))
+        .select(col("__ida"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+        .select(col("__ida"), col("__e").getField("id").as("__idb"),
+          col("__e").getField("score").as("__dist"),
+          (col("__p") + 1).as("__rk"))
+    } else
+      pairs.withColumn("__rk",
+        row_number().over(Window.partitionBy(col("__ida"))
+          .orderBy(col("__dist").asc, col("__idb").asc)))
+        .filter(col("__rk") <= k)
+  }
+
   /** Distance-based outlier score (Ramaswamy '00 kNN-dist variant):
     * each vector's mean cosine DISTANCE (1 − cos) to its k nearest
     * neighbors; the top-N scores are the corpus's geometric outliers —
@@ -283,10 +312,7 @@ object Geometry {
                   candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && topN >= 1, s"need k, topN >= 1, got $k, $topN")
     val pairs = pairDists(df, idCol, vecCol, digits, candidates)
-    val ranked = pairs.withColumn("__rk",
-      row_number().over(Window.partitionBy(col("__ida"))
-        .orderBy(col("__dist").asc, col("__idb").asc)))
-      .filter(col("__rk") <= k)
+    val ranked = rankedTopK(pairs, k)
     ranked.groupBy(col("__ida"))
       .agg(roundStable(avg(col("__dist")), digits).as("knn_dist"))
       .withColumn("rank", row_number().over(Window.orderBy(
@@ -317,10 +343,7 @@ object Geometry {
               candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && topN >= 1, s"need k, topN >= 1, got $k, $topN")
     val pairs = pairDists(df, idCol, vecCol, digits, candidates)
-    val inLists = pairs.withColumn("__rk",
-      row_number().over(Window.partitionBy(col("__ida"))
-        .orderBy(col("__dist").asc, col("__idb").asc)))
-      .filter(col("__rk") <= k)
+    val inLists = rankedTopK(pairs, k)
       .groupBy(col("__idb")).agg(count(lit(1)).as("__c"))
     val occ = df.select(col(idCol).as("__id"))
       .join(inLists.withColumnRenamed("__idb", "__id"), Seq("__id"), "left")
@@ -364,10 +387,7 @@ object Geometry {
     require(k >= 2, s"need k >= 2, got $k")
     val pairs = pairDists(df, idCol, vecCol, digits, candidates)
       .filter(col("__dist") > 0)
-    val ranked = pairs.withColumn("__rk",
-      row_number().over(Window.partitionBy(col("__ida"))
-        .orderBy(col("__dist").asc, col("__idb").asc)))
-      .filter(col("__rk") <= k)
+    val ranked = rankedTopK(pairs, k)
     val perPoint = ranked.groupBy(col("__ida"))
       .agg(count(lit(1)).as("__kk"), max(col("__dist")).as("__tk"),
         sum(when(col("__rk") < k, log(col("__dist")))).as("__sl"))

@@ -86,13 +86,30 @@ object Similarity {
       norm(col(vecCol)).as("__cn"))
     val sim = graft.functions.roundStable(
       dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), simDigits)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", sim)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    // long-id corpora ride the bounded TopKAgg (map-side partial keeps
+    // k per query BEFORE the exchange — guide §2.3; the window form
+    // shuffles and sorts the whole |queries|×|corpus| frame). Bounded
+    // buffers need a small k: unbounded callers (k = Int.MaxValue, the
+    // q51 full-ranking truth) and exotic id types keep the window.
+    import org.apache.spark.sql.types.LongType
+    if (k <= 4096 && corpus.schema(idCol).dataType == LongType) {
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.TopKAgg.topKMax(
+          col("cosine"), col("neighbor_id"), k).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+        .select(col("query_id"), col("__e").getField("id").as("neighbor_id"),
+          col("__e").getField("score").as("cosine"),
+          (col("__p") + 1).cast("long").as("rank"))
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }
   }
 
   /** Mutual-nearest-neighbor alignment pairs across two vector sets
@@ -131,14 +148,37 @@ object Similarity {
           .withColumn("cosine", graft.functions.roundStable(
             dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")),
             simDigits))
-        val ab = scored.withColumn("__rk", row_number().over(
-            Window.partitionBy(col("id_a"))
-              .orderBy(col("cosine").desc, col("id_b"))))
-          .filter(col("__rk") === 1).select("id_a", "id_b", "cosine")
-        val ba = scored.withColumn("__rk", row_number().over(
-            Window.partitionBy(col("id_b"))
-              .orderBy(col("cosine").desc, col("id_a"))))
-          .filter(col("__rk") === 1).select("id_a", "id_b")
+        // per-side top-1 via the bounded aggregate when ids are long
+        // (map-side partial — see bruteForceTopK); window fallback
+        // otherwise. Same (cosine desc, other-id asc) order either way.
+        import org.apache.spark.sql.types.LongType
+        val longIds = a.schema(idCol).dataType == LongType &&
+          b.schema(idCol).dataType == LongType
+        val (ab, ba) =
+          if (longIds) {
+            val abT = scored.groupBy(col("id_a"))
+              .agg(graft.functions.TopKAgg.topKMax(
+                col("cosine"), col("id_b"), 1).as("__tk"))
+              .select(col("id_a"),
+                element_at(col("__tk"), 1).getField("id").as("id_b"),
+                element_at(col("__tk"), 1).getField("score").as("cosine"))
+            val baT = scored.groupBy(col("id_b"))
+              .agg(graft.functions.TopKAgg.topKMax(
+                col("cosine"), col("id_a"), 1).as("__tk"))
+              .select(element_at(col("__tk"), 1).getField("id").as("id_a"),
+                col("id_b"))
+            (abT, baT)
+          } else {
+            val abW = scored.withColumn("__rk", row_number().over(
+                Window.partitionBy(col("id_a"))
+                  .orderBy(col("cosine").desc, col("id_b"))))
+              .filter(col("__rk") === 1).select("id_a", "id_b", "cosine")
+            val baW = scored.withColumn("__rk", row_number().over(
+                Window.partitionBy(col("id_b"))
+                  .orderBy(col("cosine").desc, col("id_a"))))
+              .filter(col("__rk") === 1).select("id_a", "id_b")
+            (abW, baW)
+          }
         ab.join(ba, Seq("id_a", "id_b"))
     }
 
