@@ -52,6 +52,26 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Ensure at least cluster-default parallelism before a compute-heavy
+    * per-row stage (guide §2.2 stragglers): a single-row-group parquet
+    * file scans as ONE task no matter how many cores exist, so per-row
+    * md5/regex/shingle/n-gram work serializes — measured 10× on
+    * Winnow.fingerprints at sf0.1 (4.4 s → 0.45 s warm on 32 cores).
+    * Hash-repartitions by `key` ONLY when the plan is under-parallel:
+    * at production scale the scan already carries ≥ cores partitions
+    * and this is a no-op — no 100 TB reshuffle is introduced. The
+    * EXPLICIT partition count matters: without it AQE's small-data
+    * coalescing would merge the tiny text exchange straight back to
+    * one task. Keyed (not round-robin) so downstream per-key windows
+    * and aggregations can reuse the distribution, and so the row
+    * placement is deterministic under retries.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
+
   /** Register every table as a temp view so SQL users can query the
     * dataset directly (`spark.sql("SELECT ... FROM lineitem ...")`) —
     * combined with [[GraftExtensions]]' registered functions this makes

@@ -34,7 +34,10 @@ object NGramJaccard {
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val words = split(col(textCol), " ")
-    df.select(
+    // per-row shingle building (split + transform + distinct + hash +
+    // sort) is the compute-heavy stage — spread an under-parallel scan
+    // first (guide §2.2; a single-row-group file is ONE task otherwise)
+    graft.Tables.spread(df, idCol).select(
         col(idCol),
         when(size(words) >= n,
           array_distinct(

@@ -35,7 +35,9 @@ object Bpe {
     require(numMerges >= 1, s"need numMerges >= 1, got $numMerges")
     val spark = docs.sparkSession
     import TextStats.tokens
-    var vocab = docs
+    // the initial vocab agg explodes every token and char-splits every
+    // word in the scan task — spread an under-parallel scan (guide §2.2)
+    var vocab = graft.Tables.spread(docs, textCol)
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))

@@ -996,7 +996,9 @@ object Corpus {
     */
   private def bigramRows(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame =
-    docs
+    // n-gram explode + map-side count partials run in the scan task —
+    // spread an under-parallel scan first (guide §2.2)
+    graft.Tables.spread(docs, idCol)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(zip_with(
@@ -1129,7 +1131,8 @@ object Corpus {
     */
   private def trigramRows(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame =
-    docs
+    // see bigramRows: spread an under-parallel scan (guide §2.2)
+    graft.Tables.spread(docs, idCol)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 3)
       .select(col(idCol), explode(zip_with(
@@ -1240,7 +1243,8 @@ object Corpus {
     */
   private def fourgramRows(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame =
-    docs
+    // see bigramRows: spread an under-parallel scan (guide §2.2)
+    graft.Tables.spread(docs, idCol)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 4)
       .select(col(idCol), explode(zip_with(

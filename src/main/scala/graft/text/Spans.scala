@@ -40,7 +40,10 @@ object Spans {
     require(k >= 2, s"need k >= 2, got $k")
     require(minCount >= 2, s"need minCount >= 2, got $minCount")
     val arr = split(col(textCol), " ")
-    val base = docs.select(col(idCol).as("__id"), arr.as("__w"))
+    // gram materialization (k-token concat per position) is the heavy
+    // per-row stage — spread an under-parallel scan first (guide §2.2)
+    val base = graft.Tables.spread(docs, idCol)
+      .select(col(idCol).as("__id"), arr.as("__w"))
       .withColumn("__n", size(col("__w")))
     // 1-based gram start positions, gram = tokens [pos, pos+k-1]
     val grams = base
@@ -84,7 +87,10 @@ object Spans {
                        k: Int, topN: Int = 20): DataFrame = {
     require(k >= 2 && topN >= 1, s"need k >= 2, topN >= 1")
     val arr = split(col(textCol), " ")
-    val base = docs.select(col(idCol).as("__id"), arr.as("__w"))
+    // gram materialization (k-token concat per position) is the heavy
+    // per-row stage — spread an under-parallel scan first (guide §2.2)
+    val base = graft.Tables.spread(docs, idCol)
+      .select(col(idCol).as("__id"), arr.as("__w"))
       .withColumn("__n", size(col("__w")))
     val grams = base.filter(col("__n") >= k)
       .select(col("__id"),

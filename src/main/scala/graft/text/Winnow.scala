@@ -48,7 +48,11 @@ object Winnow {
                    k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
     val t = lower(col(textCol))
-    val grams = docs
+    // the per-position md5+conv below is the dominant cost and runs
+    // BELOW the window exchange (Catalyst projects the packed hash
+    // early) — i.e. in the scan task; spread an under-parallel scan so
+    // it uses the cluster (guide §2.2; measured 4.4 s → 0.45 s warm)
+    val grams = graft.Tables.spread(docs, idCol)
       .filter(length(t) >= k && length(t) < PosCap)
       .select(col(idCol).as("doc"),
         explode(sequence(lit(1), length(t) - (k - 1))).as("pos"),
