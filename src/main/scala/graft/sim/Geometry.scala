@@ -237,9 +237,14 @@ object Geometry {
       digits: Int, candidates: Option[DataFrame]): DataFrame =
     candidates match {
       case None =>
-        val a = df.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
+        // the broadcast self-join's output parallelism equals the STREAM
+        // side's scan partitions — a single-row-group embeddings file
+        // would compute all n² dots in ONE task (guide §2.2); spread is
+        // a no-op when the scan is already parallel
+        val sdf = graft.Tables.spread(df, idCol)
+        val a = sdf.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
           .withColumn("__na", Similarity.norm(col("__va")))
-        val b = df.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
+        val b = sdf.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
           .withColumn("__nb", Similarity.norm(col("__vb")))
         a.join(broadcast(b), col("__ida") =!= col("__idb"))
           .select(col("__ida"), col("__idb"),

@@ -82,8 +82,12 @@ object Similarity {
     // in a CTE the same way, so the arithmetic stays identical.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"))
+    // the corpus is the STREAM side of the broadcast join: its scan
+    // partitioning bounds the |queries|×|corpus| scoring parallelism —
+    // spread an under-parallel scan (guide §2.2; no-op at scale)
+    val c = graft.Tables.spread(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
     val sim = graft.functions.roundStable(
       dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), simDigits)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
