@@ -116,7 +116,7 @@ object Bench {
     * format change — the verdict logic then falls back to own-warm
     * comparison only).
     */
-  private[graft] def priorColds(path: String): Map[String, Double] = {
+  private def priorMap(path: String, keys: Seq[String]): Map[String, Double] = {
     val f = new java.io.File(path)
     if (!f.isFile) return Map.empty
     try {
@@ -130,12 +130,77 @@ object Bench {
           if (end < 0) None else Some(s.substring(start, end))
         }
       }
-      val body = flatObj("prior_colds").orElse(flatObj("queries"))
+      val body = keys.view.flatMap(flatObj).headOption
         .getOrElse(return Map.empty)
       val pair = """"([^"]+)":([0-9.Ee+-]+)""".r
       pair.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+  }
+
+  private[graft] def priorColds(path: String): Map[String, Double] =
+    priorMap(path, Seq("prior_colds", "queries"))
+
+  /** Previous round's per-query WARM seconds — the r17 warm-prior gate
+    * (the r15/r16 verdicts' standing item: cold outliers were gated,
+    * but a warm drift like q146's r16 +23 % sailed through unflagged).
+    * The artifact's `warm` object already carries the min-substituted
+    * best-evidence warms (warmSec), so it is the prior; the
+    * `prior_warms` preference exists only as a forward-compat hook
+    * should the two ever diverge.
+    */
+  private[graft] def priorWarms(path: String): Map[String, Double] =
+    priorMap(path, Seq("prior_warms", "warm"))
+
+  /** Warm-drift predicate (the r17 warm-prior gate): a warm run is an
+    * outlier when it exceeds its prior-round best-evidence warm by both
+    * a ratio (1.75×) and an absolute floor (1 s — the sub-second tail
+    * jitters multiples without carrying signal). Pure function so
+    * BenchSpec can assert a synthetic inflation trips it.
+    */
+  private[graft] def warmDrifted(warm: Double, prior: Option[Double]): Boolean =
+    prior.exists(p => warm > p * 1.75 && warm - p > 1.0)
+
+  /** The untimed generic warm-up pipeline Bench and BenchOne share so
+    * "cold" means the same thing in both artifacts: parquet scan,
+    * shuffle agg, broadcast join (the r12 set — scan exec, exchange,
+    * codegen driver, block manager), PLUS (r17) the iterative-loop
+    * machinery — a 3-round toy loop through [[org.apache.spark.sql
+    * .GraftShims.cachedCut]] (InMemoryRelation columnar cache write +
+    * read, LogicalRDD) and one sort-merge self-join (sort + SMJ codegen).
+    * The r17 sorted first pass made the alphabetically-first iterative
+    * query (q106) carry ~54 s of in-run JIT for these shared paths that
+    * hash order had smeared onto whichever query happened to run first —
+    * a PROCESS cost, not a plan cost, so it belongs here. Nothing below
+    * runs any registered query's plan: every timed cold still pays its
+    * own plan compilation.
+    */
+  private[graft] def infraWarmup(spark: SparkSession, sfDir: String): Unit = {
+    val t = spark.range(1L << 20)
+      .selectExpr("id", "cast(id % 5 as bigint) as k")
+    t.groupBy("k").count().count()
+    val r = Tables.region(spark, sfDir).selectExpr(
+      "cast(r_regionkey as bigint) as k")
+    t.join(org.apache.spark.sql.functions.broadcast(r), Seq("k"), "left")
+      .count()
+    // sort-merge joins (inner + the graph loops' left-outer shape):
+    // both sides too big to broadcast, unique keys
+    val t2 = spark.range(1L << 20).selectExpr("id", "id as v")
+    t.join(t2, Seq("id")).count()
+    t2.join(t, Seq("id"), "left").count()
+    // iterative loop: cache write/read + cachedCut + keyed agg per round
+    var it = t.groupBy("k").agg(
+      org.apache.spark.sql.functions.sum("id").cast("double").as("s"))
+    var prevIt: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 6) {
+      val nxt = it.join(t.select("k").distinct(), Seq("k"), "left")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("s").as("s"))
+      val cut = org.apache.spark.sql.GraftShims.cachedCut(nxt)
+      if (prevIt != null) prevIt.unpersist(blocking = false)
+      prevIt = cut
+      it = cut
+    }
+    if (prevIt != null) prevIt.unpersist(blocking = false)
   }
 
   /** JVM flags this process was launched with that the fresh-JVM child
@@ -214,6 +279,7 @@ object Bench {
     val spark = Sessions.local(cpus, shufflePartitions = cpus)
     spark.sparkContext.setLogLevel("WARN")
     val prior = priorColds("bench-latest.json")
+    val priorWarm = priorWarms("bench-latest.json")
     val extLoadEst = new ExternalLoad
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       val before = Blocks.persistedIds(spark)
@@ -275,7 +341,7 @@ object Bench {
       //   child itself hit debt and 125.6 s replaced an in-bench
       //   44.2 s.) Both numbers stay visible in the audit objects.
       private val warmContaminated = Set("vanished_on_remeasure",
-        "external_load", "descheduled_external")
+        "warm_drift_vanished", "external_load", "descheduled_external")
       def warmSec: Double = {
         val base = remeasured match {
           case Some((_, w2)) if warmVerdict.exists(warmContaminated) =>
@@ -317,29 +383,28 @@ object Bench {
     // UNTIMED process warm-up before the timed loop: the first map-order
     // query otherwise carries the JVM/Spark STARTUP JIT (r12: query #1
     // cold 5.26 s vs 0.33 s recold with 6.49 s of in-run JIT — a process
-    // cost, not a plan cost). One throwaway generic pipeline — parquet
-    // scan, shuffle agg, broadcast join — compiles the Spark
-    // infrastructure paths (scan exec, exchange, codegen driver, block
-    // manager) WITHOUT running any registered query's plan, so every
-    // timed cold still pays its own plan compilation. Policy unchanged:
-    // cold remains the first TIMED pass.
+    // cost, not a plan cost). See [[infraWarmup]] for what it compiles.
+    // Policy unchanged: cold remains the first TIMED pass.
     locally {
       extLoadEst.sample() // seed the own-CPU window before the warm-up
       val warm0 = Blocks.persistedIds(spark)
-      val t = spark.range(1L << 20)
-        .selectExpr("id", "cast(id % 5 as bigint) as k")
-      t.groupBy("k").count().count()
-      val r = Tables.region(spark, sfDir).selectExpr(
-        "cast(r_regionkey as bigint) as k")
-      t.join(org.apache.spark.sql.functions.broadcast(r), Seq("k"), "left")
-        .count()
+      infraWarmup(spark, sfDir)
       Blocks.hardReset(spark, warm0)
       System.gc()
       Thread.sleep(100)
     }
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+    // SORTED NAME ORDER (r17 — the memo-warm-up determinism fix): the
+    // hash-map iteration order decided WHICH query of a shared-memo
+    // family (q350-q352's candidate frames, q71/q73/q354's codebooks)
+    // paid the once-per-process build inside its cold, so the family's
+    // cold attribution moved 2× with an opaque order (r16's q352 51 s
+    // vs builder 21.9 s). Lexicographic order is stable across rounds,
+    // boxes and key-set growth: the alphabetically-first family member
+    // always carries the shared cost, and every later member's cold is
+    // deterministically the marginal cost.
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, time(fn), time(fn))
-    }.toSeq
+    }
     // Serial re-measure of every flagged query BEFORE the artifact is
     // written: on a contended box the first-pass numbers may time a
     // neighbor process, not the query. The re-measure is one more
@@ -348,17 +413,35 @@ object Bench {
     val inProcess = firstPass.map { case (name, fn, c, w) =>
       val isInv = c.err.isEmpty && w.err.isEmpty && inverted(c, w)
       val isColdOut = c.err.isEmpty && w.err.isEmpty && coldOutlier(name, c, w)
-      if (!isInv && !isColdOut) Entry(name, c, w, None, None, None)
+      // WARM-PRIOR GATE (r17, the standing r15/r16 verdict item): a warm
+      // run far above its prior-round best-evidence warm is re-measured
+      // like a cold outlier — a drift that reproduces is a real
+      // regression and says so; one that vanishes takes the min (a
+      // contaminated warm only ever overestimates, same policy as the
+      // inversion class).
+      val isWarmDrift = c.err.isEmpty && w.err.isEmpty && !isInv &&
+        warmDrifted(w.wallSec, priorWarm.get(name))
+      if (!isInv && !isColdOut && !isWarmDrift) Entry(name, c, w, None, None, None)
       else {
         val c2 = time(fn)
         val w2 = time(fn)
-        val warmVerdict = if (!isInv) None else Some(
-          if (!inverted(c2, w2)) "vanished_on_remeasure"
-          else if (w2.load > ncores * 0.5 && w2.load > c2.load * 1.5) "external_load"
-          else if (w2.cpuFrac >= 0 && w2.cpuFrac < 0.05) "descheduled_external"
-          else if (w2.gcSec > w2.wallSec * 0.3) "gc"
-          else if (w2.jitSec > w2.wallSec * 0.3) "jit"
-          else "true_warm_regression") // real: warm genuinely slower
+        val warmVerdict =
+          if (isInv) Some(
+            if (!inverted(c2, w2)) "vanished_on_remeasure"
+            else if (w2.load > ncores * 0.5 && w2.load > c2.load * 1.5) "external_load"
+            else if (w2.cpuFrac >= 0 && w2.cpuFrac < 0.05) "descheduled_external"
+            else if (w2.gcSec > w2.wallSec * 0.3) "gc"
+            else if (w2.jitSec > w2.wallSec * 0.3) "jit"
+            else "true_warm_regression") // real: warm genuinely slower
+          else if (isWarmDrift) Some(
+            if (!warmDrifted(w2.wallSec, priorWarm.get(name)))
+              "warm_drift_vanished" // rewarm back under the prior gate
+            else if (w2.load > ncores * 0.5 && w2.load > c2.load * 1.5) "external_load"
+            else if (w2.cpuFrac >= 0 && w2.cpuFrac < 0.05) "descheduled_external"
+            else if (w2.gcSec > w2.wallSec * 0.3) "gc"
+            else if (w2.jitSec > w2.wallSec * 0.3) "jit"
+            else "true_warm_regression") // reproduced: flag it loudly
+          else None
         // MEMOIZED-VERDICT RECOGNITION FIRST (r15 chain-1 lesson): a
         // query that memoizes its collected result per process (the
         // q350/q354 class) ALWAYS trips the cold-vs-warm outlier test —
@@ -385,7 +468,12 @@ object Bench {
         val coldVerdict = if (!isColdOut) None else Some(
           if (memoized)
             prior.get(name) match {
-              case Some(p) if c.wallSec > p * 2.5 + 2 =>
+              // 1.5× (was 2.5×, r17): q352's 51.0 s vs prior 20.4 slid
+              // under the old bar and kept a memo-order artifact in the
+              // headline — the lane exists exactly for this class, and
+              // with sorted query order a memo cold above 1.5× prior is
+              // a real suspicion, not warm-up-order noise
+              case Some(p) if c.wallSec > p * 1.5 + 2 =>
                 "memoized_cold_above_prior" // fresh lane adjudicates
               case _ => "memoized_verdict_cold" // benign by construction
             }

@@ -43,16 +43,11 @@ object BenchOne {
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     // same untimed infra warm-up as Bench (scan + exchange + broadcast
-    // codegen paths) so "cold" means the same thing in both artifacts
+    // + SMJ + iterative-loop codegen paths — Bench.infraWarmup) so
+    // "cold" means the same thing in both artifacts
     locally {
       val warm0 = Blocks.persistedIds(spark)
-      val t = spark.range(1L << 20)
-        .selectExpr("id", "cast(id % 5 as bigint) as k")
-      t.groupBy("k").count().count()
-      val r = Tables.region(spark, sfDir).selectExpr(
-        "cast(r_regionkey as bigint) as k")
-      t.join(org.apache.spark.sql.functions.broadcast(r), Seq("k"), "left")
-        .count()
+      Bench.infraWarmup(spark, sfDir)
       Blocks.releaseSince(spark, warm0): Unit
       System.gc()
       Thread.sleep(100)

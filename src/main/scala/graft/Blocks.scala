@@ -92,4 +92,48 @@ object Blocks {
     fresh.values.foreach(_.unpersist(blocking = true))
     org.apache.spark.GraftSparkShims.dropAllBroadcastBlocks(spark.sparkContext)
   }
+
+  /** Scoped PER-ROUND broadcast release for iterative loops (r17,
+    * guide §5 leaked state): each round of a cachedCut loop executes
+    * fresh broadcast exchanges (the rank/score join side, the
+    * dangling-mass one-row), and the `Broadcast` handles are unreachable
+    * the moment the round's cut is materialized — yet their blocks
+    * survive to the end-of-query reset (~40 blocks / ~135 MB per q106
+    * run, r16 Q106Triage), squeezing storage for the live cuts across a
+    * long chain. The scope drops, at each round's end, every broadcast
+    * that appeared AFTER the loop started but BEFORE this round began:
+    * provably dead — the current round's cut is materialized (count
+    * returned), the previous cut is unpersisted, and no later plan can
+    * reference an earlier round's exchange (each round plans fresh
+    * exchanges; cache entries die with their unpersist).
+    *
+    * The trade is documented: a dropped broadcast breaks RECOMPUTE of an
+    * already-unpersisted earlier cut — exactly as unpersisting it did.
+    * Persisted cuts are MEMORY_AND_DISK; losing one means executor loss,
+    * at which point the loop re-runs from its inputs.
+    *
+    * CONCURRENCY CONSTRAINT: the snapshot delta is SparkSession-global —
+    * a broadcast created by a DIFFERENT thread's query between this
+    * loop's rounds would be swept up by roundEnd and its job would fail
+    * re-fetching it. The iterative operators that embed this scope are
+    * single-query driver loops (the engine's execution model: one query
+    * at a time per session, which is also what Bench/Verify do); do NOT
+    * run them concurrently with other queries on the same session.
+    *
+    * Usage: `val scope = Blocks.loopBroadcastScope(spark)`, then per
+    * round `scope.roundStart()` before building, `scope.roundEnd()`
+    * after the cut's materializing count + the prev unpersist.
+    */
+  final class LoopBroadcastScope private[Blocks] (spark: SparkSession) {
+    private val sc = spark.sparkContext
+    private val base = org.apache.spark.GraftSparkShims.broadcastIds(sc)
+    private var beforeRound = base
+    def roundStart(): Unit =
+      beforeRound = org.apache.spark.GraftSparkShims.broadcastIds(sc)
+    def roundEnd(): Int =
+      org.apache.spark.GraftSparkShims.dropBroadcastIds(sc, beforeRound -- base)
+  }
+
+  def loopBroadcastScope(spark: SparkSession): LoopBroadcastScope =
+    new LoopBroadcastScope(spark)
 }

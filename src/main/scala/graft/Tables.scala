@@ -67,8 +67,17 @@ object Tables {
     * placement is deterministic under retries.
     */
   def spread(df: DataFrame, key: String): DataFrame = {
+    // CONTRACT: call this on raw table scans (or scan + narrow ops)
+    // only. The probe below reads the physical plan's partition count,
+    // which for an input CONTAINING a shuffle is the static pre-AQE
+    // number (spark.sql.shuffle.partitions), not the runtime-coalesced
+    // one — the guard could misjudge in both directions there (r17
+    // advisor note). Every call site feeds a scan side, where the count
+    // is exact. `toRdd` (not `.rdd`) skips building the second
+    // external-row deserializer lineage just to read a partition count.
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    val parts = org.apache.spark.sql.GraftShims.planPartitions(df)
+    if (parts >= target) df
     else df.repartition(target, col(key))
   }
 

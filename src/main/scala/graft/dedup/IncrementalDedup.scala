@@ -121,10 +121,16 @@ object IncrementalDedup {
     // harmlessly (candidates are distinct()-ed); the reverse order would
     // leave ids that gate as "done" with their band rows missing — silent
     // recall loss forever after.
-    graft.sources.Io.appendBucketed(
-      MinHashLsh.bandRows(sets, idCol, numHashes, bands), bandsTable(name))
-    graft.sources.Io.appendBucketed(
-      sets.select(col(idCol).as("id"), col("shh"), col("n_sh")), setsTable(name))
+    // replay fast path: a fully-gated batch writes nothing — skip the
+    // two zero-row append jobs (the band-derivation shuffle included).
+    // The bands-before-sets commit order below is untouched for the
+    // non-empty case (see IncrementalAgg.appendDelta for the pattern).
+    if (sets.head(1).nonEmpty) {
+      graft.sources.Io.appendBucketed(
+        MinHashLsh.bandRows(sets, idCol, numHashes, bands), bandsTable(name))
+      graft.sources.Io.appendBucketed(
+        sets.select(col(idCol).as("id"), col("shh"), col("n_sh")), setsTable(name))
+    }
     // checkpoint blocks have no lineage and never expire on their own — a
     // streaming caller folds thousands of batches, so free them here
     graft.Blocks.releaseSince(spark, before)

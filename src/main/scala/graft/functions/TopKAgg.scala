@@ -54,8 +54,11 @@ case class TopKAgg(
   // ARE equal there (tie → id) — normalize before Double.compare
   // (which would otherwise order -0.0 < 0.0); NaN==NaN is already a
   // tie under Double.compare, matching the normalized single-NaN key.
-  private def cmp(n1: Boolean, s1: Double, id1: Long,
-      n2: Boolean, s2: Double, id2: Long): Int = {
+  // NULL ids rank like the window's `id asc` tie-break does: NULLS
+  // FIRST among equal scores (r17, the advisor's null-id finding — the
+  // previous form silently DROPPED null-id rows the window ranks).
+  private def cmp(n1: Boolean, s1: Double, in1: Boolean, id1: Long,
+      n2: Boolean, s2: Double, in2: Boolean, id2: Long): Int = {
     val c =
       if (n1 && n2) 0
       else if (n1) { if (asc) -1 else 1 } // null: first when asc, last when desc
@@ -66,34 +69,39 @@ case class TopKAgg(
         val d = java.lang.Double.compare(x1, x2)
         if (asc) d else -d
       }
-    if (c != 0) c else java.lang.Long.compare(id1, id2)
+    if (c != 0) c
+    else if (in1 && in2) 0
+    else if (in1) -1 // id asc ⇒ NULLS FIRST on the tie-break
+    else if (in2) 1
+    else java.lang.Long.compare(id1, id2)
   }
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val sv = score.eval(input)
     val iv = id.eval(input)
-    if (iv != null) {
-      val isNull = sv == null
-      val s = if (isNull) 0.0 else sv.asInstanceOf[Double]
-      insert(buf, isNull, s, iv.asInstanceOf[Long])
-    }
+    val isNull = sv == null
+    val s = if (isNull) 0.0 else sv.asInstanceOf[Double]
+    if (iv == null) insert(buf, isNull, s, idNul = true, 0L)
+    else insert(buf, isNull, s, idNul = false, iv.asInstanceOf[Long])
     buf
   }
 
-  private def insert(buf: Buf, isNull: Boolean, s: Double, i: Long): Unit = {
+  private def insert(buf: Buf, isNull: Boolean, s: Double, idNul: Boolean, i: Long): Unit = {
     val n = buf.size
-    if (n == k && cmp(isNull, s, i, buf.nul(n - 1), buf.score(n - 1), buf.id(n - 1)) >= 0) return
+    if (n == k && cmp(isNull, s, idNul, i,
+      buf.nul(n - 1), buf.score(n - 1), buf.idNul(n - 1), buf.id(n - 1)) >= 0) return
     // find insertion point (linear — k is tiny and rows mostly lose at
     // the last slot after the buffer warms up)
     var pos = n
-    while (pos > 0 && cmp(isNull, s, i, buf.nul(pos - 1), buf.score(pos - 1), buf.id(pos - 1)) < 0) pos -= 1
-    buf.insertAt(pos, isNull, s, i, k)
+    while (pos > 0 && cmp(isNull, s, idNul, i,
+      buf.nul(pos - 1), buf.score(pos - 1), buf.idNul(pos - 1), buf.id(pos - 1)) < 0) pos -= 1
+    buf.insertAt(pos, isNull, s, idNul, i, k)
   }
 
   override def merge(a: Buf, b: Buf): Buf = {
     var j = 0
     while (j < b.size) {
-      insert(a, b.nul(j), b.score(j), b.id(j))
+      insert(a, b.nul(j), b.score(j), b.idNul(j), b.id(j))
       j += 1
     }
     a
@@ -103,7 +111,8 @@ case class TopKAgg(
     val rows = new Array[Any](buf.size)
     var j = 0
     while (j < buf.size) {
-      rows(j) = InternalRow(if (buf.nul(j)) null else buf.score(j), buf.id(j))
+      rows(j) = InternalRow(if (buf.nul(j)) null else buf.score(j),
+        if (buf.idNul(j)) null else buf.id(j))
       j += 1
     }
     new GenericArrayData(rows)
@@ -114,7 +123,9 @@ case class TopKAgg(
     bb.putInt(buf.size)
     var j = 0
     while (j < buf.size) {
-      bb.put(if (buf.nul(j)) 1.toByte else 0.toByte)
+      // one flag byte: bit 0 = score null, bit 1 = id null
+      val flags = (if (buf.nul(j)) 1 else 0) | (if (buf.idNul(j)) 2 else 0)
+      bb.put(flags.toByte)
       bb.putDouble(buf.score(j))
       bb.putLong(buf.id(j))
       j += 1
@@ -128,10 +139,10 @@ case class TopKAgg(
     val buf = new Buf(k)
     var j = 0
     while (j < n) {
-      val nul = bb.get() == 1.toByte
+      val flags = bb.get()
       val s = bb.getDouble
       val i = bb.getLong
-      buf.insertAt(j, nul, s, i, k)
+      buf.insertAt(j, (flags & 1) != 0, s, (flags & 2) != 0, i, k)
       j += 1
     }
     buf
@@ -140,7 +151,7 @@ case class TopKAgg(
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("score", DoubleType, nullable = true),
-      StructField("id", LongType, nullable = false))),
+      StructField("id", LongType, nullable = true))),
     containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(score, id)
@@ -160,20 +171,24 @@ object TopKAgg {
     private[TopKAgg] val scores = new Array[Double](k)
     private[TopKAgg] val ids = new Array[Long](k)
     private[TopKAgg] val nulls = new Array[Boolean](k)
+    private[TopKAgg] val idNulls = new Array[Boolean](k)
     var size: Int = 0
     def score(j: Int): Double = scores(j)
     def id(j: Int): Long = ids(j)
     def nul(j: Int): Boolean = nulls(j)
+    def idNul(j: Int): Boolean = idNulls(j)
     /** shift [pos, size) right by one (dropping overflow) and write. */
-    def insertAt(pos: Int, isNull: Boolean, s: Double, i: Long, k: Int): Unit = {
+    def insertAt(pos: Int, isNull: Boolean, s: Double, idNul: Boolean,
+        i: Long, k: Int): Unit = {
       if (pos >= k) return
       val last = math.min(size, k - 1)
       var j = last
       while (j > pos) {
         scores(j) = scores(j - 1); ids(j) = ids(j - 1); nulls(j) = nulls(j - 1)
+        idNulls(j) = idNulls(j - 1)
         j -= 1
       }
-      scores(pos) = s; ids(pos) = i; nulls(pos) = isNull
+      scores(pos) = s; ids(pos) = i; nulls(pos) = isNull; idNulls(pos) = idNul
       if (size < k) size += 1
     }
   }

@@ -39,13 +39,17 @@ object Bfs {
     var dist = seeds.select(col(nodeCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
     var prev: DataFrame = null
+    // per-round broadcast hygiene — see [[PageRank.run]]
+    val bcScope = graft.Blocks.loopBroadcastScope(edges.sparkSession)
     for (_ <- 1 to rounds) {
+      bcScope.roundStart()
       val relaxed = e.join(dist, Seq("node"))
         .select(col("__dst").as("node"), (col("dist") + 1L).as("dist"))
       val next = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
       if (prev != null) prev.unpersist(blocking = false)
+      bcScope.roundEnd()
       prev = cut
       dist = cut
     }

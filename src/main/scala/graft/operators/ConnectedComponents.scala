@@ -65,7 +65,10 @@ object ConnectedComponents {
 
     var iter = 0
     var changed = 1L
+    // per-round broadcast hygiene — see [[PageRank.run]]
+    val bcScope = graft.Blocks.loopBroadcastScope(edges.sparkSession)
     while (changed > 0 && iter < maxIters) {
+      bcScope.roundStart()
       // min label over the closed neighborhood: the node's own label and
       // every neighbor's label — one keyed join + one min-aggregate.
       // The node's own row carries its previous label a second time as
@@ -82,6 +85,7 @@ object ConnectedComponents {
         _.filter(col("comp") =!= col("old")).count())
       changed = delta
       cur.unpersist()
+      bcScope.roundEnd()
       cur = cut
       labels = cut.select("node", "comp")
       iter += 1
@@ -132,7 +136,10 @@ object ConnectedComponents {
 
     var iter = 0
     var stable = curCnt == 0L // an empty edge set is already converged
+    // per-round broadcast hygiene — see [[PageRank.run]]
+    val bcScope = graft.Blocks.loopBroadcastScope(edges.sparkSession)
     while (!stable && iter < maxIters) {
+      bcScope.roundStart()
       // ---- large-star: per node, min over the CLOSED neighborhood ----
       // sym feeds BOTH the min-aggregate and the join below; without a
       // persist the union of the previous round's edges is evaluated
@@ -169,6 +176,7 @@ object ConnectedComponents {
       stable = nextCnt == curCnt && interCnt == nextCnt
       sym.unpersist()
       curCut.unpersist()
+      bcScope.roundEnd()
       curCut = next
       cur = next.select("u", "v")
       curCnt = nextCnt

@@ -51,7 +51,10 @@ object Hits {
     nodes.count()
     var hubs = nodes.withColumn("h", lit(1.0))
     var prev: DataFrame = null
+    // per-round broadcast hygiene — see [[PageRank.run]]
+    val bcScope = graft.Blocks.loopBroadcastScope(edges.sparkSession)
     for (_ <- 1 to iters) {
+      bcScope.roundStart()
       // authority: pull hub mass along in-edges, L1-normalize. The raw
       // agg feeds BOTH the rows and the norm scalar — persisted so the
       // edge join runs once per round, not twice (exchange reuse alone
@@ -96,6 +99,7 @@ object Hits {
       aRaw.unpersist(blocking = false)
       hRaw.unpersist(blocking = false)
       if (prev != null) prev.unpersist(blocking = false)
+      bcScope.roundEnd()
       prev = cut
       hubs = cut.select(col("node"), col("h"))
     }

@@ -134,7 +134,10 @@ object IncrementalCC {
       .filter(col("prev").isNull || col("comp") < col("prev"))
       .select(col("id"), col("comp"))
       .localCheckpoint()
-    graft.sources.Io.appendBucketed(changed, labelsTable(name))
+    // replay fast path: a converged/replayed batch changes nothing —
+    // skip the zero-row write job (see IncrementalAgg.appendDelta)
+    if (changed.head(1).nonEmpty)
+      graft.sources.Io.appendBucketed(changed, labelsTable(name))
     // free this batch's intermediates (e) and the changed-rows
     // checkpoint — but NOT the checkpoint backing the returned labels:
     // the caller consumes it (releasing it here was a use-after-free the

@@ -48,7 +48,10 @@ object KCore {
     var prev: DataFrame = e // previous round's cached block, released as the next lands
     var round = 0
     var fixed = false
+    // per-round broadcast hygiene — see [[PageRank.run]]
+    val bcScope = graft.Blocks.loopBroadcastScope(edges.sparkSession)
     while (round < maxPeels && !fixed) {
+      bcScope.roundStart()
       val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("__deg"))
       val drop = deg.filter(col("__deg") < k).select("v")
@@ -65,6 +68,7 @@ object KCore {
         val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
         drop.unpersist(blocking = false)
         prev.unpersist(blocking = false)
+        bcScope.roundEnd()
         prev = cut
         e = cut
         round += 1

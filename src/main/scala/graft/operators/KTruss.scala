@@ -53,7 +53,10 @@ object KTruss {
     // the output join, saving a full extra wedge enumeration (~1/3 of
     // q261's cold time before this change).
     var sup = support(e).persist(StorageLevel.MEMORY_AND_DISK)
+    // per-round broadcast hygiene — see [[PageRank.run]]
+    val bcScope = graft.Blocks.loopBroadcastScope(edges.sparkSession)
     while (round < maxPeels && !fixed) {
+      bcScope.roundStart()
       val next = e
         .join(sup, Seq("a", "b"), "left")
         .filter(coalesce(col("__sup"), lit(0L)) >= k - 2)
@@ -64,6 +67,7 @@ object KTruss {
         fixed = true
       } else {
         prev.unpersist(blocking = false)
+        bcScope.roundEnd()
         prev = cut
         e = cut
         round += 1

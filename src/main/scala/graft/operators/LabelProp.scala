@@ -52,7 +52,10 @@ object LabelProp {
     e.count()
     var labels = nodes.withColumn("label", col("node"))
     var prev: DataFrame = null
+    // per-round broadcast hygiene — see [[PageRank.run]]
+    val bcScope = graft.Blocks.loopBroadcastScope(edges.sparkSession)
     for (_ <- 1 to rounds) {
+      bcScope.roundStart()
       // neighbor labels arrive by joining each edge's dst against the
       // snapshot; the vote is per (voting node, label)
       val joined =
@@ -79,6 +82,7 @@ object LabelProp {
           coalesce(col("__newLab"), col("label")).as("label"))
       val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
       if (prev != null) prev.unpersist(blocking = false)
+      bcScope.roundEnd()
       prev = cut
       labels = cut
     }

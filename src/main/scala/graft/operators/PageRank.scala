@@ -82,7 +82,12 @@ object PageRank {
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var prev: DataFrame = null
+    // per-round broadcast hygiene: round R−1's exchange broadcasts are
+    // provably dead once round R's cut is materialized — release them
+    // instead of pinning ~40 blocks/run to the end-of-query reset
+    val bcScope = graft.Blocks.loopBroadcastScope(edges.sparkSession)
     for (_ <- 1 to iters) {
+      bcScope.roundStart()
       // dangling mass as a ONE-ROW broadcast subtree instead of a
       // per-round collect: same sum over the same cached tables, but it
       // rides the round's single materializing job (one action per
@@ -118,6 +123,7 @@ object PageRank {
           (lit(base) + lit(damping) * contrib).as("rank"))
       val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
       if (prev != null) prev.unpersist(blocking = false)
+      bcScope.roundEnd()
       prev = cut
       ranks = cut
     }
@@ -177,7 +183,9 @@ object PageRank {
       }
     var ranks = nodes.select(col("node"), col("__s").as("rank"))
     var prev: DataFrame = null
+    val bcScope = graft.Blocks.loopBroadcastScope(edges.sparkSession)
     for (_ <- 1 to iters) {
+      bcScope.roundStart()
       // dangling mass folded into the round's single job (see [[run]])
       val mass =
         if (dangling == null) null
@@ -209,6 +217,7 @@ object PageRank {
             lit(damping) * contrib).as("rank"))
       val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
       if (prev != null) prev.unpersist(blocking = false)
+      bcScope.roundEnd()
       prev = cut
       ranks = cut
     }

@@ -100,8 +100,22 @@ object Candidates {
       seeding: String = "farthest", probeLoopFrom: Int = 33): DataFrame = {
     val cents = KMeans.fit(df, idCol, vecCol, kCoarse, iters, seeding)
     val cells = probeCells(df, idCol, vecCol, cents, nprobe, probeLoopFrom)
-    cells.select(col("__id").as("id_a"), col("__cell"))
-      .join(cells.select(col("__id").as("id_b"), col("__cell")), Seq("__cell"))
+    // Both join sides are spread by the point id before the cell join
+    // (guide §2.2): the gate-scale cell join is a broadcast join whose
+    // output parallelism equals the STREAM side's partitioning, and the
+    // probe frame inherits the embeddings scan's single row group — so
+    // the O(n²·nprobe/kCoarse) pair-emit stage otherwise runs in ONE
+    // task (the r16 verdict's ≤8-task full-probe finding). Spreading by
+    // __id also co-locates every probe row of one id, so the pair
+    // dedup's partial aggregate collapses the nprobe duplicate copies
+    // of each ordered pair BEFORE the exchange (guide §2.3) — the
+    // dedup shuffle carries O(n²) rows, not O(n²·nprobe). No-op at
+    // production partition counts (spread's under-parallel guard).
+    val a = graft.Tables.spread(
+      cells.select(col("__id").as("id_a"), col("__cell")), "id_a")
+    val b = graft.Tables.spread(
+      cells.select(col("__id").as("id_b"), col("__cell")), "id_b")
+    a.join(b, Seq("__cell"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -118,10 +132,12 @@ object Candidates {
     val union = a.select(col(idCol), col(vecCol))
       .unionByName(b.select(col(idCol), col(vecCol)))
     val cents = KMeans.fit(union, idCol, vecCol, kCoarse, iters)
-    probeCells(a, idCol, vecCol, cents, nprobe)
-      .select(col("__id").as("id_a"), col("__cell"))
-      .join(probeCells(b, idCol, vecCol, cents, nprobe)
-        .select(col("__id").as("id_b"), col("__cell")), Seq("__cell"))
+    // spread both probe sides before the cell join — see [[ivfSelfPairs]]
+    val pa = graft.Tables.spread(probeCells(a, idCol, vecCol, cents, nprobe)
+      .select(col("__id").as("id_a"), col("__cell")), "id_a")
+    val pb = graft.Tables.spread(probeCells(b, idCol, vecCol, cents, nprobe)
+      .select(col("__id").as("id_b"), col("__cell")), "id_b")
+    pa.join(pb, Seq("__cell"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

@@ -253,8 +253,21 @@ object Geometry {
       case Some(cand) =>
         val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
           Similarity.norm(col(vecCol)).as("__n"))
+        // The dedup exchange carries bare 16-byte id pairs, so AQE's
+        // byte-based coalescing squashes its read side to one or two
+        // tasks at gate scale — and that read side IS the per-pair dot
+        // stage (the vector attach joins broadcast at these sizes). An
+        // explicit keyed repartition REPLACES the dedup's own exchange
+        // (hashpartitioning on the dedup keys satisfies the aggregate's
+        // requirement — same single shuffle) and its REPARTITION_BY_NUM
+        // partitioning is pinned against coalescing, so the compute-
+        // heavy stage keeps cluster-default parallelism (guide §2.2:
+        // partition to the work, not the bytes). Scale-adaptive: the
+        // count derives from defaultParallelism, never a constant.
+        val para = cand.sparkSession.sparkContext.defaultParallelism
         cand.select(col("id_a").as("__ida"), col("id_b").as("__idb"))
           .filter(col("__ida") =!= col("__idb"))
+          .repartition(para, col("__ida"), col("__idb"))
           .dropDuplicates("__ida", "__idb")
           .join(vecs, col("__ida") === col("__vid"))
           .withColumnRenamed("__v", "__va").withColumnRenamed("__n", "__na")

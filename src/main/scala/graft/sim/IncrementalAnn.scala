@@ -120,10 +120,18 @@ object IncrementalAnn {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .join(spark.table(idsTable(name)), Seq("id"), "left_anti")
       .localCheckpoint() // cut the ids-table read→write lineage
-    val assigned = fresh.withColumn("cell",
-      KMeans.assignExpr(col("vec"), centroids(spark, name)))
-    graft.sources.Io.appendBucketed(assigned, cellsTable(name))
-    graft.sources.Io.appendBucketed(fresh.select("id"), idsTable(name))
+    // Replay fast path (guide §6 write cadence, the [[graft.etl
+    // .IncrementalAgg.appendDelta]] precedent): a fully-gated batch has
+    // nothing to write — skip the centroid collect and both zero-row
+    // bucketed write jobs (+ their commit/catalog round trips) instead
+    // of paying 3 jobs to append nothing. Table content is identical
+    // either way; the head(1) probe reads the checkpoint blocks.
+    if (fresh.head(1).nonEmpty) {
+      val assigned = fresh.withColumn("cell",
+        KMeans.assignExpr(col("vec"), centroids(spark, name)))
+      graft.sources.Io.appendBucketed(assigned, cellsTable(name))
+      graft.sources.Io.appendBucketed(fresh.select("id"), idsTable(name))
+    }
     graft.Blocks.releaseSince(spark, before)
   }
 

@@ -96,9 +96,13 @@ object Similarity {
     // k per query BEFORE the exchange — guide §2.3; the window form
     // shuffles and sorts the whole |queries|×|corpus| frame). Bounded
     // buffers need a small k: unbounded callers (k = Int.MaxValue, the
-    // q51 full-ranking truth) and exotic id types keep the window.
+    // q51 full-ranking truth) and exotic id types keep the window. Cap
+    // 256 (was 4096, r17 advisor note): the insertion buffer's update/
+    // merge is O(k) per row, so a near-cap k would regress vs the
+    // window's sort — every real caller uses k ≤ 64; larger k takes the
+    // window until someone needs a heap-based buffer.
     import org.apache.spark.sql.types.LongType
-    if (k <= 4096 && corpus.schema(idCol).dataType == LongType) {
+    if (k <= 256 && corpus.schema(idCol).dataType == LongType) {
       scored.groupBy(col("query_id"))
         .agg(graft.functions.TopKAgg.topKMax(
           col("cosine"), col("neighbor_id"), k).as("__tk"))
@@ -146,7 +150,13 @@ object Similarity {
           norm(col(vecCol)).as("__qn"))
         val cb = b.select(col(idCol).as("id_b"), col(vecCol).as("__cv"),
           norm(col(vecCol)).as("__cn"))
+        // pinned keyed repartition replaces the dedup's own exchange so
+        // AQE's byte-based coalescing can't squash the per-pair dot
+        // stage to one task — see [[Geometry.pairDists]]'s candidate
+        // path for the full rationale (same 16-byte-pair shape)
+        val para = cand.sparkSession.sparkContext.defaultParallelism
         val scored = cand.select("id_a", "id_b")
+          .repartition(para, col("id_a"), col("id_b"))
           .dropDuplicates("id_a", "id_b")
           .join(qa, Seq("id_a")).join(cb, Seq("id_b"))
           .withColumn("cosine", graft.functions.roundStable(

@@ -46,7 +46,10 @@ object Bpe {
     vocab.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
+    // per-round broadcast hygiene — see [[graft.operators.PageRank.run]]
+    val bcScope = graft.Blocks.loopBroadcastScope(spark)
     while (merges.size < numMerges && !exhausted) {
+      bcScope.roundStart()
       // adjacent pair counts: position-explode with the pair read AFTER
       // the Generate (the InferFiltersFromGenerate discipline)
       val top = vocab.filter(size(col("syms")) >= 2)
@@ -72,6 +75,7 @@ object Bpe {
         val next = vocab.select(fused.as("syms"), col("cnt"))
         val cut = org.apache.spark.sql.GraftShims.cachedCut(next)
         vocab.unpersist(blocking = false)
+        bcScope.roundEnd()
         vocab = cut
       }
     }

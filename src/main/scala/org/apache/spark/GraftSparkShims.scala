@@ -42,4 +42,27 @@ object GraftSparkShims {
     bids.foreach(id => master.removeBroadcast(id, removeFromMaster = true, blocking = true))
     bids.size
   }
+
+  /** Ids of every broadcast currently holding blocks — the snapshot half
+    * of the SCOPED release an iterative loop needs (see
+    * [[graft.Blocks.LoopBroadcastScope]]): `dropAllBroadcastBlocks` is
+    * only safe between queries, but a 20-round loop pins every round's
+    * per-round broadcasts (contribution sums, dangling-mass one-rows)
+    * until the end-of-query reset — ~40 blocks / ~135 MB per PageRank
+    * run (r16 Q106Triage) competing with the live working set.
+    */
+  def broadcastIds(sc: SparkContext): Set[Long] =
+    sc.env.blockManager.master
+      .getMatchingBlockIds(_.isInstanceOf[BroadcastBlockId], askStorageEndpoints = true)
+      .collect { case b: BroadcastBlockId => b.broadcastId }.toSet
+
+  /** Drop exactly the given broadcasts' blocks (non-blocking — loop hot
+    * path; the determinism the bench needs comes from the SNAPSHOT
+    * scoping, not from waiting on removal).
+    */
+  def dropBroadcastIds(sc: SparkContext, ids: Set[Long]): Int = {
+    val master = sc.env.blockManager.master
+    ids.foreach(id => master.removeBroadcast(id, removeFromMaster = true, blocking = false))
+    ids.size
+  }
 }

@@ -45,17 +45,23 @@ object GraftShims {
     * a LogicalRDD over them plus the RDD handle for deterministic
     * release. Replaces `createDataFrame(df.rdd, df.schema)`, which pays
     * a per-row InternalRow→external-Row→InternalRow round trip (the
-    * optimization guide's §1.4 `.rdd` tax) and erases the child's output
-    * partitioning and ordering — forcing the NEXT round's keyed join to
-    * re-Exchange (and re-Sort) a side that was already hash-partitioned
-    * by the join key. `fromDataset` carries the executed plan's
-    * partitioning/ordering into the LogicalRDD (the same mechanism
-    * `Dataset.localCheckpoint` uses), so a loop whose rounds are keyed
-    * the same way stops paying one Exchange per round.
+    * optimization guide's §1.4 `.rdd` tax). NOTE on partitioning:
+    * although `fromDataset` is the `localCheckpoint` mechanism and CAN
+    * carry the executed plan's partitioning/ordering, in practice the
+    * committed steady-state plans show `UnknownPartitioning(0)` on the
+    * resulting ExistingRDD (plans/r17/q106_pagerank_round2_steady_state
+    * .txt:491) — the AQE-finalized root's partitioning does not survive
+    * the attribute rewrite — and the next round's rank join broadcasts
+    * the small cut side anyway (BroadcastHashJoin, same plan:501), so no
+    * per-round Exchange is saved. The measured wins of this helper are
+    * the decode tax and the deterministic block release, nothing more.
     *
     * `eager=true` materializes before returning (the common loop shape);
     * `eager=false` lets the caller's own action (e.g. a convergence
-    * count) be the materializing pass. The cut is persisted
+    * count) be the materializing pass — but under AQE `toRdd` itself
+    * already executes every INTERMEDIATE shuffle stage at cut-creation
+    * time (stage-by-stage re-optimization), so only the final stage is
+    * actually deferred to the caller's action. The cut is persisted
     * MEMORY_AND_DISK as a normal cached Dataset — the caller owns its
     * `unpersist`, exactly like the pattern it replaces — unlike
     * `localCheckpoint`, whose block handle is unreachable and whose
@@ -77,6 +83,16 @@ object GraftShims {
     if (eager) cut.count(): Unit
     cut
   }
+
+  /** Physical partition count of a frame's execution RDD, read without
+    * building the external-row deserializer lineage `Dataset.rdd` adds
+    * on top of `toRdd` ([[graft.Tables.spread]]'s under-parallel probe).
+    * Caveat shared with `.rdd`: on a plan containing exchanges, AQE
+    * materializes the intermediate stages here — only probe scan-rooted
+    * frames.
+    */
+  def planPartitions(df: Dataset[Row]): Int =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd.getNumPartitions
 
   /** Drop every CacheManager entry (the `private[sql]` relation cache
     * behind `DataFrame.persist`). Unpersisting a cached plan's RDDs

@@ -43,6 +43,30 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.priorColds(write("not json at all")).isEmpty)
   }
 
+  test("priorWarms prefers prior_warms and falls back to the raw warm object") {
+    val withBest = write("""{"metric":"total_full",""" +
+      """"queries":{"q146_hits":16.200},""" +
+      """"warm":{"q146_hits":17.329},""" +
+      """"prior_warms":{"q146_hits":12.500}}""")
+    assert(Bench.priorWarms(withBest)("q146_hits") == 12.5)
+    val rawOnly = write("""{"metric":"total_full",""" +
+      """"queries":{"q146_hits":16.200},""" +
+      """"warm":{"q146_hits":17.329}}""")
+    assert(Bench.priorWarms(rawOnly)("q146_hits") == 17.329)
+    assert(Bench.priorWarms("/nonexistent/bench.json").isEmpty)
+  }
+
+  test("warm-prior gate: a synthetic warm inflation trips the drift verdict") {
+    // r16's q146 shape: prior best-evidence warm 12.5 s, this round 17.3
+    // — under the old harness this sailed through unflagged; the gate
+    // must NOT trip it (1.38×), but a genuine 2× inflation must trip
+    assert(!Bench.warmDrifted(17.3, Some(12.5)))   // +38%: below the gate
+    assert(Bench.warmDrifted(25.1, Some(12.5)))    // 2×: trips
+    assert(Bench.warmDrifted(3.1, Some(1.0)))      // 3× and >1s abs: trips
+    assert(!Bench.warmDrifted(0.9, Some(0.3)))     // 3× but sub-second: no
+    assert(!Bench.warmDrifted(30.0, None))         // no prior: never trips
+  }
+
   test("GateCost: nested timed blocks count once; drain resets") {
     GateCost.drainSec()
     GateCost.timed {

@@ -8,6 +8,44 @@ class OperatorEdgeSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("LoopBroadcastScope drops earlier rounds' broadcasts, keeps pre-loop and current ones") {
+    import org.apache.spark.GraftSparkShims
+    val sc = spark.sparkContext
+    def bids() = GraftSparkShims.broadcastIds(sc)
+    def bcastAction(): Set[Long] = {
+      // force a fresh BroadcastExchange: a join whose build side is an
+      // explicit broadcast() over a derived (non-reusable) frame
+      val n = scala.util.Random.nextInt(1000000)
+      val big = spark.range(2000).toDF("id")
+      val small = spark.range(5).toDF("id").withColumn("x", lit(n))
+      val pre = bids()
+      big.join(broadcast(small), "id").count()
+      bids() -- pre
+    }
+    val preLoop = bcastAction() // a broadcast alive BEFORE the scope
+    assert(preLoop.nonEmpty, "test harness: no broadcast created")
+    val scope = Blocks.loopBroadcastScope(spark)
+    scope.roundStart()
+    val round1 = bcastAction()
+    assert(round1.nonEmpty)
+    // base exclusion: pre-loop broadcasts are NEVER the scope's to drop
+    // (asserted via the drop COUNT, not block presence — the
+    // ContextCleaner may reap unreachable broadcasts on its own at any
+    // GC, so absolute block-state assertions are inherently racy)
+    assert(scope.roundEnd() == 0, "round 1 must drop nothing")
+    scope.roundStart()
+    val round2 = bcastAction()
+    val dropped = scope.roundEnd()
+    assert(dropped >= round1.size, s"round 2 should drop round 1's (${round1.size}), dropped $dropped")
+    // the current round's broadcasts were not selected for the drop
+    assert(round2.subsetOf(bids()), "current round's broadcasts must survive roundEnd")
+    // removal is non-blocking: poll briefly for round 1's blocks to go
+    val deadline = System.currentTimeMillis() + 10000
+    while (bids().intersect(round1).nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(bids().intersect(round1).isEmpty, "round 1 broadcasts must be gone")
+  }
+
   test("interpolateLinear: leading nulls stay null, trailing forward-fill, limit respected") {
     val df = Seq(
       ("a", 1, None: Option[Double]), // leading null → stays null

@@ -71,6 +71,23 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
+  test("null ids rank exactly like the window's id tie-break (r17 advisor case)") {
+    // null id among exact score ties (the id asc NULLS FIRST placement),
+    // null id on a null score, and a null id that loses the cut entirely
+    val df = Seq(
+      (1L, Some(10L), Some(0.5)), (1L, Option.empty[Long], Some(0.5)),
+      (1L, Some(11L), Some(0.5)), (1L, Some(12L), Some(0.1)),
+      (2L, Option.empty[Long], Option.empty[Double]), (2L, Some(20L), Some(0.3)),
+      (3L, Option.empty[Long], Some(0.9)), (3L, Some(30L), Some(0.2)),
+      (3L, Some(31L), Some(0.4))
+    ).toDF("k", "id", "s").repartition(5)
+    for (k <- Seq(1, 2, 64); asc <- Seq(true, false))
+      assertSame(df, k, asc)
+    // and the emitted id really is NULL, not a sentinel
+    val top = viaAgg(df.filter(col("k") === 3L), 1, asc = false).collect()
+    assert(top.length == 1 && top(0).isNullAt(1), top.mkString(","))
+  }
+
   test("groups smaller than k emit all rows in rank order") {
     val df = Seq((9L, 1L, Some(0.2)), (9L, 2L, Some(0.1))).toDF("k", "id", "s")
     val got = viaAgg(df, 10, asc = true).orderBy("rk")
